@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators over the `documents` table:
+  * exact (group-by / content-hash), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Portability notes (for the DuckDB oracle): all hashing is md5-based —
+  * md5 hex is identical across engines; a 60-bit integer hash is taken as
+  * `conv(substr(md5(x),1,15),16,10)` in Spark and
+  * `try_cast('0x' || substr(md5(x),1,15) AS BIGINT)` in DuckDB. Spark's
+  * internal murmur `hash()` / `xxhash64` deliberately do NOT appear in
+  * oracle-checked outputs (not portable).
+  *
+  * Scale design (100 TB of documents):
+  *  - exact dedup: one shuffle on the content hash (not the content itself —
+  *    group keys stay 16 bytes); partial agg shrinks map output.
+  *  - MinHash: signature computation is a single groupBy(doc) over exploded
+  *    shingles (map-side combine on min() makes the shuffle carry one
+  *    signature row per doc, not one row per shingle). LSH banding turns the
+  *    quadratic all-pairs problem into an equi-join on band keys — the only
+  *    quadratic work left is within a bucket, which banding keeps small.
+  *    Skewed buckets (a boilerplate shingle shared by millions of docs)
+  *    are handled by AQE skew-join splitting at runtime.
+  *  - n-gram Jaccard is the exact verifier run on LSH candidates, never on
+  *    all pairs; the oracle query blocks on `source` to stay bounded at any
+  *    SF (same shape as verifying within an LSH bucket).
+  */
+object Dedup extends QueryModule {
+
+  private val P = 1000000007L
+
+  /** 0-based 3-word shingles, deduplicated, as (doc_id, source, shingle). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        )).as("shingle"))
+
+  /** Portable 60-bit hash of (seed, shingle) — md5 prefix as integer. */
+  private def mh(seed: Int): Column =
+    min(conv(substring(md5(concat(lit(s"${seed}_"), col("shingle"))), 1, 15), 16, 10)
+      .cast("bigint")).as(s"mh$seed")
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).groupBy(col("doc_id"))
+      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup by full content ----
+    "dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- exact dedup by content hash (scale form: 16-byte shuffle keys) ----
+    "dedup_exact_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("content_hash", md5(col("text")))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- n-gram Jaccard similarity over blocked candidate pairs ----
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.as("a")
+      val b = sh.as("b")
+      val common = a.join(b,
+          col("a.source") === col("b.source") &&
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard",
+          round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- MinHash signatures (k=8, md5-based, portable) ----
+    "dedup_minhash_sig" -> ((s, d) =>
+      minhashSig(s, d).orderBy(col("doc_id"))),
+
+    // ---- MinHash LSH candidate pairs (4 bands of 2 rows) ----
+    "dedup_minhash_pairs" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val bands = sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band_idx"), concat_ws("_", col("mh0"), col("mh1")).as("bkey")),
+        struct(lit(1).as("band_idx"), concat_ws("_", col("mh2"), col("mh3")).as("bkey")),
+        struct(lit(2).as("band_idx"), concat_ws("_", col("mh4"), col("mh5")).as("bkey")),
+        struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
+      )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
+      val a = bands.as("a")
+      val b = bands.as("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions) ----
+    "dedup_simhash_sig" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("th",
+          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("bigint"))
+      val bitSums = (0 until 16).map { b =>
+        sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+      }
+      val agged = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 16).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      agged.select(col("doc_id"), simhash.as("simhash16"))
+        .orderBy(col("doc_id"))
+    }))
+
+  override def oracleSql: Map[String, String] = {
+    val shingleCte =
+      """WITH words AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM words WHERE len(w) >= 3
+        |)""".stripMargin
+    val mhCols = (0 until 8).map(i =>
+      s"min(try_cast('0x' || substr(md5('${i}_' || shingle), 1, 15) AS BIGINT)) AS mh$i").mkString(",\n    ")
+    val sigCte = s"$shingleCte, sig AS (\n  SELECT doc_id,\n    $mhCols\n  FROM sh GROUP BY doc_id\n)"
+    Map(
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+      "dedup_exact_hash" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""$shingleCte, sizes AS (
+           |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+           |), common AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |  FROM sh a JOIN sh b
+           |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT doc_a, doc_b, common,
+           |  round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) AS jaccard
+           |FROM common
+           |JOIN sizes na ON na.doc_id = doc_a
+           |JOIN sizes nb ON nb.doc_id = doc_b
+           |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.2
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_sig" -> s"$sigCte\nSELECT * FROM sig ORDER BY doc_id",
+      "dedup_minhash_pairs" ->
+        s"""$sigCte, bands AS (
+           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
+           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
+           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+           |FROM bands a JOIN bands b
+           |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_simhash_sig" -> {
+        val sums = (0 until 16).map(b =>
+          s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+        val hash = (0 until 16).map(b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        s"""WITH tokens AS (
+           |  SELECT doc_id, try_cast('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8) AS BIGINT) AS th
+           |  FROM documents
+           |), agged AS (
+           |  SELECT doc_id,
+           |    $sums
+           |  FROM tokens GROUP BY doc_id
+           |)
+           |SELECT doc_id, CAST($hash AS BIGINT) AS simhash16 FROM agged ORDER BY doc_id""".stripMargin
+      })
+  }
+}

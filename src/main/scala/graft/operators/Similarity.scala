@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (`embedding ARRAY<FLOAT>[64]`).
+  *
+  * Cosine similarity is computed with higher-order functions (zip_with +
+  * aggregate) — sequential left-to-right double-precision folds that are
+  * bit-identical to DuckDB's list_reduce, keeping the oracle exact; outputs
+  * are still rounded to 6 decimals as belt-and-braces. Every element is cast
+  * to DOUBLE *before* multiplying so both engines run the same fp ops.
+  *
+  * Scale design (billions of vectors):
+  *  - brute-force top-k: the query vector is broadcast; the scan is
+  *    embarrassingly parallel; orderBy+limit plans TakeOrderedAndProject
+  *    (per-partition heap of k, no global sort).
+  *  - bucketed (IVF-style): a coarse quantizer key (here `label`, standing in
+  *    for a centroid assignment) prunes the scan to one bucket — at scale the
+  *    table is written partitioned by that key, so partition pruning skips
+  *    the other buckets' files entirely.
+  *  - blocked near-dup pairs: the quadratic pair space is bounded by blocking
+  *    keys (bucket × shard), the same shape as verifying LSH candidates.
+  */
+object Similarity extends QueryModule {
+
+  /** Sequential double dot-product of two float vectors (HOF, codegen'd). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB equivalent of [[dot]] — list_reduce is also a sequential fold.
+    * Index-based (range + list extract) because DuckDB 1.0's list_zip yields
+    * unnamed structs whose fields can't be extracted by name.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  private def duckCosine(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- brute-force cosine top-k against one query vector ----
+    "sim_topk_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine("embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- IVF-style: prune to the query's coarse bucket, then top-k ----
+    "sim_topk_bucketed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("label").as("q_label"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("label") === col("q_label"))
+        .withColumn("cos_sim", round(cosine("embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- blocked near-duplicate pairs (embedding-cosine dedup) ----
+    "sim_pairs_block" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), (col("vec_id") % 16).as("shard"), col("embedding"))
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b,
+          col("a.label") === col("b.label") &&
+            col("a.shard") === col("b.shard") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim", round(cosine("a.embedding", "b.embedding"), 6))
+        .filter(col("cos_sim") >= 0.25)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"), col("cos_sim"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_topk_bucketed" ->
+      s"""WITH q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim
+         |FROM embeddings, q WHERE vec_id <> 0 AND label = q_label
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_pairs_block" ->
+      s"""WITH e AS (SELECT vec_id, label, vec_id % 16 AS shard, embedding FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM e a JOIN e b
+         |  ON a.label = b.label AND a.shard = b.shard AND a.vec_id < b.vec_id
+         |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: quality stats, regex token
+  * counting, language-ID heuristic, document fingerprinting.
+  *
+  * All are narrow per-row transforms — zero shuffles; at 100 TB these run as
+  * one codegen'd scan→project stage, fully parallel.
+  *
+  * Determinism: ratios are computed as integer-derived double divisions
+  * (identical in both engines); the rolling fingerprint is a sequential
+  * modular fold — Spark `aggregate` HOF vs DuckDB `list_reduce`, same
+  * left-to-right order, all values < 2^35 so no overflow.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stop = Seq("the", "a", "of", "and")
+  private val stopList = stop.map(w => s"'$w'").mkString(", ")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- quality scoring: length / word / type-token stats ----
+    "txt_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("bigint").as("char_len"),
+          size(col("w")).cast("bigint").as("n_words"),
+          size(array_distinct(col("w"))).cast("bigint").as("n_distinct_words"))
+        .withColumn("avg_word_len",
+          (col("char_len") - (col("n_words") - 1)).cast("double") / col("n_words"))
+        .withColumn("type_token_ratio",
+          col("n_distinct_words").cast("double") / col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- BPE-ish regex token counting ----
+    "txt_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("bigint").as("n_tokens"),
+          regexp_count(col("text"), lit("[aeiou]")).cast("bigint").as("n_vowels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language-ID heuristic: stopword-hit ratio ----
+    "txt_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("stop_hits",
+          expr(s"size(filter(w, x -> x IN ($stopList)))").cast("bigint"))
+        .withColumn("n_words", size(col("w")).cast("bigint"))
+        .withColumn("predicted_lang",
+          when(col("stop_hits") * 20 >= col("n_words"), lit("en")).otherwise(lit("unk")))
+        .select(col("doc_id"), col("lang"), col("stop_hits"), col("n_words"),
+          col("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprinting: rolling modular hash + md5 ----
+    "txt_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr(
+            """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+              |  (acc, w) -> pmod(acc * 31 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), 1000000007))
+              |""".stripMargin).as("fp_rolling"),
+          md5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "txt_stats" ->
+      """SELECT doc_id, lang, source,
+        |  length(text) AS char_len,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+        |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS type_token_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS stop_hits,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) * 20
+         |            >= len(string_split(text, ' '))
+         |       THEN 'en' ELSE 'unk' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        w -> try_cast('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+        |    (acc, w) -> (acc * 31 + w) % 1000000007) AS fp_rolling,
+        |  md5(text) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
