@@ -41,7 +41,7 @@ object SearchHistory extends QueryModule {
         expr("try_cast(user_id_s AS BIGINT)").as("user_id"),
         col("search_keyword"),
         expr("try_cast(search_keyword AS BIGINT)").as("bad_num"),
-        date_format(to_date(substring(col("created_at"), 1, 10)), "yyyy-MM-dd").as("created_date"))
+        date_format(expr("try_cast(substring(created_at, 1, 10) AS DATE)"), "yyyy-MM-dd").as("created_date"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Pipeline/orchestration layer (SURVEY.md §2.11 G1-G5).
+  *
+  * The reference's Airflow DAG semantics, re-expressed without the
+  * scheduler mechanics (non-goal per SURVEY.md):
+  *  - G1 DAG with id            -> [[Pipeline]] (name + ordered stages)
+  *  - G2 `a >> b >> c`          -> `stages` run strictly in order
+  *  - G3 external config        -> constructor params on pipeline objects
+  *  - G4 `{{ ds }}`/`ds_nodash` -> [[BatchContext]] threaded to every stage
+  *  - `depends_on_past=True`    -> [[BatchRunner.run]] executes dates
+  *    sequentially, aborting on first failure (later dates never run)
+  *  - S5 WRITE_TRUNCATE         -> [[Warehouse.truncateWrite]] (idempotent
+  *    re-run of a staging table)
+  *  - S6 WRITE_APPEND           -> [[Warehouse.appendWrite]] (one batch per
+  *    run accumulates; re-running a date double-appends, exactly like the
+  *    reference — guarded by scheduling, not data-level idempotence;
+  *    SURVEY.md §2.1 note)
+  *
+  * Scale: Warehouse tables are parquet directories; append writes add files
+  * (no rewrite of existing data), truncate writes replace the directory.
+  * At 100 TB per-table, appends stay O(batch) and a date-partitioned layout
+  * (`partitionedAppendWrite`) makes downstream date filters prune files.
+  */
+case class BatchContext(runDate: LocalDate) {
+  /** Airflow `{{ ds }}`: YYYY-MM-DD. */
+  val ds: String = runDate.format(DateTimeFormatter.ISO_LOCAL_DATE)
+  /** Airflow `{{ ds_nodash }}`: YYYYMMDD. */
+  val dsNodash: String = runDate.format(DateTimeFormatter.BASIC_ISO_DATE)
+}
+
+/** Named parquet tables under a root directory — the engine's stand-in for
+  * the reference's BigQuery datasets.
+  */
+class Warehouse(val root: String) {
+
+  def tablePath(name: String): String = s"$root/$name"
+
+  def read(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(tablePath(name))
+
+  def exists(name: String): Boolean =
+    new java.io.File(tablePath(name)).exists()
+
+  /** S5: WRITE_TRUNCATE — replace table contents (idempotent staging). */
+  def truncateWrite(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+
+  /** S6: WRITE_APPEND — accumulate one batch per run. */
+  def appendWrite(df: DataFrame, name: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+
+  /** Scale-path append: dynamic-partition overwrite on a date column, so
+    * re-running a batch date replaces exactly that date's partition
+    * (idempotent re-runs, unlike the reference's raw append) and readers
+    * filtering on the partition column get file-level pruning.
+    */
+  def partitionedUpsertWrite(df: DataFrame, name: String, partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(tablePath(name))
+}
+
+/** One task in a pipeline (reference: one Airflow operator). */
+case class Stage(name: String, run: (SparkSession, Warehouse, BatchContext) => Unit)
+
+/** G1/G2: a named, ordered chain of stages. */
+case class Pipeline(name: String, stages: Seq[Stage])
+
+object BatchRunner {
+
+  /** Run `pipeline` once per date in `dates`, strictly in order —
+    * `depends_on_past` + `wait_for_downstream` semantics: a failure stops
+    * the whole backfill (subsequent dates do not run).
+    */
+  def run(spark: SparkSession, wh: Warehouse, pipeline: Pipeline,
+          dates: Seq[LocalDate]): Unit =
+    for (date <- dates; stage <- pipeline.stages)
+      stage.run(spark, wh, BatchContext(date))
+
+  def dateRange(start: LocalDate, endInclusive: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(endInclusive)).toSeq
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics checks for the oracle-checked query inventory at
+  * sf0.001 (the full value-level gate is scripts/oracle_check.py vs DuckDB).
+  */
+class OperatorSmokeSpec extends SparkSuiteBase {
+
+  test("every declared query has an oracle or is explicitly oracle-free") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without queries: $orphans")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries execute and are non-degenerate at sf0.001") {
+    val allowedEmpty = Set("q_join_anti", "dedup_ngram_jaccard",
+      "dedup_minhash_pairs", "sim_pairs_block")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n >= 0, s"$name failed")
+      if (!allowedEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("tx_array_unpack branch logic: short arrays fall back positionally") {
+    val rows = SparkEntry.queries("tx_array_unpack")(spark, sf0001)
+      .filter(col("n_params") === 2).limit(5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("transaction_id")))
+      assert(!r.isNullAt(r.fieldIndex("transaction_number")))
+      assert(!r.isNullAt(r.fieldIndex("product_id")))
+    }
+  }
+
+  test("sh_raw_typed_load: try_cast yields null on garbage, value on numerics") {
+    val rows = SparkEntry.queries("sh_raw_typed_load")(spark, sf0001).limit(10).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("bad_num"))) // event_type never numeric
+      assert(!r.isNullAt(r.fieldIndex("user_id")))
+    }
+  }
+
+  test("multimodal decode: batched stub produces fixed-dim features, no shuffle") {
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
+    val feats = Multimodal.decodeFeatures(media)
+    val rows = feats.limit(20).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == Multimodal.FakeDecoder.featureDim)
+      assert(f.forall(v => v >= 0.0 && v <= 1.0))
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+    // determinism: same payload -> same features
+    val again = Multimodal.decodeFeatures(media).limit(20).collect()
+    assert(rows.map(_.getSeq[Double](1).toList).toList ==
+      again.map(_.getSeq[Double](1).toList).toList)
+  }
+}
