@@ -20,7 +20,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,
-    operators.Multimodal)
+    operators.Multimodal,
+    operators.EventTime)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A join + agg touching the fact table and two dimensions.

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators in their batch form: tumbling windows and gap
+  * sessionization over the `events` table. The same semantics run on a
+  * stream via [[graft.streaming.EventStreams]] (StreamingSpec asserts batch
+  * and streaming agree); these entries are the DuckDB-oracle-checkable side.
+  *
+  * The reference has no streaming (SURVEY.md §2.9) — its event-time surface
+  * is the daily-batch date filter — so this module is a capability extension.
+  *
+  * Determinism: timestamps leave the query as epoch-microsecond BIGINTs
+  * (`unix_micros` / DuckDB `epoch_us` on the micro-exact fixture values);
+  * every query ends in a total ORDER BY.
+  *
+  * Scale: the window agg is one shuffle on (window, event_type) with partial
+  * aggregation; sessionization shuffles once on user_id (the window spec and
+  * the final groupBy share that partitioning, so Catalyst plans a single
+  * exchange for lag + running-sum + agg).
+  */
+object EventTime extends QueryModule {
+
+  private val gapUs = 1800L * 1000000L // 30-min session gap
+
+  /** Tumbling 1-hour windows via the same `window()` the streaming form uses. */
+  private def hourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  /** Batch gap-sessionization: lag → new-session flag → running sum = session
+    * id → per-session agg. Equivalent to [[graft.streaming.EventStreams
+    * .sessionize]] once the stream's watermark has closed every session.
+    */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_hourly_window" -> ((s, d) => hourly(s, d)),
+    "evt_sessions" -> ((s, d) => sessions(s, d)))
+
+  override def oracleSql: Map[String, String] = Map(
+    "evt_hourly_window" ->
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
+        |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "evt_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

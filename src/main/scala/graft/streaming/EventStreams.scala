@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row of the `events` fixture (FIXTURES.md), used as the typed
+  * record for stateful streaming operators.
+  */
+case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Open-session state carried across micro-batches by [[EventStreams.sessionize]]. */
+case class SessionState(
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long)
+
+/** A closed user session emitted by [[EventStreams.sessionize]]. */
+case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long)
+
+/** Structured-Streaming operators over the event log.
+  *
+  * The reference is batch-only (SURVEY.md §2.9 — its "incremental" dimension
+  * is a daily Airflow cron), so these are capability extensions: the same
+  * event-log semantics expressed with Spark's unified batch/streaming API.
+  * Every transform here accepts EITHER a batch DataFrame or a
+  * `readStream`-sourced one — `withWatermark` is a no-op that the optimizer
+  * eliminates on batch plans, so [[graft.operators.EventTime]] registers the
+  * batch runs of these exact functions as oracle-checked queries.
+  *
+  * Scale design (events arriving at millions/sec):
+  *  - windowed counts: streaming partial aggregation per micro-batch; state
+  *    store holds one row per (window, event_type) — bounded by the watermark,
+  *    which evicts windows older than the lateness bound.
+  *  - sessionize: state is one small [[SessionState]] per ACTIVE user, not
+  *    per event; event-time timeouts garbage-collect idle users, so state size
+  *    tracks concurrent users. The shuffle key is user_id — sessions for
+  *    different users never co-depend, so the operator scales linearly with
+  *    partitions.
+  *  - dedup: `dropDuplicatesWithinWatermark` keeps event_ids only until the
+  *    watermark passes them (bounded state), vs. `dropDuplicates` on a stream
+  *    which would grow state forever.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts per event type with a lateness bound.
+    * Batch or streaming; on a stream use OutputMode.Append (watermark closes
+    * windows) or Update.
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Exactly-once-style dedup on event_id, state bounded by the watermark. */
+  def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization: consecutive events of a user belong to one
+    * session while the gap stays below `gapSeconds`. Emits a [[UserSession]]
+    * when a gap splits a session mid-batch, and via event-time timeout when
+    * the watermark passes an idle session's end + gap.
+    *
+    * Batch-equivalent semantics (modulo the open tail session, which a batch
+    * run considers closed): `graft.operators.EventTime`'s `evt_sessions`
+    * window-function query — the StreamingSpec asserts the two agree.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def fn(
+        userId: Long,
+        it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (it.isEmpty && state.hasTimedOut) {
+        // Watermark passed session_end + gap: the open session is final.
+        val s = state.get
+        state.remove()
+        Iterator.single(UserSession(userId, s.session_start, s.session_end, s.n_events))
+      } else {
+        val sorted = it.toArray.sortBy(_.ts.getTime)
+        var open = state.getOption
+        val closed = Iterator.newBuilder[UserSession]
+        sorted.foreach { e =>
+          open match {
+            case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+              open = Some(SessionState(s.session_start, e.ts, s.n_events + 1))
+            case Some(s) =>
+              closed += UserSession(userId, s.session_start, s.session_end, s.n_events)
+              open = Some(SessionState(e.ts, e.ts, 1))
+            case None =>
+              open = Some(SessionState(e.ts, e.ts, 1))
+          }
+        }
+        open match {
+          case Some(s) =>
+            state.update(s)
+            // Close the session once the watermark passes its end + gap; a
+            // timeout not strictly later than the watermark is rejected, so
+            // clamp (covers sessions built entirely from late events).
+            state.setTimeoutTimestamp(
+              math.max(s.session_end.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
+          case None => ()
+        }
+        closed.result()
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

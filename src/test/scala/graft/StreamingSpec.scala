@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, EventStreams, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming behavior: the streaming forms of the event-time
+  * operators agree with their batch forms ([[operators.EventTime]]) on the
+  * same data, and streaming-only semantics (watermark dedup state, event-time
+  * session timeouts) behave as documented.
+  */
+class StreamingSpec extends SparkSuiteBase {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$second%02d")
+
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowedTypeCounts: streaming (complete mode) equals the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Seq(
+      Event(1, tsH(0, 5), 10, "click", 1.0),
+      Event(2, tsH(0, 15), 11, "click", 1.0),
+      Event(3, tsH(0, 45), 10, "buy", 2.0),
+      Event(4, tsH(1, 5), 12, "click", 1.0),
+      Event(5, tsH(2, 30), 10, "click", 1.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(3))
+      q.processAllAvailable()
+      stream.addData(events.drop(3))
+      q.processAllAvailable()
+
+      val streamed = spark.table("win_counts")
+        .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+          col("n_events"), col("approx_users"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.windowedTypeCounts(events.toDF())
+        .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+          col("n_events"), col("approx_users"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // (h0 click), (h0 buy), (h1 click), (h2 click)
+    } finally q.stop()
+  }
+
+  test("dedupByEventId drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupByEventId(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(1, ts(1), 10, "click", 1.0), // same-batch duplicate
+        Event(2, ts(2), 10, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        Event(2, ts(3), 10, "click", 1.0), // cross-batch duplicate, in watermark
+        Event(3, ts(4), 10, "click", 1.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits + event-time timeout; agrees with the batch window-function form") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // user 10: events at 00:00..00:10 (one session), then 01:00 (new session
+    // after a 50-min > 30-min gap). user 11: single event.
+    val real = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 1.0),
+      Event(3, tsH(1, 0), 10, "click", 1.0),
+      Event(4, ts(5), 11, "buy", 2.0))
+    // Sentinel far in the future: advances the watermark past every real
+    // session's end + gap so their event-time timeouts fire.
+    val sentinel = Event(99, tsH(9, 0), 999, "click", 0.0)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(real)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel)) // batch that raises the watermark
+      q.processAllAvailable()
+      stream.addData(Seq.empty[Event]) // extra trigger: timeouts fire after the raise
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_out").as[UserSession]
+        .collect().filter(_.user_id != 999)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+        .toSet
+
+      // Batch form over the same rows (sessions all closed by construction).
+      val gapUs = 1800L * 1000000L
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val batch = real.toDF()
+        .withColumn("ts_ms", col("ts").cast("long") * 1000)
+        .withColumn("prev", lag(col("ts_ms"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || (col("ts_ms") - col("prev")) * 1000 > gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+}
