@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor / similarity search over the `embeddings`
   * table (`embedding ARRAY<FLOAT>[64]`).
   *
-  * Cosine similarity is computed with higher-order functions (zip_with +
-  * aggregate) — sequential left-to-right double-precision folds that are
-  * bit-identical to DuckDB's list_reduce, keeping the oracle exact; outputs
-  * are still rounded to 6 decimals as belt-and-braces. Every element is cast
-  * to DOUBLE *before* multiplying so both engines run the same fp ops.
+  * Cosine similarity runs as graft's native fused expression
+  * ([[graft.plans.CosineSimilarity]]) — a sequential left-to-right
+  * double-precision fold, bit-identical to both the higher-order-function
+  * form ([[hofCosine]]) and DuckDB's list_reduce, keeping the oracle exact;
+  * outputs are still rounded to 6 decimals as belt-and-braces. Every element
+  * is widened to DOUBLE *before* multiplying so all engines run the same fp
+  * ops.
   *
   * Scale design (billions of vectors):
   *  - brute-force top-k: the query vector is broadcast; the scan is
@@ -26,14 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** Sequential double dot-product of two float vectors (HOF, codegen'd). */
-  private def dot(a: String, b: String): Column =
+  /** Sequential double dot-product of two float vectors (HOF form — kept as
+    * the portable reference implementation; VectorExpressionSpec asserts the
+    * native expression below is bit-identical to it).
+    */
+  def hofDot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
-  private def cosine(a: String, b: String): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def hofCosine(a: String, b: String): Column =
+    hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
 
-  /** DuckDB equivalent of [[dot]] — list_reduce is also a sequential fold.
+  /** Hot-path cosine: graft's native fused one-pass expression
+    * ([[graft.plans.CosineSimilarity]]) — same fp ops in the same order as
+    * [[hofCosine]], so the DuckDB oracle is unaffected, but allocation-free
+    * inside whole-stage codegen.
+    */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    call_function("graft_cosine", col(a), col(b))
+  }
+
+  /** DuckDB equivalent of [[hofDot]] — list_reduce is also a sequential fold.
     * Index-based (range + list extract) because DuckDB 1.0's list_zip yields
     * unnamed structs whose fields can't be extracted by name.
     */
@@ -51,7 +66,7 @@ object Similarity extends QueryModule {
         .select(col("embedding").as("q_emb"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("cos_sim", round(cosine("embedding", "q_emb"), 6))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
@@ -64,7 +79,7 @@ object Similarity extends QueryModule {
         .select(col("embedding").as("q_emb"), col("label").as("q_label"))
       e.filter(col("vec_id") =!= 0)
         .join(broadcast(q), col("label") === col("q_label"))
-        .withColumn("cos_sim", round(cosine("embedding", "q_emb"), 6))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
@@ -80,7 +95,7 @@ object Similarity extends QueryModule {
           col("a.label") === col("b.label") &&
             col("a.shard") === col("b.shard") &&
             col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim", round(cosine("a.embedding", "b.embedding"), 6))
+        .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
         .filter(col("cos_sim") >= 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"), col("cos_sim"))

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for graft's native expressions.
+  *
+  * Two ways in:
+  *  - at session build time: `SparkSession.builder.withExtensions(new
+  *    GraftExtensions)` (or config `spark.sql.extensions=graft.plans
+  *    .GraftExtensions`) — the idiomatic deployment path;
+  *  - post-hoc on a live session: [[GraftExtensions.ensureRegistered]] —
+  *    used by query modules so they work against ANY caller-provided session
+  *    (the driver contract hands us a session we didn't build).
+  *
+  * After either, `graft_dot` / `graft_cosine` resolve in SQL text and via
+  * `functions.call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def binary(name: String, usage: String, mk: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      { args =>
+        require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+        mk(args(0), args(1))
+      })
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    binary("graft_dot", "graft_dot(a, b) - double dot product of two numeric arrays",
+      DotProduct(_, _)),
+    binary("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
+      CosineSimilarity(_, _)))
+
+  /** Idempotently register the functions on an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    descriptors.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}
