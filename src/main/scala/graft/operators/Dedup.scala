@@ -42,14 +42,24 @@ object Dedup extends QueryModule {
           "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
         )).as("shingle"))
 
-  /** Portable 60-bit hash of (seed, shingle) — md5 prefix as integer. */
-  private def mh(seed: Int): Column =
-    min(conv(substring(md5(concat(lit(s"${seed}_"), col("shingle"))), 1, 15), 16, 10)
-      .cast("bigint")).as(s"mh$seed")
+  /** Universal-hash family over one md5 base hash: h = md5_60(shingle) mod p,
+    * mh_i = min((a_i*h + b_i) mod p). One md5 per shingle instead of eight —
+    * md5 over the text dominates signature cost; the 8 derived hashes are two
+    * integer ops each. a_i < 2^31 and h < 2^30 keep a_i*h inside int64 on
+    * both engines, so the arithmetic is exact and portable.
+    */
+  private val mhA = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
+  private val mhB = Seq(1L, 1010L, 2019L, 3028L, 4037L, 5046L, 6055L, 7064L)
 
   private def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).groupBy(col("doc_id"))
-      .agg(mh(0), mh(1), mh(2), mh(3), mh(4), mh(5), mh(6), mh(7))
+    shingles(s, d)
+      .withColumn("h",
+        pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint"), lit(P)))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(pmod(lit(mhA(0)) * col("h") + lit(mhB(0)), lit(P))).as("mh0"),
+        (1 until 8).map(i =>
+          min(pmod(lit(mhA(i)) * col("h") + lit(mhB(i)), lit(P))).as(s"mh$i")): _*)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup by full content ----
@@ -144,8 +154,15 @@ object Dedup extends QueryModule {
         |  FROM words WHERE len(w) >= 3
         |)""".stripMargin
     val mhCols = (0 until 8).map(i =>
-      s"min(try_cast('0x' || substr(md5('${i}_' || shingle), 1, 15) AS BIGINT)) AS mh$i").mkString(",\n    ")
-    val sigCte = s"$shingleCte, sig AS (\n  SELECT doc_id,\n    $mhCols\n  FROM sh GROUP BY doc_id\n)"
+      s"min((${mhA(i)} * h + ${mhB(i)}) % $P) AS mh$i").mkString(",\n    ")
+    val sigCte = s"""$shingleCte, sh2 AS (
+      |  SELECT doc_id, (try_cast('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P) AS h
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $mhCols
+      |  FROM sh2 GROUP BY doc_id
+      |)""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
