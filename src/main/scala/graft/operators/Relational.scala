@@ -32,6 +32,27 @@ object Relational extends QueryModule {
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Skew-mitigation join for hot keys that AQE's size-based skew split
+    * can't fix (e.g. one key holding >spill-size rows on BOTH sides, or a
+    * sort-merge join whose skew sits in the sort): the probe side gets a
+    * per-row salt derived from `saltSrc` (any row-level column(s) — NOT the
+    * join key, which would make the salt constant per key), the build side
+    * is replicated `buckets` times, and the join key becomes
+    * (key, salt) — splitting each hot key's rows across `buckets` tasks.
+    * Result is exactly the plain join (salts match by construction).
+    * Cost: build side inflates ×buckets, so size `buckets` to the skew
+    * factor, not higher.
+    */
+  def saltedJoin(
+      left: DataFrame, leftKey: String, saltSrc: Column,
+      right: DataFrame, rightKey: String, buckets: Int): DataFrame =
+    left.withColumn("__salt", pmod(saltSrc.cast("bigint"), lit(buckets.toLong)))
+      .join(
+        right.withColumn("__salt_r",
+          explode(sequence(lit(0L), lit(buckets.toLong - 1)))),
+        col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
+      .drop("__salt", "__salt_r")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H Q1 style pricing summary (groupBy agg, filter pushdown) ----
     "q1_agg" -> ((s, d) => {
@@ -164,6 +185,20 @@ object Relational extends QueryModule {
       b1.unionAll(b2).orderBy(col("o_orderkey"))
     }),
 
+    // ---- salted fact-fact join (skew mitigation; result == plain join) ----
+    "q_join_salted" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      saltedJoin(
+        li, "l_orderkey", xxhash64(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        o, "o_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- JSON extraction on events.props (beyond-reference, SURVEY §2.8) ----
     "q_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -248,6 +283,12 @@ object Relational extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'batch_2' AS batch_id FROM orders WHERE o_orderstatus = 'O'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, SUM(k) AS sum_k, COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)

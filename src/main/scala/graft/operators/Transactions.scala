@@ -60,12 +60,14 @@ object Transactions extends QueryModule {
             .otherwise(lit(null)).as("transaction_id"),
           when(size(col("event_params")) === full, element_at(col("event_params"), 2))
             .otherwise(lit(null)).as("transaction_detail_id"),
+          // fallback arms use try_element_at: NULL on out-of-bounds (the
+          // reference's ValueError→pass path) instead of ANSI-mode errors
           when(size(col("event_params")) === full, element_at(col("event_params"), 3))
-            .otherwise(element_at(col("event_params"), 1)).as("transaction_number"),
+            .otherwise(try_element_at(col("event_params"), lit(1))).as("transaction_number"),
           when(size(col("event_params")) === full, element_at(col("event_params"), 4))
             .otherwise(lit(null)).as("purchase_quantity"),
           when(size(col("event_params")) === full, element_at(col("event_params"), 8))
-            .otherwise(element_at(col("event_params"), 2)).as("product_id"))
+            .otherwise(try_element_at(col("event_params"), lit(2))).as("product_id"))
         .orderBy(col("vec_id"))
     }),
 

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (SURVEY.md §5.4) via raw scalacheck (no
+  * scalatestplus bridge in the offline cache): engine semantics hold for
+  * arbitrary inputs, not just the fixtures.
+  */
+class PropertySpec extends SparkSuiteBase {
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("try_cast BIGINT agrees with Scala's Long parse for arbitrary strings") {
+    val strings = Gen.oneOf(
+      Gen.numStr,
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(_.toString))
+    check(Prop.forAll(Gen.listOfN(40, strings)) { xs =>
+      val schema = StructType(Seq(StructField("s", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map(Row(_)), 2), schema)
+      val got = df.select(expr("try_cast(s AS BIGINT)")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      // Spark's cast trims whitespace/control chars before parsing
+      val want = xs.map(s => scala.util.Try(s.trim.toLong).toOption)
+      got == want
+    }, n = 15)
+  }
+
+  test("conditional array unpack never throws and branches on size==21 for arbitrary lengths") {
+    val arrGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    check(Prop.forAll(Gen.listOfN(30, arrGen)) { arrays =>
+      val schema = StructType(Seq(StructField("event_params", ArrayType(LongType))))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(arrays.map(a => Row(a)), 2), schema)
+      val out = df.select(
+        when(size(col("event_params")) === 21, try_element_at(col("event_params"), lit(1)))
+          .otherwise(lit(null)).as("transaction_id"),
+        when(size(col("event_params")) === 21, try_element_at(col("event_params"), lit(3)))
+          .otherwise(try_element_at(col("event_params"), lit(1))).as("transaction_number"))
+        .collect()
+      out.zip(arrays).forall { case (r, a) =>
+        if (a.length == 21) !r.isNullAt(0) && r.getLong(0) == a.head && r.getLong(1) == a(2)
+        else r.isNullAt(0) &&
+          (if (a.isEmpty) r.isNullAt(1) else r.getLong(1) == a.head)
+      }
+    }, n = 15)
+  }
+
+  test("graft_dot is commutative and matches a plain Scala fold for arbitrary float vectors") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val vecGen = Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))
+    check(Prop.forAll(vecGen) { v =>
+      val schema = StructType(Seq(
+        StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+      val rev = v.reverse
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(v, rev)), 1), schema)
+      val r = df.select(
+        call_function("graft_dot", col("a"), col("b")).as("ab"),
+        call_function("graft_dot", col("b"), col("a")).as("ba")).collect()(0)
+      val want = v.zip(rev).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      r.getDouble(0) == r.getDouble(1) &&
+        math.abs(r.getDouble(0) - want) <= math.abs(want) * 1e-12 + 1e-12
+    }, n = 15)
+  }
+}
