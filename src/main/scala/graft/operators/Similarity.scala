@@ -85,6 +85,36 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // ---- IVF with a real coarse quantizer: assign every vector to its
+    // nearest of 8 centroids (argmax cosine, centroid-id tiebreak), then
+    // search only the query's cell. At scale the lake is written
+    // partitioned by cell, so the non-query cells are never read; the
+    // centroid set is tiny and broadcast. ----
+    "sim_topk_ivf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cs", cosine(s, "embedding", "c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      val cells = scored
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("k").as("cell"))
+      val qCell = cells.filter(col("vec_id") === 0).select(col("cell").as("q_cell"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.join(cells, "vec_id")
+        .join(broadcast(qCell), col("cell") === col("q_cell"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("cell"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- blocked near-duplicate pairs (embedding-cosine dedup) ----
     "sim_pairs_block" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -113,6 +143,24 @@ object Similarity extends QueryModule {
          |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0 AND label = q_label
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), scored AS (
+         |  SELECT e.vec_id, c.k, ${duckCosine("e.embedding", "c.c_emb")} AS cs
+         |  FROM embeddings e CROSS JOIN cent c
+         |), cells AS (
+         |  SELECT vec_id, k AS cell FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) = 1
+         |), qc AS (SELECT cell AS q_cell FROM cells WHERE vec_id = 0),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, cells.cell, round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |FROM embeddings e
+         |JOIN cells ON e.vec_id = cells.vec_id
+         |JOIN qc ON cells.cell = qc.q_cell
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_pairs_block" ->
       s"""WITH e AS (SELECT vec_id, label, vec_id % 16 AS shard, embedding FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
