@@ -31,7 +31,12 @@ object SearchHistory extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // two-phase typing: raw string staging -> try_cast typed projection
     "sh_raw_typed_load" -> ((s, d) => {
-      val raw = Tables.events(s, d).select(
+      // ORDER BY is placed on the source key BEFORE the try_cast projection:
+      // a global sort's range-sampling pass re-executes its child, so sorting
+      // first means the sampler reads only the scan and the (expensive)
+      // parsing projection runs once, after the exchange. Output order is
+      // identical (event_id survives the string round-trip exactly).
+      val raw = Tables.events(s, d).orderBy(col("event_id")).select(
         col("event_id").cast("string").as("event_id_s"),
         col("user_id").cast("string").as("user_id_s"),
         col("event_type").as("search_keyword"),
@@ -42,7 +47,6 @@ object SearchHistory extends QueryModule {
         col("search_keyword"),
         expr("try_cast(search_keyword AS BIGINT)").as("bad_num"),
         date_format(expr("try_cast(substring(created_at, 1, 10) AS DATE)"), "yyyy-MM-dd").as("created_date"))
-        .orderBy(col("event_id"))
     }),
 
     // per-day most frequent keyword (window form of the reference argmax)
