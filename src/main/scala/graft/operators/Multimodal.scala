@@ -92,13 +92,12 @@ object Multimodal extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary-column metadata surface (oracle-checkable slice of the plumbing)
     "mm_binary_meta" -> ((s, d) => {
-      attachFakeMedia(Tables.documents(s, d))
+      attachFakeMedia(Tables.documents(s, d).orderBy(col("doc_id")))
         .select(
           col("doc_id"),
           col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"),
           ascii(substring(col("payload").cast("string"), 1, 1)).cast("bigint").as("first_code"))
-        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators over `documents`: quality stats, regex token
   * counting, language-ID heuristic, document fingerprinting.
   *
-  * All are narrow per-row transforms — zero shuffles; at 100 TB these run as
-  * one codegen'd scan→project stage, fully parallel.
+  * All are narrow per-row transforms — zero data shuffles; at 100 TB these
+  * run as one codegen'd scan→project stage, fully parallel. The presentation
+  * ORDER BY sits on the source key BEFORE the projection so the range
+  * sampler never re-executes the per-row hashing/regex work (see
+  * SearchHistory for the pattern).
   *
   * Determinism: ratios are computed as integer-derived double divisions
   * (identical in both engines); the rolling fingerprint is a sequential
@@ -23,7 +26,7 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- quality scoring: length / word / type-token stats ----
     "txt_stats" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documents(s, d).orderBy(col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .select(
           col("doc_id"), col("lang"), col("source"),
@@ -34,22 +37,20 @@ object TextAnalysis extends QueryModule {
           (col("char_len") - (col("n_words") - 1)).cast("double") / col("n_words"))
         .withColumn("type_token_ratio",
           col("n_distinct_words").cast("double") / col("n_words"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- BPE-ish regex token counting ----
     "txt_token_count" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documents(s, d).orderBy(col("doc_id"))
         .select(
           col("doc_id"),
           regexp_count(col("text"), lit("[a-z0-9]+")).cast("bigint").as("n_tokens"),
           regexp_count(col("text"), lit("[aeiou]")).cast("bigint").as("n_vowels"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- language-ID heuristic: stopword-hit ratio ----
     "txt_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documents(s, d).orderBy(col("doc_id"))
         .withColumn("w", split(col("text"), " "))
         .withColumn("stop_hits",
           expr(s"size(filter(w, x -> x IN ($stopList)))").cast("bigint"))
@@ -58,12 +59,11 @@ object TextAnalysis extends QueryModule {
           when(col("stop_hits") * 20 >= col("n_words"), lit("en")).otherwise(lit("unk")))
         .select(col("doc_id"), col("lang"), col("stop_hits"), col("n_words"),
           col("predicted_lang"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- document fingerprinting: rolling modular hash + md5 ----
     "txt_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.documents(s, d).orderBy(col("doc_id"))
         .select(
           col("doc_id"),
           expr(
@@ -71,7 +71,6 @@ object TextAnalysis extends QueryModule {
               |  (acc, w) -> pmod(acc * 31 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), 1000000007))
               |""".stripMargin).as("fp_rolling"),
           md5(col("text")).as("fp_md5"))
-        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(

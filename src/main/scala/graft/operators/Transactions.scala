@@ -39,19 +39,19 @@ object Transactions extends QueryModule {
       Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .filter(to_date(col("ts")).between(lit(runDate), date_add(lit(runDate).cast("date"), 2)))
+        .orderBy(col("event_id"))
         .select(
           col("event_id").as("transaction_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("transaction_datetime"),
           col("user_id"),
           col("value").as("purchase_amount"),
           lit(runDate).as("ext_created_at"))
-        .orderBy(col("transaction_id"))
     }),
 
     // P4-P6 + X8-X9: conditional positional unpack with short-array fallback
     "tx_array_unpack" -> ((s, d) => {
       val full = 64
-      Tables.embeddings(s, d)
+      Tables.embeddings(s, d).orderBy(col("vec_id"))
         .withColumn("event_params", raggedArr)
         .select(
           col("vec_id"),
@@ -68,12 +68,11 @@ object Transactions extends QueryModule {
             .otherwise(lit(null)).as("purchase_quantity"),
           when(size(col("event_params")) === full, element_at(col("event_params"), 8))
             .otherwise(try_element_at(col("event_params"), lit(2))).as("product_id"))
-        .orderBy(col("vec_id"))
     }),
 
     // P2 + X10: tagged-union struct construction + typed slot extraction
     "tx_struct_slots" -> ((s, d) => {
-      val withParam = Tables.events(s, d).withColumn("param",
+      val withParam = Tables.events(s, d).orderBy(col("event_id")).withColumn("param",
         struct(
           lit("transaction_id").as("key"),
           struct(
@@ -86,7 +85,6 @@ object Transactions extends QueryModule {
         col("param.value.string_value").as("t_str"),
         col("param.value.float_value").as("t_float"),
         col("param.key").as("t_key"))
-        .orderBy(col("event_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
