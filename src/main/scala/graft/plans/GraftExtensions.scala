@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `functions.call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => VectorFoldRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -40,11 +42,18 @@ object GraftExtensions {
     binary("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
       CosineSimilarity(_, _)))
 
-  /** Idempotently register the functions on an existing session. */
+  /** Idempotently register the functions + the HOF→native rewrite on an
+    * existing session (builder-time extensions can't be added post-hoc;
+    * the optimizer rule goes through the experimental-methods hook instead).
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     descriptors.foreach { case (id, info, builder) =>
       if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(VectorFoldRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VectorFoldRewrite
     }
   }
 }
