@@ -61,6 +61,15 @@ object Dedup extends QueryModule {
         (1 until 8).map(i =>
           min(pmod(lit(mhA(i)) * col("h") + lit(mhB(i)), lit(P))).as(s"mh$i")): _*)
 
+  /** LSH banding of an 8-hash signature: 4 bands × 2 rows. */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band_idx"), concat_ws("_", col("mh0"), col("mh1")).as("bkey")),
+      struct(lit(1).as("band_idx"), concat_ws("_", col("mh2"), col("mh3")).as("bkey")),
+      struct(lit(2).as("band_idx"), concat_ws("_", col("mh4"), col("mh5")).as("bkey")),
+      struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
+    )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup by full content ----
     "dedup_exact" -> ((s, d) => {
@@ -108,13 +117,7 @@ object Dedup extends QueryModule {
 
     // ---- MinHash LSH candidate pairs (4 bands of 2 rows) ----
     "dedup_minhash_pairs" -> ((s, d) => {
-      val sig = minhashSig(s, d)
-      val bands = sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band_idx"), concat_ws("_", col("mh0"), col("mh1")).as("bkey")),
-        struct(lit(1).as("band_idx"), concat_ws("_", col("mh2"), col("mh3")).as("bkey")),
-        struct(lit(2).as("band_idx"), concat_ws("_", col("mh4"), col("mh5")).as("bkey")),
-        struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
-      )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
+      val bands = bandKeys(minhashSig(s, d))
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b,
@@ -124,6 +127,46 @@ object Dedup extends QueryModule {
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ---- duplicate clusters: LSH candidate pairs -> connected components
+    // -> canonical keeper (min doc_id). Iterative min-label propagation:
+    // each round every node takes the min label among itself and its
+    // neighbors; fixpoint = component minimum. Rounds are plain hash joins
+    // (shuffle on doc_id), so the algorithm scales the way Pregel-style
+    // label propagation does; lineage is cut per round with
+    // localCheckpoint so the plan stays flat. Converges in
+    // O(component diameter) rounds — LSH dup-clusters are near-cliques, so
+    // 2-3 rounds in practice; the loop exits on a zero-diff check.
+    "dedup_clusters" -> ((s, d) => {
+      val bands = bandKeys(minhashSig(s, d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var labels = adj.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nmin = adj.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+        val next = labels.join(nmin, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions) ----
@@ -198,6 +241,26 @@ object Dedup extends QueryModule {
            |FROM bands a JOIN bands b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_clusters" ->
+        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
+           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
+           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), adj AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), nodes AS (SELECT DISTINCT src AS doc_id FROM adj
+           |), reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM nodes
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN adj e ON e.src = r.b
+           |)
+           |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       "dedup_simhash_sig" -> {
         val sums = (0 until 16).map(b =>
           s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
