@@ -89,7 +89,47 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", BinaryType),
+    StructField("n_frames", IntegerType)))
+
+  /** Frame sampling for video-shaped payloads: each payload yields up to
+    * `maxFrames` evenly spaced "frames" (STUB slicing — a real codec would
+    * seek/decode here; the Spark plumbing is the contract). Emitted as
+    * exploded rows (doc_id, frame_idx, frame_bytes) — the layout downstream
+    * per-frame featurizers want. Narrow stage: payloads are sliced where
+    * they are read, only the (smaller) frames continue; at 100 TB the
+    * full-video bytes never shuffle.
+    */
+  def frameSample(media: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val payload = row.getAs[Array[Byte]]("payload")
+        val n = math.min(maxFrames, math.max(1, payload.length / 8))
+        val frameLen = math.max(1, payload.length / n)
+        (0 until n).map { i =>
+          val from = i * frameLen
+          val until = math.min(payload.length, from + frameLen)
+          Row(row.getLong(0), i, java.util.Arrays.copyOfRange(payload, from, until), n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // frame-sample plumbing, oracle-checkable slice: per-frame byte extents
+    "mm_frame_sample" -> ((s, d) => {
+      val media = attachFakeMedia(Tables.documents(s, d).orderBy(col("doc_id")))
+      frameSample(media, maxFrames = 4)
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          length(col("frame_bytes")).cast("bigint").as("frame_len"),
+          col("n_frames").cast("bigint").as("n_frames"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     // binary-column metadata surface (oracle-checkable slice of the plumbing)
     "mm_binary_meta" -> ((s, d) => {
       attachFakeMedia(Tables.documents(s, d).orderBy(col("doc_id")))
@@ -101,6 +141,19 @@ object Multimodal extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
+        |), p AS (
+        |  SELECT doc_id, len, least(4, greatest(1, len // 8)) AS n FROM m
+        |), f AS (
+        |  SELECT doc_id, len, n, greatest(1, len // n) AS fl FROM p
+        |)
+        |SELECT doc_id, i AS frame_idx,
+        |  least(len, (i + 1) * fl) - i * fl AS frame_len,
+        |  n AS n_frames
+        |FROM f, UNNEST(range(0, n)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, 'fake/raw' AS format,
         |  octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -64,4 +64,19 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rows.map(_.getSeq[Double](1).toList).toList ==
       again.map(_.getSeq[Double](1).toList).toList)
   }
+
+  test("frameSample: frames cover a payload prefix in order, bounded count") {
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
+    val one = media.limit(1).collect()(0)
+    val payload = one.getAs[Array[Byte]]("payload")
+    val frames = Multimodal.frameSample(media.limit(1), maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(frames.length >= 1 && frames.length <= 4)
+    assert(frames.map(_.getInt(1)).toSeq == frames.indices.toSeq)
+    // frames concatenate to a prefix of the payload (stub may drop a tail
+    // shorter than one frame)
+    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(joined.sameElements(payload.take(joined.length)))
+    assert(joined.length >= payload.length - payload.length / frames.length)
+  }
 }
