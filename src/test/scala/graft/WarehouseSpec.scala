@@ -32,4 +32,23 @@ class WarehouseSpec extends SparkSuiteBase {
       .map(r => (r.getAs[String]("ds"), r.getAs[Int]("v"))).toSeq
     assert(out == Seq(("2021-03-10", 9), ("2021-03-11", 3)))
   }
+
+  test("date-partitioned layout: a date filter prunes partitions at the scan") {
+    val wh = new Warehouse(tmpDir("whprune"))
+    val df = Seq(
+      ("2021-03-10", 1), ("2021-03-11", 2), ("2021-03-12", 3), ("2021-03-12", 4))
+      .toDF("ds", "v")
+    wh.partitionedUpsertWrite(df, "t", "ds")
+    val q = wh.read(spark, "t").filter(col("ds") === lit("2021-03-12").cast("date"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (file-level pruning),
+    // NOT in PushedFilters/data Filter (row-level, after reading)
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("""PartitionFilters: \[[^\]]*ds[^\]]*\]""".r.findFirstIn(plan).isDefined, plan)
+    assert(q.count() == 2)
+    // only the matching partition directory's files are read
+    assert(q.queryExecution.executedPlan.collectLeaves().toString.contains("t"))
+    val scanned = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("ds=2021-03-12")), scanned.mkString(","))
+  }
 }
