@@ -70,6 +70,40 @@ object Dedup extends QueryModule {
       struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
 
+  /** Connected components over the LSH candidate-pair graph by iterative
+    * min-label propagation (see the `dedup_clusters` query comment for the
+    * scale story). Returns (doc_id, cluster_id) for every doc in some pair.
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val bands = bandKeys(minhashSig(s, d))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nmin = adj.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(nmin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup by full content ----
     "dedup_exact" -> ((s, d) => {
@@ -138,34 +172,21 @@ object Dedup extends QueryModule {
     // localCheckpoint so the plan stays flat. Converges in
     // O(component diameter) rounds — LSH dup-clusters are near-cliques, so
     // 2-3 rounds in practice; the loop exits on a zero-diff check.
-    "dedup_clusters" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var labels = adj.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nmin = adj.join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-        val next = labels.join(nmin, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).isEmpty
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("doc_id"), col("label").as("cluster_id"))
+    "dedup_clusters" -> ((s, d) =>
+      clusterLabels(s, d).orderBy(col("doc_id"))),
+
+    // ---- canonical-keeper materialization over the whole corpus: every
+    // document tagged with its duplicate-cluster id (own id when it has no
+    // near-duplicates) and a keep flag for the cluster minimum — the
+    // dataset a training pipeline actually filters on. One broadcast-able
+    // join of the (tiny) cluster labels onto documents. ----
+    "dedup_keep_canonical" -> ((s, d) => {
+      val labels = clusterLabels(s, d).withColumnRenamed("cluster_id", "cl")
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cl"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -261,6 +282,32 @@ object Dedup extends QueryModule {
            |  SELECT r.a, e.dst FROM reach r JOIN adj e ON e.src = r.b
            |)
            |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      "dedup_keep_canonical" ->
+        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
+           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
+           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
+           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), adj AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs
+           |), nodes AS (SELECT DISTINCT src AS doc_id FROM adj
+           |), reach AS (
+           |  SELECT doc_id AS a, doc_id AS b FROM nodes
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN adj e ON e.src = r.b
+           |), clusters AS (
+           |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+           |)
+           |SELECT d.doc_id,
+           |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
+           |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "dedup_simhash_sig" -> {
         val sums = (0 until 16).map(b =>
           s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
