@@ -185,6 +185,41 @@ object Relational extends QueryModule {
       b1.unionAll(b2).orderBy(col("o_orderkey"))
     }),
 
+    // ---- scalar subquery: orders above the global average price. The
+    // aggregate is a 1-row broadcast; the comparison runs in exact decimal
+    // (price·count > total) so both engines decide identically. ----
+    "q_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val tot = o.agg(
+        sum(dec(col("o_totalprice"))).as("sum_total"),
+        count(lit(1)).as("n_total"))
+      o.crossJoin(broadcast(tot))
+        .filter(dec(col("o_totalprice")) * col("n_total") > col("sum_total"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above_avg"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- cube: all grouping-set combinations with grouping flags ----
+    "q_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // ---- pivot: per-returnflag quantity matrix by linestatus ----
+    "q_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- salted fact-fact join (skew mitigation; result == plain join) ----
     "q_join_salted" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -283,6 +318,26 @@ object Relational extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'batch_2' AS batch_id FROM orders WHERE o_orderstatus = 'O'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """WITH t AS (
+        |  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total, COUNT(*) AS n_total
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_above_avg
+        |FROM orders, t
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_total > sum_total
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
