@@ -167,6 +167,24 @@ object Relational extends QueryModule {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // ---- grouped top-k via graft's bounded-buffer aggregate: same rows as
+    // q_window_rank but partial-agg friendly — mappers emit ≤k rows per
+    // group instead of shuffling and sorting every row (see
+    // plans/TopKAggregate.scala). ----
+    "q_topk_grouped_agg" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(call_function("graft_topk",
+          col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"),
+          (col("pos") + 1).cast("bigint").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
     // ---- global top-k (TakeOrderedAndProject, no full sort) ----
     "q_topk_global" -> ((s, d) => {
       Tables.orders(s, d)
@@ -304,6 +322,12 @@ object Relational extends QueryModule {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_topk_grouped_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn

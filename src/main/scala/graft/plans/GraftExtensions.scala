@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension wiring for graft's native expressions.
   *
@@ -40,7 +41,19 @@ object GraftExtensions {
     binary("graft_dot", "graft_dot(a, b) - double dot product of two numeric arrays",
       DotProduct(_, _)),
     binary("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
-      CosineSimilarity(_, _)))
+      CosineSimilarity(_, _)),
+    (new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk",
+        "graft_topk(score, id, k) - bounded per-group top-k aggregate, (score DESC, id ASC)"),
+      { args =>
+        require(args.length == 3, s"graft_topk expects 3 arguments, got ${args.length}")
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) if v > 0 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be a positive INT literal, got $other")
+        }
+        TopKAggregate(args(0), args(1), k)
+      }))
 
   /** Idempotently register the functions + the HOF→native rewrite on an
     * existing session (builder-time extensions can't be added post-hoc;
