@@ -66,6 +66,24 @@ class Warehouse(val root: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(tablePath(name))
+
+  /** Co-location layout for repeated fact-fact joins: both tables are
+    * written bucketed (and sorted) on the join key with the same bucket
+    * count, so every later join/aggregation on that key runs with ZERO
+    * exchange — the shuffle is paid once at write time instead of per
+    * query. This is the 100 TB answer to "lineitem ⋈ orders on every
+    * dashboard query" (WarehouseSpec asserts the exchange-free plan).
+    * Bucketed tables go through the session catalog (`saveAsTable`), which
+    * records bucketing metadata parquet files alone can't carry.
+    */
+  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", tablePath(table))
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** One task in a pipeline (reference: one Airflow operator). */

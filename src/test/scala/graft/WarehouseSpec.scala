@@ -51,4 +51,24 @@ class WarehouseSpec extends SparkSuiteBase {
     val scanned = q.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(scanned.nonEmpty && scanned.forall(_.contains("ds=2021-03-12")), scanned.mkString(","))
   }
+
+  test("bucketed co-located join: no shuffle exchange in the join plan") {
+    val wh = new Warehouse(tmpDir("whbkt"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
+    try {
+      val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      wh.bucketedWrite(o, "orders_bkt", "o_orderkey", 4)
+      wh.bucketedWrite(li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_bkt", "o_orderkey", 4)
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == Tables.lineitem(spark, sf0001).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
 }
