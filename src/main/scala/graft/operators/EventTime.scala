@@ -60,11 +60,31 @@ object EventTime extends QueryModule {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Typed-Dataset path: per-user argmax via [[graft.functions.ArgMaxEvent]]
+    * (case-class Encoders + groupByKey + typed Aggregator) — constant state
+    * per group, map-side combined, vs. the window form's partition sort.
+    */
+  private def argmaxTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.Event]
+      .groupByKey(_.user_id)
+      .agg(graft.functions.ArgMaxEvent.toColumn.name("top_event_id"))
+      .toDF("user_id", "top_event_id")
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_hourly_window" -> ((s, d) => hourly(s, d)),
-    "evt_sessions" -> ((s, d) => sessions(s, d)))
+    "evt_sessions" -> ((s, d) => sessions(s, d)),
+    "evt_argmax_typed" -> ((s, d) => argmaxTyped(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_argmax_typed" ->
+      """SELECT user_id, event_id AS top_event_id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+        |ORDER BY user_id""".stripMargin,
     "evt_hourly_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
         |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users

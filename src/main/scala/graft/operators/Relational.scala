@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational extends QueryModule {
 
-  /** Exact money arithmetic: DOUBLE column -> DECIMAL(18,2). The fixture
-    * doubles carry at most 2 decimal digits (TPC-H convention), so this cast
-    * is lossless, and decimal sums are order-independent.
+  /** Order-independent money arithmetic: DOUBLE column -> DECIMAL(18,2).
+    * The fixture's money doubles are NOT all exactly 2-decimal, so this cast
+    * rounds — but Spark and DuckDB round a double→DECIMAL(18,2) cast
+    * identically (half-up on the decimal expansion), and from there on the
+    * decimal sums are exact and aggregation-order-independent, which is what
+    * the hash oracle needs (double sums would drift with partitioning).
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
