@@ -92,13 +92,15 @@ object Dedup extends QueryModule {
     while (!converged && rounds < 50) {
       val nmin = adj.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // the change flag rides along in the update join, so convergence is a
+      // cheap scan of the checkpointed round output, not a second join
       val next = labels.join(nmin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("new_label").as("label"))
       rounds += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
