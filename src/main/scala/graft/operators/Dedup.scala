@@ -61,6 +61,22 @@ object Dedup extends QueryModule {
         (1 until 8).map(i =>
           min(pmod(lit(mhA(i)) * col("h") + lit(mhB(i)), lit(P))).as(s"mh$i")): _*)
 
+  /** 16-bit SimHash per doc: per-bit majority vote over md5 token hashes. */
+  private def simhash16(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("th",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("bigint"))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val agged = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), simhash.as("simhash16"))
+  }
+
   /** LSH banding of an 8-hash signature: 4 bands × 2 rows. */
   private def bandKeys(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), explode(array(
@@ -192,22 +208,26 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- SimHash near-dup pairs: hamming distance <= 2 on the 16-bit
+    // signature, blocked by source (the same block key the other verifiers
+    // use). bit_count(xor) is integer-exact on both engines. ----
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sig = simhash16(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b,
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))).cast("bigint"))
+        .filter(col("hamming") <= 2)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions) ----
-    "dedup_simhash_sig" -> ((s, d) => {
-      val tokens = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("th",
-          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("bigint"))
-      val bitSums = (0 until 16).map { b =>
-        sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
-      }
-      val agged = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 16).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      agged.select(col("doc_id"), simhash.as("simhash16"))
-        .orderBy(col("doc_id"))
-    }))
+    "dedup_simhash_sig" -> ((s, d) =>
+      simhash16(s, d).orderBy(col("doc_id"))))
 
   override def oracleSql: Map[String, String] = {
     val shingleCte =
@@ -310,20 +330,36 @@ object Dedup extends QueryModule {
            |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
            |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
            |ORDER BY d.doc_id""".stripMargin,
-      "dedup_simhash_sig" -> {
-        val sums = (0 until 16).map(b =>
-          s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
-        val hash = (0 until 16).map(b =>
-          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-        s"""WITH tokens AS (
-           |  SELECT doc_id, try_cast('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8) AS BIGINT) AS th
-           |  FROM documents
-           |), agged AS (
-           |  SELECT doc_id,
-           |    $sums
-           |  FROM tokens GROUP BY doc_id
+      "dedup_simhash_sig" ->
+        s"""$simhashCte
+           |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,
+      "dedup_simhash_pairs" ->
+        s"""$simhashCte, sig_src AS (
+           |  SELECT s.doc_id, s.simhash16, d.source FROM sh16 s JOIN documents d USING (doc_id)
            |)
-           |SELECT doc_id, CAST($hash AS BIGINT) AS simhash16 FROM agged ORDER BY doc_id""".stripMargin
-      })
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+           |FROM sig_src a JOIN sig_src b
+           |  ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+           |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** Shared DuckDB CTE producing (doc_id, simhash16) as `sh16`. */
+  private def simhashCte: String = {
+    val sums = (0 until 16).map(b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val hash = (0 until 16).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tokens AS (
+       |  SELECT doc_id, try_cast('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8) AS BIGINT) AS th
+       |  FROM documents
+       |), agged AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tokens GROUP BY doc_id
+       |), sh16 AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS simhash16 FROM agged
+       |)""".stripMargin
   }
 }

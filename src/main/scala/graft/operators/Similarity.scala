@@ -115,6 +115,35 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // ---- SRP-LSH (random-hyperplane) bucketing for cosine: each vector's
+    // 8-bit code = sign bits of its dot products with 8 fixed hyperplanes
+    // (vectors 1..8 as the deterministic stand-in for sampled gaussians).
+    // Vectors sharing the query's code are the candidate set — cosine-LSH
+    // guarantees collision probability 1 - angle/π per bit. At scale the
+    // lake is partitioned/bucketed by code, so a probe reads one bucket. ----
+    "sim_topk_srp" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val planes = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
+      val coded = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(call_function("graft_dot", col("embedding"), col("h_emb")) > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT) - 1)")).otherwise(lit(0L)))
+        .groupBy(col("vec_id")).agg(sum(col("bit")).as("code"))
+      val qCode = coded.filter(col("vec_id") === 0).select(col("code").as("q_code"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.join(coded, "vec_id")
+        .join(broadcast(qCode), col("code") === col("q_code"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("code"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- blocked near-duplicate pairs (embedding-cosine dedup) ----
     "sim_pairs_block" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -158,6 +187,23 @@ object Similarity extends QueryModule {
          |FROM embeddings e
          |JOIN cells ON e.vec_id = cells.vec_id
          |JOIN qc ON cells.cell = qc.q_cell
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_topk_srp" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), qc AS (SELECT code AS q_code FROM coded WHERE vec_id = 0),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, coded.code, round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |FROM embeddings e
+         |JOIN coded ON e.vec_id = coded.vec_id
+         |JOIN qc ON coded.code = qc.q_code
          |CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
