@@ -247,7 +247,7 @@ object Relational extends QueryModule {
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
       saltedJoin(
         li, "l_orderkey", xxhash64(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
-        o, "o_orderkey", buckets = 8)
+        o, "o_orderkey", buckets = 4)
         .groupBy(col("o_orderpriority"))
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),

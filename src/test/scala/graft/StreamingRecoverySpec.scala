@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Checkpoint recovery: a streaming query stopped and restarted from the
+  * same checkpoint resumes exactly-once — already-processed input files are
+  * not reprocessed, new ones are, and the file sink contains no duplicates.
+  */
+class StreamingRecoverySpec extends SparkSuiteBase {
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  test("restart from checkpoint: no reprocessing, no duplicates in the sink") {
+    val landing = tmpDir("rec_landing")
+    val sink = tmpDir("rec_sink")
+    val ckpt = tmpDir("rec_ckpt")
+
+    def drop(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(landing, name), ids.map(i =>
+        s"""{"event_id":$i,"ts":"2024-01-01T00:0$i:00.000Z","user_id":1,"event_type":"click","value":1.0}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    def runOnce(): Unit = {
+      val q = EventStreams.dedupByEventId(
+        spark.readStream.schema(eventSchema).json(landing))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    drop("b0.jsonl", Seq(1L, 2L))
+    runOnce()
+    // second run, same checkpoint: b0 must NOT be reprocessed; b1 must be
+    drop("b1.jsonl", Seq(2L, 3L)) // id 2 repeats across batches
+    runOnce()
+
+    val ids = spark.read.parquet(sink).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 1,2 from b0; from b1 only 3 — id 2's cross-restart duplicate is
+    // dropped because the dedup operator's state store is RESTORED from the
+    // checkpoint, and b0 itself is not re-ingested (source offsets are
+    // checkpointed too). A bare 1,2,2,3 here would mean lost state; a
+    // 1,1,2,2,2,3 would mean reprocessed input.
+    assert(ids == Seq(1L, 2L, 3L), ids.mkString(","))
+  }
+}
