@@ -206,6 +206,18 @@ object Relational extends QueryModule {
       b1.unionAll(b2).orderBy(col("o_orderkey"))
     }),
 
+    // ---- exact percentiles (sort-based, interpolated — identical
+    // definition in both engines; rounded as fp belt-and-braces) ----
+    "q_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- scalar subquery: orders above the global average price. The
     // aggregate is a 1-row broadcast; the comparison runs in exact decimal
     // (price·count > total) so both engines decide identically. ----
@@ -345,6 +357,12 @@ object Relational extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'batch_2' AS batch_id FROM orders WHERE o_orderstatus = 'O'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scalar_subquery" ->
       """WITH t AS (
         |  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total, COUNT(*) AS n_total

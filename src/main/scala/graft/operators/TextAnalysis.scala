@@ -61,6 +61,34 @@ object TextAnalysis extends QueryModule {
           col("predicted_lang"))
     }),
 
+    // ---- deterministic stratified sampling: md5-bucket per doc, keep
+    // bucket 0 per source stratum (≈10%). Hash-based so the sample is
+    // stable across engines, runs, and partitionings — the reproducibility
+    // a training-corpus sample needs (rand()-based sampling is none of
+    // those). ----
+    "txt_sample_strat" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"), lit(10)))
+        .filter(col("bucket") === 0)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- fuzzy matching: Levenshtein distance over blocked short-text
+    // pairs (identical metric in both engines) ----
+    "txt_levenshtein" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 30).as("prefix"))
+        .filter(col("doc_id") < 50)
+      t.as("a").join(t.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).cast("bigint").as("lev"))
+        .filter(col("lev") <= 20)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- document fingerprinting: rolling modular hash + md5 ----
     "txt_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -97,6 +125,19 @@ object TextAnalysis extends QueryModule {
          |            >= len(string_split(text, ' '))
          |       THEN 'en' ELSE 'unk' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_sample_strat" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10) = 0
+        |ORDER BY doc_id""".stripMargin,
+    "txt_levenshtein" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, substr(text, 1, 30) AS prefix FROM documents WHERE doc_id < 50
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
