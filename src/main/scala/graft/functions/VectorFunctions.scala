@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * per-row evaluation, no UDF, no shuffle. Elements are cast to DOUBLE
   * before arithmetic: deterministic sequential left-to-right folds (see
   * operators.Similarity for why this matters to the oracle).
+  *
+  * On sessions with graft's extensions installed, dot/cosine uses of this
+  * portable form are rewritten to the fused native expression automatically
+  * (plans/VectorFoldRewrite) — same results, no intermediate arrays.
   */
 object VectorFunctions {
 

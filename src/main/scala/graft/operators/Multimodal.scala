@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   * is read; only the small feature vectors flow on to joins/aggregations.
   * Batch shape: partitions are processed via a buffered iterator in batches
   * of [[FakeDecoder.batchSize]] rows, the same shape a real GPU/codec decode
-  * would want (amortized model/codec setup per batch, bounded memory).
+  * would want (amortized model/codec setup per batch, bounded memory) — the
+  * Scala `mapPartitions` analog of PySpark's `mapInPandas` batched-UDF
+  * contract, which is where a Python decoder (PIL/torchcodec) would plug in.
   */
 object Multimodal extends QueryModule {
 
