@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, Partitioning, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** As-of join (point-in-time join): for every left row, the single right row
+  * with the same key and the greatest `ts` not after the left row's `ts` —
+  * the feature-store / market-data operator Spark's DataFrame API lacks.
+  *
+  * This is the full custom-operator rung of the extension ladder
+  * ([[AsOfJoinPlan]] logical node → [[AsOfJoinStrategy]] →
+  * [[AsOfJoinExec]] physical merge, wired by [[GraftExtensions]]):
+  * the composed alternative (union/window or range-join + argmax) either
+  * shuffles the fat right rows through a window or explodes the range pair
+  * space; this operator co-partitions both sides by key, sorts by
+  * (key, ts) — Spark inserts exactly one exchange+sort per side — and then
+  * streams BOTH sorted sides in one O(n+m) merge pass per partition with a
+  * single retained right row. 100 TB posture: no pair blow-up, no window
+  * buffer, partition-local state = one row.
+  *
+  * Inner semantics: left rows with no at-or-before match are dropped
+  * (DuckDB's `ASOF JOIN` — the oracle — matches). Keys and timestamps must
+  * be BIGINT (epoch-micros); on ties in right `ts` the last row in
+  * (key, ts) sort order wins, so make (key, ts) unique on the right for
+  * determinism.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    leftTs: Expression,
+    rightKey: Expression,
+    rightTs: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lts, rk, rts) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    leftTs: Expression,
+    rightKey: Expression,
+    rightTs: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // StatefulOpClusteredDistribution pins EXACT hash partitioning with a
+  // fixed partition count on both sides (the guarantee streaming stateful
+  // ops use), so the children are co-partitioned 1:1 and AQE cannot
+  // coalesce them out of alignment under our zipPartitions.
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    StatefulOpClusteredDistribution(Seq(leftKey), conf.numShufflePartitions),
+    StatefulOpClusteredDistribution(Seq(rightKey), conf.numShufflePartitions))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTs, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTs, right.output)
+    val schema = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(schema, schema)
+      val rBuf = rIter.buffered
+      var held: InternalRow = null // latest right row already consumed
+      var heldKey = 0L
+      var heldValid = false
+
+      lIter.flatMap { lRow =>
+        val key = lk.eval(lRow).asInstanceOf[Long]
+        val ts = lt.eval(lRow).asInstanceOf[Long]
+        // advance the right side through every row at-or-before (key, ts),
+        // remembering the last one with a matching key
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val hk = rk.eval(head).asInstanceOf[Long]
+          if (hk < key || (hk == key && rt.eval(head).asInstanceOf[Long] <= ts)) {
+            if (hk == key) { held = rBuf.next().copy(); heldKey = hk; heldValid = true }
+            else rBuf.next() // right-only key: skip (inner join)
+          } else advancing = false
+        }
+        if (heldValid && heldKey == key) {
+          Iterator.single(project(joined(lRow, held)))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOfJoin(left, "k", "ts", right, "k2", "ts2")`. */
+object AsOfJoin {
+  def apply(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    GraftExtensions.ensureRegistered(spark)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side column '$name' not found"))
+    val (lk, lt) = (attr(lp, leftKey, "left"), attr(lp, leftTs, "left"))
+    val (rk, rt) = (attr(rp, rightKey, "right"), attr(rp, rightTs, "right"))
+    Seq(lk, lt, rk, rt).foreach { a =>
+      require(a.dataType == LongType,
+        s"as-of join key/ts columns must be BIGINT, got ${a.name}: ${a.dataType.catalogString}")
+    }
+    require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
+      "as-of join requires disjoint column names; rename before joining")
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, lt, rk, rt))
+  }
+}

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => VectorFoldRewrite)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -67,6 +68,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(VectorFoldRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ VectorFoldRewrite
+    }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
   }
 }
