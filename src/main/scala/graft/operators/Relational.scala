@@ -206,6 +206,33 @@ object Relational extends QueryModule {
       b1.unionAll(b2).orderBy(col("o_orderkey"))
     }),
 
+    // ---- KMV (k-minimum-values) distinct-count sketch: per group keep the
+    // k smallest 60-bit md5 hashes of the key; estimate = (k-1)·M/kth_min.
+    // Streaming/mergeable-sketch math with a deterministic hash, so unlike
+    // HLL the estimate is bit-reproducible across engines — the oracle
+    // checks the ESTIMATE itself. Exact n_exact rides along to show the
+    // sketch's accuracy. ----
+    "q_kmv_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = math.pow(2.0, 60).toLong // hash domain size
+      val k = 32
+      val hashed = Tables.events(s, d)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint").as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      hashed
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .groupBy(col("event_type"))
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+        .withColumn("est_distinct",
+          round((col("n_kept") - 1).cast("double") * lit(m.toDouble) / col("kth").cast("double"), 6))
+        .select(col("event_type"), col("n_kept"), col("est_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- exact percentiles (sort-based, interpolated — identical
     // definition in both engines; rounded as fp belt-and-braces) ----
     "q_percentiles" -> ((s, d) => {
@@ -357,6 +384,22 @@ object Relational extends QueryModule {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, 'batch_2' AS batch_id FROM orders WHERE o_orderstatus = 'O'
         |) ORDER BY o_orderkey""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type,
+        |    try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hashed
+        |), kept AS (
+        |  SELECT event_type, max(h) AS kth, count(*) AS n_kept
+        |  FROM ranked WHERE rn <= 32 GROUP BY event_type
+        |)
+        |SELECT event_type, n_kept,
+        |  round(CAST(n_kept - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth AS DOUBLE), 6) AS est_distinct
+        |FROM kept ORDER BY event_type""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
