@@ -93,13 +93,55 @@ object EventTime extends QueryModule {
       .orderBy(col("p_event_id"))
   }
 
+  /** Range join: each purchase matched to the signup-anchored interval(s)
+    * [start, start + value·1e9 µs] of the same user it falls inside. The
+    * scale shape: key equality drives a broadcast/shuffle hash join and the
+    * range predicate rides along as the join condition — never a cartesian
+    * pair space. (For interval×interval workloads with no key, bucketize
+    * the range into overlap buckets first — same equi-join trick as
+    * SCALE.md's IVF layout.)
+    */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val intervals = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("i_user"), col("event_id").as("i_id"),
+        unix_micros(col("ts")).as("start_us"),
+        // floor() before the integer cast: Spark's double->bigint cast
+        // truncates while DuckDB's rounds — floor makes both explicit
+        (unix_micros(col("ts")) + floor(col("value") * 1e9).cast("bigint")).as("end_us"))
+    val points = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_ts"))
+    points.join(broadcast(intervals),
+        col("p_user") === col("i_user") &&
+          col("p_ts").between(col("start_us"), col("end_us")))
+      .select(col("p_id"), col("i_id"), col("p_user"), col("p_ts"),
+        col("start_us"), col("end_us"))
+      .orderBy(col("p_id"), col("i_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_hourly_window" -> ((s, d) => hourly(s, d)),
     "evt_sessions" -> ((s, d) => sessions(s, d)),
     "evt_argmax_typed" -> ((s, d) => argmaxTyped(s, d)),
     "evt_asof_join" -> ((s, d) => asof(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_range_join" ->
+      """WITH i AS (
+        |  SELECT user_id AS i_user, event_id AS i_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + CAST(floor(value * 1e9) AS BIGINT) AS end_us
+        |  FROM events WHERE event_type = 'signup'
+        |), p AS (
+        |  SELECT user_id AS p_user, event_id AS p_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p_id, i_id, p_user, p_ts, start_us, end_us
+        |FROM p JOIN i ON p_user = i_user AND p_ts BETWEEN start_us AND end_us
+        |ORDER BY p_id, i_id""".stripMargin,
     "evt_asof_join" ->
       """WITH p AS (
         |  SELECT event_id AS p_event_id, user_id AS p_user,
