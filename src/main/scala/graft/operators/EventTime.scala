@@ -120,14 +120,49 @@ object EventTime extends QueryModule {
       .orderBy(col("p_id"), col("i_id"))
   }
 
+  /** The built-in form of [[sessions]]: `session_window(ts, gap)` — one
+    * groupBy, no window functions; also the form that runs unchanged on a
+    * stream. Emits the same sessions (session_window's end = last event +
+    * gap, so start/count identify the session; we re-derive end_us as
+    * max event time to match the window-function form exactly).
+    */
+  private def sessionsNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("start_us"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
+    "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
     "evt_hourly_window" -> ((s, d) => hourly(s, d)),
     "evt_sessions" -> ((s, d) => sessions(s, d)),
     "evt_argmax_typed" -> ((s, d) => argmaxTyped(s, d)),
     "evt_asof_join" -> ((s, d) => asof(s, d)))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_sessions_native" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
     "evt_range_join" ->
       """WITH i AS (
         |  SELECT user_id AS i_user, event_id AS i_id,
