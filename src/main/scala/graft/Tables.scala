@@ -32,6 +32,14 @@ object Tables {
       spark.read.parquet(path(dir, name))
     }
 
+  /** Register every fixture table as a temp view so the full engine surface
+    * is reachable from `spark.sql(...)` text too (the reference's users
+    * write SQL; `graft_dot`/`graft_cosine`/`graft_topk` resolve once the
+    * session has graft's extensions).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -1,0 +1,33 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The SQL-text surface: fixture views + graft functions resolve in
+  * `spark.sql`, matching the DataFrame forms.
+  */
+class SqlSurfaceSpec extends SparkSuiteBase {
+
+  test("registered views + graft functions answer SQL text") {
+    GraftExtensions.ensureRegistered(spark)
+    Tables.registerAll(spark, sf0001)
+
+    val topRevenue = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(topRevenue.collect().length == 5)
+
+    val sim = spark.sql(
+      """SELECT e.vec_id, graft_cosine(e.embedding, q.embedding) AS cs
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cs DESC, e.vec_id LIMIT 3""".stripMargin).collect()
+    assert(sim.length == 3 && sim.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+
+    val topk = spark.sql(
+      """SELECT o_custkey, graft_topk(o_totalprice, o_orderkey, 2) AS top
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 5""".stripMargin).collect()
+    assert(topk.length == 5)
+    assert(topk.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
+  }
+}
