@@ -53,6 +53,34 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowedTypeCounts append mode: a window emits only once the watermark passes it, then is final") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(stream.toDF(), windowLen = "15 minutes")
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n_events"))
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(5), 11, "click", 1.0)))
+      q.processAllAvailable()
+      // watermark still below 00:15 + 10min -> nothing final yet
+      assert(spark.table("win_append").isEmpty)
+
+      // event at 00:40 raises the watermark to 00:30 > [00:00,00:15) end
+      stream.addData(Seq(Event(3, ts(40), 10, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[Event])
+      q.processAllAvailable()
+      val emitted = spark.table("win_append")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // the closed [00:00,00:15) window is emitted exactly once with its
+      // final count; the 00:40 window stays open
+      assert(emitted == Set((1704067200000000L, "click", 2L))) // 2024-01-01T00:00Z
+    } finally q.stop()
+  }
+
   test("dedupByEventId drops within-watermark duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
