@@ -89,6 +89,22 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- data-quality report: per-source completeness / uniqueness /
+    // range metrics — the gate a corpus build runs before training ----
+    "txt_quality_report" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"),
+          sum(when(col("text").isNull || col("text") === "", 1L).otherwise(0L)).as("n_empty_text"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .withColumn("ids_unique", col("n_distinct_ids") === col("n_rows"))
+        .orderBy(col("source"))
+    }),
+
     // ---- document fingerprinting: rolling modular hash + md5 ----
     "txt_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -125,6 +141,14 @@ object TextAnalysis extends QueryModule {
          |            >= len(string_split(text, ' '))
          |       THEN 'en' ELSE 'unk' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_quality_report" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT doc_id) AS n_distinct_ids,
+        |  CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  COUNT(DISTINCT doc_id) = COUNT(*) AS ids_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "txt_sample_strat" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE (try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10) = 0
