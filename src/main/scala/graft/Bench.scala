@@ -24,7 +24,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline_total: fixed representative subset (PlanDump.headline), so
+    // the number stays comparable across rounds while the full query set
+    // keeps growing; "total" remains the sum over everything.
+    val headline = PlanDump.headline.flatMap(results.get).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"headline_total":$headline,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
