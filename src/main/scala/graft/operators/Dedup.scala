@@ -181,6 +181,34 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- the production dedup shape end-to-end in one query: MinHash+LSH
+    // proposes candidate pairs, exact n-gram Jaccard verifies ONLY those
+    // pairs (never all pairs). Shingle sets are collected per doc (bounded
+    // by doc length) and joined to the candidate list; at 100 TB the
+    // candidate join is the only quadratic-ish step and LSH keeps it
+    // near-linear. Set order from collect_set is nondeterministic but only
+    // set SIZES reach the output. ----
+    "dedup_verify_candidates" -> ((s, d) => {
+      val docSets = shingles(s, d).groupBy(col("doc_id"))
+        .agg(collect_set(col("shingle")).as("sh_set"), count(lit(1)).as("n_sh"))
+      val bands = bandKeys(minhashSig(s, d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(docSets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("bigint"))
+        .withColumn("jaccard",
+          round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"),
+          (col("jaccard") >= 0.2).as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- duplicate clusters: LSH candidate pairs -> connected components
     // -> canonical keeper (min doc_id). Iterative min-label propagation:
     // each round every node takes the min label among itself and its
@@ -284,6 +312,30 @@ object Dedup extends QueryModule {
            |FROM bands a JOIN bands b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_verify_candidates" ->
+        s"""$sigCte, bands AS (
+           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
+           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
+           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), sets AS (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS n_common,
+           |  round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard,
+           |  round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.2 AS is_dup
+           |FROM cand
+           |JOIN sets sa ON sa.doc_id = doc_a
+           |JOIN sets sb ON sb.doc_id = doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_clusters" ->
         s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
            |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
