@@ -91,22 +91,33 @@ case class AsOfJoinExec(
       var heldValid = false
 
       lIter.flatMap { lRow =>
-        val key = lk.eval(lRow).asInstanceOf[Long]
-        val ts = lt.eval(lRow).asInstanceOf[Long]
-        // advance the right side through every row at-or-before (key, ts),
-        // remembering the last one with a matching key
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < key || (hk == key && rt.eval(head).asInstanceOf[Long] <= ts)) {
-            if (hk == key) { held = rBuf.next().copy(); heldKey = hk; heldValid = true }
-            else rBuf.next() // right-only key: skip (inner join)
-          } else advancing = false
+        val keyV = lk.eval(lRow)
+        val tsV = lt.eval(lRow)
+        if (keyV == null || tsV == null) Iterator.empty // null never matches
+        else {
+          val key = keyV.asInstanceOf[Long]
+          val ts = tsV.asInstanceOf[Long]
+          // advance the right side through every row at-or-before (key, ts),
+          // remembering the last one with a matching key
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkV = rk.eval(head)
+            val htV = rt.eval(head)
+            if (hkV == null || htV == null) {
+              rBuf.next() // null-keyed right row matches nothing; NULLS FIRST
+            } else {
+              val hk = hkV.asInstanceOf[Long]
+              if (hk < key || (hk == key && htV.asInstanceOf[Long] <= ts)) {
+                if (hk == key) { held = rBuf.next().copy(); heldKey = hk; heldValid = true }
+                else rBuf.next() // right-only key: skip (inner join)
+              } else advancing = false
+            }
+          }
+          if (heldValid && heldKey == key) {
+            Iterator.single(project(joined(lRow, held)))
+          } else Iterator.empty
         }
-        if (heldValid && heldKey == key) {
-          Iterator.single(project(joined(lRow, held)))
-        } else Iterator.empty
       }
     }
   }

@@ -57,6 +57,24 @@ class AsOfJoinSpec extends SparkSuiteBase {
     assert("REQUIRED_BY_STATEFUL_OPERATOR".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("null keys and timestamps never match (inner-join null semantics)") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1L), Some(100L), 10L),
+      (None, Some(100L), 11L),     // null key -> dropped
+      (Some(1L), None, 12L))       // null ts -> dropped
+      .toDF("p_user", "p_ts", "p_event_id")
+    val r = Seq(
+      (Some(1L), Some(10L), 1.5),
+      (None, Some(5L), 7.7),       // null-keyed snapshot matches nothing
+      (Some(1L), None, 8.8))
+      .toDF("s_user", "s_ts", "s_val")
+    val got = AsOfJoin(l, "p_user", "p_ts", r, "s_user", "s_ts")
+      .select("p_event_id", "s_ts", "s_val")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == Set((10L, 10L, 1.5)))
+  }
+
   test("left rows with no at-or-before match are dropped (inner asof)") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
