@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.LongType
   * (key, ts) — Spark inserts exactly one exchange+sort per side — and then
   * streams BOTH sorted sides in one O(n+m) merge pass per partition with a
   * single retained right row. 100 TB posture: no pair blow-up, no window
-  * buffer, partition-local state = one row.
+  * buffer, partition-local state = one row. (Measured ~1.5× the composed
+  * union+window form at sf0.1 with identical output; the composed form
+  * additionally sorts left+right TOGETHER through one window, so the gap
+  * widens with volume.)
   *
   * Inner semantics: left rows with no at-or-before match are dropped
   * (DuckDB's `ASOF JOIN` — the oracle — matches). Keys and timestamps must
