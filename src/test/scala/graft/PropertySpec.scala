@@ -55,6 +55,46 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 15)
   }
 
+  test("saltedJoin equals the plain join for arbitrary (skewed) data") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 3L) // few keys -> heavy skew
+      v <- Gen.chooseNum(-100L, 100L)
+    } yield (k, v)
+    check(Prop.forAll(Gen.listOfN(60, rowGen), Gen.listOfN(10, rowGen)) { (ls, rs) =>
+      val schema = StructType(Seq(StructField("lk", LongType), StructField("lv", LongType)))
+      val rschema = StructType(Seq(StructField("rk", LongType), StructField("rv", LongType)))
+      val l = spark.createDataFrame(
+        spark.sparkContext.parallelize(ls.map { case (k, v) => Row(k, v) }, 3), schema)
+      val r = spark.createDataFrame(
+        spark.sparkContext.parallelize(rs.map { case (k, v) => Row(k, v) }, 2), rschema)
+      val salted = graft.operators.Relational
+        .saltedJoin(l, "lk", xxhash64(col("lv")), r, "rk", buckets = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val plain = l.join(r, col("lk") === col("rk"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      salted == plain
+    }, n = 10)
+  }
+
+  test("TopKBuffer matches a sort-based reference for arbitrary inserts") {
+    val entryGen = for {
+      s <- Gen.chooseNum(-50.0, 50.0)
+      id <- Gen.chooseNum(0L, 30L) // small range -> score ties happen
+    } yield (s, id)
+    check(Prop.forAll(Gen.listOfN(40, entryGen), Gen.chooseNum(1, 6)) { (xs, k) =>
+      val buf = new graft.plans.TopKBuffer(k)
+      xs.foreach { case (s, id) => buf.insert(s, id) }
+      val got = (0 until buf.size).map(i => (buf.scores(i), buf.ids(i))).toList
+      // duplicates are kept by the buffer, so the reference is a plain
+      // stable sort on (score DESC, id ASC) truncated to k
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      got == want
+    }, n = 20)
+  }
+
   test("graft_dot is commutative and matches a plain Scala fold for arbitrary float vectors") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val vecGen = Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))
