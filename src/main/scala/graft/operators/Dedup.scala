@@ -61,8 +61,26 @@ object Dedup extends QueryModule {
         (1 until 8).map(i =>
           min(pmod(lit(mhA(i)) * col("h") + lit(mhB(i)), lit(P))).as(s"mh$i")): _*)
 
-  /** 16-bit SimHash per doc: per-bit majority vote over md5 token hashes. */
+  /** 16-bit SimHash per doc: per-bit majority vote over md5 token hashes.
+    * Runs as graft's one-pass native expression
+    * ([[graft.plans.SimHash16]]) — a narrow projection, NO shuffle — which
+    * is bit-identical to the relational explode→groupBy formulation the
+    * DuckDB oracle still uses (`simhashRelational` keeps that form for the
+    * equivalence spec).
+    */
   private def simhash16(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    Tables.documents(s, d).orderBy(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_simhash16", col("text")).as("simhash16"))
+  }
+
+  /** The relational (explode → md5 → 16 ±1 sums → sign bits) SimHash —
+    * the portable form mirrored by the oracle SQL; kept as the reference
+    * implementation the native expression is verified against
+    * (OperatorSmokeSpec).
+    */
+  def simhashRelational(s: SparkSession, d: String): DataFrame = {
     val tokens = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("th",
@@ -253,9 +271,9 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions) ----
-    "dedup_simhash_sig" -> ((s, d) =>
-      simhash16(s, d).orderBy(col("doc_id"))))
+    // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions;
+    // simhash16 already emits in doc_id order — sort-before-projection) ----
+    "dedup_simhash_sig" -> ((s, d) => simhash16(s, d)))
 
   override def oracleSql: Map[String, String] = {
     val shingleCte =

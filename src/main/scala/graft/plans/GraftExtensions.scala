@@ -43,6 +43,13 @@ object GraftExtensions {
       DotProduct(_, _)),
     binary("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays",
       CosineSimilarity(_, _)),
+    (new FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_simhash16",
+        "graft_simhash16(text) - one-pass 16-bit SimHash of whitespace-tokenized text"),
+      { args =>
+        require(args.length == 1, s"graft_simhash16 expects 1 argument, got ${args.length}")
+        SimHash16(args.head)
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk",
         "graft_topk(score, id, k) - bounded per-group top-k aggregate, (score DESC, id ASC)"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Smoke + semantics checks for the oracle-checked query inventory at
@@ -63,6 +63,16 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     val again = Multimodal.decodeFeatures(media).limit(20).collect()
     assert(rows.map(_.getSeq[Double](1).toList).toList ==
       again.map(_.getSeq[Double](1).toList).toList)
+  }
+
+  test("native graft_simhash16 is bit-identical to the relational explode/groupBy form") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val native = SparkEntry.queries("dedup_simhash_sig")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = Dedup.simhashRelational(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty)
+    assert(native == relational)
   }
 
   test("frameSample: frames cover a payload prefix in order, bounded count") {
