@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.LongType
   * additionally sorts left+right TOGETHER through one window, so the gap
   * widens with volume.)
   *
-  * Inner semantics: left rows with no at-or-before match are dropped
-  * (DuckDB's `ASOF JOIN` — the oracle — matches). Keys and timestamps must
+  * Inner semantics by default: left rows with no at-or-before match are
+  * dropped (DuckDB's `ASOF JOIN` — the oracle — matches); `leftOuter=true`
+  * keeps them with a null right side (`ASOF LEFT JOIN`). Keys and timestamps must
   * be BIGINT (epoch-micros); on ties in right `ts` the last row in
   * (key, ts) sort order wins, so make (key, ts) unique on the right for
   * determinism.
@@ -39,9 +40,11 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     leftTs: Expression,
     rightKey: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    leftOuter: Boolean = false)
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -49,8 +52,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lts, rk, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts) :: Nil
+    case AsOfJoinPlan(l, r, lk, lts, rk, rts, outer) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, outer) :: Nil
     case _ => Nil
   }
 }
@@ -61,10 +64,12 @@ case class AsOfJoinExec(
     leftKey: Expression,
     leftTs: Expression,
     rightKey: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    leftOuter: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   // StatefulOpClusteredDistribution pins EXACT hash partitioning with a
@@ -85,9 +90,12 @@ case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTs, right.output)
     val schema = output
+    val rightWidth = right.output.length
+    val outer = leftOuter
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema, schema)
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
       var held: InternalRow = null // latest right row already consumed
       var heldKey = 0L
@@ -96,8 +104,10 @@ case class AsOfJoinExec(
       lIter.flatMap { lRow =>
         val keyV = lk.eval(lRow)
         val tsV = lt.eval(lRow)
-        if (keyV == null || tsV == null) Iterator.empty // null never matches
-        else {
+        if (keyV == null || tsV == null) {
+          // null never matches; left-outer still emits the left row
+          if (outer) Iterator.single(project(joined(lRow, nullRight))) else Iterator.empty
+        } else {
           val key = keyV.asInstanceOf[Long]
           val ts = tsV.asInstanceOf[Long]
           // advance the right side through every row at-or-before (key, ts),
@@ -119,6 +129,8 @@ case class AsOfJoinExec(
           }
           if (heldValid && heldKey == key) {
             Iterator.single(project(joined(lRow, held)))
+          } else if (outer) {
+            Iterator.single(project(joined(lRow, nullRight)))
           } else Iterator.empty
         }
       }
@@ -134,7 +146,8 @@ case class AsOfJoinExec(
 object AsOfJoin {
   def apply(
       left: DataFrame, leftKey: String, leftTs: String,
-      right: DataFrame, rightKey: String, rightTs: String): DataFrame = {
+      right: DataFrame, rightKey: String, rightTs: String,
+      leftOuter: Boolean = false): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftExtensions.ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -150,6 +163,6 @@ object AsOfJoin {
     }
     require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
       "as-of join requires disjoint column names; rename before joining")
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, lt, rk, rt))
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, lt, rk, rt, leftOuter))
   }
 }

@@ -75,6 +75,22 @@ class AsOfJoinSpec extends SparkSuiteBase {
     assert(got == Set((10L, 10L, 1.5)))
   }
 
+  test("leftOuter keeps unmatched left rows with a null right side") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
+      .toDF("p_user", "p_ts", "p_event_id")
+    val r = Seq((1L, 10L, 1.5)).toDF("s_user", "s_ts", "s_val")
+    val got = AsOfJoin(l, "p_user", "p_ts", r, "s_user", "s_ts", leftOuter = true)
+      .select("p_event_id", "s_ts", "s_val")
+      .collect().map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2)))).toSet
+    assert(got == Set(
+      (10L, Some(10L), Some(1.5)),
+      (11L, None, None),
+      (12L, None, None)))
+  }
+
   test("left rows with no at-or-before match are dropped (inner asof)") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
