@@ -115,6 +115,42 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // ---- k-means coarse-quantizer TRAINING (2 Lloyd rounds), fully
+    // deterministic: centroids are integer-quantized element sums
+    // (floor(x·1e6) per element, summed as BIGINT — order-independent and
+    // exact, unlike double means) and cosine is scale-invariant, so the
+    // un-normalized integer centroid points the same direction the mean
+    // would. Assignment = argmax cosine with centroid-id tiebreak. At scale
+    // each round is one broadcast of K centroid arrays + one (cell, j)
+    // aggregation — the standard distributed Lloyd shape. ----
+    "sim_kmeans_cells" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val eInt = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+      var centroids = eInt.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), expr("transform(q, v -> CAST(v AS DOUBLE))").as("c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      def assign(cent: DataFrame): DataFrame =
+        eInt.crossJoin(broadcast(cent))
+          .withColumn("cs", call_function("graft_cosine", col("embedding"), col("c_emb")))
+          .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("k").as("cell"), col("q"))
+      for (_ <- 1 to 2) {
+        centroids = assign(centroids)
+          .select(col("cell"), posexplode(col("q")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("col")).as("cv"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+          .select(col("cell").as("k"),
+            expr("transform(arr, s -> CAST(s.cv AS DOUBLE))").as("c_emb"))
+      }
+      assign(centroids)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- SRP-LSH (random-hyperplane) bucketing for cosine: each vector's
     // 8-bit code = sign bits of its dot products with 8 fixed hyperplanes
     // (vectors 1..8 as the deterministic stand-in for sampled gaussians).
@@ -190,6 +226,34 @@ object Similarity extends QueryModule {
          |CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_kmeans_cells" -> {
+      def assignCte(centCte: String, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id, k AS cell, q FROM (
+           |    SELECT e.vec_id, c.k, e.q
+           |    FROM e CROSS JOIN $centCte c
+           |    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${duckCosine("e.embedding", "c.c_emb")} DESC, c.k) = 1)
+           |)""".stripMargin
+      def updateCte(assignName: String, name: String) =
+        s"""$name AS (
+           |  SELECT cell AS k, list(CAST(cv AS DOUBLE) ORDER BY j) AS c_emb FROM (
+           |    SELECT cell, i AS j, sum(q[i]) AS cv
+           |    FROM $assignName, range(1, 65) t(i) GROUP BY cell, i)
+           |  GROUP BY cell
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT vec_id AS k, list_transform(q, v -> CAST(v AS DOUBLE)) AS c_emb
+         |  FROM e WHERE vec_id BETWEEN 1 AND 8
+         |), ${assignCte("c0", "a1")}, ${updateCte("a1", "c1")},
+         |${assignCte("c1", "a2")}, ${updateCte("a2", "c2")},
+         |${assignCte("c2", "af")}
+         |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin
+    },
     "sim_topk_srp" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
