@@ -75,6 +75,24 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join: attribute each click to impressions of the same ad
+    * within `windowMinutes` before it. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so Spark buffers each side
+    * only inside the watermark+window horizon — state is bounded, rows
+    * beyond the horizon are evicted. Expected schemas:
+    * impressions(ad_id, i_ts), clicks(c_ad_id, c_ts, ...). Works in batch
+    * too (watermarks eliminated, plain range join).
+    */
+  def attributeClicks(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      windowMinutes: Int = 30,
+      lateness: String = "10 minutes"): DataFrame =
+    impressions.withWatermark("i_ts", lateness)
+      .join(
+        clicks.withWatermark("c_ts", lateness),
+        expr(s"ad_id = c_ad_id AND c_ts >= i_ts AND c_ts <= i_ts + interval $windowMinutes minutes"))
+
   /** Gap-based sessionization: consecutive events of a user belong to one
     * session while the gap stays below `gapSeconds`. Emits a [[UserSession]]
     * when a gap splits a session mid-batch, and via event-time timeout when

@@ -105,6 +105,43 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks attribute to in-window impressions; streaming equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val imps = Seq((1L, ts(0)), (2L, ts(0)), (1L, tsH(2, 0)))
+    val clicks = Seq(
+      (1L, ts(10), 100L), // within 30 min of ad 1's first impression
+      (1L, tsH(1, 0), 101L), // 60 min later: outside the window
+      (2L, ts(29), 102L), // within
+      (3L, ts(5), 103L)) // no impression for ad 3
+
+    val iStream = MemoryStream[(Long, java.sql.Timestamp)]
+    val cStream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStreams.attributeClicks(
+      iStream.toDF().toDF("ad_id", "i_ts"),
+      cStream.toDF().toDF("c_ad_id", "c_ts", "click_id"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      iStream.addData(imps)
+      cStream.addData(clicks)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select(col("ad_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val batch = EventStreams.attributeClicks(
+        imps.toDF("ad_id", "i_ts"),
+        clicks.toDF("c_ad_id", "c_ts", "click_id"))
+        .select(col("ad_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 100L), (2L, 102L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits + event-time timeout; agrees with the batch window-function form") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
