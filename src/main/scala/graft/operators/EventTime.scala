@@ -143,6 +143,21 @@ object EventTime extends QueryModule {
     "evt_sessions" -> ((s, d) => sessions(s, d)),
     "evt_argmax_typed" -> ((s, d) => argmaxTyped(s, d)),
     "evt_asof_join" -> ((s, d) => asof(s, d)),
+    // forward variant: each purchase matched to the user's NEXT signup
+    // snapshot at-or-after it
+    "evt_asof_join_fwd" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_ts"))
+      val snapshots = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id").as("s_user"), unix_micros(col("ts")).as("s_ts"))
+        .agg(min(col("value")).as("s_val"))
+      graft.plans.AsOfJoin(purchases, "p_user", "p_ts", snapshots, "s_user", "s_ts",
+          forward = true)
+        .select(col("p_event_id"), col("p_user"), col("s_ts"), col("s_val"))
+        .orderBy(col("p_event_id"))
+    }),
     // left-outer variant: purchases with no prior signup kept, null snapshot
     "evt_asof_join_left" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -159,6 +174,19 @@ object EventTime extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_asof_join_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id AS p_user,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT user_id AS s_user, epoch_us(CAST(ts AS TIMESTAMP)) AS s_ts,
+        |         min(value) AS s_val
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+        |)
+        |SELECT p_event_id, p_user, s_ts, s_val
+        |FROM p ASOF JOIN s ON p.p_user = s.s_user AND p.p_ts <= s.s_ts
+        |ORDER BY p_event_id""".stripMargin,
     "evt_sessions_native" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events

@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.LongType
   *
   * Inner semantics by default: left rows with no at-or-before match are
   * dropped (DuckDB's `ASOF JOIN` — the oracle — matches); `leftOuter=true`
-  * keeps them with a null right side (`ASOF LEFT JOIN`). Keys and timestamps must
+  * keeps them with a null right side (`ASOF LEFT JOIN`). `forward=true`
+  * matches the EARLIEST right row at-or-after instead; `toleranceUs` bounds
+  * the allowed time distance (unbounded when negative). Keys and timestamps must
   * be BIGINT (epoch-micros); on ties in right `ts` the last row in
   * (key, ts) sort order wins, so make (key, ts) unique on the right for
   * determinism.
@@ -41,7 +43,9 @@ case class AsOfJoinPlan(
     leftTs: Expression,
     rightKey: Expression,
     rightTs: Expression,
-    leftOuter: Boolean = false)
+    leftOuter: Boolean = false,
+    forward: Boolean = false,
+    toleranceUs: Long = -1L)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
@@ -52,8 +56,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lts, rk, rts, outer) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, outer) :: Nil
+    case AsOfJoinPlan(l, r, lk, lts, rk, rts, outer, fwd, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lts, rk, rts, outer, fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -65,7 +69,9 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightKey: Expression,
     rightTs: Expression,
-    leftOuter: Boolean = false)
+    leftOuter: Boolean = false,
+    forward: Boolean = false,
+    toleranceUs: Long = -1L)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -92,6 +98,8 @@ case class AsOfJoinExec(
     val schema = output
     val rightWidth = right.output.length
     val outer = leftOuter
+    val fwd = forward
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema, schema)
@@ -110,8 +118,11 @@ case class AsOfJoinExec(
         } else {
           val key = keyV.asInstanceOf[Long]
           val ts = tsV.asInstanceOf[Long]
-          // advance the right side through every row at-or-before (key, ts),
-          // remembering the last one with a matching key
+          // backward: advance right through every row at-or-before (key, ts),
+          // remembering the last matching-key row. forward: advance right
+          // past rows strictly before (key, ts); the head (if key-matching)
+          // is the earliest at-or-after row and is NOT consumed, so later
+          // left rows can match it too.
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
@@ -121,14 +132,29 @@ case class AsOfJoinExec(
               rBuf.next() // null-keyed right row matches nothing; NULLS FIRST
             } else {
               val hk = hkV.asInstanceOf[Long]
-              if (hk < key || (hk == key && htV.asInstanceOf[Long] <= ts)) {
-                if (hk == key) { held = rBuf.next().copy(); heldKey = hk; heldValid = true }
-                else rBuf.next() // right-only key: skip (inner join)
+              val ht = htV.asInstanceOf[Long]
+              if (hk < key || (hk == key && (if (fwd) ht < ts else ht <= ts))) {
+                if (!fwd && hk == key) { held = rBuf.next().copy(); heldKey = hk; heldValid = true }
+                else rBuf.next() // right-only key / passed-by forward row
               } else advancing = false
             }
           }
-          if (heldValid && heldKey == key) {
-            Iterator.single(project(joined(lRow, held)))
+          val matched: InternalRow =
+            if (fwd) {
+              if (rBuf.hasNext) {
+                val head = rBuf.head
+                val hkV = rk.eval(head)
+                val htV = rt.eval(head)
+                if (hkV != null && htV != null &&
+                    hkV.asInstanceOf[Long] == key &&
+                    (tol < 0 || htV.asInstanceOf[Long] - ts <= tol)) head else null
+              } else null
+            } else {
+              if (heldValid && heldKey == key &&
+                  (tol < 0 || ts - rt.eval(held).asInstanceOf[Long] <= tol)) held else null
+            }
+          if (matched != null) {
+            Iterator.single(project(joined(lRow, matched)))
           } else if (outer) {
             Iterator.single(project(joined(lRow, nullRight)))
           } else Iterator.empty
@@ -147,7 +173,9 @@ object AsOfJoin {
   def apply(
       left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false,
+      forward: Boolean = false,
+      toleranceUs: Long = -1L): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftExtensions.ensureRegistered(spark)
     val lp = left.queryExecution.analyzed
@@ -163,6 +191,7 @@ object AsOfJoin {
     }
     require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
       "as-of join requires disjoint column names; rename before joining")
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, lt, rk, rt, leftOuter))
+    GraftSqlBridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp, lk, lt, rk, rt, leftOuter, forward, toleranceUs))
   }
 }

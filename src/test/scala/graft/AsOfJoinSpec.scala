@@ -91,6 +91,32 @@ class AsOfJoinSpec extends SparkSuiteBase {
       (12L, None, None)))
   }
 
+  test("forward mode matches the earliest at-or-after row; tolerance bounds the distance") {
+    import spark.implicits._
+    val l = Seq((1L, 50L, 10L), (1L, 100L, 11L), (2L, 10L, 12L))
+      .toDF("p_user", "p_ts", "p_event_id")
+    val r = Seq((1L, 90L, 1.5), (1L, 120L, 2.0), (2L, 5L, 9.9))
+      .toDF("s_user", "s_ts", "s_val")
+    val fwd = AsOfJoin(l, "p_user", "p_ts", r, "s_user", "s_ts", forward = true)
+      .select("p_event_id", "s_ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fwd == Set((10L, 90L), (11L, 120L))) // user 2's snapshot is in the past
+
+    // tolerance 25µs: 50→90 is 40 away (dropped), 100→120 is 20 (kept)
+    val fwdTol = AsOfJoin(l, "p_user", "p_ts", r, "s_user", "s_ts",
+        forward = true, toleranceUs = 25L)
+      .select("p_event_id", "s_ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(fwdTol == Set((11L, 120L)))
+
+    // backward tolerance: (1,100) backward match is 90, distance 10 ≤ 25 kept;
+    // with tolerance 5 it drops
+    val backTol = AsOfJoin(l, "p_user", "p_ts", r, "s_user", "s_ts", toleranceUs = 5L)
+      .select("p_event_id", "s_ts")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(backTol == Set((12L, 5L))) // user 2: 10-5=5 ≤ 5 kept; user 1's 100-90=10 dropped
+  }
+
   test("left rows with no at-or-before match are dropped (inner asof)") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (1L, 5L, 11L), (2L, 50L, 12L))
