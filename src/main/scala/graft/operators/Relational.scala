@@ -294,6 +294,22 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- set ops: customers ordering in both/only-first of two years ----
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
+          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+        .select(col("o_custkey"))
+      year(1996).intersect(year(1997)).orderBy(col("o_custkey"))
+    }),
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
+          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+        .select(col("o_custkey"))
+      year(1996).except(year(1997)).orderBy(col("o_custkey"))
+    }),
+
     // ---- JSON extraction on events.props (beyond-reference, SURVEY §2.8) ----
     "q_json_extract" -> ((s, d) => {
       Tables.events(s, d)
@@ -426,6 +442,20 @@ object Relational extends QueryModule {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |ORDER BY o_custkey""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
