@@ -188,6 +188,20 @@ object Relational extends QueryModule {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // ---- window-function variety: lead, ntile, bounded-frame running
+    // count — one customer-partitioned pass ----
+    "q_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("running_n"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- global top-k (TakeOrderedAndProject, no full sort) ----
     "q_topk_global" -> ((s, d) => {
       Tables.orders(s, d)
@@ -385,6 +399,15 @@ object Relational extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                 ROWS UNBOUNDED PRECEDING) AS running_n
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_topk_grouped_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
