@@ -253,9 +253,13 @@ object Relational extends QueryModule {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+          // one percentile state for both quantity cut points
+          expr("percentile(l_quantity, array(0.5, 0.95))").as("qs"),
           round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("median_qty"),
+          round(element_at(col("qs"), 2), 6).as("p95_qty"),
+          col("p99_price"))
         .orderBy(col("l_returnflag"))
     }),
 
