@@ -104,18 +104,16 @@ object Dedup extends QueryModule {
       struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
 
-  /** Connected components over the LSH candidate-pair graph by iterative
-    * min-label propagation (see the `dedup_clusters` query comment for the
-    * scale story). Returns (doc_id, cluster_id) for every doc in some pair.
+  /** Connected components of an undirected edge list (doc_a, doc_b) by
+    * iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors; fixpoint = component minimum.
+    * Rounds are plain hash joins (shuffle on node id); lineage is cut per
+    * round with localCheckpoint; converges in O(component diameter) rounds
+    * (ComponentsSpec exercises a 30-node chain — the pathological shape;
+    * LSH dup-clusters are near-cliques and take 2-3).
+    * Returns (doc_id, cluster_id) for every node appearing in some edge.
     */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val bands = bandKeys(minhashSig(s, d))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -123,7 +121,7 @@ object Dedup extends QueryModule {
       .withColumn("label", col("doc_id")).localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val nmin = adj.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // the change flag rides along in the update join, so convergence is a
@@ -138,6 +136,18 @@ object Dedup extends QueryModule {
       rounds += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Components over the MinHash-LSH candidate-pair graph of `documents`. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val bands = bandKeys(minhashSig(s, d))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    connectedComponents(pairs)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

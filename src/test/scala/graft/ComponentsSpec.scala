@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Connected-components label propagation on adversarial graph shapes the
+  * LSH fixture data never produces.
+  */
+class ComponentsSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("long chain collapses to one component labeled by its minimum") {
+    // 0-1-2-...-29: diameter 29, worst case for per-round propagation
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 30)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("disjoint cliques, a star, and an isolated edge keep separate labels") {
+    val edges =
+      // clique on {10,11,12}
+      Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+        // star centered at 20
+        Seq((20L, 21L), (20L, 22L), (20L, 23L)) ++
+        // bridge merging 30-chain into the star's component
+        Seq((23L, 30L), (30L, 31L)) ++
+        // isolated edge
+        Seq((40L, 41L))
+    val got = components(edges)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L, 30L, 31L).forall(got(_) == 20L))
+    assert(Seq(40L, 41L).forall(got(_) == 40L))
+  }
+
+  test("empty edge list yields empty labels") {
+    assert(components(Seq.empty).isEmpty)
+  }
+}
