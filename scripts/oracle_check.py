@@ -37,6 +37,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # Verify emits every SQL under both "<name>" and "<name>.parquet" (the
+    # driver keys its CORRECTNESS report by the result file name); collapse
+    # to the bare name here so each query is checked once.
+    oracles = {k[:-len(".parquet")] if k.endswith(".parquet") else k: v
+               for k, v in oracles.items()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:

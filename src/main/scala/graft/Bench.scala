@@ -7,28 +7,36 @@ object Bench {
     // query so one-time session costs aren't billed to the first timed query.
     try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save() }
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // A failed query records elapsed -1 and lands in `errors`, and is
+    // EXCLUDED from total/headline_total — silently-swallowed failures
+    // previously made a fast-failing query "improve" the headline number.
+    val raw = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: every column is computed and serialized, nothing is
       // written — unlike count(), which lets Catalyst prune the whole
       // projection and would time only the scan.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // free this query's cached/checkpointed RDDs so 50+ queries in one
       // session don't squeeze each other's execution memory
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> elapsed
+      name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = raw.filter(_._2 >= 0)
+    val errors = raw.collect { case (k, v) if v < 0 => k }
+    val qs = raw.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // headline_total: fixed representative subset (PlanDump.headline), so
     // the number stays comparable across rounds while the full query set
     // keeps growing; "total" remains the sum over everything.
     val headline = PlanDump.headline.flatMap(results.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"headline_total":$headline,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its CORRECTNESS report by "<name>.parquet" (the result
+    // file name) while queries are registered by bare "<name>". Emit every
+    // oracle SQL under BOTH keys so the driver's lookup binds regardless of
+    // which form it uses — round 1 reported no_oracle for all queries because
+    // only the bare key was written.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

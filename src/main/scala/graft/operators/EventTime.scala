@@ -112,7 +112,11 @@ object EventTime extends QueryModule {
     val points = e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
         unix_micros(col("ts")).as("p_ts"))
-    points.join(broadcast(intervals),
+    // No broadcast hint: `intervals` is derived from the event table itself
+    // and grows with the data. The key-equality conjunct already makes this a
+    // hash join (never a cartesian pair space); AQE may still choose broadcast
+    // at small SF by measured size.
+    points.join(intervals,
         col("p_user") === col("i_user") &&
           col("p_ts").between(col("start_us"), col("end_us")))
       .select(col("p_id"), col("i_id"), col("p_user"), col("p_ts"),
@@ -125,6 +129,17 @@ object EventTime extends QueryModule {
     * stream. Emits the same sessions (session_window's end = last event +
     * gap, so start/count identify the session; we re-derive end_us as
     * max event time to match the window-function form exactly).
+    *
+    * Boundary convention (pinned): Spark session windows are half-open
+    * [start, start+gap), so an event arriving EXACTLY `gap` after the
+    * previous one starts a NEW session. The lag-based [[sessions]] uses the
+    * opposite convention (`diff > gap` starts new, i.e. an exact-gap event
+    * extends the session) — its oracle mirrors that with `>`. This query's
+    * oracle mirrors the session_window convention with `>=`. The two forms
+    * agree on any data without an exact-gap pair (the fixtures' microsecond
+    * timestamps make collisions measure-zero), but each is oracle-checked
+    * under its own convention so exact-boundary data cannot silently split
+    * them.
     */
   private def sessionsNative(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -193,7 +208,7 @@ object EventTime extends QueryModule {
         |), flagged AS (
         |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |              OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), numbered AS (
         |  SELECT user_id, ts_us,

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.DecimalType
   * engine must offer them as first-class capability, SURVEY.md §7.2 step 3).
   *
   * Scale design:
-  *  - Small dimensions (region/nation/customer/supplier/part at any SF) are
+  *  - Fixed-cardinality dimensions (region=5, nation=25 rows at ANY SF) are
   *    broadcast explicitly — no shuffle of the fact table for those joins.
+  *    SF-growing sides (customer/supplier/part) get NO hint: AQE picks
+  *    broadcast at small SF by measured size and shuffle join at scale.
   *  - Fact-fact joins (lineitem⋈orders) shuffle on the join key once; AQE
   *    handles skew at runtime.
   *  - All aggregates are partial-aggregation friendly (sum/count/min/max) —
@@ -79,8 +81,11 @@ object Relational extends QueryModule {
         .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
       val li = Tables.lineitem(s, d)
         .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      // customer grows with SF (at a 100 TB lake it is hundreds of GB), so no
+      // broadcast hint — AQE picks broadcast at small SF by size, shuffle hash
+      // join at scale. Only fixed-cardinality dims get explicit hints.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
@@ -99,9 +104,12 @@ object Relational extends QueryModule {
       val o = Tables.orders(s, d)
         .filter(to_date(col("o_orderdate")).between(lit("1996-01-01"), lit("1997-12-31")))
       val li = Tables.lineitem(s, d)
+      // supplier/customer grow linearly with SF — no broadcast hints (AQE
+      // decides by runtime size). nation/region are fixed 25/5 rows at any
+      // SF, so those hints are safe at 100 TB.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c),
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c,
           col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -30,11 +30,25 @@ object VectorFoldRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The operand's element type is one DotProduct supports. The rewrite must
+    * NOT fire for ARRAY<INT>/ARRAY<LONG>/ARRAY<DECIMAL> inputs — the pattern
+    * would still match (the lambda casts them to double), but DotProduct's
+    * checkInputDataTypes rejects them post-analysis and its interpreted eval
+    * reads 8-byte slots, so the guard mirrors
+    * VectorFoldExpression.checkInputDataTypes exactly.
+    */
+  private def isFloatingArray(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      et == org.apache.spark.sql.types.FloatType || et == DoubleType
+    case _ => false
+  }
+
   /** zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) */
   private def matchZipMultiply(e: Expression): Option[(Expression, Expression)] = e match {
     case ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _))
-        if (isVarMaybeCast(mx, x) && isVarMaybeCast(my, y)) ||
-           (isVarMaybeCast(mx, y) && isVarMaybeCast(my, x)) =>
+        if ((isVarMaybeCast(mx, x) && isVarMaybeCast(my, y)) ||
+           (isVarMaybeCast(mx, y) && isVarMaybeCast(my, x))) &&
+          isFloatingArray(a) && isFloatingArray(b) =>
       Some((a, b))
     case _ => None
   }

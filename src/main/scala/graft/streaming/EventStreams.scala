@@ -124,7 +124,15 @@ object EventStreams {
         sorted.foreach { e =>
           open match {
             case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
-              open = Some(SessionState(s.session_start, e.ts, s.n_events + 1))
+              // Merge with min/max, not assignment: a late-but-within-watermark
+              // event from a LATER micro-batch can precede the open session's
+              // bounds — assigning e.ts to session_end would shrink the session
+              // and mis-set the event-time timeout.
+              val start =
+                if (e.ts.getTime < s.session_start.getTime) e.ts else s.session_start
+              val end =
+                if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end
+              open = Some(SessionState(start, end, s.n_events + 1))
             case Some(s) =>
               closed += UserSession(userId, s.session_start, s.session_end, s.n_events)
               open = Some(SessionState(e.ts, e.ts, 1))
