@@ -30,14 +30,23 @@ object TextFunctions {
         |""".stripMargin.format(text.toString))
 
   /** 60-bit SimHash over whitespace tokens (60 = the md5-prefix hash width;
-    * fits a BIGINT with headroom).
-    *
-    * Per-row form (no explode, no shuffle): one aggregate() fold carries a
-    * 60-slot vote array — each token's hash votes ±1 per bit position —
-    * then the sign bits are assembled into the sketch. The expression is
-    * wide but whole-stage-codegen'd and strictly per-row.
+    * fits a BIGINT with headroom). Runs as graft's one-pass native
+    * expression ([[graft.plans.SimHash60]]) — requires the session to have
+    * graft's extensions (Sessions.base installs them; or call
+    * `GraftExtensions.ensureRegistered`). Bit-identical to
+    * [[simhashPortable]] (FunctionsSpec pins it).
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    call_function("graft_simhash60", text)
+
+  /** The portable HOF form of [[simhash]] — runs on stock Spark with no
+    * extensions. One aggregate() fold carries a 60-slot vote array — each
+    * token's hash votes ±1 per bit position — then the sign bits are
+    * assembled into the sketch. Kept as the reference implementation the
+    * native expression is verified against; prefer [[simhash]] in hot
+    * paths (the HOF evaluator rebuilds the vote array per token).
+    */
+  def simhashPortable(text: Column): Column = {
     val votes =
       """aggregate(
         |  split(%s, ' '),

@@ -104,16 +104,37 @@ object Dedup extends QueryModule {
       struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
 
-  /** Connected components of an undirected edge list (doc_a, doc_b) by
-    * iterative min-label propagation: each round every node takes the min
-    * label among itself and its neighbors; fixpoint = component minimum.
+  /** Connected components of an undirected edge list (doc_a, doc_b):
+    * min-label propagation PLUS per-round pointer jumping. Each round:
+    *
+    *  1. neighbor-min: every node takes the min label among itself and its
+    *     neighbors (one hash join + partial-agg groupBy on node id);
+    *  2. pointer jump: every node then takes its label's label
+    *     (label ← label(label), one more hash join) — path-halving, the
+    *     same shortcut that makes union-find near-constant.
+    *
+    * Neighbor-min alone converges in O(component diameter) rounds — a
+    * scale-killer on chain-shaped duplicate graphs (common in crawl data,
+    * where doc A ~ B ~ C ... without A ~ C). The jump step makes the
+    * distance-to-minimum halve per round on top of the propagation, giving
+    * O(log diameter) rounds (ComponentsSpec pins a 30-node chain to ≤ 6
+    * rounds; plain propagation needs 29). Labels only ever decrease and
+    * always hold a node id from the same component, so the fixpoint is
+    * unchanged: every label = component minimum.
+    *
     * Rounds are plain hash joins (shuffle on node id); lineage is cut per
-    * round with localCheckpoint; converges in O(component diameter) rounds
-    * (ComponentsSpec exercises a 30-node chain — the pathological shape;
-    * LSH dup-clusters are near-cliques and take 2-3).
-    * Returns (doc_id, cluster_id) for every node appearing in some edge.
+    * round with localCheckpoint. Returns (doc_id, cluster_id) for every
+    * node appearing in some edge.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took to converge
+    * (the convergence-check round included) — exposed so specs can pin the
+    * O(log diameter) bound.
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -124,18 +145,25 @@ object Dedup extends QueryModule {
     while (!converged && rounds < maxRounds) {
       val nmin = adj.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // the change flag rides along in the update join, so convergence is a
+      val stepped = labels.join(nmin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("label").as("l0"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l1"))
+      // pointer jump: l2 = l1's l1. Every l1 value is a node id present in
+      // `stepped` (labels always hold node ids), so the left join hits
+      // unless l1 is the node's own fixpoint.
+      val parents = stepped.select(col("doc_id").as("p_id"), col("l1").as("p_l1"))
+      // the change flag rides along in the jump join, so convergence is a
       // cheap scan of the checkpointed round output, not a second join
-      val next = labels.join(nmin, col("doc_id") === col("src"), "left")
+      val next = stepped.join(parents, col("l1") === col("p_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
+          least(col("l1"), coalesce(col("p_l1"), col("l1"))).as("new_label"),
+          (least(col("l1"), coalesce(col("p_l1"), col("l1"))) < col("l0")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("doc_id"), col("new_label").as("label"))
       rounds += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
   /** Components over the MinHash-LSH candidate-pair graph of `documents`. */
@@ -265,19 +293,38 @@ object Dedup extends QueryModule {
     }),
 
     // ---- SimHash near-dup pairs: hamming distance <= 2 on the 16-bit
-    // signature, blocked by source (the same block key the other verifiers
-    // use). bit_count(xor) is integer-exact on both engines. ----
+    // signature. bit_count(xor) is integer-exact on both engines.
+    //
+    // Candidate generation is BANDED, not all-pairs: the 16-bit signature is
+    // split into 3 chunks (6+5+5 bits); by pigeonhole any pair at hamming
+    // <= 2 differs in at most 2 chunks, so it collides on at least one chunk
+    // — an equi-join on (source, chunk_idx, chunk_value) finds every such
+    // pair with full recall, then the exact hamming filter verifies. The
+    // previous form self-joined all pairs within a source: O(n²) in the
+    // largest source, a scale-killer at 100 TB. Output rows are identical
+    // (the oracle stays the exhaustive form). ----
     "dedup_simhash_pairs" -> ((s, d) => {
       val sig = simhash16(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-      val a = sig.as("a")
-      val b = sig.as("b")
+      val banded = sig.select(col("doc_id"), col("source"), col("simhash16"),
+        explode(array(
+          struct(lit(0).as("ci"), col("simhash16").bitwiseAND(lit(0x3fL)).as("cv")),
+          struct(lit(1).as("ci"), shiftright(col("simhash16"), 6).bitwiseAND(lit(0x1fL)).as("cv")),
+          struct(lit(2).as("ci"), shiftright(col("simhash16"), 11).bitwiseAND(lit(0x1fL)).as("cv"))
+        )).as("c"))
+        .select(col("doc_id"), col("source"), col("simhash16"),
+          col("c.ci").as("ci"), col("c.cv").as("cv"))
+      val a = banded.as("a")
+      val b = banded.as("b")
       a.join(b,
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") &&
+            col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
           bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))).cast("bigint"))
         .filter(col("hamming") <= 2)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -229,30 +229,76 @@ object Relational extends QueryModule {
     }),
 
     // ---- KMV (k-minimum-values) distinct-count sketch: per group keep the
-    // k smallest 60-bit md5 hashes of the key; estimate = (k-1)·M/kth_min.
-    // Streaming/mergeable-sketch math with a deterministic hash, so unlike
-    // HLL the estimate is bit-reproducible across engines — the oracle
-    // checks the ESTIMATE itself. Exact n_exact rides along to show the
-    // sketch's accuracy. ----
+    // k smallest DISTINCT 60-bit md5 hashes of the key; estimate =
+    // (k-1)·M/kth_min. Streaming/mergeable-sketch math with a deterministic
+    // hash, so unlike HLL the estimate is bit-reproducible across engines —
+    // the oracle checks the ESTIMATE itself.
+    //
+    // State is graft's bounded graft_bottomk aggregate
+    // (plans/BottomKAggregate.scala): map-side partials cap at k rows per
+    // group, so the shuffle carries ≤ k·mappers rows per group. The previous
+    // row_number()-window form shuffled EVERY distinct hash into ~|groups|
+    // partitions — maximal skew at scale with a handful of event types. ----
     "q_kmv_distinct" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.ensureRegistered(s)
       val m = math.pow(2.0, 60).toLong // hash domain size
-      val k = 32
-      val hashed = Tables.events(s, d)
+      Tables.events(s, d)
         .select(col("event_type"),
           conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
             .cast("bigint").as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      hashed
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
         .groupBy(col("event_type"))
-        .agg(max(col("h")).as("kth"), count(lit(1)).as("n_kept"))
+        .agg(call_function("graft_bottomk", col("h"), lit(0.0), lit(32)).as("ks"))
+        .select(col("event_type"),
+          size(col("ks")).cast("bigint").as("n_kept"),
+          element_at(col("ks"), size(col("ks"))).getField("h").as("kth"))
         .withColumn("est_distinct",
           round((col("n_kept") - 1).cast("double") * lit(m.toDouble) / col("kth").cast("double"), 6))
         .select(col("event_type"), col("n_kept"), col("est_distinct"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- approximate percentiles via a deterministic bottom-k-by-hash
+    // sample (same graft_bottomk state as the KMV sketch): hash a unique row
+    // key, keep the k=1024 smallest per group — a uniform sample identical
+    // under any partitioning and in any engine — then interpolate exact
+    // percentiles over the sample. Error ~1/sqrt(k) ≈ 3%; the full-sort
+    // exact form (q_percentiles) stays as the exact answer. At 100 TB the
+    // exact form is a full sort per group; this is one narrow pass with
+    // bounded per-group state. ----
+    "q_percentiles_approx" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      // linear interpolation at p over an ascending ARRAY<DOUBLE>, written
+      // as vlo + (vhi - vlo)*frac on BOTH engines (DuckDB's quantile_cont
+      // uses a different fp expression, so the oracle interpolates
+      // explicitly too)
+      def qc(arr: Column, n: Column, p: Double): Column = {
+        val idx = (n.cast("double") - lit(1.0)) * lit(p)
+        val lo = floor(idx).cast("int")
+        val frac = idx - lo.cast("double")
+        val vlo = element_at(arr, lo + lit(1))
+        val vhi = element_at(arr, least(lo + lit(2), n.cast("int")))
+        vlo + (vhi - vlo) * frac
+      }
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          conv(substring(md5(concat_ws("_",
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"))), 1, 15), 16, 10)
+            .cast("bigint").as("h"),
+          col("l_quantity"), col("l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          call_function("graft_bottomk", col("h"), col("l_quantity"), lit(1024)).as("sq"),
+          call_function("graft_bottomk", col("h"), col("l_extendedprice"), lit(1024)).as("sp"))
+        .select(col("l_returnflag"),
+          array_sort(expr("transform(sq, s -> s.v)")).as("vq"),
+          array_sort(expr("transform(sp, s -> s.v)")).as("vp"),
+          size(col("sq")).as("n"))
+        .select(col("l_returnflag"),
+          round(qc(col("vq"), col("n"), 0.5), 6).as("median_qty"),
+          round(qc(col("vq"), col("n"), 0.95), 6).as("p95_qty"),
+          round(qc(col("vp"), col("n"), 0.99), 6).as("p99_price"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // ---- exact percentiles (sort-based, interpolated — identical
@@ -457,6 +503,35 @@ object Relational extends QueryModule {
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles_approx" -> {
+      def interp(arr: String, p: Double): String = {
+        val idx = s"(CAST(n - 1 AS DOUBLE) * $p)"
+        val lo = s"CAST(floor($idx) AS INT)"
+        s"($arr[$lo + 1] + ($arr[least($lo + 2, CAST(n AS INT))] - $arr[$lo + 1]) * ($idx - floor($idx)))"
+      }
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |    try_cast('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) AS hh,
+         |    l_quantity, l_extendedprice
+         |  FROM lineitem
+         |), kept AS (
+         |  SELECT l_returnflag, l_quantity, l_extendedprice FROM (
+         |    SELECT l_returnflag, l_quantity, l_extendedprice,
+         |      row_number() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rn
+         |    FROM h) WHERE rn <= 1024
+         |), arrs AS (
+         |  SELECT l_returnflag,
+         |    list(l_quantity ORDER BY l_quantity) AS vq,
+         |    list(l_extendedprice ORDER BY l_extendedprice) AS vp,
+         |    count(*) AS n
+         |  FROM kept GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag,
+         |  round(${interp("vq", 0.5)}, 6) AS median_qty,
+         |  round(${interp("vq", 0.95)}, 6) AS p95_qty,
+         |  round(${interp("vp", 0.99)}, 6) AS p99_price
+         |FROM arrs ORDER BY l_returnflag""".stripMargin
+    },
     "q_scalar_subquery" ->
       """WITH t AS (
         |  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total, COUNT(*) AS n_total

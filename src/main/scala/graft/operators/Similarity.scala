@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *    for a centroid assignment) prunes the scan to one bucket — at scale the
   *    table is written partitioned by that key, so partition pruning skips
   *    the other buckets' files entirely.
-  *  - blocked near-dup pairs: the quadratic pair space is bounded by blocking
-  *    keys (bucket × shard), the same shape as verifying LSH candidates.
+  *  - blocked near-dup pairs: the quadratic pair space is bounded by
+  *    CONTENT-derived blocking keys (label × SRP code) — a similarity-
+  *    preserving key, so near-duplicates collide; the same shape as
+  *    verifying LSH candidates.
   */
 object Similarity extends QueryModule {
 
@@ -180,15 +182,32 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
-    // ---- blocked near-duplicate pairs (embedding-cosine dedup) ----
+    // ---- blocked near-duplicate pairs (embedding-cosine dedup). The block
+    // key is the CONTENT-derived SRP code (random-hyperplane sign bits, the
+    // same 8-bit code sim_topk_srp buckets on) × label — similar vectors
+    // collide on it with probability (1 - angle/π)^8, so blocking preserves
+    // recall on near-duplicates. The previous key (vec_id % 16) was a row-id
+    // shard: ~15/16 of genuine near-dup pairs landed in different shards and
+    // were never compared. SimilaritySpec pins the recall win on a planted
+    // near-dup set. ----
     "sim_pairs_block" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), (col("vec_id") % 16).as("shard"), col("embedding"))
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e0 = Tables.embeddings(s, d)
+      val planes = e0.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
+      val coded = e0.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(call_function("graft_dot", col("embedding"), col("h_emb")) > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT) - 1)")).otherwise(lit(0L)))
+        .groupBy(col("vec_id")).agg(sum(col("bit")).as("code"))
+      val e = e0.join(coded, "vec_id")
+        .select(col("vec_id"), col("label"), col("code"), col("embedding"))
       val a = e.as("a")
       val b = e.as("b")
       a.join(b,
           col("a.label") === col("b.label") &&
-            col("a.shard") === col("b.shard") &&
+            col("a.code") === col("b.code") &&
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
         .filter(col("cos_sim") >= 0.25)
@@ -272,11 +291,21 @@ object Similarity extends QueryModule {
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_pairs_block" ->
-      s"""WITH e AS (SELECT vec_id, label, vec_id % 16 AS shard, embedding FROM embeddings)
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), e AS (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
          |FROM e a JOIN e b
-         |  ON a.label = b.label AND a.shard = b.shard AND a.vec_id < b.vec_id
+         |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin)
 }

@@ -50,6 +50,13 @@ object GraftExtensions {
         require(args.length == 1, s"graft_simhash16 expects 1 argument, got ${args.length}")
         SimHash16(args.head)
       }),
+    (new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_simhash60",
+        "graft_simhash60(text) - one-pass 60-bit SimHash of whitespace-tokenized text"),
+      { args =>
+        require(args.length == 1, s"graft_simhash60 expects 1 argument, got ${args.length}")
+        SimHash60(args.head)
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk",
         "graft_topk(score, id, k) - bounded per-group top-k aggregate, (score DESC, id ASC)"),
@@ -61,6 +68,19 @@ object GraftExtensions {
             s"graft_topk k must be a positive INT literal, got $other")
         }
         TopKAggregate(args(0), args(1), k)
+      }),
+    (new FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bottomk",
+        "graft_bottomk(hash, value, k) - k smallest distinct hashes with payload, " +
+          "ARRAY<STRUCT<h,v>> ASC by h (KMV sketch / deterministic bottom-k sample)"),
+      { args =>
+        require(args.length == 3, s"graft_bottomk expects 3 arguments, got ${args.length}")
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) if v > 0 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bottomk k must be a positive INT literal, got $other")
+        }
+        BottomKAggregate(args(0), args(1), k)
       }))
 
   /** Idempotently register the functions + the HOF→native rewrite on an

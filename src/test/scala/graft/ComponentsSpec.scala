@@ -20,6 +20,18 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("pointer jumping converges a 30-node chain in O(log diameter) rounds") {
+    import graft.operators.Dedup
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val (labels, rounds) =
+      Dedup.connectedComponentsWithRounds(chain.toDF("doc_a", "doc_b"))
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(0L))
+    // neighbor-min + per-round path-halving: distance-to-min shrinks
+    // superlinearly — 6 rounds for diameter 29 (includes the final
+    // zero-change convergence round); plain propagation needs 29.
+    assert(rounds <= 6, s"expected <= 6 rounds for a 30-node chain, took $rounds")
+  }
+
   test("disjoint cliques, a star, and an isolated edge keep separate labels") {
     val edges =
       // clique on {10,11,12}

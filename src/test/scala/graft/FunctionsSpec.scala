@@ -22,6 +22,25 @@ class FunctionsSpec extends SparkSuiteBase {
     assert(hashed(1L) >= 0L) // 60-bit sketch stays non-negative
   }
 
+  test("native simhash (graft_simhash60) is bit-identical to the portable HOF form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely unrelated content here now"),
+      (3L, ""),                       // single empty token
+      (4L, "one"),
+      (5L, "trailing space "),        // trailing empty token kept by split
+      (6L, "a a a a a b b c")
+    ).toDF("id", "text")
+    val both = docs
+      .withColumn("nat", TextFunctions.simhash(col("text")))
+      .withColumn("hof", TextFunctions.simhashPortable(col("text")))
+      .select("id", "nat", "hof").collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: native=${r.getLong(1)} hof=${r.getLong(2)}")
+    }
+  }
+
   test("hamming column matches JVM bitCount") {
     val df = Seq((0xF0L, 0x0FL)).toDF("a", "b")
       .select(TextFunctions.hamming(col("a"), col("b")).as("h"))

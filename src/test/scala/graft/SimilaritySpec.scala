@@ -1,0 +1,44 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Blocking-strategy properties of the similarity module: the near-dup pair
+  * query blocks on a CONTENT-derived key (SRP code), which must preserve
+  * recall on planted near-duplicates that a row-id shard key provably loses.
+  */
+class SimilaritySpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("SRP-code blocking recovers cross-shard near-dup pairs that row-id sharding misses") {
+    GraftExtensions.ensureRegistered(spark)
+    // deterministic 64-d vectors; ids 1..8 double as the hyperplanes (the
+    // same convention sim_pairs_block uses), 10..21 are bases, each with an
+    // exact duplicate at id+21 — so every planted pair crosses a `% 16`
+    // shard boundary (21 % 16 != 0).
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => math.sin(seed * 64.0 + j).toFloat)
+    val planes = (1 to 8).map(k => (k.toLong, vec(k)))
+    val bases = (10 to 21).map(i => (i.toLong, vec(i)))
+    val dups = bases.map { case (id, v) => (id + 21, v) }
+    val df = (planes ++ bases ++ dups).toDF("vec_id", "embedding")
+
+    val pl = df.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
+    val codeMap = df.crossJoin(broadcast(pl))
+      .withColumn("bit",
+        when(call_function("graft_dot", col("embedding"), col("h_emb")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT) - 1)")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val planted = bases.map { case (id, _) => (id, id + 21) }
+    val srpRecall = planted.count { case (a, b) => codeMap(a) == codeMap(b) }
+    val shardRecall = planted.count { case (a, b) => a % 16 == b % 16 }
+    assert(srpRecall == planted.size,
+      s"SRP code must collide for identical vectors, got $srpRecall/${planted.size}")
+    assert(shardRecall == 0,
+      "row-id sharding should miss every cross-shard planted pair — " +
+        "if this starts passing the planted ids no longer straddle shards")
+  }
+}
