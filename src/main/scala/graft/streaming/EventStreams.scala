@@ -29,6 +29,36 @@ case class UserSession(
     session_end: Timestamp,
     n_events: Long)
 
+/** One side-tagged input row for [[EventStreams.asofJoin]]: a snapshot
+  * (`is_snapshot = true`, carrying `value`) or a probe event
+  * (`is_snapshot = false`, carrying `event_id`).
+  */
+case class AsOfEvent(
+    user_id: Long,
+    ts: Timestamp,
+    is_snapshot: Boolean,
+    event_id: Long,
+    value: Double)
+
+/** Per-key state of [[EventStreams.asofJoin]]: the retained snapshot history
+  * (ascending event-time micros → value) and the probe events awaiting
+  * watermark finalization.
+  */
+case class AsOfJoinState(
+    snapshots: Seq[(Long, Double)],
+    pending: Seq[(Long, Long)])
+
+/** A finalized as-of match: the probe event joined to the latest snapshot
+  * at-or-before it (None when the key had no prior snapshot — left-outer
+  * semantics, mirroring the batch `AsOfJoin(..., leftOuter = true)`).
+  */
+case class AsOfMatch(
+    p_event_id: Long,
+    user_id: Long,
+    p_ts_us: Long,
+    s_ts_us: Option[Long],
+    s_val: Option[Double])
+
 /** Structured-Streaming operators over the event log.
   *
   * The reference is batch-only (SURVEY.md §2.9 — its "incremental" dimension
@@ -158,6 +188,94 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Full-microsecond epoch value of a Timestamp (getTime alone truncates
+    * the sub-millisecond part the nanos field carries).
+    */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L
+
+  /** Streaming as-of (point-in-time) join: each probe event is matched to
+    * its key's latest snapshot at-or-before the probe's event time — the
+    * state-store latest-row-per-key form of [[graft.plans.AsOfJoin]]
+    * (backward direction, left-outer emission; the StreamingSpec asserts
+    * batch parity against the custom batch exec).
+    *
+    * Input is one union stream tagged by [[AsOfEvent.is_snapshot]] (a
+    * feature-store deployment unions the slowly-changing dimension stream
+    * with the event stream). Per key the state holds:
+    *  - the snapshot history still relevant: everything newer than the
+    *    watermark PLUS the single latest snapshot at-or-before it (any
+    *    future probe has ts > watermark, so older snapshots can never win
+    *    again — this is what keeps state bounded while still answering
+    *    "latest row per key");
+    *  - probe events buffered until the watermark passes their timestamp
+    *    (only then can no earlier snapshot still arrive), emitted in
+    *    (ts, event_id) order — deterministic.
+    *
+    * Snapshots sharing a timestamp keep the min value, matching the batch
+    * query's `groupBy(user, ts).agg(min(value))` dedup. State for a key is
+    * removed once it holds no pending probes and no snapshots; a key with
+    * snapshot history is retained indefinitely by design (it IS the
+    * feature store) — bound it upstream with a TTL filter if the key space
+    * churns.
+    */
+  def asofJoin(
+      inputs: Dataset[AsOfEvent],
+      lateness: String = "10 minutes"): Dataset[AsOfMatch] = {
+    import inputs.sparkSession.implicits._
+
+    def fn(
+        userId: Long,
+        it: Iterator[AsOfEvent],
+        state: GroupState[AsOfJoinState]): Iterator[AsOfMatch] = {
+      val prev = state.getOption.getOrElse(AsOfJoinState(Nil, Nil))
+      var snaps = prev.snapshots
+      var pending = prev.pending
+      if (!(it.isEmpty && state.hasTimedOut)) {
+        val batch = it.toArray
+        val newSnaps = batch.filter(_.is_snapshot).map(e => (micros(e.ts), e.value))
+        if (newSnaps.nonEmpty)
+          snaps = (snaps ++ newSnaps)
+            .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).min) }
+            .toSeq.sortBy(_._1)
+        val newProbes = batch.filter(!_.is_snapshot).map(e => (micros(e.ts), e.event_id))
+        if (newProbes.nonEmpty)
+          pending = (pending ++ newProbes).sortBy(identity)
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ready, still) = pending.partition(_._1 <= wmUs)
+      val out = ready.map { case (pts, pid) =>
+        val hit = snaps.takeWhile(_._1 <= pts).lastOption
+        AsOfMatch(pid, userId, pts, hit.map(_._1), hit.map(_._2))
+      }
+      // prune: drop snapshots strictly older than the latest one <= watermark
+      if (snaps.nonEmpty) {
+        val cut = snaps.indexWhere(_._1 > wmUs) match {
+          case -1 => snaps.size - 1
+          case 0 => 0
+          case i => i - 1
+        }
+        snaps = snaps.drop(cut)
+      }
+      if (still.isEmpty && snaps.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(AsOfJoinState(snaps, still))
+        if (still.nonEmpty)
+          // fire once the watermark passes the earliest buffered probe
+          state.setTimeoutTimestamp(
+            math.max(still.map(_._1).min / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+
+    inputs
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfJoinState, AsOfMatch](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

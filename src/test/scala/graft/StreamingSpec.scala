@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{Event, EventStreams, UserSession}
+import graft.streaming.{AsOfEvent, AsOfMatch, Event, EventStreams, UserSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -194,6 +194,70 @@ class StreamingSpec extends SparkSuiteBase {
 
       assert(streamed == batch)
       assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
+  test("asofJoin: streaming latest-row-per-key matches the batch as-of join exec") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // user 10: snapshots at 00:00 (v1.0) and 00:30 (v2.0); probes at 00:05,
+    // 00:20 (arrives late, in a later micro-batch), 00:45. user 11: probe
+    // with no snapshot ever -> left-outer null match.
+    val batch1 = Seq(
+      AsOfEvent(10, ts(0), is_snapshot = true, 0L, 1.0),
+      AsOfEvent(10, ts(30), is_snapshot = true, 0L, 2.0),
+      AsOfEvent(10, ts(5), is_snapshot = false, 100L, 0.0),
+      AsOfEvent(11, ts(10), is_snapshot = false, 102L, 0.0))
+    val batch2 = Seq( // late-but-within-watermark probe, before batch1's max
+      AsOfEvent(10, ts(25), is_snapshot = false, 101L, 0.0),
+      AsOfEvent(10, ts(45), is_snapshot = false, 103L, 0.0))
+    // Sentinel far in the future: advances the watermark past every probe.
+    val sentinel = AsOfEvent(999, tsH(9, 0), is_snapshot = true, 0L, 0.0)
+
+    val stream = MemoryStream[AsOfEvent]
+    val q = EventStreams.asofJoin(stream.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1)
+      q.processAllAvailable()
+      stream.addData(batch2)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[AsOfEvent]) // extra trigger: timeouts fire
+      q.processAllAvailable()
+
+      val streamed = spark.table("asof_out").as[AsOfMatch]
+        .collect().filter(_.user_id != 999)
+        .map(m => (m.p_event_id, m.user_id, m.p_ts_us, m.s_ts_us, m.s_val))
+        .toSet
+
+      // batch form via the custom as-of exec on the same rows
+      def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+      val all = batch1 ++ batch2
+      val probes = all.filter(!_.is_snapshot)
+        .map(e => (e.event_id, e.user_id, us(e.ts)))
+        .toDF("p_event_id", "p_user", "p_ts")
+      val snaps = all.filter(_.is_snapshot)
+        .map(e => (e.user_id, us(e.ts), e.value))
+        .toDF("s_user", "s_ts", "s_val")
+        .groupBy(col("s_user"), col("s_ts")).agg(min(col("s_val")).as("s_val"))
+      val batch = graft.plans.AsOfJoin(
+          probes, "p_user", "p_ts", snaps, "s_user", "s_ts", leftOuter = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))
+        .toSet
+
+      assert(streamed == batch)
+      assert(streamed == Set(
+        (100L, 10L, us(ts(5)), Some(us(ts(0))), Some(1.0)),
+        (101L, 10L, us(ts(25)), Some(us(ts(0))), Some(1.0)),
+        (103L, 10L, us(ts(45)), Some(us(ts(30))), Some(2.0)),
+        (102L, 11L, us(ts(10)), None, None)))
     } finally q.stop()
   }
 }
