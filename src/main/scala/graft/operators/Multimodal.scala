@@ -91,6 +91,74 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** The Arrow-columnar decode seam: a decoder consumes one Arrow
+    * `VectorSchemaRoot` per batch — columns `doc_id` (BigInt) and `payload`
+    * (VarBinary), `root.getRowCount` rows — and returns one feature array
+    * per row. Arrow buffers are the interchange format GPU decode stacks
+    * (DALI, torchcodec via JNI, CUDA IPC) and Python workers consume
+    * zero-copy, so this interface IS the production plug point; the fake
+    * below is the only stubbed part.
+    */
+  trait ArrowBatchDecoder extends Serializable {
+    def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]]
+  }
+
+  /** STUB decoder over the Arrow contract: reads each payload from the
+    * VarBinary vector and applies the same deterministic fake featurization
+    * as [[FakeDecoder]] — so the Arrow path is parity-checkable against the
+    * row path (OperatorSmokeSpec).
+    */
+  object FakeArrowDecoder extends ArrowBatchDecoder {
+    override def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]] = {
+      val payload = root.getVector("payload")
+        .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+      FakeDecoder.decodeBatch((0 until root.getRowCount).map(payload.get))
+    }
+  }
+
+  /** [[decodeFeatures]] over the Arrow-columnar batch contract: rows are
+    * marshalled into Arrow `VectorSchemaRoot` batches of
+    * [[FakeDecoder.batchSize]] inside `mapPartitions` (still narrow — the
+    * payload bytes never shuffle), the decoder consumes the columnar batch,
+    * and the feature vectors come back as rows. Output is identical to the
+    * row-based path (OperatorSmokeSpec pins it); the difference is the seam:
+    * a real featurizer gets contiguous Arrow buffers instead of per-row JVM
+    * objects.
+    */
+  def decodeFeaturesArrow(
+      media: DataFrame,
+      decoder: ArrowBatchDecoder = FakeArrowDecoder): DataFrame = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.grouped(FakeDecoder.batchSize).flatMap { batch =>
+        val alloc = new RootAllocator(Long.MaxValue)
+        try {
+          val docId = new BigIntVector("doc_id", alloc)
+          val payload = new VarBinaryVector("payload", alloc)
+          docId.allocateNew(batch.size)
+          payload.allocateNew()
+          batch.zipWithIndex.foreach { case (row, i) =>
+            docId.setSafe(i, row.getLong(0))
+            payload.setSafe(i, row.getAs[Array[Byte]]("payload"))
+          }
+          docId.setValueCount(batch.size)
+          payload.setValueCount(batch.size)
+          val root = VectorSchemaRoot.of(docId, payload)
+          try {
+            root.setRowCount(batch.size)
+            val feats = decoder.decode(root)
+            batch.indices.map { i =>
+              Row(docId.get(i), feats(i).toSeq, payload.get(i).length.toLong)
+            }
+          } finally root.close()
+        } finally alloc.close()
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("frame_idx", IntegerType),

@@ -65,6 +65,17 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       again.map(_.getSeq[Double](1).toList).toList)
   }
 
+  test("Arrow-columnar decode path is row-identical to the row-based path") {
+    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getLong(2))).toList
+    val rowPath = canon(Multimodal.decodeFeatures(media))
+    val arrowPath = canon(Multimodal.decodeFeaturesArrow(media))
+    assert(rowPath.nonEmpty)
+    assert(arrowPath == rowPath)
+  }
+
   test("native graft_simhash16 is bit-identical to the relational explode/groupBy form") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val native = SparkEntry.queries("dedup_simhash_sig")(spark, sf0001)
