@@ -328,9 +328,20 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // ---- SimHash signatures (16-bit oracle form; 64-bit in TextFunctions;
-    // simhash16 already emits in doc_id order — sort-before-projection) ----
-    "dedup_simhash_sig" -> ((s, d) => simhash16(s, d)))
+    // ---- SimHash signatures (16-bit oracle form; simhash16 already emits
+    // in doc_id order — sort-before-projection) ----
+    "dedup_simhash_sig" -> ((s, d) => simhash16(s, d)),
+
+    // ---- 60-bit SimHash signatures: the library-surface fingerprint width
+    // (functions/TextFunctions.simhash → native graft_simhash60, one narrow
+    // pass, no shuffle); oracle is the relational explode→groupBy form at
+    // 60 bits. ----
+    "dedup_simhash60_sig" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash(col("text")).as("simhash60"))
+    }))
 
   override def oracleSql: Map[String, String] = {
     val shingleCte =
@@ -460,6 +471,9 @@ object Dedup extends QueryModule {
       "dedup_simhash_sig" ->
         s"""$simhashCte
            |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,
+      "dedup_simhash60_sig" ->
+        s"""$simhash60Cte
+           |SELECT doc_id, simhash60 FROM sh60 ORDER BY doc_id""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""$simhashCte, sig_src AS (
            |  SELECT s.doc_id, s.simhash16, d.source FROM sh16 s JOIN documents d USING (doc_id)
@@ -470,6 +484,27 @@ object Dedup extends QueryModule {
            |  ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
            |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** DuckDB CTE producing (doc_id, simhash60) as `sh60` — the 60-bit
+    * relational form [[graft.plans.SimHash60]] is verified against (60 =
+    * graft's portable md5-prefix hash width, 15 hex chars).
+    */
+  private def simhash60Cte: String = {
+    val sums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val hash = (0 until 60).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tokens AS (
+       |  SELECT doc_id, try_cast('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15) AS BIGINT) AS th
+       |  FROM documents
+       |), agged AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tokens GROUP BY doc_id
+       |), sh60 AS (
+       |  SELECT doc_id, CAST($hash AS BIGINT) AS simhash60 FROM agged
+       |)""".stripMargin
   }
 
   /** Shared DuckDB CTE producing (doc_id, simhash16) as `sh16`. */
