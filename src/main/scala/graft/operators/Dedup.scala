@@ -95,14 +95,24 @@ object Dedup extends QueryModule {
     agged.select(col("doc_id"), simhash.as("simhash16"))
   }
 
-  /** LSH banding of an 8-hash signature: 4 bands × 2 rows. */
-  private def bandKeys(sig: DataFrame): DataFrame =
+  /** LSH banding of an 8-hash signature: 4 bands × 2 rows. The band key is
+    * compacted to a 60-bit BIGINT (md5 of the joined band values, portable
+    * to the oracle) instead of the raw `mh0_mh1` string — at 100 TB the
+    * candidate equi-join shuffles one band row per doc per band, so an
+    * 8-byte key vs a ~20-char string roughly halves shuffle key bytes.
+    * Collisions (~n²/2⁶⁰ within a band) are absorbed by the downstream
+    * exact verification the pipeline always runs.
+    */
+  private def bandKeys(sig: DataFrame): DataFrame = {
+    def bk(a: Column, b: Column): Column =
+      conv(substring(md5(concat_ws("_", a, b)), 1, 15), 16, 10).cast("bigint")
     sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band_idx"), concat_ws("_", col("mh0"), col("mh1")).as("bkey")),
-      struct(lit(1).as("band_idx"), concat_ws("_", col("mh2"), col("mh3")).as("bkey")),
-      struct(lit(2).as("band_idx"), concat_ws("_", col("mh4"), col("mh5")).as("bkey")),
-      struct(lit(3).as("band_idx"), concat_ws("_", col("mh6"), col("mh7")).as("bkey"))
+      struct(lit(0).as("band_idx"), bk(col("mh0"), col("mh1")).as("bkey")),
+      struct(lit(1).as("band_idx"), bk(col("mh2"), col("mh3")).as("bkey")),
+      struct(lit(2).as("band_idx"), bk(col("mh4"), col("mh5")).as("bkey")),
+      struct(lit(3).as("band_idx"), bk(col("mh6"), col("mh7")).as("bkey"))
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
+  }
 
   /** Connected components of an undirected edge list (doc_a, doc_b):
     * min-label propagation PLUS per-round pointer jumping. Each round:
@@ -389,10 +399,10 @@ object Dedup extends QueryModule {
       "dedup_minhash_sig" -> s"$sigCte\nSELECT * FROM sig ORDER BY doc_id",
       "dedup_minhash_pairs" ->
         s"""$sigCte, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
-           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
-           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
            |)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
            |FROM bands a JOIN bands b
@@ -400,10 +410,10 @@ object Dedup extends QueryModule {
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_verify_candidates" ->
         s"""$sigCte, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
-           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
-           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
            |), cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
@@ -424,10 +434,10 @@ object Dedup extends QueryModule {
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_clusters" ->
         s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
-           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
-           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
@@ -444,10 +454,10 @@ object Dedup extends QueryModule {
            |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       "dedup_keep_canonical" ->
         s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, mh0 || '_' || mh1 AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, mh2 || '_' || mh3 FROM sig UNION ALL
-           |  SELECT doc_id, 2, mh4 || '_' || mh5 FROM sig UNION ALL
-           |  SELECT doc_id, 3, mh6 || '_' || mh7 FROM sig
+           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
+           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
+           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b

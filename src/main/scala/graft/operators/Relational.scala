@@ -74,6 +74,28 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- q1 in scaled-integer (cents) money math: round each money double
+    // to integer cents ONCE per row (both engines round identically at
+    // scale 0 for non-negative values), then sum plain BIGINTs — exact,
+    // order-independent, and the cheapest aggregation Spark has (no decimal
+    // state). disc_price runs in 1e-4 units: cents × (100 - disc_pct).
+    // Semantically q1_agg with the rounding applied at cents rather than
+    // DECIMAL(18,2) — kept as a separate oracle row so both conventions
+    // stay verified; at 100 TB the integer form is what you'd run. ----
+    "q1_agg_cents" -> ((s, d) => {
+      def cents(c: Column): Column = round(c * 100).cast("bigint")
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / 10000.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // ---- TPC-H Q3 style: 3-way join + agg + top-k ----
     "q3_join_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -400,6 +422,16 @@ object Relational extends QueryModule {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_agg_cents" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-01'
         |GROUP BY l_returnflag, l_linestatus

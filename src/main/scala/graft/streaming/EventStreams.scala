@@ -191,6 +191,32 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Gap sessionization via the built-in `session_window` aggregation — the
+    * zero-custom-state form: one groupBy that runs IDENTICALLY in batch and
+    * streaming (append mode emits each session once the watermark passes its
+    * close; state is managed by the session-window operator itself, merged
+    * and evicted per watermark). Same output shape as the oracle-checked
+    * batch query `evt_sessions_native`; boundary convention is
+    * session_window's half-open [start, start+gap) (see
+    * [[graft.operators.EventTime]] scaladoc).
+    *
+    * Use this when the per-session output is min/max/count-style aggregates;
+    * [[sessionize]] (flatMapGroupsWithState) remains for custom state
+    * transitions the aggregate form can't express.
+    */
+  def sessionizeNative(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+
   /** Full-microsecond epoch value of a Timestamp (getTime alone truncates
     * the sub-millisecond part the nanos field carries).
     */

@@ -95,6 +95,24 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 20)
   }
 
+  test("BottomKBuffer = k smallest DISTINCT hashes ascending, first payload wins, any insert order") {
+    val entryGen = for {
+      h <- Gen.chooseNum(0L, 50L) // small domain forces duplicate hashes
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (h, v)
+    check(Prop.forAll(Gen.listOfN(60, entryGen), Gen.chooseNum(1, 8)) { (xs, k) =>
+      val buf = new graft.plans.BottomKBuffer(k)
+      xs.foreach { case (h, v) => buf.insert(h, v) }
+      val got = (0 until buf.size).map(i => (buf.hs(i), buf.vs(i))).toList
+      // reference: first payload per hash, k smallest hashes ascending.
+      // (first-seen wins only among survivors of the bounded buffer, which
+      // for hashes that are never evicted equals global first-seen)
+      val want = xs.groupBy(_._1).map { case (h, vs) => (h, vs.head._2) }
+        .toList.sortBy(_._1).take(k)
+      got == want
+    }, n = 20)
+  }
+
   test("graft_dot is commutative and matches a plain Scala fold for arbitrary float vectors") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val vecGen = Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))

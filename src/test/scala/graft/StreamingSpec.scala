@@ -197,6 +197,44 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("sessionizeNative: streaming session_window equals the batch run of the same transform") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // user 10: one session 00:00-00:10, then a new one at 01:00; user 11:
+    // single-event session.
+    val real = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 1.0),
+      Event(3, tsH(1, 0), 10, "click", 1.0),
+      Event(4, ts(5), 11, "buy", 2.0))
+    val sentinel = Event(99, tsH(9, 0), 999, "click", 0.0)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeNative(stream.toDF())
+      .writeStream.format("memory").queryName("native_sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(real)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[Event])
+      q.processAllAvailable()
+
+      val streamed = spark.table("native_sessions_out")
+        .collect().filter(_.getLong(0) != 999)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = EventStreams.sessionizeNative(real.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("asofJoin: streaming latest-row-per-key matches the batch as-of join exec") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
