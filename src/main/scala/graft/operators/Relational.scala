@@ -364,6 +364,31 @@ object Relational extends QueryModule {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- explicit GROUPING SETS (the general form rollup/cube sugar over):
+    // per-flag totals, per-status totals, and the grand total in ONE pass —
+    // Catalyst plans a single Expand + aggregate, not three scans. ----
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // ---- value-based (RANGE) window frame: for each order, how many of the
+    // same customer's orders fall within 1000.0 of its price — RANGE frames
+    // include peers and bound by the ORDER BY VALUE, not row position. ----
+    "q_window_range" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          expr("count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice " +
+            "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)").as("n_within_1k_below"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- pivot: per-returnflag quantity matrix by linestatus ----
     "q_pivot" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -579,6 +604,18 @@ object Relational extends QueryModule {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k_below
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

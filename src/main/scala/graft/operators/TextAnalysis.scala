@@ -115,9 +115,47 @@ object TextAnalysis extends QueryModule {
               |  (acc, w) -> pmod(acc * 31 + CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), 1000000007))
               |""".stripMargin).as("fp_rolling"),
           md5(col("text")).as("fp_md5"))
+    }),
+
+    // ---- corpus n-gram frequency: top-3 bigrams per language by count
+    // (deterministic bigram tiebreak) — the vocabulary/corpus-statistics
+    // pass of a training pipeline. One explode → count shuffle with partial
+    // agg (bigram counts combine map-side), then a per-language top-k. At
+    // 100 TB the count agg is the only heavy stage and shuffles
+    // (lang, bigram, partial_count) rows, not documents. ----
+    "txt_ngram_freq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bi = Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"
+        )).as("bigram"))
+        .groupBy(col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+      val byLang = Window.partitionBy(col("lang")).orderBy(desc("n"), col("bigram"))
+      bi.withColumn("rk", row_number().over(byLang))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("bigram"), col("n"), col("rk").cast("bigint").as("rk"))
+        .orderBy(col("lang"), col("rk"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_ngram_freq" ->
+      """WITH words AS (
+        |  SELECT lang, string_split(text, ' ') AS w FROM documents
+        |), bi AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM words WHERE len(w) >= 2
+        |), counted AS (
+        |  SELECT lang, bigram, count(*) AS n FROM bi GROUP BY lang, bigram
+        |)
+        |SELECT lang, bigram, n, rk FROM (
+        |  SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+        |  FROM counted) t
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id, lang, source,
         |  length(text) AS char_len,
