@@ -89,6 +89,29 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- fuzzy matching at corpus scale: blocked by CONTENT-derived keys
+    // (first token + prefix-length band), not by a row-id cut like the demo
+    // query above. Same shape as the LSH pipelines: the equi-join bounds
+    // the quadratic pair space to within-block pairs, the exact metric
+    // verifies candidates. Blocking is recall-approximate by design (an
+    // edit in the first token moves a doc between blocks) — standard
+    // prefix-blocking trade, documented; at 100 TB the block join is the
+    // only heavy stage. ----
+    "txt_fuzzy_block" -> ((s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("prefix"))
+        .withColumn("blk_tok", split(col("prefix"), " ")(0))
+        .withColumn("blk_len", floor(length(col("prefix")) / 10).cast("bigint"))
+      t.as("a").join(t.as("b"),
+          col("a.blk_tok") === col("b.blk_tok") &&
+            col("a.blk_len") === col("b.blk_len") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).cast("bigint").as("lev"))
+        .filter(col("lev") <= 15)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- data-quality report: per-source completeness / uniqueness /
     // range metrics — the gate a corpus build runs before training ----
     "txt_quality_report" -> ((s, d) => {
@@ -199,6 +222,19 @@ object TextAnalysis extends QueryModule {
         |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 20
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "txt_fuzzy_block" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS prefix,
+        |    string_split(substr(text, 1, 30), ' ')[1] AS blk_tok,
+        |    CAST(floor(length(substr(text, 1, 30)) / 10) AS BIGINT) AS blk_len
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
+        |FROM t a JOIN t b
+        |  ON a.blk_tok = b.blk_tok AND a.blk_len = b.blk_len AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
