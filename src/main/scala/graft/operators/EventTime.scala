@@ -130,16 +130,13 @@ object EventTime extends QueryModule {
     * gap, so start/count identify the session; we re-derive end_us as
     * max event time to match the window-function form exactly).
     *
-    * Boundary convention (pinned): Spark session windows are half-open
-    * [start, start+gap), so an event arriving EXACTLY `gap` after the
-    * previous one starts a NEW session. The lag-based [[sessions]] uses the
-    * opposite convention (`diff > gap` starts new, i.e. an exact-gap event
-    * extends the session) — its oracle mirrors that with `>`. This query's
-    * oracle mirrors the session_window convention with `>=`. The two forms
-    * agree on any data without an exact-gap pair (the fixtures' microsecond
-    * timestamps make collisions measure-zero), but each is oracle-checked
-    * under its own convention so exact-boundary data cannot silently split
-    * them.
+    * Boundary convention (pinned empirically — StreamingSpec's exact-gap
+    * test): Spark merges session windows when the next event falls AT or
+    * before the previous window's end, so an event arriving EXACTLY `gap`
+    * after the previous one EXTENDS the session. That is the same
+    * `diff > gap starts new` convention as the lag-based [[sessions]], so
+    * the two forms agree on all inputs, exact-gap pairs included, and both
+    * oracles use `>`.
     */
   private def sessionsNative(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -208,7 +205,7 @@ object EventTime extends QueryModule {
         |), flagged AS (
         |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), numbered AS (
         |  SELECT user_id, ts_us,

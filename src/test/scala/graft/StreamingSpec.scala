@@ -235,6 +235,38 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("exact-gap boundary: session_window and the lag form BOTH extend the session") {
+    import spark.implicits._
+    // two events exactly 1800s apart: the boundary where the two
+    // sessionization forms could diverge. Pinned empirically: Spark merges
+    // session windows at the exact boundary (next event AT the previous
+    // window's end extends it) — same `diff > gap starts new` convention as
+    // the lag form, so both oracles use `>` (EventTime scaladoc).
+    val rows = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(30), 10, "click", 1.0)) // 00:30:00 = start + exactly the gap
+
+    val native = EventStreams.sessionizeNative(rows.toDF())
+    assert(native.count() == 1)
+
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagForm = rows.toDF()
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .agg(sum(col("new_sess")).as("n_sessions"))
+    assert(lagForm.collect()(0).getLong(0) == 1L)
+
+    // and one microsecond past the gap DOES split the native form
+    val past = Seq(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, new java.sql.Timestamp(ts(30).getTime + 1), 10, "click", 1.0))
+    assert(EventStreams.sessionizeNative(past.toDF()).count() == 2)
+  }
+
   test("asofJoin: streaming latest-row-per-key matches the batch as-of join exec") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
