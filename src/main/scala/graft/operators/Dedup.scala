@@ -51,8 +51,8 @@ object Dedup extends QueryModule {
   private val mhA = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
   private val mhB = Seq(1L, 1010L, 2019L, 3028L, 4037L, 5046L, 6055L, 7064L)
 
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
+  private def minhashSigFrom(sh: DataFrame): DataFrame =
+    sh
       .withColumn("h",
         pmod(conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint"), lit(P)))
       .groupBy(col("doc_id"))
@@ -60,6 +60,9 @@ object Dedup extends QueryModule {
         min(pmod(lit(mhA(0)) * col("h") + lit(mhB(0)), lit(P))).as("mh0"),
         (1 until 8).map(i =>
           min(pmod(lit(mhA(i)) * col("h") + lit(mhB(i)), lit(P))).as(s"mh$i")): _*)
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigFrom(shingles(s, d))
 
   /** 16-bit SimHash per doc: per-bit majority vote over md5 token hashes.
     * Runs as graft's one-pass native expression
@@ -255,9 +258,12 @@ object Dedup extends QueryModule {
     // near-linear. Set order from collect_set is nondeterministic but only
     // set SIZES reach the output. ----
     "dedup_verify_candidates" -> ((s, d) => {
-      val docSets = shingles(s, d).groupBy(col("doc_id"))
+      // one shingle computation feeds BOTH the signature/banding path and
+      // the exact-verify sets (cached; Verify clears per-query)
+      val sh = shingles(s, d).cache()
+      val docSets = sh.groupBy(col("doc_id"))
         .agg(collect_set(col("shingle")).as("sh_set"), count(lit(1)).as("n_sh"))
-      val bands = bandKeys(minhashSig(s, d))
+      val bands = bandKeys(minhashSigFrom(sh))
       val pairs = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.bkey") === col("b.bkey") &&

@@ -113,6 +113,36 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 20)
   }
 
+  test("connectedComponents equals a union-find reference on random graphs") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 24L)
+      b <- Gen.chooseNum(0L, 24L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    check(Prop.forAll(Gen.listOfN(15, edgeGen)) { edges =>
+      edges.isEmpty || {
+        import org.apache.spark.sql.functions.col
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(edges.map { case (a, b) => Row(a, b) }, 2),
+          StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+        val got = graft.operators.Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find reference with min-label roots
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(n => n -> find(n)).toMap
+        got == want
+      }
+    }, n = 10)
+  }
+
   test("graft_dot is commutative and matches a plain Scala fold for arbitrary float vectors") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val vecGen = Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-100f, 100f)))
