@@ -117,6 +117,57 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- benchmark-contamination check: which training documents share a
+    // 3-word shingle with the held-out "benchmark" slice (every 50th doc as
+    // the stand-in eval set). The real-world shape of eval decontamination:
+    // a shingle equi-join where the benchmark side is small — at 100 TB it
+    // broadcasts, so the corpus is scanned once with no shuffle of the
+    // training side. ----
+    "txt_contamination" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        )).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("shingle"), col("doc_id").as("bench_id"))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- repetition scoring (Gopher-style quality rule): fraction of the
+    // document covered by its most frequent unigram and bigram — the
+    // filter that removes boilerplate/looped text before training. Narrow
+    // per-doc aggregation: two explode→count passes shuffling (doc, gram)
+    // partial counts. ----
+    "txt_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = docs.select(col("doc_id"), size(col("w")).as("n_words"),
+          explode(col("w")).as("g"))
+        .groupBy(col("doc_id"), col("n_words"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_words")).agg(max(col("c")).as("top_uni"))
+      val bi = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), (size(col("w")) - 1).as("n_bigrams"),
+          explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"
+          )).as("g"))
+        .groupBy(col("doc_id"), col("n_bigrams"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_bigrams")).agg(max(col("c")).as("top_bi"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"),
+          col("n_words").cast("bigint").as("n_words"),
+          round(col("top_uni").cast("double") / col("n_words"), 6).as("top_uni_frac"),
+          round(col("top_bi").cast("double") / col("n_bigrams"), 6).as("top_bi_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- data-quality report: per-source completeness / uniqueness /
     // range metrics — the gate a corpus build runs before training ----
     "txt_quality_report" -> ((s, d) => {
@@ -243,6 +294,46 @@ object TextAnalysis extends QueryModule {
         |  AND a.blk_len = b.blk_len AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "txt_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        |  FROM words WHERE len(w) >= 3
+        |), bench AS (
+        |  SELECT shingle, doc_id AS bench_id FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT s.doc_id,
+        |  count(DISTINCT s.shingle) AS n_shared_shingles,
+        |  count(DISTINCT bench.bench_id) AS n_bench_docs
+        |FROM sh s JOIN bench ON s.shingle = bench.shingle
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "txt_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), uc AS (
+        |  SELECT doc_id, n_words, g, count(*) AS c
+        |  FROM (SELECT doc_id, len(w) AS n_words, unnest(w) AS g FROM words) t
+        |  GROUP BY doc_id, n_words, g
+        |), uni AS (
+        |  SELECT doc_id, n_words, max(c) AS top_uni FROM uc GROUP BY doc_id, n_words
+        |), bc AS (
+        |  SELECT doc_id, n_bigrams, g, count(*) AS c
+        |  FROM (SELECT doc_id, len(w) - 1 AS n_bigrams,
+        |          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |        FROM words WHERE len(w) >= 2) t
+        |  GROUP BY doc_id, n_bigrams, g
+        |), bi AS (
+        |  SELECT doc_id, n_bigrams, max(c) AS top_bi FROM bc GROUP BY doc_id, n_bigrams
+        |)
+        |SELECT uni.doc_id, CAST(uni.n_words AS BIGINT) AS n_words,
+        |  round(CAST(top_uni AS DOUBLE) / uni.n_words, 6) AS top_uni_frac,
+        |  round(CAST(top_bi AS DOUBLE) / bi.n_bigrams, 6) AS top_bi_frac
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
