@@ -27,7 +27,7 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     val results = raw.filter(_._2 >= 0)
-    val errors = raw.collect { case (k, v) if v < 0 => k }
+    val errors = raw.collect { case (k, v) if v < 0 => k }.toSeq
     val qs = raw.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -36,7 +36,12 @@ object Bench {
     // the number stays comparable across rounds while the full query set
     // keeps growing; "total" remains the sum over everything.
     val headline = PlanDump.headline.flatMap(results.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"queries":$qs,"sf":"$sfDir"}""")
+    // headline_errors: failed queries from the FIXED headline subset. When
+    // nonzero, headline_total covers fewer queries and is NOT comparable
+    // across rounds — surfaced explicitly so a fast-failing headline query
+    // can't read as a speedup.
+    val headlineErrors = PlanDump.headline.count(errors.contains)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

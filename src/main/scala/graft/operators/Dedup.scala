@@ -108,7 +108,7 @@ object Dedup extends QueryModule {
     */
   private def bandKeys(sig: DataFrame): DataFrame = {
     def bk(a: Column, b: Column): Column =
-      conv(substring(md5(concat_ws("_", a, b)), 1, 15), 16, 10).cast("bigint")
+      graft.functions.TextFunctions.md5Bits(concat_ws("_", a, b), 15)
     sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band_idx"), bk(col("mh0"), col("mh1")).as("bkey")),
       struct(lit(1).as("band_idx"), bk(col("mh2"), col("mh3")).as("bkey")),

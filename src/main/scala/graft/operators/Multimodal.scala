@@ -134,9 +134,15 @@ object Multimodal extends QueryModule {
     val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.grouped(FakeDecoder.batchSize).flatMap { batch =>
         val alloc = new RootAllocator(Long.MaxValue)
+        // vectors are closed via `root` on the happy path; if anything
+        // throws BEFORE the root exists they must be closed directly, or
+        // alloc.close() throws "memory leaked" and masks the real error
+        var docId: BigIntVector = null
+        var payload: VarBinaryVector = null
+        var root: VectorSchemaRoot = null
         try {
-          val docId = new BigIntVector("doc_id", alloc)
-          val payload = new VarBinaryVector("payload", alloc)
+          docId = new BigIntVector("doc_id", alloc)
+          payload = new VarBinaryVector("payload", alloc)
           docId.allocateNew(batch.size)
           payload.allocateNew()
           batch.zipWithIndex.foreach { case (row, i) =>
@@ -145,15 +151,17 @@ object Multimodal extends QueryModule {
           }
           docId.setValueCount(batch.size)
           payload.setValueCount(batch.size)
-          val root = VectorSchemaRoot.of(docId, payload)
-          try {
-            root.setRowCount(batch.size)
-            val feats = decoder.decode(root)
-            batch.indices.map { i =>
-              Row(docId.get(i), feats(i).toSeq, payload.get(i).length.toLong)
-            }
-          } finally root.close()
-        } finally alloc.close()
+          root = VectorSchemaRoot.of(docId, payload)
+          root.setRowCount(batch.size)
+          val feats = decoder.decode(root)
+          batch.indices.map { i =>
+            Row(docId.get(i), feats(i).toSeq, payload.get(i).length.toLong)
+          }
+        } finally {
+          if (root != null) root.close()
+          else { if (docId != null) docId.close(); if (payload != null) payload.close() }
+          alloc.close()
+        }
       }
     }
     spark.createDataFrame(rdd, featureSchema)

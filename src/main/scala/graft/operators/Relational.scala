@@ -76,21 +76,26 @@ object Relational extends QueryModule {
 
     // ---- q1 in scaled-integer (cents) money math: round each money double
     // to integer cents ONCE per row (both engines round identically at
-    // scale 0 for non-negative values), then sum plain BIGINTs — exact,
-    // order-independent, and the cheapest aggregation Spark has (no decimal
-    // state). disc_price runs in 1e-4 units: cents × (100 - disc_pct).
+    // scale 0 for non-negative values), then sum — exact and
+    // order-independent. Per-row values stay int64; the ACCUMULATOR widens
+    // to DECIMAL(38,0) (128-bit integer) because a plain BIGINT sum of
+    // ~3.6e8-per-row disc_price terms would wrap silently around SF~8000 —
+    // far below the 100 TB target. DuckDB's BIGINT SUM already returns
+    // HUGEINT, so only the Spark side needs the explicit widening.
+    // disc_price runs in 1e-4 units: cents × (100 - disc_pct).
     // Semantically q1_agg with the rounding applied at cents rather than
     // DECIMAL(18,2) — kept as a separate oracle row so both conventions
     // stay verified; at 100 TB the integer form is what you'd run. ----
     "q1_agg_cents" -> ((s, d) => {
       def cents(c: Column): Column = round(c * 100).cast("bigint")
+      def wide(c: Column): Column = c.cast(DecimalType(38, 0))
       Tables.lineitem(s, d)
         .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          (sum(cents(col("l_quantity"))).cast("double") / 100.0).as("sum_qty"),
-          (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("sum_base_price"),
-          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          (sum(wide(cents(col("l_quantity")))).cast("double") / 100.0).as("sum_qty"),
+          (sum(wide(cents(col("l_extendedprice")))).cast("double") / 100.0).as("sum_base_price"),
+          (sum(wide(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))))
             .cast("double") / 10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -266,13 +271,15 @@ object Relational extends QueryModule {
       val m = math.pow(2.0, 60).toLong // hash domain size
       Tables.events(s, d)
         .select(col("event_type"),
-          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-            .cast("bigint").as("h"))
+          graft.functions.TextFunctions.md5Bits(col("user_id").cast("string"), 15).as("h"))
         .groupBy(col("event_type"))
         .agg(call_function("graft_bottomk", col("h"), lit(0.0), lit(32)).as("ks"))
         .select(col("event_type"),
           size(col("ks")).cast("bigint").as("n_kept"),
-          element_at(col("ks"), size(col("ks"))).getField("h").as("kth"))
+          // guard the all-NULL-keys group (empty sketch): emit null kth /
+          // estimate, as the window form did, instead of element_at(_, 0)
+          when(size(col("ks")) > 0,
+            element_at(col("ks"), size(col("ks"))).getField("h")).as("kth"))
         .withColumn("est_distinct",
           round((col("n_kept") - 1).cast("double") * lit(m.toDouble) / col("kth").cast("double"), 6))
         .select(col("event_type"), col("n_kept"), col("est_distinct"))
@@ -303,10 +310,9 @@ object Relational extends QueryModule {
       }
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
-          conv(substring(md5(concat_ws("_",
+          graft.functions.TextFunctions.md5Bits(concat_ws("_",
             col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey"))), 1, 15), 16, 10)
-            .cast("bigint").as("h"),
+            col("l_partkey"), col("l_suppkey")), 15).as("h"),
           col("l_quantity"), col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(

@@ -192,6 +192,10 @@ object Similarity extends QueryModule {
     // near-dup set. ----
     "sim_pairs_block" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
+      // Precondition (shared with sim_topk_srp / sim_topk_ivf): vec_ids 1..8
+      // exist and serve as the deterministic hyperplane set. On a re-keyed
+      // export the planes must be supplied explicitly — an empty plane set
+      // would empty the inner join below, not error.
       val e0 = Tables.embeddings(s, d)
       val planes = e0.filter(col("vec_id").between(1, 8))
         .select(col("vec_id").as("k"), col("embedding").as("h_emb"))

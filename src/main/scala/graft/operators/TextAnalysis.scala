@@ -124,12 +124,14 @@ object TextAnalysis extends QueryModule {
     // broadcasts, so the corpus is scanned once with no shuffle of the
     // training side. ----
     "txt_contamination" -> ((s, d) => {
+      // cached: the shingle explode feeds both sides of the join below
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
         )).as("shingle"))
+        .cache()
       val bench = sh.filter(col("doc_id") % 50 === 0)
         .select(col("shingle"), col("doc_id").as("bench_id"))
       sh.filter(col("doc_id") % 50 =!= 0)

@@ -131,6 +131,11 @@ object EventStreams {
     * Batch-equivalent semantics (modulo the open tail session, which a batch
     * run considers closed): `graft.operators.EventTime`'s `evt_sessions`
     * window-function query — the StreamingSpec asserts the two agree.
+    * Supported configuration: `gapSeconds` ≥ the 10-minute watermark
+    * lateness — then a within-watermark late event is always within one gap
+    * of the open session or final as a singleton; with a shorter gap,
+    * cross-batch events older than start − gap are emitted as singleton
+    * sessions rather than re-splitting history.
     */
   def sessionize(
       events: Dataset[Event],
@@ -153,7 +158,8 @@ object EventStreams {
         val closed = Iterator.newBuilder[UserSession]
         sorted.foreach { e =>
           open match {
-            case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+            case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs &&
+                s.session_start.getTime - e.ts.getTime <= gapMs =>
               // Merge with min/max, not assignment: a late-but-within-watermark
               // event from a LATER micro-batch can precede the open session's
               // bounds — assigning e.ts to session_end would shrink the session
@@ -163,6 +169,13 @@ object EventStreams {
               val end =
                 if (e.ts.getTime > s.session_end.getTime) e.ts else s.session_end
               open = Some(SessionState(start, end, s.n_events + 1))
+            case Some(s) if s.session_start.getTime - e.ts.getTime > gapMs =>
+              // Late event more than a gap BEFORE the open session: it can't
+              // belong to it. Emit it as its own closed session immediately
+              // (it is final: any even-later event this far back would itself
+              // be beyond the watermark when gap >= lateness, the supported
+              // configuration) and keep the open session untouched.
+              closed += UserSession(userId, e.ts, e.ts, 1)
             case Some(s) =>
               closed += UserSession(userId, s.session_start, s.session_end, s.n_events)
               open = Some(SessionState(e.ts, e.ts, 1))

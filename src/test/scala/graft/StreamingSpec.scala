@@ -235,6 +235,36 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("sessionize: a late event more than a gap BEFORE the open session becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // gap (60s) < lateness (600s): batch 2 delivers an in-watermark event
+    // 300s BEFORE the open session's start — merging it would stretch the
+    // session across a 5x-gap hole; it must close as a singleton instead.
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("late_sessions_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(Event(1, ts(16, 40), 10, "click", 1.0))) // t=1000s
+      q.processAllAvailable()
+      stream.addData(Seq(Event(2, ts(11, 40), 10, "click", 1.0))) // t=700s, late
+      q.processAllAvailable()
+      stream.addData(Seq(Event(99, tsH(9, 0), 999, "click", 0.0))) // sentinel
+      q.processAllAvailable()
+      stream.addData(Seq.empty[Event])
+      q.processAllAvailable()
+
+      val got = spark.table("late_sessions_out").as[UserSession]
+        .collect().filter(_.user_id == 10)
+        .map(s => (s.session_start.getTime / 1000, s.session_end.getTime / 1000, s.n_events))
+        .toSet
+      val base = ts(0).getTime / 1000
+      assert(got == Set((base + 700, base + 700, 1L), (base + 1000, base + 1000, 1L)))
+    } finally q.stop()
+  }
+
   test("exact-gap boundary: session_window and the lag form BOTH extend the session") {
     import spark.implicits._
     // two events exactly 1800s apart: the boundary where the two
