@@ -170,6 +170,27 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the composed corpus build: quality gate → exact-dedup
+    // keep-first → deterministic hash sample, as ONE declarative plan (what
+    // a training-data user actually runs — the stages fuse: Catalyst pushes
+    // the quality filter into the scan and the sample predicate below the
+    // join). Each stage is individually oracle-checked elsewhere
+    // (txt_stats / dedup_exact / txt_sample_strat); this row checks the
+    // composition. ----
+    "pipe_corpus_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 5)
+      val keep = docs.groupBy(md5(col("text")).as("ch"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.join(keep, "doc_id")
+        .filter(pmod(graft.functions.TextFunctions
+          .md5Bits(col("doc_id").cast("string"), 8), lit(10)) < 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- data-quality report: per-source completeness / uniqueness /
     // range metrics — the gate a corpus build runs before training ----
     "txt_quality_report" -> ((s, d) => {
@@ -296,6 +317,18 @@ object TextAnalysis extends QueryModule {
         |  AND a.blk_len = b.blk_len AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.prefix, b.prefix) <= 15
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "pipe_corpus_build" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS wl FROM documents
+        |), q AS (
+        |  SELECT doc_id, lang, source, text FROM w WHERE len(wl) >= 5
+        |), k AS (
+        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+        |)
+        |SELECT q.doc_id, q.lang, q.source
+        |FROM q JOIN k USING (doc_id)
+        |WHERE (try_cast('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10) < 3
+        |ORDER BY q.doc_id""".stripMargin,
     "txt_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -52,6 +52,23 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(scanned.nonEmpty && scanned.forall(_.contains("ds=2021-03-12")), scanned.mkString(","))
   }
 
+  test("ORC round-trip: schema and values survive the columnar format change") {
+    // parquet is the primary lake format; ORC is the other built-in
+    // columnar source a migrating user may hold data in
+    val dir = tmpDir("orc") + "/docs_orc"
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // predicate pushdown reaches the ORC scan too
+    val plan = back.filter(col("n_chars") > 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
+  }
+
   test("bucketed co-located join: no shuffle exchange in the join plan") {
     val wh = new Warehouse(tmpDir("whbkt"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
