@@ -148,7 +148,29 @@ object EventTime extends QueryModule {
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
       .orderBy(col("user_id"), col("start_us"))
 
+  /** Click attribution: the batch run of the STREAMING stream-stream join
+    * ([[graft.streaming.EventStreams.attributeClicks]] — the same function,
+    * watermarks optimized away on batch plans): each click joined to the
+    * same user's view events within the preceding 30 minutes. This gives
+    * the stream-stream join an oracle-checked batch form, like the other
+    * streaming operators.
+    */
+  private def clickAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val imps = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("ad_id"), col("ts").as("i_ts"),
+        col("event_id").as("imp_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_ad_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.streaming.EventStreams.attributeClicks(imps, clicks, windowMinutes = 30)
+      .select(col("click_id"), col("imp_id"), col("ad_id").as("user_id"),
+        unix_micros(col("c_ts")).as("c_ts_us"), unix_micros(col("i_ts")).as("i_ts_us"))
+      .orderBy(col("click_id"), col("imp_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
     "evt_hourly_window" -> ((s, d) => hourly(s, d)),
@@ -186,6 +208,20 @@ object EventTime extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_click_attribution" ->
+      """WITH i AS (
+        |  SELECT user_id AS ad_id, event_id AS imp_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS i_ts_us
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id AS c_user, event_id AS click_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS c_ts_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT click_id, imp_id, ad_id AS user_id, c_ts_us, i_ts_us
+        |FROM c JOIN i ON c_user = ad_id
+        |  AND c_ts_us >= i_ts_us AND c_ts_us <= i_ts_us + 1800000000
+        |ORDER BY click_id, imp_id""".stripMargin,
     "evt_asof_join_fwd" ->
       """WITH p AS (
         |  SELECT event_id AS p_event_id, user_id AS p_user,
