@@ -19,6 +19,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]) and df[c].dtype != "int64":
+            # Lossless narrow-int widening so int32 vs int64 doesn't trip the
+            # dtype gate below; int64 vs HUGEINT/float drift still fails.
+            df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
             try:
@@ -51,7 +55,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            want = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            # The driver hashes TYPED values: a DuckDB HUGEINT (un-cast integer
+            # SUM) vs Spark BIGINT hash-mismatches even when values agree.
+            # Round 2 shipped exactly this bug twice — fail it locally.
+            wide = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")]
+            if wide:
+                print(f"FAIL {name}: oracle emits 128-bit int column(s) {wide} — "
+                      f"add CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
+            want = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -65,8 +80,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(w)}")
             n_fail += 1
             continue
+        bad_dtypes = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                      if str(g[c].dtype) != str(w[c].dtype)]
+        if bad_dtypes:
+            print(f"FAIL {name}: dtype drift (spark vs oracle) {bad_dtypes}")
+            n_fail += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
         except AssertionError as e:

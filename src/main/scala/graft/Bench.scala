@@ -1,47 +1,72 @@
 package graft
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // n=3 by default: the shared bench box shows ±30% run-to-run variance,
+    // so single-run cross-round deltas are noise — medians are the number
+    // the round-over-round comparison can actually stand on.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Sessions.fromEnv()
     // Warm the JVM + codegen + parquet footer cache with the tiny smoke
     // query so one-time session costs aren't billed to the first timed query.
     try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save() }
     catch { case _: Throwable => () }
-    // A failed query records elapsed -1 and lands in `errors`, and is
-    // EXCLUDED from total/headline_total — silently-swallowed failures
+    // Per run, per query: elapsed seconds, or None on failure. Failures land
+    // in `errors` and are EXCLUDED from totals — silently-swallowed failures
     // previously made a fast-failing query "improve" the headline number.
-    val raw = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: every column is computed and serialized, nothing is
-      // written — unlike count(), which lets Catalyst prune the whole
-      // projection and would time only the scan.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // free this query's cached/checkpointed RDDs so 50+ queries in one
-      // session don't squeeze each other's execution memory
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (if (ok) elapsed else -1.0)
+    val runs: Seq[Map[String, Option[Double]]] = (1 to nRuns).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: every column is computed and serialized, nothing is
+        // written — unlike count(), which lets Catalyst prune the whole
+        // projection and would time only the scan.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // free this query's cached/checkpointed RDDs so 50+ queries in one
+        // session don't squeeze each other's execution memory
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> (if (ok) Some(elapsed) else None)
+      }
     }
-    val results = raw.filter(_._2 >= 0)
-    val errors = raw.collect { case (k, v) if v < 0 => k }.toSeq
-    val qs = raw.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples: Map[String, Seq[Double]] =
+      names.map(n => n -> runs.flatMap(_.getOrElse(n, None))).toMap
+    val med = samples.collect { case (n, xs) if xs.nonEmpty => n -> median(xs) }
+    // A query is an error only if EVERY run failed; its per-query value is
+    // null (never a -1 sentinel a consumer could sum or plot by accident).
+    val errors = names.filter(samples(_).isEmpty)
+    def jmap(f: Seq[Double] => Double): String =
+      names.map { n =>
+        val v = if (samples(n).isEmpty) "null" else f(samples(n)).toString
+        s"\"$n\":$v"
+      }.mkString("{", ",", "}")
+    val qs = jmap(median)
+    val qsMin = jmap(_.min)
+    val qsMax = jmap(_.max)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = med.values.sum
     // headline_total: fixed representative subset (PlanDump.headline), so
     // the number stays comparable across rounds while the full query set
-    // keeps growing; "total" remains the sum over everything.
-    val headline = PlanDump.headline.flatMap(results.get).sum
+    // keeps growing; "total" remains the sum over everything. Both are sums
+    // of per-query MEDIANS across the nRuns passes.
+    val headline = PlanDump.headline.flatMap(med.get).sum
     // headline_errors: failed queries from the FIXED headline subset. When
     // nonzero, headline_total covers fewer queries and is NOT comparable
     // across rounds — surfaced explicitly so a fast-failing headline query
     // can't read as a speedup.
     val headlineErrors = PlanDump.headline.count(errors.contains)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,17 +98,18 @@ object Dedup extends QueryModule {
     agged.select(col("doc_id"), simhash.as("simhash16"))
   }
 
-  /** LSH banding of an 8-hash signature: 4 bands × 2 rows. The band key is
-    * compacted to a 60-bit BIGINT (md5 of the joined band values, portable
-    * to the oracle) instead of the raw `mh0_mh1` string — at 100 TB the
-    * candidate equi-join shuffles one band row per doc per band, so an
-    * 8-byte key vs a ~20-char string roughly halves shuffle key bytes.
-    * Collisions (~n²/2⁶⁰ within a band) are absorbed by the downstream
-    * exact verification the pipeline always runs.
+  /** LSH banding of an 8-hash signature: 4 bands × 2 rows. The band key
+    * packs the band's two minhashes — each < P < 2^30 — exactly into one
+    * 60-bit BIGINT: `mh_a * 2^30 + mh_b`. Compared to round 2's
+    * md5(concat_ws) key this is hash-FREE (two integer ops vs an md5 + a
+    * string build per band per doc — 4 md5s/doc was the dedup-pairs
+    * regression) and collision-free outright, while keeping the same 8-byte
+    * shuffle key the candidate equi-join wants at 100 TB. A band key must
+    * be a function of that band's values ONLY (LSH semantics), which this
+    * is; the oracle computes the identical arithmetic.
     */
   private def bandKeys(sig: DataFrame): DataFrame = {
-    def bk(a: Column, b: Column): Column =
-      graft.functions.TextFunctions.md5Bits(concat_ws("_", a, b), 15)
+    def bk(a: Column, b: Column): Column = a * lit(1073741824L) + b
     sig.select(col("doc_id"), explode(array(
       struct(lit(0).as("band_idx"), bk(col("mh0"), col("mh1")).as("bkey")),
       struct(lit(1).as("band_idx"), bk(col("mh2"), col("mh3")).as("bkey")),
@@ -379,6 +380,15 @@ object Dedup extends QueryModule {
       |    $mhCols
       |  FROM sh2 GROUP BY doc_id
       |)""".stripMargin
+    // Band key: the band's two <2^30 minhashes packed exactly into one
+    // 60-bit BIGINT — hash-free and collision-free (round 2 paid an md5 per
+    // band per doc here; see bandKeys on the Spark side).
+    val bandsCte = s""", bands AS (
+      |  SELECT doc_id, 0 AS band_idx, mh0 * 1073741824 + mh1 AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, mh2 * 1073741824 + mh3 FROM sig UNION ALL
+      |  SELECT doc_id, 2, mh4 * 1073741824 + mh5 FROM sig UNION ALL
+      |  SELECT doc_id, 3, mh6 * 1073741824 + mh7 FROM sig
+      |)""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -404,23 +414,13 @@ object Dedup extends QueryModule {
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash_sig" -> s"$sigCte\nSELECT * FROM sig ORDER BY doc_id",
       "dedup_minhash_pairs" ->
-        s"""$sigCte, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
-           |)
+        s"""$sigCte$bandsCte
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
            |FROM bands a JOIN bands b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_verify_candidates" ->
-        s"""$sigCte, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
-           |), cand AS (
+        s"""$sigCte$bandsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -439,12 +439,7 @@ object Dedup extends QueryModule {
            |JOIN sets sb ON sb.doc_id = doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_clusters" ->
-        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
-           |), pairs AS (
+        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -459,12 +454,7 @@ object Dedup extends QueryModule {
            |)
            |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
       "dedup_keep_canonical" ->
-        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, bands AS (
-           |  SELECT doc_id, 0 AS band_idx, try_cast('0x' || substr(md5(mh0 || '_' || mh1), 1, 15) AS BIGINT) AS bkey FROM sig UNION ALL
-           |  SELECT doc_id, 1, try_cast('0x' || substr(md5(mh2 || '_' || mh3), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 2, try_cast('0x' || substr(md5(mh4 || '_' || mh5), 1, 15) AS BIGINT) FROM sig UNION ALL
-           |  SELECT doc_id, 3, try_cast('0x' || substr(md5(mh6 || '_' || mh7), 1, 15) AS BIGINT) FROM sig
-           |), pairs AS (
+        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id

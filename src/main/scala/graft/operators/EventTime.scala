@@ -311,8 +311,8 @@ object EventTime extends QueryModule {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), numbered AS (
         |  SELECT user_id, ts_us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,

@@ -37,6 +37,57 @@ object Relational extends QueryModule {
     */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Scaled-integer (cents) money math — the convention you'd actually run
+    * at 100 TB: round each money double to integer cents ONCE per row (both
+    * engines round identically at scale 0 for non-negative values), then
+    * sum. Per-row values stay int64; the ACCUMULATOR widens to
+    * DECIMAL(38,0) (128-bit integer) because a plain BIGINT sum of per-row
+    * cents×(100-disc) terms would wrap silently around SF~8000. DuckDB's
+    * BIGINT SUM already returns HUGEINT, so only the Spark side needs the
+    * explicit widening (the oracle then casts the result to DOUBLE).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+  private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+
+  /** Revenue term in 1e-4 units: cents × (100 − disc_pct), summed wide. */
+  private def revenueCents(price: Column, disc: Column): Column =
+    sum(wide(cents(price) * (lit(100L) - cents(disc)))).cast("double") / 10000.0
+
+  /** Bucketed lake layout for the repeated fact-fact join: lineitem and
+    * orders written once per session, bucketed AND sorted on the join key
+    * with the same bucket count (graft.pipeline.Warehouse.bucketedWrite),
+    * then read back through the catalog. Every later join/aggregation on
+    * orderkey runs with ZERO exchange — the shuffle is paid once at write
+    * time instead of per query, which is the 100 TB answer to "this join is
+    * on every dashboard". The input is pre-repartitioned into the bucket
+    * hash layout so each bucket lands in one file and the scan keeps the
+    * sort order (no Sort before the merge join either).
+    *
+    * First use in a session pays the write; subsequent uses (e.g. bench
+    * runs 2..n) hit the catalog — exactly the pay-once economics the layout
+    * exists for.
+    */
+  private def bucketedFacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    synchronized {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (liTbl, oTbl) = (s"bkt_lineitem_$tag", s"bkt_orders_$tag")
+      if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(oTbl)) {
+        val root = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        val wh = new graft.pipeline.Warehouse(root)
+        wh.bucketedWrite(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice", "l_discount")
+            .repartition(8, col("l_orderkey")),
+          liTbl, "l_orderkey", 8)
+        wh.bucketedWrite(
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .repartition(8, col("o_orderkey")),
+          oTbl, "o_orderkey", 8)
+      }
+      (s.table(liTbl), s.table(oTbl))
+    }
+
   /** Skew-mitigation join for hot keys that AQE's size-based skew split
     * can't fix (e.g. one key holding >spill-size rows on BOTH sides, or a
     * sort-merge join whose skew sits in the sort): the probe side gets a
@@ -87,8 +138,6 @@ object Relational extends QueryModule {
     // DECIMAL(18,2) — kept as a separate oracle row so both conventions
     // stay verified; at 100 TB the integer form is what you'd run. ----
     "q1_agg_cents" -> ((s, d) => {
-      def cents(c: Column): Column = round(c * 100).cast("bigint")
-      def wide(c: Column): Column = c.cast(DecimalType(38, 0))
       Tables.lineitem(s, d)
         .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -116,8 +165,7 @@ object Relational extends QueryModule {
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(revenueCents(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
     }),
@@ -141,9 +189,29 @@ object Relational extends QueryModule {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(revenueCents(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("n_name"))
+    }),
+
+    // ---- q3 over the bucketed lake layout: same orders⋈lineitem revenue
+    // top-k, but both facts are read from tables bucketed+sorted on the
+    // join key — the merge-hinted join AND the groupBy(o_orderkey, ...)
+    // run with zero Exchange (HashPartitioning on the bucket key satisfies
+    // both the join and the grouping distribution). The merge hint keeps
+    // the exchange-free sort-merge shape visible at every SF instead of
+    // letting AQE broadcast the small side at sf0.01 (at 100 TB SMJ is
+    // what you'd get anyway). PLANS.md carries the dump. ----
+    "q3_join_bucketed" -> ((s, d) => {
+      val (liB, oB) = bucketedFacts(s, d)
+      val li = liB.filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      val o = oB.filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+      li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(revenueCents(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
     }),
 
     // ---- left outer join: every nation, with customer count ----
@@ -189,7 +257,7 @@ object Relational extends QueryModule {
     "q_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        .agg((sum(wide(cents(col("l_quantity")))).cast("double") / 100.0).as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
@@ -308,11 +376,25 @@ object Relational extends QueryModule {
         val vhi = element_at(arr, least(lo + lit(2), n.cast("int")))
         vlo + (vhi - vlo) * frac
       }
+      // Sample key: a portable INTEGER mix of the unique row identity
+      // (l_orderkey, l_linenumber, l_partkey, l_suppkey) — the fixture has
+      // duplicate (orderkey, linenumber) pairs, so all four columns are
+      // needed, exactly as round 2's md5 key did. Two independent chained
+      // LCG lanes mod 2^31 (odd multipliers), concatenated to a 62-bit
+      // hash: ~16 codegen'd integer ops per row instead of building a
+      // 4-column string and md5-ing it (round 2's hot path: 7.1 s vs the
+      // exact form's 3.7 s at sf0.1). Every intermediate stays < 2^63 so
+      // the identical arithmetic runs overflow-free in DuckDB. Collisions
+      // (~n²/2⁶²) are the only way the two engines' samples could diverge
+      // (bottom-k-distinct vs row_number over duplicates) — same residual
+      // exposure the md5-60bit key had.
+      val mixCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      def lane(a: Long, b: Long): Column =
+        mixCols.foldLeft(lit(0L): Column)((h, c) =>
+          ((h + col(c).cast("long") % lit(2147483648L)) * lit(a) + lit(b)) % lit(2147483648L))
+      val mixed = lane(1103515245L, 12345L) * lit(2147483648L) + lane(69069L, 1L)
       Tables.lineitem(s, d)
-        .select(col("l_returnflag"),
-          graft.functions.TextFunctions.md5Bits(concat_ws("_",
-            col("l_orderkey"), col("l_linenumber"),
-            col("l_partkey"), col("l_suppkey")), 15).as("h"),
+        .select(col("l_returnflag"), mixed.as("h"),
           col("l_quantity"), col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(
@@ -400,7 +482,7 @@ object Relational extends QueryModule {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .agg(sum(wide(cents(col("l_quantity")))).cast("double") / 100.0)
         .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
         .orderBy(col("l_returnflag"))
     }),
@@ -469,7 +551,7 @@ object Relational extends QueryModule {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_topk" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -480,7 +562,7 @@ object Relational extends QueryModule {
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -491,6 +573,15 @@ object Relational extends QueryModule {
         |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q3_join_bucketed" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_join_left" ->
       """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
         |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
@@ -510,7 +601,7 @@ object Relational extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -572,9 +663,15 @@ object Relational extends QueryModule {
         val lo = s"CAST(floor($idx) AS INT)"
         s"($arr[$lo + 1] + ($arr[least($lo + 2, CAST(n AS INT))] - $arr[$lo + 1]) * ($idx - floor($idx)))"
       }
+      // identical two-lane LCG mix as the Spark side, generated by the same
+      // fold so the nesting can't drift
+      def laneSql(a: Long, b: Long): String =
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+          .foldLeft("0")((h, c) =>
+            s"((($h + CAST($c AS BIGINT) % 2147483648) * $a + $b) % 2147483648)")
       s"""WITH h AS (
          |  SELECT l_returnflag,
-         |    try_cast('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR) || '_' || CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) AS hh,
+         |    ${laneSql(1103515245L, 12345L)} * 2147483648 + ${laneSql(69069L, 1L)} AS hh,
          |    l_quantity, l_extendedprice
          |  FROM lineitem
          |), kept AS (
@@ -624,8 +721,8 @@ object Relational extends QueryModule {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders
@@ -648,7 +745,7 @@ object Relational extends QueryModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_json_extract" ->
-      """SELECT event_type, SUM(k) AS sum_k, COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

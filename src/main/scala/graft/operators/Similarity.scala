@@ -199,6 +199,13 @@ object Similarity extends QueryModule {
       val e0 = Tables.embeddings(s, d)
       val planes = e0.filter(col("vec_id").between(1, 8))
         .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
+      // Enforce the convention instead of trusting it: a re-keyed export
+      // with no vec_ids 1..8 would otherwise empty the inner join below and
+      // silently return zero pairs. The scan is pruned to 8 ids — cheap.
+      val nPlanes = planes.count()
+      require(nPlanes == 8,
+        s"sim_pairs_block: expected 8 SRP hyperplanes (vec_ids 1..8), found $nPlanes — " +
+          "supply the plane set explicitly for re-keyed data")
       val coded = e0.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planes))
         .withColumn("bit",

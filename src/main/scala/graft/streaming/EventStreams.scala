@@ -285,6 +285,14 @@ object EventStreams {
           pending = (pending ++ newProbes).sortBy(identity)
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // Finalize at p_ts <= watermark. The tempting "strict <, because a
+      // snapshot at ts == watermark might still arrive" is empirically
+      // wrong on this Spark: flatMapGroupsWithState's late-data filter
+      // drops input rows with ts <= watermark (StreamingSpec pins this with
+      // a co-timestamped snapshot at exactly the watermark — it never
+      // reaches the state function), so once wm >= p_ts no snapshot that
+      // could match the probe at <= p_ts can ever be admitted. <= therefore
+      // loses nothing and emits one batch earlier than strict <.
       val (ready, still) = pending.partition(_._1 <= wmUs)
       val out = ready.map { case (pts, pid) =>
         val hit = snaps.takeWhile(_._1 <= pts).lastOption

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventTime, Relational}
+import graft.operators.{EventTime, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
 
@@ -53,5 +53,31 @@ class PlanPolicySpec extends SparkSuiteBase {
       val bhj = "BroadcastHashJoin".r.findAllIn(q5).size
       assert(bhj == 2, s"expected 2 hinted broadcasts (nation, region), saw $bhj")
     } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("txt_contamination: bench side is hint-broadcast (eval set bounded by construction)") {
+    assert(broadcastHintedSides(
+      TextAnalysis.queries("txt_contamination")(spark, sf0001)) == 1)
+    // and it stays a broadcast join with size-based broadcast OFF — the
+    // hint encodes "bounded by construction" (≤ 40 eval docs at any SF),
+    // not a small-SF size measurement
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val plan = TextAnalysis.queries("txt_contamination")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "bounded eval side must broadcast regardless of the size threshold")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
+  test("q3_join_bucketed: ZERO Exchange — bucketed layout co-locates join and aggregation") {
+    val df = Relational.queries("q3_join_bucketed")(spark, sf0001)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e.nodeName
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed fact-fact q3 must plan with no Exchange, found: $exchanges")
   }
 }

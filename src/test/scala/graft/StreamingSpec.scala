@@ -360,4 +360,54 @@ class StreamingSpec extends SparkSuiteBase {
         (102L, 11L, us(ts(10)), None, None)))
     } finally q.stop()
   }
+
+  test("asofJoin: a snapshot at EXACTLY the watermark is late — finalizing probes at <= wm loses nothing") {
+    // Pins the empirical premise behind the p_ts <= watermark finalize
+    // rule: Spark's flatMapGroupsWithState late-data filter drops input
+    // rows with ts <= watermark, so a snapshot arriving at exactly the
+    // watermark timestamp never reaches the state function — a probe at
+    // that same timestamp correctly finalizes matchless. (A proposed
+    // "strict <, the co-timestamped snapshot can still arrive" fix was
+    // tried and refuted by this exact scenario — the snapshot in b3 below
+    // is silently discarded. Don't "fix" this again without re-running.)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    val stream = MemoryStream[AsOfEvent]
+    val q = EventStreams.asofJoin(stream.toDS())
+      .writeStream.format("memory").queryName("asof_tie_out")
+      .outputMode("append").start()
+    try {
+      // b1: the probe, plus a sentinel snapshot that advances the watermark
+      // to EXACTLY the probe's timestamp (lateness = 10 min).
+      stream.addData(Seq(
+        AsOfEvent(10, ts(10), is_snapshot = false, 100L, 0.0),
+        AsOfEvent(999, ts(20), is_snapshot = true, 0L, 0.0)))
+      q.processAllAvailable()
+      // b2: unrelated same-user traffic, processed at watermark == ts(10).
+      // The <= rule would finalize probe 100 here, matchless.
+      stream.addData(Seq(AsOfEvent(10, ts(12), is_snapshot = false, 101L, 0.0)))
+      q.processAllAvailable()
+      // b3: the co-timestamped snapshot — ts == watermark, NOT strictly
+      // late, so Spark admits it.
+      stream.addData(Seq(AsOfEvent(10, ts(10), is_snapshot = true, 0L, 7.0)))
+      q.processAllAvailable()
+      // advance the watermark far past everything, then an empty trigger so
+      // event-time timeouts fire and the held probes finalize
+      stream.addData(Seq(AsOfEvent(999, tsH(9, 0), is_snapshot = true, 0L, 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq.empty[AsOfEvent])
+      q.processAllAvailable()
+
+      val got = spark.table("asof_tie_out").as[AsOfMatch]
+        .collect().filter(_.user_id == 10)
+        .map(m => (m.p_event_id, m.s_ts_us, m.s_val)).toSet
+      // the b3 snapshot (ts == watermark) was discarded by the late-data
+      // filter: both probes correctly finalize matchless, exactly once
+      assert(got == Set(
+        (100L, None, None),
+        (101L, None, None)))
+    } finally q.stop()
+  }
 }
