@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: quality stats, regex token
@@ -101,6 +102,71 @@ object TextAnalysis extends QueryModule {
           pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"), lit(10)))
         .filter(col("bucket") === 0)
         .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality-weighted deterministic sampling: each doc kept with
+    // probability proportional to a quality proxy (here: word count, capped
+    // at 1), decided by comparing a per-doc md5-uniform draw against the
+    // weight — the "sample good documents more" primitive of corpus
+    // curation. Hash-based, so the sample is identical across engines,
+    // runs, and partitionings (rand() is none of those). Narrow scan →
+    // project → filter: ZERO shuffles at any scale. ----
+    "txt_weighted_sample" -> ((s, d) => {
+      val nWords = size(split(col("text"), " ")).cast("bigint")
+      val u = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"), lit(1000000L)).cast("double") / 1000000.0
+      Tables.documents(s, d)
+        .withColumn("n_words", nWords)
+        .withColumn("keep_p", least(lit(1.0), col("n_words").cast("double") / 200.0))
+        .filter(u < col("keep_p"))
+        .select(col("doc_id"), col("source"), col("n_words"),
+          round(col("keep_p"), 6).as("keep_p"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- token-budget sequence packing: assign documents to fixed-budget
+    // training shards (2048 whitespace tokens) by cumulative token offset.
+    // The window partitions on (source, doc_id % 16) sub-shards, NOT the
+    // whole source: greedy packing is inherently sequential, so the
+    // scalable form bounds each sequential run to a shard — shards pack in
+    // parallel, per-window state is one running sum, and at 100 TB you
+    // raise the shard count with the data. seq_id = floor(start_offset /
+    // budget) is pure integer arithmetic — deterministic and identical in
+    // both engines. ----
+    "txt_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("offset", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("shard").cast("bigint").as("shard"),
+          col("n_tok"), expr("offset div 2048").cast("bigint").as("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- domain-mixture rebalancing: downsample every source to (about)
+    // the smallest source's share via a HASH THRESHOLD — keep doc iff
+    // uniform(md5(doc_id)) < k/n_source, where k = min source count. The
+    // only shuffle is the tiny per-source count aggregate (broadcast
+    // back); the corpus itself is scanned once and filtered — no
+    // per-source sort, no window, no skew exposure, which is what makes
+    // this the 100 TB shape. (An exact-k variant needs row_number within
+    // source — a per-source sort that the biggest domain turns into the
+    // straggler; the threshold form trades ±sqrt(k) size jitter for a
+    // filter-only plan. Both are deterministic; the threshold form is
+    // registered.) ----
+    "txt_domain_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("u",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint"), lit(1000000L)).cast("double") / 1000000.0)
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val kMin = counts.agg(min(col("n")).as("k"))
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(kMin))
+        .filter(col("u") < col("k").cast("double") / col("n").cast("double"))
+        .select(col("doc_id"), col("source"), col("n"), col("k"))
         .orderBy(col("doc_id"))
     }),
 
@@ -345,6 +411,44 @@ object TextAnalysis extends QueryModule {
         |FROM q JOIN k USING (doc_id)
         |WHERE (try_cast('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10) < 3
         |ORDER BY q.doc_id""".stripMargin,
+    "txt_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_words,
+        |  round(least(1.0, CAST(n_words AS DOUBLE) / 200.0), 6) AS keep_p
+        |FROM t
+        |WHERE u < least(1.0, CAST(n_words AS DOUBLE) / 200.0)
+        |ORDER BY doc_id""".stripMargin,
+    "txt_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, doc_id % 16 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, source, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS off
+        |  FROM t
+        |)
+        |SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tok,
+        |  CAST(off // 2048 AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "txt_domain_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), k AS (SELECT min(n) AS k FROM c)
+        |SELECT u.doc_id, u.source, c.n, k.k
+        |FROM u JOIN c USING (source), k
+        |WHERE u.u < CAST(k.k AS DOUBLE) / CAST(c.n AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
     "txt_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
