@@ -354,6 +354,45 @@ object Relational extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // ---- KMV sketch SET OPERATIONS: estimated distinct-user overlap
+    // between two event types by inclusion-exclusion over three KMV
+    // sketches (A, B, A∪B) built in ONE narrow pass — the union sketch is
+    // just the same bounded aggregate fed both sides, because bottom-k
+    // sketches are mergeable (that merge() is also the 100 TB deployment
+    // path: per-day/per-partition sketches unioned later without touching
+    // raw data again). State is 3 × 32 entries regardless of scale; the
+    // conditional per-set sketches ride the same shuffle as the union.
+    // Deterministic (md5 hash, user-supplied) so the oracle checks the
+    // ESTIMATES themselves. ----
+    "q_kmv_overlap" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val m = 1152921504606846976.0 // 2^60 hash domain
+      def est(ks: Column): Column = {
+        val n = size(ks)
+        when(n > 1, round((n - 1).cast("double") * lit(m)
+          / element_at(ks, n).getField("h").cast("double"), 6))
+      }
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          graft.functions.TextFunctions.md5Bits(col("user_id").cast("string"), 15).as("h"))
+        .agg(
+          call_function("graft_bottomk",
+            when(col("event_type") === "click", col("h")), lit(0.0), lit(32)).as("ka"),
+          call_function("graft_bottomk",
+            when(col("event_type") === "view", col("h")), lit(0.0), lit(32)).as("kb"),
+          call_function("graft_bottomk", col("h"), lit(0.0), lit(32)).as("ku"))
+        .select(
+          size(col("ka")).cast("bigint").as("n_click"),
+          size(col("kb")).cast("bigint").as("n_view"),
+          size(col("ku")).cast("bigint").as("n_union"),
+          est(col("ka")).as("est_click"),
+          est(col("kb")).as("est_view"),
+          est(col("ku")).as("est_union"))
+        .withColumn("est_overlap",
+          round(col("est_click") + col("est_view") - col("est_union"), 6))
+    }),
+
     // ---- approximate percentiles via a deterministic bottom-k-by-hash
     // sample (same graft_bottomk state as the KMV sketch): hash a unique row
     // key, keep the k=1024 smallest per group — a uniform sample identical
@@ -651,6 +690,32 @@ object Relational extends QueryModule {
         |SELECT event_type, n_kept,
         |  round(CAST(n_kept - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth AS DOUBLE), 6) AS est_distinct
         |FROM kept ORDER BY event_type""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type,
+        |    try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), ca AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed WHERE event_type = 'click'
+        |), cb AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed WHERE event_type = 'view'
+        |), cu AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM hashed)
+        |), ea AS (SELECT count(*) AS n, max(h) AS kth FROM ca WHERE rn <= 32
+        |), eb AS (SELECT count(*) AS n, max(h) AS kth FROM cb WHERE rn <= 32
+        |), eu AS (SELECT count(*) AS n, max(h) AS kth FROM cu WHERE rn <= 32
+        |), ests AS (
+        |  SELECT
+        |    CAST(ea.n AS BIGINT) AS n_click, CAST(eb.n AS BIGINT) AS n_view,
+        |    CAST(eu.n AS BIGINT) AS n_union,
+        |    round(CAST(ea.n - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(ea.kth AS DOUBLE), 6) AS est_click,
+        |    round(CAST(eb.n - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(eb.kth AS DOUBLE), 6) AS est_view,
+        |    round(CAST(eu.n - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(eu.kth AS DOUBLE), 6) AS est_union
+        |  FROM ea, eb, eu
+        |)
+        |SELECT n_click, n_view, n_union, est_click, est_view, est_union,
+        |  round(est_click + est_view - est_union, 6) AS est_overlap
+        |FROM ests""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
