@@ -486,6 +486,7 @@ object Relational extends QueryModule {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
+          (sum(wide(cents(col("l_quantity")))).cast("double") / 100.0).as("sum_qty"),
           grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
           grouping(col("l_linestatus")).cast("bigint").as("g_status"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -767,6 +768,7 @@ object Relational extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
         |FROM lineitem

@@ -3,6 +3,7 @@ package graft
 import graft.operators.{EventTime, Relational, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+import org.apache.spark.sql.functions.col
 
 /** Broadcast-policy plan assertions (SCALE.md "Broadcast policy"): explicit
   * broadcast hints exist ONLY on sides bounded by construction (region,
@@ -79,5 +80,20 @@ class PlanPolicySpec extends SparkSuiteBase {
     }
     assert(exchanges.isEmpty,
       s"bucketed fact-fact q3 must plan with no Exchange, found: $exchanges")
+  }
+
+  test("q3_join_bucketed: a second call reuses the session's bucketed tables (pay-once)") {
+    val r1 = Relational.queries("q3_join_bucketed")(spark, sf0001).collect().toSeq
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("bkt_lineitem")).getOrElse(fail("bucketed table not registered"))
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Location").collect()(0).getString(1)
+    val dir = new java.io.File(new java.net.URI(loc))
+    val before = dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    val r2 = Relational.queries("q3_join_bucketed")(spark, sf0001).collect().toSeq
+    val after = dir.listFiles().map(f => (f.getName, f.lastModified)).toSet
+    assert(before == after, "the bucketed layout must NOT be rewritten on reuse — " +
+      "the shuffle is paid once per session at write time")
+    assert(r1 == r2)
   }
 }
