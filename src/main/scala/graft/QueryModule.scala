@@ -17,7 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - sequential folds over arrays use Spark's `aggregate` HOF and DuckDB's
   *    `list_reduce` (both left-to-right, bit-identical);
   *  - no raw ns-precision timestamps in outputs (Spark truncates parquet ns
-  *    to micros; DuckDB keeps ns) — dates or formatted strings instead.
+  *    to micros; DuckDB keeps ns) — dates or formatted strings instead;
+  *  - integer SUMs in OUTPUT columns are CAST(... AS BIGINT) on the DuckDB
+  *    side (its integer SUM returns HUGEINT; the driver hashes typed
+  *    values) — `scripts/oracle_check.py` fails this class locally;
+  *  - portable hashes are md5-derived OR pure integer mixes whose every
+  *    intermediate stays inside int64 on BOTH engines (LCG lanes mod 2^31,
+  *    exact bit-packs of bounded values); Spark's murmur `hash()` /
+  *    `xxhash64` never appear in oracle-checked outputs. Hash the row's
+  *    full UNIQUE identity — the fixture has duplicate
+  *    (l_orderkey, l_linenumber) pairs, so partial keys silently diverge
+  *    on boundary ties.
   */
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]

@@ -305,6 +305,42 @@ object Relational extends QueryModule {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- analytic window functions: percent_rank / cume_dist / first /
+    // last over a UNIQUE ordering (totalprice, orderkey) so the rank-based
+    // doubles are deterministic; both are integer-derived divisions —
+    // identical IEEE results in both engines. ----
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first(col("o_orderkey")).over(w).as("cheapest_order"),
+          last(col("o_orderkey")).over(wFull).as("priciest_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- unpivot (inverse of q_pivot): widen per-flag status columns back
+    // to rows with stack() — which keeps NULL cells (a flag with no rows in
+    // a status), matching the UNION ALL oracle exactly. Same single-pass
+    // grouped aggregate underneath; the unpivot is a zero-shuffle
+    // projection. ----
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (sum(wide(cents(when(col("l_linestatus") === "F", col("l_quantity")))))
+            .cast("double") / 100.0).as("qty_f"),
+          (sum(wide(cents(when(col("l_linestatus") === "O", col("l_quantity")))))
+            .cast("double") / 100.0).as("qty_o"))
+        .select(col("l_returnflag"),
+          expr("stack(2, 'F', qty_f, 'O', qty_o) AS (l_linestatus, sum_qty)"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // ---- global top-k (TakeOrderedAndProject, no full sort) ----
     "q_topk_global" -> ((s, d) => {
       Tables.orders(s, d)
@@ -660,6 +696,28 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey <= 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS cheapest_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_order
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_f,
+        |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_o
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'F' AS l_linestatus, qty_f AS sum_qty FROM p
+        |UNION ALL
+        |SELECT l_returnflag, 'O' AS l_linestatus, qty_o AS sum_qty FROM p
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_topk_grouped_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
