@@ -19,10 +19,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]) and df[c].dtype != "int64":
-            # Lossless narrow-int widening so int32 vs int64 doesn't trip the
-            # dtype gate below; int64 vs HUGEINT/float drift still fails.
-            df[c] = df[c].astype("int64")
+        # NOTE: integer dtypes are deliberately NOT widened/normalized —
+        # the driver hashes TYPED values, so a Spark INT32 column vs an
+        # oracle BIGINT is exactly the drift this replica must surface.
+        # Cast integer outputs to BIGINT on BOTH sides; the strict dtype
+        # compare in main() enforces it.
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
             try:

@@ -45,7 +45,11 @@ object Bench {
     val med = samples.collect { case (n, xs) if xs.nonEmpty => n -> median(xs) }
     // A query is an error only if EVERY run failed; its per-query value is
     // null (never a -1 sentinel a consumer could sum or plot by accident).
+    // A query that failed SOME runs still reports a median, but is named in
+    // partial_failures and its shrunken sample count shows in queries_n —
+    // a flaky query can't masquerade as a clean n-run median.
     val errors = names.filter(samples(_).isEmpty)
+    val partial = names.filter(n => samples(n).nonEmpty && samples(n).size < nRuns)
     def jmap(f: Seq[Double] => Double): String =
       names.map { n =>
         val v = if (samples(n).isEmpty) "null" else f(samples(n)).toString
@@ -54,7 +58,9 @@ object Bench {
     val qs = jmap(median)
     val qsMin = jmap(_.min)
     val qsMax = jmap(_.max)
+    val qsN = names.map(n => s"\"$n\":${samples(n).size}").mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val partials = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.sum
     // headline_total: fixed representative subset (PlanDump.headline), so
     // the number stays comparable across rounds while the full query set
@@ -66,7 +72,7 @@ object Bench {
     // across rounds — surfaced explicitly so a fast-failing headline query
     // can't read as a speedup.
     val headlineErrors = PlanDump.headline.count(errors.contains)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"queries_n":$qsN,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -269,7 +269,8 @@ object Relational extends QueryModule {
       Tables.orders(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("bigint").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
@@ -403,9 +404,12 @@ object Relational extends QueryModule {
     "q_kmv_overlap" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
       val m = 1152921504606846976.0 // 2^60 hash domain
+      // n > 0 (not n > 1): a 1-entry sketch estimates (1-1)·M/kth = 0.0,
+      // which is what the oracle's arithmetic yields too — only an EMPTY
+      // sketch is null on both sides (same convention as q_kmv_distinct)
       def est(ks: Column): Column = {
         val n = size(ks)
-        when(n > 1, round((n - 1).cast("double") * lit(m)
+        when(n > 0, round((n - 1).cast("double") * lit(m)
           / element_at(ks, n).getField("h").cast("double"), 6))
       }
       Tables.events(s, d)

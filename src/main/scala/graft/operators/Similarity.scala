@@ -30,6 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
+  /** Once-per-(session, dataset) guard that the SRP hyperplane convention
+    * (vec_ids 1..8 present) holds — fails loud instead of letting the
+    * plane join silently return empty on a re-keyed export.
+    */
+  private val planesChecked = scala.collection.mutable.Set[(SparkSession, String)]()
+  private def requirePlanes(s: SparkSession, d: String, planes: DataFrame): Unit =
+    planesChecked.synchronized {
+      if (!planesChecked.contains((s, d))) {
+        val nPlanes = planes.count()
+        require(nPlanes == 8,
+          s"sim_pairs_block: expected 8 SRP hyperplanes (vec_ids 1..8), found $nPlanes — " +
+            "supply the plane set explicitly for re-keyed data")
+        planesChecked += ((s, d))
+      }
+    }
+
   /** Sequential double dot-product of two float vectors (HOF form — kept as
     * the portable reference implementation; VectorExpressionSpec asserts the
     * native expression below is bit-identical to it).
@@ -201,11 +217,10 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
       // Enforce the convention instead of trusting it: a re-keyed export
       // with no vec_ids 1..8 would otherwise empty the inner join below and
-      // silently return zero pairs. The scan is pruned to 8 ids — cheap.
-      val nPlanes = planes.count()
-      require(nPlanes == 8,
-        s"sim_pairs_block: expected 8 SRP hyperplanes (vec_ids 1..8), found $nPlanes — " +
-          "supply the plane set explicitly for re-keyed data")
+      // silently return zero pairs. The invariant is per-(session, dataset),
+      // so the pruned count job runs once per pair, not per call —
+      // plan-only paths and repeated bench passes don't re-pay it.
+      requirePlanes(s, d, planes)
       val coded = e0.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planes))
         .withColumn("bit",

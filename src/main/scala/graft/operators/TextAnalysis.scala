@@ -24,6 +24,15 @@ object TextAnalysis extends QueryModule {
   private val stop = Seq("the", "a", "of", "and")
   private val stopList = stop.map(w => s"'$w'").mkString(", ")
 
+  /** Deterministic uniform draw in [0, 1): md5-derived 32-bit hash of the
+    * doc_id, reduced mod 1e6 — the portable stand-in for rand() that the
+    * sampling operators share (same value on both engines, any run, any
+    * partitioning).
+    */
+  private def u01(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.functions.TextFunctions.md5Bits(idCol.cast("string"), 8), lit(1000000L))
+      .cast("double") / 1000000.0
+
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
   private def shingled(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -99,7 +108,7 @@ object TextAnalysis extends QueryModule {
     "txt_sample_strat" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("bucket",
-          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"), lit(10)))
+          pmod(graft.functions.TextFunctions.md5Bits(col("doc_id").cast("string"), 8), lit(10)))
         .filter(col("bucket") === 0)
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
@@ -114,8 +123,7 @@ object TextAnalysis extends QueryModule {
     // project → filter: ZERO shuffles at any scale. ----
     "txt_weighted_sample" -> ((s, d) => {
       val nWords = size(split(col("text"), " ")).cast("bigint")
-      val u = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"), lit(1000000L)).cast("double") / 1000000.0
+      val u = u01(col("doc_id"))
       Tables.documents(s, d)
         .withColumn("n_words", nWords)
         .withColumn("keep_p", least(lit(1.0), col("n_words").cast("double") / 200.0))
@@ -158,9 +166,7 @@ object TextAnalysis extends QueryModule {
     // registered.) ----
     "txt_domain_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .withColumn("u",
-          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint"), lit(1000000L)).cast("double") / 1000000.0)
+        .withColumn("u", u01(col("doc_id")))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       val kMin = counts.agg(min(col("n")).as("k"))
       docs.join(broadcast(counts), "source")
