@@ -279,6 +279,36 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the FULL curation pipeline composed into one declarative plan:
+    // quality gate (token-count floor, pushed to the scan) → exact dedup
+    // (content-hash keep-min, one 16-byte-key shuffle) → domain-mixture
+    // rebalance (hash threshold vs broadcast per-source survivor counts —
+    // filter-only) → token-budget sequence packing (window on bounded
+    // (source, shard) sub-shards). Four curation stages, TWO data
+    // shuffles total at any scale; each stage is individually
+    // oracle-checked elsewhere (txt_stats / dedup_exact / txt_domain_mix /
+    // txt_pack_sequences) — this row checks the composition. ----
+    "pipe_training_shards" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+        .filter(col("n_tok") >= 5)
+        .withColumn("ch", md5(col("text")))
+      val keep = base.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+      val uniq = base.join(keep, Seq("ch", "doc_id"))
+      val counts = uniq.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val kMin = counts.agg(min(col("n")).as("k"))
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      uniq
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(kMin))
+        .filter(u01(col("doc_id")) < col("k").cast("double") / col("n").cast("double"))
+        .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+        .withColumn("offset", sum(col("n_tok")).over(w) - col("n_tok"))
+        .select(col("doc_id"), col("source"), col("shard").cast("bigint").as("shard"),
+          col("n_tok"), expr("offset div 2048").cast("bigint").as("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- data-quality report: per-source completeness / uniqueness /
     // range metrics — the gate a corpus build runs before training ----
     "txt_quality_report" -> ((s, d) => {
@@ -455,6 +485,34 @@ object TextAnalysis extends QueryModule {
         |FROM u JOIN c USING (source), k
         |WHERE u.u < CAST(k.k AS DOUBLE) / CAST(c.n AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
+    "pipe_training_shards" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, md5(text) AS ch
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 5
+        |), keep AS (
+        |  SELECT ch, min(doc_id) AS doc_id FROM q GROUP BY ch
+        |), uniq AS (
+        |  SELECT q.* FROM q JOIN keep USING (ch, doc_id)
+        |), c AS (
+        |  SELECT source, count(*) AS n FROM uniq GROUP BY source
+        |), k AS (SELECT min(n) AS k FROM c
+        |), mix AS (
+        |  SELECT u.doc_id, u.source, u.n_tok
+        |  FROM uniq u JOIN c USING (source), k
+        |  WHERE CAST(try_cast('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0
+        |    < CAST(k.k AS DOUBLE) / CAST(c.n AS DOUBLE)
+        |), sh AS (
+        |  SELECT doc_id, source, doc_id % 16 AS shard, n_tok FROM mix
+        |), o AS (
+        |  SELECT doc_id, source, shard, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS off
+        |  FROM sh
+        |)
+        |SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tok,
+        |  CAST(off // 2048 AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "txt_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
