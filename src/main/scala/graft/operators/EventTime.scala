@@ -170,6 +170,36 @@ object EventTime extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- conversion funnel (view → click → purchase): per-user sequential
+    // fold over the time-ordered event codes — depth 1 after a view, 2
+    // after a click that FOLLOWS a view, 3 after a purchase that follows
+    // such a click; then users counted per depth reached. ONE
+    // groupBy(user) shuffle; per-user state is the event history, bounded
+    // in practice by the retention window (for unbounded histories chain
+    // three conditional-min aggregations on the same user key instead —
+    // same answer, no array). The fold is the identical left-to-right HOF
+    // on both engines (Spark `aggregate` ↔ DuckDB `list_reduce` with a
+    // prepended init, the fingerprint pattern). ----
+    "evt_funnel" -> ((s, d) => {
+      val code = when(col("event_type") === "view", 1L)
+        .when(col("event_type") === "click", 2L)
+        .when(col("event_type") === "purchase", 3L)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), code.as("code"))
+        .groupBy(col("user_id"))
+        .agg(expr("sort_array(collect_list(struct(ts_us, event_id, code)))").as("evs"))
+        .withColumn("depth", expr(
+          """aggregate(transform(evs, e -> e.code), 0L, (acc, c) ->
+            |  CASE WHEN c = 1 THEN greatest(acc, 1L)
+            |       WHEN c = 2 AND acc >= 1 THEN greatest(acc, 2L)
+            |       WHEN c = 3 AND acc >= 2 THEN 3L
+            |       ELSE acc END)""".stripMargin))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("depth"))
+    }),
     "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
@@ -297,6 +327,26 @@ object EventTime extends QueryModule {
       """SELECT user_id, event_id AS top_event_id FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         |ORDER BY user_id""".stripMargin,
+    "evt_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                    WHEN 'purchase' THEN 3 END AS code
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), pu AS (
+        |  SELECT user_id, list(code ORDER BY ts_us, event_id) AS codes
+        |  FROM e GROUP BY user_id
+        |), dep AS (
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+        |      (acc, c) -> CASE WHEN c = 1 THEN greatest(acc, 1)
+        |                       WHEN c = 2 AND acc >= 1 THEN greatest(acc, 2)
+        |                       WHEN c = 3 AND acc >= 2 THEN 3
+        |                       ELSE acc END) AS depth
+        |  FROM pu
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users
+        |FROM dep GROUP BY depth ORDER BY depth""".stripMargin,
     "evt_hourly_window" ->
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
         |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
