@@ -50,15 +50,19 @@ object Bench {
     // a flaky query can't masquerade as a clean n-run median.
     val errors = names.filter(samples(_).isEmpty)
     val partial = names.filter(n => samples(n).nonEmpty && samples(n).size < nRuns)
+    // 3-decimal (millisecond) precision everywhere: the driver captures only
+    // a bounded TAIL of stdout, and round 3's full-precision line (4 maps ×
+    // 80 queries × 17-char doubles ≈ 14 KB) overflowed that window — the
+    // driver recorded `parsed: null` and the round's perf story was lost.
+    // The printed line carries medians only and stays ~2.5 KB; min/max and
+    // per-query sample counts go to bench_detail.json next to the repo.
+    def r3(v: Double): String = "%.3f".format(v)
     def jmap(f: Seq[Double] => Double): String =
       names.map { n =>
-        val v = if (samples(n).isEmpty) "null" else f(samples(n)).toString
-        s"\"$n\":$v"
+        val v = if (samples(n).isEmpty) "null" else r3(f(samples(n)))
+        s""""$n":$v"""
       }.mkString("{", ",", "}")
     val qs = jmap(median)
-    val qsMin = jmap(_.min)
-    val qsMax = jmap(_.max)
-    val qsN = names.map(n => s"\"$n\":${samples(n).size}").mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partials = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.sum
@@ -72,7 +76,19 @@ object Bench {
     // across rounds — surfaced explicitly so a fast-failing headline query
     // can't read as a speedup.
     val headlineErrors = PlanDump.headline.count(errors.contains)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":$headline,"headline_errors":$headlineErrors,"queries":$qs,"queries_n":$qsN,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}""")
+    val detail = names.map { n =>
+      val xs = samples(n)
+      val stats =
+        if (xs.isEmpty) "null"
+        else s"""{"median":${median(xs)},"min":${xs.min},"max":${xs.max},"n":${xs.size}}"""
+      s""""$n":$stats"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        s"""{"n_runs":$nRuns,"sf":"$sfDir","queries":$detail}\n""".getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
