@@ -109,8 +109,11 @@ object BottomKAggregate {
 }
 
 /** Bounded ascending-by-hash list of at most k DISTINCT-hash entries.
-  * Duplicate hashes keep the first-seen payload (for the sketch use-cases
-  * the hash is unique per logical row, so the payload choice never shows).
+  * Duplicate hashes keep the MINIMUM payload — an arrival-order-independent
+  * rule, so the kept sample is identical under any partitioning and can be
+  * reproduced exactly by another engine (the oracle dedupes on hash keeping
+  * min payload the same way). For the sketch use-cases the hash is unique
+  * per logical row, so the rule only matters on a ~2^-62 hash collision.
   */
 final class BottomKBuffer(val k: Int) {
   var size: Int = 0
@@ -118,7 +121,9 @@ final class BottomKBuffer(val k: Int) {
   val vs: Array[Double] = new Array[Double](k)
 
   def insert(h: Long, v: Double): Unit = {
-    if (size == k && h >= hs(size - 1)) return
+    // strict >: a duplicate of the CURRENT MAX hash must fall through to the
+    // dedup branch below so its min-payload update still applies
+    if (size == k && h > hs(size - 1)) return
     // binary search for insertion point
     var lo = 0
     var hi = size
@@ -126,7 +131,10 @@ final class BottomKBuffer(val k: Int) {
       val mid = (lo + hi) >>> 1
       if (hs(mid) < h) lo = mid + 1 else hi = mid
     }
-    if (lo < size && hs(lo) == h) return // distinct on hash
+    if (lo < size && hs(lo) == h) { // distinct on hash: keep min payload
+      if (v < vs(lo)) vs(lo) = v
+      return
+    }
     if (size < k) size += 1
     var j = size - 1
     while (j > lo) { hs(j) = hs(j - 1); vs(j) = vs(j - 1); j -= 1 }

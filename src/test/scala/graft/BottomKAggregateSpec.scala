@@ -11,7 +11,7 @@ class BottomKAggregateSpec extends SparkSuiteBase {
       .foreach { case (h, v) => b.insert(h, v) }
     assert(b.size == 3)
     val entries = (0 until b.size).map(i => (b.hs(i), b.vs(i)))
-    // duplicate hash 10 kept once with the FIRST payload; 40/50 evicted
+    // duplicate hash 10 kept once with the MIN payload (2.0 < 99.0); 40/50 evicted
     assert(entries == Seq((10L, 2.0), (20L, 4.0), (30L, 3.0)))
     // inserting >= current max when full is a no-op
     b.insert(35L, 6.0)
@@ -19,6 +19,17 @@ class BottomKAggregateSpec extends SparkSuiteBase {
     // a smaller hash displaces the max
     b.insert(5L, 7.0)
     assert((0 until b.size).map(i => (b.hs(i), b.vs(i))) == Seq((5L, 7.0), (10L, 2.0), (20L, 4.0)))
+  }
+
+  test("duplicate-hash payload rule is arrival-order independent (min wins)") {
+    // the oracle dedupes (group, hash) with min(payload); the buffer must
+    // keep exactly the same value no matter which row arrives first
+    val fwd = new BottomKBuffer(4)
+    Seq((10L, 2.0), (10L, 99.0)).foreach { case (h, v) => fwd.insert(h, v) }
+    val rev = new BottomKBuffer(4)
+    Seq((10L, 99.0), (10L, 2.0)).foreach { case (h, v) => rev.insert(h, v) }
+    assert(fwd.size == 1 && rev.size == 1)
+    assert(fwd.vs(0) == 2.0 && rev.vs(0) == 2.0)
   }
 
   test("buffers merge across partitions: agg over repartitioned data equals window form") {

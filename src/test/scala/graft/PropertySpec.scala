@@ -95,7 +95,7 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 20)
   }
 
-  test("BottomKBuffer = k smallest DISTINCT hashes ascending, first payload wins, any insert order") {
+  test("BottomKBuffer = k smallest DISTINCT hashes ascending, MIN payload, any insert order") {
     val entryGen = for {
       h <- Gen.chooseNum(0L, 50L) // small domain forces duplicate hashes
       v <- Gen.chooseNum(-100.0, 100.0)
@@ -104,10 +104,11 @@ class PropertySpec extends SparkSuiteBase {
       val buf = new graft.plans.BottomKBuffer(k)
       xs.foreach { case (h, v) => buf.insert(h, v) }
       val got = (0 until buf.size).map(i => (buf.hs(i), buf.vs(i))).toList
-      // reference: first payload per hash, k smallest hashes ascending.
-      // (first-seen wins only among survivors of the bounded buffer, which
-      // for hashes that are never evicted equals global first-seen)
-      val want = xs.groupBy(_._1).map { case (h, vs) => (h, vs.head._2) }
+      // reference: MIN payload per hash, k smallest hashes ascending — the
+      // arrival-order-independent rule the oracle's GROUP BY hh + min()
+      // dedup reproduces exactly (a hash outside the k smallest can never
+      // influence a kept payload, so global min == min-over-kept-hash rows)
+      val want = xs.groupBy(_._1).map { case (h, vs) => (h, vs.map(_._2).min) }
         .toList.sortBy(_._1).take(k)
       got == want
     }, n = 20)
