@@ -200,6 +200,46 @@ object EventTime extends QueryModule {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("depth"))
     }),
+    // ---- CDC/upsert compaction: the latest row per (user_id, event_type).
+    // Written as max(struct(ts, id, payload)) — a partial-agg-friendly
+    // lexicographic max with CONSTANT per-group state, so mappers combine
+    // before the shuffle and no per-key sort ever happens. The window
+    // row_number()=1 form computes the same thing but sorts every
+    // partition's full history; at 100 TB of change-log this aggregate
+    // shape is the one that survives. (ts_us, event_id) is unique, so
+    // `value` never decides the max and the result is deterministic. ----
+    "evt_latest_by_key" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))).as("r"))
+        .select(col("user_id"), col("event_type"), col("r.ts_us").as("ts_us"),
+          col("r.event_id").as("event_id"), col("r.value").as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // ---- D1-D7 cohort retention: cohort = each user's first active day;
+    // retained = any activity on days +1..+7. Two shuffles total — one
+    // distinct on (user, day), one agg on user — then a user-keyed join
+    // that AQE broadcasts when cohorts are small; the per-cohort rollup is
+    // a partial-agg count. The (user, day) distinct is the scale lever: it
+    // collapses the event volume to at most users × retention-window rows
+    // before anything else runs. ----
+    "evt_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val came = ev.join(first, "user_id")
+        .filter(datediff(col("day"), col("cohort_day")).between(1, 7))
+        .select(col("user_id")).distinct().withColumn("retained", lit(1L))
+      first.join(came, Seq("user_id"), "left")
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("retained"), lit(0L))).as("n_retained"))
+        .withColumn("retention_7d",
+          round(col("n_retained").cast("double") / col("n_users").cast("double"), 6))
+        .orderBy(col("cohort_day"))
+    }),
     "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
@@ -327,6 +367,29 @@ object EventTime extends QueryModule {
       """SELECT user_id, event_id AS top_event_id FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         |ORDER BY user_id""".stripMargin,
+    "evt_latest_by_key" ->
+      """SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  event_id, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "evt_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        |), came AS (
+        |  SELECT DISTINCT ev.user_id FROM ev JOIN f USING (user_id)
+        |  WHERE ev.day - f.cohort_day BETWEEN 1 AND 7
+        |)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  count(*) AS n_users,
+        |  CAST(SUM(CASE WHEN came.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  round(CAST(SUM(CASE WHEN came.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS retention_7d
+        |FROM f LEFT JOIN came ON f.user_id = came.user_id
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
     "evt_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,

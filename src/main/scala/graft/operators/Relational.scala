@@ -464,9 +464,10 @@ object Relational extends QueryModule {
       // 4-column string and md5-ing it (round 2's hot path: 7.1 s vs the
       // exact form's 3.7 s at sf0.1). Every intermediate stays < 2^63 so
       // the identical arithmetic runs overflow-free in DuckDB. Collisions
-      // (~n²/2⁶²) are the only way the two engines' samples could diverge
-      // (bottom-k-distinct vs row_number over duplicates) — same residual
-      // exposure the md5-60bit key had.
+      // (~n²/2⁶²) don't diverge the engines either: graft_bottomk keeps the
+      // MIN payload per distinct hash and the oracle dedupes (group, hh)
+      // with min() the same way, so both sides define the sample identically
+      // even on a collision.
       val mixCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       def lane(a: Long, b: Long): Column =
         mixCols.foldLeft(lit(0L): Column)((h, c) =>
@@ -595,6 +596,69 @@ object Relational extends QueryModule {
           .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
         .select(col("o_custkey"))
       year(1996).except(year(1997)).orderBy(col("o_custkey"))
+    }),
+
+    // ---- TPC-H Q6 style: highly selective scan-filter-agg, no join, no
+    // groupBy — the canonical predicate-pushdown showcase. All three
+    // predicates reach the parquet reader (PushedFilters); the agg is a
+    // single partial+final sum of integer cents (revenue in 1e-4 units:
+    // cents(price) × discount-pct), DECIMAL(38,0) accumulator as in q1_cents.
+    // At 100 TB this is the query shape where row-group statistics skip
+    // most of the lake before a single byte of l_extendedprice is decoded. ----
+    "q6_selective" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate"))
+          .between(lit("1997-01-01"), lit("1997-12-31")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          (sum(wide(cents(col("l_extendedprice")) * cents(col("l_discount"))))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- correlated EXISTS (TPC-H Q4 style), deliberately written as SQL
+    // text: Catalyst decorrelates the subquery into a left-semi join — the
+    // plan a user's hand-written EXISTS actually gets. The DataFrame
+    // leftsemi equivalent is q_join_semi; this pins the SQL-surface path. ----
+    "q4_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_q4")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders_q4 o
+          |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+          |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem_q4 l
+          |    WHERE l.l_orderkey = o.o_orderkey
+          |      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- fixed-width histogram: integer bucket arithmetic (floor before
+    // cast — Spark truncates, DuckDB rounds) so both engines bucket
+    // identically; one narrow scan, partial-agg-friendly groupBy. ----
+    "q_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 6).as("min_price"),
+          round(max(col("o_totalprice")), 6).as("max_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- multiple COUNT(DISTINCT) in one aggregate: Catalyst plans ONE
+    // Expand (row replicated per distinct column) + two-phase aggregate —
+    // not N self-joins. The shape to reach for when a report needs several
+    // distinct counts of the same fact table in one pass. ----
+    "q_multi_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // ---- JSON extraction on events.props (beyond-reference, SURVEY §2.8) ----
@@ -797,16 +861,23 @@ object Relational extends QueryModule {
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
           .foldLeft("0")((h, c) =>
             s"((($h + CAST($c AS BIGINT) % 2147483648) * $a + $b) % 2147483648)")
+      // hd mirrors graft_bottomk's distinct-on-hash rule EXACTLY: one row
+      // per (group, hh) keeping the MIN of each payload independently —
+      // so even on a hash collision both engines define the same sample
       s"""WITH h AS (
          |  SELECT l_returnflag,
          |    ${laneSql(1103515245L, 12345L)} * 2147483648 + ${laneSql(69069L, 1L)} AS hh,
          |    l_quantity, l_extendedprice
          |  FROM lineitem
+         |), hd AS (
+         |  SELECT l_returnflag, hh,
+         |    min(l_quantity) AS l_quantity, min(l_extendedprice) AS l_extendedprice
+         |  FROM h GROUP BY l_returnflag, hh
          |), kept AS (
          |  SELECT l_returnflag, l_quantity, l_extendedprice FROM (
          |    SELECT l_returnflag, l_quantity, l_extendedprice,
          |      row_number() OVER (PARTITION BY l_returnflag ORDER BY hh) AS rn
-         |    FROM h) WHERE rn <= 1024
+         |    FROM hd) WHERE rn <= 1024
          |), arrs AS (
          |  SELECT l_returnflag,
          |    list(l_quantity ORDER BY l_quantity) AS vq,
@@ -820,6 +891,36 @@ object Relational extends QueryModule {
          |  round(${interp("vp", 0.99)}, 6) AS p99_price
          |FROM arrs ORDER BY l_returnflag""".stripMargin
     },
+    "q6_selective" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_orders,
+        |  round(min(o_totalprice), 6) AS min_price,
+        |  round(max(o_totalprice), 6) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_scalar_subquery" ->
       """WITH t AS (
         |  SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total, COUNT(*) AS n_total

@@ -87,6 +87,25 @@ object TextAnalysis extends QueryModule {
           regexp_count(col("text"), lit("[aeiou]")).cast("bigint").as("n_vowels"))
     }),
 
+    // ---- stopword scrub: token-level stopword removal (the filtering
+    // sibling of txt_lang_id's counting). One narrow codegen'd projection —
+    // split → filter → rejoin — with the scrubbed text emitted as an md5
+    // fingerprint so the oracle can verify content equality without
+    // shipping the full rewritten corpus through the compare. At 100 TB
+    // this is a pure map stage: no shuffle, payload never leaves the
+    // executor that read it. ----
+    "txt_stop_scrub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          expr(s"size(filter(toks, w -> w IN ($stopList)))").cast("bigint").as("n_stop"),
+          md5(expr(s"array_join(filter(toks, w -> NOT (w IN ($stopList))), ' ')"))
+            .as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- language-ID heuristic: stopword-hit ratio ----
     "txt_lang_id" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -361,6 +380,14 @@ object TextAnalysis extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_stop_scrub" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+         |  md5(array_to_string(list_filter(string_split(text, ' '),
+         |    w -> w NOT IN ($stopList)), ' ')) AS scrub_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_ngram_freq" ->
       """WITH words AS (
         |  SELECT lang, string_split(text, ' ') AS w FROM documents
