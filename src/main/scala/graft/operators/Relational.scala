@@ -635,6 +635,27 @@ object Relational extends QueryModule {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // ---- TPC-H Q10 style: returned-item revenue per customer, top 20.
+    // Three-table join with the customer dimension joined AFTER the
+    // selective lineitem/orders filters shrink the fact side; nation is a
+    // fixed-cardinality dim (explicit broadcast per the policy), customer
+    // grows with SF so AQE decides its join strategy by size. ----
+    "q10_returned" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate"))
+          .between(lit("1997-01-01"), lit("1997-03-31")))
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenueCents(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // ---- fixed-width histogram: integer bucket arithmetic (floor before
     // cast — Spark truncates, DuckDB rounds) so both engines bucket
     // identically; one narrow scan, partial-agg-friendly groupBy. ----
@@ -909,6 +930,17 @@ object Relational extends QueryModule {
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         |  count(*) AS n_orders,

@@ -87,6 +87,52 @@ object TextAnalysis extends QueryModule {
           regexp_count(col("text"), lit("[aeiou]")).cast("bigint").as("n_vowels"))
     }),
 
+    // ---- tf-idf top terms per doc. Rarity weight is the LINEAR ratio
+    // (n_docs+1)/(df+1) rather than its log: log is monotone in the ratio,
+    // so the per-doc ranking is identical, and the linear form is pure
+    // double multiply/divide — bit-identical across engines, where libm's
+    // ln() is not guaranteed to be. Two partial-agg shuffles (tf, df), a
+    // word-keyed join, and a per-doc top-3 window over ≤ vocab rows per
+    // doc — never over raw token volume. ----
+    "txt_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("word"))
+      tf.join(dfreq, "word").crossJoin(broadcast(n))
+        // rank on the ROUNDED score so both engines break the same ties
+        .withColumn("score", round(col("tf").cast("double")
+          * (col("n_docs").cast("double") + 1.0)
+          / (col("df").cast("double") + 1.0), 6))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // ---- vocabulary coverage: build the top-10-by-frequency vocab in one
+    // pass (TakeOrderedAndProject — bounded, no global sort), broadcast it
+    // (fixed k entries — genuinely constant-size, per the broadcast
+    // policy), and score each doc's out-of-vocabulary token rate. The
+    // tokenizer-coverage check a real training pipeline runs before
+    // committing to a vocab. ----
+    "txt_vocab_oov" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(10)
+        .select(col("word"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- stopword scrub: token-level stopword removal (the filtering
     // sibling of txt_lang_id's counting). One narrow codegen'd projection —
     // split → filter → rejoin — with the scrubbed text emitted as an md5
@@ -380,6 +426,42 @@ object TextAnalysis extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        |), df AS (
+        |  SELECT word, count(*) AS df FROM tf GROUP BY word
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT doc_id, tf.word AS word, tf, df,
+        |    round(CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) + 1.0)
+        |          / (CAST(df AS DOUBLE) + 1.0), 6) AS score
+        |  FROM tf JOIN df ON tf.word = df.word, n
+        |)
+        |SELECT doc_id, word, tf, df, score, rk FROM (
+        |  SELECT doc_id, word, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, word) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "txt_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), v AS (
+        |  SELECT word FROM (
+        |    SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rk
+        |    FROM (SELECT word, count(*) AS n FROM toks GROUP BY word))
+        |  WHERE rk <= 10
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM toks LEFT JOIN v ON toks.word = v.word
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_stop_scrub" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
