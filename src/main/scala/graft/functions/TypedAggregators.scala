@@ -30,3 +30,34 @@ object ArgMaxEvent extends Aggregator[Event, ArgMaxState, Long] {
   override def bufferEncoder: Encoder[ArgMaxState] = Encoders.product[ArgMaxState]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** Latest-row state for CDC compaction: the newest (ts, event_id, value)
+  * seen so far, ties on the timestamp broken toward the LARGER event_id
+  * (the change-log convention: later sequence number wins).
+  */
+case class LatestState(tsUs: Long, eventId: Long, value: Double)
+
+/** Typed `Aggregator`: latest row per group — the CDC/upsert compaction
+  * primitive. A declarative max(struct(...)) computes the same thing but
+  * Spark plans it as SortAggregate (struct buffers aren't hash-mutable),
+  * sorting every partition's raw change-log by key first; this typed
+  * aggregator runs as ObjectHashAggregate — constant per-group state,
+  * map-side combine, NO sort anywhere below the final presentation
+  * ORDER BY. The shuffle carries one compacted row per key per mapper.
+  */
+object LatestEvent extends Aggregator[Event, LatestState, LatestState] {
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
+
+  private def later(a: LatestState, b: LatestState): LatestState =
+    if (a.tsUs > b.tsUs || (a.tsUs == b.tsUs && a.eventId > b.eventId)) a else b
+
+  override def zero: LatestState = LatestState(Long.MinValue, Long.MinValue, 0.0)
+  override def reduce(b: LatestState, e: Event): LatestState =
+    later(b, LatestState(micros(e.ts), e.event_id, e.value))
+  override def merge(a: LatestState, b: LatestState): LatestState = later(a, b)
+  override def finish(b: LatestState): LatestState = b
+  override def bufferEncoder: Encoder[LatestState] = Encoders.product[LatestState]
+  override def outputEncoder: Encoder[LatestState] = Encoders.product[LatestState]
+}

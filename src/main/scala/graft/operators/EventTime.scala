@@ -200,22 +200,27 @@ object EventTime extends QueryModule {
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("depth"))
     }),
-    // ---- CDC/upsert compaction: the latest row per (user_id, event_type).
-    // Written as max(struct(ts, id, payload)) — a partial-agg-friendly
-    // lexicographic max with CONSTANT per-group state, so mappers combine
-    // before the shuffle and no per-key sort ever happens. The window
-    // row_number()=1 form computes the same thing but sorts every
-    // partition's full history; at 100 TB of change-log this aggregate
-    // shape is the one that survives. (ts_us, event_id) is unique, so
-    // `value` never decides the max and the result is deterministic. ----
+    // ---- CDC/upsert compaction: the latest row per (user_id, event_type)
+    // via the [[graft.functions.LatestEvent]] typed Aggregator — CONSTANT
+    // per-group state, map-side combine, planned as ObjectHashAggregate.
+    // The two rejected forms, and why: row_number()=1 window shuffles the
+    // FULL change-log and sorts it by (key, ts); max(struct(ts,id,value))
+    // is bounded-state but struct buffers aren't hash-mutable, so Spark
+    // plans SortAggregate and still sorts every partition's raw rows by
+    // key. At 100 TB of change-log the no-sort hash form is the one that
+    // survives. (ts_us, event_id) is unique, so `value` never decides the
+    // max; timestamp ties break toward the larger event_id. ----
     "evt_latest_by_key" -> ((s, d) => {
+      import s.implicits._
       Tables.events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(max(struct(
-          unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("value"))).as("r"))
-        .select(col("user_id"), col("event_type"), col("r.ts_us").as("ts_us"),
-          col("r.event_id").as("event_id"), col("r.value").as("value"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Event]
+        .groupByKey(e => (e.user_id, e.event_type))
+        .agg(graft.functions.LatestEvent.toColumn.name("r"))
+        .toDF("key", "r")
+        .select(col("key._1").as("user_id"), col("key._2").as("event_type"),
+          col("r.tsUs").as("ts_us"), col("r.eventId").as("event_id"),
+          col("r.value").as("value"))
         .orderBy(col("user_id"), col("event_type"))
     }),
     // ---- D1-D7 cohort retention: cohort = each user's first active day;
