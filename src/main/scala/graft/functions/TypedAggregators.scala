@@ -47,10 +47,12 @@ case class LatestState(tsUs: Long, eventId: Long, value: Double)
   */
 object LatestEvent extends Aggregator[Event, LatestState, LatestState] {
 
-  private def micros(t: java.sql.Timestamp): Long =
+  private[graft] def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos.toLong / 1000L
 
-  private def later(a: LatestState, b: LatestState): LatestState =
+  // shared with the streaming counterpart (EventStreams.latestByKey) so
+  // batch and stream can never disagree on the tie rule
+  private[graft] def later(a: LatestState, b: LatestState): LatestState =
     if (a.tsUs > b.tsUs || (a.tsUs == b.tsUs && a.eventId > b.eventId)) a else b
 
   override def zero: LatestState = LatestState(Long.MinValue, Long.MinValue, 0.0)

@@ -59,6 +59,16 @@ case class AsOfMatch(
     s_ts_us: Option[Long],
     s_val: Option[Double])
 
+/** A compacted change-log row: the latest event per (user_id, event_type)
+  * key, as emitted by [[EventStreams.latestByKey]] each micro-batch.
+  */
+case class KeyedLatest(
+    user_id: Long,
+    event_type: String,
+    ts_us: Long,
+    event_id: Long,
+    value: Double)
+
 /** Structured-Streaming operators over the event log.
   *
   * The reference is batch-only (SURVEY.md §2.9 — its "incremental" dimension
@@ -235,6 +245,41 @@ object EventStreams {
     */
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000) % 1000L
+
+  /** Streaming CDC/upsert compaction: one [[graft.functions.LatestState]]
+    * per (user_id, event_type) key in the state store; each micro-batch
+    * emits the updated compacted row for every key it touched (Update
+    * mode — the sink upserts by key). The streaming counterpart of the
+    * batch `evt_latest_by_key` query; both fold rows through the SAME
+    * [[graft.functions.LatestEvent.later]] tie rule (ts, then larger
+    * event_id), so a late row older than the kept one is a no-op in either
+    * engine and batch/stream parity is exact (StreamingSpec asserts it).
+    *
+    * State bound: one row per DISTINCT key — the size of the compacted
+    * table itself, which is this operator's natural floor (a key's latest
+    * row must stay addressable forever, so no watermark eviction; at scale
+    * the state store shards by the same key hash the sink partitions on).
+    */
+  def latestByKey(events: Dataset[Event]): Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    def fn(
+        key: (Long, String),
+        rows: Iterator[Event],
+        state: GroupState[graft.functions.LatestState]): KeyedLatest = {
+      var cur = state.getOption.getOrElse(
+        graft.functions.LatestState(Long.MinValue, Long.MinValue, 0.0))
+      rows.foreach { e =>
+        cur = graft.functions.LatestEvent.later(cur,
+          graft.functions.LatestState(graft.functions.LatestEvent.micros(e.ts), e.event_id, e.value))
+      }
+      state.update(cur)
+      KeyedLatest(key._1, key._2, cur.tsUs, cur.eventId, cur.value)
+    }
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[graft.functions.LatestState, KeyedLatest](
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Streaming as-of (point-in-time) join: each probe event is matched to
     * its key's latest snapshot at-or-before the probe's event time — the

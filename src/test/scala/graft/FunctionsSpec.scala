@@ -86,4 +86,14 @@ class FunctionsSpec extends SparkSuiteBase {
       .withColumn("hits", TextFunctions.markerHits(col("text"), Seq("the", "and")))
     assert(df.collect().head.getAs[Int]("hits") == 3)
   }
+
+  test("LatestEvent.micros keeps full sub-millisecond precision") {
+    // unix_micros(ts) on the SQL side is epochSecond*1e6 + nanos/1000 —
+    // the Timestamp fold must produce the identical value or batch and
+    // typed paths would disagree on near-tie orderings
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01.123456789")
+    val expected = t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+    assert(graft.functions.LatestEvent.micros(t) == expected)
+    assert(graft.functions.LatestEvent.micros(t) % 1000L == 456L)
+  }
 }

@@ -410,4 +410,50 @@ class StreamingSpec extends SparkSuiteBase {
         (101L, None, None)))
     } finally q.stop()
   }
+
+  test("latestByKey: streaming compaction state equals the batch evt_latest_by_key fold") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val b1 = Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 10, "click", 2.0),
+      Event(3, ts(3), 11, "view", 3.0))
+    val b2 = Seq(
+      Event(4, ts(2), 10, "click", 9.0), // late AND stale: older than kept ts(5) -> no-op
+      Event(5, ts(8), 11, "view", 4.0),
+      Event(6, ts(8), 11, "view", 5.0), // same-ts tie: larger event_id wins
+      Event(7, ts(4), 12, "buy", 6.0))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.latestByKey(stream.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+
+      // Update-mode memory sink appends each batch's upserts; the LAST row
+      // per key is the live compacted state
+      val live = spark.table("latest_out")
+        .collect().map(r => ((r.getLong(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .foldLeft(Map.empty[(Long, String), (Long, Long, Double)])(_ + _)
+
+      // batch form: the typed LatestEvent aggregator over ALL rows at once
+      val batch = (b1 ++ b2).toDS()
+        .groupByKey(e => (e.user_id, e.event_type))
+        .agg(graft.functions.LatestEvent.toColumn.name("r"))
+        .collect().map { case (k, s) => k -> ((s.tsUs, s.eventId, s.value)) }
+        .toMap
+
+      assert(live == batch)
+      // and the stale late row really was a no-op: user 10 kept event 2
+      assert(live((10L, "click"))._2 == 2L)
+      // same-timestamp tie broke toward the larger event_id
+      assert(live((11L, "view"))._2 == 6L)
+    } finally q.stop()
+  }
 }
