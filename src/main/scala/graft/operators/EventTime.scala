@@ -245,6 +245,45 @@ object EventTime extends QueryModule {
           round(col("n_retained").cast("double") / col("n_users").cast("double"), 6))
         .orderBy(col("cohort_day"))
     }),
+    // ---- SCD-2 derivation: turn the change log into validity intervals —
+    // each (user, type) row is valid from its own ts until the next change
+    // (NULL valid_to = current row). ONE shuffle on the key; the lead()
+    // window is the canonical form and its partition sort is over one
+    // key's history, which is exactly the data a validity chain needs in
+    // order anyway. The warehouse-side complement of evt_latest_by_key
+    // (which keeps only the current row). ----
+    "evt_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .orderBy(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+    }),
+    // ---- conversion lag: per user, time from first view to first purchase
+    // AFTER that view. Conditional-min aggregation (one shuffle, constant
+    // state) — no self-join, no window. Lags summed as exact integer
+    // micros so the mean is order-independent; the median interpolates the
+    // same way on both engines (q_percentiles pattern). ----
+    "evt_time_to_convert" -> ((s, d) => {
+      val per = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v0"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p0"))
+      per.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("p0") > col("v0"), lit(1))).as("n_converted"),
+        round((sum(when(col("p0") > col("v0"), col("p0") - col("v0")))
+          .cast("double") / count(when(col("p0") > col("v0"), lit(1))).cast("double"))
+          / 1000000.0, 6).as("avg_lag_sec"),
+        round(expr("percentile(IF(p0 > v0, p0 - v0, NULL), 0.5)") / 1000000.0, 6)
+          .as("p50_lag_sec"))
+    }),
     "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
@@ -372,6 +411,36 @@ object EventTime extends QueryModule {
       """SELECT user_id, event_id AS top_event_id FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         |ORDER BY user_id""".stripMargin,
+    "evt_scd2_intervals" ->
+      """SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  event_id, value,
+        |  lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS valid_to_us,
+        |  CAST(CASE WHEN lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events
+        |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin,
+    "evt_time_to_convert" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p0
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY user_id
+        |)
+        |SELECT count(*) AS n_users,
+        |  count(CASE WHEN p0 > v0 THEN 1 END) AS n_converted,
+        |  round(CAST(SUM(CASE WHEN p0 > v0 THEN p0 - v0 END) AS DOUBLE)
+        |        / CAST(count(CASE WHEN p0 > v0 THEN 1 END) AS DOUBLE)
+        |        / 1000000.0, 6) AS avg_lag_sec,
+        |  round(quantile_cont(CASE WHEN p0 > v0 THEN p0 - v0 END, 0.5)
+        |        / 1000000.0, 6) AS p50_lag_sec
+        |FROM per""".stripMargin,
     "evt_latest_by_key" ->
       """SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  event_id, value
