@@ -245,6 +245,27 @@ object EventTime extends QueryModule {
           round(col("n_retained").cast("double") / col("n_users").cast("double"), 6))
         .orderBy(col("cohort_day"))
     }),
+    // ---- time-series gap-fill: daily big-purchase counts re-sampled onto
+    // a dense day spine. The spine is GENERATED on-executor
+    // (sequence(min,max,1 day) + explode from a 1-row bound aggregate) —
+    // never a driver-side loop — then left-joined and zero-filled. At
+    // 100 TB the daily aggregate is the only data-sized shuffle; the spine
+    // is days-sized and broadcasts. Sums carried as exact integer cents. ----
+    "evt_daily_gapfill" -> ((s, d) => {
+      val big = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .select(to_date(col("ts")).as("day"), col("value"))
+      val daily = big.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("bigint")).as("sum_cents"))
+      val spine = big.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+        .orderBy(col("day"))
+    }),
     // ---- SCD-2 derivation: turn the change log into validity intervals —
     // each (user, type) row is valid from its own ts until the next change
     // (NULL valid_to = current row). ONE shuffle on the key; the lead()
@@ -411,6 +432,24 @@ object EventTime extends QueryModule {
       """SELECT user_id, event_id AS top_event_id FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
         |ORDER BY user_id""".stripMargin,
+    "evt_daily_gapfill" ->
+      """WITH big AS (
+        |  SELECT CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE event_type = 'purchase' AND value > 100.0
+        |), daily AS (
+        |  SELECT day, count(*) AS n_events,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM big GROUP BY day
+        |), b AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM big
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+        |)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum_cents, 0) AS BIGINT) AS sum_cents
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY day""".stripMargin,
     "evt_scd2_intervals" ->
       """SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
         |  event_id, value,

@@ -656,6 +656,28 @@ object Relational extends QueryModule {
         .limit(20)
     }),
 
+    // ---- percent-of-total (ratio-to-report): each nation's share of
+    // global revenue. The per-nation rollup is the only data-sized
+    // shuffle; the share window runs over the ALREADY-AGGREGATED ~25-row
+    // result, so the empty-frame window is a non-issue at any scale. The
+    // total is an exact DECIMAL(38,0) sum of integer-cents terms — a
+    // windowed DOUBLE sum would be partition-order dependent. ----
+    "q_revenue_share" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(wide(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount"))))).as("rev4"))
+      per
+        .withColumn("total4", sum(col("rev4")).over(Window.partitionBy()))
+        .select(col("n_name"),
+          (col("rev4").cast("double") / 10000.0).as("revenue"),
+          round(col("rev4").cast("double") / col("total4").cast("double"), 6).as("share"))
+        .orderBy(col("n_name"))
+    }),
+
     // ---- fixed-width histogram: integer bucket arithmetic (floor before
     // cast — Spark truncates, DuckDB rounds) so both engines bucket
     // identically; one narrow scan, partial-agg-friendly groupBy. ----
@@ -941,6 +963,21 @@ object Relational extends QueryModule {
         |  AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_revenue_share" ->
+      """WITH per AS (
+        |  SELECT n_name,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name,
+        |  CAST(rev4 AS DOUBLE) / 10000.0 AS revenue,
+        |  round(CAST(rev4 AS DOUBLE) / CAST(SUM(rev4) OVER () AS DOUBLE), 6) AS share
+        |FROM per ORDER BY n_name""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         |  count(*) AS n_orders,
