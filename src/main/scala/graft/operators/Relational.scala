@@ -582,6 +582,73 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- full outer join: customer activity across two years, with both
+    // one-sided and matched rows kept. The reconciliation-report shape:
+    // coalesced key, zero-filled counts, a status discriminator. ----
+    "q_join_full" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def yearly(y: Int, alias: String) =
+        o.filter(to_date(col("o_orderdate"))
+            .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+          .groupBy(col("o_custkey").as(s"k_$alias"))
+          .agg(count(lit(1)).as(s"n_$alias"))
+      yearly(1996, "a").join(yearly(1997, "b"),
+          col("k_a") === col("k_b"), "full_outer")
+        .select(
+          coalesce(col("k_a"), col("k_b")).as("o_custkey"),
+          coalesce(col("n_a"), lit(0L)).as("n_1996"),
+          coalesce(col("n_b"), lit(0L)).as("n_1997"),
+          when(col("k_a").isNull, lit("only_1997"))
+            .when(col("k_b").isNull, lit("only_1996"))
+            .otherwise(lit("both")).as("status"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- bag-semantics set op: 1996 order-custkeys EXCEPT ALL 1997 —
+    // duplicate occurrences are SUBTRACTED, not collapsed (a customer with
+    // 3 orders in 1996 and 1 in 1997 survives twice). Catalyst plans the
+    // count-difference aggregate, not a distinct + anti join. ----
+    "q_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
+          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+        .select(col("o_custkey"))
+      year(1996).exceptAll(year(1997)).orderBy(col("o_custkey"))
+    }),
+
+    // ---- NOT IN (subquery): written as SQL text because NOT IN carries
+    // three-valued-logic semantics (one NULL in the list empties the
+    // result) that the DataFrame leftanti join does not. Catalyst proves
+    // both key columns non-null here and legally simplifies to a plain
+    // broadcast anti join (see PLANS.md); with nullable keys the same
+    // query plans the null-aware anti join variant instead. ----
+    "q_not_in" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_ni")
+      Tables.customer(s, d).createOrReplaceTempView("customer_ni")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders_ni
+          |WHERE o_custkey NOT IN (
+          |  SELECT c_custkey FROM customer_ni WHERE c_acctbal < 0)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- rank vs dense_rank over REAL ties (l_quantity is integral in
+    // the fixture): rank leaves gaps after tie groups, dense_rank doesn't.
+    // Rank values are tie-deterministic by definition; the output ORDER BY
+    // adds the unique key so row order is total. ----
+    "q_window_dense" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(desc("l_quantity"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          rank().over(w).cast("bigint").as("rk"),
+          dense_rank().over(w).cast("bigint").as("drk"))
+        .orderBy(col("l_returnflag"), desc("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- set ops: customers ordering in both/only-first of two years ----
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -1023,6 +1090,44 @@ object Relational extends QueryModule {
         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_f,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_join_full" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k_a, count(*) AS n_a FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  GROUP BY o_custkey
+        |), b AS (
+        |  SELECT o_custkey AS k_b, count(*) AS n_b FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT coalesce(k_a, k_b) AS o_custkey,
+        |  CAST(coalesce(n_a, 0) AS BIGINT) AS n_1996,
+        |  CAST(coalesce(n_b, 0) AS BIGINT) AS n_1997,
+        |  CASE WHEN k_a IS NULL THEN 'only_1997'
+        |       WHEN k_b IS NULL THEN 'only_1996'
+        |       ELSE 'both' END AS status
+        |FROM a FULL OUTER JOIN b ON k_a = k_b
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_not_in" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_window_dense" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER w AS BIGINT) AS rk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |FROM lineitem WHERE l_orderkey <= 100
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+        |ORDER BY l_returnflag, l_quantity DESC, l_orderkey, l_linenumber""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders
         |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
