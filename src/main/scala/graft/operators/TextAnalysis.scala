@@ -241,8 +241,44 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- temperature (α=0.5) domain resampling: target fraction per
+    // source ∝ sqrt(count) — the multilingual-corpus rebalancing rule that
+    // upweights small domains without letting the biggest ones dominate.
+    // Deterministic keep-set via the hash-vs-probability draw (same as
+    // txt_domain_mix); sampled size = half the corpus. fp discipline:
+    // sqrt is IEEE-exact, but the weight-sum Z is folded SEQUENTIALLY over
+    // source-sorted weights (fp + isn't associative — an agg SUM would be
+    // partition-order dependent), and the p formula is written with the
+    // identical association on both engines. Corpus side is one scan +
+    // filter against broadcast constants — no shuffle at any scale. ----
+    "txt_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("u", u01(col("doc_id")))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val z = counts.agg(
+        expr("aggregate(transform(sort_array(collect_list(struct(source, " +
+          "sqrt(CAST(n AS DOUBLE)) AS w))), x -> x.w), 0.0D, (a, x) -> a + x)").as("z"),
+        sum(col("n")).as("n_total"))
+      val p = least(lit(1.0),
+        sqrt(col("n").cast("double")) / col("z")
+          * (col("n_total").cast("double") / 2.0) / col("n").cast("double"))
+      val kept = docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(z))
+        .filter(col("u") < p)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      counts.crossJoin(broadcast(z))
+        .withColumn("target_frac", round(sqrt(col("n").cast("double")) / col("z"), 6))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n").as("n_docs"), col("target_frac"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // ---- fuzzy matching: Levenshtein distance over blocked short-text
-    // pairs (identical metric in both engines) ----
+    // pairs (identical metric in both engines). The THRESHOLD form of the
+    // builtin (levenshtein(l, r, k) — banded DP, early exit, -1 beyond the
+    // bound) does O(k·n) work instead of the full O(n·m) table; for kept
+    // pairs (distance ≤ k) its value equals the unbounded metric, so the
+    // DuckDB oracle stays the plain levenshtein + WHERE ≤ k. ----
     "txt_levenshtein" -> ((s, d) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), substring(col("text"), 1, 30).as("prefix"))
@@ -250,8 +286,8 @@ object TextAnalysis extends QueryModule {
       t.as("a").join(t.as("b"),
           col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.prefix"), col("b.prefix")).cast("bigint").as("lev"))
-        .filter(col("lev") <= 20)
+          levenshtein(col("a.prefix"), col("b.prefix"), 20).cast("bigint").as("lev"))
+        .filter(col("lev") >= 0 && col("lev") <= 20)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -278,8 +314,10 @@ object TextAnalysis extends QueryModule {
             col("a.blk_len") === col("b.blk_len") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.prefix"), col("b.prefix")).cast("bigint").as("lev"))
-        .filter(col("lev") <= 15)
+          // threshold form: banded O(k·n) with early exit (-1 beyond k),
+          // equal to the unbounded metric on every kept pair
+          levenshtein(col("a.prefix"), col("b.prefix"), 15).cast("bigint").as("lev"))
+        .filter(col("lev") >= 0 && col("lev") <= 15)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -582,6 +620,30 @@ object TextAnalysis extends QueryModule {
         |SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tok,
         |  CAST(off // 2048 AS BIGINT) AS seq_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "txt_temperature_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), z AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z,
+        |         CAST(SUM(n) AS BIGINT) AS n_total
+        |  FROM c
+        |), kept AS (
+        |  SELECT u.source, count(*) AS n_kept
+        |  FROM u JOIN c USING (source) CROSS JOIN z
+        |  WHERE u.u < least(1.0, sqrt(CAST(c.n AS DOUBLE)) / z.z
+        |                         * (CAST(z.n_total AS DOUBLE) / 2.0) / CAST(c.n AS DOUBLE))
+        |  GROUP BY u.source
+        |)
+        |SELECT c.source, c.n AS n_docs,
+        |  round(sqrt(CAST(c.n AS DOUBLE)) / z.z, 6) AS target_frac,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM c CROSS JOIN z LEFT JOIN kept ON c.source = kept.source
+        |ORDER BY c.source""".stripMargin,
     "txt_domain_mix" ->
       """WITH u AS (
         |  SELECT doc_id, source,
