@@ -305,6 +305,95 @@ object EventTime extends QueryModule {
         round(expr("percentile(IF(p0 > v0, p0 - v0, NULL), 0.5)") / 1000000.0, 6)
           .as("p50_lag_sec"))
     }),
+    // ---- Markov transition matrix: consecutive event-type pairs per user
+    // (lead over the user timeline), counted globally with the per-source
+    // transition probability. One shuffle on user_id for the window; the
+    // pair count is a partial agg over at most |types|² groups, so the
+    // probability window runs on a tiny aggregate — data-sized work is the
+    // single user partition pass regardless of corpus size. ----
+    "evt_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .withColumn("p_transition",
+          round(col("n_transitions").cast("double") /
+            sum(col("n_transitions")).over(Window.partitionBy(col("from_type")))
+              .cast("double"), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+    // ---- entry-path histogram: each user's first 3 event types as a
+    // '>'-joined path. row_number gets WindowGroupLimit pushdown (rank <=
+    // 3 filters inside the sort), the per-user pivot reuses the window's
+    // user partitioning (no second exchange), and the path rollup is a
+    // partial agg over a bounded path vocabulary. ----
+    "evt_user_paths" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("path"))
+    }),
+    // ---- DAU / rolling 7-day WAU / stickiness, WITHOUT a range join:
+    // each distinct (user, day) row is exploded onto the ≤7 spine days it
+    // contributes to, turning the rolling-distinct window into a plain
+    // groupBy(day) distinct count. The alternative (day-spine range join)
+    // re-scans the activity table per spine day; the explode form shuffles
+    // a bounded 7× of the already-collapsed (user, day) set — the shape
+    // that survives when days × users is large. Inner join back to DAU
+    // drops the ghost days after the last activity date. ----
+    "evt_dau_wau" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    }),
+    // ---- per-type value anomalies in EXACT integer arithmetic: an event
+    // is an outlier when value > 2 × the type mean, tested as
+    // value_cents · n > 2 · sum_cents — no division, no doubles, so both
+    // engines agree bit-for-bit (all products < 2^63: cents ≤ 49 002,
+    // n ≤ corpus rows). The per-type moments are one partial agg; the
+    // verdict join broadcasts the |types|-row moment table. ----
+    "evt_value_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val moments = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      ev.join(broadcast(moments), "event_type")
+        .filter(col("cents") * col("n") > lit(2L) * col("sum_cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("event_id")).as("first_outlier_id"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("event_type"))
+    }),
     "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
@@ -343,6 +432,69 @@ object EventTime extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+        |  FROM events
+        |), t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n_transitions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(CAST(count(*) AS DOUBLE) /
+        |        CAST(CAST(sum(count(*)) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE),
+        |        6) AS p_transition
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+    "evt_user_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, concat_ws('>',
+        |    max(CASE WHEN rn = 1 THEN event_type END),
+        |    max(CASE WHEN rn = 2 THEN event_type END),
+        |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+        |  FROM e WHERE rn <= 3 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY path""".stripMargin,
+    "evt_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, count(*) AS dau FROM ud GROUP BY day
+        |), contrib AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud
+        |), wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+        |)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+    "evt_value_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT ev.event_type, count(*) AS n_outliers,
+        |  min(ev.event_id) AS first_outlier_id,
+        |  max(ev.cents) AS max_cents
+        |FROM ev JOIN m USING (event_type)
+        |WHERE ev.cents * m.n > 2 * m.sum_cents
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
     "evt_click_attribution" ->
       """WITH i AS (
         |  SELECT user_id AS ad_id, event_id AS imp_id,

@@ -100,4 +100,23 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(joined.sameElements(payload.take(joined.length)))
     assert(joined.length >= payload.length - payload.length / frames.length)
   }
+
+  // evt_dau_wau replaces the textbook rolling-distinct window (a day-spine
+  // range join) with a bounded 7× explode of the (user, day) set. The
+  // oracle uses the same explode shape, so pin the rewrite against the
+  // range-join DEFINITION here.
+  test("evt_dau_wau explode rewrite equals the rolling range-join definition") {
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().cache()
+    val naive = ud.select(col("day")).distinct().as("s")
+      .join(ud.select(col("user_id"), col("day").as("uday")),
+        col("uday").between(date_sub(col("s.day"), 6), col("s.day")))
+      .groupBy(col("s.day").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+    val got = SparkEntry.queries("evt_dau_wau")(spark, sf0001)
+      .select("day", "wau")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    ud.unpersist()
+  }
 }
