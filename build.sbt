@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON. sbt's default output strategy for forked runs relays the child's
+// stdout through the sbt logger with an "[info] " prefix (and stderr as
+// "[error] "), which broke that parse five rounds running (BENCH_r0{1..5}
+// `parsed: null`; the intact-but-prefixed line is visible in r5's tail).
+// StdoutOutput hands the forked JVM the real stdout/stderr — the bench JSON
+// line reaches the driver bare, and Spark's log4j noise stays on stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time" line so the JSON line
+// is genuinely the last thing on stdout.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,7 +88,10 @@ object Bench {
         java.nio.file.Paths.get("bench_detail.json"),
         s"""{"n_runs":$nRuns,"sf":"$sfDir","queries":$detail}\n""".getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: shutdown logging can't land after the JSON,
+    // so the bench line is the true last stdout line the driver parses.
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
