@@ -507,6 +507,49 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- MERGEABLE quantile sketch (graft_qsketch): integer-exact
+    // DDSketch-style log-linear buckets, CONSTANT ~8 KB state per group —
+    // the at-scale replacement for q_percentiles' O(rows) sort state
+    // (which stays as the exact twin). Estimates carry a hard <= 1/32
+    // (3.1%) relative-error bound; QuantileSketchSpec pins the bound and
+    // merge-order invariance. Quantile extraction is a rank walk over the
+    // sketch array: n = total count, r = (n-1)*pct DIV 100 + 1 (integer
+    // nearest-lower rank), estimate = midpoint of the first bucket whose
+    // cumulative count reaches r — all integer arithmetic, so the DuckDB
+    // oracle reproduces it exactly (window cumsum over the same buckets). ----
+    "q_percentiles_sketch" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      // decode bucket id -> integer midpoint (cents): v < 32 exact, else
+      // (33 + 2s)·2^(L-6) for id = 16L + s (see QuantileSketchAggregate)
+      def est(sk: String, r: String): Column = expr(
+        s"""round(aggregate($sk,
+           |  named_struct('cum', 0L, 'mid', -1L),
+           |  (a, x) -> named_struct(
+           |    'cum', a.cum + x.cnt,
+           |    'mid', IF(a.mid >= 0L, a.mid,
+           |      IF(a.cum + x.cnt >= $r,
+           |        IF(x.b < 32, CAST(x.b AS BIGINT),
+           |          shiftleft(CAST(33 + 2 * (x.b % 16) AS BIGINT),
+           |            CAST(x.b DIV 16 AS INT) - 6)),
+           |        -1L))),
+           |  a -> a.mid) / 100.0D, 6)""".stripMargin)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          cents(col("l_quantity")).as("vq"),
+          cents(col("l_extendedprice")).as("vp"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          call_function("graft_qsketch", col("vq")).as("skq"),
+          call_function("graft_qsketch", col("vp")).as("skp"))
+        .withColumn("nq", expr("aggregate(skq, 0L, (a, x) -> a + x.cnt)"))
+        .withColumn("np", expr("aggregate(skp, 0L, (a, x) -> a + x.cnt)"))
+        .select(col("l_returnflag"),
+          est("skq", "(nq - 1L) * 50 DIV 100 + 1L").as("median_qty_est"),
+          est("skq", "(nq - 1L) * 95 DIV 100 + 1L").as("p95_qty_est"),
+          est("skp", "(np - 1L) * 99 DIV 100 + 1L").as("p99_price_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- scalar subquery: orders above the global average price. The
     // aggregate is a 1-row broadcast; the comparison runs in exact decimal
     // (price·count > total) so both engines decide identically. ----
@@ -1000,6 +1043,56 @@ object Relational extends QueryModule {
          |  round(${interp("vq", 0.95)}, 6) AS p95_qty,
          |  round(${interp("vp", 0.99)}, 6) AS p99_price
          |FROM arrs ORDER BY l_returnflag""".stripMargin
+    },
+    "q_percentiles_sketch" -> {
+      // the identical integer log-linear bucket map + rank walk as
+      // graft_qsketch: bit length via length(bin(v)) (exact, no libm),
+      // sub-bucket = 4 bits after the leading 1, midpoint decode
+      // (33 + 2s) << (L-6); rank r = (n-1)*pct // 100 + 1 over a window
+      // cumsum in bucket order. Bucket ids are monotone in v, so the
+      // first bucket with cum >= r is the rank's bucket.
+      def bexpr(v: String): String =
+        s"CASE WHEN $v < 1 THEN 0 WHEN $v < 32 THEN CAST($v AS INT) " +
+          s"ELSE CAST(length(bin($v)) * 16 + CAST(($v >> (length(bin($v)) - 5)) & 15 AS INT) AS INT) END"
+      val mid = "CASE WHEN b < 32 THEN CAST(b AS BIGINT) " +
+        "ELSE CAST(33 + 2 * (b % 16) AS BIGINT) << (b // 16 - 6) END"
+      s"""WITH v AS (
+         |  SELECT l_returnflag,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS vq,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS vp
+         |  FROM lineitem
+         |), bq AS (
+         |  SELECT l_returnflag, ${bexpr("vq")} AS b, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2
+         |), cq AS (
+         |  SELECT l_returnflag, b,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM bq
+         |), eq AS (
+         |  SELECT l_returnflag,
+         |    min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN $mid END) AS m50,
+         |    min(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1 THEN $mid END) AS m95
+         |  FROM cq GROUP BY l_returnflag
+         |), bp AS (
+         |  SELECT l_returnflag, ${bexpr("vp")} AS b, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2
+         |), cp AS (
+         |  SELECT l_returnflag, b,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM bp
+         |), ep AS (
+         |  SELECT l_returnflag,
+         |    min(CASE WHEN cum >= ((n - 1) * 99) // 100 + 1 THEN $mid END) AS m99
+         |  FROM cp GROUP BY l_returnflag
+         |)
+         |SELECT eq.l_returnflag,
+         |  round(m50 / 100.0, 6) AS median_qty_est,
+         |  round(m95 / 100.0, 6) AS p95_qty_est,
+         |  round(m99 / 100.0, 6) AS p99_price_est
+         |FROM eq JOIN ep ON eq.l_returnflag = ep.l_returnflag
+         |ORDER BY eq.l_returnflag""".stripMargin
     },
     "q6_selective" ->
       """SELECT

@@ -81,6 +81,15 @@ object GraftExtensions {
             s"graft_bottomk k must be a positive INT literal, got $other")
         }
         BottomKAggregate(args(0), args(1), k)
+      }),
+    (new FunctionIdentifier("graft_qsketch"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_qsketch",
+        "graft_qsketch(value) - mergeable log-linear quantile sketch over " +
+          "non-negative BIGINT units, ARRAY<STRUCT<b,cnt>> ASC by bucket " +
+          "(constant ~8KB state per group, <= 1/32 relative error)"),
+      { args =>
+        require(args.length == 1, s"graft_qsketch expects 1 argument, got ${args.length}")
+        QuantileSketchAggregate(args(0))
       }))
 
   /** Idempotently register the functions + the HOF→native rewrite on an

@@ -51,4 +51,24 @@ class ComponentsSpec extends SparkSuiteBase {
   test("empty edge list yields empty labels") {
     assert(components(Seq.empty).isEmpty)
   }
+
+  test("reliable checkpoint mode matches local mode labels and round count") {
+    // chain + clique + isolated edge: same labels and convergence speed
+    // whether rounds cut lineage with localCheckpoint (bench/single-box)
+    // or reliable checkpoint() (cluster mode, survives executor loss)
+    val edges = (0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L), (40L, 41L))
+    val (localLabels, localRounds) =
+      Dedup.connectedComponentsWithRounds(edges.toDF("doc_a", "doc_b"))
+    val (reliableLabels, reliableRounds) =
+      Dedup.connectedComponentsWithRounds(
+        edges.toDF("doc_a", "doc_b"), reliable = true)
+    val l = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rl = reliableLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == rl)
+    assert(localRounds == reliableRounds)
+    assert((0L to 9L).forall(rl(_) == 0L))
+    assert(Seq(20L, 21L, 22L).forall(rl(_) == 20L))
+    assert(rl(40L) == 40L && rl(41L) == 40L)
+  }
 }
