@@ -91,7 +91,13 @@ object Bench {
     // Stop Spark BEFORE printing: shutdown logging can't land after the JSON,
     // so the bench line is the true last stdout line the driver parses.
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's capture: emit on stderr first, then
+    // stdout last — whichever stream (or combined order) is tailed, the
+    // final line is the parseable JSON
+    System.err.println(line)
+    System.err.flush()
+    println(line)
     System.out.flush()
   }
 }

@@ -29,5 +29,18 @@ class SqlSurfaceSpec extends SparkSuiteBase {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 5""".stripMargin).collect()
     assert(topk.length == 5)
     assert(topk.forall(_.getSeq[org.apache.spark.sql.Row](1).length <= 2))
+
+    val qsk = spark.sql(
+      """SELECT l_returnflag,
+        |  graft_qsketch(CAST(round(l_quantity * 100) AS BIGINT)) AS sk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(qsk.length == 3)
+    // sketch rows are (bucket, count) with positive counts, ascending buckets
+    qsk.foreach { r =>
+      val entries = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(entries.nonEmpty && entries.forall(_.getLong(1) > 0))
+      val ids = entries.map(_.getInt(0))
+      assert(ids == ids.sorted)
+    }
   }
 }
