@@ -49,6 +49,25 @@ object Relational extends QueryModule {
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
   private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
 
+  /** Rank walk over a graft_qsketch array (see QuantileSketchAggregate):
+    * first bucket whose cumulative count reaches rank `r`, decoded to its
+    * integer midpoint (v < 32 exact, else (33 + 2s)·2^(L-6) for id =
+    * 16L + s), in value units (cents / 100). All integer arithmetic — the
+    * DuckDB oracles run the identical walk as a window cumsum.
+    */
+  private def sketchEst(sk: String, r: String): Column = expr(
+    s"""round(aggregate($sk,
+       |  named_struct('cum', 0L, 'mid', -1L),
+       |  (a, x) -> named_struct(
+       |    'cum', a.cum + x.cnt,
+       |    'mid', IF(a.mid >= 0L, a.mid,
+       |      IF(a.cum + x.cnt >= $r,
+       |        IF(x.b < 32, CAST(x.b AS BIGINT),
+       |          shiftleft(CAST(33 + 2 * (x.b % 16) AS BIGINT),
+       |            CAST(x.b DIV 16 AS INT) - 6)),
+       |        -1L))),
+       |  a -> a.mid) / 100.0D, 6)""".stripMargin)
+
   /** Revenue term in 1e-4 units: cents × (100 − disc_pct), summed wide. */
   private def revenueCents(price: Column, disc: Column): Column =
     sum(wide(cents(price) * (lit(100L) - cents(disc)))).cast("double") / 10000.0
@@ -519,20 +538,6 @@ object Relational extends QueryModule {
     // oracle reproduces it exactly (window cumsum over the same buckets). ----
     "q_percentiles_sketch" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
-      // decode bucket id -> integer midpoint (cents): v < 32 exact, else
-      // (33 + 2s)·2^(L-6) for id = 16L + s (see QuantileSketchAggregate)
-      def est(sk: String, r: String): Column = expr(
-        s"""round(aggregate($sk,
-           |  named_struct('cum', 0L, 'mid', -1L),
-           |  (a, x) -> named_struct(
-           |    'cum', a.cum + x.cnt,
-           |    'mid', IF(a.mid >= 0L, a.mid,
-           |      IF(a.cum + x.cnt >= $r,
-           |        IF(x.b < 32, CAST(x.b AS BIGINT),
-           |          shiftleft(CAST(33 + 2 * (x.b % 16) AS BIGINT),
-           |            CAST(x.b DIV 16 AS INT) - 6)),
-           |        -1L))),
-           |  a -> a.mid) / 100.0D, 6)""".stripMargin)
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           cents(col("l_quantity")).as("vq"),
@@ -544,9 +549,33 @@ object Relational extends QueryModule {
         .withColumn("nq", expr("aggregate(skq, 0L, (a, x) -> a + x.cnt)"))
         .withColumn("np", expr("aggregate(skp, 0L, (a, x) -> a + x.cnt)"))
         .select(col("l_returnflag"),
-          est("skq", "(nq - 1L) * 50 DIV 100 + 1L").as("median_qty_est"),
-          est("skq", "(nq - 1L) * 95 DIV 100 + 1L").as("p95_qty_est"),
-          est("skp", "(np - 1L) * 99 DIV 100 + 1L").as("p99_price_est"))
+          sketchEst("skq", "(nq - 1L) * 50 DIV 100 + 1L").as("median_qty_est"),
+          sketchEst("skq", "(nq - 1L) * 95 DIV 100 + 1L").as("p95_qty_est"),
+          sketchEst("skp", "(np - 1L) * 99 DIV 100 + 1L").as("p99_price_est"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- the re-aggregation half of the mergeable-sketch contract: build
+    // graft_qsketch summaries at a FINE grain ((flag, status) — stand-in
+    // for per-day/per-source ingest sketches), then answer the coarser
+    // per-flag report by MERGING the ~8 KB summaries with
+    // graft_qsketch_merge — the raw rows are never re-read. Because merge
+    // is element-wise bucket addition, the rollup is bit-identical to
+    // sketching raw per flag, which is exactly what the oracle checks
+    // (its SQL buckets raw rows straight to the flag grain). ----
+    "q_percentiles_rollup" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_quantity")).as("vq"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(call_function("graft_qsketch", col("vq")).as("sk_fine"))
+        .groupBy(col("l_returnflag"))
+        .agg(call_function("graft_qsketch_merge", col("sk_fine")).as("skq"))
+        .withColumn("nq", expr("aggregate(skq, 0L, (a, x) -> a + x.cnt)"))
+        .select(col("l_returnflag"),
+          sketchEst("skq", "(nq - 1L) * 50 DIV 100 + 1L").as("median_qty_est"),
+          sketchEst("skq", "(nq - 1L) * 95 DIV 100 + 1L").as("p95_qty_est"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1093,6 +1122,34 @@ object Relational extends QueryModule {
          |  round(m99 / 100.0, 6) AS p99_price_est
          |FROM eq JOIN ep ON eq.l_returnflag = ep.l_returnflag
          |ORDER BY eq.l_returnflag""".stripMargin
+    },
+    "q_percentiles_rollup" -> {
+      // the Spark side sketches at (flag, status) grain then MERGES the
+      // summaries up to flag; bucket-count merge is associative addition,
+      // so the oracle buckets raw rows directly at the flag grain — any
+      // difference would mean the merge aggregate is wrong
+      def bexpr(v: String): String =
+        s"CASE WHEN $v < 1 THEN 0 WHEN $v < 32 THEN CAST($v AS INT) " +
+          s"ELSE CAST(length(bin($v)) * 16 + CAST(($v >> (length(bin($v)) - 5)) & 15 AS INT) AS INT) END"
+      val mid = "CASE WHEN b < 32 THEN CAST(b AS BIGINT) " +
+        "ELSE CAST(33 + 2 * (b % 16) AS BIGINT) << (b // 16 - 6) END"
+      s"""WITH v AS (
+         |  SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS vq
+         |  FROM lineitem
+         |), bq AS (
+         |  SELECT l_returnflag, ${bexpr("vq")} AS b, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2
+         |), cq AS (
+         |  SELECT l_returnflag, b,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM bq
+         |)
+         |SELECT l_returnflag,
+         |  round(min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN $mid END) / 100.0, 6) AS median_qty_est,
+         |  round(min(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1 THEN $mid END) / 100.0, 6) AS p95_qty_est
+         |FROM cq GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin
     },
     "q6_selective" ->
       """SELECT

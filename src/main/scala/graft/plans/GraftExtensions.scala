@@ -90,6 +90,16 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, s"graft_qsketch expects 1 argument, got ${args.length}")
         QuantileSketchAggregate(args(0))
+      }),
+    (new FunctionIdentifier("graft_qsketch_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_qsketch_merge",
+        "graft_qsketch_merge(sketch) - merge already-built graft_qsketch " +
+          "summaries (rollup without re-reading raw rows; bit-identical to " +
+          "sketching the union)"),
+      { args =>
+        require(args.length == 1,
+          s"graft_qsketch_merge expects 1 argument, got ${args.length}")
+        QuantileSketchMergeAggregate(args(0))
       }))
 
   /** Idempotently register the functions + the HOF→native rewrite on an

@@ -74,43 +74,13 @@ case class QuantileSketchAggregate(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    var n = 0
-    var i = 0
-    while (i < NumBuckets) { if (buf(i) != 0L) n += 1; i += 1 }
-    val rows = new Array[Any](n)
-    var j = 0
-    i = 0
-    while (i < NumBuckets) {
-      if (buf(i) != 0L) { rows(j) = InternalRow(i, buf(i)); j += 1 }
-      i += 1
-    }
-    new GenericArrayData(rows)
-  }
+  override def eval(buf: Array[Long]): Any = QuantileSketchAggregate.evalBuffer(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    var n = 0
-    var i = 0
-    while (i < NumBuckets) { if (buf(i) != 0L) n += 1; i += 1 }
-    out.writeInt(n)
-    i = 0
-    while (i < NumBuckets) {
-      if (buf(i) != 0L) { out.writeInt(i); out.writeLong(buf(i)) }
-      i += 1
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    QuantileSketchAggregate.serializeBuffer(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new Array[Long](NumBuckets)
-    val n = in.readInt()
-    var i = 0
-    while (i < n) { val b = in.readInt(); buf(b) = in.readLong(); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    QuantileSketchAggregate.deserializeBuffer(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAggregate =
     copy(mutableAggBufferOffset = newOffset)
@@ -149,4 +119,44 @@ object QuantileSketchAggregate {
       val s = b % 16
       (33L + 2L * s) << (bitLen - 6)
     }
+
+  // buffer codecs shared with graft_qsketch_merge (same state shape)
+
+  def evalBuffer(buf: Array[Long]): GenericArrayData = {
+    var n = 0
+    var i = 0
+    while (i < NumBuckets) { if (buf(i) != 0L) n += 1; i += 1 }
+    val rows = new Array[Any](n)
+    var j = 0
+    i = 0
+    while (i < NumBuckets) {
+      if (buf(i) != 0L) { rows(j) = InternalRow(i, buf(i)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def serializeBuffer(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var n = 0
+    var i = 0
+    while (i < NumBuckets) { if (buf(i) != 0L) n += 1; i += 1 }
+    out.writeInt(n)
+    i = 0
+    while (i < NumBuckets) {
+      if (buf(i) != 0L) { out.writeInt(i); out.writeLong(buf(i)) }
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserializeBuffer(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](NumBuckets)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { val b = in.readInt(); buf(b) = in.readLong(); i += 1 }
+    buf
+  }
 }

@@ -109,6 +109,26 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Windowed value-distribution sketch: graft_qsketch (the mergeable
+    * constant-state quantile sketch) per event-time window. The state
+    * store holds ONE ~8 KB bucket array per open window — the incremental
+    * form of the batch percentile report, and the shape a 100 TB stream
+    * needs (per-key state independent of event count; merge on state-store
+    * update is the same element-wise add as the batch partial aggregate).
+    * StreamingSpec pins exact batch parity through the shared aggregate.
+    */
+  def windowedValueSketch(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_qsketch",
+        expr("CAST(round(value * 100) AS BIGINT)")).as("value_sketch"))
+  }
+
   /** Exactly-once-style dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Pins the runtime skew defense the scale notes lean on (SCALE.md, LSH
+  * hot-bucket story): AQE detects a skewed shuffle partition at execution
+  * time and splits it, WITHOUT any query rewrite. Thresholds are lowered
+  * to make local-scale data trigger the same code path a 100 TB hot key
+  * would; confs are restored afterwards (shared session).
+  */
+class AqeSkewSpec extends SparkSuiteBase {
+  import spark.implicits._
+
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // a partition is "skewed" if > factor * median AND > threshold bytes;
+      // shrink both so the hot key below qualifies at test scale
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // force a shuffle join: broadcast would hide the skew path entirely
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      // 90% of fact rows share key 0 (the hot LSH band / hot join key
+      // shape). Payloads are md5-derived so shuffle blocks don't compress
+      // away beneath the skew threshold.
+      val fact = (0 until 40000).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (if (i % 10 == 0) (i % 97) + 1 else 0, h * 4)
+      }.toDF("k", "payload")
+      val dim = (0 to 98).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+      val joined = fact.join(dim, "k")
+      // collect() executes joined's OWN QueryExecution (count() would build
+      // and finalize a different one, leaving this plan un-adapted)
+      assert(joined.collect().length == 40000)
+
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val planText = finalPlan.toString
+      // the splitter marks the join and reader: SMJ prints "skew=true",
+      // the shuffle reader prints its skew-split partition specs
+      assert(planText.contains("skew=true"),
+        s"expected a skew-handled join in the final adaptive plan:\n$planText")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}

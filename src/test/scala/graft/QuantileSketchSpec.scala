@@ -54,6 +54,24 @@ class QuantileSketchSpec extends SparkSuiteBase {
     assert(sketch(1).toSeq == sketch(13).toSeq)
   }
 
+  test("merging fine-grain sketches is bit-identical to sketching raw (rollup contract)") {
+    val vals = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (round(col("l_quantity") * 100)).cast("long").as("v"))
+    def entries(df: org.apache.spark.sql.DataFrame): Map[String, Seq[(Int, Long)]] = df
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getInt(0), e.getLong(1))))
+      .toMap
+    val direct = entries(vals.groupBy(col("l_returnflag"))
+      .agg(call_function("graft_qsketch", col("v")).as("sk")))
+    val rolled = entries(vals.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(call_function("graft_qsketch", col("v")).as("sk_fine"))
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("graft_qsketch_merge", col("sk_fine")).as("sk")))
+    assert(direct == rolled)
+  }
+
   test("rank estimates stay within the 1/32 bound of exact percentiles") {
     val est = SparkEntry.queries("q_percentiles_sketch")(spark, sf0001)
       .collect().map(r => r.getString(0) ->

@@ -53,6 +53,43 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowedValueSketch: incremental state-store sketch equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = Seq(
+      Event(1, tsH(0, 5), 10, "click", 1.25),
+      Event(2, tsH(0, 15), 11, "click", 37.5),
+      Event(3, tsH(0, 45), 10, "buy", 250.0),
+      Event(4, tsH(0, 50), 12, "click", 0.75),
+      Event(5, tsH(1, 5), 12, "click", 9000.0),
+      Event(6, tsH(1, 30), 10, "click", 9999.99))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedValueSketch(stream.toDF())
+      .writeStream.format("memory").queryName("win_sketch")
+      .outputMode("complete").start()
+    try {
+      // split across three micro-batches: the final sketch per window is
+      // built by state-store merges, not one batch-local aggregation
+      stream.addData(events.take(2))
+      q.processAllAvailable()
+      stream.addData(events.slice(2, 4))
+      q.processAllAvailable()
+      stream.addData(events.drop(4))
+      q.processAllAvailable()
+
+      def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = df
+        .select(unix_micros(col("window.start")).as("ws"),
+          expr("transform(value_sketch, e -> struct(e.b, e.cnt))").as("sk"))
+        .collect().map(_.toSeq).toSet
+      val streamed = norm(spark.table("win_sketch"))
+      val batch = norm(EventStreams.windowedValueSketch(events.toDF()))
+      assert(streamed == batch)
+      assert(streamed.size == 2) // h0 and h1 windows
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts append mode: a window emits only once the watermark passes it, then is final") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
