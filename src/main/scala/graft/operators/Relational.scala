@@ -579,6 +579,25 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- one-pass table profiler: the pre-training lake health check
+    // (null rates, value ranges, key cardinalities) as ONE aggregation over
+    // one scan — the two COUNT(DISTINCT)s share a single Expand pass (same
+    // machinery q_multi_distinct pins), so profiling 100 TB costs one read,
+    // not one job per column. ----
+    "q_profile" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        countDistinct(col("l_returnflag")).as("flag_n_distinct"),
+        countDistinct(col("l_orderkey")).as("orderkey_n_distinct"),
+        min(to_date(col("l_shipdate"))).cast("string").as("shipdate_min"),
+        max(to_date(col("l_shipdate"))).cast("string").as("shipdate_max"))
+    }),
+
     // ---- scalar subquery: orders above the global average price. The
     // aggregate is a 1-row broadcast; the comparison runs in exact decimal
     // (price·count > total) so both engines decide identically. ----
@@ -1123,6 +1142,18 @@ object Relational extends QueryModule {
          |FROM eq JOIN ep ON eq.l_returnflag = ep.l_returnflag
          |ORDER BY eq.l_returnflag""".stripMargin
     },
+    "q_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  min(l_extendedprice) AS price_min,
+        |  max(l_extendedprice) AS price_max,
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS flag_n_distinct,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orderkey_n_distinct,
+        |  CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS shipdate_min,
+        |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS shipdate_max
+        |FROM lineitem""".stripMargin,
     "q_percentiles_rollup" -> {
       // the Spark side sketches at (flag, status) grain then MERGES the
       // summaries up to flag; bucket-count merge is associative addition,
