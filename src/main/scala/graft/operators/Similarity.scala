@@ -240,9 +240,64 @@ object Similarity extends QueryModule {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label"), col("cos_sim"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- int8 symmetric quantization of the embedding lake: per vector,
+    // scale = max|x| and q_i = floor(x_i·127/scale + 0.5) — the standard
+    // 4× shrink before ANN (int8 SIMD distance, quarter the scan bytes).
+    // A narrow shuffle-free projection. Portability: max over elements is
+    // order-independent and exact; the quantize expression is the same
+    // IEEE op sequence on both engines; floor(x + 0.5) instead of round()
+    // because half-up vs half-away conventions differ on NEGATIVE halves.
+    // The output pins the full quantization via integer-exact digests
+    // (q_sum/q_min/q_max) + the reconstruction-error bound, without
+    // hash-comparing raw arrays. Zero vectors quantize to all-zero
+    // (guarded identically in the oracle) instead of Inf/ANSI-cast crash. ----
+    "sim_quantize_int8" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("scale",
+          expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+        .withColumn("qv", expr(
+          """IF(scale = 0.0D,
+            |  transform(embedding, v -> 0L),
+            |  transform(embedding, v ->
+            |    CAST(floor(CAST(v AS DOUBLE) * CAST(127 AS DOUBLE) / scale + 0.5D) AS BIGINT)))"""
+            .stripMargin))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(qv, 0L, (a, v) -> a + v)").as("q_sum"),
+          expr("CAST(array_min(qv) AS BIGINT)").as("q_min"),
+          expr("CAST(array_max(qv) AS BIGINT)").as("q_max"),
+          expr(
+            """round(array_max(zip_with(embedding, qv, (x, q) ->
+              |  abs(CAST(x AS DOUBLE) - (CAST(q AS DOUBLE) * scale) / CAST(127 AS DOUBLE)))), 6)"""
+              .stripMargin).as("max_err"))
+        .orderBy(col("vec_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS scale
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding, v ->
+        |           CAST(floor(CAST(v AS DOUBLE) * CAST(127 AS DOUBLE) / scale + 0.5) AS BIGINT))
+        |    END AS qv,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  round(scale, 6) AS scale_r,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, v) -> a + v) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  round(list_max(list_transform(range(1, len(qv) + 1), i ->
+        |    abs(xd[i] - (CAST(qv[i] AS DOUBLE) * scale) / CAST(127 AS DOUBLE)))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim

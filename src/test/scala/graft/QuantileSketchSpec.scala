@@ -72,6 +72,32 @@ class QuantileSketchSpec extends SparkSuiteBase {
     assert(direct == rolled)
   }
 
+  test("sketch summaries survive a parquet round-trip and still merge exactly") {
+    // the persist-at-ingest shape: fine-grain sketches written to the lake,
+    // read back later, rolled up — never touching raw rows again
+    val vals = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (round(col("l_quantity") * 100)).cast("long").as("v"))
+    val fine = vals.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(call_function("graft_qsketch", col("v")).as("sk_fine"))
+    val dir = tmpDir("qsketch_lake") + "/sketches"
+    fine.write.parquet(dir)
+    val rolled = spark.read.parquet(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("graft_qsketch_merge", col("sk_fine")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getInt(0), e.getLong(1))))
+      .toMap
+    val direct = vals.groupBy(col("l_returnflag"))
+      .agg(call_function("graft_qsketch", col("v")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getInt(0), e.getLong(1))))
+      .toMap
+    assert(rolled == direct)
+  }
+
   test("rank estimates stay within the 1/32 bound of exact percentiles") {
     val est = SparkEntry.queries("q_percentiles_sketch")(spark, sf0001)
       .collect().map(r => r.getString(0) ->

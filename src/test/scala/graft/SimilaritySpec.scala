@@ -41,4 +41,17 @@ class SimilaritySpec extends SparkSuiteBase {
       "row-id sharding should miss every cross-shard planted pair — " +
         "if this starts passing the planted ids no longer straddle shards")
   }
+
+  test("int8 quantization: codes bounded, reconstruction error within half a step") {
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (scale, qMin, qMax, maxErr) =
+        (r.getDouble(1), r.getLong(3), r.getLong(4), r.getDouble(5))
+      // floor(x·127/scale + 0.5) with |x| <= scale keeps codes in [-127, 127]
+      assert(qMin >= -127L && qMax <= 127L, s"codes out of range: $r")
+      // symmetric quantization error bound: half a quantization step
+      assert(maxErr <= scale / 127.0 / 2.0 + 1e-6, s"error above half-step: $r")
+    }
+  }
 }
