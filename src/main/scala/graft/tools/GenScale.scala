@@ -26,24 +26,34 @@ import org.apache.spark.sql.functions._
   *    structure replicates per copy; hyperplane/query-vector conventions
   *    (vec_id 0..8) exist only in copy 0, as sim_* queries expect.
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> <factor>
+  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> <factor> [--grow-blocks]
   * (the output is THROWAWAY smoke input — never checked against the
   * oracle, which is why synthetic-copy data is acceptable here; see
   * SCALE.md "measured at sf1").
+  *
+  * `--grow-blocks` additionally grows the BLOCK-KEY value spaces with the
+  * copy index (documents.source gets a per-copy suffix; embeddings.label
+  * shifts by copy·10) — modeling a real lake, where key cardinality grows
+  * with the data and per-block membership stays bounded. Without it the
+  * fixture's fixed label/source spaces make block density grow with SF —
+  * the deliberately-pessimistic default SCALE.md's sf1 table uses.
   */
 object GenScale {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenScale <srcDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
-    val factor = factorS.toInt
+    require(args.length >= 3, "usage: GenScale <srcDir> <outDir> <factor> [--grow-blocks]")
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    val growBlocks = args.drop(3).contains("--grow-blocks")
     val spark = Sessions.fromEnv()
     spark.sparkContext.setLogLevel("ERROR")
-    scaleAll(spark, src, out, factor)
+    scaleAll(spark, src, out, factor, growBlocks)
     spark.stop()
   }
 
-  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int,
+      growBlocks: Boolean = false): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -86,9 +96,13 @@ object GenScale {
         if (i == 0) col("text")
         else expr(s"concat_ws(' ', transform(split(text, ' '), " +
           s"(w, j) -> IF(j % 3 = 0, concat(w, '_$i'), w)))")
+      val srcCol =
+        if (growBlocks && i > 0) concat(col("source"), lit(s"_$i"))
+        else col("source")
       d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
         .withColumn("text", txt)
         .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", srcCol)
     }), "documents")
 
     val emb = read("embeddings")
@@ -98,8 +112,12 @@ object GenScale {
         if (i == 0) col("embedding")
         else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
           s"slice(embedding, 1, $i))")
+      val labelCol =
+        if (growBlocks && i > 0) col("label") + lit(i * 10)
+        else col("label")
       d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
         .withColumn("embedding", rot)
+        .withColumn("label", labelCol)
     }), "embeddings")
   }
 }
