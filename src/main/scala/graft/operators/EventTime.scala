@@ -394,6 +394,28 @@ object EventTime extends QueryModule {
           max(col("cents")).as("max_cents"))
         .orderBy(col("event_type"))
     }),
+    // ---- per-type value percentiles via the mergeable constant-state
+    // sketch (graft_qsketch) — the ops/report query every event stream
+    // grows ("p95 purchase value by type"), here in its batch form; the
+    // streaming twin is EventStreams.windowedValueSketch. ~8 KB state per
+    // event_type regardless of event count; same integer rank walk (and
+    // oracle) family as q_percentiles_sketch. ----
+    "evt_value_sketch" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          call_function("graft_qsketch", col("cents")).as("sk"))
+        .select(col("event_type"), col("n_events"),
+          Relational.sketchEst("sk", "(n_events - 1L) * 50 DIV 100 + 1L")
+            .as("median_value_est"),
+          Relational.sketchEst("sk", "(n_events - 1L) * 95 DIV 100 + 1L")
+            .as("p95_value_est"))
+        .orderBy(col("event_type"))
+    }),
     "evt_click_attribution" -> ((s, d) => clickAttribution(s, d)),
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
@@ -432,6 +454,31 @@ object EventTime extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_value_sketch" -> {
+      // identical integer log-linear bucket map + rank walk as the
+      // q_percentiles_sketch oracle (see Relational), over event values
+      val b = "CASE WHEN cents < 1 THEN 0 WHEN cents < 32 THEN CAST(cents AS INT) " +
+        "ELSE CAST(length(bin(cents)) * 16 + CAST((cents >> (length(bin(cents)) - 5)) & 15 AS INT) AS INT) END"
+      val mid = "CASE WHEN b < 32 THEN CAST(b AS BIGINT) " +
+        "ELSE CAST(33 + 2 * (b % 16) AS BIGINT) << (b // 16 - 6) END"
+      s"""WITH v AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+         |), bq AS (
+         |  SELECT event_type, $b AS b, count(*) AS cnt
+         |  FROM v GROUP BY 1, 2
+         |), cq AS (
+         |  SELECT event_type, b,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM bq
+         |)
+         |SELECT event_type,
+         |  CAST(min(n) AS BIGINT) AS n_events,
+         |  round(min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN $mid END) / 100.0, 6) AS median_value_est,
+         |  round(min(CASE WHEN cum >= ((n - 1) * 95) // 100 + 1 THEN $mid END) / 100.0, 6) AS p95_value_est
+         |FROM cq GROUP BY event_type
+         |ORDER BY event_type""".stripMargin
+    },
     "evt_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id

@@ -55,7 +55,7 @@ object Relational extends QueryModule {
     * 16L + s), in value units (cents / 100). All integer arithmetic — the
     * DuckDB oracles run the identical walk as a window cumsum.
     */
-  private def sketchEst(sk: String, r: String): Column = expr(
+  private[operators] def sketchEst(sk: String, r: String): Column = expr(
     s"""round(aggregate($sk,
        |  named_struct('cum', 0L, 'mid', -1L),
        |  (a, x) -> named_struct(
