@@ -68,6 +68,46 @@ object Relational extends QueryModule {
        |        -1L))),
        |  a -> a.mid) / 100.0D, 6)""".stripMargin)
 
+  /** HLL estimate over a graft_hll register set (`ARRAY<STRUCT<b,r>>`):
+    * S = Σ 2^(53−r) over all 256 registers (absent ⇒ r=0 ⇒ 2^53; max
+    * 256·2^53 = 2^61, no overflow), est = α·m²·2^53/S with α spelled as
+    * the same IEEE expression both engines evaluate identically. Integer
+    * walk + one double division — no libm, so the oracle hashes the
+    * ESTIMATE itself (see [[graft.plans.HllAggregate]]).
+    */
+  private[graft] def hllEst(sk: String): Column = {
+    val s = expr(s"aggregate($sk, 0L, (a, x) -> a + shiftleft(1L, 53 - x.r))") +
+      (lit(256L) - size(col(sk)).cast("long")) * lit(9007199254740992L)
+    round(
+      (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+        lit(65536.0) * lit(9007199254740992.0) / s.cast("double"), 4)
+  }
+
+  /** DuckDB twin of the graft_hll register walk + [[hllEst]] estimate:
+    * bucket = low 8 hash bits, rho = 53 − bit_length(h >> 8) via the
+    * length of `bin()` (zero lane ⇒ 53), register = max(rho) per bucket,
+    * then the same integer S-sum and IEEE α·m²·2^53/S division. Literals
+    * are CAST to DOUBLE because DuckDB parses decimal literals as DECIMAL.
+    */
+  private val hllOracle: String =
+    """WITH hashed AS (
+      |  SELECT event_type,
+      |    try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events WHERE user_id IS NOT NULL
+      |), regs AS (
+      |  SELECT event_type, h & 255 AS b,
+      |    max(CASE WHEN h >> 8 = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS r
+      |  FROM hashed GROUP BY event_type, h & 255
+      |), agg AS (
+      |  SELECT event_type, count(*) AS n_regs,
+      |    sum(1::BIGINT << (53 - r)) + (256 - count(*)) * (1::BIGINT << 53) AS s
+      |  FROM regs GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n_regs AS BIGINT) AS n_regs,
+      |  round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+      |    * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(s AS DOUBLE), 4) AS est_distinct
+      |FROM agg ORDER BY event_type""".stripMargin
+
   /** Revenue term in 1e-4 units: cents × (100 − disc_pct), summed wide. */
   private def revenueCents(price: Column, disc: Column): Column =
     sum(wide(cents(price) * (lit(100L) - cents(disc)))).cast("double") / 10000.0
@@ -450,6 +490,50 @@ object Relational extends QueryModule {
           est(col("ku")).as("est_union"))
         .withColumn("est_overlap",
           round(col("est_click") + col("est_view") - col("est_union"), 6))
+    }),
+
+    // ---- HLL distinct-count sketch: CONSTANT 256-byte register state per
+    // group (p=8, ~6.5% error at any cardinality), vs KMV's k·16 bytes and
+    // COUNT(DISTINCT)'s full distinct-key shuffle. Registers are integer
+    // bit-arithmetic over the same deterministic md5 hash as the KMV
+    // sketch, so — unlike library HLLs — the estimate itself is
+    // bit-reproducible and oracle-hashed. No linear-counting small-range
+    // correction in checked columns (needs ln(); libm isn't bit-portable):
+    // n_regs is emitted so a consumer can apply it. ----
+    "q_hll_distinct" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          graft.functions.TextFunctions.md5Bits(col("user_id").cast("string"), 15).as("h"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_hll", col("h")).as("sk"))
+        .select(col("event_type"),
+          size(col("sk")).cast("bigint").as("n_regs"),
+          hllEst("sk").as("est_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- the re-aggregation half of the HLL contract (same shape as
+    // q_percentiles_rollup): build per-(type, day) register sets — the
+    // persisted per-partition summaries a 100 TB lake would keep — then
+    // answer the per-type question by graft_hll_merge over the ~256-byte
+    // summaries, never re-reading raw rows. Register union is element-wise
+    // max, so the rollup is bit-identical to sketching raw per type, which
+    // is exactly what the oracle checks (its SQL buckets raw straight to
+    // the type grain). ----
+    "q_hll_rollup" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          graft.functions.TextFunctions.md5Bits(col("user_id").cast("string"), 15).as("h"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(call_function("graft_hll", col("h")).as("sk_fine"))
+        .groupBy(col("event_type"))
+        .agg(call_function("graft_hll_merge", col("sk_fine")).as("sk"))
+        .select(col("event_type"),
+          size(col("sk")).cast("bigint").as("n_regs"),
+          hllEst("sk").as("est_distinct"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- approximate percentiles via a deterministic bottom-k-by-hash
@@ -1018,6 +1102,10 @@ object Relational extends QueryModule {
         |SELECT event_type, n_kept,
         |  round(CAST(n_kept - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth AS DOUBLE), 6) AS est_distinct
         |FROM kept ORDER BY event_type""".stripMargin,
+    // one oracle serves both: register union is element-wise max, so the
+    // per-(type,day)→type rollup is bit-identical to sketching per type
+    "q_hll_distinct" -> hllOracle,
+    "q_hll_rollup" -> hllOracle,
     "q_kmv_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT event_type,

@@ -461,9 +461,44 @@ object TextAnalysis extends QueryModule {
         .filter(col("rk") <= 3)
         .select(col("lang"), col("bigram"), col("n"), col("rk").cast("bigint").as("rk"))
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    // ---- heavy hitters (tokens with frequency > n/(k+1)) via the two-pass
+    // Misra–Gries pattern: pass 1 is graft_mgsketch (bounded k=32-counter
+    // summary, map-side partials cap at k entries — the full-vocab groupBy
+    // this replaces shuffles every distinct token, at 100 TB trillions of
+    // skewed keys); pass 2 exactly counts ONLY the ≤ k candidates (broadcast
+    // join, build side ≤ k rows) and keeps those with exact count
+    // > n/(k+1). The MG superset guarantee (every such item IS a candidate,
+    // any arrival order) makes the output exact and deterministic even
+    // though the intermediate summary is not — which is why the oracle can
+    // be plain exact SQL. ----
+    "txt_heavy_hitters" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val sk = toks.agg(
+        call_function("graft_mgsketch", col("word"), lit(32)).as("cand"),
+        count(lit(1)).as("n"))
+      val cands = sk
+        .select(explode(col("cand")).as("c"), col("n"))
+        .select(col("c").getField("token").as("word"), col("n"))
+      toks.join(broadcast(cands), "word")
+        .groupBy(col("word"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 33L > col("n"))
+        .select(col("word"), col("cnt"))
+        .orderBy(col("word"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), tot AS (SELECT count(*) AS n FROM toks
+        |), c AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word)
+        |SELECT word, CAST(cnt AS BIGINT) AS cnt
+        |FROM c, tot WHERE cnt * 33 > n ORDER BY word""".stripMargin,
     "txt_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -100,6 +100,37 @@ object GraftExtensions {
         require(args.length == 1,
           s"graft_qsketch_merge expects 1 argument, got ${args.length}")
         QuantileSketchMergeAggregate(args(0))
+      }),
+    (new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hll",
+        "graft_hll(hash) - HyperLogLog registers (p=8, constant 256B state) " +
+          "over a 60-bit md5-derived hash, ARRAY<STRUCT<b,r>> ASC by bucket"),
+      { args =>
+        require(args.length == 1, s"graft_hll expects 1 argument, got ${args.length}")
+        HllAggregate(args(0))
+      }),
+    (new FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_hll_merge",
+        "graft_hll_merge(sketch) - element-wise-max union of graft_hll " +
+          "register sets (rollup without re-reading raw rows; bit-identical " +
+          "to sketching the union)"),
+      { args =>
+        require(args.length == 1,
+          s"graft_hll_merge expects 1 argument, got ${args.length}")
+        HllMergeAggregate(args(0))
+      }),
+    (new FunctionIdentifier("graft_mgsketch"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_mgsketch",
+        "graft_mgsketch(item, k) - Misra-Gries heavy-hitters summary, at " +
+          "most k counters; every item with frequency > n/(k+1) is present"),
+      { args =>
+        require(args.length == 2, s"graft_mgsketch expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) if v > 0 => v
+          case other => throw new IllegalArgumentException(
+            s"graft_mgsketch k must be a positive INT literal, got $other")
+        }
+        MisraGriesAggregate(args(0), k)
       }))
 
   /** Idempotently register the functions + the HOF→native rewrite on an
