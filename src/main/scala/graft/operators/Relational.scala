@@ -682,6 +682,23 @@ object Relational extends QueryModule {
         max(to_date(col("l_shipdate"))).cast("string").as("shipdate_max"))
     }),
 
+    // ---- PII anonymization (training-data release prep): the three
+    // standard primitives in one narrow projection — pseudonymization
+    // (stable md5 surrogate key, so joins still work across releases),
+    // masking (digits of the natural identifier), and generalization
+    // (balance coarsened to 1000-unit buckets, k-anonymity style). Zero
+    // shuffles, one codegen'd scan→project stage at any scale. ----
+    "q_pii_mask" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          concat(lit("cust_"), substring(md5(col("c_name").cast("binary")), 1, 12))
+            .as("pseudonym"),
+          regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+          (floor(col("c_acctbal") / 1000.0).cast("bigint") * 1000).as("bal_bucket"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- scalar subquery: orders above the global average price. The
     // aggregate is a 1-row broadcast; the comparison runs in exact decimal
     // (price·count > total) so both engines decide identically. ----
@@ -1106,6 +1123,13 @@ object Relational extends QueryModule {
     // per-(type,day)→type rollup is bit-identical to sketching per type
     "q_hll_distinct" -> hllOracle,
     "q_hll_rollup" -> hllOracle,
+    "q_pii_mask" ->
+      """SELECT c_custkey,
+        |  'cust_' || substr(md5(c_name), 1, 12) AS pseudonym,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS bal_bucket,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_kmv_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT event_type,

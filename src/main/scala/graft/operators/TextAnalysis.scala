@@ -62,6 +62,37 @@ object TextAnalysis extends QueryModule {
         countDistinct(col("bench_id")).as("n_bench_docs"))
       .orderBy(col("doc_id"))
 
+  /** Body of txt_boilerplate_scrub, on any (doc_id, text) frame: segment
+    * into 5-word windows, drop every segment whose text occurs in more
+    * than one distinct document, reassemble in order, fingerprint. Docs
+    * whose every segment is boilerplate survive with n_kept = 0 and the
+    * fingerprint of the empty string (PlanPolicySpec pins the edge).
+    */
+  def scrubBoilerplate(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(floor((size(w) - 1) / 5) AS INT)), " +
+          "i -> named_struct('idx', CAST(i AS BIGINT), " +
+          "'seg', concat_ws(' ', slice(w, i * 5 + 1, 5))))")).as("s"))
+      .select(col("doc_id"), col("s.idx").as("idx"), col("s.seg").as("seg"),
+        md5(col("s.seg").cast("binary")).as("h"))
+    val docFreq = segs.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = segs.join(docFreq, "h").filter(col("df") === 1)
+    val re = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr(
+        "transform(array_sort(collect_list(named_struct('idx', idx, 'seg', seg))), x -> x.seg)"
+      ), " ").as("scrubbed"))
+    val tot = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    docs.select(col("doc_id")).join(tot, "doc_id").join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("scrubbed"), lit("")).cast("binary")).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- quality scoring: length / word / type-token stats ----
     "txt_stats" -> ((s, d) => {
@@ -473,6 +504,35 @@ object TextAnalysis extends QueryModule {
     // any arrival order) makes the output exact and deterministic even
     // though the intermediate summary is not — which is why the oracle can
     // be plain exact SQL. ----
+    // ---- cross-document boilerplate scrub (the C4/CCNet line-dedup rule,
+    // over 5-word segments since the corpus has no newlines): drop every
+    // segment whose text appears in MORE than one distinct document, keep
+    // the survivors in order. The doc-frequency aggregate and the join
+    // back are keyed on md5(seg) — 32-byte keys, never the segment text —
+    // so at 100 TB the shuffle carries hashes while the text rides only
+    // the narrow per-doc reassembly. Output carries an md5 fingerprint of
+    // the scrubbed text, not the text itself (narrow result at any SF). ----
+    "txt_boilerplate_scrub" -> ((s, d) =>
+      scrubBoilerplate(Tables.documents(s, d))),
+
+    // ---- sliding-window chunking (training-sequence prep): 32-token
+    // chunks at stride 24 (8-token overlap), per-doc. Pure explode +
+    // slice — zero shuffles, one codegen stage; chunk count grows with
+    // corpus volume, never with corpus count, so the plan is identical at
+    // 100 TB. Tail chunks shorter than the stride are kept (n_tokens says
+    // how short). ----
+    "txt_chunk_overlap" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).as("nw"), col("w"),
+          explode(expr("sequence(0, size(w) - 1, 24)")).as("start"))
+        .select(col("doc_id"),
+          expr("start DIV 24").cast("bigint").as("chunk_idx"),
+          least(lit(32), col("nw") - col("start")).cast("bigint").as("n_tokens"),
+          expr("concat_ws(' ', slice(w, start + 1, 32))").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "txt_heavy_hitters" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
       val toks = Tables.documents(s, d)
@@ -492,6 +552,34 @@ object TextAnalysis extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_boilerplate_scrub" ->
+      """WITH segs AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[i*5+1 : i*5+5], ' ') AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       UNNEST(generate_series(0, CAST(floor((len(w) - 1) / 5) AS INT))) AS t(i)
+        |), docfreq AS (
+        |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        |), kept AS (
+        |  SELECT s.doc_id, s.idx, s.seg FROM segs s JOIN docfreq USING (seg) WHERE df = 1
+        |), re AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY idx) AS scrubbed
+        |  FROM kept GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, t.n_segs, coalesce(re.n_kept, 0) AS n_kept,
+        |  md5(coalesce(re.scrubbed, '')) AS scrubbed_fp
+        |FROM documents d JOIN tot t USING (doc_id) LEFT JOIN re USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "txt_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(least(32, len(w) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start+1 : start+32], ' ') AS chunk
+        |FROM w, UNNEST(generate_series(0, len(w) - 1, 24)) AS t(start)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "txt_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -96,4 +96,36 @@ class PlanPolicySpec extends SparkSuiteBase {
       "the shuffle is paid once per session at write time")
     assert(r1 == r2)
   }
+
+  test("txt_chunk_overlap and q_pii_mask: zero Exchange (pure scan→project stages)") {
+    for (q <- Seq(
+        TextAnalysis.queries("txt_chunk_overlap")(spark, sf0001),
+        Relational.queries("q_pii_mask")(spark, sf0001))) {
+      // the only allowed exchange is the final presentation sort's range
+      // partitioning — nothing upstream may shuffle
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"per-row transform must not hash-shuffle:\n$plan")
+    }
+  }
+
+  test("txt_boilerplate_scrub: doc-frequency agg keyed on md5, not segment text") {
+    val plan = TextAnalysis.queries("txt_boilerplate_scrub")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the join back to segments binds on the hash column; the aggregate
+    // that counts doc-frequency groups on it too
+    assert(plan.contains("md5("), s"expected md5 segment keys in:\n$plan")
+  }
+
+  test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e unique tail words here now"),
+      (2L, "a b c d e"), // exactly the shared segment, nothing else
+      (3L, "a b c d e")  // its duplicate — both scrub to empty
+    ).toDF("doc_id", "text")
+    val segs = TextAnalysis.scrubBoilerplate(docs)
+    val got = segs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 1L, 0L), (3L, 1L, 0L)))
+  }
 }
