@@ -339,6 +339,88 @@ object Dedup extends QueryModule {
           (greatest(col("cont_a"), col("cont_b")) >= 0.8).as("near_subset"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- INCREMENTAL dedup — the daily-ingest shape: a small new batch
+    // (doc_id % 10 = 0 stands in for today's arrivals) is deduped AGAINST
+    // the existing corpus without ever pairing corpus×corpus. Band keys
+    // are computed per side and equi-joined (band_idx, bkey) — the join is
+    // new-batch-sized on one side, so at 100 TB the candidate work scales
+    // with the INGEST, not the lake; in production the corpus band table
+    // is a persisted index, not recomputed (signatures are per-doc, so
+    // appending today's bands maintains it). Exact-Jaccard verify is the
+    // same bounded co-grouped counting as dedup_verify_candidates; the
+    // best corpus match per new doc is a rank-1 window (WindowGroupLimit
+    // pushdown) with a deterministic (jaccard DESC, doc_old ASC) tiebreak. ----
+    "dedup_incremental" -> ((s, d) => {
+      val sh = shingles(s, d).cache()
+      val isNew = col("doc_id") % 10 === 0
+      val shNew = sh.filter(isNew)
+      val shOld = sh.filter(!isNew)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pairs = bandKeys(minhashSigFrom(shNew)).as("a")
+        .join(bandKeys(minhashSigFrom(shOld)).as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+        .distinct()
+      val common = pairs
+        .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), Seq("doc_new"))
+        .join(shOld.select(col("doc_id").as("doc_old"), col("shingle")),
+          Seq("doc_old", "shingle"))
+        .groupBy(col("doc_new"), col("doc_old"))
+        .agg(count(lit(1)).as("n_common"))
+      val scored = common
+        .join(sizes.select(col("doc_id").as("doc_new"), col("n_sh").as("n_a")), "doc_new")
+        .join(sizes.select(col("doc_id").as("doc_old"), col("n_sh").as("n_b")), "doc_old")
+        .withColumn("jaccard",
+          round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6))
+        .filter(col("jaccard") >= 0.5)
+      val best = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_new")).orderBy(desc("jaccard"), col("doc_old"))
+      scored
+        .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+        .select(col("doc_new"), col("doc_old").as("dup_of"), col("n_common"), col("jaccard"))
+        .orderBy(col("doc_new"))
+    }),
+
+    // ---- Bloom-filter ingest prefilter: does a new-batch document share
+    // any 5-word segment with the existing corpus? The corpus side is
+    // compressed to ONE 4 KB graft_bloom bitmap (bitwise-OR mergeable, so
+    // per-day/per-partition filters union into it without re-reading
+    // keys); the batch side probes it as a broadcast — at 100 TB the
+    // ingest job ships a filter, never joins the lake. Per batch doc:
+    // total segments, segments hitting the bloom, and the exact count via
+    // a real (distinct-key) join — n_bloom_hits >= n_true_hits always
+    // (no false negatives), the surplus IS the measured FP rate the
+    // BloomSpec bounds. Probes and bitmap are pure integer bit arithmetic
+    // on the md5 hash, so the oracle reconstructs both exactly. ----
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(floor((size(w) - 1) / 5) AS INT)), " +
+            "i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))")).as("seg"))
+        .withColumn("h", graft.functions.TextFunctions.md5Bits(col("seg"), 15))
+      val corpus = segs.filter(col("doc_id") % 10 =!= 0)
+      val batch = segs.filter(col("doc_id") % 10 === 0)
+      val bloom = corpus.agg(call_function("graft_bloom", col("h")).as("bloom"))
+      val corpusKeys = corpus.select(col("h")).distinct()
+        .withColumn("tru", lit(true))
+      val hit = expr(
+        """forall(sequence(0, 3), i ->
+          |  ((shiftright(element_at(bloom,
+          |      CAST(((shiftright(h, 15 * i) & 32767) DIV 64) AS INT) + 1),
+          |    CAST(((shiftright(h, 15 * i) & 32767) % 64) AS INT)) & 1) = 1))""".stripMargin)
+      batch.crossJoin(broadcast(bloom))
+        .join(corpusKeys, Seq("h"), "left")
+        .select(col("doc_id"), hit.as("bloom_hit"),
+          coalesce(col("tru"), lit(false)).as("true_hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("true_hit"), 1L).otherwise(0L)).as("n_true_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- duplicate clusters: LSH candidate pairs -> connected components
     // -> canonical keeper (min doc_id). Iterative min-label propagation:
     // each round every node takes the min label among itself and its
@@ -515,6 +597,52 @@ object Dedup extends QueryModule {
            |JOIN sets sa ON sa.doc_id = doc_a
            |JOIN sets sb ON sb.doc_id = doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_bloom_prefilter" ->
+        """WITH segs AS (
+          |  SELECT doc_id,
+          |    try_cast('0x' || substr(md5(
+          |      array_to_string(w[i*5+1 : i*5+5], ' ')), 1, 15) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |       UNNEST(generate_series(0, CAST(floor((len(w) - 1) / 5) AS INT))) AS t(i)
+          |), corpus_bits AS (
+          |  SELECT DISTINCT ((h >> (15 * i)) & 32767) AS p
+          |  FROM segs, UNNEST([0, 1, 2, 3]) AS l(i) WHERE doc_id % 10 <> 0
+          |), probe AS (
+          |  SELECT doc_id,
+          |    (((h >> 0) & 32767) IN (SELECT p FROM corpus_bits))
+          |      AND (((h >> 15) & 32767) IN (SELECT p FROM corpus_bits))
+          |      AND (((h >> 30) & 32767) IN (SELECT p FROM corpus_bits))
+          |      AND (((h >> 45) & 32767) IN (SELECT p FROM corpus_bits)) AS bloom_hit,
+          |    h IN (SELECT h FROM segs WHERE doc_id % 10 <> 0) AS true_hit
+          |  FROM segs WHERE doc_id % 10 = 0
+          |)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+          |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+          |  CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
+          |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "dedup_incremental" ->
+        s"""$sigCte$bandsCte, cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+           |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           |), sets AS (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |), scored AS (
+           |  SELECT doc_new, doc_old,
+           |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS n_common,
+           |    round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |      / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard
+           |  FROM cand
+           |  JOIN sets sa ON sa.doc_id = doc_new
+           |  JOIN sets sb ON sb.doc_id = doc_old
+           |)
+           |SELECT doc_new, doc_old AS dup_of, n_common, jaccard FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY doc_new ORDER BY jaccard DESC, doc_old) AS rn
+           |  FROM scored WHERE jaccard >= 0.5)
+           |WHERE rn = 1 ORDER BY doc_new""".stripMargin,
       "dedup_clusters" ->
         s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -119,6 +119,14 @@ object GraftExtensions {
           s"graft_hll_merge expects 1 argument, got ${args.length}")
         HllMergeAggregate(args(0))
       }),
+    (new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_bloom",
+        "graft_bloom(hash) - 32768-bit Bloom filter (the four 15-bit lanes " +
+          "of a 60-bit md5 hash) as ARRAY<BIGINT>[512]; merge is bitwise OR"),
+      { args =>
+        require(args.length == 1, s"graft_bloom expects 1 argument, got ${args.length}")
+        BloomAggregate(args(0))
+      }),
     (new FunctionIdentifier("graft_mgsketch"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_mgsketch",
         "graft_mgsketch(item, k) - Misra-Gries heavy-hitters summary, at " +

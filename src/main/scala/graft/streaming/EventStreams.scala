@@ -129,6 +129,28 @@ object EventStreams {
         expr("CAST(round(value * 100) AS BIGINT)")).as("value_sketch"))
   }
 
+  /** Per-window distinct-user HLL: the streaming twin of q_hll_distinct.
+    * One graft_hll register set (constant 256 B) per open window in the
+    * state store — vs streaming COUNT(DISTINCT)'s per-key state that grows
+    * with the number of distinct users inside the window. Register merge
+    * is element-wise max (commutative, associative, idempotent), so the
+    * micro-batch fold equals one batch aggregation bit-for-bit
+    * (StreamingSpec pins the parity), and the emitted register sets roll
+    * up further with graft_hll_merge downstream.
+    */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_hll",
+        graft.functions.TextFunctions.md5Bits(col("user_id").cast("string"), 15))
+        .as("user_sketch"))
+  }
+
   /** Exactly-once-style dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events

@@ -90,6 +90,36 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers: HLL registers built across micro-batches equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = (1 to 40).map(i =>
+      Event(i, tsH(i % 2, i % 55), 100 + i % 7, "click", i.toDouble))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedDistinctUsers(stream.toDF())
+      .writeStream.format("memory").queryName("win_hll")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(15))
+      q.processAllAvailable()
+      stream.addData(events.slice(15, 30))
+      q.processAllAvailable()
+      stream.addData(events.drop(30))
+      q.processAllAvailable()
+
+      def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = df
+        .select(unix_micros(col("window.start")).as("ws"),
+          expr("transform(user_sketch, e -> struct(e.b, e.r))").as("sk"))
+        .collect().map(_.toSeq).toSet
+      val streamed = norm(spark.table("win_hll"))
+      val batch = norm(EventStreams.windowedDistinctUsers(events.toDF()))
+      assert(streamed == batch)
+      assert(streamed.size == 2) // h0 and h1 windows
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts append mode: a window emits only once the watermark passes it, then is final") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
