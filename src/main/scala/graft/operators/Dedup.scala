@@ -198,6 +198,84 @@ object Dedup extends QueryModule {
     (labels.select(col("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the alternative to [[connectedComponentsWithRounds]]'s
+    * label propagation + pointer jumping, kept because the two have
+    * different per-round cost shapes at 100 TB:
+    *
+    *  - label propagation carries a (node, label) pair per node per round
+    *    PLUS the full static adjacency through every round — per-round
+    *    shuffle is O(V + E) with E fixed;
+    *  - star rounds rewrite THE EDGE SET itself: large-star hangs every
+    *    node's larger neighbors off its local minimum, small-star its
+    *    smaller ones, so high-degree stars flatten immediately and the
+    *    edge set contracts toward one star per component — per-round
+    *    shuffle is O(current edges), which SHRINKS as components collapse.
+    *
+    * On near-clique duplicate clusters (the LSH graph here) both converge
+    * in 2-3 rounds; on long chains/expander-ish graphs the star form's
+    * contracting edge set wins the shuffle-volume race. ComponentsSpec
+    * pins label equality between the two on chains, cliques, forests and
+    * random graphs.
+    *
+    * Round = one large-star + one small-star pass; converges when the
+    * canonical edge set is stable (then edges are exactly (component min,
+    * member) stars and labels read off directly).
+    */
+  def connectedComponentsStarsWithRounds(
+      pairs: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): (DataFrame, Int) = {
+    val cut: DataFrame => DataFrame =
+      if (reliable) {
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-components-ckpt").toString
+          sc.setCheckpointDir(dir)
+        }
+        df => df.checkpoint()
+      } else df => df.localCheckpoint()
+
+    // canonical undirected edge set: (a < b), self-loops dropped
+    var edges = cut(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+
+    // star pass: from each node u with neighbor set Γ(u) and
+    // m = min(Γ(u) ∪ {u}), emit (m, v) for the selected neighbors v
+    // (larger ones for large-star, smaller ones + u itself for small-star)
+    def pass(es: DataFrame, large: Boolean): DataFrame = {
+      val adj = es.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(es.select(col("b").as("u"), col("a").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val withM = adj.join(mins, "u")
+      val out =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("m").as("a"), col("v").as("b"))
+        else withM.filter(col("v") < col("u"))
+          .select(col("m").as("a"), col("v").as("b"))
+          .unionAll(withM.select(col("m").as("a"), col("u").as("b")))
+      out.filter(col("a") =!= col("b")).distinct()
+    }
+
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = cut(pass(pass(edges, large = true), large = false))
+      // stability of the canonical edge set == star fixpoint; both sides
+      // are checkpointed, so the two anti-joins are cheap scans
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+      .unionAll(edges.select(col("a").as("doc_id"), col("a").as("cluster_id")).distinct())
+      .distinct()
+    (labels, rounds)
+  }
+
   /** LSH candidate pairs with exact co-grouped overlap counts:
     * (doc_a, doc_b, n_common, n_a, n_b). The shared engine of the
     * verify/containment queries — every row everywhere is (pair key + one
@@ -421,6 +499,39 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicate-graph shape metric: triangles, wedges, and the global
+    // closure coefficient (3T/W) over the LSH candidate graph. Near-clique
+    // clusters (true duplicate groups) close their wedges; a low closure
+    // rate on a dense candidate graph is the canary for band-collision
+    // noise. Canonical a<b<c orientation makes each triangle count once
+    // and bounds the join fan-out by out-degree under the id order — the
+    // standard node-iterator; at 100 TB orient by DEGREE order instead
+    // (same joins, degree-rank as the key) so hubs don't dominate. Wedge
+    // count is exact integer degree math. ----
+    "dedup_triangles" -> ((s, d) => {
+      val bands = bandKeys(minhashSig(s, d))
+      val e = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().cache()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+        .join(e.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wed = e.select(col("doc_a").as("doc_id"))
+        .unionAll(e.select(col("doc_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+      tri.crossJoin(broadcast(wed))
+        .select(col("n_triangles"), col("n_wedges"),
+          round(when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(0.0), 6)
+            .as("closure"))
+    }),
+
     // ---- duplicate clusters: LSH candidate pairs -> connected components
     // -> canonical keeper (min doc_id). Iterative min-label propagation:
     // each round every node takes the min label among itself and its
@@ -432,6 +543,22 @@ object Dedup extends QueryModule {
     // 2-3 rounds in practice; the loop exits on a zero-diff check.
     "dedup_clusters" -> ((s, d) =>
       clusterLabels(s, d).orderBy(col("doc_id"))),
+
+    // ---- the SAME cluster result via the alternating large-star /
+    // small-star algorithm (see connectedComponentsStarsWithRounds for
+    // when each shape wins at scale). Identical labels by construction —
+    // both fix at (member → component minimum) — so it shares
+    // dedup_clusters' recursive-CTE oracle verbatim. ----
+    "dedup_clusters_stars" -> ((s, d) => {
+      val bands = bandKeys(minhashSig(s, d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      connectedComponentsStarsWithRounds(pairs)._1.orderBy(col("doc_id"))
+    }),
 
     // ---- canonical-keeper materialization over the whole corpus: every
     // document tagged with its duplicate-cluster id (own id when it has no
@@ -498,6 +625,25 @@ object Dedup extends QueryModule {
         .select(col("doc_id"),
           graft.functions.TextFunctions.simhash(col("text")).as("simhash60"))
     }))
+
+  /** Recursive-CTE reachability → min-label oracle shared by the two
+    * connected-components implementations (identical fixpoint).
+    */
+  private def clustersOracle(sigCte: String, bandsCte: String): String =
+    s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), adj AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), nodes AS (SELECT DISTINCT src AS doc_id FROM adj
+       |), reach AS (
+       |  SELECT doc_id AS a, doc_id AS b FROM nodes
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN adj e ON e.src = r.b
+       |)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   override def oracleSql: Map[String, String] = {
     val shingleCte =
@@ -643,21 +789,31 @@ object Dedup extends QueryModule {
            |    PARTITION BY doc_new ORDER BY jaccard DESC, doc_old) AS rn
            |  FROM scored WHERE jaccard >= 0.5)
            |WHERE rn = 1 ORDER BY doc_new""".stripMargin,
-      "dedup_clusters" ->
-        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
+      "dedup_triangles" ->
+        s"""$sigCte$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |), adj AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs
-           |), nodes AS (SELECT DISTINCT src AS doc_id FROM adj
-           |), reach AS (
-           |  SELECT doc_id AS a, doc_id AS b FROM nodes
-           |  UNION
-           |  SELECT r.a, e.dst FROM reach r JOIN adj e ON e.src = r.b
-           |)
-           |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+           |), tri AS (
+           |  SELECT count(*) AS n_triangles
+           |  FROM pairs e1
+           |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+           |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           |), deg AS (
+           |  SELECT doc_id, count(*) AS deg FROM (
+           |    SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+           |  ) GROUP BY doc_id
+           |), wed AS (SELECT sum(deg * (deg - 1) // 2) AS n_wedges FROM deg)
+           |SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           |  CAST(n_wedges AS BIGINT) AS n_wedges,
+           |  round(CASE WHEN n_wedges > 0
+           |    THEN CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+           |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS closure
+           |FROM tri, wed""".stripMargin,
+      "dedup_clusters" -> clustersOracle(sigCte, bandsCte),
+      // label propagation and large-star/small-star fix at the same
+      // (member → component minimum) labels — one oracle serves both
+      "dedup_clusters_stars" -> clustersOracle(sigCte, bandsCte),
       "dedup_keep_canonical" ->
         s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -420,6 +420,24 @@ object EventTime extends QueryModule {
     "evt_range_join" -> ((s, d) => rangeJoin(s, d)),
     "evt_sessions_native" -> ((s, d) => sessionsNative(s, d)),
     "evt_hourly_window" -> ((s, d) => hourly(s, d)),
+
+    // ---- SLIDING windows (1 h length, 15 min slide): every event lands in
+    // exactly 4 overlapping windows — window() expands them inline (an
+    // Expand of factor 4, the window/slide ratio), then one partial-agg
+    // shuffle on (window, type); no self-join, no range join. The oracle
+    // replays the same expansion with a 4-element UNNEST over quarter-hour
+    // buckets. Overlap factor is the plan's only volume multiplier, fixed
+    // by window/slide — the 100 TB cost model is explicit. ----
+    "evt_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("n_users"))
+        .orderBy(col("win_start_us"), col("event_type"))),
     "evt_sessions" -> ((s, d) => sessions(s, d)),
     "evt_argmax_typed" -> ((s, d) => argmaxTyped(s, d)),
     "evt_asof_join" -> ((s, d) => asof(s, d)),
@@ -726,6 +744,16 @@ object EventTime extends QueryModule {
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS win_start_us,
         |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "evt_sliding_window" ->
+      """WITH slides AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - k * INTERVAL '15 minutes') AS win_start_us,
+        |    event_type, user_id
+        |  FROM events, UNNEST([0, 1, 2, 3]) AS u(k)
+        |)
+        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM slides GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "evt_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events

@@ -879,6 +879,27 @@ object Relational extends QueryModule {
     // text: Catalyst decorrelates the subquery into a left-semi join — the
     // plan a user's hand-written EXISTS actually gets. The DataFrame
     // leftsemi equivalent is q_join_semi; this pins the SQL-surface path. ----
+    // ---- CORRELATED scalar subqueries (per-row "vs my group's aggregate"
+    // — the classic report predicate): orders strictly above their own
+    // customer's average order value. Catalyst decorrelates both correlated
+    // aggregates into ONE grouped aggregation joined back on o_custkey —
+    // never a per-row re-scan (the plan-policy spec family pins broadcast
+    // hygiene; at 100 TB this is a fact-fact shuffle join on the customer
+    // key). The comparison is exact integer arithmetic (cents × count vs
+    // summed cents), so both engines decide ties identically — an avg()
+    // of doubles would be partition-order dependent. ----
+    "q_correlated_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_qcs")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_qcs o
+          |WHERE CAST(round(o_totalprice * 100) AS DECIMAL(38, 0))
+          |      * (SELECT COUNT(*) FROM orders_qcs i WHERE i.o_custkey = o.o_custkey)
+          |    > (SELECT SUM(CAST(round(i.o_totalprice * 100) AS DECIMAL(38, 0)))
+          |       FROM orders_qcs i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q4_exists" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_q4")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
@@ -1302,6 +1323,14 @@ object Relational extends QueryModule {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |      * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT SUM(CAST(round(i.o_totalprice * 100) AS BIGINT))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

@@ -52,6 +52,42 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(components(Seq.empty).isEmpty)
   }
 
+  private def starComponents(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (labels, rounds) =
+      Dedup.connectedComponentsStarsWithRounds(edges.toDF("doc_a", "doc_b"))
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("large-star/small-star labels equal label propagation on every shape") {
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain-30" -> (0L until 29L).map(i => (i, i + 1)),
+      "clique+star+bridge+edge" -> (
+        Seq((10L, 11L), (10L, 12L), (11L, 12L)) ++
+          Seq((20L, 21L), (20L, 22L), (20L, 23L)) ++
+          Seq((23L, 30L), (30L, 31L)) ++
+          Seq((40L, 41L))),
+      "binary-tree-31" -> (1L until 16L).flatMap(i => Seq((i, 2 * i), (i, 2 * i + 1))),
+      // deterministic pseudo-random graph: 60 nodes, 45 LCG edges
+      "random-60" -> (0L until 45L).map { i =>
+        val a = (i * 1103515245L + 12345L) % 60L
+        val b = (i * 69069L + 1L) % 60L
+        (math.min(a, b), math.max(a, b) + (if (a == b) 1L else 0L))
+      })
+    shapes.foreach { case (name, edges) =>
+      val (stars, rounds) = starComponents(edges)
+      assert(stars == components(edges), s"label mismatch on $name")
+      assert(rounds <= 8, s"$name took $rounds star rounds")
+    }
+  }
+
+  test("star rounds contract a 30-chain within the O(log^2 n) bound") {
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val (labels, rounds) = starComponents(chain)
+    assert(labels.values.toSet == Set(0L) && labels.size == 30)
+    // alternation halves chain height per pass; 6 incl. the stability round
+    assert(rounds <= 6, s"expected <= 6 star rounds for a 30-node chain, took $rounds")
+  }
+
   test("reliable checkpoint mode matches local mode labels and round count") {
     // chain + clique + isolated edge: same labels and convergence speed
     // whether rounds cut lineage with localCheckpoint (bench/single-box)
