@@ -17,6 +17,8 @@ object SparkEntry {
     operators.SearchHistory,
     operators.Transactions,
     operators.Relational,
+    operators.Reporting,
+    operators.Curation,
     operators.Dedup,
     operators.Similarity,
     operators.TextAnalysis,

@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Dataset-curation operators a training-data pipeline runs between the
+  * cleaning layer ([[TextAnalysis]]) and the trainer: contamination-safe
+  * train/val/test splits, per-source quality gating, referential-integrity
+  * audits, MERGE/upsert compaction, last-observation-carried-forward
+  * resampling, and multi-touch attribution.
+  *
+  * Scale posture:
+  *  - `txt_split_assign` and the quality gate are shuffle-free or
+  *    single-window passes — a split must never cost a corpus shuffle.
+  *  - The split key is a CONTENT hash, not doc_id: byte-identical documents
+  *    land in the same split by construction, so exact duplicates can never
+  *    straddle train/test (near-dups are handled upstream by the dedup
+  *    layer routing one canonical per cluster — [[Dedup]]).
+  *  - MERGE is the one-shuffle full-outer-join form (key-partitioned both
+  *    sides); at 100 TB the same plan applies per date-partition.
+  *  - Attribution joins touches to purchases on the USER equi-key with a
+  *    time-range residual — never a pure range join — so it shuffles once
+  *    on user_id and AQE's skew split handles hot users.
+  *  - All money/credit arithmetic is exact integers (cents, integer DIV for
+  *    the per-touch credit), DECIMAL(38,0) accumulators.
+  */
+object Curation extends QueryModule {
+
+  private def cents(c: Column): Column = round(c * 100).cast("bigint")
+  private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
+  /** Portable 60-bit content hash (same idiom as [[Dedup]]): Spark
+    * `conv(substr(md5,1,15),16,10)` == DuckDB `'0x'||substr(md5,1,15)`.
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- contamination-safe train/val/test split (80/10/10): the split
+    // key is md5(text), so byte-identical documents deterministically land
+    // in the SAME split — dedup-then-split remains safe even if upstream
+    // dedup missed an exact pair. Pure map stage: zero shuffles at any SF
+    // (the output ORDER BY is presentation-only on the source key). ----
+    "txt_split_assign" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket", pmod(h60(col("text")), lit(100L)))
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source quality gate: keep the top 25% of each source by
+    // n_chars, ties broken by doc_id (deterministic). The rank comparison
+    // is exact integer cross-multiplication (rn·4 ≤ n_src), never a double
+    // percent_rank both engines could round differently. One window sort
+    // per source partition — the same shape as SCD2 interval building. ----
+    "txt_quality_topp" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") * 4 <= col("n_src"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // ---- referential-integrity audit: one row per FK edge with its row
+    // and orphan counts — the data-quality gate a lake runs before
+    // publishing a batch. Each edge is one key-shuffle left join + a
+    // conditional count (parent null ⇒ orphan); the three edges union into
+    // a 3-row report. ----
+    "q_fk_audit" -> ((s, d) => {
+      def audit(child: DataFrame, ck: String, parent: DataFrame, pk: String,
+                edge: String): DataFrame =
+        child.select(col(ck)).join(
+            parent.select(col(pk).as("__pk")).distinct(),
+            col(ck) === col("__pk"), "left_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("__pk").isNull, 1L).otherwise(0L)).cast("bigint")
+              .as("n_orphans"))
+          .select(lit(edge).as("fk_edge"), col("n_rows"), col("n_orphans"))
+      val li = Tables.lineitem(s, d)
+      audit(li, "l_orderkey", Tables.orders(s, d), "o_orderkey", "lineitem->orders")
+        .unionByName(audit(li, "l_partkey", Tables.part(s, d), "p_partkey",
+          "lineitem->part"))
+        .unionByName(audit(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders->customer"))
+        .orderBy(col("fk_edge"))
+    }),
+
+    // ---- MERGE / upsert: apply a change-set (updates: +10% price, status
+    // 'U'; inserts: new keys, status 'I') onto the orders table in ONE
+    // full-outer join on the key, then aggregate per final status as the
+    // deterministic proof. The change-set is derived from the fixture
+    // (o_orderkey % 7 → update, % 1000 → insert) so the oracle can derive
+    // the identical set. Update price = cents·110 DIV 100 — exact integer
+    // both engines. At 100 TB the same plan runs per date partition with
+    // the key-partitioned join AQE-planned. ----
+    "q_merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("u_key"), lit("U").as("u_status"),
+          // `div`, not `/`: Spark's `/` is DOUBLE division, and the
+          // round-then-truncate can land one off DuckDB's integer `//`
+          expr("(CAST(round(o_totalprice * 100) AS BIGINT) * 110) div 100")
+            .as("u_cents"))
+      val inserts = o.filter(col("o_orderkey") % 1000 === 0)
+        .select((col("o_orderkey") + 100000000L).as("u_key"), lit("I").as("u_status"),
+          cents(col("o_totalprice")).as("u_cents"))
+      val source = updates.unionByName(inserts)
+      o.select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("t_cents"))
+        .join(source, col("o_orderkey") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("u_key")).as("key"),
+          coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+          coalesce(col("u_cents"), col("t_cents")).as("c"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(wide(col("c"))).cast("double") / 100.0).as("total_price"))
+        .orderBy(col("status"))
+    }),
+
+    // ---- LOCF (last observation carried forward) resample: a daily grid
+    // per sampled user (user_id % 50 = 0), each day carrying the most
+    // recent purchase value at or before it. The spine is generated
+    // on-executor from a 1-row bound aggregate (never a driver loop) and
+    // the carry is a RUNNING MAX of the observation day — portable to the
+    // oracle, unlike IGNORE NULLS window variants whose null handling
+    // differs across engines. Two shuffles: the (user, day) observation
+    // aggregate and the user-partitioned carry window. ----
+    "evt_locf" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull &&
+        col("user_id") % 50 === 0)
+      val users = ev.select(col("user_id")).distinct()
+      val bounds = Tables.events(s, d)
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val days = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+      val obs = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id").as("ou"), to_date(col("ts")).as("od"))
+        .agg(max(col("value")).as("obs_val"))
+      val grid = users.crossJoin(broadcast(days))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, col("user_id") === col("ou") && col("day") === col("od"),
+          "left_outer")
+        .withColumn("last_day", max(when(col("obs_val").isNotNull, col("od")))
+          .over(w))
+        .select(col("user_id"), col("day"), col("last_day"))
+        .join(obs, col("user_id") === col("ou") && col("last_day") === col("od"),
+          "left_outer")
+        .select(col("user_id"), col("day"), col("obs_val").as("val_filled"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // ---- linear multi-touch attribution: each purchase's value is split
+    // equally across the user's view/click touches in the preceding 3
+    // days. The join is an EQUI-join on user_id with the time window as a
+    // residual predicate (one shuffle, skew handled by AQE) — not a range
+    // join. Per-touch credit = value_cents·10^6 DIV n_touches: exact
+    // integer division, so the final per-channel sums are
+    // partition-order independent. ----
+    "evt_multi_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val p = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_ts"), cents(col("value")).as("v_cents"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+          unix_micros(col("ts")).as("t_ts"), col("event_type").as("channel"))
+      val joined = p.join(t,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - lit(259200000000L))
+      val n = Window.partitionBy(col("p_id"))
+      joined
+        .withColumn("n_t", count(lit(1)).over(n))
+        .withColumn("credit6", expr("(v_cents * 1000000L) div n_t"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          (sum(wide(col("credit6"))).cast("double") / 100000000.0)
+            .as("credited_value"))
+        .orderBy(col("channel"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "txt_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  bucket
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "txt_quality_topp" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars
+        |FROM r WHERE rn * 4 <= n_src
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_fk_audit" ->
+      """SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem->part', count(*),
+        |  CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |  ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'orders->customer', count(*),
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY fk_edge""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey AS u_key, 'U' AS u_status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 110 // 100 AS u_cents
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), inserts AS (
+        |  SELECT o_orderkey + 100000000 AS u_key, 'I' AS u_status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS u_cents
+        |  FROM orders WHERE o_orderkey % 1000 = 0
+        |), source AS (
+        |  SELECT * FROM updates UNION ALL SELECT * FROM inserts
+        |), merged AS (
+        |  SELECT coalesce(u_status, o_orderstatus) AS status,
+        |    coalesce(u_cents, CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+        |  FROM orders FULL OUTER JOIN source ON o_orderkey = u_key
+        |)
+        |SELECT status, count(*) AS n_rows,
+        |  CAST(SUM(c) AS DOUBLE) / 100.0 AS total_price
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
+    "evt_locf" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE user_id IS NOT NULL AND user_id % 50 = 0
+        |), users AS (
+        |  SELECT DISTINCT user_id FROM ev
+        |), bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+        |), days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+        |), obs AS (
+        |  SELECT user_id AS ou, CAST(ts AS DATE) AS od, max(value) AS obs_val
+        |  FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, day FROM users CROSS JOIN days
+        |), carried AS (
+        |  SELECT g.user_id, g.day,
+        |    max(CASE WHEN o.obs_val IS NOT NULL THEN o.od END)
+        |      OVER (PARTITION BY g.user_id ORDER BY g.day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_day
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.ou AND g.day = o.od
+        |)
+        |SELECT c.user_id, c.day, o2.obs_val AS val_filled
+        |FROM carried c LEFT JOIN obs o2 ON c.user_id = o2.ou AND c.last_day = o2.od
+        |ORDER BY c.user_id, c.day""".stripMargin,
+    "evt_multi_touch" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id AS p_user,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_ts,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL AND user_id IS NOT NULL
+        |), t AS (
+        |  SELECT event_id AS t_id, user_id AS t_user,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_ts, event_type AS channel
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL
+        |), joined AS (
+        |  SELECT p_id, v_cents, channel
+        |  FROM p JOIN t ON p_user = t_user
+        |    AND t_ts < p_ts AND t_ts >= p_ts - 259200000000
+        |), credited AS (
+        |  SELECT channel,
+        |    v_cents * 1000000 // (count(*) OVER (PARTITION BY p_id)) AS credit6
+        |  FROM joined
+        |)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(SUM(credit6) AS DOUBLE) / 100000000.0 AS credited_value
+        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin)
+}

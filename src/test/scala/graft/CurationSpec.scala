@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Semantics the oracle hash alone would not localize: the split's
+  * contamination-safety invariant, the quality gate's exact-quartile cut,
+  * MERGE row accounting, LOCF carry correctness (replayed in Scala), and
+  * attribution's credit conservation.
+  */
+class CurationSpec extends SparkSuiteBase {
+
+  test("txt_split_assign: byte-identical documents always share a split") {
+    val perText = Curation.queries("txt_split_assign")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001), "doc_id")
+      .groupBy(col("text"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assert(perText.filter(col("n_splits") > 1).count() == 0,
+      "an exact duplicate pair straddles train/test — the split key must be content, not id")
+    // and the split is total: every doc assigned
+    assert(Curation.queries("txt_split_assign")(spark, sf0001).count() ==
+      Tables.documents(spark, sf0001).count())
+  }
+
+  test("txt_quality_topp: keeps exactly floor(n/4) per source, none worse than a dropped doc") {
+    val kept = Curation.queries("txt_quality_topp")(spark, sf0001)
+    val keptCounts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val srcCounts = Tables.documents(spark, sf0001)
+      .groupBy(col("source").as("src")).agg(count(lit(1)).as("n_src"))
+    val bad = keptCounts.join(srcCounts, col("source") === col("src"))
+      .filter(col("n_kept") =!= (col("n_src") / 4).cast("long")).count()
+    assert(bad == 0, "per-source kept count must be floor(n_src/4)")
+    val minKept = kept.groupBy(col("source")).agg(min(col("n_chars")).as("min_kept"))
+    val dropped = Tables.documents(spark, sf0001)
+      .join(kept.select(col("doc_id").as("k_id")), col("doc_id") === col("k_id"), "left_anti")
+    val violations = dropped.join(minKept, "source")
+      .filter(col("n_chars") > col("min_kept")).count()
+    assert(violations == 0,
+      "a dropped doc outscores a kept doc of the same source (ties may equal, never exceed)")
+  }
+
+  test("q_fk_audit: clean fixture has zero orphans and full row counts") {
+    val rows = Curation.queries("q_fk_audit")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nLi = Tables.lineitem(spark, sf0001).count()
+    val nOrd = Tables.orders(spark, sf0001).count()
+    assert(rows("lineitem->orders") == (nLi, 0L))
+    assert(rows("lineitem->part") == (nLi, 0L))
+    assert(rows("orders->customer") == (nOrd, 0L))
+  }
+
+  test("q_merge_upsert: row accounting — target + inserts, updates reclassified") {
+    val o = Tables.orders(spark, sf0001)
+    val nOrders = o.count()
+    val nUpd = o.filter(col("o_orderkey") % 7 === 0).count()
+    val nIns = o.filter(col("o_orderkey") % 1000 === 0).count()
+    val res = Curation.queries("q_merge_upsert")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.values.sum == nOrders + nIns, "MERGE must keep every target row and add inserts")
+    assert(res("U") == nUpd)
+    assert(res("I") == nIns)
+  }
+
+  test("evt_locf: carry replayed row-by-row in Scala matches") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull && col("user_id") % 50 === 0 &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("od"))
+      .agg(max(col("value")).as("v"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.map(r => r.getDate(1).toLocalDate -> r.getDouble(2)).sortBy(_._1.toEpochDay)
+      }
+    val out = Curation.queries("evt_locf")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (u, day) = (r.getLong(0), r.getDate(1).toLocalDate)
+      val expected = ev.get(u).flatMap(obs =>
+        obs.takeWhile(!_._1.isAfter(day)).lastOption.map(_._2))
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(got == expected, s"user $u day $day: got $got expected $expected")
+    }
+  }
+
+  test("evt_multi_touch: per-purchase credit conserves value up to integer-division loss") {
+    val res = Curation.queries("evt_multi_touch")(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    val credited = res.map(_.getDouble(2)).sum
+    // total purchase value of purchases WITH >= 1 touch bounds the credit
+    val ev = Tables.events(spark, sf0001).filter(col("user_id").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_ts"), col("value").as("v"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("t_ts"))
+    val touched = p.join(t, col("p_user") === col("t_user") &&
+        col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - lit(259200000000L))
+      .select(col("p_id"), col("v")).distinct()
+    val totalTouched = touched.agg(sum(col("v"))).head.getDouble(0)
+    assert(credited <= totalTouched + 1e-6)
+    // loss is < 1e-6 dollars per touch row (floor division drops < 1 of 1e-8 units per touch)
+    val nTouches = res.map(_.getLong(1)).sum
+    assert(credited >= totalTouched - nTouches * 1e-6 - 1e-6)
+  }
+}
