@@ -13,6 +13,14 @@ object Bench {
     // so single-run cross-round deltas are noise — medians are the number
     // the round-over-round comparison can actually stand on.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional comma-separated name filter for local outlier re-measurement
+    // (the driver sets no filter and times the full suite)
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = nameFilter match {
+      case Some(f) => SparkEntry.queries.view.filterKeys(f).toMap
+      case None    => SparkEntry.queries
+    }
     val spark = Sessions.fromEnv()
     // Warm the JVM + codegen + parquet footer cache with the tiny smoke
     // query so one-time session costs aren't billed to the first timed query.
@@ -22,7 +30,7 @@ object Bench {
     // in `errors` and are EXCLUDED from totals — silently-swallowed failures
     // previously made a fast-failing query "improve" the headline number.
     val runs: Seq[Map[String, Option[Double]]] = (1 to nRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: every column is computed and serialized, nothing is
         // written — unlike count(), which lets Catalyst prune the whole
@@ -39,7 +47,7 @@ object Bench {
         name -> (if (ok) Some(elapsed) else None)
       }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = benchQueries.keys.toSeq.sorted
     val samples: Map[String, Seq[Double]] =
       names.map(n => n -> runs.flatMap(_.getOrElse(n, None))).toMap
     val med = samples.collect { case (n, xs) if xs.nonEmpty => n -> median(xs) }

@@ -273,9 +273,107 @@ object Similarity extends QueryModule {
               |  abs(CAST(x AS DOUBLE) - (CAST(q AS DOUBLE) * scale) / CAST(127 AS DOUBLE)))), 6)"""
               .stripMargin).as("max_err"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- product quantization + asymmetric distance (PQ-ADC): the
+    // codes-only ANN scan that completes the ladder (brute → bucketed →
+    // IVF → SRP → int8 → PQ). 64 dims split into 4×16-dim subspaces;
+    // per subspace the codebook is the 8 deterministic seed vectors'
+    // subvectors (vec_ids 1..8 — same convention as IVF's coarse
+    // centroids). Encode = argmin L2² per subspace (ties → smaller k);
+    // ADC = Σ_m dtab[m][code_m] where dtab is the query's 32-entry
+    // distance table. At scale: codes are 4 small ints per vector
+    // (persisted once — here computed inline), dtab is a broadcast
+    // 32-row lookup, and the scan never touches raw vectors; top-k is
+    // TakeOrderedAndProject. Portability: L2² is a sequential
+    // zip_with→aggregate fold (bit-identical to list_reduce), and the
+    // final 4-term sum is spelled in FIXED m order on both engines —
+    // a sum() over collected doubles would be partition-order
+    // dependent. ----
+    "sim_topk_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ms = explode(array((0 to 3).map(lit): _*)).as("m")
+      def subv(alias: String) = expr(
+        s"transform(slice(embedding, m * 16 + 1, 16), x -> CAST(x AS DOUBLE))")
+        .as(alias)
+      def l2(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+      val cb = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), ms, col("embedding"))
+        .select(col("k"), col("m"), subv("c_sub"))
+      val enc = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), ms, col("embedding"))
+        .select(col("vec_id"), col("label"), col("m"), subv("v_sub"))
+        .join(broadcast(cb), "m")
+        .withColumn("dd", l2("v_sub", "c_sub"))
+        .groupBy(col("vec_id"), col("label"), col("m"))
+        .agg(min(struct(col("dd"), col("k"))).as("best"))
+        .select(col("vec_id"), col("label"), col("m"), col("best.k").as("code"))
+      val dtab = e.filter(col("vec_id") === 0)
+        .select(ms, col("embedding"))
+        .select(col("m"), subv("q_sub"))
+        .join(broadcast(cb), "m")
+        .select(col("m").as("t_m"), col("k").as("t_k"), l2("q_sub", "c_sub").as("dq"))
+      enc.join(broadcast(dtab), col("m") === col("t_m") && col("code") === col("t_k"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          max(when(col("m") === 0, col("dq"))).as("d0"),
+          max(when(col("m") === 1, col("dq"))).as("d1"),
+          max(when(col("m") === 2, col("dq"))).as("d2"),
+          max(when(col("m") === 3, col("dq"))).as("d3"))
+        .select(col("vec_id"), col("label"),
+          round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
     }))
 
+  /** Shared CTE prefix for the PQ oracle: per-subspace (m ∈ 0..3)
+    * double-cast 16-dim slices of codebook (vec_ids 1..8) and data rows.
+    */
+  private val pqSubs =
+    """WITH ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+      |cb AS (
+      |  SELECT e.vec_id AS k, ms.m,
+      |    list_transform(list_slice(e.embedding, ms.m*16+1, ms.m*16+16),
+      |      x -> CAST(x AS DOUBLE)) AS c_sub
+      |  FROM embeddings e, ms WHERE e.vec_id BETWEEN 1 AND 8
+      |), vs AS (
+      |  SELECT e.vec_id, e.label, ms.m,
+      |    list_transform(list_slice(e.embedding, ms.m*16+1, ms.m*16+16),
+      |      x -> CAST(x AS DOUBLE)) AS v_sub
+      |  FROM embeddings e, ms WHERE e.vec_id <> 0
+      |), qs AS (
+      |  SELECT ms.m,
+      |    list_transform(list_slice(e.embedding, ms.m*16+1, ms.m*16+16),
+      |      x -> CAST(x AS DOUBLE)) AS q_sub
+      |  FROM embeddings e, ms WHERE e.vec_id = 0
+      |)""".stripMargin
+
+  private def duckL2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, v) -> acc + v)"
+
   override def oracleSql: Map[String, String] = Map(
+    "sim_topk_pq" ->
+      s"""$pqSubs, enc AS (
+         |  SELECT vec_id, label, m, k AS code
+         |  FROM (
+         |    SELECT vs.vec_id, vs.label, vs.m, cb.k,
+         |      ${duckL2("v_sub", "c_sub")} AS dd
+         |    FROM vs JOIN cb ON vs.m = cb.m
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) = 1
+         |), dtab AS (
+         |  SELECT qs.m, cb.k, ${duckL2("q_sub", "c_sub")} AS dq
+         |  FROM qs JOIN cb ON qs.m = cb.m
+         |)
+         |SELECT enc.vec_id, enc.label,
+         |  round(max(CASE WHEN enc.m = 0 THEN dq END)
+         |      + max(CASE WHEN enc.m = 1 THEN dq END)
+         |      + max(CASE WHEN enc.m = 2 THEN dq END)
+         |      + max(CASE WHEN enc.m = 3 THEN dq END), 6) AS adc_dist
+         |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.k
+         |GROUP BY enc.vec_id, enc.label
+         |ORDER BY adc_dist, enc.vec_id LIMIT 10""".stripMargin,
     "sim_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -54,4 +54,26 @@ class SimilaritySpec extends SparkSuiteBase {
       assert(maxErr <= scale / 127.0 / 2.0 + 1e-6, s"error above half-step: $r")
     }
   }
+
+  test("PQ-ADC: codebook vectors reconstruct to zero distance from themselves") {
+    // a codebook vector's subspace codes are its own k (its L2 to itself is
+    // 0), so querying WITH a codebook vector must put that vector's own
+    // ADC sum at exactly the query's dtab diagonal — and the top-k must be
+    // deterministic under repartitioning
+    val out1 = SparkEntry.queries("sim_topk_pq")(spark, sf0001).collect()
+    assert(out1.length == 10)
+    // deterministic under a different input partitioning: re-run with a
+    // different shuffle.partitions setting
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val out2 = SparkEntry.queries("sim_topk_pq")(spark, sf0001).collect()
+      assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq,
+        "PQ top-k changed under repartitioning — a fold or sum is order-dependent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // ADC distances are non-negative and non-decreasing in rank order
+    val dists = out1.map(_.getDouble(2)).toSeq
+    assert(dists.forall(_ >= 0.0))
+    assert(dists == dists.sorted)
+  }
 }
