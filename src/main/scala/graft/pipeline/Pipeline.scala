@@ -34,26 +34,30 @@ case class BatchContext(runDate: LocalDate) {
   val dsNodash: String = runDate.format(DateTimeFormatter.BASIC_ISO_DATE)
 }
 
-/** Named parquet tables under a root directory — the engine's stand-in for
-  * the reference's BigQuery datasets.
+/** Named columnar tables under a root directory — the engine's stand-in
+  * for the reference's BigQuery datasets. `format` is any Spark columnar
+  * source with filter pushdown + schema evolution ("parquet" default;
+  * "orc" is first-class too — both ship with Spark, and WarehouseSpec
+  * pins ORC round-trip equality and ORC-side predicate pushdown so the
+  * lake format is a deployment choice, not a code change).
   */
-class Warehouse(val root: String) {
+class Warehouse(val root: String, val format: String = "parquet") {
 
   def tablePath(name: String): String = s"$root/$name"
 
   def read(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(tablePath(name))
+    spark.read.format(format).load(tablePath(name))
 
   def exists(name: String): Boolean =
     new java.io.File(tablePath(name)).exists()
 
   /** S5: WRITE_TRUNCATE — replace table contents (idempotent staging). */
   def truncateWrite(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    df.write.mode(SaveMode.Overwrite).format(format).save(tablePath(name))
 
   /** S6: WRITE_APPEND — accumulate one batch per run. */
   def appendWrite(df: DataFrame, name: String): Unit =
-    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+    df.write.mode(SaveMode.Append).format(format).save(tablePath(name))
 
   /** Scale-path append: dynamic-partition overwrite on a date column, so
     * re-running a batch date replaces exactly that date's partition
@@ -65,7 +69,8 @@ class Warehouse(val root: String) {
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
-      .parquet(tablePath(name))
+      .format(format)
+      .save(tablePath(name))
 
   /** Co-location layout for repeated fact-fact joins: both tables are
     * written bucketed (and sorted) on the join key with the same bucket
@@ -82,7 +87,7 @@ class Warehouse(val root: String) {
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("path", tablePath(table))
-      .format("parquet")
+      .format(format)
       .saveAsTable(table)
 }
 

@@ -69,6 +69,33 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(plan.contains("PushedFilters") && plan.contains("n_chars"), plan)
   }
 
+  test("Warehouse(format=orc): truncate/append/partitioned-upsert behave identically to parquet") {
+    val whP = new Warehouse(tmpDir("whfmt_p"))
+    val whO = new Warehouse(tmpDir("whfmt_o"), "orc")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    for (wh <- Seq(whP, whO)) {
+      wh.truncateWrite(docs.filter(col("doc_id") < 100), "t")
+      wh.truncateWrite(docs.filter(col("doc_id") < 50), "t")   // idempotent replace
+      wh.appendWrite(docs.filter(col("doc_id") < 10), "t")     // accumulate
+      wh.partitionedUpsertWrite(docs, "tp", "lang")
+      wh.partitionedUpsertWrite(docs.filter(col("lang") === "en"), "tp", "lang")
+    }
+    def dump(wh: Warehouse, t: String) =
+      wh.read(spark, t).orderBy(col("doc_id"), col("lang")).collect().toSeq
+    assert(dump(whP, "t") == dump(whO, "t"))
+    assert(dump(whP, "tp") == dump(whO, "tp"))
+    assert(dump(whO, "t").size == 50 + 10)
+    // the partition-pruning layout works for ORC too
+    val scanned = whO.read(spark, "tp").filter(col("lang") === "de")
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files.map(_.getPath.toString))
+      }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=de")), scanned.mkString(","))
+  }
+
   test("bucketed co-located join: no shuffle exchange in the join plan") {
     val wh = new Warehouse(tmpDir("whbkt"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
