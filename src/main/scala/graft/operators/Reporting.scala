@@ -242,6 +242,95 @@ object Reporting extends QueryModule {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- datetime scalar-function surface, exercised as one aggregate
+    // per quarter: date_trunc (quarter/month), last_day, ISO weekday and
+    // week-of-year, add_months. Portability notes baked in: Spark
+    // weekday() is 0=Monday vs DuckDB isodow 1=Monday (+1 aligns);
+    // Spark dayofweek (1=Sunday) is deliberately NOT used. A narrow
+    // scan→project→agg — function breadth costs no extra shuffle. ----
+    "q_datetime_functions" -> ((s, d) => {
+      val od = to_date(col("o_orderdate"))
+      Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("quarter", od)).as("q_start"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(date_trunc("month", od)).as("n_months"),
+          max(dayofmonth(last_day(od))).cast("bigint").as("last_dom_max"),
+          sum(weekday(od) + 1).cast("bigint").as("sum_isodow"),
+          min(weekofyear(od)).cast("bigint").as("wk_min"),
+          min(add_months(od, 3)).as("plus3_min"))
+        .orderBy(col("q_start"))
+    }),
+
+    // ---- string scalar-function surface per brand: split/element_at,
+    // lpad+length, regexp_extract, regexp containment, instr, reverse.
+    // Same shape: one partial-agg shuffle regardless of how many string
+    // functions run in the projection. ----
+    "q_string_functions" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          countDistinct(element_at(split(col("p_name"), " "), 1)).as("n_first_words"),
+          sum(length(lpad(col("p_name"), 20, "*"))).cast("bigint").as("sum_padded_len"),
+          sum(when(col("p_name").rlike("[aeiou]"), 1L).otherwise(0L)).cast("bigint")
+            .as("n_with_vowel"),
+          min(regexp_extract(col("p_name"), "^([a-z]+)", 1)).as("first_word_min"),
+          sum(when(instr(col("p_name"), " ") > 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_multiword"),
+          max(reverse(col("p_type"))).as("rev_type_max"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- per-group least-squares fit (closed form) — the "fit a small
+    // model per group" pattern done declaratively instead of a per-group
+    // UDF: ONE pass of integer moment sums (n, Σx, Σy, Σxy, Σx²) in
+    // DECIMAL(38,0), then slope/intercept as exact-integer ratios with a
+    // single IEEE division each. No mapGroups, no per-group collect;
+    // partial aggregation shrinks the shuffle to 5 numbers per group. ----
+    "q_group_regression" -> ((s, d) => {
+      val x = col("doc_id")
+      val y = col("n_chars")
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(wide(x)).as("sx"), sum(wide(y)).as("sy"),
+          sum(wide(x * y)).as("sxy"), sum(wide(x * x)).as("sxx"))
+        .select(col("source"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope"),
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("intercept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- per-group Pearson correlation from the same exact integer
+    // moments (quantity vs price in cents): numerator and both variance
+    // terms are exact decimals; only the final r = num/√(vx·vy) runs in
+    // IEEE doubles — identical on both engines because the inputs are
+    // identical integers. A library corr() would accumulate doubles in
+    // partition order and hash-mismatch. ----
+    "q_corr_stats" -> ((s, d) => {
+      val x = cents(col("l_quantity"))
+      val y = cents(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(wide(x)).as("sx"), sum(wide(y)).as("sy"),
+          sum(wide(x * y)).as("sxy"),
+          sum(wide(x * x)).as("sxx"), sum(wide(y * y)).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("pearson_r"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- Q22 family: well-funded customers with no urgent orders, by
     // nation. "above the average positive balance" is the exact
     // cross-multiplied comparison against a broadcast 1-row aggregate;
@@ -379,6 +468,55 @@ object Reporting extends QueryModule {
          |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          |   OR (p_type = 'SMALL' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 40)""".stripMargin,
+    "q_group_regression" ->
+      """WITH m AS (
+        |  SELECT source, count(*) AS n,
+        |    SUM(doc_id) AS sx, SUM(n_chars) AS sy,
+        |    SUM(doc_id * n_chars) AS sxy, SUM(doc_id * doc_id) AS sxx
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+        |FROM m ORDER BY source""".stripMargin,
+    "q_corr_stats" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM v GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |             CAST(n * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_datetime_functions" ->
+      """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS q_start,
+        |  count(*) AS n_orders,
+        |  CAST(count(DISTINCT date_trunc('month', CAST(o_orderdate AS DATE))) AS BIGINT) AS n_months,
+        |  CAST(max(day(last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS last_dom_max,
+        |  CAST(SUM(isodow(CAST(o_orderdate AS DATE))) AS BIGINT) AS sum_isodow,
+        |  CAST(min(week(CAST(o_orderdate AS DATE))) AS BIGINT) AS wk_min,
+        |  CAST(min(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS plus3_min
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_functions" ->
+      """SELECT p_brand,
+        |  count(*) AS n_parts,
+        |  CAST(count(DISTINCT string_split(p_name, ' ')[1]) AS BIGINT) AS n_first_words,
+        |  CAST(SUM(length(lpad(p_name, 20, '*'))) AS BIGINT) AS sum_padded_len,
+        |  CAST(SUM(CASE WHEN regexp_matches(p_name, '[aeiou]') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vowel,
+        |  min(regexp_extract(p_name, '^([a-z]+)', 1)) AS first_word_min,
+        |  CAST(SUM(CASE WHEN instr(p_name, ' ') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_multiword,
+        |  max(reverse(p_type)) AS rev_type_max
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q22_balance" ->
       """WITH pos AS (
         |  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_c, COUNT(*) AS n_c

@@ -29,6 +29,20 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     }
   }
 
+  test("no query's physical plan contains an unbounded cartesian product") {
+    // crossJoin in this library is ALWAYS crossJoin(broadcast(<bounded>))
+    // — it plans as BroadcastNestedLoopJoin over a 1-row/codebook-sized
+    // side. A plain CartesianProduct means a broadcast hint was lost and
+    // the query would do |A|·|B| work at scale.
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"<plan failed: ${e.getMessage}>" }
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
   test("tx_array_unpack branch logic: short arrays fall back positionally") {
     val rows = SparkEntry.queries("tx_array_unpack")(spark, sf0001)
       .filter(col("n_params") === 2).limit(5).collect()
