@@ -370,6 +370,40 @@ object TextAnalysis extends QueryModule {
     // filter that removes boilerplate/looped text before training. Narrow
     // per-doc aggregation: two explode→count passes shuffling (doc, gram)
     // partial counts. ----
+    // ---- bigram language-model quality scoring (CCNet-style, rational
+    // form): train corpus bigram/prefix counts, score each document by its
+    // mean scaled transition probability. Perplexity's log() is libm (not
+    // correctly-rounded → not oracle-portable), so the score is the exact
+    // RATIONAL mean of P(w_i|w_{i-1}) scaled to 1e6: per bigram,
+    // p = c(w1,w2)·10⁶ DIV c(w1·) — integer division, so the per-doc sum
+    // is partition-order independent and the one final IEEE division is
+    // identical in DuckDB. Monotone in the geometric-mean ranking's
+    // direction for the filtering use (low mean ⇒ improbable text).
+    // Scale: bigram extraction is a shuffle-free HOF projection; the
+    // count tables are vocab-sized partial aggs; the score joins shuffle
+    // on the token key — stopword-skewed, which is exactly what AQE
+    // skew-split handles (AqeSkewSpec pins the mechanism). ----
+    "txt_bigram_lm" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"
+        )).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1").as("c2_w1"), col("w2").as("c2_w2"))
+        .agg(count(lit(1)).as("n2"))
+      val c1 = bi.groupBy(col("w1").as("c1_w1"))
+        .agg(count(lit(1)).as("n1"))
+      bi.join(c2, col("w1") === col("c2_w1") && col("w2") === col("c2_w2"))
+        .join(c1, col("w1") === col("c1_w1"))
+        .withColumn("ps", expr("(n2 * 1000000L) div n1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("ps")).cast("double") / count(lit(1)), 4).as("avg_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_repetition" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -825,6 +859,25 @@ object TextAnalysis extends QueryModule {
         |FROM sh s JOIN bench ON s.shingle = bench.shingle
         |WHERE NOT (s.doc_id % 50 = 0 AND s.doc_id < 2000)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "txt_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |), bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
+        |), p AS (
+        |  SELECT bi.doc_id, (n2 * 1000000) // n1 AS ps
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -59,6 +59,26 @@ case class AsOfMatch(
     s_ts_us: Option[Long],
     s_val: Option[Double])
 
+/** Per-user state of [[EventStreams.multiTouchCredits]]: the retained
+  * touch history (ascending (ts_us, event_id, channel)) and purchases
+  * awaiting watermark finalization ((p_ts_us, p_id, value_cents)).
+  */
+case class MultiTouchState(
+    touches: Seq[(Long, Long, String)],
+    pending: Seq[(Long, Long, Long)])
+
+/** One credited touch emitted by [[EventStreams.multiTouchCredits]]:
+  * `credit6` is the purchase value in 1e-8-dollar units after the exact
+  * integer split value_cents·10⁶ DIV n_touches — identical to the batch
+  * `evt_multi_touch` arithmetic, so per-channel rollups agree exactly.
+  */
+case class CreditedTouch(
+    p_id: Long,
+    t_id: Long,
+    user_id: Long,
+    channel: String,
+    credit6: Long)
+
 /** A compacted change-log row: the latest event per (user_id, event_type)
   * key, as emitted by [[EventStreams.latestByKey]] each micro-batch.
   */
@@ -348,6 +368,79 @@ object EventStreams {
     * feature store) — bound it upstream with a TTL filter if the key space
     * churns.
     */
+  /** Streaming linear multi-touch attribution — the stream twin of the
+    * batch `evt_multi_touch` query: each purchase's value splits equally
+    * across the same user's view/click touches in the preceding
+    * `windowUs` (default 3 days). A purchase finalizes once the watermark
+    * reaches its timestamp (same `<=` rule as [[asofJoin]] — the late-data
+    * filter drops rows with ts <= watermark, so no touch that could fall
+    * inside a finalized purchase's window can be admitted afterwards).
+    *
+    * State per user is BOUNDED: touches older than watermark − windowUs
+    * serve no admissible future purchase and are pruned each call;
+    * finalized purchases leave state immediately; an idle user's residue
+    * is garbage-collected by an event-time timeout. Credit arithmetic is
+    * the exact integer split value_cents·10⁶ DIV n — partition- and
+    * batch-boundary-independent, so stream == batch per-channel sums.
+    */
+  def multiTouchCredits(
+      events: Dataset[Event],
+      windowUs: Long = 259200000000L,
+      lateness: String = "10 minutes"): Dataset[CreditedTouch] = {
+    import events.sparkSession.implicits._
+
+    def fn(
+        userId: Long,
+        it: Iterator[Event],
+        state: GroupState[MultiTouchState]): Iterator[CreditedTouch] = {
+      val prev = state.getOption.getOrElse(MultiTouchState(Nil, Nil))
+      var touches = prev.touches
+      var pending = prev.pending
+      if (!(it.isEmpty && state.hasTimedOut)) {
+        val batch = it.toArray
+        val newT = batch
+          .filter(e => e.event_type == "view" || e.event_type == "click")
+          .map(e => (micros(e.ts), e.event_id, e.event_type))
+        if (newT.nonEmpty)
+          touches = (touches ++ newT).sortBy(t => (t._1, t._2))
+        val newP = batch.filter(_.event_type == "purchase")
+          .map(e => (micros(e.ts), e.event_id, math.round(e.value * 100)))
+        if (newP.nonEmpty)
+          pending = (pending ++ newP).sortBy(p => (p._1, p._2))
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ready, still) = pending.partition(_._1 <= wmUs)
+      val out = ready.flatMap { case (pts, pid, vCents) =>
+        val win = touches.filter(t => t._1 < pts && t._1 >= pts - windowUs)
+        val n = win.size.toLong
+        win.map { case (_, tid, ch) =>
+          CreditedTouch(pid, tid, userId, ch, vCents * 1000000L / n)
+        }
+      }
+      // a touch older than wm − window can serve no future purchase:
+      // un-finalized purchases all have p_ts > wm
+      touches = touches.dropWhile(_._1 < wmUs - windowUs)
+      if (still.isEmpty && touches.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(MultiTouchState(touches, still))
+        val next =
+          if (still.nonEmpty) still.map(_._1).min / 1000L + 1L
+          // idle-user GC: once the watermark passes the last touch's
+          // window, everything prunes and the state removes itself
+          else touches.map(_._1).max / 1000L + windowUs / 1000L + 1L
+        state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs() + 1L))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MultiTouchState, CreditedTouch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   def asofJoin(
       inputs: Dataset[AsOfEvent],
       lateness: String = "10 minutes"): Dataset[AsOfMatch] = {

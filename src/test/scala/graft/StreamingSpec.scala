@@ -523,4 +523,50 @@ class StreamingSpec extends SparkSuiteBase {
       assert(live((11L, "view"))._2 == 6L)
     } finally q.stop()
   }
+
+  test("multiTouchCredits: watermark-finalized linear attribution across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.multiTouchCredits(stream.toDS())
+      .writeStream.format("memory").queryName("mt_credits")
+      .outputMode("append").start()
+    try {
+      // batch 1: an out-of-window touch, two in-window touches, the
+      // purchase itself (not yet finalizable), and a touchless purchase
+      stream.addData(Seq(
+        Event(100, t("2023-12-25 10:00:00"), 10, "view", 0.0),   // > 3d before p1
+        Event(101, t("2024-01-01 10:00:00"), 10, "view", 0.0),
+        Event(102, t("2024-01-02 10:00:00"), 10, "click", 0.0),
+        Event(201, t("2024-01-03 09:00:00"), 10, "purchase", 3.0),
+        Event(202, t("2024-01-03 09:00:00"), 11, "purchase", 9.99)))
+      q.processAllAvailable()
+      assert(spark.table("mt_credits").count() == 0,
+        "purchase must not finalize before the watermark reaches it")
+
+      // batch 2: a LATE-but-within-watermark touch still lands inside p1's
+      // window (watermark after batch 1 is 08:50, this is 08:55)
+      stream.addData(Seq(Event(103, t("2024-01-03 08:55:00"), 10, "click", 0.0)))
+      q.processAllAvailable()
+
+      // batch 3: unrelated future event advances the watermark past p1
+      stream.addData(Seq(Event(999, t("2024-01-05 00:00:00"), 99, "view", 0.0)))
+      q.processAllAvailable()
+
+      val rows = spark.table("mt_credits").as[graft.streaming.CreditedTouch]
+        .collect().sortBy(_.t_id)
+      assert(rows.map(r => (r.p_id, r.t_id)).toSeq ==
+        Seq((201L, 101L), (201L, 102L), (201L, 103L)),
+        s"got: ${rows.toSeq}")
+      // 300 cents over 3 touches: exact thirds, value fully conserved
+      assert(rows.forall(_.credit6 == 100000000L))
+      assert(rows.map(_.credit6).sum == 300L * 1000000L)
+      // the touchless purchase (202) emitted nothing, the out-of-window
+      // touch (100) got no credit — both already implied by the row set
+      val channels = rows.map(_.channel).toSeq
+      assert(channels == Seq("view", "click", "click"))
+    } finally q.stop()
+  }
 }
