@@ -242,6 +242,64 @@ object Reporting extends QueryModule {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- Q21 family: suppliers who kept a finished multi-supplier order
+    // waiting — the last classic correlated-subquery shape not yet pinned:
+    // one EXISTS and one NOT EXISTS, both correlated on the outer row's
+    // order AND excluding its supplier. Written as SQL text so the plan is
+    // what a user's hand-written query gets: Catalyst decorrelates both
+    // into a left-semi and a left-anti join on l_orderkey (the NOT EXISTS
+    // side carries its own orders join — decorrelated too, never a
+    // per-row rescan). "Late" = shipped > 365 days after order date. ----
+    "q21_waiting" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q21")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q21")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q21")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem_q21 l1
+          |JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
+          |JOIN supplier_q21 ON s_suppkey = l1.l_suppkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND CAST(l1.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 365)
+          |  AND EXISTS (
+          |    SELECT 1 FROM lineitem_q21 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey
+          |      AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM lineitem_q21 l3
+          |    JOIN orders_q21 o3 ON o3.o_orderkey = l3.l_orderkey
+          |    WHERE l3.l_orderkey = l1.l_orderkey
+          |      AND l3.l_suppkey <> l1.l_suppkey
+          |      AND CAST(l3.l_shipdate AS DATE) > date_add(CAST(o3.o_orderdate AS DATE), 365))
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 10""".stripMargin)
+    }),
+
+    // ---- period-over-period report: monthly revenue with MoM and YoY
+    // ratios. The lag windows run over the ALREADY-AGGREGATED ~30 monthly
+    // rows (the q_revenue_share argument — an unpartitioned window over a
+    // dimension-sized aggregate is a non-issue at any scale); revenue is
+    // exact integer cents, the ratios are single IEEE divisions of exact
+    // decimals. ----
+    "q_mom_yoy" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", to_date(col("o_orderdate"))))
+          .as("month_start"))
+        .agg(sum(wide(cents(col("o_totalprice")))).as("rev4"))
+      val w = Window.orderBy(col("month_start"))
+      monthly
+        .withColumn("prev1", lag(col("rev4"), 1).over(w))
+        .withColumn("prev12", lag(col("rev4"), 12).over(w))
+        .select(col("month_start"),
+          (col("rev4").cast("double") / 100.0).as("revenue"),
+          round(col("rev4").cast("double") / col("prev1").cast("double"), 6)
+            .as("mom_ratio"),
+          round(col("rev4").cast("double") / col("prev12").cast("double"), 6)
+            .as("yoy_ratio"))
+        .orderBy(col("month_start"))
+    }),
+
     // ---- datetime scalar-function surface, exercised as one aggregate
     // per quarter: date_trunc (quarter/month), last_day, ISO weekday and
     // week-of-year, add_months. Portability notes baked in: Spark
@@ -468,6 +526,39 @@ object Reporting extends QueryModule {
          |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          |   OR (p_type = 'SMALL' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 40)""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 365 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + INTERVAL 365 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+    "q_mom_yoy" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev4
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month_start,
+        |  CAST(rev4 AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(rev4 AS DOUBLE) /
+        |        CAST(lag(rev4, 1) OVER (ORDER BY month_start) AS DOUBLE), 6) AS mom_ratio,
+        |  round(CAST(rev4 AS DOUBLE) /
+        |        CAST(lag(rev4, 12) OVER (ORDER BY month_start) AS DOUBLE), 6) AS yoy_ratio
+        |FROM monthly ORDER BY month_start""".stripMargin,
     "q_group_regression" ->
       """WITH m AS (
         |  SELECT source, count(*) AS n,
