@@ -320,6 +320,24 @@ object Reporting extends QueryModule {
         .orderBy(col("q_start"))
     }),
 
+    // ---- array / higher-order-function surface per document: size,
+    // array_distinct, array_sort (+ negative indexing), filter lambda,
+    // slice + array_join. Shuffle-free projection; only sizes, sorted
+    // endpoints, and joined prefixes are emitted, so the oracle compares
+    // scalar digests instead of whole arrays. ----
+    "q_array_functions" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("w")).cast("bigint").as("n_words"),
+          size(array_distinct(col("w"))).cast("bigint").as("n_distinct"),
+          element_at(array_sort(col("w")), 1).as("first_sorted"),
+          element_at(array_sort(col("w")), -1).as("last_sorted"),
+          expr("CAST(size(filter(w, x -> length(x) > 5)) AS BIGINT)").as("n_long"),
+          array_join(slice(array_sort(col("w")), 1, 3), "-").as("first3_joined"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- string scalar-function surface per brand: split/element_at,
     // lpad+length, regexp_extract, regexp containment, instr, reverse.
     // Same shape: one partial-agg shuffle regardless of how many string
@@ -598,6 +616,16 @@ object Reporting extends QueryModule {
         |  CAST(min(week(CAST(o_orderdate AS DATE))) AS BIGINT) AS wk_min,
         |  CAST(min(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE) AS plus3_min
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_array_functions" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  list_sort(w)[1] AS first_sorted,
+        |  list_sort(w)[-1] AS last_sorted,
+        |  CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
+        |  array_to_string(list_slice(list_sort(w), 1, 3), '-') AS first3_joined
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_string_functions" ->
       """SELECT p_brand,
         |  count(*) AS n_parts,

@@ -524,6 +524,31 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("stream-static join: each micro-batch enriches against the static dimension") {
+    // the production shape for dimension enrichment: the static side is
+    // re-planned per micro-batch (broadcast at this size), no state store
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 10L))
+      .toDF("d_type", "weight")
+    val stream = MemoryStream[Event]
+    val q = stream.toDF()
+      .join(dim, col("event_type") === col("d_type"))
+      .select(col("event_id"), col("weight"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        Event(1, tsH(0, 1), 10, "click", 0.0),
+        Event(2, tsH(0, 2), 10, "error", 0.0),   // no dim row -> dropped
+        Event(3, tsH(0, 3), 11, "purchase", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(4, tsH(0, 4), 12, "view", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("enriched").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 1L), (3L, 10L), (4L, 2L)))
+    } finally q.stop()
+  }
+
   test("multiTouchCredits: watermark-finalized linear attribution across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
