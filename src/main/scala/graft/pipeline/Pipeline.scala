@@ -81,6 +81,28 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * Bucketed tables go through the session catalog (`saveAsTable`), which
     * records bucketing metadata parquet files alone can't carry.
     */
+  /** Incremental materialized-rollup maintenance: aggregate ONLY the new
+    * batch (which carries complete data for its partition-key values — the
+    * daily-batch contract) and partition-overwrite exactly those values in
+    * the rollup table. At 100 TB this is the difference between touching
+    * one day's partitions and recomputing the whole lake: refresh cost
+    * tracks the INGEST, re-running a date is idempotent, and a late
+    * correction batch replaces only its own dates. Readers see the rollup
+    * as a plain partitioned table with file-level date pruning.
+    */
+  def refreshRollup(
+      batch: DataFrame,
+      rollupTable: String,
+      partitionCol: String,
+      keyCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val delta = batch
+      .groupBy((partitionCol +: keyCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    partitionedUpsertWrite(delta, rollupTable, partitionCol)
+  }
+
   def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write
       .mode(SaveMode.Overwrite)

@@ -96,6 +96,64 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(scanned.nonEmpty && scanned.forall(_.contains("lang=de")), scanned.mkString(","))
   }
 
+  test("refreshRollup: incremental refresh equals full recompute; corrections replace one date") {
+    import org.apache.spark.sql.functions._
+    val wh = new Warehouse(tmpDir("whroll"))
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("user_id").isNotNull)
+      .withColumn("ds", to_date(col("ts")).cast("string"))
+      .select(col("ds"), col("event_type"), col("value"))
+    val days = ev.select(col("ds")).distinct().orderBy(col("ds"))
+      .collect().map(_.getString(0)).take(3)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(round(col("value") * 100).cast("bigint")).as("v_cents"))
+    // three daily batches arrive and refresh incrementally
+    days.foreach { d =>
+      wh.refreshRollup(ev.filter(col("ds") === d), "rollup", "ds",
+        Seq("event_type"), aggs)
+    }
+    // partition-column reads back typed (DATE) — normalize to string so
+    // row equality compares values, not partition-inference types
+    def dump() = wh.read(spark, "rollup")
+      .select(col("ds").cast("string").as("ds"), col("event_type"),
+        col("n"), col("v_cents"))
+      .orderBy(col("ds"), col("event_type")).collect().toSeq
+    val incremental = dump()
+    // full recompute over the same three days must agree exactly
+    val full = ev.filter(col("ds").isin(days: _*))
+      .groupBy(col("ds"), col("event_type")).agg(aggs.head, aggs.tail: _*)
+      .select(col("ds"), col("event_type"), col("n"), col("v_cents"))
+      .orderBy(col("ds"), col("event_type")).collect().toSeq
+    assert(incremental == full)
+    // re-running a day is idempotent
+    wh.refreshRollup(ev.filter(col("ds") === days(1)), "rollup", "ds",
+      Seq("event_type"), aggs)
+    assert(dump() == incremental)
+    // a correction batch for day 0 replaces ONLY day 0
+    val corrected = ev.filter(col("ds") === days(0) && col("event_type") =!= "error")
+    wh.refreshRollup(corrected, "rollup", "ds", Seq("event_type"), aggs)
+    val after = dump()
+    assert(after.filter(_.getString(0) == days(0)) !=
+      incremental.filter(_.getString(0) == days(0)))
+    assert(after.filter(_.getString(0) != days(0)) ==
+      incremental.filter(_.getString(0) != days(0)))
+  }
+
+  test("schema evolution: mergeSchema surfaces a late-added column as nullable") {
+    val dir = tmpDir("whevo") + "/t"
+    val v1 = Tables.documents(spark, sf0001).select("doc_id", "lang").filter(col("doc_id") < 10)
+    val v2 = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").filter(col("doc_id").between(10, 19))
+    v1.write.mode("append").parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("doc_id", "lang", "n_chars"))
+    assert(merged.count() == 20)
+    // rows written before the column existed read as null
+    assert(merged.filter(col("doc_id") < 10 && col("n_chars").isNull).count() == 10)
+    assert(merged.filter(col("doc_id") >= 10 && col("n_chars").isNotNull).count() == 10)
+  }
+
   test("bucketed co-located join: no shuffle exchange in the join plan") {
     val wh = new Warehouse(tmpDir("whbkt"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
