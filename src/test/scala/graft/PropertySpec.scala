@@ -161,4 +161,70 @@ class PropertySpec extends SparkSuiteBase {
         math.abs(r.getDouble(0) - want) <= math.abs(want) * 1e-12 + 1e-12
     }, n = 15)
   }
+
+  test("content-hash split: total, deterministic, and duplicate-safe for arbitrary corpora") {
+    // the contamination-safety contract behind txt_split_assign: every doc
+    // gets exactly one split, the assignment is a pure function of the
+    // TEXT (so replays and duplicates can never straddle splits), and the
+    // three buckets partition the hash space 80/10/10
+    val docGen = Gen.listOfN(25, Gen.alphaNumStr.map(s => s.take(30)))
+    check(Prop.forAll(docGen) { texts =>
+      val withDups = texts ++ texts.take(5) // force duplicates
+      val schema = StructType(Seq(StructField("text", StringType)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(withDups.map(Row(_)), 3), schema)
+      val assign = df.select(col("text"),
+        pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), lit(100L))
+          .as("bucket"))
+        .select(col("text"),
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val byText = assign.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+      assign.length == withDups.length &&
+        byText.values.forall(_.length == 1) // identical text -> identical split, always
+    }, n = 15)
+  }
+
+  test("integer div credit split conserves value up to n-1 remainder units for arbitrary inputs") {
+    // the multi-touch attribution arithmetic: v*10^6 div n summed n times
+    // loses strictly less than n units of 1e-8 dollars, never gains
+    val g = for {
+      cents <- Gen.chooseNum(1L, 10000000L)
+      n <- Gen.chooseNum(1, 500)
+    } yield (cents, n)
+    check(Prop.forAll(g) { case (cents, n) =>
+      val per = cents * 1000000L / n
+      val total = per * n
+      total <= cents * 1000000L && cents * 1000000L - total < n
+    }, n = 50)
+  }
+
+  test("refreshRollup-style partition overwrite: any replay order of daily batches converges") {
+    import scala.util.Random
+    val g = Gen.chooseNum(1L, Long.MaxValue).map(new Random(_))
+    check(Prop.forAll(g) { rnd =>
+      val wh = new graft.pipeline.Warehouse(tmpDir("whprop"))
+      val rows = (0 until 60).map { i =>
+        Row(f"2024-01-${i % 3 + 1}%02d", s"k${i % 4}", rnd.nextInt(100).toLong)
+      }
+      val schema = StructType(Seq(StructField("ds", StringType),
+        StructField("k", StringType), StructField("v", LongType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      // replay days in a random order, some twice
+      val order = rnd.shuffle(days ++ rnd.shuffle(days).take(2))
+      order.foreach { d =>
+        wh.refreshRollup(df.filter(col("ds") === d), "r", "ds", Seq("k"),
+          Seq(sum(col("v")).as("sv"), count(lit(1)).as("n")))
+      }
+      val got = wh.read(spark, "r")
+        .select(col("ds").cast("string"), col("k"), col("sv"), col("n"))
+        .collect().map(_.toSeq).toSet
+      val want = df.groupBy(col("ds"), col("k"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSet
+      got == want
+    }, n = 8)
+  }
 }
