@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.{PlanDump, Sessions, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Measures what SCALE.md's shuffle inventory CLAIMS, per headline query:
+  * shuffle bytes written/read and spill — captured from real task
+  * metrics via a SparkListener, not inferred from plans. (Input bytes are
+  * deliberately NOT reported: the local filesystem's positioned-read path
+  * bypasses the Hadoop statistics the input metric feeds from, so the
+  * column under-reports columnar scans.) The numbers quantify the design
+  * rules the library is built on:
+  *
+  *  - map-side partial aggregation: the agg queries shuffle grouped
+  *    partials, never raw rows (q1_agg: ~KBs of shuffle for an 11 MB
+  *    fact table);
+  *  - "0 data shuffles" claims (txt_stats, tx_struct_slots, sim_topk_*):
+  *    shuffle bytes ≈ presentation-sort + final-gather KBs only;
+  *  - banding/blocking: the dedup pair joins shuffle band keys and
+  *    signatures, not document text;
+  *  - spill-free execution at bench scale (memory/disk spill = 0).
+  *
+  * Usage: runMain graft.tools.ShuffleAudit [sfDir] — prints one markdown
+  * table row per headline query (paste target: SCALE.md "Measured shuffle
+  * volumes").
+  */
+object ShuffleAudit {
+
+  private class MetricsListener extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit =
+      Seq(shuffleWrite, shuffleRead, memSpill, diskSpill).foreach(_.set(0))
+  }
+
+  // two decimals: pruned-column scans and partial-agg shuffles are often
+  // tens of KB — the whole point of the audit is that they are NOT MBs
+  private def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = Sessions.base("local[8]", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    println(s"| query | shuffle write MB | shuffle read MB | spill MB |")
+    println(s"|---|---|---|---|")
+    PlanDump.headline.foreach { name =>
+      listener.reset()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      // let queued listener events drain before reading the counters
+      // (the bus is private API; a settle wait is enough for a report)
+      Thread.sleep(1000)
+      spark.catalog.clearCache()
+      println(s"| $name | ${mb(listener.shuffleWrite.get)} | " +
+        s"${mb(listener.shuffleRead.get)} | " +
+        s"${mb(listener.memSpill.get + listener.diskSpill.get)} |")
+    }
+    spark.stop()
+  }
+}
