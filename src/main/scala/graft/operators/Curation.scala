@@ -162,6 +162,43 @@ object Curation extends QueryModule {
         .orderBy(col("user_id"), col("day"))
     }),
 
+    // ---- the curation capstone: quality gate → exact dedup →
+    // benchmark decontamination → contamination-safe split, composed as
+    // ONE declarative plan (the sequence a training-data team actually
+    // ships). Decontamination drops any surviving doc sharing a 5-token
+    // shingle with the bounded eval set (doc_id % 97 — eval members
+    // remove themselves from the training corpus, as they must). Stage
+    // fusion is the point: Catalyst pushes the quality filter into the
+    // scan, the split hash is computed only for survivors, and the
+    // per-split rollup is the only output-sized aggregate. ----
+    "pipe_curation_e2e" -> ((s, d) => {
+      val shingleExpr = expr(
+        """transform(sequence(0, size(split(text, ' ')) - 5),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 5)))""".stripMargin)
+      val deduped = Tables.documents(s, d)
+        .filter(col("n_chars") >= 100)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
+      val evalShingles = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 0 && size(split(col("text"), " ")) >= 5)
+        .select(explode(shingleExpr).as("sh")).distinct()
+      val contaminated = deduped
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), explode(shingleExpr).as("sh"))
+        .join(broadcast(evalShingles), "sh")
+        .select(col("doc_id")).distinct()
+      deduped
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("bucket", pmod(h60(col("text")), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
     // ---- linear multi-touch attribution: each purchase's value is split
     // equally across the user's view/click touches in the preceding 3
     // days. The join is an EQUI-join on user_id with the time window as a
@@ -274,6 +311,35 @@ object Curation extends QueryModule {
         |SELECT c.user_id, c.day, o2.obs_val AS val_filled
         |FROM carried c LEFT JOIN obs o2 ON c.user_id = o2.ou AND c.last_day = o2.od
         |ORDER BY c.user_id, c.day""".stripMargin,
+    "pipe_curation_e2e" ->
+      """WITH deduped AS (
+        |  SELECT text, min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        |  FROM documents WHERE n_chars >= 100 GROUP BY text
+        |), ev_toks AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5
+        |), ev AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 5), ' ') AS sh
+        |  FROM (SELECT t, unnest(range(0, len(t) - 4)) AS i FROM ev_toks)
+        |), doc_toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM deduped
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), doc_sh AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS sh
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM doc_toks)
+        |), contaminated AS (
+        |  SELECT DISTINCT doc_id FROM doc_sh JOIN ev USING (sh)
+        |), survivors AS (
+        |  SELECT d.text, d.n_chars,
+        |    try_cast('0x' || substr(md5(d.text), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM deduped d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt_multi_touch" ->
       """WITH p AS (
         |  SELECT event_id AS p_id, user_id AS p_user,
