@@ -357,6 +357,64 @@ object EventTime extends QueryModule {
     // a bounded 7× of the already-collapsed (user, day) set — the shape
     // that survives when days × users is large. Inner join back to DAU
     // drops the ghost days after the last activity date. ----
+    // ---- A/B test readout: user_id parity as the assignment, "ever
+    // purchased" as the conversion metric, and the two-proportion z-score
+    // computed from EXACT integer counts — the n/c sums are the only
+    // data-sized aggregation (constant state per variant), and every
+    // double in the output derives from identical integer inputs through
+    // identically-spelled IEEE expressions (sqrt is correctly rounded, so
+    // it is oracle-portable — the same argument as graft_cosine). ----
+    "evt_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 90, 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      val agg = perUser.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("bigint").as("n_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L)).cast("bigint").as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("bigint").as("n_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L)).cast("bigint").as("conv_b"))
+      agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("conv_a").cast("double") / col("n_a").cast("double"), 6).as("rate_a"),
+        round(col("conv_b").cast("double") / col("n_b").cast("double"), 6).as("rate_b"),
+        round(
+          (col("conv_a").cast("double") / col("n_a").cast("double") -
+            col("conv_b").cast("double") / col("n_b").cast("double")) /
+          sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+               (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+               (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))), 4).as("z_score"))
+    }),
+
+    // ---- cohort retention triangle: users grouped by first-activity
+    // week, the classic cohort × weeks-since matrix. Two bounded
+    // aggregations: per-user first week (constant state), then distinct
+    // (cohort, week_n, user) counts — volume collapses to ≤ users × 5
+    // rows before the final rollup. Integer week arithmetic only. ----
+    "evt_cohort_triangle" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(date_trunc("week", to_date(col("ts"))))
+          .as("wk"))
+        .distinct()
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohorts.groupBy(col("cohort_wk")).agg(count(lit(1)).as("n_cohort"))
+      ev.join(cohorts, "user_id")
+        .withColumn("week_n", (datediff(col("wk"), col("cohort_wk")) / 7)
+          .cast("bigint"))
+        .filter(col("week_n").between(0, 4))
+        .groupBy(col("cohort_wk"), col("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, "cohort_wk")
+        .select(col("cohort_wk"), col("week_n"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+            .as("pct_retained"))
+        .orderBy(col("cohort_wk"), col("week_n"))
+    }),
+
     "evt_dau_wau" -> ((s, d) => {
       val ud = Tables.events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
@@ -528,6 +586,53 @@ object EventTime extends QueryModule {
         |  FROM e WHERE rn <= 3 GROUP BY user_id
         |)
         |SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY path""".stripMargin,
+    "evt_ab_test" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS converted,
+        |    user_id % 2 AS variant
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM per_user
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(
+        |    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |     CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |         (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4) AS z_score
+        |FROM agg""".stripMargin,
+    "evt_cohort_triangle" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+        |  FROM events WHERE user_id IS NOT NULL
+        |), cohorts AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort_wk, count(*) AS n_cohort FROM cohorts GROUP BY cohort_wk
+        |), act AS (
+        |  SELECT c.cohort_wk,
+        |    date_diff('day', c.cohort_wk, e.wk) // 7 AS week_n, e.user_id
+        |  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |)
+        |SELECT a.cohort_wk, CAST(a.week_n AS BIGINT) AS week_n,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active,
+        |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+        |  round(CAST(count(DISTINCT a.user_id) AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+        |    AS pct_retained
+        |FROM act a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+        |WHERE a.week_n BETWEEN 0 AND 4
+        |GROUP BY a.cohort_wk, a.week_n, s.n_cohort
+        |ORDER BY a.cohort_wk, a.week_n""".stripMargin,
     "evt_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
