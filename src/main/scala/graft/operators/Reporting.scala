@@ -358,6 +358,27 @@ object Reporting extends QueryModule {
         .orderBy(col("p_brand"))
     }),
 
+    // ---- 2-D skyline (Pareto frontier): parts not dominated on
+    // (cheaper-or-equal price, larger-or-equal size, strict in one).
+    // NOT the naive O(n²) correlated NOT EXISTS (which plans a nested-loop
+    // anti join): sort by (price asc, size desc) over DISTINCT pairs, and
+    // a point survives iff its size beats the running max of everything
+    // cheaper — O(n log n), and the domination proof is the window frame.
+    // Input is the part dimension; a corpus-scale skyline runs the same
+    // operator per partition, unions the partial skylines (skyline is
+    // idempotent under union) and re-applies it to the survivors. ----
+    "q_skyline" -> ((s, d) => {
+      val pts = Tables.part(s, d)
+        .select(cents(col("p_retailprice")).as("price_c"), col("p_size"))
+        .distinct()
+      val before = Window.orderBy(col("price_c"), desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pts.withColumn("max_before", max(col("p_size")).over(before))
+        .filter(col("max_before").isNull || col("p_size") > col("max_before"))
+        .select((col("price_c").cast("double") / 100.0).as("price"), col("p_size"))
+        .orderBy(col("price"), col("p_size"))
+    }),
+
     // ---- per-group least-squares fit (closed form) — the "fit a small
     // model per group" pattern done declaratively instead of a per-group
     // UDF: ONE pass of integer moment sums (n, Σx, Σy, Σxy, Σx²) in
@@ -544,6 +565,19 @@ object Reporting extends QueryModule {
          |WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          |   OR (p_type = 'SMALL' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 40)""".stripMargin,
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT CAST(round(p_retailprice * 100) AS BIGINT) AS price_c, p_size
+        |  FROM part
+        |), w AS (
+        |  SELECT price_c, p_size,
+        |    max(p_size) OVER (ORDER BY price_c, p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_before
+        |  FROM pts
+        |)
+        |SELECT CAST(price_c AS DOUBLE) / 100.0 AS price, p_size
+        |FROM w WHERE max_before IS NULL OR p_size > max_before
+        |ORDER BY price, p_size""".stripMargin,
     "q21_waiting" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1

@@ -78,6 +78,21 @@ class ReportingSpec extends SparkSuiteBase {
     assert(withUrgent == allSelected - selected)
   }
 
+  test("q_skyline: window formulation equals the brute-force domination definition") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.part(spark, sf0001)
+      .select(round(col("p_retailprice") * 100).cast("bigint").as("pc"), col("p_size"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val brute = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s)
+      }
+    }.map { case (p, s) => (p / 100.0, s) }.sortBy(identity).toSeq
+    val got = graft.operators.Reporting.queries("q_skyline")(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    assert(got == brute, s"window skyline $got != brute-force $brute")
+  }
+
   test("report joins: broadcast hints only on fixed-cardinality dims") {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
     def hinted(name: String): Int =
