@@ -73,14 +73,24 @@ object Curation extends QueryModule {
 
     // ---- referential-integrity audit: one row per FK edge with its row
     // and orphan counts — the data-quality gate a lake runs before
-    // publishing a batch. Each edge is one key-shuffle left join + a
-    // conditional count (parent null ⇒ orphan); the three edges union into
-    // a 3-row report. ----
+    // publishing a batch. The distinct PK side is EXPLICITLY broadcast:
+    // after `.distinct()` Catalyst's size estimate exceeds the
+    // autoBroadcast threshold at sf1+ and the join fell back to a
+    // sort-merge join shuffling every fact row — the measured 4.4× sf1
+    // scaling. Broadcast makes each edge a scan + broadcast-hash left join
+    // + partial count: the only exchange is one 1-row-per-partition agg
+    // gather, i.e. the fact side never shuffles. When the PK set itself
+    // outgrows broadcast (fact-fact edges at extreme SF), the fallback is
+    // pre-aggregating child keys (groupBy(ck).count(), map-side combine)
+    // so the join shuffles distinct keys instead of rows. A Bloom
+    // prefilter of the probe side was considered and rejected: misses
+    // (definite orphans) are the RARE rows, so nearly every row still
+    // needs the exact join — a bloom can't cut an exact orphan count. ----
     "q_fk_audit" -> ((s, d) => {
       def audit(child: DataFrame, ck: String, parent: DataFrame, pk: String,
                 edge: String): DataFrame =
         child.select(col(ck)).join(
-            parent.select(col(pk).as("__pk")).distinct(),
+            broadcast(parent.select(col(pk).as("__pk")).distinct()),
             col(ck) === col("__pk"), "left_outer")
           .agg(count(lit(1)).as("n_rows"),
             sum(when(col("__pk").isNull, 1L).otherwise(0L)).cast("bigint")

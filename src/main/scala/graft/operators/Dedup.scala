@@ -118,6 +118,36 @@ object Dedup extends QueryModule {
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
   }
 
+  /** Degree-rank edge orientation for node-iterator triangle counting.
+    * Input: undirected candidate edges `(doc_a, doc_b)` with doc_a < doc_b,
+    * distinct. Output: each edge oriented from its lower-(degree, id)
+    * endpoint to the higher — columns `src`, `dst`, and `dst_r` (the
+    * destination's `(deg, id)` rank struct, which the wedge join compares
+    * so each triangle closes exactly once).
+    *
+    * Why degree order and not raw id: the wedge join `e1 ⋈ e2 ON src`
+    * fans out quadratically in out-degree. Under id order one hub document
+    * (boilerplate that bands with everything) with a LOW id keeps all its
+    * edges outgoing — out-degree = hub degree, join blow-up = hub degree².
+    * Under (degree, id) order a node's out-neighbors all have rank ≥ its
+    * own, which caps every out-degree at O(√m) (a node with out-degree t
+    * has t neighbors of degree ≥ its own ≥ t, so t² ≤ 2m) — the planted-hub
+    * case in DedupSpec pins this bound.
+    */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val ra = struct(col("deg_a").as("deg"), col("doc_a").as("id"))
+    val rb = struct(col("deg_b").as("deg"), col("doc_b").as("id"))
+    e.join(deg.select(col("doc_id").as("doc_a"), col("deg").as("deg_a")), "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("deg").as("deg_b")), "doc_b")
+      .select(
+        when(ra < rb, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(ra < rb, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(ra < rb, rb).otherwise(ra).as("dst_r"))
+  }
+
   /** Connected components of an undirected edge list (doc_a, doc_b):
     * min-label propagation PLUS per-round pointer jumping. Each round:
     *
@@ -503,11 +533,13 @@ object Dedup extends QueryModule {
     // closure coefficient (3T/W) over the LSH candidate graph. Near-clique
     // clusters (true duplicate groups) close their wedges; a low closure
     // rate on a dense candidate graph is the canary for band-collision
-    // noise. Canonical a<b<c orientation makes each triangle count once
-    // and bounds the join fan-out by out-degree under the id order — the
-    // standard node-iterator; at 100 TB orient by DEGREE order instead
-    // (same joins, degree-rank as the key) so hubs don't dominate. Wedge
-    // count is exact integer degree math. ----
+    // noise. Triangle counting is the node-iterator with edges oriented by
+    // DEGREE rank ([[orientByDegree]]): the wedge join's per-key fan-out is
+    // bounded by out-degree under the (degree, id) order — O(√m) for any
+    // graph — where the raw-id orientation lets one low-id hub (boilerplate
+    // that bands with everything) make the wedge join quadratic in hub
+    // degree. Count is orientation-invariant, so the oracle is unchanged.
+    // Wedge count is exact integer degree math. ----
     "dedup_triangles" -> ((s, d) => {
       val bands = bandKeys(minhashSig(s, d))
       val e = bands.as("a").join(bands.as("b"),
@@ -516,10 +548,12 @@ object Dedup extends QueryModule {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct().cache()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
-        .join(e.as("e3"),
-          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      val or = orientByDegree(e)
+      val tri = or.as("e1")
+        .join(or.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst_r") < col("e2.dst_r"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+        .join(or.as("e3"), col("e3.src") === col("u") && col("e3.dst") === col("v"))
         .agg(count(lit(1)).as("n_triangles"))
       val wed = e.select(col("doc_a").as("doc_id"))
         .unionAll(e.select(col("doc_b").as("doc_id")))

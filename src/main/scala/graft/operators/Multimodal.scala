@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,6 +44,134 @@ object Multimodal extends QueryModule {
         lit("fake/raw").as("format"),
         length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
         lit(16000).as("sample_rate")).as("meta"))
+
+  /** PNG-framed payloads: a REAL png byte layout — 8-byte signature, then
+    * an IHDR chunk (length, type, 13-byte data, CRC32 over type+data —
+    * computed with Spark's `crc32`, so the chunk checksums like any PNG
+    * tool expects) — followed by the document text bytes standing in for
+    * the compressed image stream. Width/height are derived from
+    * (doc_id, n_chars) so the DuckDB oracle can predict them INDEPENDENTLY
+    * while the Spark side only learns them by parsing the bytes.
+    */
+  def attachPngMedia(docs: DataFrame): DataFrame = {
+    def be4(c: Column): Column = unhex(lpad(hex(c.cast("bigint")), 8, "0"))
+    val width = col("doc_id") % 1024 + 1
+    val height = col("n_chars") % 768 + 1
+    val typePlusData = concat(
+      lit("IHDR".getBytes("US-ASCII")),
+      be4(width), be4(height),
+      // bit depth 8, color type 6 (RGBA), compression 0, filter 0, interlace 0
+      lit(Array[Byte](8, 6, 0, 0, 0)))
+    val payload = concat(
+      lit(MediaHeader.PngSignature),
+      be4(lit(13)), typePlusData, be4(crc32(typePlusData)),
+      col("text").cast("binary"))
+    docs.select(col("doc_id"), payload.as("payload"))
+  }
+
+  /** Byte-level media-header sniffing — the genuinely-decodable slice of
+    * the multimodal pipeline (full image decode still needs the stubbed
+    * codec seam; header fields don't). A real parser: verifies the PNG
+    * signature, chunk length/type, AND the IHDR CRC32 before trusting the
+    * fields; anything that fails a check degrades explicitly instead of
+    * returning garbage dimensions.
+    */
+  object MediaHeader {
+    val PngSignature: Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    /** format ∈ {png, png-corrupt, raw}; fields None unless a valid IHDR
+      * (signature + length + type + CRC all check out) was parsed.
+      */
+    case class Parsed(format: String, width: Option[Int], height: Option[Int],
+                      bitDepth: Option[Int], colorType: Option[Int])
+
+    def sniff(bytes: Array[Byte]): Parsed = {
+      def be4(off: Int): Long =
+        ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+          ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+      val sigOk = bytes.length >= 33 &&
+        java.util.Arrays.equals(bytes.take(8), PngSignature)
+      if (!sigOk) Parsed("raw", None, None, None, None)
+      else {
+        val chunkLen = be4(8)
+        val chunkType = new String(bytes, 12, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, 12, 17) // type + 13 data bytes
+        if (chunkLen != 13L || chunkType != "IHDR" || crc.getValue != be4(29))
+          Parsed("png-corrupt", None, None, None, None)
+        else
+          Parsed("png", Some(be4(16).toInt), Some(be4(20).toInt),
+            Some(bytes(24) & 0xff), Some(bytes(25) & 0xff))
+      }
+    }
+  }
+
+  val headerSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("color_type", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Header sniffing over the SAME Arrow-columnar batch seam as
+    * [[decodeFeaturesArrow]]: payload bytes are marshalled into a
+    * `VarBinaryVector` per batch and parsed there — the shape a native
+    * (JNI/GPU) header reader consumes — still a narrow stage; the payload
+    * bytes never shuffle, only the tiny parsed fields continue.
+    */
+  def parseHeadersArrow(media: DataFrame): DataFrame = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.grouped(FakeDecoder.batchSize).flatMap { batch =>
+        val alloc = new RootAllocator(Long.MaxValue)
+        var docId: BigIntVector = null
+        var payload: VarBinaryVector = null
+        var root: VectorSchemaRoot = null
+        try {
+          docId = new BigIntVector("doc_id", alloc)
+          payload = new VarBinaryVector("payload", alloc)
+          docId.allocateNew(batch.size)
+          payload.allocateNew()
+          batch.zipWithIndex.foreach { case (row, i) =>
+            docId.setSafe(i, row.getLong(0))
+            payload.setSafe(i, row.getAs[Array[Byte]]("payload"))
+          }
+          docId.setValueCount(batch.size)
+          payload.setValueCount(batch.size)
+          root = VectorSchemaRoot.of(docId, payload)
+          root.setRowCount(batch.size)
+          (0 until root.getRowCount).map { i =>
+            val bytes = payload.get(i)
+            val h = MediaHeader.sniff(bytes)
+            Row(docId.get(i), h.format, h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
+              h.bitDepth.map(Int.box).orNull, h.colorType.map(Int.box).orNull, bytes.length.toLong)
+          }
+        } finally {
+          if (root != null) root.close()
+          else { if (docId != null) docId.close(); if (payload != null) payload.close() }
+          alloc.close()
+        }
+      }
+    }
+    spark.createDataFrame(rdd, headerSchema)
+  }
+
+  /** Row-path twin of [[parseHeadersArrow]] (parity spec pins equality). */
+  def parseHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      val bytes = row.getAs[Array[Byte]]("payload")
+      val h = MediaHeader.sniff(bytes)
+      Row(row.getLong(0), h.format, h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
+        h.bitDepth.map(Int.box).orNull, h.colorType.map(Int.box).orNull, bytes.length.toLong)
+    }
+    spark.createDataFrame(rdd, headerSchema)
+  }
 
   object FakeDecoder {
     val batchSize = 64
@@ -208,14 +336,23 @@ object Multimodal extends QueryModule {
           col("n_frames").cast("bigint").as("n_frames"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
-    // binary-column metadata surface (oracle-checkable slice of the plumbing)
+    // binary-column metadata surface: REAL byte-level header decode. The
+    // payload is a PNG-framed binary ([[attachPngMedia]]); the values below
+    // exist on the Spark side ONLY via [[MediaHeader.sniff]] reading the
+    // signature + IHDR (incl. CRC32 verification) inside the Arrow batch
+    // seam, while the oracle predicts the same fields independently from
+    // (doc_id, n_chars). Narrow stage end to end: payload bytes never
+    // shuffle, only the parsed fields reach the final sort.
     "mm_binary_meta" -> ((s, d) => {
-      attachFakeMedia(Tables.documents(s, d).orderBy(col("doc_id")))
-        .select(
-          col("doc_id"),
-          col("meta.format").as("format"),
-          col("meta.n_bytes").as("n_bytes"),
-          ascii(substring(col("payload").cast("string"), 1, 1)).cast("bigint").as("first_code"))
+      val media = attachPngMedia(Tables.documents(s, d))
+      parseHeadersArrow(media)
+        .select(col("doc_id"), col("format"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("bit_depth").cast("bigint").as("bit_depth"),
+          col("color_type").cast("bigint").as("color_type"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -232,9 +369,15 @@ object Multimodal extends QueryModule {
         |  n AS n_frames
         |FROM f, UNNEST(range(0, n)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // independent derivation of the header fields the Spark side PARSES
+    // out of the PNG bytes: 8 (sig) + 4 (len) + 4 (type) + 13 (IHDR data)
+    // + 4 (crc) = 33 header bytes before the text payload
     "mm_binary_meta" ->
-      """SELECT doc_id, 'fake/raw' AS format,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_code
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 1024 + 1 AS BIGINT) AS width,
+        |  CAST(n_chars % 768 + 1 AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(6 AS BIGINT) AS color_type,
+        |  CAST(33 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -29,6 +29,43 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Reporting extends QueryModule {
 
+  /** Distributed 2-D skyline over `(price_c: BIGINT, p_size: INT)` points
+    * (minimize price, maximize size, non-null, exact duplicates already
+    * removed). Decomposed the way a 100 TB skyline must be:
+    *
+    *  1. partial pass — sort each partition locally (no exchange) by
+    *     (price asc, size desc) and keep a row iff its size beats the
+    *     partition's running max of everything cheaper. Narrow mapPartitions;
+    *     every globally non-dominated point survives its partition (a point
+    *     dominated by nothing overall is dominated by nothing local), so the
+    *     union of partial frontiers is a superset of the answer.
+    *  2. final pass — the same running-max rule, windowed, over ONLY the
+    *     surviving frontier points (≤ frontier-per-partition × partitions —
+    *     thousands, not the lake). The single-partition window that a naive
+    *     formulation would run over ALL rows here sees only this tiny union,
+    *     the same bounded-input justification as q_mom_yoy's monthly window.
+    */
+  private[graft] def skylineFrontier(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = pts.sparkSession
+    val canon = pts.select(col("price_c").cast("bigint").as("price_c"),
+      col("p_size").cast("int").as("p_size"))
+    val sorted = canon.sortWithinPartitions(col("price_c"), desc("p_size"))
+    val partialRdd = sorted.rdd.mapPartitions { it =>
+      var best = Long.MinValue
+      it.filter { r =>
+        val sz = r.getInt(1).toLong
+        if (sz > best) { best = sz; true } else false
+      }
+    }
+    val partial = sp.createDataFrame(partialRdd, sorted.schema)
+    val before = Window.orderBy(col("price_c"), desc("p_size"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    partial.withColumn("max_before", max(col("p_size")).over(before))
+      .filter(col("max_before").isNull || col("p_size") > col("max_before"))
+      .drop("max_before")
+  }
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
   private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
@@ -361,20 +398,14 @@ object Reporting extends QueryModule {
     // ---- 2-D skyline (Pareto frontier): parts not dominated on
     // (cheaper-or-equal price, larger-or-equal size, strict in one).
     // NOT the naive O(n²) correlated NOT EXISTS (which plans a nested-loop
-    // anti join): sort by (price asc, size desc) over DISTINCT pairs, and
-    // a point survives iff its size beats the running max of everything
-    // cheaper — O(n log n), and the domination proof is the window frame.
-    // Input is the part dimension; a corpus-scale skyline runs the same
-    // operator per partition, unions the partial skylines (skyline is
-    // idempotent under union) and re-applies it to the survivors. ----
+    // anti join), and NOT a single global sort: see [[skylineFrontier]] —
+    // per-partition running-max partial skylines (narrow), then one final
+    // small skyline over the union of the tiny frontiers. ----
     "q_skyline" -> ((s, d) => {
       val pts = Tables.part(s, d)
         .select(cents(col("p_retailprice")).as("price_c"), col("p_size"))
         .distinct()
-      val before = Window.orderBy(col("price_c"), desc("p_size"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      pts.withColumn("max_before", max(col("p_size")).over(before))
-        .filter(col("max_before").isNull || col("p_size") > col("max_before"))
+      skylineFrontier(pts)
         .select((col("price_c").cast("double") / 100.0).as("price"), col("p_size"))
         .orderBy(col("price"), col("p_size"))
     }),

@@ -72,15 +72,6 @@ class Warehouse(val root: String, val format: String = "parquet") {
       .format(format)
       .save(tablePath(name))
 
-  /** Co-location layout for repeated fact-fact joins: both tables are
-    * written bucketed (and sorted) on the join key with the same bucket
-    * count, so every later join/aggregation on that key runs with ZERO
-    * exchange — the shuffle is paid once at write time instead of per
-    * query. This is the 100 TB answer to "lineitem ⋈ orders on every
-    * dashboard query" (WarehouseSpec asserts the exchange-free plan).
-    * Bucketed tables go through the session catalog (`saveAsTable`), which
-    * records bucketing metadata parquet files alone can't carry.
-    */
   /** Incremental materialized-rollup maintenance: aggregate ONLY the new
     * batch (which carries complete data for its partition-key values — the
     * daily-batch contract) and partition-overwrite exactly those values in
@@ -103,6 +94,15 @@ class Warehouse(val root: String, val format: String = "parquet") {
     partitionedUpsertWrite(delta, rollupTable, partitionCol)
   }
 
+  /** Co-location layout for repeated fact-fact joins: both tables are
+    * written bucketed (and sorted) on the join key with the same bucket
+    * count, so every later join/aggregation on that key runs with ZERO
+    * exchange — the shuffle is paid once at write time instead of per
+    * query. This is the 100 TB answer to "lineitem ⋈ orders on every
+    * dashboard query" (WarehouseSpec asserts the exchange-free plan).
+    * Bucketed tables go through the session catalog (`saveAsTable`), which
+    * records bucketing metadata parquet files alone can't carry.
+    */
   def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write
       .mode(SaveMode.Overwrite)
@@ -119,16 +119,81 @@ case class Stage(name: String, run: (SparkSession, Warehouse, BatchContext) => U
 /** G1/G2: a named, ordered chain of stages. */
 case class Pipeline(name: String, stages: Seq[Stage])
 
+/** Task retry / run timeout policy — the reference configures
+  * `retries: 1, retry_delay: 5 minutes` per task and a 20-minute
+  * `dagrun_timeout` per DAG run (`dags/airflow_monitoring.py:9-10,18`).
+  * `retries` = additional attempts AFTER the first (Airflow's meaning);
+  * `retryDelayMs` sleeps between attempts; `runTimeoutMs` bounds one
+  * date's run (None = unbounded). `sleep`/`clock` are injectable so specs
+  * exercise the semantics without wall-clock waits.
+  */
+case class RetryPolicy(
+    retries: Int = 0,
+    retryDelayMs: Long = 0L,
+    runTimeoutMs: Option[Long] = None,
+    sleep: Long => Unit = Thread.sleep,
+    clock: () => Long = System.currentTimeMillis)
+
+/** One date's run exceeded `RetryPolicy.runTimeoutMs` — the backfill stops
+  * (depends_on_past: later dates never run), like an Airflow dagrun timeout
+  * failing the run.
+  */
+class RunTimeoutException(msg: String) extends RuntimeException(msg)
+
+/** What a backfill actually did: dates fully completed, and every retry
+  * that was needed ((ds, stage) -> extra attempts consumed).
+  */
+case class RunReport(completedDates: Seq[LocalDate],
+                     retries: Map[(String, String), Int])
+
 object BatchRunner {
 
   /** Run `pipeline` once per date in `dates`, strictly in order —
-    * `depends_on_past` + `wait_for_downstream` semantics: a failure stops
-    * the whole backfill (subsequent dates do not run).
+    * `depends_on_past` + `wait_for_downstream` semantics: a failure (a
+    * stage exhausting its retries, or a date's run exceeding the timeout)
+    * stops the whole backfill; subsequent dates do not run.
+    *
+    * Per stage: up to `policy.retries` re-attempts after a throw, with
+    * `retryDelayMs` between attempts — the flaky-IO batch-job contract the
+    * reference gets from Airflow. Per date: if the elapsed run time
+    * exceeds `runTimeoutMs` after a stage completes (stages are not
+    * interrupted mid-flight — Spark jobs don't die cleanly that way), the
+    * run aborts with [[RunTimeoutException]].
     */
   def run(spark: SparkSession, wh: Warehouse, pipeline: Pipeline,
-          dates: Seq[LocalDate]): Unit =
-    for (date <- dates; stage <- pipeline.stages)
-      stage.run(spark, wh, BatchContext(date))
+          dates: Seq[LocalDate],
+          policy: RetryPolicy = RetryPolicy()): RunReport = {
+    val retried = scala.collection.mutable.Map[(String, String), Int]()
+    val completed = scala.collection.mutable.ArrayBuffer[LocalDate]()
+    for (date <- dates) {
+      val ctx = BatchContext(date)
+      val runStart = policy.clock()
+      for (stage <- pipeline.stages) {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            stage.run(spark, wh, ctx)
+            done = true
+          } catch {
+            case e: Throwable if attempt < policy.retries =>
+              attempt += 1
+              retried((ctx.ds, stage.name)) = attempt
+              if (policy.retryDelayMs > 0) policy.sleep(policy.retryDelayMs)
+          }
+        }
+        policy.runTimeoutMs.foreach { t =>
+          val elapsed = policy.clock() - runStart
+          if (elapsed > t)
+            throw new RunTimeoutException(
+              s"run for ${ctx.ds} exceeded ${t} ms after stage '${stage.name}' " +
+                s"(elapsed ${elapsed} ms) — aborting backfill, later dates unrun")
+        }
+      }
+      completed += date
+    }
+    RunReport(completed.toSeq, retried.toMap)
+  }
 
   def dateRange(start: LocalDate, endInclusive: LocalDate): Seq[LocalDate] =
     Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(endInclusive)).toSeq

@@ -44,6 +44,43 @@ object ShuffleAudit {
     }
     def reset(): Unit =
       Seq(shuffleWrite, shuffleRead, memSpill, diskSpill).foreach(_.set(0))
+    def snapshot: Long =
+      shuffleWrite.get + shuffleRead.get + memSpill.get + diskSpill.get
+  }
+
+  /** Deterministic listener drain: flush the bus via
+    * `SparkContext.listenerBus.waitUntilEmpty` (private[spark] — reached by
+    * reflection), so late TaskEnd events can't land after reset() and get
+    * billed to the NEXT query. If the internal API ever moves, fall back to
+    * polling the counters until two consecutive reads agree — still
+    * event-driven, never a blind fixed sleep.
+    */
+  private def drain(spark: org.apache.spark.sql.SparkSession,
+                    listener: MetricsListener): Unit = {
+    val flushed =
+      try {
+        val sc = spark.sparkContext
+        sc.getClass.getMethods.find(_.getName == "listenerBus")
+          .map(_.invoke(sc))
+          .exists { bus =>
+            bus.getClass.getMethods.find(_.getName == "waitUntilEmpty").exists { m =>
+              if (m.getParameterCount == 0) m.invoke(bus)
+              else m.invoke(bus, java.lang.Long.valueOf(30000L))
+              true
+            }
+          }
+      } catch { case _: Throwable => false }
+    if (!flushed) {
+      var prev = -1L
+      var cur = listener.snapshot
+      var spins = 0
+      while (prev != cur && spins < 50) {
+        prev = cur
+        Thread.sleep(100)
+        cur = listener.snapshot
+        spins += 1
+      }
+    }
   }
 
   // two decimals: pruned-column scans and partial-agg shuffles are often
@@ -62,9 +99,7 @@ object ShuffleAudit {
       listener.reset()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // let queued listener events drain before reading the counters
-      // (the bus is private API; a settle wait is enough for a report)
-      Thread.sleep(1000)
+      drain(spark, listener)
       spark.catalog.clearCache()
       println(s"| $name | ${mb(listener.shuffleWrite.get)} | " +
         s"${mb(listener.shuffleRead.get)} | " +

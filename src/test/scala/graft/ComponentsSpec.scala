@@ -88,6 +88,30 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(rounds <= 6, s"expected <= 6 star rounds for a 30-node chain, took $rounds")
   }
 
+  test("degree-rank orientation bounds hub out-degree and keeps the triangle count exact") {
+    import org.apache.spark.sql.functions._
+    // planted hub: node 0 has the LOWEST id and degree 40 — under raw-id
+    // orientation all 40 edges stay outgoing (out-degree 40, wedge join
+    // fan-out 40²). Under (degree, id) rank every spoke (degree 1) outranks
+    // nothing, so each hub edge flips spoke→hub and the hub's out-degree is
+    // 0. Plus one genuine triangle on {100, 101, 102} to pin the count.
+    val edges = (1L to 40L).map(sp => (0L, sp)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L))
+    val or = Dedup.orientByDegree(edges.toDF("doc_a", "doc_b")).cache()
+    val maxOut = or.groupBy(col("src")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxOut <= 2,
+      s"degree-rank orientation must bound out-degree (hub would be 40 under id order), got $maxOut")
+    val tri = or.as("e1")
+      .join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst_r") < col("e2.dst_r"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+      .join(or.as("e3"), col("e3.src") === col("u") && col("e3.dst") === col("v"))
+      .count()
+    assert(tri == 1L, s"expected exactly the planted triangle, counted $tri")
+    or.unpersist()
+  }
+
   test("reliable checkpoint mode matches local mode labels and round count") {
     // chain + clique + isolated edge: same labels and convergence speed
     // whether rounds cut lineage with localCheckpoint (bench/single-box)

@@ -35,12 +35,17 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     // side. A plain CartesianProduct means a broadcast hint was lost and
     // the query would do |A|·|B| work at scale.
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val plan = try fn(spark, sf0001).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"<plan failed: ${e.getMessage}>" }
-      if (plan.contains("CartesianProduct")) Some(name) else None
+      // a query whose plan fails to BUILD is an offender too — swallowing
+      // the throw would silently pass the no-CartesianProduct check
+      try {
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(s"$name (cartesian)") else None
+      } catch {
+        case e: Throwable => Some(s"$name (plan failed: ${e.getMessage})")
+      }
     }
     assert(offenders.isEmpty,
-      s"cartesian product in: ${offenders.mkString(", ")}")
+      s"cartesian product or broken plan in: ${offenders.mkString(", ")}")
   }
 
   test("tx_array_unpack branch logic: short arrays fall back positionally") {
@@ -88,6 +93,40 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     val arrowPath = canon(Multimodal.decodeFeaturesArrow(media))
     assert(rowPath.nonEmpty)
     assert(arrowPath == rowPath)
+  }
+
+  test("MediaHeader.sniff: parses a real PNG IHDR, rejects corrupt CRC and non-PNG bytes") {
+    import graft.operators.Multimodal.MediaHeader
+    // hand-build a real PNG header: signature + IHDR(640x480, depth 8, RGBA)
+    def be4(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val typePlusData = "IHDR".getBytes("US-ASCII") ++ be4(640) ++ be4(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val crc = new java.util.zip.CRC32(); crc.update(typePlusData)
+    val png = MediaHeader.PngSignature ++ be4(13) ++ typePlusData ++
+      be4(crc.getValue) ++ "payload-tail".getBytes
+    assert(MediaHeader.sniff(png) ==
+      MediaHeader.Parsed("png", Some(640), Some(480), Some(8), Some(6)))
+    // flip one IHDR data byte without fixing the CRC -> corrupt, fields withheld
+    val corrupt = png.clone(); corrupt(18) = (corrupt(18) ^ 1).toByte
+    assert(MediaHeader.sniff(corrupt).format == "png-corrupt")
+    assert(MediaHeader.sniff(corrupt).width.isEmpty)
+    // non-PNG bytes -> raw
+    assert(MediaHeader.sniff("just some text".getBytes).format == "raw")
+    assert(MediaHeader.sniff(Array[Byte](1, 2, 3)).format == "raw")
+  }
+
+  test("PNG header parse: Arrow path is row-identical to the row path") {
+    val media = Multimodal.attachPngMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    val rowPath = canon(Multimodal.parseHeaders(media))
+    val arrowPath = canon(Multimodal.parseHeadersArrow(media))
+    assert(rowPath.nonEmpty)
+    assert(arrowPath == rowPath)
+    // every fixture payload round-trips: built as a valid PNG, parsed as one
+    assert(rowPath.forall(_(1) == "png"))
   }
 
   test("native graft_simhash16 is bit-identical to the relational explode/groupBy form") {

@@ -93,6 +93,26 @@ class ReportingSpec extends SparkSuiteBase {
     assert(got == brute, s"window skyline $got != brute-force $brute")
   }
 
+  test("skylineFrontier: partial-union decomposition equals brute force across partitionings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic pseudo-random point cloud; dominated points everywhere,
+    // frontier points scattered across partitions
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(2000)((rnd.nextInt(1000).toLong, rnd.nextInt(1000))).distinct
+    val brute = pts.filter { case (p, s) =>
+      !pts.exists { case (p2, s2) => p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.toSet
+    // the decomposition must be partitioning-invariant: a frontier point can
+    // never be eliminated by the partial pass, whatever partition it lands in
+    for (nPart <- Seq(1, 3, 16)) {
+      val df = pts.toDF("price_c", "p_size").repartition(nPart)
+      val got = operators.Reporting.skylineFrontier(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == brute, s"partial-union skyline at $nPart partitions != brute force")
+    }
+  }
+
   test("report joins: broadcast hints only on fixed-cardinality dims") {
     import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
     def hinted(name: String): Int =

@@ -42,6 +42,38 @@ class SimilaritySpec extends SparkSuiteBase {
         "if this starts passing the planted ids no longer straddle shards")
   }
 
+  test("literal-plane SRP codes are identical to the crossJoin+groupBy formulation") {
+    import graft.operators.Similarity
+    // the round-7 shuffle-free coding (planes collected once, inlined as
+    // literals) must produce bit-identical codes to the relational
+    // formulation it replaced — same planes, same fp dot products
+    val planes = Similarity.srpPlanes(spark, sf0001)
+    assert(planes.length == 8)
+    val e = Tables.embeddings(spark, sf0001)
+    val viaLit = e.select(col("vec_id"), Similarity.srpCodeCol(planes).as("code"))
+    val pl = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), col("embedding").as("h_emb"))
+    val viaJoin = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(pl))
+      .withColumn("bit",
+        when(call_function("graft_dot", col("embedding"), col("h_emb")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT) - 1)")).otherwise(lit(0L)))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("code"))
+    assert(viaLit.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaLit).count() == 0,
+      "literal-projection SRP codes diverge from the crossJoin+groupBy codes")
+  }
+
+  test("srpPlanes fails loud on a re-keyed export missing the plane convention") {
+    import graft.operators.Similarity
+    val dir = tmpDir("rekeyed")
+    Tables.embeddings(spark, sf0001).filter(col("vec_id") >= 100)
+      .write.parquet(dir + "/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] { Similarity.srpPlanes(spark, dir) }
+    assert(ex.getMessage.contains("hyperplanes"),
+      s"expected the plane-convention guard to fire, got: ${ex.getMessage}")
+  }
+
   test("int8 quantization: codes bounded, reconstruction error within half a step") {
     val rows = SparkEntry.queries("sim_quantize_int8")(spark, sf0001).collect()
     assert(rows.length == 500)
