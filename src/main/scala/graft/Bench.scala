@@ -18,8 +18,14 @@ object Bench {
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchQueries = nameFilter match {
-      case Some(f) => SparkEntry.queries.view.filterKeys(f).toMap
-      case None    => SparkEntry.queries
+      case Some(f) =>
+        // fail fast on unknown names: a typo'd filter would silently omit
+        // the query and misread as "removed/improved" when re-measuring
+        val unknown = f.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_FILTER names not registered: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(f).toMap
+      case None => SparkEntry.queries
     }
     val spark = Sessions.fromEnv()
     // Warm the JVM + codegen + parquet footer cache with the tiny smoke

@@ -73,29 +73,35 @@ object Curation extends QueryModule {
 
     // ---- referential-integrity audit: one row per FK edge with its row
     // and orphan counts — the data-quality gate a lake runs before
-    // publishing a batch. The distinct PK side is EXPLICITLY broadcast:
-    // after `.distinct()` Catalyst's size estimate exceeds the
-    // autoBroadcast threshold at sf1+ and the join fell back to a
-    // sort-merge join shuffling every fact row — the measured 4.4× sf1
-    // scaling. Broadcast makes each edge a scan + broadcast-hash left join
-    // + partial count: the only exchange is one 1-row-per-partition agg
-    // gather, i.e. the fact side never shuffles. When the PK set itself
-    // outgrows broadcast (fact-fact edges at extreme SF), the fallback is
-    // pre-aggregating child keys (groupBy(ck).count(), map-side combine)
-    // so the join shuffles distinct keys instead of rows. A Bloom
-    // prefilter of the probe side was considered and rejected: misses
-    // (definite orphans) are the RARE rows, so nearly every row still
-    // needs the exact join — a bloom can't cut an exact orphan count. ----
+    // publishing a batch. ZERO-data-shuffle form: orphans = total − matched,
+    // where matched is a LEFT SEMI join against the EXPLICITLY broadcast PK
+    // side. Three deliberate choices, each earned by a measured regression:
+    //  - explicit broadcast: Catalyst's size estimate pushed the r6 left
+    //    join to sort-merge at sf1, shuffling every fact row (4.4× ratio);
+    //  - left semi, not left outer: semi never duplicates probe rows, so
+    //    the parent side needs NO `.distinct()` — whose exchange was the
+    //    last 8 MB of shuffle on this query (ShuffleAudit, sf1);
+    //  - two partial-agg counts instead of one outer-join pass: both are
+    //    pruned single-column scans with a 1-row-per-partition gather.
+    // When the PK set outgrows broadcast (fact-fact edges at extreme SF),
+    // the fallback is pre-aggregating child keys (groupBy(ck).count(),
+    // map-side combine) into a key-shuffle join. A Bloom prefilter of the
+    // probe side was considered and rejected: misses (definite orphans)
+    // are the RARE rows, so ~every row still needs the exact join — a
+    // bloom can't cut an exact orphan count. ----
     "q_fk_audit" -> ((s, d) => {
       def audit(child: DataFrame, ck: String, parent: DataFrame, pk: String,
-                edge: String): DataFrame =
-        child.select(col(ck)).join(
-            broadcast(parent.select(col(pk).as("__pk")).distinct()),
-            col(ck) === col("__pk"), "left_outer")
-          .agg(count(lit(1)).as("n_rows"),
-            sum(when(col("__pk").isNull, 1L).otherwise(0L)).cast("bigint")
-              .as("n_orphans"))
-          .select(lit(edge).as("fk_edge"), col("n_rows"), col("n_orphans"))
+                edge: String): DataFrame = {
+        val total = child.select(col(ck))
+          .agg(count(lit(1)).as("n_rows"))
+        val matched = child.select(col(ck)).join(
+            broadcast(parent.select(col(pk).as("__pk"))),
+            col(ck) === col("__pk"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"))
+        total.crossJoin(broadcast(matched))
+          .select(lit(edge).as("fk_edge"), col("n_rows"),
+            (col("n_rows") - col("n_matched")).cast("bigint").as("n_orphans"))
+      }
       val li = Tables.lineitem(s, d)
       audit(li, "l_orderkey", Tables.orders(s, d), "o_orderkey", "lineitem->orders")
         .unionByName(audit(li, "l_partkey", Tables.part(s, d), "p_partkey",

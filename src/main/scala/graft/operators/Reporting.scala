@@ -286,31 +286,38 @@ object Reporting extends QueryModule {
     // what a user's hand-written query gets: Catalyst decorrelates both
     // into a left-semi and a left-anti join on l_orderkey (the NOT EXISTS
     // side carries its own orders join — decorrelated too, never a
-    // per-row rescan). "Late" = shipped > 365 days after order date. ----
+    // per-row rescan). "Late" = shipped > 365 days after order date.
+    // Temp views are per-invocation unique (and dropped as soon as the
+    // plan is analyzed — spark.sql resolves eagerly), so two invocations
+    // on the same session with different data dirs, or concurrent tests,
+    // can't clobber each other's view bindings. ----
     "q21_waiting" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q21")
-      Tables.orders(s, d).createOrReplaceTempView("orders_q21")
-      Tables.supplier(s, d).createOrReplaceTempView("supplier_q21")
-      s.sql(
-        """SELECT s_name, count(*) AS numwait
-          |FROM lineitem_q21 l1
-          |JOIN orders_q21 o ON o.o_orderkey = l1.l_orderkey
-          |JOIN supplier_q21 ON s_suppkey = l1.l_suppkey
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (li, or, su) = (s"lineitem_q21_$tag", s"orders_q21_$tag", s"supplier_q21_$tag")
+      Tables.lineitem(s, d).createOrReplaceTempView(li)
+      Tables.orders(s, d).createOrReplaceTempView(or)
+      Tables.supplier(s, d).createOrReplaceTempView(su)
+      try s.sql(
+        s"""SELECT s_name, count(*) AS numwait
+          |FROM $li l1
+          |JOIN $or o ON o.o_orderkey = l1.l_orderkey
+          |JOIN $su ON s_suppkey = l1.l_suppkey
           |WHERE o.o_orderstatus = 'F'
           |  AND CAST(l1.l_shipdate AS DATE) > date_add(CAST(o.o_orderdate AS DATE), 365)
           |  AND EXISTS (
-          |    SELECT 1 FROM lineitem_q21 l2
+          |    SELECT 1 FROM $li l2
           |    WHERE l2.l_orderkey = l1.l_orderkey
           |      AND l2.l_suppkey <> l1.l_suppkey)
           |  AND NOT EXISTS (
-          |    SELECT 1 FROM lineitem_q21 l3
-          |    JOIN orders_q21 o3 ON o3.o_orderkey = l3.l_orderkey
+          |    SELECT 1 FROM $li l3
+          |    JOIN $or o3 ON o3.o_orderkey = l3.l_orderkey
           |    WHERE l3.l_orderkey = l1.l_orderkey
           |      AND l3.l_suppkey <> l1.l_suppkey
           |      AND CAST(l3.l_shipdate AS DATE) > date_add(CAST(o3.o_orderdate AS DATE), 365))
           |GROUP BY s_name
           |ORDER BY numwait DESC, s_name
           |LIMIT 10""".stripMargin)
+      finally Seq(li, or, su).foreach(s.catalog.dropTempView(_))
     }),
 
     // ---- period-over-period report: monthly revenue with MoM and YoY

@@ -89,13 +89,21 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // optional comma-separated name filter (args(1)) for targeted audits;
+    // unknown names fail fast, same contract as Bench's filter
+    val names = if (args.length > 1) {
+      val f = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val unknown = f.filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+      f
+    } else PlanDump.headline
     val spark = Sessions.base("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
     println(s"| query | shuffle write MB | shuffle read MB | spill MB |")
     println(s"|---|---|---|---|")
-    PlanDump.headline.foreach { name =>
+    names.foreach { name =>
       listener.reset()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
