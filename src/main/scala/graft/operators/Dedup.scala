@@ -354,6 +354,48 @@ object Dedup extends QueryModule {
     connectedComponents(pairs)
   }
 
+  /** PageRank over an undirected edge list (doc_a, doc_b), in EXACT integer
+    * arithmetic so the result is deterministic and oracle-hashable: ranks
+    * are scaled by 10⁶ (r₀ = 1 000 000) and each of the fixed `iters`
+    * rounds computes
+    *
+    *   r_{t+1}(v) = 150000 + (85 · Σ_{u~v} (r_t(u) DIV deg(u))) DIV 100
+    *
+    * — the damping-0.85 update with every division an integral DIV, so
+    * partition order can't perturb a single bit (a float PageRank would
+    * accumulate doubles in shuffle order). Fixed iteration count instead
+    * of convergence detection: centrality ranking stabilizes in a few
+    * rounds on near-clique duplicate graphs, and a fixed count keeps the
+    * oracle expressible as chained CTEs.
+    *
+    * Scale shape per round (the Pregel pattern, same as
+    * [[connectedComponentsWithRounds]]): contributions = adjacency ⋈ ranks
+    * ⋈ degrees, all three keyed on src (one co-partitioned shuffle), then
+    * one partial-agg groupBy on dst. The static adjacency + degree sides
+    * are checkpointed once and reused; rank lineage is cut per round so
+    * the plan stays flat at any iteration count. Every node of an
+    * undirected graph has in-edges, so no dangling-mass term is needed.
+    */
+  def integerPageRank(pairs: DataFrame, iters: Int): DataFrame = {
+    val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = adj
+        .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(expr("CAST(150000 + (85 * sum(contrib)) DIV 100 AS BIGINT)").as("r"))
+        .select(col("dst").as("doc_id"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("doc_id"), col("r").as("pagerank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup by full content ----
     "dedup_exact" -> ((s, d) => {
@@ -607,6 +649,24 @@ object Dedup extends QueryModule {
           coalesce(col("cl"), col("doc_id")).as("cluster_id"))
         .withColumn("keep", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- PageRank centrality over the LSH candidate graph — the
+    // representative-selection signal that beats "min doc_id" when a
+    // duplicate cluster needs its most-connected member kept (the member
+    // most candidate pairs agree resembles the others). Exact integer
+    // arithmetic (see [[integerPageRank]]) so the ranks hash identically
+    // to the oracle's chained-CTE iterations. ----
+    "dedup_pagerank" -> ((s, d) => {
+      val bands = bandKeys(minhashSig(s, d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      integerPageRank(pairs, iters = 3)
+        .orderBy(desc("pagerank"), col("doc_id"))
     }),
 
     // ---- SimHash near-dup pairs: hamming distance <= 2 on the 16-bit
@@ -869,6 +929,36 @@ object Dedup extends QueryModule {
            |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS keep
            |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      // three integer-exact damping-0.85 iterations as chained CTEs —
+      // every division an integral //, mirroring Spark's DIV bit-for-bit
+      "dedup_pagerank" ->
+        s"""$sigCte$bandsCte, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), adj AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+           |r0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |r1 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r0.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r0 ON r0.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |), r2 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r1.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r1 ON r1.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |), r3 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r2.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r2 ON r2.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |)
+           |SELECT doc_id, r AS pagerank FROM r3
+           |ORDER BY pagerank DESC, doc_id""".stripMargin,
       "dedup_simhash_sig" ->
         s"""$simhashCte
            |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,

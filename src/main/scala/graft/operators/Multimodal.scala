@@ -116,13 +116,139 @@ object Multimodal extends QueryModule {
     StructField("color_type", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** WAV-framed payloads — the audio twin of [[attachPngMedia]]: a REAL
+    * RIFF/WAVE byte layout (RIFF frame with its size field, 16-byte PCM
+    * `fmt ` chunk with byteRate/blockAlign computed, `data` chunk — all
+    * little-endian, exactly as a .wav sits on disk) with the document text
+    * bytes standing in for the PCM samples. Channels and sample rate
+    * derive from (doc_id, n_chars) so the DuckDB oracle predicts them
+    * INDEPENDENTLY while the Spark side only learns them by parsing the
+    * bytes.
+    */
+  def attachWavMedia(docs: DataFrame): DataFrame = {
+    def byteAt(c: Column, i: Int): Column =
+      lpad(hex(shiftright(c.cast("bigint"), 8 * i).bitwiseAND(lit(255L))), 2, "0")
+    def le4(c: Column): Column =
+      unhex(concat(byteAt(c, 0), byteAt(c, 1), byteAt(c, 2), byteAt(c, 3)))
+    def le2(c: Column): Column = unhex(concat(byteAt(c, 0), byteAt(c, 1)))
+    val dataLen = length(col("text").cast("binary")).cast("bigint")
+    val channels = col("doc_id") % 2 + 1
+    val rate = lit(8000) + (col("n_chars") % 3) * 4000
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val payload = concat(
+      lit("RIFF".getBytes("US-ASCII")), le4(dataLen + 36),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le4(lit(16)), le2(lit(1)),
+      le2(channels), le4(rate), le4(byteRate), le2(blockAlign), le2(lit(16)),
+      lit("data".getBytes("US-ASCII")), le4(dataLen),
+      col("text").cast("binary"))
+    docs.select(col("doc_id"), payload.as("payload"))
+  }
+
+  /** RIFF/WAVE header parser — the audio twin of [[MediaHeader]]. Verifies
+    * the RIFF frame (riff size = file size − 8), the 16-byte PCM `fmt `
+    * chunk INCLUDING the byteRate/blockAlign arithmetic consistency (the
+    * WAV layout's equivalent of PNG's CRC self-check), and the data-chunk
+    * length, before trusting any field; a failed check degrades to
+    * `wav-corrupt` with fields withheld, non-RIFF bytes to `raw`.
+    */
+  object WavHeader {
+    case class Parsed(format: String, channels: Option[Int],
+                      sampleRate: Option[Int], bitsPerSample: Option[Int],
+                      dataLen: Option[Long])
+
+    def sniff(bytes: Array[Byte]): Parsed = {
+      def ascii(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+      def le2(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def le4(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      val isRiff = bytes.length >= 44 &&
+        ascii(0) == "RIFF" && ascii(8) == "WAVE"
+      if (!isRiff) Parsed("raw", None, None, None, None)
+      else {
+        val channels = le2(22)
+        val rate = le4(24)
+        val bits = le2(34)
+        val ok = le4(4) == bytes.length - 8L &&
+          ascii(12) == "fmt " && le4(16) == 16L && le2(20) == 1 &&
+          le2(32) == channels * bits / 8 &&
+          le4(28) == rate * channels * bits / 8 &&
+          ascii(36) == "data" && le4(40) == bytes.length - 44L
+        if (!ok) Parsed("wav-corrupt", None, None, None, None)
+        else Parsed("wav", Some(channels), Some(rate.toInt), Some(bits),
+          Some(bytes.length - 44L))
+      }
+    }
+  }
+
+  val wavHeaderSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("data_len", LongType),
+    StructField("n_bytes", LongType)))
+
+  private def wavRow(id: Long, bytes: Array[Byte]): Row = {
+    val h = WavHeader.sniff(bytes)
+    Row(id, h.format, h.channels.map(Int.box).orNull,
+      h.sampleRate.map(Int.box).orNull, h.bitsPerSample.map(Int.box).orNull,
+      h.dataLen.map(Long.box).orNull, bytes.length.toLong)
+  }
+
+  /** WAV header sniffing over the same Arrow batch seam as
+    * [[parseHeadersArrow]].
+    */
+  def parseWavHeadersArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, wavHeaderSchema)(wavRow)
+
+  /** Row-path twin of [[parseWavHeadersArrow]] (parity spec pins equality). */
+  def parseWavHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      wavRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, wavHeaderSchema)
+  }
+
   /** Header sniffing over the SAME Arrow-columnar batch seam as
     * [[decodeFeaturesArrow]]: payload bytes are marshalled into a
     * `VarBinaryVector` per batch and parsed there — the shape a native
     * (JNI/GPU) header reader consumes — still a narrow stage; the payload
     * bytes never shuffle, only the tiny parsed fields continue.
     */
-  def parseHeadersArrow(media: DataFrame): DataFrame = {
+  def parseHeadersArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, headerSchema)(pngRow)
+
+  /** Row-path twin of [[parseHeadersArrow]] (parity spec pins equality). */
+  def parseHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      pngRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, headerSchema)
+  }
+
+  private def pngRow(id: Long, bytes: Array[Byte]): Row = {
+    val h = MediaHeader.sniff(bytes)
+    Row(id, h.format, h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
+      h.bitDepth.map(Int.box).orNull, h.colorType.map(Int.box).orNull, bytes.length.toLong)
+  }
+
+  /** Shared Arrow marshalling for header parsers: rows become one
+    * (doc_id BigInt, payload VarBinary) `VectorSchemaRoot` per batch of
+    * [[FakeDecoder.batchSize]], the per-row `parse` reads straight off the
+    * vectors — the shape a native (JNI/GPU) header reader consumes. Still
+    * a narrow stage; payload bytes never shuffle, only parsed fields
+    * continue.
+    */
+  private def arrowHeaderParse(
+      media: DataFrame, schema: StructType)(
+      parse: (Long, Array[Byte]) => Row): DataFrame = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
     val spark = media.sparkSession
@@ -146,10 +272,7 @@ object Multimodal extends QueryModule {
           root = VectorSchemaRoot.of(docId, payload)
           root.setRowCount(batch.size)
           (0 until root.getRowCount).map { i =>
-            val bytes = payload.get(i)
-            val h = MediaHeader.sniff(bytes)
-            Row(docId.get(i), h.format, h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
-              h.bitDepth.map(Int.box).orNull, h.colorType.map(Int.box).orNull, bytes.length.toLong)
+            parse(docId.get(i), payload.get(i))
           }
         } finally {
           if (root != null) root.close()
@@ -158,19 +281,7 @@ object Multimodal extends QueryModule {
         }
       }
     }
-    spark.createDataFrame(rdd, headerSchema)
-  }
-
-  /** Row-path twin of [[parseHeadersArrow]] (parity spec pins equality). */
-  def parseHeaders(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
-      val bytes = row.getAs[Array[Byte]]("payload")
-      val h = MediaHeader.sniff(bytes)
-      Row(row.getLong(0), h.format, h.width.map(Int.box).orNull, h.height.map(Int.box).orNull,
-        h.bitDepth.map(Int.box).orNull, h.colorType.map(Int.box).orNull, bytes.length.toLong)
-    }
-    spark.createDataFrame(rdd, headerSchema)
+    spark.createDataFrame(rdd, schema)
   }
 
   object FakeDecoder {
@@ -353,6 +464,23 @@ object Multimodal extends QueryModule {
           col("color_type").cast("bigint").as("color_type"),
           col("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the audio twin: payload is a RIFF/WAVE binary
+    // ([[attachWavMedia]]); channels/sample-rate/bits/data-length exist on
+    // the Spark side ONLY via [[WavHeader.sniff]] parsing the RIFF frame +
+    // fmt chunk (incl. the byteRate/blockAlign consistency check) inside
+    // the Arrow batch seam, while the oracle predicts the same fields
+    // independently from (doc_id, n_chars). ----
+    "mm_wav_meta" -> ((s, d) => {
+      val media = attachWavMedia(Tables.documents(s, d))
+      parseWavHeadersArrow(media)
+        .select(col("doc_id"), col("format"),
+          col("channels").cast("bigint").as("channels"),
+          col("sample_rate").cast("bigint").as("sample_rate"),
+          col("bits_per_sample").cast("bigint").as("bits_per_sample"),
+          col("data_len"), col("n_bytes"))
+        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -379,5 +507,15 @@ object Multimodal extends QueryModule {
         |  CAST(8 AS BIGINT) AS bit_depth,
         |  CAST(6 AS BIGINT) AS color_type,
         |  CAST(33 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // independent derivation of the fields the Spark side PARSES out of
+    // the RIFF/WAVE bytes: 44-byte canonical header before the samples
+    "mm_wav_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 + (n_chars % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS data_len,
+        |  CAST(44 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -73,6 +73,33 @@ object Similarity extends QueryModule {
         typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Blocked near-duplicate candidate pairs with the exact cosine verified —
+    * the shared engine behind `sim_pairs_block` (reports the pairs) and
+    * `sim_semantic_dedup` (clusters them). Precondition (shared with
+    * sim_topk_srp / sim_topk_ivf): vec_ids 1..8 exist and serve as the
+    * deterministic hyperplane set — [[srpPlanes]] enforces it loudly
+    * (memoized per (session, dataset)) and hands back the planes as
+    * literals, so coding is a narrow projection: the only shuffle here is
+    * the (label, code) self-join.
+    */
+  private def blockedDupPairs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val planes = srpPlanes(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        srpCodeCol(planes).as("code"), col("embedding"))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b,
+        col("a.label") === col("b.label") &&
+          col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
+      .filter(col("cos_sim") >= 0.25)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("cos_sim"))
+  }
+
   /** Sequential double dot-product of two float vectors (HOF form — kept as
     * the portable reference implementation; VectorExpressionSpec asserts the
     * native expression below is bit-identical to it).
@@ -233,28 +260,32 @@ object Similarity extends QueryModule {
     // shard: ~15/16 of genuine near-dup pairs landed in different shards and
     // were never compared. SimilaritySpec pins the recall win on a planted
     // near-dup set. ----
-    "sim_pairs_block" -> ((s, d) => {
-      graft.plans.GraftExtensions.ensureRegistered(s)
-      // Precondition (shared with sim_topk_srp / sim_topk_ivf): vec_ids 1..8
-      // exist and serve as the deterministic hyperplane set — [[srpPlanes]]
-      // enforces it loudly (memoized per (session, dataset)) and hands back
-      // the planes as literals, so coding is a narrow projection: the only
-      // shuffle in this query is the (label, code) self-join.
-      val planes = srpPlanes(s, d)
-      val e = Tables.embeddings(s, d)
+    "sim_pairs_block" -> ((s, d) =>
+      blockedDupPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- SemDeDup-style semantic dedup over the embedding lake: the
+    // blocked cosine-verified near-dup pairs above become an undirected
+    // duplicate graph, connected components (Dedup's pointer-jumping
+    // min-label propagation — O(log diameter) rounds of hash joins)
+    // collapse transitively-linked vectors into one semantic cluster, and
+    // the cluster minimum is kept as the canonical representative. This is
+    // the embedding twin of dedup_keep_canonical: the materialization a
+    // training pipeline filters on when pruning semantically redundant
+    // documents (Abbas et al., "SemDeDup", 2023 — pairs over a blocked
+    // candidate space, never all-pairs). Scale shape: pair generation is
+    // the (label, code) equi-join; each CC round shuffles (node, label)
+    // pairs; the final labels join back to the lake row-for-row. ----
+    "sim_semantic_dedup" -> ((s, d) => {
+      val pairs = blockedDupPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        .join(labels, Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
-          srpCodeCol(planes).as("code"), col("embedding"))
-      val a = e.as("a")
-      val b = e.as("b")
-      a.join(b,
-          col("a.label") === col("b.label") &&
-            col("a.code") === col("b.code") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
-        .filter(col("cos_sim") >= 0.25)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.label").as("label"), col("cos_sim"))
-        .orderBy(col("vec_a"), col("vec_b"))
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", col("vec_id") === col("cluster_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // ---- int8 symmetric quantization of the embedding lake: per vector,
@@ -501,5 +532,40 @@ object Similarity extends QueryModule {
          |FROM e a JOIN e b
          |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // same pair space as sim_pairs_block, then transitive closure to the
+    // component minimum (the recursive-CTE pattern dedup_keep_canonical's
+    // oracle uses) and a keeper join back onto the whole lake
+    "sim_semantic_dedup" ->
+      s"""WITH RECURSIVE planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), e AS (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
+         |), adj AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (SELECT DISTINCT src AS node_id FROM adj
+         |), reach AS (
+         |  SELECT node_id AS a, node_id AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, ad.dst FROM reach r JOIN adj ad ON ad.src = r.b
+         |), clusters AS (
+         |  SELECT a AS node_id, min(b) AS cluster_id FROM reach GROUP BY a
+         |)
+         |SELECT em.vec_id, em.label,
+         |  coalesce(c.cluster_id, em.vec_id) AS cluster_id,
+         |  em.vec_id = coalesce(c.cluster_id, em.vec_id) AS keep
+         |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.node_id
+         |ORDER BY em.vec_id""".stripMargin)
 }

@@ -131,4 +131,45 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(Seq(20L, 21L, 22L).forall(rl(_) == 20L))
     assert(rl(40L) == 40L && rl(41L) == 40L)
   }
+
+  test("integer PageRank matches the hand-computed path-graph iterations") {
+    // path 1-2-3, three exact iterations (r scaled by 10^6, damping 0.85):
+    //   r1 = (575000, 1850000, 575000)
+    //   r2 = (936250, 1127500, 936250)
+    //   r3 = (629187, 1741625, 629187)   — r3(1) hits the DIV truncation
+    //        case: 85*563750 = 47918750, DIV 100 = 479187 (not .5-rounded)
+    val got = Dedup.integerPageRank(Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("integer PageRank is partition-independent and matches a sequential reference") {
+    // hub + clique + chain: mixed degrees exercise the DIV-by-degree paths
+    val edges = (1L to 10L).map(i => (0L, i)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L)) ++
+      (30L until 33L).map(i => (i, i + 1))
+    // sequential reference in plain Scala — same integer update rule;
+    // equality proves the distributed form is partition-order independent
+    // (integer sums commute; nothing is float)
+    def refPr(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = deg.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters)
+        r = adj.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / deg(s) }.sum)
+          .toMap.map { case (k, v) => k -> (150000L + 85L * v / 100L) }
+      r
+    }
+    val expected = refPr(edges, 3)
+    for (parts <- Seq(1, 7)) {
+      val got = Dedup.integerPageRank(
+          edges.toDF("doc_a", "doc_b").repartition(parts), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at $parts partitions")
+    }
+    // the hub out-ranks its spokes and the chain interior its endpoints
+    assert(expected(0L) > expected(1L))
+    assert(expected(31L) > expected(30L))
+  }
 }

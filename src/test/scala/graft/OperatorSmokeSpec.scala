@@ -129,6 +129,42 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "png"))
   }
 
+  test("WavHeader.sniff: parses a real RIFF/WAVE header, rejects inconsistent fmt and non-RIFF bytes") {
+    import graft.operators.Multimodal.WavHeader
+    // hand-build a real 2-channel 16 kHz 16-bit PCM wav with LE framing
+    val data = "pcm-sample-bytes".getBytes
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+      .putInt(16000).putInt(16000 * 2 * 2).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val wav = bb.array()
+    assert(WavHeader.sniff(wav) ==
+      WavHeader.Parsed("wav", Some(2), Some(16000), Some(16), Some(data.length.toLong)))
+    // flip a byteRate byte: fails the rate*channels*bits/8 consistency
+    // check (the WAV twin of a bad CRC) -> corrupt, fields withheld
+    val corrupt = wav.clone(); corrupt(28) = (corrupt(28) ^ 1).toByte
+    assert(WavHeader.sniff(corrupt).format == "wav-corrupt")
+    assert(WavHeader.sniff(corrupt).channels.isEmpty)
+    // non-RIFF bytes -> raw
+    assert(WavHeader.sniff("not audio at all, just text padding".getBytes).format == "raw")
+    assert(WavHeader.sniff(Array[Byte](1, 2, 3)).format == "raw")
+  }
+
+  test("WAV header parse: Arrow path is row-identical to the row path") {
+    val media = Multimodal.attachWavMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    val rowPath = canon(Multimodal.parseWavHeaders(media))
+    val arrowPath = canon(Multimodal.parseWavHeadersArrow(media))
+    assert(rowPath.nonEmpty)
+    assert(arrowPath == rowPath)
+    // every fixture payload round-trips: built as a valid wav, parsed as one
+    assert(rowPath.forall(_(1) == "wav"))
+  }
+
   test("native graft_simhash16 is bit-identical to the relational explode/groupBy form") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val native = SparkEntry.queries("dedup_simhash_sig")(spark, sf0001)

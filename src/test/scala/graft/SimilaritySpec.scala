@@ -64,6 +64,34 @@ class SimilaritySpec extends SparkSuiteBase {
       "literal-projection SRP codes diverge from the crossJoin+groupBy codes")
   }
 
+  test("semantic dedup clusters equal the transitive closure of the blocked pair list") {
+    import graft.operators.Similarity
+    val sf001 = "/root/testdata/sf0.01"
+    val pairs = Similarity.queries("sim_pairs_block")(spark, sf001)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find closure with min-root union: root == component minimum,
+    // the same fixpoint the distributed label propagation converges to
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val res = Similarity.queries("sim_semantic_dedup")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(res.length == Tables.embeddings(spark, sf001).count())
+    res.foreach { case (v, c, keep) =>
+      assert(c == find(v), s"vec $v: cluster $c != closure ${find(v)}")
+      assert(keep == (v == c), s"vec $v: keep flag inconsistent")
+    }
+    assert(pairs.nonEmpty && res.exists { case (v, c, _) => v != c },
+      "fixture produced no semantic dup clusters — test is degenerate")
+  }
+
   test("srpPlanes fails loud on a re-keyed export missing the plane convention") {
     import graft.operators.Similarity
     val dir = tmpDir("rekeyed")
