@@ -77,7 +77,12 @@ object PlanDump {
     // round 7: SemDeDup keeper materialization (blocked pair join + CC
     // rounds + lake join-back) and integer PageRank (per-round Pregel
     // shape: one src-key shuffle + one dst partial agg)
-    "sim_semantic_dedup", "dedup_pagerank")
+    "sim_semantic_dedup", "dedup_pagerank",
+    // round-7 session 2 continued: centrality keepers (CC + PageRank off
+    // one checkpointed pair list), the count-of-counts skew audit
+    // (histogram-sized window), and DSIR weights (vocab-sized count aggs,
+    // token-key score join, 1-row totals broadcast)
+    "dedup_keeper_centrality", "q_skew_report", "txt_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -111,6 +111,38 @@ object Curation extends QueryModule {
         .orderBy(col("fk_edge"))
     }),
 
+    // ---- key-skew audit: the pre-shuffle report an operator runs before
+    // choosing salting / AQE skew thresholds for a big join or aggregation
+    // key. Exact integer percentiles of the GROUP-SIZE distribution via
+    // count-of-counts: per-key counts collapse to a (size → #keys)
+    // histogram first, so the window that computes cumulative coverage
+    // runs over |distinct group sizes| rows — bounded by the max group
+    // size, orders of magnitude below the key count (the same
+    // bounded-input argument as q_mom_yoy's monthly window; at this
+    // fixture the histogram is 13 rows for 14.7k keys). p_q = smallest
+    // size with cumulative keys ≥ ⌈q·n_keys⌉, all ceilings as integer
+    // DIV, so the row hashes exactly. skew_x100 = 100·max/p50 is the
+    // salting decision number. ----
+    "q_skew_report" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).cast("bigint").as("n_rows"), max(col("n")).as("max_n"))
+      val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("keys_at"))
+      val cum = hist.withColumn("cum",
+        sum(col("keys_at")).over(Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("n_keys"), col("n_rows"), col("max_n"))
+        .agg(
+          min(when(col("cum") >= expr("(1 * n_keys + 1) DIV 2"), col("n"))).as("p50"),
+          min(when(col("cum") >= expr("(9 * n_keys + 9) DIV 10"), col("n"))).as("p90"),
+          min(when(col("cum") >= expr("(99 * n_keys + 99) DIV 100"), col("n"))).as("p99"))
+        .select(col("n_keys"), col("n_rows"), col("max_n"),
+          col("p50"), col("p90"), col("p99"),
+          expr("CAST((100 * max_n) DIV p50 AS BIGINT)").as("skew_x100"))
+    }),
+
     // ---- MERGE / upsert: apply a change-set (updates: +10% price, status
     // 'U'; inserts: new keys, status 'I') onto the orders table in ONE
     // full-outer join on the key, then aggregate per final status as the
@@ -283,6 +315,23 @@ object Curation extends QueryModule {
         |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
         |  ON o_custkey = c_custkey
         |ORDER BY fk_edge""".stripMargin,
+    "q_skew_report" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+        |), tot AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    max(n) AS max_n FROM counts
+        |), hist AS (SELECT n, count(*) AS keys_at FROM counts GROUP BY n),
+        |cum AS (SELECT n, sum(keys_at) OVER (ORDER BY n) AS cum FROM hist),
+        |pct AS (
+        |  SELECT tot.n_keys, tot.n_rows, tot.max_n,
+        |    min(CASE WHEN cum >= (1 * tot.n_keys + 1) // 2 THEN n END) AS p50,
+        |    min(CASE WHEN cum >= (9 * tot.n_keys + 9) // 10 THEN n END) AS p90,
+        |    min(CASE WHEN cum >= (99 * tot.n_keys + 99) // 100 THEN n END) AS p99
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2, 3
+        |)
+        |SELECT n_keys, n_rows, max_n, p50, p90, p99,
+        |  CAST((100 * max_n) // p50 AS BIGINT) AS skew_x100 FROM pct""".stripMargin,
     "q_merge_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey AS u_key, 'U' AS u_status,

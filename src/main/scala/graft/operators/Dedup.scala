@@ -669,6 +669,33 @@ object Dedup extends QueryModule {
         .orderBy(desc("pagerank"), col("doc_id"))
     }),
 
+    // ---- centrality-based cluster keepers: connected components give the
+    // duplicate clusters, PageRank gives each member's centrality, and the
+    // keeper per cluster is the HIGHEST-centrality member (tie → min
+    // doc_id) — the "keep the most representative copy" rule, vs.
+    // dedup_keep_canonical's arbitrary min-id. The argmax is a windowless
+    // max(struct(rank, −id)) partial agg, so no per-cluster sort; pairs
+    // are checkpointed once and feed both graph algorithms. ----
+    "dedup_keeper_centrality" -> ((s, d) => {
+      val bands = bandKeys(minhashSig(s, d))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val labels = connectedComponents(pairs)
+      val pr = integerPageRank(pairs, iters = 3)
+      labels.join(pr, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("pagerank"), (-col("doc_id")).as("neg_id"))).as("m"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("m.neg_id")).as("keeper_id"), col("m.pagerank").as("keeper_rank"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---- SimHash near-dup pairs: hamming distance <= 2 on the 16-bit
     // signature. bit_count(xor) is integer-exact on both engines.
     //
@@ -959,6 +986,50 @@ object Dedup extends QueryModule {
            |)
            |SELECT doc_id, r AS pagerank FROM r3
            |ORDER BY pagerank DESC, doc_id""".stripMargin,
+      // clusters via recursive closure + the same chained PageRank CTEs;
+      // keeper = rank-1 member under (r DESC, doc_id) per cluster
+      "dedup_keeper_centrality" ->
+        s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$bandsCte, pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), adj AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs
+           |), deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+           |r0 AS (SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+           |r1 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r0.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r0 ON r0.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |), r2 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r1.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r1 ON r1.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |), r3 AS (
+           |  SELECT adj.dst AS doc_id,
+           |    CAST(150000 + (85 * sum(r2.r // deg.deg)) // 100 AS BIGINT) AS r
+           |  FROM adj JOIN r2 ON r2.doc_id = adj.src JOIN deg ON deg.src = adj.src
+           |  GROUP BY adj.dst
+           |), nodes AS (SELECT DISTINCT src AS node_id FROM adj
+           |), reach AS (
+           |  SELECT node_id AS a, node_id AS b FROM nodes
+           |  UNION
+           |  SELECT rc.a, ad.dst FROM reach rc JOIN adj ad ON ad.src = rc.b
+           |), clusters AS (
+           |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+           |), ranked AS (
+           |  SELECT cl.cluster_id, cl.doc_id, r3.r,
+           |    row_number() OVER (PARTITION BY cl.cluster_id
+           |      ORDER BY r3.r DESC, cl.doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+           |  FROM clusters cl JOIN r3 ON r3.doc_id = cl.doc_id
+           |)
+           |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           |  doc_id AS keeper_id, r AS keeper_rank
+           |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
       "dedup_simhash_sig" ->
         s"""$simhashCte
            |SELECT doc_id, simhash16 FROM sh16 ORDER BY doc_id""".stripMargin,

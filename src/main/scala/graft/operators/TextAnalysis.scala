@@ -404,6 +404,44 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- DSIR-style importance-resampling weights (data selection via
+    // importance resampling): score every document by the smoothed unigram
+    // likelihood ratio of a TARGET domain (lang = 'en') vs the whole
+    // corpus — the weight used to upsample target-like data when composing
+    // a training mix. Libm-free rational form (same discipline as
+    // txt_bigram_lm): per token, base = (c_tgt+1)·10⁶ DIV (c_all+1) ≤ 10⁶
+    // (target ⊆ corpus so c_tgt ≤ c_all), and the constant smoothing
+    // factor (N_all+V)/(N_tgt+V) multiplies the per-doc SUM once at the
+    // end — no intermediate exceeds ~10¹⁸ at any SF and every division is
+    // integral, so scores are partition-order independent and
+    // oracle-hashable. Scale: token extraction is a shuffle-free
+    // projection; the count tables are vocab-sized partial aggs; the score
+    // join shuffles on the token key (stopword-skewed — AQE skew-split's
+    // case); the 1-row totals broadcast. ----
+    "txt_dsir_weights" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("w").as("t_w")).agg(count(lit(1)).as("ct"))
+      val allc = toks.groupBy(col("w").as("a_w")).agg(count(lit(1)).as("ca"))
+      val tot = toks.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("bigint").as("nt"),
+        count(lit(1)).as("na"),
+        countDistinct(col("w")).as("v"))
+      toks
+        .join(allc, col("w") === col("a_w"))
+        .join(tgt, col("w") === col("t_w"), "left")
+        .select(col("doc_id"),
+          expr("((coalesce(ct, 0L) + 1) * 1000000L) DIV (ca + 1)").as("base"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("base")).as("sb"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST((sb * (na + v)) DIV ((nt + v) * n_tokens) AS BIGINT)")
+            .as("dsir_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_repetition" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -878,6 +916,26 @@ object TextAnalysis extends QueryModule {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tgt AS (
+        |  SELECT w, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY w
+        |), allc AS (SELECT w, count(*) AS ca FROM toks GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS na, CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM toks
+        |), scored AS (
+        |  SELECT t.doc_id,
+        |    ((coalesce(tg.ct, 0) + 1) * 1000000) // (ac.ca + 1) AS base
+        |  FROM toks t LEFT JOIN tgt tg ON t.w = tg.w JOIN allc ac ON t.w = ac.w
+        |)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST((CAST(sum(base) AS BIGINT) * (tot.na + tot.v))
+        |    // ((tot.nt + tot.v) * count(*)) AS BIGINT) AS dsir_score
+        |FROM scored s CROSS JOIN tot
+        |GROUP BY s.doc_id, tot.nt, tot.na, tot.v ORDER BY s.doc_id""".stripMargin,
     "txt_repetition" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

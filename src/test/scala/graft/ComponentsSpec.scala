@@ -172,4 +172,26 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(expected(0L) > expected(1L))
     assert(expected(31L) > expected(30L))
   }
+
+  test("centrality keepers are the (rank DESC, id ASC) argmax of their cluster") {
+    // cross-query consistency on the fixture: dedup_keeper_centrality must
+    // agree with recomputing the argmax from dedup_clusters (membership)
+    // and dedup_pagerank (centrality) — three independently-oracled queries
+    val labels = Dedup.queries("dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val ranks = Dedup.queries("dedup_pagerank")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    val keepers = Dedup.queries("dedup_keeper_centrality")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(keepers.nonEmpty)
+    assert(keepers.map(_._1).toSet == byCluster.keySet)
+    keepers.foreach { case (cl, size, keeperId, keeperRank) =>
+      val members = byCluster(cl).map(_._1)
+      assert(size == members.length.toLong, s"cluster $cl size")
+      val expected = members.minBy(id => (-ranks(id), id))
+      assert(keeperId == expected, s"cluster $cl keeper")
+      assert(keeperRank == ranks(keeperId), s"cluster $cl keeper rank")
+    }
+  }
 }

@@ -103,4 +103,23 @@ class CurationSpec extends SparkSuiteBase {
     val nTouches = res.map(_.getLong(1)).sum
     assert(credited >= totalTouched - nTouches * 1e-6 - 1e-6)
   }
+
+  test("q_skew_report: percentiles match a brute-force sort of the group sizes") {
+    val row = Curation.queries("q_skew_report")(spark, sf0001).head
+    val sizes = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey")).count()
+      .collect().map(_.getLong(1)).sorted
+    val nKeys = sizes.length.toLong
+    // p_q = smallest size covering ceil(q * n_keys) keys = the
+    // ceil(q*n)-th order statistic (1-indexed) of the sorted sizes
+    def pct(num: Long, den: Long): Long =
+      sizes(((num * nKeys + den - 1) / den).toInt - 1)
+    assert(row.getLong(0) == nKeys)
+    assert(row.getLong(1) == sizes.sum)
+    assert(row.getLong(2) == sizes.last)
+    assert(row.getLong(3) == pct(1, 2), "p50")
+    assert(row.getLong(4) == pct(9, 10), "p90")
+    assert(row.getLong(5) == pct(99, 100), "p99")
+    assert(row.getLong(6) == 100 * sizes.last / pct(1, 2), "skew_x100")
+  }
 }

@@ -165,6 +165,20 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "wav"))
   }
 
+  test("txt_dsir_weights ranks the target language above the rest on average") {
+    // direction check: the likelihood ratio must upweight target-domain
+    // (lang='en') documents relative to the non-target mean — the property
+    // importance resampling depends on (exactness is the oracle's job)
+    val scores = SparkEntry.queries("txt_dsir_weights")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("dsir_score"))
+    val (en, rest) = scores.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[(String, Long)]) = xs.map(_._2).sum.toDouble / xs.length
+    assert(mean(en) > mean(rest),
+      s"target mean ${mean(en)} should exceed non-target mean ${mean(rest)}")
+  }
+
   test("native graft_simhash16 is bit-identical to the relational explode/groupBy form") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val native = SparkEntry.queries("dedup_simhash_sig")(spark, sf0001)
