@@ -82,7 +82,10 @@ object PlanDump {
     // one checkpointed pair list), the count-of-counts skew audit
     // (histogram-sized window), and DSIR weights (vocab-sized count aggs,
     // token-key score join, 1-row totals broadcast)
-    "dedup_keeper_centrality", "q_skew_report", "txt_dsir_weights")
+    "dedup_keeper_centrality", "q_skew_report", "txt_dsir_weights",
+    // recall audit (sample-bounded exhaustive side, label equi-join) and
+    // robust MAD outliers (type-partitioned exact median windows)
+    "sim_recall_report", "evt_outliers_mad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

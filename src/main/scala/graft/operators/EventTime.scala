@@ -432,6 +432,44 @@ object EventTime extends QueryModule {
             .as("stickiness"))
         .orderBy(col("day"))
     }),
+    // ---- ROBUST per-type anomalies: median absolute deviation instead of
+    // the mean — the estimator that doesn't move when the outliers it
+    // hunts drag the mean (evt_value_outliers' 2×mean rule flags nothing
+    // if one whale doubles the mean). Exact integer arithmetic end to end:
+    // lower medians as the ⌈n/2⌉-th order statistic via event_type-
+    // PARTITIONED windows (never a global sort), outlier test
+    // |cents − med| > 3·MAD as integer compare. The |types|-row median and
+    // MAD tables broadcast back. At 100 TB the exact per-type sort is the
+    // first pressure point — the constant-state path is the same rank walk
+    // over graft_qsketch (evt_value_sketch), traded for sketch error. ----
+    "evt_outliers_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val wc = Window.partitionBy(col("event_type"))
+      val wv = wc.orderBy(col("cents"), col("event_id"))
+      val med = ev.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("event_type"), col("cents").as("med_cents"))
+      val res = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val wd = wc.orderBy(col("dev"), col("event_id"))
+      val mad = res.withColumn("rn", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(expr("rn = (n + 1) DIV 2"))
+        .select(col("event_type"), col("dev").as("mad_cents"))
+      res.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("med_cents")).as("med_cents"),
+          max(col("mad_cents")).as("mad_cents"),
+          sum(when(col("dev") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+            .cast("bigint").as("n_outliers"),
+          max(col("dev")).as("max_dev"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- per-type value anomalies in EXACT integer arithmetic: an event
     // is an outlier when value > 2 × the type mean, tested as
     // value_cents · n > 2 · sum_cents — no division, no doubles, so both
@@ -649,6 +687,37 @@ object EventTime extends QueryModule {
         |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) AS stickiness
         |FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    "evt_outliers_mad" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev
+        |), med AS (
+        |  SELECT event_type, cents AS med_cents FROM r WHERE rn = (n + 1) // 2
+        |), res AS (
+        |  SELECT ev.event_type, ev.event_id, ev.cents, med.med_cents,
+        |    abs(ev.cents - med.med_cents) AS dev
+        |  FROM ev JOIN med USING (event_type)
+        |), r2 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM res
+        |), mad AS (
+        |  SELECT event_type, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2
+        |)
+        |SELECT res.event_type, count(*) AS n_events,
+        |  max(res.med_cents) AS med_cents,
+        |  max(mad.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN res.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  max(res.dev) AS max_dev
+        |FROM res JOIN mad USING (event_type)
+        |GROUP BY res.event_type ORDER BY res.event_type""".stripMargin,
     "evt_value_outliers" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents

@@ -288,6 +288,37 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- blocking-recall audit: MEASURED recall of the (label × SRP-code)
+    // blocking strategy against exhaustive same-label ground truth on a
+    // deterministic 10% sample (vec_id % 10 = 0) — the tuning loop for the
+    // plane count (more planes → fewer candidates, lower recall). The
+    // audit band is cos ≥ 0.10, wider than the 0.25 production threshold,
+    // so recall is measured across the borderline region where blocking
+    // actually loses pairs. The exhaustive side is quadratic IN THE SAMPLE
+    // only (a policy constant, not the lake), and even there it is a label
+    // equi-join, never a cartesian. recall_x10000 is integer-exact. ----
+    "sim_recall_report" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val planes = srpPlanes(s, d)
+      val sample = Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"),
+          srpCodeCol(planes).as("code"), col("embedding"))
+      val a = sample.as("a")
+      val b = sample.as("b")
+      val truth = a.join(b,
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
+        .filter(col("cos_sim") >= 0.10)
+        .select((col("a.code") === col("b.code")).as("caught"))
+      truth.agg(
+          count(lit(1)).as("n_true"),
+          sum(when(col("caught"), 1L).otherwise(0L)).cast("bigint").as("n_caught"))
+        .crossJoin(broadcast(sample.agg(count(lit(1)).as("n_sample"))))
+        .select(col("n_sample"), col("n_true"), col("n_caught"),
+          expr("CAST(CASE WHEN n_true > 0 THEN (10000 * n_caught) DIV n_true " +
+            "ELSE 10000 END AS BIGINT)").as("recall_x10000"))
+    }),
+
     // ---- int8 symmetric quantization of the embedding lake: per vector,
     // scale = max|x| and q_i = floor(x_i·127/scale + 0.5) — the standard
     // 4× shrink before ANN (int8 SIMD distance, quarter the scan bytes).
@@ -533,6 +564,32 @@ object Similarity extends QueryModule {
          |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_recall_report" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), s AS (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |  WHERE em.vec_id % 10 = 0
+         |), truth AS (
+         |  SELECT (a.code = b.code) AS caught
+         |  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.10
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+         |  FROM truth
+         |)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sample,
+         |  n_true, n_caught,
+         |  CAST(CASE WHEN n_true > 0 THEN (10000 * n_caught) // n_true
+         |    ELSE 10000 END AS BIGINT) AS recall_x10000
+         |FROM agg""".stripMargin,
     // same pair space as sim_pairs_block, then transitive closure to the
     // component minimum (the recursive-CTE pattern dedup_keep_canonical's
     // oracle uses) and a keeper join back onto the whole lake

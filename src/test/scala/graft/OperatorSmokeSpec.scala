@@ -165,6 +165,31 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "wav"))
   }
 
+  test("evt_outliers_mad matches a sequential median/MAD replay per type") {
+    val rows = SparkEntry.queries("evt_outliers_mad")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("bigint").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(rows.keySet == byType.keySet)
+    byType.foreach { case (t, vs) =>
+      def lowerMedian(xs: Vector[Long]): Long = xs((xs.length + 1) / 2 - 1)
+      val med = lowerMedian(vs)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val mad = lowerMedian(devs)
+      val (n, qMed, qMad, qOut, qMax) = rows(t)
+      assert(n == vs.length.toLong, s"$t n")
+      assert(qMed == med, s"$t median")
+      assert(qMad == mad, s"$t MAD")
+      assert(qOut == devs.count(_ > 3 * mad).toLong, s"$t outliers")
+      assert(qMax == devs.last, s"$t max dev")
+    }
+  }
+
   test("txt_dsir_weights ranks the target language above the rest on average") {
     // direction check: the likelihood ratio must upweight target-domain
     // (lang='en') documents relative to the non-target mean — the property

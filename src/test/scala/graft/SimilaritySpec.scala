@@ -92,6 +92,20 @@ class SimilaritySpec extends SparkSuiteBase {
       "fixture produced no semantic dup clusters — test is degenerate")
   }
 
+  test("recall audit: bounds hold and the sf0.01 sample is non-degenerate") {
+    import graft.operators.Similarity
+    val row = Similarity.queries("sim_recall_report")(spark, "/root/testdata/sf0.01").head
+    val (nSample, nTrue, nCaught, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nSample > 0)
+    // a non-degenerate audit: ground truth exists in the audit band, and
+    // blocking catches a strict subset (it can only lose pairs, not invent)
+    assert(nTrue > 0, "audit band produced no ground-truth pairs — widen it")
+    assert(nCaught <= nTrue)
+    assert(recall == (if (nTrue > 0) 10000 * nCaught / nTrue else 10000L))
+    assert(recall >= 0 && recall <= 10000)
+  }
+
   test("srpPlanes fails loud on a re-keyed export missing the plane convention") {
     import graft.operators.Similarity
     val dir = tmpDir("rekeyed")
