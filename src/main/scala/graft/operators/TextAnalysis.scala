@@ -109,6 +109,29 @@ object TextAnalysis extends QueryModule {
           col("n_distinct_words").cast("double") / col("n_words"))
     }),
 
+    // ---- lexical diversity via the Simpson index — the libm-free entropy
+    // substitute (token entropy needs log(); Σp² doesn't): for token
+    // frequencies c_w in a doc of n tokens, diversity = 1 − Σ(c_w/n)²,
+    // here as the exact integer simpson_x1e6 = 10⁶ − (10⁶·Σc²) DIV n².
+    // Low diversity = looped/gibberish text (complements txt_repetition's
+    // top-gram fraction: Simpson sees the WHOLE distribution, not just the
+    // mode). Overflow-safe: Σc² ≤ n² and n²·10⁶ < 2⁶³ for docs up to ~3M
+    // tokens (far beyond any real document; chunk first if not). Per-doc
+    // partial aggregation — (doc, token) counts collapse map-side;
+    // nothing global. ----
+    "txt_diversity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          expr("CAST(1000000 - (1000000 * sum_c2) DIV (n_tokens * n_tokens) AS BIGINT)")
+            .as("simpson_x1e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE-ish regex token counting ----
     "txt_token_count" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -733,6 +756,20 @@ object TextAnalysis extends QueryModule {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_diversity" ->
+      """WITH c AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |  ) GROUP BY doc_id, w
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(1000000 - (1000000 * sum_c2) // (n_tokens * n_tokens) AS BIGINT)
+        |    AS simpson_x1e6
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "txt_lang_id" ->
       s"""SELECT doc_id, lang,
          |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS stop_hits,

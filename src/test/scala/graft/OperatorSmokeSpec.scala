@@ -190,6 +190,24 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     }
   }
 
+  test("txt_diversity: bounds hold and all-distinct docs hit the closed form") {
+    val div = SparkEntry.queries("txt_diversity")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stats = SparkEntry.queries("txt_stats")(spark, sf0001)
+      .select("doc_id", "n_words", "n_distinct_words")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(div.keySet == stats.keySet)
+    div.foreach { case (id, (n, s)) =>
+      assert(n == stats(id)._1, s"doc $id token count")
+      assert(s >= 0 && s < 1000000L, s"doc $id simpson out of range")
+      // all-distinct tokens: sum c^2 = n, so simpson = 1e6 - 1e6 DIV n exactly
+      if (stats(id)._2 == n)
+        assert(s == 1000000L - 1000000L / n, s"doc $id closed form")
+    }
+    // the fixture exercises the closed-form branch at least once
+    assert(stats.values.exists { case (n, d) => d == n })
+  }
+
   test("txt_dsir_weights ranks the target language above the rest on average") {
     // direction check: the likelihood ratio must upweight target-domain
     // (lang='en') documents relative to the non-target mean — the property
