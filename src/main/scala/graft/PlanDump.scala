@@ -85,7 +85,9 @@ object PlanDump {
     "dedup_keeper_centrality", "q_skew_report", "txt_dsir_weights",
     // recall audit (sample-bounded exhaustive side, label equi-join) and
     // robust MAD outliers (type-partitioned exact median windows)
-    "sim_recall_report", "evt_outliers_mad")
+    "sim_recall_report", "evt_outliers_mad",
+    // Simpson diversity: two-level partial agg, no global stage
+    "txt_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

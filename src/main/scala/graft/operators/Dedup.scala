@@ -375,23 +375,37 @@ object Dedup extends QueryModule {
     * are checkpointed once and reused; rank lineage is cut per round so
     * the plan stays flat at any iteration count. Every node of an
     * undirected graph has in-edges, so no dangling-mass term is needed.
+    *
+    * `reliable` has the same meaning as in [[connectedComponents]]: false
+    * (default, single-box/bench) cuts lineage with `localCheckpoint()`;
+    * at-scale callers pass true so rounds go through reliable
+    * `checkpoint()` — an iterative chain of executor-local blocks turns
+    * one lost node into a failed job on a real cluster.
     */
-  def integerPageRank(pairs: DataFrame, iters: Int): DataFrame = {
-    val adj = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+  def integerPageRank(
+      pairs: DataFrame, iters: Int, reliable: Boolean = false): DataFrame = {
+    val cut: DataFrame => DataFrame =
+      if (reliable) {
+        val sc = pairs.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-pagerank-ckpt").toString
+          sc.setCheckpointDir(dir)
+        }
+        df => df.checkpoint()
+      } else df => df.localCheckpoint()
+    val adj = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = cut(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var ranks = deg.select(col("src").as("doc_id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      ranks = adj
+      ranks = cut(adj
         .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
         .join(deg, "src")
         .select(col("dst"), expr("r DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(expr("CAST(150000 + (85 * sum(contrib)) DIV 100 AS BIGINT)").as("r"))
-        .select(col("dst").as("doc_id"), col("r"))
-        .localCheckpoint()
+        .select(col("dst").as("doc_id"), col("r")))
     }
     ranks.select(col("doc_id"), col("r").as("pagerank"))
   }

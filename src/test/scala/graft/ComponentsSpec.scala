@@ -173,6 +173,14 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(expected(31L) > expected(30L))
   }
 
+  test("integer PageRank reliable checkpoint mode matches local mode exactly") {
+    val edges = (1L to 6L).map(i => (0L, i)) ++ Seq((5L, 6L), (10L, 11L))
+    def run(reliable: Boolean) =
+      Dedup.integerPageRank(edges.toDF("doc_a", "doc_b"), 3, reliable)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
   test("centrality keepers are the (rank DESC, id ASC) argmax of their cluster") {
     // cross-query consistency on the fixture: dedup_keeper_centrality must
     // agree with recomputing the argmax from dedup_clusters (membership)
