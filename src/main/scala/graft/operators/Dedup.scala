@@ -183,22 +183,32 @@ object Dedup extends QueryModule {
       pairs: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): DataFrame =
     connectedComponentsWithRounds(pairs, maxRounds, reliable)._1
 
+  /** Lineage-cut strategy shared by every iterative graph algorithm here:
+    * `localCheckpoint()` on a single box; durable `checkpoint()` when
+    * `reliable` (auto-provisioning a temp checkpoint dir when none is
+    * set — production points it at durable storage first), because an
+    * iterative chain of executor-local blocks turns one lost node into a
+    * failed job on a real cluster.
+    */
+  private def lineageCut(
+      pairs: DataFrame, reliable: Boolean): DataFrame => DataFrame =
+    if (reliable) {
+      val sc = pairs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-iter-ckpt").toString
+        sc.setCheckpointDir(dir)
+      }
+      df => df.checkpoint()
+    } else df => df.localCheckpoint()
+
   /** [[connectedComponents]] plus the number of rounds it took to converge
     * (the convergence-check round included) — exposed so specs can pin the
     * O(log diameter) bound.
     */
   def connectedComponentsWithRounds(
       pairs: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): (DataFrame, Int) = {
-    val cut: DataFrame => DataFrame =
-      if (reliable) {
-        val sc = pairs.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft-components-ckpt").toString
-          sc.setCheckpointDir(dir)
-        }
-        df => df.checkpoint()
-      } else df => df.localCheckpoint()
+    val cut = lineageCut(pairs, reliable)
     val adj = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = cut(adj.select(col("src").as("doc_id")).distinct()
@@ -255,16 +265,7 @@ object Dedup extends QueryModule {
     */
   def connectedComponentsStarsWithRounds(
       pairs: DataFrame, maxRounds: Int = 50, reliable: Boolean = false): (DataFrame, Int) = {
-    val cut: DataFrame => DataFrame =
-      if (reliable) {
-        val sc = pairs.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft-components-ckpt").toString
-          sc.setCheckpointDir(dir)
-        }
-        df => df.checkpoint()
-      } else df => df.localCheckpoint()
+    val cut = lineageCut(pairs, reliable)
 
     // canonical undirected edge set: (a < b), self-loops dropped
     var edges = cut(pairs
@@ -319,13 +320,7 @@ object Dedup extends QueryModule {
     // the exact-verify counts (cached; Verify clears per-query)
     val sh = shingles(s, d).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val bands = bandKeys(minhashSigFrom(sh))
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = pairsFromBands(bandKeys(minhashSigFrom(sh)))
     // explode each pair to doc_a's shingles, keep those doc_b also has
     // (shingles are already distinct per doc), count per pair
     val common = pairs
@@ -342,17 +337,25 @@ object Dedup extends QueryModule {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
   }
 
-  /** Components over the MinHash-LSH candidate-pair graph of `documents`. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val bands = bandKeys(minhashSig(s, d))
-    val pairs = bands.as("a").join(bands.as("b"),
+  /** DISTINCT LSH candidate pairs (doc_a < doc_b) from a banded signature
+    * set — the one band-key self-join every pair consumer in this module
+    * shares (clusters, stars, triangles, PageRank, keepers, verify).
+    */
+  private def pairsFromBands(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    connectedComponents(pairs)
-  }
+
+  /** [[pairsFromBands]] over the `documents` table's MinHash signatures. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame =
+    pairsFromBands(bandKeys(minhashSig(s, d)))
+
+  /** Components over the MinHash-LSH candidate-pair graph of `documents`. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    connectedComponents(candidatePairs(s, d))
 
   /** PageRank over an undirected edge list (doc_a, doc_b), in EXACT integer
     * arithmetic so the result is deterministic and oracle-hashable: ranks
@@ -384,16 +387,7 @@ object Dedup extends QueryModule {
     */
   def integerPageRank(
       pairs: DataFrame, iters: Int, reliable: Boolean = false): DataFrame = {
-    val cut: DataFrame => DataFrame =
-      if (reliable) {
-        val sc = pairs.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft-pagerank-ckpt").toString
-          sc.setCheckpointDir(dir)
-        }
-        df => df.checkpoint()
-      } else df => df.localCheckpoint()
+    val cut = lineageCut(pairs, reliable)
     val adj = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val deg = cut(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
@@ -597,14 +591,11 @@ object Dedup extends QueryModule {
     // degree. Count is orientation-invariant, so the oracle is unchanged.
     // Wedge count is exact integer degree math. ----
     "dedup_triangles" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
-      val e = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().cache()
-      val or = orientByDegree(e)
+      val e = candidatePairs(s, d).cache()
+      // the oriented edges self-join THREE times (e1/e2/e3) — cache them
+      // too, or the two degree joins above the cached edge list replay
+      // once per branch
+      val or = orientByDegree(e).cache()
       val tri = or.as("e1")
         .join(or.as("e2"),
           col("e1.src") === col("e2.src") && col("e1.dst_r") < col("e2.dst_r"))
@@ -639,16 +630,9 @@ object Dedup extends QueryModule {
     // when each shape wins at scale). Identical labels by construction —
     // both fix at (member → component minimum) — so it shares
     // dedup_clusters' recursive-CTE oracle verbatim. ----
-    "dedup_clusters_stars" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      connectedComponentsStarsWithRounds(pairs)._1.orderBy(col("doc_id"))
-    }),
+    "dedup_clusters_stars" -> ((s, d) =>
+      connectedComponentsStarsWithRounds(candidatePairs(s, d))._1
+        .orderBy(col("doc_id"))),
 
     // ---- canonical-keeper materialization over the whole corpus: every
     // document tagged with its duplicate-cluster id (own id when it has no
@@ -671,17 +655,9 @@ object Dedup extends QueryModule {
     // most candidate pairs agree resembles the others). Exact integer
     // arithmetic (see [[integerPageRank]]) so the ranks hash identically
     // to the oracle's chained-CTE iterations. ----
-    "dedup_pagerank" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      integerPageRank(pairs, iters = 3)
-        .orderBy(desc("pagerank"), col("doc_id"))
-    }),
+    "dedup_pagerank" -> ((s, d) =>
+      integerPageRank(candidatePairs(s, d), iters = 3)
+        .orderBy(desc("pagerank"), col("doc_id"))),
 
     // ---- centrality-based cluster keepers: connected components give the
     // duplicate clusters, PageRank gives each member's centrality, and the
@@ -691,14 +667,7 @@ object Dedup extends QueryModule {
     // max(struct(rank, −id)) partial agg, so no per-cluster sort; pairs
     // are checkpointed once and feed both graph algorithms. ----
     "dedup_keeper_centrality" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .localCheckpoint()
+      val pairs = candidatePairs(s, d).localCheckpoint()
       val labels = connectedComponents(pairs)
       val pr = integerPageRank(pairs, iters = 3)
       labels.join(pr, "doc_id")

@@ -90,9 +90,12 @@ object Multimodal extends QueryModule {
       def be4(off: Int): Long =
         ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
           ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
-      val sigOk = bytes.length >= 33 &&
+      val sigOk = bytes.length >= 8 &&
         java.util.Arrays.equals(bytes.take(8), PngSignature)
       if (!sigOk) Parsed("raw", None, None, None, None)
+      // a real PNG signature on a payload too short to hold IHDR is a
+      // TRUNCATED png, not raw text — degrade explicitly, don't reclassify
+      else if (bytes.length < 33) Parsed("png-corrupt", None, None, None, None)
       else {
         val chunkLen = be4(8)
         val chunkType = new String(bytes, 12, 4, "US-ASCII")
@@ -165,9 +168,12 @@ object Multimodal extends QueryModule {
       def le4(off: Int): Long =
         (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
           ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-      val isRiff = bytes.length >= 44 &&
+      val isRiff = bytes.length >= 12 &&
         ascii(0) == "RIFF" && ascii(8) == "WAVE"
       if (!isRiff) Parsed("raw", None, None, None, None)
+      // RIFF/WAVE frame on a payload too short for the canonical header:
+      // truncated wav, not raw bytes (same contract as PngHeader above)
+      else if (bytes.length < 44) Parsed("wav-corrupt", None, None, None, None)
       else {
         val channels = le2(22)
         val rate = le4(24)

@@ -176,7 +176,11 @@ object BatchRunner {
             stage.run(spark, wh, ctx)
             done = true
           } catch {
-            case e: Throwable if attempt < policy.retries =>
+            // NonFatal only: retrying an OutOfMemoryError re-runs the
+            // stage in a broken JVM, and swallowing InterruptedException
+            // ignores a cancellation — both must propagate immediately
+            case e: Throwable
+                if scala.util.control.NonFatal(e) && attempt < policy.retries =>
               attempt += 1
               retried((ctx.ds, stage.name)) = attempt
               if (policy.retryDelayMs > 0) policy.sleep(policy.retryDelayMs)

@@ -71,13 +71,20 @@ object ShuffleAudit {
           }
       } catch { case _: Throwable => false }
     if (!flushed) {
-      var prev = -1L
-      var cur = listener.snapshot
+      // require the counters stable for a FULL second (10 consecutive
+      // 100 ms polls), not merely two agreeing reads: right after save()
+      // the bus may hold queued events that haven't produced a TaskEnd
+      // yet, and a single quiet 100 ms window would exit early and bill
+      // the late events to the next query — the exact race drain()
+      // exists to prevent. Matches the old flat sleep's 1 s tolerance
+      // while still exiting as soon as the bus is genuinely quiet.
+      var prev = listener.snapshot
+      var stable = 0
       var spins = 0
-      while (prev != cur && spins < 50) {
-        prev = cur
+      while (stable < 10 && spins < 100) {
         Thread.sleep(100)
-        cur = listener.snapshot
+        val cur = listener.snapshot
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
         spins += 1
       }
     }

@@ -115,6 +115,9 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     // non-PNG bytes -> raw
     assert(MediaHeader.sniff("just some text".getBytes).format == "raw")
     assert(MediaHeader.sniff(Array[Byte](1, 2, 3)).format == "raw")
+    // a valid signature TRUNCATED before IHDR is corrupt, not raw
+    assert(MediaHeader.sniff(png.take(20)).format == "png-corrupt")
+    assert(MediaHeader.sniff(MediaHeader.PngSignature).format == "png-corrupt")
   }
 
   test("PNG header parse: Arrow path is row-identical to the row path") {
@@ -151,6 +154,9 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     // non-RIFF bytes -> raw
     assert(WavHeader.sniff("not audio at all, just text padding".getBytes).format == "raw")
     assert(WavHeader.sniff(Array[Byte](1, 2, 3)).format == "raw")
+    // a RIFF/WAVE frame TRUNCATED before the fmt/data chunks is corrupt
+    assert(WavHeader.sniff(wav.take(20)).format == "wav-corrupt")
+    assert(WavHeader.sniff(wav.take(12)).format == "wav-corrupt")
   }
 
   test("WAV header parse: Arrow path is row-identical to the row path") {
