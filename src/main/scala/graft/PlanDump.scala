@@ -87,7 +87,10 @@ object PlanDump {
     // robust MAD outliers (type-partitioned exact median windows)
     "sim_recall_report", "evt_outliers_mad",
     // Simpson diversity: two-level partial agg, no global stage
-    "txt_diversity")
+    "txt_diversity",
+    // SemDeDup capstone: graph drop-list anti-joined (broadcast) into the
+    // fused gate + split + rollup scan
+    "pipe_semantic_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

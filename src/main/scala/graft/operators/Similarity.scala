@@ -288,6 +288,36 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- the SemDeDup production capstone, fused end-to-end: semantic
+    // keeper filter (blocked pairs → components → drop non-canonical
+    // cluster members) → quality gate (n_chars ≥ 100) → contamination-safe
+    // content-hash split → per-split corpus accounting. The embedding and
+    // document lakes share the id space (vec_id = doc_id, the fixture's
+    // convention); the drop list is cluster-members-minus-keepers — tiny
+    // relative to the lake, so the anti join broadcasts. Catalyst fuses
+    // the gate + split + rollup into the scan side; the graph stages are
+    // the same checkpointed rounds as sim_semantic_dedup. ----
+    "pipe_semantic_e2e" -> ((s, d) => {
+      val pairs = blockedDupPairs(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val drops = Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      Tables.documents(s, d)
+        .join(drops, Seq("doc_id"), "left_anti")
+        .filter(col("n_chars") >= 100)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+            lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
     // ---- blocking-recall audit: MEASURED recall of the (label × SRP-code)
     // blocking strategy against exhaustive same-label ground truth on a
     // deterministic 10% sample (vec_id % 10 = 0) — the tuning loop for the
@@ -564,6 +594,44 @@ object Similarity extends QueryModule {
          |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // semantic drop set via the same closure CTE as sim_semantic_dedup,
+    // then gate + split + rollup over the surviving documents
+    "pipe_semantic_e2e" ->
+      s"""WITH RECURSIVE planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), e AS (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
+         |), adj AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), nodes AS (SELECT DISTINCT src AS node_id FROM adj
+         |), reach AS (
+         |  SELECT node_id AS a, node_id AS b FROM nodes
+         |  UNION
+         |  SELECT r.a, ad.dst FROM reach r JOIN adj ad ON ad.src = r.b
+         |), drops AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> min(b)
+         |), kept AS (
+         |  SELECT n_chars,
+         |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS b
+         |  FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops) AND n_chars >= 100
+         |)
+         |SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
     "sim_recall_report" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8

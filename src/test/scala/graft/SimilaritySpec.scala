@@ -92,6 +92,27 @@ class SimilaritySpec extends SparkSuiteBase {
       "fixture produced no semantic dup clusters — test is degenerate")
   }
 
+  test("semantic capstone equals the recomposition of its oracled stages") {
+    import graft.operators.{Curation, Similarity}
+    val sf001 = "/root/testdata/sf0.01"
+    val keepIds = Similarity.queries("sim_semantic_dedup")(spark, sf001)
+      .filter(col("keep")).select(col("vec_id").as("doc_id"))
+    val splits = Curation.queries("txt_split_assign")(spark, sf001)
+      .select("doc_id", "split")
+    val expected = Tables.documents(spark, sf001)
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .filter(col("n_chars") >= 100)
+      .join(splits, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Similarity.queries("pipe_semantic_e2e")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.keySet == Set("train", "val", "test"))
+  }
+
   test("recall audit: bounds hold and the sf0.01 sample is non-degenerate") {
     import graft.operators.Similarity
     val row = Similarity.queries("sim_recall_report")(spark, "/root/testdata/sf0.01").head
