@@ -90,7 +90,18 @@ object PlanDump {
     "txt_diversity",
     // SemDeDup capstone: graph drop-list anti-joined (broadcast) into the
     // fused gate + split + rollup scan
-    "pipe_semantic_e2e")
+    "pipe_semantic_e2e",
+    // retrieval capstone: broadcast queries -> graft_topk partial agg ->
+    // broadcast winners into the documents join (lake scanned once)
+    "pipe_ann_e2e",
+    // threshold sweep: one blocked pair list, broadcast tau table
+    "sim_threshold_sweep",
+    // gopher gate: single codegen'd scan, zero shuffles
+    "txt_gopher_rules",
+    // z-order layout audit: shuffle-free key + one partial agg
+    "q_zorder_layout",
+    // BPE merge round: explode -> partial-agg'd pair count -> TakeOrdered
+    "txt_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

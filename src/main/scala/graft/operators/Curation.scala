@@ -37,6 +37,19 @@ object Curation extends QueryModule {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Morton (Z-order) bit-interleave of two `bits`-bit BIGINT columns as a
+    * flat arithmetic sum — bit i of `x` lands at position 2i, bit i of `y`
+    * at 2i+1. Generated as the same literal expression for both engines
+    * (`divOp` = Spark `div` / DuckDB `//`), so the key is trivially
+    * oracle-exact.
+    */
+  private[graft] def zorderExpr(x: String, y: String, bits: Int,
+      divOp: String): String =
+    (0 until bits).map { i =>
+      s"(($x $divOp ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + (($y $divOp ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- contamination-safe train/val/test split (80/10/10): the split
@@ -141,6 +154,37 @@ object Curation extends QueryModule {
         .select(col("n_keys"), col("n_rows"), col("max_n"),
           col("p50"), col("p90"), col("p99"),
           expr("CAST((100 * max_n) DIV p50 AS BIGINT)").as("skew_x100"))
+    }),
+
+    // ---- Z-order (Morton) data-layout audit: the multi-dimensional
+    // clustering a 100 TB lake needs when queries filter on EITHER of two
+    // keys (here user bucket × day). Linear layouts bound one dimension
+    // per file and leave the other unbounded; interleaving the bits gives
+    // every zkey-range file a bounded span in BOTH — dropping the low 10
+    // z-bits leaves ≤ 32 consecutive values of each 8-bit dimension, so
+    // min/max footer stats prune files for user-keyed AND date-keyed
+    // predicates at once. At scale this is repartitionByRange(zkey) +
+    // sortWithinPartitions(zkey) at write time; this query computes the
+    // key (flat integer bit arithmetic, codegen'd, shuffle-free) and
+    // audits the per-file span guarantee the pruning relies on. Day index
+    // is days-since-epoch mod 256 (a real table anchors at its min date);
+    // CurationSpec pins the ≤32-span bound and zkey↔(ub,db) bijectivity.
+    // ----
+    "q_zorder_layout" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .select(
+          (col("user_id") % 256).cast("bigint").as("ub"),
+          (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 256)
+            .cast("bigint").as("db"))
+        .withColumn("z", expr(zorderExpr("ub", "db", 8, "div")))
+        .withColumn("file_id", expr("z div 1024"))
+      base.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+          min(col("db")).as("min_db"), max(col("db")).as("max_db"))
+        .withColumn("ub_span", col("max_ub") - col("min_ub") + 1)
+        .withColumn("db_span", col("max_db") - col("min_db") + 1)
+        .orderBy(col("file_id"))
     }),
 
     // ---- MERGE / upsert: apply a change-set (updates: +10% price, status
@@ -332,6 +376,20 @@ object Curation extends QueryModule {
         |)
         |SELECT n_keys, n_rows, max_n, p50, p90, p99,
         |  CAST((100 * max_n) // p50 AS BIGINT) AS skew_x100 FROM pct""".stripMargin,
+    "q_zorder_layout" ->
+      s"""WITH base AS (
+         |  SELECT CAST(user_id % 256 AS BIGINT) AS ub,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 256 AS BIGINT) AS db
+         |  FROM events
+         |), keyed AS (
+         |  SELECT ub, db, (${zorderExpr("ub", "db", 8, "//")}) AS z FROM base
+         |), f AS (SELECT ub, db, z // 1024 AS file_id FROM keyed)
+         |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(ub) AS min_ub, max(ub) AS max_ub,
+         |  min(db) AS min_db, max(db) AS max_db,
+         |  max(ub) - min(ub) + 1 AS ub_span,
+         |  max(db) - min(db) + 1 AS db_span
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q_merge_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey AS u_key, 'U' AS u_status,

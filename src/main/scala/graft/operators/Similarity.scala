@@ -82,7 +82,8 @@ object Similarity extends QueryModule {
     * literals, so coding is a narrow projection: the only shuffle here is
     * the (label, code) self-join.
     */
-  private def blockedDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def blockedDupPairs(s: SparkSession, d: String,
+      minCos: Double = 0.25): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(s)
     val planes = srpPlanes(s, d)
     val e = Tables.embeddings(s, d)
@@ -95,7 +96,7 @@ object Similarity extends QueryModule {
           col("a.code") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos_sim", round(cosine(s, "a.embedding", "b.embedding"), 6))
-      .filter(col("cos_sim") >= 0.25)
+      .filter(col("cos_sim") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), col("cos_sim"))
   }
@@ -316,6 +317,67 @@ object Similarity extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("total_chars"))
         .orderBy(col("split"))
+    }),
+
+    // ---- near-dup threshold sweep: pair and affected-doc counts at each
+    // candidate cosine cut (0.10/0.25/0.50/0.75) from ONE blocked pair
+    // list — the tuning report a curator reads before committing a dedup
+    // threshold, instead of re-running the pair join per candidate value.
+    // The pair list is the bounded blocked-candidate output; the
+    // threshold table is 4 literal rows (broadcast), so the sweep adds
+    // two partial-agg'd group-bys over pairs — no new quadratic work at
+    // any SF. floor() before the x100 integer cast on BOTH engines
+    // (Spark truncates double→int, DuckDB rounds). ----
+    "sim_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val p = blockedDupPairs(s, d, minCos = 0.10)
+        .select(col("vec_a"), col("vec_b"),
+          floor(col("cos_sim") * 100).cast("bigint").as("cs100"))
+      val taus = Seq(10L, 25L, 50L, 75L).toDF("tau_x100")
+      val j = p.join(broadcast(taus), col("cs100") >= col("tau_x100"))
+      val nPairs = j.groupBy(col("tau_x100"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = j
+        .select(col("tau_x100"),
+          explode(array(col("vec_a"), col("vec_b"))).as("v"))
+        .groupBy(col("tau_x100"))
+        .agg(countDistinct(col("v")).as("n_docs"))
+      taus.join(nPairs.join(nDocs, Seq("tau_x100")), Seq("tau_x100"), "left")
+        .select(col("tau_x100"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("tau_x100"))
+    }),
+
+    // ---- the retrieval capstone: multi-query ANN search joined back to
+    // the document lake — "for each query embedding, the 5 nearest
+    // documents with their metadata", i.e. the serving-shape output of a
+    // RAG / nearest-neighbor-audit pipeline. The 3 query vectors broadcast
+    // into one embarrassingly-parallel scored scan; per-query top-k runs
+    // as graft_topk (bounded-buffer partial agg — mappers emit ≤k rows
+    // per query, no global sort, no SinglePartition window); the 15
+    // winners broadcast into the documents join, so the lake is scanned
+    // exactly once end-to-end and never shuffled. ----
+    "pipe_ann_e2e" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id").isin(0L, 9L, 10L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val top = e.filter(col("vec_id") > 10)
+        .crossJoin(broadcast(qs))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .groupBy(col("query_id"))
+        .agg(call_function("graft_topk",
+          col("cos_sim"), col("vec_id"), lit(5)).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").as("cos_sim"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(broadcast(top), Seq("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("cos_sim"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- blocking-recall audit: MEASURED recall of the (label × SRP-code)
@@ -632,6 +694,64 @@ object Similarity extends QueryModule {
          |            WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
+    // same blocked pair CTE as sim_pairs_block, at the sweep's widest cut
+    "sim_threshold_sweep" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), e AS (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(floor(round(${duckCosine("a.embedding", "b.embedding")}, 6) * 100) AS BIGINT) AS cs100
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
+         |  WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.10
+         |), taus AS (SELECT CAST(tau_x100 AS BIGINT) AS tau_x100
+         |            FROM (VALUES (10), (25), (50), (75)) t(tau_x100)
+         |), j AS (
+         |  SELECT t.tau_x100, p.vec_a, p.vec_b
+         |  FROM pairs p JOIN taus t ON p.cs100 >= t.tau_x100
+         |), np AS (
+         |  SELECT tau_x100, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1
+         |), nd AS (
+         |  SELECT tau_x100, CAST(count(DISTINCT v) AS BIGINT) AS n_docs FROM (
+         |    SELECT tau_x100, vec_a AS v FROM j
+         |    UNION ALL SELECT tau_x100, vec_b FROM j
+         |  ) GROUP BY 1
+         |)
+         |SELECT t.tau_x100,
+         |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+         |FROM taus t
+         |LEFT JOIN np ON t.tau_x100 = np.tau_x100
+         |LEFT JOIN nd ON t.tau_x100 = nd.tau_x100
+         |ORDER BY t.tau_x100""".stripMargin,
+    "pipe_ann_e2e" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id IN (0, 9, 10)
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id,
+         |    round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id > 10
+         |), top AS (
+         |  SELECT query_id, doc_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS "rank"
+         |  FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, doc_id) <= 5
+         |)
+         |SELECT t.query_id, t."rank", t.doc_id, t.cos_sim,
+         |  d.lang, d.source, d.n_chars
+         |FROM top t JOIN documents d ON d.doc_id = t.doc_id
+         |ORDER BY query_id, 2""".stripMargin,
     "sim_recall_report" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8

@@ -132,6 +132,36 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Gopher-style composite quality gate: the four repetition-free
+    // heuristic rules a pretraining filter applies per document (word-count
+    // bounds, mean-word-length band, stopword floor, lexical-diversity
+    // floor), each surfaced as its own boolean next to the measurements so
+    // a curator can tune one threshold without re-running the others.
+    // Everything is integer-derived (scaled-x100 DIV forms) — no float
+    // ratios to drift between engines. Narrow per-row projection: zero
+    // shuffles, one codegen'd scan at any SF; pairs with txt_repetition
+    // (top-gram fraction) and txt_diversity (Simpson) for the
+    // repetition-family rules Gopher adds on top. ----
+    "txt_gopher_rules" -> ((s, d) => {
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")).cast("bigint"))
+        .withColumn("mean_wlen_x100",
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT) * 100 div n_words"))
+        .withColumn("n_stop",
+          expr(s"CAST(size(filter(w, x -> x IN ($stopList))) AS BIGINT)"))
+        .withColumn("distinct_x100",
+          expr("CAST(size(array_distinct(w)) AS BIGINT) * 100 div n_words"))
+        .withColumn("r_len", col("n_words").between(20L, 10000L))
+        .withColumn("r_wlen", col("mean_wlen_x100").between(300L, 1000L))
+        .withColumn("r_stop", col("n_stop") >= 2L)
+        .withColumn("r_div", col("distinct_x100") >= 20L)
+        .withColumn("pass",
+          col("r_len") && col("r_wlen") && col("r_stop") && col("r_div"))
+        .select("doc_id", "n_words", "mean_wlen_x100", "n_stop",
+          "distinct_x100", "r_len", "r_wlen", "r_stop", "r_div", "pass")
+    }),
+
     // ---- BPE-ish regex token counting ----
     "txt_token_count" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -566,6 +596,30 @@ object TextAnalysis extends QueryModule {
           md5(col("text")).as("fp_md5"))
     }),
 
+    // ---- one BPE merge-table round: the corpus-wide adjacent-symbol pair
+    // counts a byte-pair-encoding tokenizer trainer computes to pick its
+    // next merge — here the first round (symbols = characters), reported
+    // as the top-10 pairs (count DESC, pair ASC tiebreak). Each token
+    // occurrence contributes its pairs, exactly like the classic BPE count
+    // over the word-frequency table. One explode → count shuffle where
+    // (pair, partial_count) combines map-side — at 100 TB the shuffle
+    // carries ~|alphabet|² rows per mapper, not token volume; later rounds
+    // re-run the same plan over the re-segmented corpus with the merge
+    // applied (the iteration is driver-controlled, one plan per round).
+    // ----
+    "txt_bpe_merges" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(10)
+    }),
+
     // ---- corpus n-gram frequency: top-3 bigrams per language by count
     // (deterministic bigram tiebreak) — the vocabulary/corpus-statistics
     // pass of a training pipeline. One explode → count shuffle with partial
@@ -770,6 +824,34 @@ object TextAnalysis extends QueryModule {
         |  CAST(1000000 - (1000000 * sum_c2) // (n_tokens * n_tokens) AS BIGINT)
         |    AS simpson_x1e6
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "txt_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+        |  FROM words WHERE length(w) >= 2
+        |)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    "txt_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) * 100
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_wlen_x100,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 100
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS distinct_x100
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words, mean_wlen_x100, n_stop, distinct_x100,
+         |  n_words BETWEEN 20 AND 10000 AS r_len,
+         |  mean_wlen_x100 BETWEEN 300 AND 1000 AS r_wlen,
+         |  n_stop >= 2 AS r_stop,
+         |  distinct_x100 >= 20 AS r_div,
+         |  (n_words BETWEEN 20 AND 10000) AND (mean_wlen_x100 BETWEEN 300 AND 1000)
+         |    AND n_stop >= 2 AND distinct_x100 >= 20 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
     "txt_lang_id" ->
       s"""SELECT doc_id, lang,
          |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS BIGINT) AS stop_hits,

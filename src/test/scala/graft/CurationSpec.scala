@@ -22,6 +22,28 @@ class CurationSpec extends SparkSuiteBase {
       Tables.documents(spark, sf0001).count())
   }
 
+  test("q_zorder_layout: interleave is bijective and every file bounds both dims to 32") {
+    // Scala replay of the generated expression: bit i of x -> 2i, of y -> 2i+1
+    def z(x: Long, y: Long): Long = (0 until 8).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+    // bijective over the full 256x256 domain, image exactly [0, 65536)
+    val all = for (x <- 0L until 256L; y <- 0L until 256L) yield z(x, y)
+    assert(all.toSet.size == 65536 && all.min == 0L && all.max == 65535L)
+    // the Spark-side generated expression computes the same key
+    import spark.implicits._
+    val sample = Seq((0L, 0L), (255L, 255L), (1L, 2L), (170L, 85L), (200L, 13L))
+    val got = sample.toDF("ub", "db")
+      .withColumn("z", expr(Curation.zorderExpr("ub", "db", 8, "div")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    sample.foreach { case (x, y) => assert(got((x, y)) == z(x, y)) }
+    // dropping the 10 low z-bits leaves 5 high bits per dim: spans <= 32
+    val rep = Curation.queries("q_zorder_layout")(spark, sf0001)
+    val bad = rep.filter(col("ub_span") > 32 || col("db_span") > 32).count()
+    assert(bad == 0, "a zkey-range file spans more than 32 values of a dimension")
+    assert(rep.count() > 1, "fixture should spread events over multiple z files")
+  }
+
   test("txt_quality_topp: keeps exactly floor(n/4) per source, none worse than a dropped doc") {
     val kept = Curation.queries("txt_quality_topp")(spark, sf0001)
     val keptCounts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))

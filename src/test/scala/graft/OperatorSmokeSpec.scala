@@ -214,6 +214,43 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(stats.values.exists { case (n, d) => d == n })
   }
 
+  test("txt_bpe_merges: top pairs equal a Scala replay of the BPE count") {
+    val counts = scala.collection.mutable.Map[String, Long]()
+    Tables.documents(spark, sf0001).select("text").collect().foreach { r =>
+      r.getString(0).split(" ", -1).filter(_.length >= 2).foreach { w =>
+        w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = SparkEntry.queries("txt_bpe_merges")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("txt_gopher_rules: every field replays in Scala and both outcomes occur") {
+    val rows = SparkEntry.queries("txt_gopher_rules")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet == docs.keySet)
+    val stops = Set("the", "a", "of", "and")
+    rows.foreach { r =>
+      val w = docs(r.getLong(0)).split(" ", -1)
+      val n = w.length.toLong
+      val wlen = w.map(_.length.toLong).sum * 100 / n
+      val nStop = w.count(stops).toLong
+      val dist = w.distinct.length.toLong * 100 / n
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} n_words")
+      assert(r.getLong(2) == wlen, s"doc ${r.getLong(0)} mean_wlen_x100")
+      assert(r.getLong(3) == nStop, s"doc ${r.getLong(0)} n_stop")
+      assert(r.getLong(4) == dist, s"doc ${r.getLong(0)} distinct_x100")
+      val pass = n >= 20 && n <= 10000 && wlen >= 300 && wlen <= 1000 &&
+        nStop >= 2 && dist >= 20
+      assert(r.getBoolean(9) == pass, s"doc ${r.getLong(0)} pass bit")
+    }
+    assert(rows.exists(_.getBoolean(9)) && rows.exists(!_.getBoolean(9)),
+      "fixture must exercise both gate outcomes")
+  }
+
   test("txt_dsir_weights ranks the target language above the rest on average") {
     // direction check: the likelihood ratio must upweight target-domain
     // (lang='en') documents relative to the non-target mean — the property

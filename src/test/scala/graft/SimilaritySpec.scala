@@ -92,6 +92,46 @@ class SimilaritySpec extends SparkSuiteBase {
       "fixture produced no semantic dup clusters — test is degenerate")
   }
 
+  test("threshold sweep: counts monotone in tau, agree with sim_pairs_block at 0.25") {
+    import graft.operators.Similarity
+    val rows = Similarity.queries("sim_threshold_sweep")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 25L, 50L, 75L))
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+          s"counts must not grow as tau tightens: $lo -> $hi")
+      case _ =>
+    }
+    assert(rows.head._2 > 0, "widest cut should surface candidate pairs")
+    val at25 = rows.find(_._1 == 25L).get._2
+    val pairsBlock =
+      Similarity.queries("sim_pairs_block")(spark, "/root/testdata/sf0.01").count()
+    assert(at25 == pairsBlock,
+      "sweep at the production cut must count exactly sim_pairs_block's pairs")
+  }
+
+  test("pipe_ann_e2e equals a window-rank recomputation over exact scores") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id").isin(0L, 9L, 10L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("vec_id"))
+    val expected = e.filter(col("vec_id") > 10).crossJoin(broadcast(qs))
+      .withColumn("cos_sim", round(Similarity.hofCosine("embedding", "q_emb"), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = Similarity.queries("pipe_ann_e2e")(spark, sf)
+      .select("query_id", "rank", "doc_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.size == 15, "3 queries x top-5")
+  }
+
   test("semantic capstone equals the recomposition of its oracled stages") {
     import graft.operators.{Curation, Similarity}
     val sf001 = "/root/testdata/sf0.01"
