@@ -304,8 +304,12 @@ object Similarity extends QueryModule {
       val drops = Dedup.connectedComponents(pairs)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
+      // explicit broadcast: the drop list descends from a checkpointed RDD,
+      // so Catalyst has no size estimate and would plan a sort-merge anti
+      // join that shuffles the LAKE; the list is cluster-members-minus-
+      // keepers — dimension-sized by construction
       Tables.documents(s, d)
-        .join(drops, Seq("doc_id"), "left_anti")
+        .join(broadcast(drops), Seq("doc_id"), "left_anti")
         .filter(col("n_chars") >= 100)
         .withColumn("bucket",
           pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
@@ -342,7 +346,11 @@ object Similarity extends QueryModule {
           explode(array(col("vec_a"), col("vec_b"))).as("v"))
         .groupBy(col("tau_x100"))
         .agg(countDistinct(col("v")).as("n_docs"))
-      taus.join(nPairs.join(nDocs, Seq("tau_x100")), Seq("tau_x100"), "left")
+      // the per-tau aggregates are ≤4 rows each — keep the recombination
+      // joins broadcast so no exchange outlives the two partial-agg'd
+      // group-bys
+      taus.join(broadcast(nPairs.join(broadcast(nDocs), Seq("tau_x100"))),
+          Seq("tau_x100"), "left")
         .select(col("tau_x100"),
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"))
