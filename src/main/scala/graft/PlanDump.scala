@@ -101,7 +101,11 @@ object PlanDump {
     // z-order layout audit: shuffle-free key + one partial agg
     "q_zorder_layout",
     // BPE merge round: explode -> partial-agg'd pair count -> TakeOrdered
-    "txt_bpe_merges")
+    "txt_bpe_merges",
+    // two-stage ANN: codes-only ADC scan -> 50-id broadcast -> exact rerank
+    "sim_topk_pq_rerank",
+    // BPE inference: chained literal replace, shuffle-free scan
+    "txt_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

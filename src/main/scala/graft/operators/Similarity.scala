@@ -467,42 +467,76 @@ object Similarity extends QueryModule {
     // final 4-term sum is spelled in FIXED m order on both engines —
     // a sum() over collected doubles would be partition-order
     // dependent. ----
-    "sim_topk_pq" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val ms = explode(array((0 to 3).map(lit): _*)).as("m")
-      def subv(alias: String) = expr(
-        s"transform(slice(embedding, m * 16 + 1, 16), x -> CAST(x AS DOUBLE))")
-        .as(alias)
-      def l2(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
-      val cb = e.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("k"), ms, col("embedding"))
-        .select(col("k"), col("m"), subv("c_sub"))
-      val enc = e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"), ms, col("embedding"))
-        .select(col("vec_id"), col("label"), col("m"), subv("v_sub"))
-        .join(broadcast(cb), "m")
-        .withColumn("dd", l2("v_sub", "c_sub"))
-        .groupBy(col("vec_id"), col("label"), col("m"))
-        .agg(min(struct(col("dd"), col("k"))).as("best"))
-        .select(col("vec_id"), col("label"), col("m"), col("best.k").as("code"))
-      val dtab = e.filter(col("vec_id") === 0)
-        .select(ms, col("embedding"))
-        .select(col("m"), subv("q_sub"))
-        .join(broadcast(cb), "m")
-        .select(col("m").as("t_m"), col("k").as("t_k"), l2("q_sub", "c_sub").as("dq"))
-      enc.join(broadcast(dtab), col("m") === col("t_m") && col("code") === col("t_k"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(
-          max(when(col("m") === 0, col("dq"))).as("d0"),
-          max(when(col("m") === 1, col("dq"))).as("d1"),
-          max(when(col("m") === 2, col("dq"))).as("d2"),
-          max(when(col("m") === 3, col("dq"))).as("d3"))
-        .select(col("vec_id"), col("label"),
-          round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adc_dist"))
+    "sim_topk_pq" -> ((s, d) =>
+      pqAdcScores(s, d)
         .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)),
+
+    // ---- the production two-stage ANN: PQ-ADC shortlist → exact re-rank.
+    // Stage 1 is the codes-only ADC scan (raw vectors never read); stage 2
+    // re-ranks ONLY the 50-candidate shortlist with the exact cosine —
+    // broadcast the shortlist ids into the vector lake, so full vectors
+    // are point-looked-up for 50 rows, not scanned. This is how a 100 TB
+    // vector store serves queries: the ADC pass bounds recall loss, the
+    // rerank pass restores exact ordering on the survivors; shortlist
+    // depth (50 here for a top-10) is the recall/latency knob. ----
+    "sim_topk_pq_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shortlist = pqAdcScores(s, d)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(50)
+        .select(col("vec_id"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      e.join(broadcast(shortlist), Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
     }))
+
+  /** PQ asymmetric-distance scores for every non-query vector: 4×16-dim
+    * subspace codebooks (vec_ids 1..8), argmin-L2 encode, 32-entry
+    * broadcast query distance table, fixed-m-order 4-term sum — the shared
+    * engine behind `sim_topk_pq` (pure ADC top-k) and `sim_topk_pq_rerank`
+    * (ADC shortlist → exact re-rank). Portability: L2² is a sequential
+    * zip_with→aggregate fold (bit-identical to list_reduce).
+    */
+  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ms = explode(array((0 to 3).map(lit): _*)).as("m")
+    def subv(alias: String) = expr(
+      s"transform(slice(embedding, m * 16 + 1, 16), x -> CAST(x AS DOUBLE))")
+      .as(alias)
+    def l2(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    val cb = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), ms, col("embedding"))
+      .select(col("k"), col("m"), subv("c_sub"))
+    val enc = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), ms, col("embedding"))
+      .select(col("vec_id"), col("label"), col("m"), subv("v_sub"))
+      .join(broadcast(cb), "m")
+      .withColumn("dd", l2("v_sub", "c_sub"))
+      .groupBy(col("vec_id"), col("label"), col("m"))
+      .agg(min(struct(col("dd"), col("k"))).as("best"))
+      .select(col("vec_id"), col("label"), col("m"), col("best.k").as("code"))
+    val dtab = e.filter(col("vec_id") === 0)
+      .select(ms, col("embedding"))
+      .select(col("m"), subv("q_sub"))
+      .join(broadcast(cb), "m")
+      .select(col("m").as("t_m"), col("k").as("t_k"), l2("q_sub", "c_sub").as("dq"))
+    enc.join(broadcast(dtab), col("m") === col("t_m") && col("code") === col("t_k"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("m") === 0, col("dq"))).as("d0"),
+        max(when(col("m") === 1, col("dq"))).as("d1"),
+        max(when(col("m") === 2, col("dq"))).as("d2"),
+        max(when(col("m") === 3, col("dq"))).as("d3"))
+      .select(col("vec_id"), col("label"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adc_dist"))
+  }
 
   /** Shared CTE prefix for the PQ oracle: per-subspace (m ∈ 0..3)
     * double-cast 16-dim slices of codebook (vec_ids 1..8) and data rows.
@@ -551,6 +585,31 @@ object Similarity extends QueryModule {
          |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.k
          |GROUP BY enc.vec_id, enc.label
          |ORDER BY adc_dist, enc.vec_id LIMIT 10""".stripMargin,
+    "sim_topk_pq_rerank" ->
+      s"""$pqSubs, enc AS (
+         |  SELECT vec_id, label, m, k AS code
+         |  FROM (
+         |    SELECT vs.vec_id, vs.label, vs.m, cb.k,
+         |      ${duckL2("v_sub", "c_sub")} AS dd
+         |    FROM vs JOIN cb ON vs.m = cb.m
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) = 1
+         |), dtab AS (
+         |  SELECT qs.m, cb.k, ${duckL2("q_sub", "c_sub")} AS dq
+         |  FROM qs JOIN cb ON qs.m = cb.m
+         |), shortlist AS (
+         |  SELECT enc.vec_id,
+         |    round(max(CASE WHEN enc.m = 0 THEN dq END)
+         |        + max(CASE WHEN enc.m = 1 THEN dq END)
+         |        + max(CASE WHEN enc.m = 2 THEN dq END)
+         |        + max(CASE WHEN enc.m = 3 THEN dq END), 6) AS adc_dist
+         |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.k
+         |  GROUP BY enc.vec_id
+         |  ORDER BY adc_dist, enc.vec_id LIMIT 50
+         |), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |FROM embeddings e JOIN shortlist sl ON e.vec_id = sl.vec_id CROSS JOIN q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -33,6 +33,23 @@ object TextAnalysis extends QueryModule {
     pmod(graft.functions.TextFunctions.md5Bits(idCol.cast("string"), 8), lit(1000000L))
       .cast("double") / 1000000.0
 
+  /** The round-1 BPE merge table "trained" by `txt_bpe_merges` on the
+    * fixture corpus (top-10 adjacent pairs, rank order), each mapped to a
+    * fresh single-char symbol — uppercase is outside the corpus alphabet,
+    * so placeholders can never collide with source text.
+    */
+  private val bpeMerges = Seq(
+    "er" -> "A", "in" -> "B", "ow" -> "C", "or" -> "D", "st" -> "E",
+    "me" -> "F", "to" -> "G", "at" -> "H", "lu" -> "I", "al" -> "J")
+
+  /** Chained literal `replace` applying [[bpeMerges]] in rank order —
+    * the same textual expression is valid Spark SQL and DuckDB SQL.
+    */
+  private def bpeApplied(inner: String): String =
+    bpeMerges.foldLeft(inner) { case (acc, (p, r)) =>
+      s"replace($acc, '$p', '$r')"
+    }
+
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
   private def shingled(df: DataFrame): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -620,6 +637,28 @@ object TextAnalysis extends QueryModule {
         .limit(10)
     }),
 
+    // ---- applying a trained BPE merge table: the inference half of the
+    // tokenizer (txt_bpe_merges is the training half). The 10-entry merge
+    // table is the shipped artifact — dimension-sized state inlined as
+    // literals (the PQ-codebook / SRP-plane pattern); each pair rewrites
+    // to a single placeholder symbol, applied in rank order as a chained
+    // literal replace (left-to-right non-overlapping in both engines, so
+    // interacting merges — 'the' consumed by 'th' before 'he' can see it —
+    // resolve identically). Merges run BEFORE space-stripping so a pair
+    // can never bridge a word boundary. Output: per-doc symbol counts
+    // before/after + compression per 10k symbols, all exact integers.
+    // Shuffle-free scan at any SF. ----
+    "txt_bpe_apply" -> ((s, d) => {
+      Tables.documents(s, d).orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT)")
+            .as("n_syms_before"),
+          expr(s"CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)")
+            .as("n_syms_after"))
+        .withColumn("saved_x10000",
+          expr("(n_syms_before - n_syms_after) * 10000 div n_syms_before"))
+    }),
+
     // ---- corpus n-gram frequency: top-3 bigrams per language by count
     // (deterministic bigram tiebreak) — the vocabulary/corpus-statistics
     // pass of a training pipeline. One explode → count shuffle with partial
@@ -833,6 +872,14 @@ object TextAnalysis extends QueryModule {
         |)
         |SELECT pair, CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    "txt_bpe_apply" ->
+      s"""SELECT doc_id,
+         |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_syms_before,
+         |  CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT) AS n_syms_after,
+         |  (CAST(length(replace(text, ' ', '')) AS BIGINT)
+         |    - CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)) * 10000
+         |    // CAST(length(replace(text, ' ', '')) AS BIGINT) AS saved_x10000
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_gopher_rules" ->
       s"""WITH m AS (
          |  SELECT doc_id,

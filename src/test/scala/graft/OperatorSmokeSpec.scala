@@ -227,6 +227,26 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(got == expected)
   }
 
+  test("txt_bpe_apply: chained merge replays in Scala and actually compresses") {
+    val merges = Seq("er" -> "A", "in" -> "B", "ow" -> "C", "or" -> "D",
+      "st" -> "E", "me" -> "F", "to" -> "G", "at" -> "H", "lu" -> "I", "al" -> "J")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("txt_bpe_apply")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == docs.keySet)
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val before = text.replace(" ", "").length.toLong
+      val applied = merges.foldLeft(text) { case (t, (p, s)) => t.replace(p, s) }
+      val after = applied.replace(" ", "").length.toLong
+      assert(r.getLong(1) == before, s"doc ${r.getLong(0)} before")
+      assert(r.getLong(2) == after, s"doc ${r.getLong(0)} after")
+      assert(r.getLong(3) == (before - after) * 10000 / before, s"doc ${r.getLong(0)} saved")
+    }
+    assert(rows.count(_.getLong(3) > 0) > rows.length / 2,
+      "the trained merge table should compress most documents")
+  }
+
   test("txt_gopher_rules: every field replays in Scala and both outcomes occur") {
     val rows = SparkEntry.queries("txt_gopher_rules")(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
