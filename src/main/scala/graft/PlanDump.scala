@@ -105,7 +105,9 @@ object PlanDump {
     // two-stage ANN: codes-only ADC scan -> 50-id broadcast -> exact rerank
     "sim_topk_pq_rerank",
     // BPE inference: chained literal replace, shuffle-free scan
-    "txt_bpe_apply")
+    "txt_bpe_apply",
+    // retrieval eval: one scored scan, two null-gated graft_topk aggs
+    "sim_eval_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -388,6 +388,63 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- retrieval-quality eval: MEASURED recall@5 + reciprocal rank of
+    // the nprobe=1 IVF-cell retrieval path against exhaustive exact
+    // top-5, per query — the continuous-eval report a serving pipeline
+    // runs on a sampled query set to catch index-quality drift (the
+    // retrieval twin of sim_recall_report's pair-blocking audit). On the
+    // fixture it surfaces the classic single-probe failure: one query's
+    // true neighbors live in an adjacent cell (recall 0) — exactly the
+    // signal that says raise nprobe or retrain centroids. ONE scored
+    // scan feeds BOTH rankings: two graft_topk aggregates in one
+    // groupBy, the pruned one null-gated on the cell match (the
+    // aggregate skips null scores), so the eval costs a single pass and
+    // bounded top-k state per query. All outputs are exact integers
+    // (x100 / x1000 DIV forms). ----
+    "sim_eval_retrieval" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      val cells = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cs", cosine(s, "embedding", "c_emb"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("k").as("cell"))
+      val qs = e.join(cells, "vec_id")
+        .filter(col("vec_id").isin(0L, 9L, 10L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cell").as("q_cell"))
+      e.join(cells, "vec_id")
+        .filter(col("vec_id") > 10)
+        .crossJoin(broadcast(qs))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .groupBy(col("query_id"))
+        .agg(
+          call_function("graft_topk",
+            col("cos_sim"), col("vec_id"), lit(5)).as("exact_top"),
+          call_function("graft_topk",
+            when(col("cell") === col("q_cell"), col("cos_sim")),
+            col("vec_id"), lit(5)).as("approx_top"))
+        .select(col("query_id"),
+          expr("transform(exact_top, x -> x.id)").as("exact_ids"),
+          expr("transform(approx_top, x -> x.id)").as("approx_ids"))
+        .select(col("query_id"),
+          size(col("exact_ids")).cast("bigint").as("n_exact"),
+          expr("CAST(size(array_intersect(approx_ids, exact_ids)) AS BIGINT)")
+            .as("n_overlap"),
+          expr("CAST(array_position(approx_ids, try_element_at(exact_ids, 1)) AS BIGINT)")
+            .as("rank1"))
+        .select(col("query_id"), col("n_exact"), col("n_overlap"),
+          expr("n_overlap * 100 div n_exact").as("recall_x100"),
+          expr("CAST(CASE WHEN rank1 = 0 THEN 0 ELSE 1000 div rank1 END AS BIGINT)")
+            .as("rr_x1000"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- blocking-recall audit: MEASURED recall of the (label × SRP-code)
     // blocking strategy against exhaustive same-label ground truth on a
     // deterministic 10% sample (vec_id % 10 = 0) — the tuning loop for the
@@ -819,6 +876,53 @@ object Similarity extends QueryModule {
          |  d.lang, d.source, d.n_chars
          |FROM top t JOIN documents d ON d.doc_id = t.doc_id
          |ORDER BY query_id, 2""".stripMargin,
+    "sim_eval_retrieval" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), scoredc AS (
+         |  SELECT e.vec_id, c.k, ${duckCosine("e.embedding", "c.c_emb")} AS cs
+         |  FROM embeddings e CROSS JOIN cent c
+         |), cells AS (
+         |  SELECT vec_id, k AS cell FROM scoredc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) = 1
+         |), q AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS q_emb, cells.cell AS q_cell
+         |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+         |  WHERE e.vec_id IN (0, 9, 10)
+         |), scored AS (
+         |  SELECT q.query_id, q.q_cell, e.vec_id, cells.cell,
+         |    round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id
+         |  CROSS JOIN q WHERE e.vec_id > 10
+         |), exact AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5
+         |), approx AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+         |  FROM scored WHERE cell = q_cell
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) <= 5
+         |), nx AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY query_id
+         |), ov AS (
+         |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM exact e JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |  GROUP BY e.query_id
+         |), r1 AS (
+         |  SELECT e.query_id, CAST(coalesce(min(a.rn), 0) AS BIGINT) AS rank1
+         |  FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |  WHERE e.rn = 1 GROUP BY e.query_id
+         |)
+         |SELECT nx.query_id, nx.n_exact,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(ov.n_overlap, 0) * 100 // nx.n_exact AS BIGINT) AS recall_x100,
+         |  CAST(CASE WHEN r1.rank1 = 0 THEN 0 ELSE 1000 // r1.rank1 END AS BIGINT) AS rr_x1000
+         |FROM nx
+         |LEFT JOIN ov ON nx.query_id = ov.query_id
+         |LEFT JOIN r1 ON nx.query_id = r1.query_id
+         |ORDER BY nx.query_id""".stripMargin,
     "sim_recall_report" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8

@@ -160,6 +160,49 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(got.map(_._1).count(trueTop) >= 3)
   }
 
+  test("sim_eval_retrieval equals an independent window-rank recomputation") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf)
+    val cent = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+    val cells = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", Similarity.hofCosine("embedding", "c_emb"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("k").as("cell"))
+    val qs = e.join(cells, "vec_id").filter(col("vec_id").isin(0L, 9L, 10L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+    val scored = e.join(cells, "vec_id").filter(col("vec_id") > 10)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos_sim", round(Similarity.hofCosine("embedding", "q_emb"), 6))
+    val wq = Window.partitionBy(col("query_id")).orderBy(desc("cos_sim"), col("vec_id"))
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] = df
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+      .select(col("query_id"), col("vec_id"), col("rn"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val exact = topIds(scored)
+    val approx = topIds(scored.filter(col("cell") === col("q_cell")))
+    val got = Similarity.queries("sim_eval_retrieval")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(0L, 9L, 10L))
+    got.foreach { case (q, (nExact, nOverlap, recall, rr)) =>
+      val ex = exact(q); val ap = approx.getOrElse(q, Seq.empty)
+      assert(nExact == ex.size.toLong, s"q$q n_exact")
+      assert(nOverlap == ap.count(ex.toSet).toLong, s"q$q overlap")
+      assert(recall == nOverlap * 100 / nExact, s"q$q recall")
+      val rank1 = ap.indexOf(ex.head) + 1
+      assert(rr == (if (rank1 == 0) 0L else 1000L / rank1), s"q$q rr")
+    }
+    // the fixture exercises both the healthy path and the nprobe=1 miss
+    assert(got.values.exists(_._4 == 1000L) && got.values.exists(_._3 == 0L))
+  }
+
   test("semantic capstone equals the recomposition of its oracled stages") {
     import graft.operators.{Curation, Similarity}
     val sf001 = "/root/testdata/sf0.01"
