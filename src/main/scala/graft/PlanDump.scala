@@ -107,7 +107,27 @@ object PlanDump {
     // BPE inference: chained literal replace, shuffle-free scan
     "txt_bpe_apply",
     // retrieval eval: one scored scan, two null-gated graft_topk aggs
-    "sim_eval_retrieval")
+    "sim_eval_retrieval",
+    // daily-ingest capstone: ingest-sized work throughout, drop lists broadcast
+    "pipe_ingest_e2e",
+    // multi-probe SRP: 9 broadcast probe codes, no extra bucket scans
+    "sim_topk_srp_multiprobe",
+    // per-domain cap: bounded-buffer graft_topk partial agg, no window sort
+    "txt_domain_cap",
+    // snapshot CDC: one key join on 16-byte hashes, never the text
+    "pipe_snapshot_diff",
+    // incremental IVF assign: centroids broadcast, work scales with ingest
+    "sim_ivf_ingest",
+    // winnowing: narrow array fingerprint extraction, hash-key self-join
+    // with the too-common-fingerprint hub guard
+    "dedup_winnow_pairs",
+    // compaction plan: metadata-sized window cumsum, no data scan beyond
+    // the file-inventory aggregation
+    "pipe_compaction_plan",
+    // k-anon ladder: two partial-agg'd group-bys over class counts
+    "q_kanon_audit",
+    // incremental MV refresh: algebraic merge of state + delta rollups
+    "pipe_mv_refresh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

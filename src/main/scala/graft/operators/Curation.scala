@@ -84,6 +84,151 @@ object Curation extends QueryModule {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ---- per-domain quota cap: keep the 10 highest-quality documents of
+    // EACH source (score = n_chars, ties to the smaller doc_id) — the hard
+    // per-domain cap a crawl pipeline applies so one hub domain can't
+    // dominate the mix. Deliberately NOT a window: row_number() would sort
+    // every source partition in full and funnel a hub domain through one
+    // task. `graft_topk` is a TypedImperativeAggregate, so each mapper
+    // keeps a bounded k-row buffer per source and emits ≤ k rows into the
+    // shuffle (map-side combine) — the hub domain's billions of rows
+    // reduce to k per input partition before they ever move. ----
+    "txt_domain_cap" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(call_function("graft_topk",
+          col("n_chars").cast("double"), col("doc_id"), lit(10)).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").cast("bigint").as("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // ---- corpus snapshot diff (CDC between two lake snapshots): classify
+    // every doc_id as added / removed / changed / unchanged between
+    // yesterday's corpus (A: doc_id % 10 != 0, the dedup_incremental
+    // convention) and today's (B: drops doc_id % 23 = 0, revises
+    // doc_id % 37 = 0). ONE key-partitioned full-outer join comparing
+    // 60-bit content hashes — never the text itself, so the shuffle
+    // carries 16 bytes/row; with both snapshots bucketed by doc_id (the
+    // lake layout [[graft.pipeline.Pipeline.bucketedWrite]] provides) the
+    // join plans with zero Exchange. This is the audit a daily-snapshot
+    // lake publishes so downstream consumers know what moved. ----
+    "pipe_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), h60(col("text")).as("h_a"),
+          col("n_chars").as("chars_a"))
+      val b = docs.filter(col("doc_id") % 23 =!= 0)
+        .select(col("doc_id"),
+          h60(when(col("doc_id") % 37 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h_b"),
+          col("n_chars").as("chars_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("h_a").isNull, lit("added"))
+            .when(col("h_b").isNull, lit("removed"))
+            .when(col("h_a") =!= col("h_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("chars_b"), col("chars_a"))).cast("bigint")
+            .as("total_chars"))
+        .orderBy(col("change_type"))
+    }),
+
+    // ---- small-file compaction plan: group the lake's file inventory
+    // into ~target-size rewrite bins (target 2048 chars here; 128 MB in
+    // production) — the maintenance job that keeps a streaming-ingested
+    // lake from collapsing under open-file overhead. Files are simulated
+    // as (source, doc_id % 50) groups; the plan assigns each file to bin
+    // floor(cumulative_offset / target) in file_id order, i.e. the
+    // deterministic streaming form of bin packing (a file straddling a
+    // boundary joins the earlier bin, so bins can exceed target by at most
+    // one file — the same contract Delta/Iceberg OPTIMIZE uses). The
+    // window cumsum runs over the FILE INVENTORY (metadata, thousands of
+    // rows), never over data — at 100 TB this plan is a driver-side
+    // metadata query and the data is touched only by the rewrite it
+    // emits. ----
+    "pipe_compaction_plan" -> ((s, d) => {
+      val files = Tables.documents(s, d)
+        .groupBy(col("source"), (col("doc_id") % 50).as("file_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val before = Window.partitionBy(col("source")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("off", coalesce(sum(col("bytes")).over(before), lit(0L)))
+        .withColumn("bin", expr("off DIV 2048"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).cast("bigint").as("n_files"),
+          sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("bytes")).cast("bigint").as("bytes"),
+          min(col("file_id")).as("first_file"),
+          max(col("file_id")).as("last_file"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // ---- k-anonymity audit with one generalization step: before a corpus
+    // slice is shared, every quasi-identifier class (lang × source ×
+    // 200-char size band) must hold ≥ k=5 documents. Classes below k are
+    // GENERALIZED — re-aggregated with source wildcarded — and classes
+    // still below k after that are counted into one suppressed row
+    // (lang='*', band=-1): the standard generalize-then-suppress ladder.
+    // Work is two partial-agg'd group-bys over class counts (the level-2
+    // input is |level-1 classes| rows, not documents), so the audit costs
+    // one corpus scan regardless of SF. ----
+    "q_kanon_audit" -> ((s, d) => {
+      val k = 5L
+      val l1 = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 200").cast("bigint").as("size_band"))
+        .agg(count(lit(1)).as("n_docs"))
+      val ok1 = l1.filter(col("n_docs") >= k)
+        .select(col("lang"), col("source"), col("size_band"),
+          col("n_docs"), lit(1L).as("level"))
+      val l2 = l1.filter(col("n_docs") < k)
+        .groupBy(col("lang"), col("size_band"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"))
+      val ok2 = l2.filter(col("n_docs") >= k)
+        .select(col("lang"), lit("*").as("source"), col("size_band"),
+          col("n_docs"), lit(2L).as("level"))
+      val suppressed = l2.filter(col("n_docs") < k)
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"))
+        .filter(col("n_docs").isNotNull)
+        .select(lit("*").as("lang"), lit("*").as("source"),
+          lit(-1L).as("size_band"), col("n_docs"), lit(3L).as("level"))
+      ok1.unionByName(ok2).unionByName(suppressed)
+        .orderBy(col("level"), col("lang"), col("source"), col("size_band"))
+    }),
+
+    // ---- incremental materialized-view refresh: merge yesterday's
+    // per-source rollup STATE with today's ingest DELTA (doc_id % 10 = 0,
+    // the dedup_incremental convention) using only algebraic merges —
+    // counts and sums add, maxes max — then derive avg from the merged
+    // sums. The oracle recomputes the rollup from the FULL corpus
+    // directly, so the hash match is the proof that the incremental
+    // algebra is exact: a lake can maintain this view forever touching
+    // only ingest-sized deltas plus |sources| state rows, never
+    // rescanning 100 TB. (The same contract the mergeable sketches extend
+    // to distincts/quantiles — q_hll_rollup, q_percentiles_rollup.) ----
+    "pipe_mv_refresh" -> ((s, d) => {
+      def rollup(df: DataFrame): DataFrame = df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val docs = Tables.documents(s, d)
+      val state = rollup(docs.filter(col("doc_id") % 10 =!= 0))
+      val delta = rollup(docs.filter(col("doc_id") % 10 === 0))
+      state.unionByName(delta)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("total_chars")).cast("bigint").as("total_chars"),
+          max(col("max_chars")).as("max_chars"))
+        .withColumn("avg_chars", expr("total_chars DIV n_docs").cast("bigint"))
+        .orderBy(col("source"))
+    }),
+
     // ---- referential-integrity audit: one row per FK edge with its row
     // and orphan counts — the data-quality gate a lake runs before
     // publishing a batch. ZERO-data-shuffle form: orphans = total − matched,
@@ -343,6 +488,88 @@ object Curation extends QueryModule {
         |SELECT doc_id, source, n_chars
         |FROM r WHERE rn * 4 <= n_src
         |ORDER BY source, doc_id""".stripMargin,
+    "txt_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id, n_chars
+        |  FROM documents
+        |)
+        |SELECT source, rank, doc_id, n_chars
+        |FROM r WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
+    "pipe_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h_a,
+        |    n_chars AS chars_a
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(
+        |      CASE WHEN doc_id % 37 = 0 THEN text || ' rev2' ELSE text END
+        |    ), 1, 15) AS BIGINT) AS h_b,
+        |    n_chars AS chars_b
+        |  FROM documents WHERE doc_id % 23 <> 0
+        |), m AS (
+        |  SELECT h_a, h_b, chars_a, chars_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT CASE WHEN h_a IS NULL THEN 'added'
+        |            WHEN h_b IS NULL THEN 'removed'
+        |            WHEN h_a <> h_b THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  count(*) AS n_docs,
+        |  CAST(sum(coalesce(chars_b, chars_a)) AS BIGINT) AS total_chars
+        |FROM m GROUP BY 1 ORDER BY change_type""".stripMargin,
+    "pipe_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT source, doc_id % 50 AS file_id,
+        |    count(*) AS n_docs, sum(n_chars) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |), placed AS (
+        |  SELECT source, file_id, n_docs, bytes,
+        |    CAST(coalesce(sum(bytes) OVER (
+        |      PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM files
+        |)
+        |SELECT source, CAST(off // 2048 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM placed GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
+    "q_kanon_audit" ->
+      """WITH l1 AS (
+        |  SELECT lang, source, n_chars // 200 AS size_band,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1, 2, 3
+        |), l2 AS (
+        |  SELECT lang, size_band, CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |  FROM l1 WHERE n_docs < 5 GROUP BY 1, 2
+        |), sup AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |  FROM l2 WHERE n_docs < 5
+        |)
+        |SELECT lang, source, size_band, n_docs, CAST(1 AS BIGINT) AS level
+        |FROM l1 WHERE n_docs >= 5
+        |UNION ALL
+        |SELECT lang, '*' AS source, size_band, n_docs, CAST(2 AS BIGINT) AS level
+        |FROM l2 WHERE n_docs >= 5
+        |UNION ALL
+        |SELECT '*' AS lang, '*' AS source, CAST(-1 AS BIGINT) AS size_band,
+        |  n_docs, CAST(3 AS BIGINT) AS level
+        |FROM sup WHERE n_docs IS NOT NULL
+        |ORDER BY level, lang, source, size_band""".stripMargin,
+    "pipe_mv_refresh" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans

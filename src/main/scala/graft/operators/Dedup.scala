@@ -539,6 +539,87 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_new"))
     }),
 
+    // ---- the daily-ingest capstone, fused end-to-end: today's batch
+    // (doc_id % 10 = 0, the dedup_incremental convention) → within-batch
+    // exact dedup (min-id canonical per content hash) → cross-corpus
+    // near-dup drop (any dedup_incremental match at jaccard ≥ 0.5) →
+    // quality gate (n_chars ≥ 100) → contamination-safe content-hash
+    // split → per-split append accounting. The production shape: every
+    // stage's work scales with the INGEST — the corpus appears only
+    // through the asymmetric band join inside the incremental matcher,
+    // and the resulting drop list is ingest-sized, so it broadcasts into
+    // the anti join. Each stage is independently oracle-checked
+    // (dedup_exact_hash / dedup_incremental / txt_split_assign);
+    // ComponentsSpec pins the capstone against their recomposition. ----
+    "pipe_ingest_e2e" -> ((s, d) => {
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val canon = batch.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val dupNew = queries("dedup_incremental")(s, d)
+        .select(col("doc_new").as("doc_id"))
+      batch
+        .join(broadcast(canon), Seq("doc_id"), "left_semi")
+        .join(broadcast(dupNew), Seq("doc_id"), "left_anti")
+        .filter(col("n_chars") >= 100)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
+            lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): cross-document EXACT-substring duplication report, the
+    // span-level complement to whole-doc MinHash. Each doc's word 5-grams
+    // are hashed (60-bit md5) and only each sliding window-of-4's MINIMUM
+    // hash is kept — the winnowing guarantee: any shared run of ≥ 8 words
+    // (w+k-1 grams) yields at least one IDENTICAL selected fingerprint in
+    // both docs, at ~2/(w+1) the gram volume. Selection is a NARROW
+    // array computation (transform + array_min over the gram-hash array —
+    // no per-gram explode, no window shuffle); the only shuffles are the
+    // fingerprint distinct and the self-join on the 8-byte fingerprint
+    // key. Fingerprints shared by >50 docs (site boilerplate — the hub
+    // keys that would make the self-join quadratic) are dropped first,
+    // exactly MOSS's too-common-fingerprint rule. overlap_x100 =
+    // 100·|shared| / min(|fp_a|,|fp_b|) is the containment-style score:
+    // high when one doc embeds the other's text even if their lengths
+    // differ. ----
+    "dedup_winnow_pairs" -> ((s, d) => {
+      val hs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, size(w) - 5),
+            |  i -> CAST(conv(substring(md5(concat_ws(' ',
+            |         w[i], w[i+1], w[i+2], w[i+3], w[i+4])), 1, 15), 16, 10) AS BIGINT))
+            |""".stripMargin).as("hs"))
+      val fps = hs
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(3, size(hs) - 1), j -> array_min(slice(hs, j - 2, 4))))"
+        )).as("fp"))
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 50)).select(col("fp"))
+      val shared = fps.join(rare, Seq("fp"))
+      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      shared.as("a").join(shared.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          expr("CAST((100 * n_shared) DIV least(fp_a, fp_b) AS BIGINT)")
+            .as("overlap_x100"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // ---- Bloom-filter ingest prefilter: does a new-batch document share
     // any 5-word segment with the existing corpus? The corpus side is
     // compressed to ONE 4 KB graft_bloom bitmap (bitwise-OR mergeable, so
@@ -847,6 +928,39 @@ object Dedup extends QueryModule {
            |JOIN sets sa ON sa.doc_id = doc_a
            |JOIN sets sb ON sb.doc_id = doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_winnow_pairs" ->
+        """WITH wrd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |  WHERE len(string_split(text, ' ')) >= 8
+          |), g AS (
+          |  SELECT doc_id, i AS pos,
+          |    try_cast('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')), 1, 15) AS BIGINT) AS h
+          |  FROM wrd, UNNEST(generate_series(0, len(w) - 5)) AS t(i)
+          |), wm AS (
+          |  SELECT doc_id, pos,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+          |  FROM g
+          |), fps AS (
+          |  SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= 3
+          |), rare AS (
+          |  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+          |), shared AS (
+          |  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+          |), sizes AS (
+          |  SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+          |), pairs AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(count(*) AS BIGINT) AS n_shared
+          |  FROM shared a JOIN shared b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2 HAVING count(*) >= 2
+          |)
+          |SELECT p.doc_a, p.doc_b, p.n_shared,
+          |  CAST((100 * p.n_shared) // least(sa.n_fp, sb.n_fp) AS BIGINT) AS overlap_x100
+          |FROM pairs p
+          |JOIN sizes sa ON sa.doc_id = p.doc_a
+          |JOIN sizes sb ON sb.doc_id = p.doc_b
+          |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_bloom_prefilter" ->
         """WITH segs AS (
           |  SELECT doc_id,
@@ -893,6 +1007,39 @@ object Dedup extends QueryModule {
            |    PARTITION BY doc_new ORDER BY jaccard DESC, doc_old) AS rn
            |  FROM scored WHERE jaccard >= 0.5)
            |WHERE rn = 1 ORDER BY doc_new""".stripMargin,
+      "pipe_ingest_e2e" ->
+        s"""$sigCte$bandsCte, cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+           |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           |), sets AS (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |), dups AS (
+           |  SELECT DISTINCT doc_new AS doc_id FROM (
+           |    SELECT doc_new,
+           |      round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |        / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard
+           |    FROM cand
+           |    JOIN sets sa ON sa.doc_id = doc_new
+           |    JOIN sets sb ON sb.doc_id = doc_old
+           |  ) WHERE jaccard >= 0.5
+           |), batch AS (
+           |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0
+           |), canon AS (
+           |  SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)
+           |), kept AS (
+           |  SELECT b.n_chars,
+           |    try_cast('0x' || substr(md5(b.text), 1, 15) AS BIGINT) % 100 AS bk
+           |  FROM batch b
+           |  JOIN canon c ON b.doc_id = c.doc_id
+           |  WHERE b.doc_id NOT IN (SELECT doc_id FROM dups) AND b.n_chars >= 100
+           |)
+           |SELECT CASE WHEN bk < 80 THEN 'train'
+           |            WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+           |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM kept GROUP BY 1 ORDER BY split""".stripMargin,
       "dedup_triangles" ->
         s"""$sigCte$bandsCte, pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

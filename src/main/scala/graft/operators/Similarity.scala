@@ -253,6 +253,59 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // ---- multi-probe SRP retrieval: the standard fix for the
+    // single-bucket recall misses sim_eval_retrieval measures — probe the
+    // query's code AND its 8 hamming-1 neighbors (9 literal codes,
+    // broadcast), so near neighbors that landed one sign-bit away are
+    // recovered without touching the other 247 buckets. Candidates join
+    // one of 9 distinct codes (no dup rows possible); coding itself is
+    // the literal-planes narrow projection. At 100 TB with the lake
+    // partitioned by code, this reads 9 partitions instead of 1 — the
+    // probe count is the recall/latency knob, same role as IVF nprobe. ----
+    "sim_topk_srp_multiprobe" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val planes = srpPlanes(s, d)
+      val e = Tables.embeddings(s, d)
+      val coded = e.select(col("vec_id"), col("embedding"),
+        srpCodeCol(planes).as("code"))
+      val probes = coded.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("code").as("qc"))
+        .select(col("q_emb"),
+          explode(array(col("qc") +: (0 until 8).map(i =>
+            col("qc").bitwiseXOR(lit(1L << i))): _*)).as("probe"))
+      coded.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("code") === col("probe"))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("code"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- incremental IVF index maintenance: assign ONLY today's ingest
+    // batch (vec_id % 10 = 0, the dedup_incremental convention) to the
+    // FROZEN centroid set — the daily operation that keeps a partitioned
+    // ANN lake current without retraining or touching resident vectors.
+    // Work scales with the INGEST: the 8 centroids broadcast, each batch
+    // vector scores 8 bounded candidates, and the argmax window runs over
+    // 8 rows per vector. At 100 TB the output is appended into the
+    // cell-partitioned lake layout sim_topk_ivf's cell pruning reads. ----
+    "sim_ivf_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+      val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      batch.crossJoin(broadcast(cent))
+        .withColumn("cs", cosine(s, "embedding", "c_emb"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("k").as("cell"),
+          round(col("cs"), 6).as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- blocked near-duplicate pairs (embedding-cosine dedup). The block
     // key is the CONTENT-derived SRP code (random-hyperplane sign bits, the
     // same 8-bit code sim_topk_srp buckets on) × label — similar vectors
@@ -762,6 +815,45 @@ object Similarity extends QueryModule {
          |CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_topk_srp_multiprobe" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), qc AS (SELECT code AS q_code FROM coded WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT CASE WHEN t.i = -1 THEN qc.q_code
+         |              ELSE xor(qc.q_code, CAST(1 AS BIGINT) << t.i) END AS probe
+         |  FROM qc, range(-1, 8) t(i)
+         |),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, coded.code, round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |FROM embeddings e
+         |JOIN coded ON e.vec_id = coded.vec_id
+         |JOIN probes ON coded.code = probes.probe
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_ivf_ingest" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), batch AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0 AND vec_id <> 0
+         |), scored AS (
+         |  SELECT b.vec_id, c.k, ${duckCosine("b.embedding", "c.c_emb")} AS cs
+         |  FROM batch b CROSS JOIN cent c
+         |), ranked AS (
+         |  SELECT vec_id, k AS cell, round(cs, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) AS rn
+         |  FROM scored
+         |)
+         |SELECT vec_id, cell, cos_sim FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "sim_pairs_block" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8

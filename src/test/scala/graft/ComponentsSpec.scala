@@ -12,6 +12,70 @@ class ComponentsSpec extends SparkSuiteBase {
     Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("ingest capstone equals the recomposition of its oracled stages") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val batch = Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0)
+    val canonIds = batch.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val dups = Dedup.queries("dedup_incremental")(spark, sf)
+      .select(col("doc_new").as("doc_id"))
+    val splits = graft.operators.Curation.queries("txt_split_assign")(spark, sf)
+      .select("doc_id", "split")
+    val expected = batch
+      .join(canonIds, Seq("doc_id"), "left_semi")
+      .join(dups, Seq("doc_id"), "left_anti")
+      .filter(col("n_chars") >= 100)
+      .join(splits, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Dedup.queries("pipe_ingest_e2e")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.keySet == Set("train", "val", "test"))
+    // the cross-corpus stage is live: at least one batch doc was dropped
+    assert(Dedup.queries("dedup_incremental")(spark, sf).count() > 0)
+  }
+
+  test("dedup_winnow_pairs equals a sequential winnowing replay") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    def h60(str: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // sequential winnowing: word 5-gram hashes, keep each window-of-4's min
+    val fps: Map[Long, Set[Long]] = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val words = r.getString(1).split(" ", -1) // Spark split keeps trailing empties
+        val sel =
+          if (words.length < 8) Set.empty[Long]
+          else {
+            val hs = (0 to words.length - 5).map(i => h60(words.slice(i, i + 5).mkString(" ")))
+            (3 until hs.length).map(j => hs.slice(j - 3, j + 1).min).toSet
+          }
+        r.getLong(0) -> sel
+      }.toMap
+    val byFp = fps.toSeq.flatMap { case (d, s) => s.map(_ -> d) }
+      .groupBy(_._1).map { case (fp, l) => fp -> l.map(_._2).toSet }
+    val rare = byFp.filter { case (_, ds) => ds.size >= 2 && ds.size <= 50 }
+    val counts = collection.mutable.Map.empty[(Long, Long), Long]
+    rare.values.foreach { ds =>
+      for (a <- ds; b <- ds if a < b) counts((a, b)) = counts.getOrElse((a, b), 0L) + 1L
+    }
+    val expected = counts.filter(_._2 >= 2).map { case ((a, b), n) =>
+      (a, b) -> ((n, (100L * n) / math.min(fps(a).size, fps(b).size)))
+    }.toMap
+    val got = Dedup.queries("dedup_winnow_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "winnow pair report must equal the sequential replay")
+    // fixture is non-degenerate: the planted near-dups share selected spans
+    assert(got.nonEmpty)
+  }
+
   test("long chain collapses to one component labeled by its minimum") {
     // 0-1-2-...-29: diameter 29, worst case for per-round propagation
     val chain = (0L until 29L).map(i => (i, i + 1))

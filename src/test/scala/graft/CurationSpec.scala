@@ -61,6 +61,106 @@ class CurationSpec extends SparkSuiteBase {
       "a dropped doc outscores a kept doc of the same source (ties may equal, never exceed)")
   }
 
+  test("txt_domain_cap: graft_topk cap equals the window row_number recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.01"
+    val w = Window.partitionBy(col("source")).orderBy(desc("n_chars"), col("doc_id"))
+    val expected = Tables.documents(spark, sf)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Curation.queries("txt_domain_cap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      "bounded-buffer top-k must agree with the full window sort it replaces")
+    // the cap is hard: no source exceeds 10 docs
+    val perSrc = Curation.queries("txt_domain_cap")(spark, sf)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 10))
+  }
+
+  test("pipe_snapshot_diff: classes partition the id union and match set algebra") {
+    val sf = "/root/testdata/sf0.01"
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = ids.filter(_ % 10 != 0)
+    val b = ids.filter(_ % 23 != 0)
+    val expected = Map(
+      "added" -> (b -- a).size.toLong,
+      "removed" -> (a -- b).size.toLong,
+      "changed" -> (a & b).count(_ % 37 == 0).toLong,
+      "unchanged" -> (a & b).count(_ % 37 != 0).toLong)
+    val got = Curation.queries("pipe_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0L),
+      s"diff classes must partition |A union B|: got $got expected $expected")
+    assert(got.values.sum == (a ++ b).size.toLong)
+  }
+
+  test("pipe_compaction_plan equals a sequential greedy-binning replay and conserves bytes") {
+    val sf = "/root/testdata/sf0.01"
+    val files = Tables.documents(spark, sf)
+      .groupBy(col("source"), (col("doc_id") % 50).as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val placed: Seq[(String, Long, Long, Long, Long)] =
+      files.toSeq.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+        var off = 0L
+        fs.sortBy(_._2).map { case (_, fid, nd, bytes) =>
+          val bin = off / 2048; off += bytes; (src, bin, fid, nd, bytes)
+        }
+      }
+    val expected = placed.groupBy(t => (t._1, t._2)).map { case ((src, bin), rows) =>
+      (src, bin) -> ((rows.size.toLong, rows.map(_._4).sum, rows.map(_._5).sum,
+        rows.map(_._3).min, rows.map(_._3).max))
+    }
+    val got = Curation.queries("pipe_compaction_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, "plan must equal the sequential greedy assignment")
+    // byte conservation: the plan rewrites exactly the corpus, nothing dropped
+    assert(got.values.map(_._3).sum == files.map(_._4).sum)
+    // bins are contiguous from 0 per source (no empty bins in the plan)
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val bins = ks.map(_._2).toSeq.sorted
+      assert(bins == (0L until bins.size).toSeq, s"bins not contiguous: $bins")
+    }
+  }
+
+  test("q_kanon_audit: published classes hold k, counts conserve, ladder is real") {
+    val sf = "/root/testdata/sf0.01"
+    val rows = Curation.queries("q_kanon_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._4).sum == total, "audit classes must partition the corpus")
+    // every non-suppressed class meets the k=5 floor
+    rows.filter(_._5 <= 2).foreach { r => assert(r._4 >= 5, s"class below k published: $r") }
+    // level-1 rows are exactly the direct group-by's >= k classes
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source"), expr("n_chars DIV 200").cast("bigint").as("b"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expectedL1 = direct.filter(_._4 >= 5).map(t => (t._1, t._2, t._3, t._4, 1L)).toSet
+    assert(rows.filter(_._5 == 1).toSet == expectedL1)
+    // the fixture actually exercises the generalization step
+    assert(direct.exists(_._4 < 5) && rows.exists(_._5 == 2),
+      "fixture must have below-k classes that generalize")
+  }
+
+  test("pipe_mv_refresh: merged state+delta equals the full recompute at both SFs") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val got = Curation.queries("pipe_mv_refresh")(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val full = Tables.documents(spark, sf).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("bigint").as("t"),
+          max(col("n_chars")).as("m"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(2) / r.getLong(1)))).toMap
+      assert(got == full, s"incremental merge must be exact at $sf")
+    }
+  }
+
   test("q_fk_audit: clean fixture has zero orphans and full row counts") {
     val rows = Curation.queries("q_fk_audit")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

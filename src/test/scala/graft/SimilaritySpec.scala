@@ -132,6 +132,63 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(got.size == 15, "3 queries x top-5")
   }
 
+  test("multiprobe SRP: exact top-10 over the hamming<=1 candidate set, recall >= single probe") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf)
+    val planes = Similarity.srpPlanes(spark, sf)
+    val coded = e.select(col("vec_id"), col("embedding"),
+      Similarity.srpCodeCol(planes).as("code"))
+    val qCode = coded.filter(col("vec_id") === 0).select("code")
+      .collect().head.getLong(0)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // independent recomputation: exact cosine over every vector whose code
+    // is within hamming distance 1 of the query's 8-bit code
+    val expected = coded.filter(col("vec_id") =!= 0)
+      .filter(expr(s"bit_count(code ^ $qCode) <= 1"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(Similarity.hofCosine("embedding", "q_emb"), 6))
+      .select(col("vec_id"), col("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, cs) => (-cs, id) }.take(10).toSeq
+    val got = Similarity.queries("sim_topk_srp_multiprobe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected, "multiprobe must be the exact top-10 of the 9-bucket probe set")
+    // widening probes can only add candidates: the exact-match bucket is a
+    // strict subset of the 9-probe pool, so recall is monotone in probes
+    val singleCand = coded.filter(col("vec_id") =!= 0)
+      .filter(col("code") === qCode)
+      .collect().map(_.getLong(0)).toSet
+    val multiCand = coded.filter(col("vec_id") =!= 0)
+      .filter(expr(s"bit_count(code ^ $qCode) <= 1"))
+      .collect().map(_.getLong(0)).toSet
+    assert(singleCand.subsetOf(multiCand) && multiCand.nonEmpty)
+  }
+
+  test("sim_ivf_ingest: batch-only assignment matches the brute-force argmax cell") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val e = Tables.embeddings(spark, sf)
+    val cent = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+    // independent argmax: score every batch vector against all 8 centroids
+    // with the portable HOF cosine, pick (cs DESC, k ASC) per vector
+    val expected = e.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", Similarity.hofCosine("embedding", "c_emb"))
+      .collect().map(r => (r.getLong(0), r.getLong(r.fieldIndex("k")),
+        r.getDouble(r.fieldIndex("cs"))))
+      .groupBy(_._1).map { case (v, rows) =>
+        v -> rows.minBy { case (_, k, cs) => (-cs, k) }._2
+      }
+    val got = Similarity.queries("sim_ivf_ingest")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "frozen-centroid ingest assignment must be the exact argmax")
+    // work scales with the ingest: output covers exactly the batch ids
+    assert(got.keySet.forall(id => id % 10 == 0 && id != 0) && got.nonEmpty)
+    assert(got.values.toSet.subsetOf((1L to 8L).toSet))
+  }
+
   test("pq rerank: results are the exact-cosine top-10 of the ADC shortlist") {
     import graft.operators.Similarity
     val sf = "/root/testdata/sf0.01"
