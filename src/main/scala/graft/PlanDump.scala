@@ -127,7 +127,15 @@ object PlanDump {
     // k-anon ladder: two partial-agg'd group-bys over class counts
     "q_kanon_audit",
     // incremental MV refresh: algebraic merge of state + delta rollups
-    "pipe_mv_refresh")
+    "pipe_mv_refresh",
+    // 2-core peeling: bounded per-round aggs + semi joins, shrinking edges
+    "dedup_kcore",
+    // mix-drift monitor: two lang-count aggs, 1-row totals broadcast
+    "pipe_drift_report",
+    // MMR re-rank: one scored scan + TakeOrdered(20); greedy on bounded state
+    "sim_topk_mmr",
+    // PPJoin prefix filter: rare-first prefixes bound the token self-join
+    "dedup_prefix_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -138,6 +138,35 @@ object Curation extends QueryModule {
         .orderBy(col("change_type"))
     }),
 
+    // ---- training-mix drift monitor: compare the language distribution
+    // of two corpus snapshots (A: doc_id % 10 != 0, B: doc_id % 23 != 0 —
+    // the pipe_snapshot_diff conventions) and flag languages whose share
+    // moved more than 10% relative. exp_b = n_a·tot_b/tot_a is A's mix
+    // re-scaled to B's size; drift_x1000 is the relative deviation in
+    // exact integer arithmetic (no doubles, so the row hashes). This is
+    // the daily report a training pipeline gates ingestion on: a crawl
+    // source going dark or a spam flood shows up here before it skews the
+    // trained model. Two partial-agg'd group-bys over |langs| rows, the
+    // 1-row totals broadcast — one corpus scan per snapshot. ----
+    "pipe_drift_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_a"))
+      val b = docs.filter(col("doc_id") % 23 =!= 0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_b"))
+      val tot = a.agg(sum(col("n_a")).as("tot_a"))
+        .crossJoin(b.agg(sum(col("n_b")).as("tot_b")))
+      a.join(b, Seq("lang"), "full_outer")
+        .na.fill(0L, Seq("n_a", "n_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("exp_b", expr("(n_a * tot_b) DIV tot_a").cast("bigint"))
+        .withColumn("drift_x1000",
+          expr("(1000 * abs(n_b - exp_b)) DIV greatest(exp_b, 1)").cast("bigint"))
+        .select(col("lang"), col("n_a").cast("bigint"), col("n_b").cast("bigint"),
+          col("exp_b"), col("drift_x1000"), (col("drift_x1000") > 100).as("drifted"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- small-file compaction plan: group the lake's file inventory
     // into ~target-size rewrite bins (target 2048 chars here; 128 MB in
     // production) — the maintenance job that keeps a streaming-ingested
@@ -180,10 +209,14 @@ object Curation extends QueryModule {
     // one corpus scan regardless of SF. ----
     "q_kanon_audit" -> ((s, d) => {
       val k = 5L
+      // cached: the class-count table (bounded by QI cardinality, not
+      // corpus size) feeds all three ladder levels — uncached, each level
+      // re-scans the corpus
       val l1 = Tables.documents(s, d)
         .groupBy(col("lang"), col("source"),
           expr("n_chars DIV 200").cast("bigint").as("size_band"))
         .agg(count(lit(1)).as("n_docs"))
+        .cache()
       val ok1 = l1.filter(col("n_docs") >= k)
         .select(col("lang"), col("source"), col("size_band"),
           col("n_docs"), lit(1L).as("level"))
@@ -523,6 +556,30 @@ object Curation extends QueryModule {
         |  count(*) AS n_docs,
         |  CAST(sum(coalesce(chars_b, chars_a)) AS BIGINT) AS total_chars
         |FROM m GROUP BY 1 ORDER BY change_type""".stripMargin,
+    "pipe_drift_report" ->
+      """WITH a AS (
+        |  SELECT lang, count(*) AS n_a FROM documents
+        |  WHERE doc_id % 10 <> 0 GROUP BY lang
+        |), b AS (
+        |  SELECT lang, count(*) AS n_b FROM documents
+        |  WHERE doc_id % 23 <> 0 GROUP BY lang
+        |), t AS (
+        |  SELECT (SELECT sum(n_a) FROM a) AS tot_a,
+        |         (SELECT sum(n_b) FROM b) AS tot_b
+        |), m AS (
+        |  SELECT coalesce(a.lang, b.lang) AS lang,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.lang = b.lang
+        |), r AS (
+        |  SELECT lang, n_a, n_b,
+        |    CAST((n_a * tot_b) // tot_a AS BIGINT) AS exp_b
+        |  FROM m, t
+        |)
+        |SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  exp_b,
+        |  CAST((1000 * abs(n_b - exp_b)) // greatest(exp_b, 1) AS BIGINT) AS drift_x1000,
+        |  (1000 * abs(n_b - exp_b)) // greatest(exp_b, 1) > 100 AS drifted
+        |FROM r ORDER BY lang""".stripMargin,
     "pipe_compaction_plan" ->
       """WITH files AS (
         |  SELECT source, doc_id % 50 AS file_id,

@@ -306,6 +306,52 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- MMR (maximal marginal relevance) diversified top-k: re-rank the
+    // exact-cosine shortlist so results are relevant AND mutually distinct
+    // — the retrieval answer to near-duplicate result lists (a RAG system
+    // that returns 10 copies of the same boilerplate answered nothing).
+    // All arithmetic in exact micro-units (round(cos·10⁶) BIGINT), so the
+    // greedy argmax chain hashes identically on both engines: step 1 picks
+    // max relevance; step i scores every remaining candidate
+    // 700·rel − 300·max(sim to selected) and picks the max (tie → smaller
+    // id). The greedy runs on BOUNDED state — the 20-row shortlist and its
+    // 380 pairwise sims, constant in corpus size (the PQ-codebook /
+    // srpPlanes precedent): the corpus-sized work is exactly one scored
+    // scan + TakeOrdered(20), and the re-rank window never grows with the
+    // lake. Oracle = the same 10 argmax steps as chained CTEs. ----
+    "sim_topk_mmr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val short = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(cosine(s, "embedding", "q_emb") * 1000000).cast("long").as("rel6"))
+        .orderBy(desc("rel6"), col("vec_id")).limit(20)
+        .cache()
+      val rels = short.select(col("vec_id"), col("rel6")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val sims = short.as("a").crossJoin(short.as("b"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(cosine(s, "a.embedding", "b.embedding") * 1000000).cast("long").as("sim6"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      var selected = Vector.empty[(Long, Long, Long, Long)] // rank, id, rel6, mmr6
+      var remaining = rels.toVector
+      for (rank <- 1L to 10L) {
+        val pick = remaining.map { case (v, rel) =>
+          val mmr =
+            if (selected.isEmpty) 700L * rel
+            else 700L * rel - 300L * selected.map(sv => sims((v, sv._2))).max
+          (v, rel, mmr)
+        }.minBy { case (v, _, m) => (-m, v) }
+        selected :+= ((rank, pick._1, pick._2, pick._3))
+        remaining = remaining.filterNot(_._1 == pick._1)
+      }
+      import s.implicits._
+      selected.toDF("mmr_rank", "vec_id", "rel_x1e6", "mmr_x1e6")
+        .orderBy(col("mmr_rank"))
+    }),
+
     // ---- blocked near-duplicate pairs (embedding-cosine dedup). The block
     // key is the CONTENT-derived SRP code (random-hyperplane sign bits, the
     // same 8-bit code sim_topk_srp buckets on) × label — similar vectors
@@ -854,6 +900,44 @@ object Similarity extends QueryModule {
          |)
          |SELECT vec_id, cell, cos_sim FROM ranked WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+    "sim_topk_mmr" -> {
+      // the 10 greedy argmax steps as chained CTEs — every step's scoring
+      // and tie rule mirror the Spark side exactly, in BIGINT micro-units
+      // every chained CTE is MATERIALIZED: s_i/sel_i are each referenced
+      // 3x by step i+1, and DuckDB's default inlining would re-evaluate
+      // the cosine-scored shortlist exponentially across the 10 steps
+      val steps = (2 to 10).map { i =>
+        s""", s$i AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel6, 700*c.rel6 - 300*max(p.sim6) AS mmr6
+           |  FROM sc c JOIN pw p ON p.va = c.vec_id
+           |    AND p.vb IN (SELECT vec_id FROM sel${i - 1})
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+           |  GROUP BY c.vec_id, c.rel6
+           |  ORDER BY mmr6 DESC, c.vec_id LIMIT 1
+           |), sel$i AS MATERIALIZED (
+           |  SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i
+           |)"""
+      }.mkString
+      val unions = (1 to 10).map { i =>
+        s"|SELECT CAST($i AS BIGINT) AS mmr_rank, vec_id, rel6 AS rel_x1e6, mmr6 AS mmr_x1e6 FROM s$i"
+      }.mkString("\n", "\n|UNION ALL\n", "\n")
+      s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sc AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(round(1000000 * ${duckCosine("e.embedding", "q.q_emb")}) AS BIGINT) AS rel6
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY rel6 DESC, e.vec_id LIMIT 20
+         |),
+         |pw AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(round(1000000 * ${duckCosine("a.embedding", "b.embedding")}) AS BIGINT) AS sim6
+         |  FROM sc a JOIN sc b ON a.vec_id <> b.vec_id
+         |),
+         |s1 AS MATERIALIZED (SELECT vec_id, rel6, 700*rel6 AS mmr6 FROM sc ORDER BY rel6 DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT vec_id FROM s1)$steps
+         |SELECT * FROM ($unions)
+         |ORDER BY mmr_rank""".stripMargin
+    },
     "sim_pairs_block" ->
       s"""WITH planes AS (
          |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8

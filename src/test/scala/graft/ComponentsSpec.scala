@@ -39,6 +39,34 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(Dedup.queries("dedup_incremental")(spark, sf).count() > 0)
   }
 
+  test("dedup_prefix_join is exact: equals brute-force all-pairs Jaccard at both SFs") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val sets = Tables.documents(spark, sf).select("doc_id", "text").collect()
+        .map { r =>
+          val w = r.getString(1).split(" ", -1)
+          val sh =
+            if (w.length >= 3)
+              (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+            else Set.empty[String]
+          r.getLong(0) -> sh
+        }.filter(_._2.nonEmpty).sortBy(_._1)
+      def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+      val expected = (for {
+        i <- sets.indices
+        j <- (i + 1) until sets.length
+        inter = (sets(i)._2 & sets(j)._2).size
+        jac = r6(inter.toDouble / (sets(i)._2.size + sets(j)._2.size - inter))
+        if jac >= 0.5
+      } yield (sets(i)._1, sets(j)._1, jac)).toSet
+      val got = Dedup.queries("dedup_prefix_join")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"prefix filtering must have zero false negatives/positives at $sf")
+    }
+    // non-degenerate: the sf0.01 fixture has cross-corpus near-dups >= 0.5
+    assert(Dedup.queries("dedup_prefix_join")(spark, "/root/testdata/sf0.01").count() > 0)
+  }
+
   test("dedup_winnow_pairs equals a sequential winnowing replay") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.01"
@@ -74,6 +102,34 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(got == expected, "winnow pair report must equal the sequential replay")
     // fixture is non-degenerate: the planted near-dups share selected spans
     assert(got.nonEmpty)
+  }
+
+  test("dedup_kcore: 4 fixed rounds reach the peeling fixpoint and match a sequential replay") {
+    val sf = "/root/testdata/sf0.01"
+    val edges0 = Dedup.queries("dedup_minhash_pairs")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var edges = edges0
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      if (changed) rounds += 1
+      edges = next
+    }
+    assert(rounds <= 4, s"fixture needs $rounds peeling rounds, query runs only 4")
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Dedup.queries("dedup_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "2-core must equal peeling run to convergence")
+    assert(got.nonEmpty && got.values.forall(_ >= 2), "2-core degrees must all be >= 2")
+    // peeling actually removed something: the core is a strict subgraph
+    assert(got.size < edges0.flatMap(e => Seq(e._1, e._2)).size)
   }
 
   test("long chain collapses to one component labeled by its minimum") {

@@ -161,6 +161,27 @@ class CurationSpec extends SparkSuiteBase {
     }
   }
 
+  test("pipe_drift_report: exact integer drift arithmetic replays sequentially") {
+    val sf = "/root/testdata/sf0.01"
+    val ids = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val aCnt = ids.filter(_._1 % 10 != 0).groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val bCnt = ids.filter(_._1 % 23 != 0).groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val totA = aCnt.values.sum
+    val totB = bCnt.values.sum
+    val expected = (aCnt.keySet ++ bCnt.keySet).toSeq.sorted.map { l =>
+      val na = aCnt.getOrElse(l, 0L); val nb = bCnt.getOrElse(l, 0L)
+      val exp = na * totB / totA
+      val drift = 1000L * math.abs(nb - exp) / math.max(exp, 1L)
+      (l, na, nb, exp, drift, drift > 100L)
+    }
+    val got = Curation.queries("pipe_drift_report")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected, "drift report must equal the integer replay")
+    assert(got.nonEmpty && got.map(_._1) == got.map(_._1).sorted)
+  }
+
   test("q_fk_audit: clean fixture has zero orphans and full row counts") {
     val rows = Curation.queries("q_fk_audit")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

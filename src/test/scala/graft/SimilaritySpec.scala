@@ -189,6 +189,43 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(got.values.toSet.subsetOf((1L to 8L).toSet))
   }
 
+  test("sim_topk_mmr equals an independent greedy replay over Scala-computed cosines") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val rows = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // same sequential left-fold order as the HOF/native cosine
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos6(a: Array[Double], b: Array[Double]): Long =
+      math.round(1000000.0 * (dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))))
+    val q = rows(0L)
+    val short = rows.toSeq.filter(_._1 != 0L)
+      .map { case (v, emb) => (v, cos6(emb, q)) }
+      .sortBy { case (v, rel) => (-rel, v) }.take(20)
+    var selected = Vector.empty[(Long, Long, Long, Long)]
+    var remaining = short.toVector
+    for (rank <- 1L to 10L) {
+      val pick = remaining.map { case (v, rel) =>
+        val mmr =
+          if (selected.isEmpty) 700L * rel
+          else 700L * rel - 300L * selected.map(sv => cos6(rows(v), rows(sv._2))).max
+        (v, rel, mmr)
+      }.minBy { case (v, _, m) => (-m, v) }
+      selected :+= ((rank, pick._1, pick._2, pick._3))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    val got = Similarity.queries("sim_topk_mmr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(got == selected, "MMR ranking must equal the independent greedy replay")
+    // rank 1 is the pure-relevance argmax; later picks carry a diversity
+    // term bounded by |300·sim6| (the max-sim can be negative — an
+    // anti-similar candidate gets a bonus, which is MMR working as spec'd)
+    assert(got.head._4 == 700L * got.head._3)
+    assert(got.tail.forall(t => math.abs(t._4 - 700L * t._3) <= 300L * 1000000L))
+    assert(got.map(_._2).distinct.size == 10)
+  }
+
   test("pq rerank: results are the exact-cosine top-10 of the ADC shortlist") {
     import graft.operators.Similarity
     val sf = "/root/testdata/sf0.01"
