@@ -135,7 +135,11 @@ object PlanDump {
     // MMR re-rank: one scored scan + TakeOrdered(20); greedy on bounded state
     "sim_topk_mmr",
     // PPJoin prefix filter: rare-first prefixes bound the token self-join
-    "dedup_prefix_join")
+    "dedup_prefix_join",
+    // banding-recall eval: two pair pipelines + count-only recombination
+    "dedup_lsh_recall",
+    // CUSUM alerts: report-sized windows over gap-filled daily counts
+    "evt_cusum_alerts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -638,6 +638,42 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- measured MinHash-banding recall against EXACT ground truth: now
+    // that dedup_prefix_join provides the zero-false-negative pair list,
+    // this is the eval a pipeline runs before trusting its band
+    // configuration — "how many true Jaccard ≥ 0.5 pairs do 4 bands × 2
+    // rows actually surface?" Banded candidates go through the SAME exact
+    // verify as the ground truth, so banded ⊆ exact by construction and
+    // n_banded = n_exact − n_missed is a built-in consistency check.
+    // One-row report; the expensive sides are the two already-measured
+    // pair pipelines, and the recombination joins are on counts. ----
+    "dedup_lsh_recall" -> ((s, d) => {
+      val exact = queries("dedup_prefix_join")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val shh = shingles(s, d).select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+        .cache()
+      val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val banded = candidatePairs(s, d)
+        .join(shh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(shh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .filter(round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 6) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      val nBd = banded.agg(count(lit(1)).cast("bigint").as("n_banded"))
+      val nMiss = exact.join(banded, Seq("doc_a", "doc_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      nEx.crossJoin(broadcast(nBd)).crossJoin(broadcast(nMiss))
+        .select(col("n_exact").cast("bigint").as("n_exact"), col("n_banded"),
+          col("n_missed").cast("bigint").as("n_missed"),
+          expr("CAST((100 * (n_exact - n_missed)) DIV greatest(n_exact, 1) AS BIGINT)")
+            .as("recall_x100"))
+    }),
+
     // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     // algorithm): cross-document EXACT-substring duplication report, the
     // span-level complement to whole-doc MinHash. Each doc's word 5-grams
@@ -1027,6 +1063,39 @@ object Dedup extends QueryModule {
            |JOIN sets sa ON sa.doc_id = doc_a
            |JOIN sets sb ON sb.doc_id = doc_b
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_lsh_recall" ->
+        s"""$sigCte$bandsCte, sets AS MATERIALIZED (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set,
+           |    count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |), exact AS MATERIALIZED (
+           |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+           |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+           |  WHERE round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.5
+           |), cand AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), bver AS MATERIALIZED (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN sets sa ON sa.doc_id = c.doc_a
+           |  JOIN sets sb ON sb.doc_id = c.doc_b
+           |  WHERE round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.5
+           |), miss AS MATERIALIZED (
+           |  SELECT count(*) AS n_missed
+           |  FROM exact e LEFT JOIN bver v
+           |    ON e.doc_a = v.doc_a AND e.doc_b = v.doc_b
+           |  WHERE v.doc_a IS NULL
+           |)
+           |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           |  CAST((SELECT count(*) FROM bver) AS BIGINT) AS n_banded,
+           |  CAST(n_missed AS BIGINT) AS n_missed,
+           |  CAST((100 * ((SELECT count(*) FROM exact) - n_missed))
+           |    // greatest((SELECT count(*) FROM exact), 1) AS BIGINT) AS recall_x100
+           |FROM miss""".stripMargin,
       "dedup_prefix_join" ->
         s"""$shingleCte, freq AS MATERIALIZED (
            |  SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle

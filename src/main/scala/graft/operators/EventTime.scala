@@ -432,6 +432,25 @@ object EventTime extends QueryModule {
             .as("stickiness"))
         .orderBy(col("day"))
     }),
+    // ---- CUSUM change-point alerts on daily event volume: the
+    // sequential-detection monitor that catches a sustained small shift
+    // the per-day outlier tests (MAD, 2×mean) can't see — ten days of
+    // +20% volume never trips a daily threshold but accumulates here.
+    // The recursion s_i = max(0, s_{i-1} + x_i − k) has the exact
+    // prefix-sum closed form s_i = p_i − min(0, min_{j≤i} p_j) with
+    // p = Σ(x − k), so the whole detector is two window passes per
+    // event_type over the gap-filled daily series (missing days count 0 —
+    // a dead source must DRAIN the statistic, not freeze it). Allowance
+    // k = ⌈mean daily count⌉ and threshold h = 3k are derived from the
+    // data in integer DIV arithmetic, so every row hashes exactly. The
+    // windows run over |types| × |days| rows — report-sized, never event
+    // volume; daily counts partial-agg before any shuffle. ----
+    "evt_cusum_alerts" -> ((s, d) =>
+      cusumAlerts(Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n")))),
+
     // ---- ROBUST per-type anomalies: median absolute deviation instead of
     // the mean — the estimator that doesn't move when the outliers it
     // hunts drag the mean (evt_value_outliers' 2×mean rule flags nothing
@@ -567,7 +586,65 @@ object EventTime extends QueryModule {
         .orderBy(col("p_event_id"))
     }))
 
+  /** The CUSUM detector body on any (event_type, day, n) daily-count frame
+    * — factored out so specs can drive it with planted change points (the
+    * fixture's uniform volume never alerts). See the `evt_cusum_alerts`
+    * scaladoc above for the closed form and the integer k/h derivation.
+    */
+  def cusumAlerts(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val kTab = filled.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        expr("(tot + nd - 1) DIV nd").cast("bigint").as("k"))
+    val prefix = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled.join(broadcast(kTab), "event_type")
+      .withColumn("p", sum(col("n") - col("k")).over(prefix))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(prefix)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n").cast("bigint").as("n_events"),
+        col("s").cast("bigint").as("cusum"),
+        (col("s") > lit(3L) * col("k")).as("alert"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "evt_cusum_alerts" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)
+        |), filled AS (
+        |  SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |  FROM spine s LEFT JOIN daily d USING (event_type, day)
+        |), k AS (
+        |  SELECT event_type,
+        |    CAST((sum(n) + count(*) - 1) // count(*) AS BIGINT) AS k
+        |  FROM filled GROUP BY 1
+        |), cs AS (
+        |  SELECT f.event_type, f.day, f.n, k.k,
+        |    CAST(sum(f.n - k.k) OVER (PARTITION BY f.event_type ORDER BY f.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |  FROM filled f JOIN k USING (event_type)
+        |), s2 AS (
+        |  SELECT event_type, day, n, k, p,
+        |    p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM cs
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  n AS n_events, CAST(s AS BIGINT) AS cusum, s > 3 * k AS alert
+        |FROM s2 ORDER BY event_type, day""".stripMargin,
     "evt_value_sketch" -> {
       // identical integer log-linear bucket map + rank walk as the
       // q_percentiles_sketch oracle (see Relational), over event values

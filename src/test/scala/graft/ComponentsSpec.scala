@@ -39,6 +39,17 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(Dedup.queries("dedup_incremental")(spark, sf).count() > 0)
   }
 
+  test("dedup_lsh_recall is consistent with its two underlying pair pipelines") {
+    val sf = "/root/testdata/sf0.01"
+    val row = Dedup.queries("dedup_lsh_recall")(spark, sf).collect().head
+    val (ne, nb, nm, r100) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nb == ne - nm, "banded-verified must be a subset of the exact truth")
+    assert(r100 == 100L * nb / math.max(ne, 1L))
+    assert(ne == Dedup.queries("dedup_prefix_join")(spark, sf).count(),
+      "ground-truth count must equal the exact prefix join")
+    assert(ne > 0)
+  }
+
   test("dedup_prefix_join is exact: equals brute-force all-pairs Jaccard at both SFs") {
     for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
       val sets = Tables.documents(spark, sf).select("doc_id", "text").collect()

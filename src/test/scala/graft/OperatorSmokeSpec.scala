@@ -171,6 +171,38 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "wav"))
   }
 
+  test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
+    import graft.operators.EventTime
+    // planted: steady 10/day for 10 days, then a sustained 25/day shift
+    val series = (1 to 16).map { i =>
+      ("ingest", java.sql.Date.valueOf(f"2024-01-$i%02d"), if (i <= 10) 10L else 25L)
+    }
+    import spark.implicits._
+    val got = EventTime.cusumAlerts(series.toDF("event_type", "day", "n")).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    val k = (series.map(_._3).sum + series.size - 1) / series.size
+    var s = 0L
+    val expected = series.map { case (_, d, n) =>
+      s = math.max(0L, s + n - k)
+      (d.toString, n, s, s > 3 * k)
+    }
+    assert(got == expected, "closed form must equal the sequential recursion")
+    assert(got.exists(_._4) && got.exists(!_._4), "the shift must trip the alert")
+    // and the registered query's output replays per type on the fixture
+    val real = EventTime.queries("evt_cusum_alerts")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(real.nonEmpty)
+    real.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val kk = (sorted.map(_._3).sum + sorted.length - 1) / sorted.length
+      var ss = 0L
+      sorted.foreach { case (_, _, n, c, a) =>
+        ss = math.max(0L, ss + n - kk)
+        assert(c == ss && a == (ss > 3 * kk))
+      }
+    }
+  }
+
   test("evt_outliers_mad matches a sequential median/MAD replay per type") {
     val rows = SparkEntry.queries("evt_outliers_mad")(spark, sf0001)
       .collect().map(r => r.getString(0) ->
