@@ -37,6 +37,18 @@ object Curation extends QueryModule {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** THE contamination-safe split policy (80/10/10 on a 100-bucket content
+    * hash) — the single definition shared by `txt_split_assign` and the
+    * ingest capstone ([[Dedup]] `pipe_ingest_e2e`), so a threshold or hash
+    * change can never leave the two disagreeing.
+    */
+  private[operators] def splitBucket(text: Column): Column =
+    pmod(h60(text), lit(100L))
+  private[operators] def splitOf(bucket: Column): Column =
+    when(bucket < 80, lit("train"))
+      .when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+
   /** Morton (Z-order) bit-interleave of two `bits`-bit BIGINT columns as a
     * flat arithmetic sum — bit i of `x` lands at position 2i, bit i of `y`
     * at 2i+1. Generated as the same literal expression for both engines
@@ -59,12 +71,9 @@ object Curation extends QueryModule {
     // (the output ORDER BY is presentation-only on the source key). ----
     "txt_split_assign" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("bucket", pmod(h60(col("text")), lit(100L)))
+        .withColumn("bucket", splitBucket(col("text")))
         .select(col("doc_id"), col("source"),
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("val"))
-            .otherwise(lit("test")).as("split"),
-          col("bucket"))
+          splitOf(col("bucket")).as("split"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 

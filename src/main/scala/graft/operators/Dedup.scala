@@ -565,12 +565,8 @@ object Dedup extends QueryModule {
         .join(broadcast(canon), Seq("doc_id"), "left_semi")
         .join(broadcast(dupNew), Seq("doc_id"), "left_anti")
         .filter(col("n_chars") >= 100)
-        .withColumn("bucket",
-          pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"),
-            lit(100L)))
-        .withColumn("split",
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+        .withColumn("bucket", Curation.splitBucket(col("text")))
+        .withColumn("split", Curation.splitOf(col("bucket")))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("total_chars"))
@@ -622,7 +618,7 @@ object Dedup extends QueryModule {
       // exact verify on the 60-bit shingle hash (md5-derived, the repo-wide
       // idiom) — 8-byte join keys instead of ~20-char strings
       val shh = sh.select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       cand
         .join(shh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
@@ -648,10 +644,13 @@ object Dedup extends QueryModule {
     // One-row report; the expensive sides are the two already-measured
     // pair pipelines, and the recombination joins are on counts. ----
     "dedup_lsh_recall" -> ((s, d) => {
+      // both pair lists are consumed twice (their count and the anti-join
+      // miss count) — cache the small final lists so the two expensive
+      // pipelines behind them run exactly once
       val exact = queries("dedup_prefix_join")(s, d)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).cache()
       val shh = shingles(s, d).select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h"))
         .cache()
       val sizes = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val banded = candidatePairs(s, d)
@@ -662,7 +661,7 @@ object Dedup extends QueryModule {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
         .filter(round(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")), 6) >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).cache()
       val nEx = exact.agg(count(lit(1)).as("n_exact"))
       val nBd = banded.agg(count(lit(1)).cast("bigint").as("n_banded"))
       val nMiss = exact.join(banded, Seq("doc_a", "doc_b"), "left_anti")
@@ -764,17 +763,6 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- duplicate-graph shape metric: triangles, wedges, and the global
-    // closure coefficient (3T/W) over the LSH candidate graph. Near-clique
-    // clusters (true duplicate groups) close their wedges; a low closure
-    // rate on a dense candidate graph is the canary for band-collision
-    // noise. Triangle counting is the node-iterator with edges oriented by
-    // DEGREE rank ([[orientByDegree]]): the wedge join's per-key fan-out is
-    // bounded by out-degree under the (degree, id) order — O(√m) for any
-    // graph — where the raw-id orientation lets one low-id hub (boilerplate
-    // that bands with everything) make the wedge join quadratic in hub
-    // degree. Count is orientation-invariant, so the oracle is unchanged.
-    // Wedge count is exact integer degree math. ----
     // ---- 2-core of the LSH candidate graph by iterative peeling: drop
     // nodes with degree < 2 (and their edges), repeat — what survives is
     // the densely-interlinked duplication structure (boilerplate families,
@@ -806,6 +794,17 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicate-graph shape metric: triangles, wedges, and the global
+    // closure coefficient (3T/W) over the LSH candidate graph. Near-clique
+    // clusters (true duplicate groups) close their wedges; a low closure
+    // rate on a dense candidate graph is the canary for band-collision
+    // noise. Triangle counting is the node-iterator with edges oriented by
+    // DEGREE rank ([[orientByDegree]]): the wedge join's per-key fan-out is
+    // bounded by out-degree under the (degree, id) order — O(√m) for any
+    // graph — where the raw-id orientation lets one low-id hub (boilerplate
+    // that bands with everything) make the wedge join quadratic in hub
+    // degree. Count is orientation-invariant, so the oracle is unchanged.
+    // Wedge count is exact integer degree math. ----
     "dedup_triangles" -> ((s, d) => {
       val e = candidatePairs(s, d).cache()
       // the oriented edges self-join THREE times (e1/e2/e3) — cache them
