@@ -139,7 +139,9 @@ object PlanDump {
     // banding-recall eval: two pair pipelines + count-only recombination
     "dedup_lsh_recall",
     // CUSUM alerts: report-sized windows over gap-filled daily counts
-    "evt_cusum_alerts")
+    "evt_cusum_alerts",
+    // band-tuning S-curve: cached pair list, three literal-arithmetic branches
+    "dedup_band_tuning")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

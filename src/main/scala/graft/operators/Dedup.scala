@@ -673,6 +673,41 @@ object Dedup extends QueryModule {
             .as("recall_x100"))
     }),
 
+    // ---- band-configuration tuning report: the analytic LSH S-curve
+    // 1−(1−s^r)^b evaluated over the TRUE pair-similarity distribution
+    // (the exact prefix-join ground truth), for every (b, r) split of the
+    // 8 minhashes — the number a pipeline reads before re-banding, next
+    // to dedup_lsh_recall's measured recall of the current config. All
+    // powers are expanded to MULTIPLICATION chains (t², t⁴, t⁸ by repeated
+    // squaring): IEEE multiply is exactly specified, where pow() may
+    // differ between engines in the last ulp. Per-pair probabilities are
+    // snapped to integer micro-units BEFORE summing, so the aggregate is
+    // partition-order independent and hash-exact. The pair list is
+    // report-sized; the three config branches reuse it from cache. ----
+    "dedup_band_tuning" -> ((s, d) => {
+      val truePairs = queries("dedup_prefix_join")(s, d)
+        .select(col("jaccard").as("s")).cache()
+      def pX1e6(p: Column): Column =
+        round(p * 1000000).cast("long")
+      // detection probability per config, multiplication-only:
+      val t1 = lit(1.0) - col("s")                    // (1-s)
+      val p81 = { val t2 = t1 * t1; val t4 = t2 * t2; lit(1.0) - t4 * t4 }
+      val u1 = lit(1.0) - col("s") * col("s")         // (1-s^2)
+      val p42 = { val u2 = u1 * u1; lit(1.0) - u2 * u2 }
+      val v1 = lit(1.0) - col("s") * col("s") * (col("s") * col("s")) // (1-s^4)
+      val p24 = lit(1.0) - v1 * v1
+      def branch(b: Int, r: Int, p: Column): DataFrame =
+        truePairs.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          pX1e6(p).as("p6"))
+      branch(8, 1, p81).unionByName(branch(4, 2, p42)).unionByName(branch(2, 4, p24))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(col("p6")).cast("bigint").as("expected_caught_x1e6"))
+        .withColumn("expected_recall_x100",
+          expr("expected_caught_x1e6 DIV (n_true * 10000)").cast("bigint"))
+        .orderBy(desc("bands"))
+    }),
+
     // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     // algorithm): cross-document EXACT-substring duplication report, the
     // span-level complement to whole-doc MinHash. Each doc's word 5-grams
@@ -1095,6 +1130,42 @@ object Dedup extends QueryModule {
            |  CAST((100 * ((SELECT count(*) FROM exact) - n_missed))
            |    // greatest((SELECT count(*) FROM exact), 1) AS BIGINT) AS recall_x100
            |FROM miss""".stripMargin,
+      "dedup_band_tuning" ->
+        s"""$shingleCte, sets AS MATERIALIZED (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set,
+           |    count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |), exact AS MATERIALIZED (
+           |  SELECT round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS s
+           |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+           |  WHERE round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.5
+           |), e1 AS MATERIALIZED (
+           |  SELECT s, (1 - s) AS t1, (1 - s * s) AS u1,
+           |    (1 - (s * s) * (s * s)) AS v1
+           |  FROM exact
+           |), e2 AS MATERIALIZED (
+           |  SELECT s, t1 * t1 AS t2, u1 * u1 AS u2, v1 * v1 AS v2 FROM e1
+           |), e3 AS MATERIALIZED (
+           |  SELECT s, t2 * t2 AS t4, 1 - u2 * u2 AS p42, 1 - v2 AS p24 FROM e2
+           |), e4 AS MATERIALIZED (
+           |  SELECT 1 - t4 * t4 AS p81, p42, p24 FROM e3
+           |), u AS (
+           |  SELECT CAST(8 AS BIGINT) AS bands, CAST(1 AS BIGINT) AS rows_per_band,
+           |    CAST(round(p81 * 1000000) AS BIGINT) AS p6 FROM e4
+           |  UNION ALL
+           |  SELECT CAST(4 AS BIGINT), CAST(2 AS BIGINT),
+           |    CAST(round(p42 * 1000000) AS BIGINT) FROM e4
+           |  UNION ALL
+           |  SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+           |    CAST(round(p24 * 1000000) AS BIGINT) FROM e4
+           |)
+           |SELECT bands, rows_per_band, CAST(count(*) AS BIGINT) AS n_true,
+           |  CAST(sum(p6) AS BIGINT) AS expected_caught_x1e6,
+           |  CAST(CAST(sum(p6) AS BIGINT) // (count(*) * 10000) AS BIGINT) AS expected_recall_x100
+           |FROM u GROUP BY bands, rows_per_band
+           |ORDER BY bands DESC""".stripMargin,
       "dedup_prefix_join" ->
         s"""$shingleCte, freq AS MATERIALIZED (
            |  SELECT shingle, count(*) AS cnt FROM sh GROUP BY shingle

@@ -39,6 +39,32 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(Dedup.queries("dedup_incremental")(spark, sf).count() > 0)
   }
 
+  test("dedup_band_tuning replays the S-curve arithmetic and is monotone in bands") {
+    val sf = "/root/testdata/sf0.01"
+    val sims = Dedup.queries("dedup_prefix_join")(spark, sf).collect()
+      .map(_.getDouble(2))
+    // same multiplication chains as the query (IEEE-exact, no pow)
+    def p6(s: Double, cfg: (Int, Int)): Long = cfg match {
+      case (8, 1) => val t1 = 1 - s; val t2 = t1 * t1; val t4 = t2 * t2
+        math.round((1 - t4 * t4) * 1000000)
+      case (4, 2) => val u1 = 1 - s * s; val u2 = u1 * u1
+        math.round((1 - u2 * u2) * 1000000)
+      case (2, 4) => val v1 = 1 - (s * s) * (s * s)
+        math.round((1 - v1 * v1) * 1000000)
+    }
+    val got = Dedup.queries("dedup_band_tuning")(spark, sf).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (cfg <- Seq((8, 1), (4, 2), (2, 4))) {
+      val caught = sims.map(p6(_, cfg)).sum
+      assert(got(cfg) == ((sims.length.toLong, caught,
+        caught / (sims.length.toLong * 10000L))),
+        s"config $cfg must equal the sequential replay")
+    }
+    // more bands at the same signature budget can only raise the curve
+    assert(got((8, 1))._2 >= got((4, 2))._2 && got((4, 2))._2 >= got((2, 4))._2)
+  }
+
   test("dedup_lsh_recall is consistent with its two underlying pair pipelines") {
     val sf = "/root/testdata/sf0.01"
     val row = Dedup.queries("dedup_lsh_recall")(spark, sf).collect().head
