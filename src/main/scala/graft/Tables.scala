@@ -20,14 +20,22 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent
-      // (PARQUET_TYPE_ILLEGAL). Sessions set
-      // spark.sql.legacy.parquet.nanosAsLong=true (see Sessions.base) so the
-      // column arrives as BIGINT nanos; convert to a micros TimestampType
-      // here (integer div — exact, and identical to DuckDB's ns value at
-      // the seconds/date granularity the oracle queries use).
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+      // generations (Spark can't represent it — Sessions sets
+      // spark.sql.legacy.parquet.nanosAsLong=true so it arrives as BIGINT
+      // nanos) and as TIMESTAMP(MICROS) in others (arrives as
+      // TIMESTAMP_NTZ). Normalize BOTH to the session-zone TimestampType
+      // every downstream query was written against: integer div for nanos
+      // (exact), ntz→ltz cast for micros (identity instant under the UTC
+      // session zone Sessions pins).
+      val raw = spark.read.parquet(path(dir, name))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(path(dir, name))
     }

@@ -737,9 +737,121 @@ object TextAnalysis extends QueryModule {
         .filter(col("cnt") * 33L > col("n"))
         .select(col("word"), col("cnt"))
         .orderBy(col("word"))
+    }),
+
+    // ---- Count-Min point-frequency estimates: ONE constant-state (2 KB)
+    // sketch pass over the token stream, then per-probe-word estimates
+    // looked up in the broadcast summary beside their exact counts. The
+    // estimate never undercounts (overcount column shows the collision
+    // cost — the absent probe word makes it visible). At 100 TB the
+    // sketch's map-side partials cap at 256 cells per mapper, vs the full
+    // vocabulary shuffle of a direct GROUP BY token; the exact side here
+    // exists only to audit the sketch and filters to the |probes| keys
+    // BEFORE its aggregation. ----
+    "txt_cms_freq" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      cmsEstimates(s, Tables.documents(s, d), rollup = false)
+    }),
+
+    // ---- the re-aggregation half of the CMS contract (same shape as
+    // q_hll_rollup): build per-source sketches — the persisted per-shard
+    // summaries a 100 TB lake would keep — then answer the corpus-wide
+    // question by graft_cms_merge over the 2 KB summaries, never
+    // re-reading raw tokens. CMS cells are plain sums, so the rollup is
+    // bit-identical to sketching raw globally — exactly what the shared
+    // oracle SQL checks. ----
+    "txt_cms_rollup" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      cmsEstimates(s, Tables.documents(s, d), rollup = true)
     }))
 
+  /** Probe keys for the CMS audit: seven corpus words + one absent word
+    * (collision-only estimate — exercises the ≥-never-undercounts bound
+    * from both sides).
+    */
+  private val cmsProbes = Seq(
+    "data", "filter", "join", "merge", "quantum", "spark", "table", "window")
+  private val cmsProbeList = cmsProbes.map(w => s"'$w'").mkString(", ")
+
+  /** Shared engine of txt_cms_freq / txt_cms_rollup: sketch the token
+    * stream (directly, or per-source then merged when `rollup`), broadcast
+    * the 2 KB summary, and emit est-vs-exact per probe word. Estimate =
+    * min over the 4 rows of the probed cell, each row's bucket being the
+    * low 6 bits of one 15-bit md5 lane ([[graft.plans.CmsAggregate]]).
+    */
+  private def cmsEstimates(
+      s: SparkSession, docs: DataFrame, rollup: Boolean): DataFrame = {
+    import graft.functions.TextFunctions.md5Bits
+    val toks = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val hashed = toks.select(col("source"), md5Bits(col("word"), 15).as("h"))
+    val sk =
+      if (rollup) {
+        hashed.groupBy(col("source"))
+          .agg(call_function("graft_cms", col("h")).as("sk_shard"))
+          .agg(call_function("graft_cms_merge", col("sk_shard")).as("sk"))
+      } else {
+        hashed.agg(call_function("graft_cms", col("h")).as("sk"))
+      }
+    val exact = toks.filter(col("word").isin(cmsProbes: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt_x"))
+    val probes = {
+      import s.implicits._
+      cmsProbes.toDF("word")
+    }
+    val rowEst = (0 until graft.plans.CmsAggregate.D).map { i =>
+      coalesce(
+        expr(s"try_element_at(filter(sk, e -> e.cell = CAST(${i * 64} + " +
+          s"(shiftright(h, ${15 * i}) & 63) AS INT)), 1).cnt"),
+        lit(0L))
+    }
+    probes
+      .withColumn("h", md5Bits(col("word"), 15))
+      .crossJoin(broadcast(sk))
+      .join(broadcast(exact), Seq("word"), "left")
+      .withColumn("exact_cnt", coalesce(col("cnt_x"), lit(0L)))
+      .withColumn("est_cnt", least(rowEst: _*))
+      .select(col("word"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("word"))
+  }
+
+  /** Shared CMS replay: rebuild the 4×64 cells from md5 lanes, estimate =
+    * min over rows — bit-identical for the direct and rollup forms (cells
+    * are plain sums).
+    */
+  private val cmsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), hashed AS (
+       |  SELECT try_cast('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM toks
+       |), rows4 AS (SELECT unnest([0, 1, 2, 3]) AS i
+       |), cells AS (
+       |  SELECT (i * 64 + ((h >> (15 * i)) & 63)) AS cell, count(*) AS cnt
+       |  FROM hashed CROSS JOIN rows4 GROUP BY 1
+       |), probes AS (SELECT unnest([$cmsProbeList]) AS word
+       |), ph AS (
+       |  SELECT word, try_cast('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+       |  FROM probes
+       |), pcells AS (
+       |  SELECT word, (i * 64 + ((h >> (15 * i)) & 63)) AS cell
+       |  FROM ph CROSS JOIN rows4
+       |), pest AS (
+       |  SELECT word, min(coalesce(c.cnt, 0)) AS est_cnt
+       |  FROM pcells LEFT JOIN cells c USING (cell) GROUP BY word
+       |), pexact AS (
+       |  SELECT word, count(*) AS exact_cnt FROM toks
+       |  WHERE word IN ($cmsProbeList) GROUP BY word
+       |)
+       |SELECT p.word, CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+       |  CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       |  CAST(e.est_cnt - coalesce(x.exact_cnt, 0) AS BIGINT) AS overcount
+       |FROM probes p JOIN pest e USING (word) LEFT JOIN pexact x USING (word)
+       |ORDER BY p.word""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "txt_cms_freq" -> cmsOracle,
+    "txt_cms_rollup" -> cmsOracle,
     "txt_boilerplate_scrub" ->
       """WITH segs AS (
         |  SELECT doc_id, i AS idx,

@@ -127,6 +127,25 @@ object GraftExtensions {
         require(args.length == 1, s"graft_bloom expects 1 argument, got ${args.length}")
         BloomAggregate(args(0))
       }),
+    (new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cms",
+        "graft_cms(hash) - Count-Min sketch (4 rows x 64 buckets, constant " +
+          "2KB state) over a 60-bit md5-derived hash, ARRAY<STRUCT<cell,cnt>> " +
+          "ASC by cell; estimates never undercount"),
+      { args =>
+        require(args.length == 1, s"graft_cms expects 1 argument, got ${args.length}")
+        CmsAggregate(args.head)
+      }),
+    (new FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_cms_merge",
+        "graft_cms_merge(sketch) - element-wise sum of graft_cms summaries " +
+          "(rollup without re-reading raw rows; bit-identical to sketching " +
+          "the union)"),
+      { args =>
+        require(args.length == 1,
+          s"graft_cms_merge expects 1 argument, got ${args.length}")
+        CmsMergeAggregate(args.head)
+      }),
     (new FunctionIdentifier("graft_mgsketch"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_mgsketch",
         "graft_mgsketch(item, k) - Misra-Gries heavy-hitters summary, at " +
