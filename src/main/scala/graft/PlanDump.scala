@@ -141,7 +141,11 @@ object PlanDump {
     // CUSUM alerts: report-sized windows over gap-filled daily counts
     "evt_cusum_alerts",
     // band-tuning S-curve: cached pair list, three literal-arithmetic branches
-    "dedup_band_tuning")
+    "dedup_band_tuning",
+    // CMS audit: one constant-state sketch pass + probe-filtered exact agg
+    "txt_cms_freq",
+    // hybrid RRF: two scans into single-group bounded topk aggs, 40-row fusion
+    "pipe_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

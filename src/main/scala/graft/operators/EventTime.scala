@@ -584,7 +584,47 @@ object EventTime extends QueryModule {
           leftOuter = true)
         .select(col("p_event_id"), col("p_user"), col("s_ts"), col("s_val"))
         .orderBy(col("p_event_id"))
-    }))
+    }),
+
+    // ---- day-of-week seasonal baseline: traffic monitors that compare
+    // today against "a normal Tuesday", not against the whole history —
+    // the weekday-seasonality report CUSUM (trend shifts) and MAD (value
+    // outliers) don't give. Baseline = exact lower median of the daily
+    // count for that (type, ISO weekday) — the ⌈n/2⌉-th order statistic,
+    // same convention as evt_outliers_mad — and a day flags as
+    // spike/dip at ±50% of baseline in pure integer compares. Scale: the
+    // lake reduces to the (type × day) report in ONE partial-agg'd
+    // shuffle; the median windows run over that report (≤ weeks rows per
+    // (type, dow) partition), and the |types × 7|-row baseline broadcasts
+    // back. weekday()+1 pins ISO 1=Monday on both engines (the
+    // q_datetime_functions portability rule). ----
+    "evt_seasonal_baseline" -> ((s, d) =>
+      seasonalBaseline(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))))
+
+  /** The seasonal-baseline detector body on any (event_type, day, cnt)
+    * daily-count frame — factored out so specs can drive it with planted
+    * spikes/dips (the fixture's uniform volume rarely alerts). See the
+    * `evt_seasonal_baseline` scaladoc above for the median convention and
+    * the broadcast shape.
+    */
+  def seasonalBaseline(daily0: DataFrame): DataFrame = {
+    val daily = daily0.withColumn("dow", expr("CAST(weekday(day) + 1 AS BIGINT)"))
+    val wc = Window.partitionBy(col("event_type"), col("dow"))
+    val wv = wc.orderBy(col("cnt"), col("day"))
+    val base = daily.withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(expr("rn = (n + 1) DIV 2"))
+      .select(col("event_type"), col("dow"), col("cnt").as("baseline_cnt"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("cnt"), col("baseline_cnt"),
+        (col("cnt") * 100L >= col("baseline_cnt") * 150L).as("spike"),
+        (col("cnt") * 100L <= col("baseline_cnt") * 50L).as("dip"))
+      .orderBy(col("event_type"), col("day"))
+  }
 
   /** The CUSUM detector body on any (event_type, day, n) daily-count frame
     * — factored out so specs can drive it with planted change points (the
@@ -617,6 +657,29 @@ object EventTime extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_seasonal_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM daily
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, dow
+        |      ORDER BY cnt, day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, dow) AS n
+        |  FROM dd
+        |), base AS (
+        |  SELECT event_type, dow, cnt AS baseline_cnt
+        |  FROM r WHERE rn = (n + 1) // 2
+        |)
+        |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.dow, d.cnt,
+        |  b.baseline_cnt,
+        |  d.cnt * 100 >= b.baseline_cnt * 150 AS spike,
+        |  d.cnt * 100 <= b.baseline_cnt * 50 AS dip
+        |FROM dd d JOIN base b USING (event_type, dow)
+        |ORDER BY d.event_type, day""".stripMargin,
     "evt_cusum_alerts" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

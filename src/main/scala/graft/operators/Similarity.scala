@@ -650,7 +650,78 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
+    }),
+
+    // ---- hybrid retrieval with Reciprocal Rank Fusion: the production
+    // search stack runs a LEXICAL ranker (term-frequency × linear idf,
+    // all integer — the txt_tfidf weight family) and a VECTOR ranker
+    // (exact cosine vs the query embedding) and fuses the two top-20
+    // lists by RRF: score = Σ_side 1e6 DIV (60 + rank). Each side is ONE
+    // narrow scan feeding a single-group graft_topk (bounded 20-entry
+    // partial-agg state per mapper — no global sort, no vocabulary
+    // shuffle: the 3 query terms are counted per doc with an array
+    // filter, never an explode). The two 20-row rank lists join/fuse as
+    // broadcast locals; the winners (10 rows) broadcast into the
+    // documents metadata join. At 100 TB both sides stay two scans +
+    // constant-state aggregation; RRF itself touches ≤ 40 rows. k=60 is
+    // the standard RRF damping (Cormode/Clarke TREC'09 convention). ----
+    "pipe_hybrid_rrf" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      // lexical side: tf per doc for the 3 query terms, one projection
+      val tfCols = hybridTerms.zipWithIndex.map { case (t, i) =>
+        expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS BIGINT)")
+          .as(s"tf$i")
+      }
+      val lex = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id") +: tfCols: _*)
+      val stats = lex.agg(
+        count(lit(1)).as("n"),
+        hybridTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      val lexScore = hybridTerms.indices.map(i =>
+        col(s"tf$i") * expr(s"(n + 1) * CAST(1000000 AS BIGINT) DIV (df$i + 1)"))
+        .reduce(_ + _)
+      val lrank = lex.crossJoin(broadcast(stats))
+        .withColumn("lex_score", lexScore)
+        .filter(col("lex_score") > 0)
+        .agg(call_function("graft_topk",
+          col("lex_score").cast("double"), col("doc_id"), lit(20)).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("bigint").as("rank_lex"))
+      // vector side: exact cosine vs the query embedding (vec 0)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val vrank = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .agg(call_function("graft_topk",
+          col("cos_sim"), col("vec_id"), lit(20)).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("bigint").as("rank_vec"))
+      val fused = lrank.join(vrank, Seq("doc_id"), "full")
+        .withColumn("rrf_x1e6",
+          coalesce(expr("CAST(1000000 AS BIGINT) DIV (60 + rank_lex)"), lit(0L))
+            + coalesce(expr("CAST(1000000 AS BIGINT) DIV (60 + rank_vec)"), lit(0L)))
+        .select(col("doc_id"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          col("rrf_x1e6"))
+        .orderBy(desc("rrf_x1e6"), col("doc_id"))
+        .limit(10)
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(broadcast(fused), Seq("doc_id"))
+        .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+          col("rrf_x1e6"), col("lang"), col("source"))
+        .orderBy(desc("rrf_x1e6"), col("doc_id"))
     }))
+
+  /** Query terms for the hybrid lexical side: one rare corpus word (idf
+    * dominates) + two common ones (tf dominates).
+    */
+  private val hybridTerms = Seq("dup", "spark", "window")
 
   /** PQ asymmetric-distance scores for every non-query vector: 4×16-dim
     * subspace codebooks (vec_ids 1..8), argmin-L2 encode, 32-entry
@@ -766,6 +837,51 @@ object Similarity extends QueryModule {
          |  round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
          |FROM embeddings e JOIN shortlist sl ON e.vec_id = sl.vec_id CROSS JOIN q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "pipe_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x = '${hybridTerms(0)}')) AS tf0,
+         |    len(list_filter(string_split(text, ' '), x -> x = '${hybridTerms(1)}')) AS tf1,
+         |    len(list_filter(string_split(text, ' '), x -> x = '${hybridTerms(2)}')) AS tf2
+         |  FROM documents WHERE doc_id <> 0
+         |), stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |  FROM lex
+         |), lscore AS (
+         |  SELECT doc_id,
+         |    tf0 * ((n + 1) * 1000000 // (df0 + 1))
+         |    + tf1 * ((n + 1) * 1000000 // (df1 + 1))
+         |    + tf2 * ((n + 1) * 1000000 // (df2 + 1)) AS lex_score
+         |  FROM lex CROSS JOIN stats
+         |), lrank AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY lex_score DESC, doc_id) AS rank_lex
+         |  FROM lscore WHERE lex_score > 0
+         |  QUALIFY rank_lex <= 20
+         |), q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+         |), vrank AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_vec
+         |  FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+         |  QUALIFY rank_vec <= 20
+         |), fused AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+         |    CAST(coalesce(rank_vec, 0) AS BIGINT) AS rank_vec,
+         |    CAST(coalesce(1000000 // (60 + rank_lex), 0)
+         |      + coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_x1e6
+         |  FROM lrank FULL JOIN vrank USING (doc_id)
+         |  ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10
+         |)
+         |SELECT f.doc_id, f.rank_lex, f.rank_vec, f.rrf_x1e6, d.lang, d.source
+         |FROM fused f JOIN documents d USING (doc_id)
+         |ORDER BY f.rrf_x1e6 DESC, f.doc_id""".stripMargin,
     "sim_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

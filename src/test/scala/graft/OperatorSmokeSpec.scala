@@ -228,6 +228,52 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     }
   }
 
+  test("evt_seasonal_baseline: sequential per-(type,dow) median replay + planted spike/dip fire") {
+    // replay the fixture query
+    val got = SparkEntry.queries("evt_seasonal_baseline")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd"), col("cnt"),
+        expr("CAST(weekday(day) + 1 AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.keySet == daily.map(r => (r._1, r._2)).toSet)
+    def lowerMedian(xs: Vector[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+    val baseline = daily.groupBy(r => (r._1, r._4)).view
+      .mapValues(rs => lowerMedian(rs.map(_._3).toVector)).toMap
+    daily.foreach { case (t, day, cnt, dow) =>
+      val b = baseline((t, dow))
+      val (gDow, gCnt, gBase, gSpike, gDip) = got((t, day))
+      assert(gDow == dow && gCnt == cnt && gBase == b, s"($t, $day)")
+      assert(gSpike == (cnt * 100 >= b * 150), s"($t, $day) spike")
+      assert(gDip == (cnt * 100 <= b * 50), s"($t, $day) dip")
+    }
+    // planted seasonality: Mondays normally 100, one spiking to 200 and
+    // one dipping to 40 — both fire; the normal Monday doesn't
+    val planted = {
+      import spark.implicits._
+      Seq(
+        ("click", "2024-01-01", 100L), ("click", "2024-01-08", 100L),
+        ("click", "2024-01-15", 200L), ("click", "2024-01-22", 40L),
+        ("click", "2024-01-02", 500L) // lone Tuesday: its own baseline, no flag
+      ).toDF("event_type", "day", "cnt")
+        .select(col("event_type"), to_date(col("day")).as("day"), col("cnt"))
+    }
+    val out = graft.operators.EventTime.seasonalBaseline(planted)
+      .collect().map(r => r.getString(1) -> (r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(out("2024-01-01") == ((100L, false, false)))
+    assert(out("2024-01-08") == ((100L, false, false)))
+    assert(out("2024-01-15") == ((100L, true, false)), "spike fires vs Monday median")
+    assert(out("2024-01-22") == ((100L, false, true)), "dip fires vs Monday median")
+    assert(out("2024-01-02") == ((500L, false, false)), "n=1 class: day is its own baseline, never flags")
+  }
+
   test("txt_diversity: bounds hold and all-distinct docs hit the closed form") {
     val div = SparkEntry.queries("txt_diversity")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -132,6 +132,51 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(got.size == 15, "3 queries x top-5")
   }
 
+  test("pipe_hybrid_rrf equals an independent window-rank RRF recomputation") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+    val e = Tables.embeddings(spark, sf)
+    // lexical ranks via window over the integer tf-idf score
+    val terms = Seq("dup", "spark", "window")
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS BIGINT)").as(s"tf$i")
+    }
+    val lex = docs.filter(col("doc_id") =!= 0).select(col("doc_id") +: tf: _*)
+    val st = lex.agg(count(lit(1)).as("n"),
+      terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val score = terms.indices.map(i =>
+      col(s"tf$i") * expr(s"(n + 1) * CAST(1000000 AS BIGINT) DIV (df$i + 1)")).reduce(_ + _)
+    val lw = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("lex_score"), col("doc_id"))
+    val lrank = lex.crossJoin(broadcast(st)).withColumn("lex_score", score)
+      .filter(col("lex_score") > 0)
+      .withColumn("rank_lex", row_number().over(lw).cast("bigint"))
+      .filter(col("rank_lex") <= 20).select("doc_id", "rank_lex")
+    // vector ranks via window over the rounded cosine
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val vw = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cos_sim"), col("vec_id"))
+    val vrank = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(Similarity.hofCosine("embedding", "q_emb"), 6))
+      .withColumn("rank_vec", row_number().over(vw).cast("bigint"))
+      .filter(col("rank_vec") <= 20)
+      .select(col("vec_id").as("doc_id"), col("rank_vec"))
+    val expected = lrank.join(vrank, Seq("doc_id"), "full")
+      .withColumn("rrf_x1e6",
+        coalesce(expr("CAST(1000000 AS BIGINT) DIV (60 + rank_lex)"), lit(0L))
+          + coalesce(expr("CAST(1000000 AS BIGINT) DIV (60 + rank_vec)"), lit(0L)))
+      .orderBy(desc("rrf_x1e6"), col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val gotRows = Similarity.queries("pipe_hybrid_rrf")(spark, sf).collect()
+    val got = gotRows.map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(gotRows.length == 10)
+    // fusion is genuinely hybrid on this fixture: at least one winner per side
+    assert(gotRows.exists(_.getLong(1) > 0), "no lexical-ranked winner")
+    assert(gotRows.exists(_.getLong(2) > 0), "no vector-ranked winner")
+  }
+
   test("multiprobe SRP: exact top-10 over the hamming<=1 candidate set, recall >= single probe") {
     import graft.operators.Similarity
     val sf = "/root/testdata/sf0.01"
