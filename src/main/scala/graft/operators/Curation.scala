@@ -311,6 +311,66 @@ object Curation extends QueryModule {
         .orderBy(col("fk_edge"))
     }),
 
+    // ---- declarative data-expectations audit (the dbt-test /
+    // Great-Expectations equivalent): every publish-gating rule evaluated
+    // with the CHEAPEST plan its class allows, one report row per rule.
+    //  - row-local rules (not-null, range, accepted set) share ONE
+    //    conditional-aggregate scan — adding a rule adds a column, never
+    //    a pass;
+    //  - uniqueness is the partial-agg'd key count (n_rows − n_keys via
+    //    groupBy(key) — map-side combine, never count(DISTINCT)'s single
+    //    reduce of raw keys);
+    //  - referential integrity reuses q_fk_audit's zero-shuffle broadcast
+    //    left-semi form.
+    // The report unions 1-row locals, so at 100 TB the cost is the two
+    // pruned scans + one key aggregation, regardless of rule count. The
+    // in_range cutoff deliberately catches the fixture's 2001 dates —
+    // the report must show a FAILING rule beside passing ones. ----
+    "q_expectations_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val rowAgg = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_nn"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_pos"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("v_set"),
+        sum(when(to_date(col("o_orderdate"))
+            .between(lit("1995-01-01").cast("date"), lit("2000-12-31").cast("date")),
+          0L).otherwise(1L)).as("v_rng"))
+      val rowRules = rowAgg.select(explode(array(
+          struct(lit("o_custkey not_null").as("rule"),
+            col("n").as("n_checked"), col("v_nn").as("n_violations")),
+          struct(lit("o_orderdate in_range").as("rule"),
+            col("n").as("n_checked"), col("v_rng").as("n_violations")),
+          struct(lit("o_orderstatus accepted_set").as("rule"),
+            col("n").as("n_checked"), col("v_set").as("n_violations")),
+          struct(lit("o_totalprice positive").as("rule"),
+            col("n").as("n_checked"), col("v_pos").as("n_violations"))))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+          col("r.n_violations").as("n_violations"))
+      val uniqueRule = o.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).cast("bigint").as("n_checked"),
+          (sum(col("c")) - count(lit(1))).cast("bigint").as("n_violations"))
+        .select(lit("o_orderkey unique").as("rule"), col("n_checked"),
+          col("n_violations"))
+      val fkRule = {
+        val total = o.select(col("o_custkey")).agg(count(lit(1)).as("n_checked"))
+        val matched = o.select(col("o_custkey")).join(
+            broadcast(Tables.customer(s, d).select(col("c_custkey").as("__pk"))),
+            col("o_custkey") === col("__pk"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"))
+        total.crossJoin(broadcast(matched))
+          .select(lit("o_custkey fk_customer").as("rule"),
+            col("n_checked"),
+            (col("n_checked") - col("n_matched")).cast("bigint").as("n_violations"))
+      }
+      rowRules.unionByName(uniqueRule).unionByName(fkRule)
+        .withColumn("pass", col("n_violations") === 0L)
+        .orderBy(col("rule"))
+    }),
+
     // ---- key-skew audit: the pre-shuffle report an operator runs before
     // choosing salting / AQE skew thresholds for a big join or aggregation
     // key. Exact integer percentiles of the GROUP-SIZE distribution via
@@ -636,6 +696,33 @@ object Curation extends QueryModule {
         |  max(n_chars) AS max_chars,
         |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_expectations_audit" ->
+      """WITH ra AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+        |    CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1995-01-01' AND DATE '2000-12-31' THEN 0 ELSE 1 END) AS BIGINT) AS v_rng
+        |  FROM orders
+        |), uq AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+        |  FROM orders
+        |), fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'o_custkey fk_customer' AS rule, n AS n_checked, v AS n_violations FROM fk
+        |  UNION ALL SELECT 'o_custkey not_null', n, v_nn FROM ra
+        |  UNION ALL SELECT 'o_orderdate in_range', n, v_rng FROM ra
+        |  UNION ALL SELECT 'o_orderkey unique', n, v FROM uq
+        |  UNION ALL SELECT 'o_orderstatus accepted_set', n, v_set FROM ra
+        |  UNION ALL SELECT 'o_totalprice positive', n, v_pos FROM ra
+        |) ORDER BY rule""".stripMargin,
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans

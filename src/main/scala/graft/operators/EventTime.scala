@@ -586,6 +586,28 @@ object EventTime extends QueryModule {
         .orderBy(col("p_event_id"))
     }),
 
+    // ---- ingest-freshness audit: per event_type, how stale is the
+    // newest data relative to the corpus watermark — the "did stream X
+    // stop?" report every ingest pipeline pages on. One partial-agg'd
+    // scan to per-type (n_events, first/last day), corpus watermark as a
+    // broadcast 1-row agg OVER THE TYPE REPORT (not a second lake scan);
+    // lag in exact integer days, stale at > 2 days. ----
+    "evt_freshness" -> ((s, d) => {
+      val byType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val watermark = byType.agg(max(col("last_day")).as("corpus_last"))
+      byType.crossJoin(broadcast(watermark))
+        .select(col("event_type"), col("n_events"),
+          date_format(col("first_day"), "yyyy-MM-dd").as("first_day"),
+          date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+          datediff(col("corpus_last"), col("last_day")).cast("bigint").as("lag_days"),
+          (datediff(col("corpus_last"), col("last_day")) > 2).as("stale"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- day-of-week seasonal baseline: traffic monitors that compare
     // today against "a normal Tuesday", not against the whole history —
     // the weekday-seasonality report CUSUM (trend shifts) and MAD (value
@@ -657,6 +679,19 @@ object EventTime extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_freshness" ->
+      """WITH bt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY event_type
+        |), wm AS (SELECT max(last_day) AS corpus_last FROM bt)
+        |SELECT event_type, n_events,
+        |  CAST(first_day AS VARCHAR) AS first_day,
+        |  CAST(last_day AS VARCHAR) AS last_day,
+        |  CAST(corpus_last - last_day AS BIGINT) AS lag_days,
+        |  corpus_last - last_day > 2 AS stale
+        |FROM bt CROSS JOIN wm ORDER BY event_type""".stripMargin,
     "evt_seasonal_baseline" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

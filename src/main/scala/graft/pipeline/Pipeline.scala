@@ -111,6 +111,53 @@ class Warehouse(val root: String, val format: String = "parquet") {
       .option("path", tablePath(table))
       .format(format)
       .saveAsTable(table)
+
+  /** Write-Audit-Publish: the publish gate a lake runs so readers NEVER see
+    * a bad batch. The batch is staged in a quarantine directory invisible
+    * to readers, the caller's audit runs on a READBACK of the staged bytes
+    * (what readers would actually see — catches writer-side truncation or
+    * schema drift, which auditing the in-memory frame cannot), and only a
+    * passing audit publishes, by directory swap. A failing audit leaves
+    * the live table untouched and the staged directory in place for
+    * forensics. Returns `Right(())` on publish, `Left(reason)` on audit
+    * failure.
+    *
+    * At 100 TB the same protocol runs on object-store paths with the swap
+    * as a metastore location flip (or a table-format snapshot commit);
+    * the engine-side contract — stage, audit the readback, publish
+    * atomically, never mutate live — is identical. q_expectations_audit
+    * is the natural audit body.
+    */
+  def writeAuditPublish(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      audit: DataFrame => Option[String]): Either[String, Unit] = {
+    val stagePath = tablePath(s"__stage__$name")
+    df.write.mode(SaveMode.Overwrite).format(format).save(stagePath)
+    audit(spark.read.format(format).load(stagePath)) match {
+      case Some(reason) => Left(reason)
+      case None =>
+        val live = new java.io.File(tablePath(name))
+        val retired = new java.io.File(tablePath(s"__retired__$name"))
+        Warehouse.deleteRecursively(retired)
+        if (live.exists() && !live.renameTo(retired))
+          Left(s"publish failed: could not retire live $name")
+        else if (!new java.io.File(stagePath).renameTo(live))
+          Left(s"publish failed: could not promote staged $name")
+        else {
+          Warehouse.deleteRecursively(retired)
+          Right(())
+        }
+    }
+  }
+}
+
+object Warehouse {
+  private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete(): Unit
+  }
 }
 
 /** One task in a pipeline (reference: one Airflow operator). */

@@ -192,6 +192,45 @@ class CurationSpec extends SparkSuiteBase {
     assert(rows("orders->customer") == (nOrd, 0L))
   }
 
+  test("q_expectations_audit: every rule equals a sequential replay; both outcomes present") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_expectations_audit")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 6)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).cast("string").as("od"))
+      .collect()
+    val custKeys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val n = orders.length.toLong
+    val vNn = orders.count(_.isNullAt(1)).toLong
+    val vPos = orders.count(r => !r.isNullAt(3) && r.getDouble(3) <= 0.0).toLong
+    val vSet = orders.count(r =>
+      !r.isNullAt(2) && !Set("O", "F", "P").contains(r.getString(2))).toLong
+    val vRng = orders.count(r =>
+      r.isNullAt(4) || r.getString(4) < "1995-01-01" || r.getString(4) > "2000-12-31").toLong
+    val vUniq = n - orders.map(_.getLong(0)).distinct.length.toLong
+    val vFk = orders.count(r => r.isNullAt(1) || !custKeys(r.getLong(1))).toLong
+    val expected = Map(
+      "o_custkey not_null" -> vNn,
+      "o_totalprice positive" -> vPos,
+      "o_orderstatus accepted_set" -> vSet,
+      "o_orderdate in_range" -> vRng,
+      "o_orderkey unique" -> vUniq,
+      "o_custkey fk_customer" -> vFk)
+    expected.foreach { case (rule, v) =>
+      val (gn, gv, gp) = got(rule)
+      assert(gn == n, s"$rule n_checked")
+      assert(gv == v, s"$rule violations")
+      assert(gp == (v == 0L), s"$rule pass flag")
+    }
+    // the report genuinely shows both outcomes on the fixture
+    assert(got.values.exists(_._3), "no passing rule")
+    assert(got.values.exists(!_._3), "no failing rule")
+  }
+
   test("q_merge_upsert: row accounting — target + inserts, updates reclassified") {
     val o = Tables.orders(spark, sf0001)
     val nOrders = o.count()

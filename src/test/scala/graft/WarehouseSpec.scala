@@ -139,6 +139,28 @@ class WarehouseSpec extends SparkSuiteBase {
       incremental.filter(_.getString(0) != days(0)))
   }
 
+  test("writeAuditPublish: failing audit leaves live untouched and staged for forensics; passing audit swaps atomically") {
+    val wh = new Warehouse(tmpDir("whwap"))
+    // establish a good live table
+    assert(wh.writeAuditPublish(spark, Seq(1, 2, 3).toDF("x"), "t",
+      df => if (df.count() == 3) None else Some("bad count")).isRight)
+    assert(wh.read(spark, "t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // a bad batch: audit rejects it on the READBACK
+    val r = wh.writeAuditPublish(spark, Seq(7).toDF("x"), "t",
+      df => if (df.count() == 3) None else Some("expected 3 rows"))
+    assert(r == Left("expected 3 rows"))
+    // live unchanged, staged directory kept for forensics
+    assert(wh.read(spark, "t").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(wh.exists("__stage__t"), "failed batch stays quarantined")
+    assert(spark.read.parquet(wh.tablePath("__stage__t"))
+      .as[Int].collect().toSeq == Seq(7))
+    // a good batch publishes over the old live
+    assert(wh.writeAuditPublish(spark, Seq(4, 5, 6).toDF("x"), "t",
+      df => if (df.count() == 3) None else Some("bad count")).isRight)
+    assert(wh.read(spark, "t").as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+    assert(!wh.exists("__retired__t"), "retired copy cleaned after publish")
+  }
+
   test("schema evolution: mergeSchema surfaces a late-added column as nullable") {
     val dir = tmpDir("whevo") + "/t"
     val v1 = Tables.documents(spark, sf0001).select("doc_id", "lang").filter(col("doc_id") < 10)
