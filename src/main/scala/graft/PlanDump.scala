@@ -145,7 +145,15 @@ object PlanDump {
     // CMS audit: one constant-state sketch pass + probe-filtered exact agg
     "txt_cms_freq",
     // hybrid RRF: two scans into single-group bounded topk aggs, 40-row fusion
-    "pipe_hybrid_rrf")
+    "pipe_hybrid_rrf",
+    // seasonal baseline: one partial-agg'd daily shuffle, report-sized windows
+    "evt_seasonal_baseline",
+    // expectations: one conditional-agg scan + partial-agg'd key count + semi
+    "q_expectations_audit",
+    // freshness: one per-type agg; watermark from the report, not a second scan
+    "evt_freshness",
+    // centroid drift: broadcast argmax assign + |cells|x|dims| partial agg
+    "sim_centroid_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

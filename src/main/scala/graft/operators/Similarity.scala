@@ -224,6 +224,48 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- IVF centroid-drift report: the RETRAIN signal that closes the
+    // index-maintenance loop (sim_ivf_ingest assigns new data to frozen
+    // centroids; sim_eval_retrieval measures the recall cost; this query
+    // says when to pay for retraining). Every vector is assigned to its
+    // frozen centroid (broadcast argmax, the sim_topk_ivf shape), each
+    // cell's FRESH centroid is recomputed as the exact integer-micro-unit
+    // element mean (order-independent BIGINT sums — the sim_kmeans_cells
+    // quantization), and drift = 1 − cosine(frozen, fresh), the
+    // scale-invariant angular move. Per-dim sums partial-agg to
+    // |cells|×|dims| rows per mapper; everything after the one
+    // aggregation is a K-row report. Retrain flag at drift > 0.05. ----
+    "sim_centroid_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("cs", call_function("graft_cosine", col("embedding"), col("c_emb")))
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("k").as("cell"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+            .as("q"))
+      val newCent = assigned.select(col("cell"), posexplode(col("q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("mu", expr("sv DIV n"))
+        .groupBy(col("cell"))
+        .agg(max(col("n")).cast("bigint").as("n_assigned"),
+          sort_array(collect_list(struct(col("pos"), col("mu")))).as("arr"))
+        .select(col("cell"), col("n_assigned"),
+          expr("transform(arr, s -> CAST(s.mu AS DOUBLE))").as("m_emb"))
+      newCent.join(broadcast(cent), col("cell") === col("k"))
+        .withColumn("drift",
+          round(lit(1.0) - call_function("graft_cosine", col("m_emb"), col("c_emb")), 6))
+        .select(col("cell"), col("n_assigned"), col("drift"),
+          (col("drift") > 0.05).as("retrain"))
+        .orderBy(col("cell"))
+    }),
+
     // ---- SRP-LSH (random-hyperplane) bucketing for cosine: each vector's
     // 8-bit code = sign bits of its dot products with 8 fixed hyperplanes
     // (vectors 1..8 as the deterministic stand-in for sampled gaussians).
@@ -837,6 +879,35 @@ object Similarity extends QueryModule {
          |  round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
          |FROM embeddings e JOIN shortlist sl ON e.vec_id = sl.vec_id CROSS JOIN q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_centroid_drift" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), scored AS (
+         |  SELECT e.vec_id, c.k, ${duckCosine("e.embedding", "c.c_emb")} AS cs
+         |  FROM embeddings e CROSS JOIN cent c
+         |), cells AS (
+         |  SELECT vec_id, k AS cell FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) = 1
+         |), mem AS (
+         |  SELECT cells.cell, e.embedding FROM embeddings e
+         |  JOIN cells ON e.vec_id = cells.vec_id
+         |), dims AS (
+         |  SELECT cell, i,
+         |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM mem, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+         |  GROUP BY cell, i
+         |), newc AS (
+         |  SELECT cell, max(n) AS n_assigned,
+         |    list(CAST(sv // n AS DOUBLE) ORDER BY i) AS m_emb
+         |  FROM dims GROUP BY cell
+         |)
+         |SELECT nc.cell, CAST(nc.n_assigned AS BIGINT) AS n_assigned,
+         |  round(1.0 - ${duckCosine("nc.m_emb", "cent.c_emb")}, 6) AS drift,
+         |  round(1.0 - ${duckCosine("nc.m_emb", "cent.c_emb")}, 6) > 0.05 AS retrain
+         |FROM newc nc JOIN cent ON nc.cell = cent.k
+         |ORDER BY nc.cell""".stripMargin,
     "pipe_hybrid_rrf" ->
       s"""WITH lex AS (
          |  SELECT doc_id,

@@ -177,6 +177,52 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(gotRows.exists(_.getLong(2) > 0), "no vector-ranked winner")
   }
 
+  test("sim_centroid_drift equals a sequential Scala replay; assignment counts conserve") {
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = (1L to 8L).map(k => k -> all(k).map(_.toDouble)).toMap
+    val assign = all.map { case (id, v) =>
+      val vd = v.map(_.toDouble)
+      id -> (1L to 8L).map(k => (k, cos(vd, cents(k)))).maxBy { case (k, c) => (c, -k) }._1
+    }
+    val expected = (1L to 8L).flatMap { cell =>
+      val members = assign.collect { case (id, c) if c == cell => all(id) }.toSeq
+      if (members.isEmpty) None else {
+        val n = members.size.toLong
+        val dims = members.head.length
+        val mean = Array.tabulate(dims) { i =>
+          val s = members.map(m => math.floor(m(i).toDouble * 1000000.0).toLong).sum
+          // integer DIV truncates toward zero (Spark DIV / DuckDB //)
+          (s / n).toDouble
+        }
+        val drift = BigDecimal(1.0 - cos(mean, cents(cell)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(cell -> (n, drift))
+      }
+    }.toMap
+    val got = Similarity.queries("sim_centroid_drift")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.values.map(_._1).sum == all.size.toLong, "every vector assigned exactly once")
+    expected.foreach { case (cell, (n, drift)) =>
+      val (gn, gd, gr) = got(cell)
+      assert(gn == n, s"cell $cell count")
+      assert(math.abs(gd - drift) < 1e-9, s"cell $cell drift: $gd vs $drift")
+      assert(gr == (gd > 0.05), s"cell $cell retrain flag")
+      assert(gd >= 0.0 && gd <= 2.0, s"cell $cell drift bounds")
+    }
+  }
+
   test("multiprobe SRP: exact top-10 over the hamming<=1 candidate set, recall >= single probe") {
     import graft.operators.Similarity
     val sf = "/root/testdata/sf0.01"
