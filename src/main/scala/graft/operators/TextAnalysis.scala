@@ -739,6 +739,36 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("word"))
     }),
 
+    // ---- vocabulary coverage curve: for each min_count threshold, the
+    // vocab size and the corpus-mass coverage of keeping only tokens with
+    // count ≥ threshold — the report that decides a tokenizer's min_count
+    // (too low: vocab bloat; too high: OOV explosion). The exact per-token
+    // count is the one vocab-sized shuffle (map-side combined; run at
+    // tokenizer-design time, not per batch); everything after runs on the
+    // count-of-counts HISTOGRAM (|distinct counts| rows — the q_skew_report
+    // trick), so the 6 thresholds re-aggregate a report, not the corpus.
+    // Coverage in exact integer millionths. ----
+    "txt_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("n_at"))
+      val tot = hist.agg(sum(col("c") * col("n_at")).cast("bigint").as("total_mass"))
+      val thresholds = {
+        import s.implicits._
+        Seq(1L, 2L, 4L, 8L, 16L, 32L).toDF("min_count")
+      }
+      hist.crossJoin(broadcast(thresholds))
+        .filter(col("c") >= col("min_count"))
+        .groupBy(col("min_count"))
+        .agg(sum(col("n_at")).cast("bigint").as("vocab_size"),
+          sum(col("c") * col("n_at")).cast("bigint").as("kept_mass"))
+        .crossJoin(broadcast(tot))
+        .select(col("min_count"), col("vocab_size"), col("kept_mass"),
+          expr("1000000 * kept_mass DIV total_mass").as("coverage_x1e6"))
+        .orderBy(col("min_count"))
+    }),
+
     // ---- Count-Min point-frequency estimates: ONE constant-state (2 KB)
     // sketch pass over the token stream, then per-probe-word estimates
     // looked up in the broadcast summary beside their exact counts. The
@@ -850,6 +880,24 @@ object TextAnalysis extends QueryModule {
        |ORDER BY p.word""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "txt_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), counts AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word
+        |), hist AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS n_at FROM counts GROUP BY c
+        |), tot AS (
+        |  SELECT CAST(sum(c * n_at) AS BIGINT) AS total_mass FROM hist
+        |), th AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS min_count)
+        |SELECT th.min_count,
+        |  CAST(sum(n_at) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c * n_at) AS BIGINT) AS kept_mass,
+        |  CAST(1000000 * sum(c * n_at) // max(total_mass) AS BIGINT) AS coverage_x1e6
+        |FROM hist CROSS JOIN th CROSS JOIN tot
+        |WHERE c >= th.min_count
+        |GROUP BY th.min_count
+        |ORDER BY th.min_count""".stripMargin,
     "txt_cms_freq" -> cmsOracle,
     "txt_cms_rollup" -> cmsOracle,
     "txt_boilerplate_scrub" ->

@@ -248,4 +248,23 @@ object BatchRunner {
 
   def dateRange(start: LocalDate, endInclusive: LocalDate): Seq[LocalDate] =
     Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(endInclusive)).toSeq
+
+  /** Catchup planning (Airflow `catchup=True` without the scheduler): which
+    * dates of the schedule are NOT yet present in a date-partitioned output
+    * table. Reads ONLY the partition values (distinct over the partition
+    * column of a partitioned layout — file listing, no data scan at scale),
+    * so resuming an interrupted backfill re-runs exactly the missing days:
+    * `run(..., missingDates(...))`. A table that doesn't exist yet needs
+    * the whole schedule.
+    */
+  def missingDates(spark: SparkSession, wh: Warehouse, table: String,
+                   partitionCol: String, schedule: Seq[LocalDate]): Seq[LocalDate] = {
+    if (!wh.exists(table)) schedule
+    else {
+      val present = wh.read(spark, table)
+        .select(org.apache.spark.sql.functions.col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      schedule.filterNot(d => present(BatchContext(d).ds))
+    }
+  }
 }

@@ -171,6 +171,29 @@ object EventStreams {
         .as("user_sketch"))
   }
 
+  /** Per-window Count-Min frequency sketch: the streaming twin of
+    * txt_cms_freq over the event-type stream. One 2 KB cell array per open
+    * window in the state store — point-frequency estimates for ANY key
+    * queried after the fact, where Misra–Gries (whose merge is not
+    * arrival-order deterministic, so it has no streaming-parity form) only
+    * answers "which keys are frequent". Cell merge is element-wise sum
+    * (commutative, associative), so the micro-batch fold equals one batch
+    * aggregation bit-for-bit (StreamingSpec pins the parity) and the
+    * emitted summaries roll up further with graft_cms_merge downstream.
+    */
+  def windowedFreqSketch(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_cms",
+        graft.functions.TextFunctions.md5Bits(col("event_type"), 15))
+        .as("freq_sketch"))
+  }
+
   /** Exactly-once-style dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events

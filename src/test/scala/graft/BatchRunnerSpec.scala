@@ -84,4 +84,26 @@ class BatchRunnerSpec extends SparkSuiteBase {
     assert(report.completedDates.size == 3)
     assert(report.retries.isEmpty)
   }
+
+  test("missingDates: an interrupted backfill resumes with exactly the unwritten days") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = new Warehouse(tmpDir("brcatchup"))
+    val schedule = BatchRunner.dateRange(
+      LocalDate.of(2021, 3, 10), LocalDate.of(2021, 3, 13))
+    // nothing written yet: the whole schedule is missing
+    assert(BatchRunner.missingDates(spark, w, "t", "ds", schedule) == schedule)
+    // a pipeline that upserts one partition per date
+    val p = Pipeline("p", Seq(Stage("write", (sp, ww, ctx) =>
+      ww.partitionedUpsertWrite(
+        Seq((ctx.ds, 1)).toDF("ds", "v"), "t", "ds"))))
+    // run days 1 and 3 only (simulating an interrupted / partial backfill)
+    BatchRunner.run(spark, w, p, Seq(schedule(0), schedule(2)))
+    val missing = BatchRunner.missingDates(spark, w, "t", "ds", schedule)
+    assert(missing == Seq(schedule(1), schedule(3)))
+    // resume: running exactly the missing days completes the schedule
+    BatchRunner.run(spark, w, p, missing)
+    assert(BatchRunner.missingDates(spark, w, "t", "ds", schedule).isEmpty)
+    assert(w.read(spark, "t").count() == 4)
+  }
 }

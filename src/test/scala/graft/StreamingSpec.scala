@@ -120,6 +120,50 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowedFreqSketch: CMS cells built across micro-batches equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val types = Seq("click", "view", "purchase", "signup")
+    val events = (1 to 40).map(i =>
+      Event(i, tsH(i % 2, i % 55), 100 + i % 7, types(i % 4), i.toDouble))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedFreqSketch(stream.toDF())
+      .writeStream.format("memory").queryName("win_cms")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(13))
+      q.processAllAvailable()
+      stream.addData(events.drop(13))
+      q.processAllAvailable()
+
+      def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = df
+        .select(unix_micros(col("window.start")).as("ws"),
+          expr("transform(freq_sketch, e -> struct(e.cell, e.cnt))").as("sk"))
+        .collect().map(_.toSeq).toSet
+      val streamed = norm(spark.table("win_cms"))
+      val batch = norm(EventStreams.windowedFreqSketch(events.toDF()))
+      assert(streamed == batch)
+      assert(streamed.size == 2)
+      // the summary answers a point query: per window, est(click) >= true count
+      val est = spark.table("win_cms")
+        .select(unix_micros(col("window.start")).as("ws"), col("freq_sketch"))
+        .withColumn("h", graft.functions.TextFunctions.md5Bits(lit("click"), 15))
+        .withColumn("est", least((0 until graft.plans.CmsAggregate.D).map(i =>
+          coalesce(expr(s"try_element_at(filter(freq_sketch, e -> e.cell = " +
+            s"CAST(${i * 64} + (shiftright(h, ${15 * i}) & 63) AS INT)), 1).cnt"),
+            lit(0L))): _*))
+        .select(col("ws"), col("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val trueCounts = events.filter(_.event_type == "click")
+        .groupBy(e => e.ts.getTime >= 3600000L)
+        .view.mapValues(_.size.toLong).toMap
+      est.values.foreach(v => assert(v >= 0L))
+      assert(est.values.sum >= trueCounts.values.sum, "CMS never undercounts")
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts append mode: a window emits only once the watermark passes it, then is final") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
