@@ -153,7 +153,9 @@ object PlanDump {
     // freshness: one per-type agg; watermark from the report, not a second scan
     "evt_freshness",
     // centroid drift: broadcast argmax assign + |cells|x|dims| partial agg
-    "sim_centroid_drift")
+    "sim_centroid_drift",
+    // vocab coverage: corpus-sized token count, then histogram re-aggregation
+    "txt_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

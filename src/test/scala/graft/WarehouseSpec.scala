@@ -161,6 +161,35 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(!wh.exists("__retired__t"), "retired copy cleaned after publish")
   }
 
+  test("writeAuditPublish with an expectations-style audit body gates a publish end-to-end") {
+    val wh = new Warehouse(tmpDir("whwapx"))
+    // the audit body: declarative rules over the STAGED readback, the
+    // q_expectations_audit pattern (not-null + accepted set + unique key)
+    def expectations(df: org.apache.spark.sql.DataFrame): Option[String] = {
+      val agg = df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("v_nn"),
+        sum(when(!col("status").isin("ok", "warn"), 1L).otherwise(0L)).as("v_set"))
+        .collect()(0)
+      val uniq = df.groupBy(col("k")).count().filter(col("count") > 1).count()
+      if (agg.getLong(1) > 0) Some(s"${agg.getLong(1)} null keys")
+      else if (agg.getLong(2) > 0) Some(s"${agg.getLong(2)} bad statuses")
+      else if (uniq > 0) Some(s"$uniq duplicated keys")
+      else None
+    }
+    val good = Seq((1L, "ok"), (2L, "warn"), (3L, "ok")).toDF("k", "status")
+    assert(wh.writeAuditPublish(spark, good, "t", expectations).isRight)
+    // duplicate key: rejected with the uniqueness reason, live unchanged
+    val dup = Seq((7L, "ok"), (7L, "ok")).toDF("k", "status")
+    assert(wh.writeAuditPublish(spark, dup, "t", expectations) ==
+      Left("1 duplicated keys"))
+    // bad status: rejected with the set reason
+    val bad = Seq((9L, "broken")).toDF("k", "status")
+    assert(wh.writeAuditPublish(spark, bad, "t", expectations) ==
+      Left("1 bad statuses"))
+    assert(wh.read(spark, "t").count() == 3, "live survived both bad batches")
+  }
+
   test("schema evolution: mergeSchema surfaces a late-added column as nullable") {
     val dir = tmpDir("whevo") + "/t"
     val v1 = Tables.documents(spark, sf0001).select("doc_id", "lang").filter(col("doc_id") < 10)
