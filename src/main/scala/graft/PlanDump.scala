@@ -155,7 +155,9 @@ object PlanDump {
     // centroid drift: broadcast argmax assign + |cells|x|dims| partial agg
     "sim_centroid_drift",
     // vocab coverage: corpus-sized token count, then histogram re-aggregation
-    "txt_vocab_coverage")
+    "txt_vocab_coverage",
+    // RFM: one per-user partial agg; tercile bounds from value histograms
+    "evt_rfm_segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

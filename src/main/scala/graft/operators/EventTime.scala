@@ -586,6 +586,58 @@ object EventTime extends QueryModule {
         .orderBy(col("p_event_id"))
     }),
 
+    // ---- RFM (recency/frequency/monetary) user segmentation with
+    // DATA-DERIVED tercile boundaries — the classic lifecycle-marketing
+    // segmentation, in exact integer arithmetic. Per-user RFM is one
+    // partial-agg'd shuffle; each metric's tercile boundaries come from
+    // its count-of-counts histogram (cumulative window over |distinct
+    // values| rows — the q_skew_report bounded-input class, never a
+    // users-sized NTILE sort); the three 1-row boundary frames broadcast
+    // back. Scores 1-3 per axis (3 = best: LOW recency-days, HIGH
+    // frequency/monetary), segment = r·100 + f·10 + m, report = per-
+    // segment user counts and exact integer-DIV averages. ----
+    "evt_rfm_segments" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      val rfm = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
+        .crossJoin(broadcast(ref))
+        .withColumn("r_days", datediff(col("ref_day"), col("last_day")).cast("bigint"))
+        .select(col("user_id"), col("r_days"), col("f"), col("m_cents"))
+      def tercileBounds(metric: String): DataFrame = {
+        val hist = rfm.groupBy(col(metric)).agg(count(lit(1)).as("k"))
+        val cum = hist.withColumn("cum",
+          sum(col("k")).over(Window.orderBy(col(metric))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        cum.crossJoin(broadcast(rfm.agg(count(lit(1)).as("nu"))))
+          .agg(
+            min(when(col("cum") >= expr("(nu + 2) DIV 3"), col(metric)))
+              .as(s"${metric}_t1"),
+            min(when(col("cum") >= expr("(2 * nu + 2) DIV 3"), col(metric)))
+              .as(s"${metric}_t2"))
+      }
+      def score(metric: String, higherIsBetter: Boolean) = {
+        val (t1, t2) = (col(s"${metric}_t1"), col(s"${metric}_t2"))
+        val asc = when(col(metric) <= t1, 1L).when(col(metric) <= t2, 2L).otherwise(3L)
+        if (higherIsBetter) asc else lit(4L) - asc
+      }
+      rfm.crossJoin(broadcast(tercileBounds("r_days")))
+        .crossJoin(broadcast(tercileBounds("f")))
+        .crossJoin(broadcast(tercileBounds("m_cents")))
+        .withColumn("segment",
+          score("r_days", higherIsBetter = false) * 100L
+            + score("f", higherIsBetter = true) * 10L
+            + score("m_cents", higherIsBetter = true))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(r_days) DIV count(1)").as("avg_r_days"),
+          expr("sum(f) DIV count(1)").as("avg_f"),
+          expr("sum(m_cents) DIV count(1)").as("avg_m_cents"))
+        .orderBy(col("segment"))
+    }),
+
     // ---- ingest-freshness audit: per event_type, how stale is the
     // newest data relative to the corpus watermark — the "did stream X
     // stop?" report every ingest pipeline pages on. One partial-agg'd
@@ -679,6 +731,50 @@ object EventTime extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), ref AS (SELECT max(day) AS ref_day FROM ev
+        |), rfm AS (
+        |  SELECT user_id,
+        |    CAST(ref_day - max(day) AS BIGINT) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM ev CROSS JOIN ref GROUP BY user_id, ref_day
+        |), nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM rfm
+        |), rb AS (
+        |  SELECT min(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS t1,
+        |    min(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS t2
+        |  FROM (SELECT r_days AS v, sum(count(*)) OVER (ORDER BY r_days) AS cum
+        |        FROM rfm GROUP BY r_days) CROSS JOIN nu
+        |), fb AS (
+        |  SELECT min(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS t1,
+        |    min(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS t2
+        |  FROM (SELECT f AS v, sum(count(*)) OVER (ORDER BY f) AS cum
+        |        FROM rfm GROUP BY f) CROSS JOIN nu
+        |), mb AS (
+        |  SELECT min(CASE WHEN cum >= (nu + 2) // 3 THEN v END) AS t1,
+        |    min(CASE WHEN cum >= (2 * nu + 2) // 3 THEN v END) AS t2
+        |  FROM (SELECT m_cents AS v, sum(count(*)) OVER (ORDER BY m_cents) AS cum
+        |        FROM rfm GROUP BY m_cents) CROSS JOIN nu
+        |), scored AS (
+        |  SELECT rfm.*,
+        |    (4 - CASE WHEN r_days <= rb.t1 THEN 1
+        |              WHEN r_days <= rb.t2 THEN 2 ELSE 3 END) * 100
+        |    + (CASE WHEN f <= fb.t1 THEN 1
+        |            WHEN f <= fb.t2 THEN 2 ELSE 3 END) * 10
+        |    + CASE WHEN m_cents <= mb.t1 THEN 1
+        |           WHEN m_cents <= mb.t2 THEN 2 ELSE 3 END AS segment
+        |  FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+        |)
+        |SELECT CAST(segment AS BIGINT) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(r_days) // count(*) AS BIGINT) AS avg_r_days,
+        |  CAST(sum(f) // count(*) AS BIGINT) AS avg_f,
+        |  CAST(sum(m_cents) // count(*) AS BIGINT) AS avg_m_cents
+        |FROM scored GROUP BY segment ORDER BY segment""".stripMargin,
     "evt_freshness" ->
       """WITH bt AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -274,6 +274,46 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(out("2024-01-02") == ((500L, false, false)), "n=1 class: day is its own baseline, never flags")
   }
 
+  test("evt_rfm_segments: sequential tercile/score replay; users conserve") {
+    val got = SparkEntry.queries("evt_rfm_segments")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val refDay = ev.map(_._2).max
+    def days(a: String, b: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(b), java.time.LocalDate.parse(a))
+    val rfm = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, days(refDay, rows.map(_._2).max), rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq
+    val nu = rfm.size.toLong
+    def bounds(vs: Seq[Long]): (Long, Long) = {
+      val hist = vs.groupBy(identity).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (v, k)) => (v, c + k) }.drop(1)
+      def bd(target: Long) = cums.collectFirst { case (v, c) if c >= target => v }.get
+      (bd((nu + 2) / 3), bd((2 * nu + 2) / 3))
+    }
+    val (rt1, rt2) = bounds(rfm.map(_._2))
+    val (ft1, ft2) = bounds(rfm.map(_._3))
+    val (mt1, mt2) = bounds(rfm.map(_._4))
+    def asc(v: Long, t1: Long, t2: Long): Long = if (v <= t1) 1 else if (v <= t2) 2 else 3
+    val expected = rfm.groupBy { case (_, r, f, m) =>
+      (4 - asc(r, rt1, rt2)) * 100 + asc(f, ft1, ft2) * 10 + asc(m, mt1, mt2)
+    }.map { case (seg, us) =>
+      seg -> (us.size.toLong,
+        us.map(_._2).sum / us.size, us.map(_._3).sum / us.size, us.map(_._4).sum / us.size)
+    }
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == nu, "every purchasing user lands in one segment")
+    // terciles are real splits on the fixture: more than one segment per axis
+    assert(got.keySet.map(_ / 100).size > 1 && got.keySet.map(_ % 10).size > 1)
+  }
+
   test("txt_diversity: bounds hold and all-distinct docs hit the closed form") {
     val div = SparkEntry.queries("txt_diversity")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
