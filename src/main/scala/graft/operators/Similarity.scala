@@ -721,6 +721,10 @@ object Similarity extends QueryModule {
         count(lit(1)).as("n"),
         hybridTerms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      // overflow bound: the idf term is ≤ (n+1)·1e6/2 (df ≥ 1 for any
+      // scoring term), so tf × idf stays in Long up to ~1e10 docs; past
+      // that, move the multiply to DECIMAL(38,0) exactly as
+      // TextAnalysis.txt_vocab_coverage does
       val lexScore = hybridTerms.indices.map(i =>
         col(s"tf$i") * expr(s"(n + 1) * CAST(1000000 AS BIGINT) DIV (df$i + 1)"))
         .reduce(_ + _)

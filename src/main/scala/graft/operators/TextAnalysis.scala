@@ -764,8 +764,12 @@ object TextAnalysis extends QueryModule {
         .agg(sum(col("n_at")).cast("bigint").as("vocab_size"),
           sum(col("c") * col("n_at")).cast("bigint").as("kept_mass"))
         .crossJoin(broadcast(tot))
+        // the millionths multiply runs in DECIMAL(38,0): 1e6 × a BIGINT
+        // token mass overflows Long at ~9.2e12 tokens — a real 100 TB
+        // corpus is past that; DuckDB computes the same value in HUGEINT
         .select(col("min_count"), col("vocab_size"), col("kept_mass"),
-          expr("1000000 * kept_mass DIV total_mass").as("coverage_x1e6"))
+          expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * kept_mass DIV total_mass AS BIGINT)")
+            .as("coverage_x1e6"))
         .orderBy(col("min_count"))
     }),
 
