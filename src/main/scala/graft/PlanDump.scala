@@ -157,7 +157,12 @@ object PlanDump {
     // vocab coverage: corpus-sized token count, then histogram re-aggregation
     "txt_vocab_coverage",
     // RFM: one per-user partial agg; tercile bounds from value histograms
-    "evt_rfm_segments")
+    "evt_rfm_segments",
+    // round 8: real PNG decode (narrow Arrow-seam mapPartitions, only
+    // stats rows continue), BPE training loop (per-round partial-agg'd
+    // pair count + shuffle-free re-measure), HLL uniqueness gate
+    // (constant-state sketch agg, no key shuffle)
+    "mm_png_decode", "txt_bpe_train", "q_expectations_audit_est")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

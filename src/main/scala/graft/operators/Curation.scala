@@ -349,10 +349,16 @@ object Curation extends QueryModule {
           .as("r"))
         .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
           col("r.n_violations").as("n_violations"))
+      // A NULL key never witnesses uniqueness: all k NULL-keyed rows are
+      // violations, matching the oracle's count(*) − count(DISTINCT key)
+      // (count(DISTINCT) ignores NULLs). Counting groups alone would score
+      // k NULLs as k−1 — one short on exactly the pathological keys this
+      // rule exists to catch.
       val uniqueRule = o.groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).cast("bigint").as("n_checked"),
-          (sum(col("c")) - count(lit(1))).cast("bigint").as("n_violations"))
+          (sum(col("c")) - count(when(col("o_orderkey").isNotNull, 1)))
+            .cast("bigint").as("n_violations"))
         .select(lit("o_orderkey unique").as("rule"), col("n_checked"),
           col("n_violations"))
       val fkRule = {
@@ -369,6 +375,42 @@ object Curation extends QueryModule {
       rowRules.unionByName(uniqueRule).unionByName(fkRule)
         .withColumn("pass", col("n_violations") === 0L)
         .orderBy(col("rule"))
+    }),
+
+    // ---- the AT-SCALE twin of q_expectations_audit's uniqueness rule
+    // (the percentiles / percentiles_sketch pairing applied to the audit
+    // gate): the exact rule's n_rows − n_keys is the gate's one
+    // corpus-sized shuffle (every distinct key travels); this variant
+    // replaces it with graft_hll — constant 256-register state per
+    // partition partial, a few KB total on the wire at ANY corpus size.
+    // Error-bound contract: m = 256 registers ⇒ relative standard error
+    // σ ≈ 1.04/√m = 6.5%; the rule flags only duplication beyond 3σ
+    // (est_distinct < 80.5% of non-null rows), so a pass here means "no
+    // MASS duplication", not "zero duplicates" — run the exact rule at
+    // audit time when the answer must be sharp, this one in the per-batch
+    // 100 TB publish gate. NULL keys are counted separately and excluded
+    // from the estimate (the sketch hashes non-null keys only), matching
+    // the exact rule's all-NULLs-are-violations stance. The estimate
+    // itself is hash-exact reproducible: the oracle replays the identical
+    // register walk (bucket = low 8 hash bits, rho over the top lane) and
+    // the same IEEE α·m²·2⁵³/S division. ----
+    "q_expectations_audit_est" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val o = Tables.orders(s, d)
+      o.agg(
+          count(lit(1)).cast("bigint").as("n_checked"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_null_keys"),
+          call_function("graft_hll",
+            graft.functions.TextFunctions.md5Bits(
+              col("o_orderkey").cast("string"), 15)).as("sk"))
+        .select(
+          lit("o_orderkey unique_est").as("rule"),
+          col("n_checked"), col("n_null_keys"),
+          Relational.hllEst("sk").as("est_distinct"),
+          expr("CAST((n_checked - n_null_keys) * 805000 DIV 1000000 AS BIGINT)")
+            .as("min_expected"))
+        .withColumn("pass", col("est_distinct") >= col("min_expected"))
     }),
 
     // ---- key-skew audit: the pre-shuffle report an operator runs before
@@ -723,6 +765,35 @@ object Curation extends QueryModule {
         |  UNION ALL SELECT 'o_orderstatus accepted_set', n, v_set FROM ra
         |  UNION ALL SELECT 'o_totalprice positive', n, v_pos FROM ra
         |) ORDER BY rule""".stripMargin,
+    // identical HLL register walk as the q_hll_* oracles, over the
+    // uniqueness rule's key — the estimate is bit-reproducible, so the
+    // at-scale rule row hashes exactly
+    "q_expectations_audit_est" ->
+      """WITH hashed AS (
+        |  SELECT try_cast('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |), regs AS (
+        |  SELECT h & 255 AS b,
+        |    max(CASE WHEN h >> 8 = 0 THEN 53 ELSE 53 - length(bin(h >> 8)) END) AS r
+        |  FROM hashed GROUP BY h & 255
+        |), sk AS (
+        |  SELECT count(*) AS n_regs,
+        |    sum(1::BIGINT << (53 - r)) + (256 - count(*)) * (1::BIGINT << 53) AS s
+        |  FROM regs
+        |), base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys
+        |  FROM orders
+        |), est AS (
+        |  SELECT n_checked, n_null_keys,
+        |    round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |      * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(s AS DOUBLE), 4) AS est_distinct,
+        |    CAST((n_checked - n_null_keys) * 805000 // 1000000 AS BIGINT) AS min_expected
+        |  FROM base, sk
+        |)
+        |SELECT 'o_orderkey unique_est' AS rule, n_checked, n_null_keys,
+        |  est_distinct, min_expected, est_distinct >= min_expected AS pass
+        |FROM est""".stripMargin,
     "q_fk_audit" ->
       """SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans

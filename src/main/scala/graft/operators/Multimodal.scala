@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `BINARY` columns with a typed metadata struct travelling beside them.
   *
-  * The decode step is STUBBED (no image/audio libraries in this container —
-  * see [[FakeDecoder]]): the decode produces a deterministic fake feature
-  * vector from the payload bytes. Everything around it is real Spark
-  * plumbing: schema, per-partition batched iteration, feature schema, and
-  * the partitioning story.
+  * The IMAGE decode is REAL: [[PngCodec]] implements the public PNG spec
+  * (zlib inflate via `java.util.zip.Inflater`, per-chunk CRC32, all five
+  * scanline filters) with no image library — `mm_png_decode` recovers
+  * actual pixels and the oracle checks their sums/checksum independently.
+  * Only the video-frame content decode remains stubbed ([[FakeDecoder]] —
+  * no video codec exists in this container); its Spark plumbing (schema,
+  * per-partition batched iteration, Arrow seam, partitioning story) is
+  * real and identical to the decoded paths.
   *
   * Scale design: payload bytes never shuffle — `decodeFeatures` is a
   * mapPartitions (narrow) stage, so a 100 TB binary lake is decoded where it
@@ -190,6 +193,269 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** A REAL PNG codec — no image library, just the public PNG spec
+    * (RFC 2083): zlib via `java.util.zip.{Deflater, Inflater}`, per-chunk
+    * CRC32, and the five scanline filters (None/Sub/Up/Average/Paeth).
+    * Supports bit depth 8, color types 2 (RGB) and 6 (RGBA), no interlace —
+    * the dominant class of real-world PNGs. The encoder exists to build
+    * genuine fixtures (it rotates through ALL five filter types, one per
+    * scanline, so the decoder's unfilter logic is fully exercised); the
+    * decoder is the production path: parse chunks → verify CRCs → inflate
+    * IDAT → unfilter → raw pixels. Anything malformed degrades to a typed
+    * `Left(reason)`, never garbage pixels.
+    */
+  object PngCodec {
+    /** Unfiltered pixel bytes, row-major, `channels` bytes per pixel. */
+    case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def be4(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def readBe4(bytes: Array[Byte], off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+    private def writeChunk(out: java.io.ByteArrayOutputStream,
+                           ctype: String, data: Array[Byte]): Unit = {
+      out.write(be4(data.length.toLong), 0, 4)
+      val typeBytes = ctype.getBytes("US-ASCII")
+      out.write(typeBytes, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typeBytes); crc.update(data)
+      out.write(be4(crc.getValue), 0, 4)
+    }
+
+    /** Encode a real PNG. `px(y, x, c)` supplies each channel value;
+      * scanline y is written with filter type y % 5 so a decoder must
+      * implement all five filters to get the pixels back.
+      */
+    def encode(width: Int, height: Int, colorType: Int,
+               px: (Int, Int, Int) => Int): Array[Byte] = {
+      require(colorType == 2 || colorType == 6, s"colorType $colorType")
+      val ch = if (colorType == 2) 3 else 4
+      val stride = width * ch
+      val raw = new Array[Byte]((stride + 1) * height)
+      val cur = new Array[Int](stride)
+      val prior = new Array[Int](stride)
+      var off = 0
+      var y = 0
+      while (y < height) {
+        var i = 0
+        while (i < stride) { cur(i) = px(y, i / ch, i % ch) & 0xff; i += 1 }
+        val ft = y % 5
+        raw(off) = ft.toByte; off += 1
+        i = 0
+        while (i < stride) {
+          val left = if (i >= ch) cur(i - ch) else 0
+          val up = if (y > 0) prior(i) else 0
+          val upLeft = if (y > 0 && i >= ch) prior(i - ch) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case _ => paeth(left, up, upLeft)
+          }
+          raw(off) = ((cur(i) - pred) & 0xff).toByte; off += 1
+          i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(tmp); zbuf.write(tmp, 0, n)
+      }
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(MediaHeader.PngSignature, 0, 8)
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(be4(width.toLong), 0, 4); ihdr.write(be4(height.toLong), 0, 4)
+      ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+      writeChunk(out, "IHDR", ihdr.toByteArray)
+      writeChunk(out, "IDAT", zbuf.toByteArray)
+      writeChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** The real decode: signature → chunk walk (length bounds + CRC32 per
+      * chunk) → IHDR fields → inflate concatenated IDAT → per-scanline
+      * unfilter. Every malformation returns a typed reason.
+      */
+    def decode(bytes: Array[Byte]): Either[String, Decoded] = try {
+      if (bytes.length < 8 ||
+          !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 8),
+            MediaHeader.PngSignature))
+        return Left("bad signature")
+      var off = 8
+      var width = -1; var height = -1; var colorType = -1; var bitDepth = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenIend = false
+      while (!seenIend) {
+        if (off + 8 > bytes.length) return Left("truncated chunk header")
+        val len = readBe4(bytes, off)
+        if (len > Int.MaxValue - 12 || off + 12 + len > bytes.length)
+          return Left("truncated chunk")
+        val n = len.toInt
+        val ctype = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + n)
+        if (crc.getValue != readBe4(bytes, off + 8 + n))
+          return Left(s"crc mismatch in $ctype")
+        ctype match {
+          case "IHDR" =>
+            if (n != 13) return Left("bad IHDR length")
+            width = readBe4(bytes, off + 8).toInt
+            height = readBe4(bytes, off + 12).toInt
+            bitDepth = bytes(off + 16) & 0xff
+            colorType = bytes(off + 17) & 0xff
+            if (bitDepth != 8 || (colorType != 2 && colorType != 6))
+              return Left(s"unsupported bit depth $bitDepth / color type $colorType")
+            if (bytes(off + 18) != 0 || bytes(off + 19) != 0 || bytes(off + 20) != 0)
+              return Left("unsupported compression/filter/interlace method")
+          case "IDAT" => idat.write(bytes, off + 8, n)
+          case "IEND" => seenIend = true
+          case _      => () // ancillary chunk: CRC-checked, content skipped
+        }
+        off += 12 + n
+      }
+      if (width <= 0 || height <= 0) return Left("missing or empty IHDR")
+      if (idat.size() == 0) return Left("no IDAT data")
+      val ch = if (colorType == 2) 3 else 4
+      val stride = width * ch
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var total = 0
+      try {
+        while (!inflater.finished() && total < raw.length) {
+          val n = inflater.inflate(raw, total, raw.length - total)
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            return Left("truncated IDAT stream")
+          total += n
+        }
+      } finally inflater.end()
+      if (total != raw.length) return Left("short pixel stream")
+      val pixels = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        if (ft > 4) return Left(s"bad filter type $ft")
+        val rowOff = y * (stride + 1) + 1
+        val outOff = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(rowOff + i) & 0xff
+          val left = if (i >= ch) pixels(outOff + i - ch) & 0xff else 0
+          val up = if (y > 0) pixels(outOff - stride + i) & 0xff else 0
+          val upLeft = if (y > 0 && i >= ch) pixels(outOff - stride + i - ch) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case _ => x + paeth(left, up, upLeft)
+          }
+          pixels(outOff + i) = (v & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      Right(Decoded(width, height, ch, pixels))
+    } catch {
+      case scala.util.control.NonFatal(e) => Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  /** Small REAL PNGs (≤ 16×12, RGB for even doc_ids / RGBA for odd) whose
+    * pixel values follow a formula the DuckDB oracle can replay
+    * independently — while the Spark side only learns them by genuinely
+    * decoding the bytes (inflate + unfilter). Encoded with all five filter
+    * types in rotation, so a broken filter implementation cannot round-trip.
+    * Images are deliberately small: the oracle enumerates every pixel in
+    * SQL, which bounds fixture size, not the decoder (the decode path is
+    * the same for a 4K frame).
+    */
+  def attachPngPixelMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"),
+        col("n_chars").cast("bigint").as("n_chars")).rdd.map { r =>
+      val id = r.getLong(0); val nChars = r.getLong(1)
+      val w = (id % 16 + 1).toInt
+      val h = (nChars % 12 + 1).toInt
+      val colorType = if (id % 2 == 0) 2 else 6
+      val bytes = PngCodec.encode(w, h, colorType,
+        (y, x, c) => ((id * 31 + y * 7 + x * 5 + c * 11) % 256).toInt)
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val pngDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("channels", LongType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("sum_a", LongType),
+    StructField("checksum", LongType)))
+
+  private def pngDecodeRow(id: Long, bytes: Array[Byte]): Row =
+    PngCodec.decode(bytes) match {
+      case Left(_) =>
+        Row(id, "png-corrupt", null, null, null, null, null, null, null, null, null)
+      case Right(d) =>
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumA = 0L
+        var checksum = 0L
+        var i = 0
+        while (i < d.pixels.length) {
+          val v = (d.pixels(i) & 0xff).toLong
+          (i % d.channels) match {
+            case 0 => sumR += v
+            case 1 => sumG += v
+            case 2 => sumB += v
+            case _ => sumA += v
+          }
+          checksum += v * (i + 1)
+          i += 1
+        }
+        Row(id, "png", d.width.toLong, d.height.toLong, d.channels.toLong,
+          d.width.toLong * d.height, sumR, sumG, sumB,
+          if (d.channels == 4) sumA else null, checksum)
+    }
+
+  /** Full PNG pixel decode over the Arrow batch seam (same contract as
+    * [[parseHeadersArrow]]): inflate + unfilter happen where the bytes are
+    * read; only the per-image stats rows continue.
+    */
+  def decodePngArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, pngDecodeSchema)(pngDecodeRow)
+
+  /** Row-path twin of [[decodePngArrow]] (parity spec pins equality). */
+  def decodePng(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      pngDecodeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, pngDecodeSchema)
+  }
+
   val wavHeaderSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -361,6 +627,40 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** REAL image featurizer over the Arrow contract: each payload is decoded
+    * with [[PngCodec]] (inflate + unfilter — actual pixels, not a hash of
+    * the compressed bytes) and featurized as
+    * `[width, height, channels, mean_r, mean_g, mean_b, mean_a, mean_all]`
+    * (means normalized to [0, 1]; mean_a = 0 for RGB). A payload that fails
+    * to decode yields the all-zero vector — the typed-degradation contract,
+    * matching `png-corrupt` on the stats path. This replaces the fake
+    * featurization for the image class; [[FakeDecoder]] remains only where
+    * no codec exists in this container (video frame content).
+    */
+  object PngArrowDecoder extends ArrowBatchDecoder {
+    override def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]] = {
+      val payload = root.getVector("payload")
+        .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+      (0 until root.getRowCount).map { i =>
+        PngCodec.decode(payload.get(i)) match {
+          case Left(_) => new Array[Double](FakeDecoder.featureDim)
+          case Right(d) =>
+            val sums = new Array[Double](4)
+            var j = 0
+            while (j < d.pixels.length) {
+              sums(j % d.channels) += (d.pixels(j) & 0xff) / 255.0
+              j += 1
+            }
+            val nPix = (d.width.toDouble * d.height).max(1.0)
+            val meanAll = sums.sum / (nPix * d.channels)
+            Array(d.width.toDouble, d.height.toDouble, d.channels.toDouble,
+              sums(0) / nPix, sums(1) / nPix, sums(2) / nPix,
+              if (d.channels == 4) sums(3) / nPix else 0.0, meanAll)
+        }
+      }
+    }
+  }
+
   /** [[decodeFeatures]] over the Arrow-columnar batch contract: rows are
     * marshalled into Arrow `VectorSchemaRoot` batches of
     * [[FakeDecoder.batchSize]] inside `mapPartitions` (still narrow — the
@@ -487,6 +787,21 @@ object Multimodal extends QueryModule {
           col("bits_per_sample").cast("bigint").as("bits_per_sample"),
           col("data_len"), col("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- FULL pixel decode, not header sniffing: the payload is a REAL
+    // complete PNG ([[attachPngPixelMedia]] — deflated IDAT, all five
+    // scanline filters in rotation, per-chunk CRCs) and every value below
+    // except doc_id exists on the Spark side ONLY because
+    // [[PngCodec.decode]] genuinely inflates and unfilters the bytes
+    // inside the Arrow batch seam. The oracle replays the generative pixel
+    // formula per (y, x, channel) in SQL — it never sees the bytes — so
+    // any filter/inflate bug breaks the hash. Narrow stage end to end:
+    // compressed bytes are decoded where read, only per-image stats rows
+    // continue to the sort. ----
+    "mm_png_decode" -> ((s, d) => {
+      val media = attachPngPixelMedia(Tables.documents(s, d))
+      decodePngArrow(media).orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -523,5 +838,32 @@ object Multimodal extends QueryModule {
         |  CAST(16 AS BIGINT) AS bits_per_sample,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS data_len,
         |  CAST(44 + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // independent replay of the pixel GENERATOR (not the decoder): the
+    // oracle enumerates every (y, x, channel) of each image and computes
+    // the same sums/positional checksum the Spark side can only reach by
+    // actually inflating + unfiltering the PNG bytes
+    "mm_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, ch,
+        |    (doc_id * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256 AS v,
+        |    (y.y * w + x.x) * ch + c.c AS pos, c.c AS c
+        |  FROM m,
+        |    UNNEST(range(0, h)) AS y(y),
+        |    UNNEST(range(0, w)) AS x(x),
+        |    UNNEST(range(0, ch)) AS c(c)
+        |)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(ch AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN c = 3 THEN v END) AS BIGINT) AS sum_a,
+        |  CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)
 }

@@ -724,7 +724,14 @@ object Similarity extends QueryModule {
       // overflow bound: the idf term is ≤ (n+1)·1e6/2 (df ≥ 1 for any
       // scoring term), so tf × idf stays in Long up to ~1e10 docs; past
       // that, move the multiply to DECIMAL(38,0) exactly as
-      // TextAnalysis.txt_vocab_coverage does
+      // TextAnalysis.txt_vocab_coverage does. Separate exactness bound:
+      // graft_topk takes the score as DOUBLE, which is exact only up to
+      // 2^53 (~9e15) — at ~1e10 docs the score can exceed that and
+      // distinct integer scores would collapse to the same double,
+      // silently breaking ties differently from the integer order. At
+      // that scale drop the 1e6 idf granularity (score DIV 1e6) before
+      // the double cast; ranking is unchanged because the granularity is
+      // a common factor.
       val lexScore = hybridTerms.indices.map(i =>
         col(s"tf$i") * expr(s"(n + 1) * CAST(1000000 AS BIGINT) DIV (df$i + 1)"))
         .reduce(_ + _)

@@ -659,6 +659,54 @@ object TextAnalysis extends QueryModule {
           expr("(n_syms_before - n_syms_after) * 10000 div n_syms_before"))
     }),
 
+    // ---- the FULL BPE training loop: iterate count → pick-top-merge →
+    // re-segment for 5 rounds, producing a real (hierarchical) merge table
+    // — txt_bpe_merges is one loop body, txt_bpe_apply is the shipped
+    // artifact's inference half; this composes them. Round r counts
+    // adjacent symbol pairs over the corpus AS RE-SEGMENTED by merges
+    // 1..r−1 (each merged pair becomes a fresh single placeholder symbol,
+    // so later rounds can merge ACROSS earlier merges — the hierarchy a
+    // real tokenizer vocabulary has), picks the (count DESC, pair ASC)
+    // winner, and records the corpus symbol count after applying it. The
+    // iteration is driver-controlled: one counting job + one shuffle-free
+    // re-measure job per round, each a full corpus scan with the merge
+    // chain applied as chained literal `replace` (codegen'd; no UDF), and
+    // per round exactly ONE 1-row collect — the selected pair — the same
+    // bounded driver state as the PQ codebook / SRP planes. Result is the
+    // merge table itself: inherently driver-sized (N rows for N rounds).
+    // At 100 TB a trainer caps per-round cost by sampling the corpus
+    // (standard practice — BPE statistics converge long before full-corpus
+    // counts); the per-round plan is unchanged, only the input fraction.
+    // Oracle: the identical loop as 5 chained CTE levels with the picked
+    // pair flowing through scalar subqueries — the sequential-greedy
+    // oracle pattern (sim_topk_mmr precedent). ----
+    "txt_bpe_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("text"))
+      var rewritten = "text" // SQL expr: corpus re-segmented by merges so far
+      val table = Seq.newBuilder[(Long, String, String, Long, Long)]
+      for (r <- 1 to 5) {
+        val sym = ('A' + r - 1).toChar.toString
+        val top = docs
+          .select(explode(split(expr(rewritten), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+          )).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("pair")).limit(1)
+          .collect()(0)
+        val pair = top.getString(0).replace("'", "''")
+        rewritten = s"replace($rewritten, '$pair', '$sym')"
+        val nAfter = docs
+          .agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
+          .collect()(0).getLong(0)
+        table += ((r.toLong, top.getString(0), sym, top.getLong(1), nAfter))
+      }
+      import s.implicits._
+      table.result().toDF("round", "pair", "symbol", "n", "n_syms_after")
+        .orderBy(col("round"))
+    }),
+
     // ---- corpus n-gram frequency: top-3 bigrams per language by count
     // (deterministic bigram tiebreak) — the vocabulary/corpus-statistics
     // pass of a training pipeline. One explode → count shuffle with partial
@@ -1044,6 +1092,31 @@ object TextAnalysis extends QueryModule {
          |    - CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)) * 10000
          |    // CAST(length(replace(text, ' ', '')) AS BIGINT) AS saved_x10000
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same 5-round greedy loop as chained CTEs: p_r picks round r's
+    // winning pair over t_{r-1}'s re-segmented corpus, t_r applies it via
+    // a scalar subquery — the oracle never sees the Spark side's picks
+    "txt_bpe_train" -> {
+      val rounds = 1 to 5
+      val ctes = rounds.map { r =>
+        val sym = ('A' + r - 1).toChar
+        s""", p$r AS (
+           |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM t${r - 1}) ws
+           |    WHERE length(w) >= 2
+           |  ) ps GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+           |), t$r AS (
+           |  SELECT replace(text, (SELECT pair FROM p$r), '$sym') AS text FROM t${r - 1}
+           |)""".stripMargin
+      }.mkString
+      val rows = rounds.map { r =>
+        val sym = ('A' + r - 1).toChar
+        s"""SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM p$r) AS pair,
+           |  '$sym' AS symbol, (SELECT n FROM p$r) AS n,
+           |  (SELECT CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) FROM t$r) AS n_syms_after""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH t0 AS (SELECT text FROM documents)$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
+    },
     "txt_gopher_rules" ->
       s"""WITH m AS (
          |  SELECT doc_id,

@@ -143,9 +143,17 @@ class Warehouse(val root: String, val format: String = "parquet") {
         Warehouse.deleteRecursively(retired)
         if (live.exists() && !live.renameTo(retired))
           Left(s"publish failed: could not retire live $name")
-        else if (!new java.io.File(stagePath).renameTo(live))
-          Left(s"publish failed: could not promote staged $name")
-        else {
+        else if (!new java.io.File(stagePath).renameTo(live)) {
+          // Promote failed after live was already retired (renameTo can
+          // fail cross-device or on platform file locks). Roll the old
+          // live copy back so the "failing publish leaves live untouched"
+          // contract holds; if even the rollback fails, say so loudly —
+          // that is the one state needing operator intervention.
+          val rolledBack = !retired.exists() || retired.renameTo(live)
+          Left(
+            if (rolledBack) s"publish failed: could not promote staged $name (previous live restored)"
+            else s"publish failed: could not promote staged $name AND rollback failed — live copy is at ${retired.getPath}")
+        } else {
           Warehouse.deleteRecursively(retired)
           Right(())
         }
@@ -155,7 +163,10 @@ class Warehouse(val root: String, val format: String = "parquet") {
 
 object Warehouse {
   private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles() returns null on I/O error or concurrent removal — never NPE
+    // from inside the publish gate.
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRecursively)
     if (f.exists()) f.delete(): Unit
   }
 }

@@ -39,6 +39,29 @@ class ComponentsSpec extends SparkSuiteBase {
     assert(Dedup.queries("dedup_incremental")(spark, sf).count() > 0)
   }
 
+  test("derived artifacts rebuild when the source fixture changes (staleness contract)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_stale")
+    val base = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "web"),  // new batch (id % 10 == 0)
+      (21L, "one two three four five six seven", "web"),    // corpus
+      (32L, "totally different words here now indeed", "web"))
+    base.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // first touch builds the corpus signature/hash artifacts for this
+    // fixture: no corpus doc matches the new batch → empty
+    assert(Dedup.queries("dedup_incremental")(spark, dir).collect().isEmpty)
+    // the corpus grows: a new corpus doc duplicates the batch doc's text.
+    // If the persisted artifacts were read stale, doc 41 would be
+    // invisible to the band join and the duplicate would be missed.
+    (base :+ (41L, "alpha beta gamma delta epsilon zeta", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r2 = Dedup.queries("dedup_incremental")(spark, dir).collect()
+    assert(r2.exists(r => r.getLong(0) == 10L && r.getLong(1) == 41L),
+      "regenerated fixture must invalidate and rebuild the corpus artifacts")
+  }
+
   test("dedup_band_tuning replays the S-curve arithmetic and is monotone in bands") {
     val sf = "/root/testdata/sf0.01"
     val sims = Dedup.queries("dedup_prefix_join")(spark, sf).collect()

@@ -231,6 +231,32 @@ class CurationSpec extends SparkSuiteBase {
     assert(got.values.exists(!_._3), "no failing rule")
   }
 
+  test("q_expectations_audit unique rule: k planted NULL keys are k violations, not k-1") {
+    // The pathological input a uniqueness check exists to catch: NULL keys.
+    // Oracle semantics are count(*) − count(DISTINCT key) — all NULL-keyed
+    // rows are violations (count(DISTINCT) ignores NULLs). A bare groupBy
+    // would under-count them by one (NULL forms a single group).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nullkey").toString
+    val base = Tables.orders(spark, sf0001).limit(100).cache()
+    val planted = base.unionByName(
+      base.limit(3).withColumn("o_orderkey", lit(null).cast("bigint")))
+    planted.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Tables.customer(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val rows = planted.collect()
+    val n = rows.length.toLong
+    val nNull = rows.count(_.isNullAt(rows.head.fieldIndex("o_orderkey"))).toLong
+    val distinctNonNull = rows.filterNot(_.isNullAt(rows.head.fieldIndex("o_orderkey")))
+      .map(_.getLong(rows.head.fieldIndex("o_orderkey"))).distinct.length.toLong
+    assert(nNull == 3L)
+    val got = SparkEntry.queries("q_expectations_audit")(spark, tmp)
+      .filter(col("rule") === "o_orderkey unique").collect().head
+    assert(got.getLong(1) == n, "n_checked")
+    assert(got.getLong(2) == n - distinctNonNull,
+      s"violations must include all $nNull NULL keys (count(*) - count(DISTINCT))")
+    base.unpersist()
+  }
+
   test("q_merge_upsert: row accounting — target + inserts, updates reclassified") {
     val o = Tables.orders(spark, sf0001)
     val nOrders = o.count()

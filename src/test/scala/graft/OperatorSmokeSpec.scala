@@ -171,6 +171,114 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "wav"))
   }
 
+  test("PngCodec: encode/decode round-trips exact pixels across all five filters and both color types") {
+    import graft.operators.Multimodal.PngCodec
+    // heights ≥ 5 exercise every filter type (encoder rotates y % 5);
+    // width 1 exercises the no-left-neighbor edge of Sub/Average/Paeth
+    for {
+      (w, h) <- Seq((1, 7), (3, 5), (16, 12), (5, 1))
+      colorType <- Seq(2, 6)
+    } {
+      val ch = if (colorType == 2) 3 else 4
+      def px(y: Int, x: Int, c: Int): Int = (y * 131 + x * 17 + c * 29 + 7) % 256
+      val bytes = PngCodec.encode(w, h, colorType, px)
+      val d = PngCodec.decode(bytes).fold(e => fail(s"decode($w x $h ct$colorType): $e"), identity)
+      assert((d.width, d.height, d.channels) == (w, h, ch))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((d.pixels((y * w + x) * ch + c) & 0xff) == px(y, x, c),
+          s"pixel ($y,$x,$c) of $w x $h ct$colorType")
+    }
+  }
+
+  test("PngCodec.decode: corrupt payloads degrade to typed reasons, never garbage pixels") {
+    import graft.operators.Multimodal.PngCodec
+    val good = PngCodec.encode(8, 6, 6, (y, x, c) => (y + x + c) % 256)
+    assert(PngCodec.decode(good).isRight)
+    // flipped IDAT byte: per-chunk CRC catches it before inflate runs
+    val flipped = good.clone()
+    flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x55).toByte
+    assert(PngCodec.decode(flipped).swap.exists(_.contains("crc mismatch")))
+    // truncation mid-chunk
+    assert(PngCodec.decode(java.util.Arrays.copyOf(good, good.length - 5)).isLeft)
+    assert(PngCodec.decode(java.util.Arrays.copyOf(good, 20)).isLeft)
+    // not a PNG at all
+    assert(PngCodec.decode("plain text".getBytes).swap.exists(_.contains("signature")))
+    // unsupported color type (grayscale = 0), CRC recomputed so only the
+    // IHDR check can reject it
+    val gray = PngCodec.encode(4, 4, 2, (_, _, _) => 0).clone()
+    gray(25) = 0 // color type byte inside IHDR
+    val crc = new java.util.zip.CRC32(); crc.update(gray, 12, 17)
+    val c = crc.getValue
+    gray(29) = ((c >> 24) & 0xff).toByte; gray(30) = ((c >> 16) & 0xff).toByte
+    gray(31) = ((c >> 8) & 0xff).toByte; gray(32) = (c & 0xff).toByte
+    assert(PngCodec.decode(gray).swap.exists(_.contains("unsupported")))
+  }
+
+  test("mm_png_decode: decoded pixel sums equal an independent replay of the generator formula") {
+    val got = Multimodal.queries("mm_png_decode")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getString(1) == "png"), "every fixture payload must decode")
+    val docs = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 16 + 1).toInt, (docs(id) % 12 + 1).toInt)
+      val ch = if (id % 2 == 0) 3 else 4
+      var sums = new Array[Long](4); var checksum = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val v = (id * 31 + y * 7 + x * 5 + c * 11) % 256
+        sums(c) += v
+        checksum += v * ((y.toLong * w + x) * ch + c + 1)
+      }
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (w.toLong, h.toLong, ch.toLong))
+      assert(r.getLong(6) == sums(0) && r.getLong(7) == sums(1) && r.getLong(8) == sums(2))
+      assert(if (ch == 4) r.getLong(9) == sums(3) else r.isNullAt(9))
+      assert(r.getLong(10) == checksum, s"checksum doc $id")
+    }
+  }
+
+  test("PNG pixel decode: Arrow path is row-identical to the row path") {
+    val media = Multimodal.attachPngPixelMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    val rowPath = canon(Multimodal.decodePng(media))
+    val arrowPath = canon(Multimodal.decodePngArrow(media))
+    assert(rowPath.nonEmpty)
+    assert(arrowPath == rowPath)
+  }
+
+  test("PngArrowDecoder: real features through the Arrow seam match the formula; corrupt → zero vector") {
+    val media = Multimodal.attachPngPixelMedia(Tables.documents(spark, sf0001).limit(20))
+    val feats = Multimodal.decodeFeaturesArrow(media, Multimodal.PngArrowDecoder)
+      .orderBy("doc_id").collect()
+    assert(feats.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Double](1)
+      val (w, h) = ((id % 16 + 1).toInt, (docs(id) % 12 + 1).toInt)
+      val ch = if (id % 2 == 0) 3 else 4
+      assert(f(0) == w && f(1) == h && f(2) == ch)
+      val sums = new Array[Double](4)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        sums(c) += ((id * 31 + y * 7 + x * 5 + c * 11) % 256) / 255.0
+      for (c <- 0 until ch)
+        assert(math.abs(f(3 + c) - sums(c) / (w * h)) < 1e-9, s"mean ch $c doc $id")
+      if (ch == 3) assert(f(6) == 0.0)
+    }
+    // corrupt payload through the same seam: zero vector, not an exception
+    val corrupt = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001).limit(3))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("payload"))
+    val z = Multimodal.decodeFeaturesArrow(corrupt, Multimodal.PngArrowDecoder).collect()
+    assert(z.forall(_.getSeq[Double](1).forall(_ == 0.0)))
+  }
+
   test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
     import graft.operators.EventTime
     // planted: steady 10/day for 10 days, then a sustained 25/day shift
