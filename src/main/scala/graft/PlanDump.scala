@@ -162,7 +162,9 @@ object PlanDump {
     // stats rows continue), BPE training loop (per-round partial-agg'd
     // pair count + shuffle-free re-measure), HLL uniqueness gate
     // (constant-state sketch agg, no key shuffle)
-    "mm_png_decode", "txt_bpe_train", "q_expectations_audit_est")
+    "mm_png_decode", "txt_bpe_train", "q_expectations_audit_est",
+    // real PCM sample decode through the same Arrow seam
+    "mm_wav_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

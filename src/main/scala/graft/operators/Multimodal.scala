@@ -472,6 +472,71 @@ object Multimodal extends QueryModule {
       h.dataLen.map(Long.box).orNull, bytes.length.toLong)
   }
 
+  val wavDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("channels", LongType),
+    StructField("n_samples", LongType),
+    StructField("sum_ch0", LongType),
+    StructField("sum_ch1", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", LongType)))
+
+  /** REAL PCM sample decode — the audio twin of [[PngCodec]]: after
+    * [[WavHeader.sniff]] validates the RIFF/fmt frame, the data chunk's
+    * 16-bit little-endian samples are decoded (two's-complement sign
+    * conversion) and de-interleaved by channel (frame layout: sample j
+    * belongs to channel j mod channels). Emits exact integer stats —
+    * per-channel sums, total energy (Σv²), peak |v| — the loudness/
+    * clipping numbers an audio-curation pipeline filters on. A trailing
+    * odd byte (incomplete sample) is ignored, zero complete samples
+    * degrade to NULL stats, and non-wav/corrupt payloads degrade to the
+    * typed format class with fields withheld.
+    */
+  private def wavDecodeRow(id: Long, bytes: Array[Byte]): Row = {
+    val h = WavHeader.sniff(bytes)
+    if (h.format != "wav")
+      Row(id, h.format, null, null, null, null, null, null)
+    else {
+      val ch = h.channels.get
+      val n = (h.dataLen.get / 2L).toInt
+      if (n == 0) Row(id, "wav", ch.toLong, 0L, null, null, null, null)
+      else {
+        var sum0 = 0L; var sum1 = 0L; var sumSq = 0L; var peak = 0L
+        var j = 0
+        while (j < n) {
+          val lo = bytes(44 + 2 * j) & 0xff
+          val hi = bytes(44 + 2 * j + 1) & 0xff
+          var v = lo | (hi << 8)
+          if (v >= 32768) v -= 65536
+          if (j % ch == 0) sum0 += v else sum1 += v
+          sumSq += v.toLong * v
+          val a = math.abs(v).toLong
+          if (a > peak) peak = a
+          j += 1
+        }
+        Row(id, "wav", ch.toLong, n.toLong, sum0,
+          if (ch == 2) sum1 else null, sumSq, peak)
+      }
+    }
+  }
+
+  /** PCM sample decode over the Arrow batch seam (same contract as
+    * [[parseHeadersArrow]]): samples are decoded where the bytes are read,
+    * only the per-doc stats rows continue.
+    */
+  def decodeWavArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, wavDecodeSchema)(wavDecodeRow)
+
+  /** Row-path twin of [[decodeWavArrow]] (parity spec pins equality). */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      wavDecodeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, wavDecodeSchema)
+  }
+
   /** WAV header sniffing over the same Arrow batch seam as
     * [[parseHeadersArrow]].
     */
@@ -802,6 +867,18 @@ object Multimodal extends QueryModule {
     "mm_png_decode" -> ((s, d) => {
       val media = attachPngPixelMedia(Tables.documents(s, d))
       decodePngArrow(media).orderBy(col("doc_id"))
+    }),
+
+    // ---- FULL PCM decode, the audio twin of mm_png_decode: the payload
+    // is a real RIFF/WAVE binary whose data chunk carries the document's
+    // text bytes as 16-bit LE samples; per-channel sums / energy / peak
+    // exist on the Spark side ONLY via [[wavDecodeRow]] decoding and
+    // de-interleaving the samples inside the Arrow batch seam, while the
+    // oracle recomputes them from the text's byte values (lo + 256·hi,
+    // signed) — it never sees the framed bytes. ----
+    "mm_wav_decode" -> ((s, d) => {
+      val media = attachWavMedia(Tables.documents(s, d))
+      decodeWavArrow(media).orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -865,5 +942,34 @@ object Multimodal extends QueryModule {
         |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
         |  CAST(sum(CASE WHEN c = 3 THEN v END) AS BIGINT) AS sum_a,
         |  CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum
-        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin)
+        |FROM px GROUP BY doc_id, w, h, ch ORDER BY doc_id""".stripMargin,
+    // independent replay of the SAMPLE stream: text byte i is PCM byte i,
+    // so sample j = ord(byte 2j) + 256·ord(byte 2j+1), two's-complement
+    // signed; channel = j mod channels (fixture text is pure ASCII, so
+    // ord() = byte value). LEFT JOIN keeps zero-sample docs with NULL
+    // stats, matching the decoder's degradation
+    "mm_wav_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, doc_id % 2 + 1 AS ch,
+        |    octet_length(CAST(text AS BLOB)) // 2 AS n
+        |  FROM documents
+        |), sv AS (
+        |  SELECT doc_id, ch, j.j AS j,
+        |    CASE WHEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) >= 32768
+        |         THEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) - 65536
+        |         ELSE ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) END AS v
+        |  FROM m, UNNEST(range(0, n)) AS j(j)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN j % ch = 0 THEN v END) AS s0,
+        |    sum(CASE WHEN j % ch = 1 THEN v END) AS s1,
+        |    sum(v * v) AS sq, max(abs(v)) AS pk
+        |  FROM sv GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, 'wav' AS format, CAST(m.ch AS BIGINT) AS channels,
+        |  CAST(m.n AS BIGINT) AS n_samples,
+        |  CAST(a.s0 AS BIGINT) AS sum_ch0, CAST(a.s1 AS BIGINT) AS sum_ch1,
+        |  CAST(a.sq AS BIGINT) AS sum_sq, CAST(a.pk AS BIGINT) AS peak
+        |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin)
 }

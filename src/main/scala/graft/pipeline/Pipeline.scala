@@ -55,6 +55,10 @@ class Warehouse(val root: String, val format: String = "parquet") {
   def truncateWrite(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(format).save(tablePath(name))
 
+  /** Remove a table (stage/quarantine cleanup). */
+  def dropTable(name: String): Unit =
+    Warehouse.deleteRecursively(new java.io.File(tablePath(name)))
+
   /** S6: WRITE_APPEND — accumulate one batch per run. */
   def appendWrite(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Append).format(format).save(tablePath(name))

@@ -279,6 +279,55 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(z.forall(_.getSeq[Double](1).forall(_ == 0.0)))
   }
 
+  test("WAV PCM decode: signed samples, channel de-interleave, odd trailing byte, corrupt degrade") {
+    import graft.operators.Multimodal
+    // hand-build a stereo 16-bit wav whose samples exercise what the
+    // ASCII-text fixture cannot: negative samples (high byte ≥ 0x80),
+    // extremes, and an odd trailing byte that must be ignored
+    def wav(channels: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(16000).putInt(16000 * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    // samples: +1, -1 (0xFFFF), -32768 (0x0080 LE), +32767 (0xFF7F LE), then one odd byte
+    val data = Array[Byte](1, 0, -1, -1, 0, -128, -1, 127, 42)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(7L, wav(2, data)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val r = Multimodal.decodeWav(media).collect().head
+    assert(r.getString(1) == "wav" && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L, "odd trailing byte must not count as a sample")
+    // de-interleave: ch0 = samples 0,2 = 1 + (-32768); ch1 = samples 1,3 = -1 + 32767
+    assert(r.getLong(4) == 1L - 32768L)
+    assert(r.getLong(5) == -1L + 32767L)
+    assert(r.getLong(6) == 1L + 1L + 32768L * 32768L + 32767L * 32767L)
+    assert(r.getLong(7) == 32768L)
+    // corrupt: flipped byteRate fails the fmt arithmetic check → typed degrade
+    val bad = wav(2, data); bad(28) = (bad(28) ^ 1).toByte
+    val rb = Multimodal.decodeWav(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(8L, bad))),
+      media.schema)).collect().head
+    assert(rb.getString(1) == "wav-corrupt" && rb.isNullAt(3))
+  }
+
+  test("WAV PCM decode: Arrow path is row-identical to the row path on the fixture") {
+    val media = Multimodal.attachWavMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    val rowPath = canon(Multimodal.decodeWav(media))
+    val arrowPath = canon(Multimodal.decodeWavArrow(media))
+    assert(rowPath.nonEmpty)
+    assert(arrowPath == rowPath)
+    assert(rowPath.forall(_(1) == "wav"))
+  }
+
   test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
     import graft.operators.EventTime
     // planted: steady 10/day for 10 days, then a sustained 25/day shift
