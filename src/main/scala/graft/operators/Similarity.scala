@@ -401,7 +401,14 @@ object Similarity extends QueryModule {
     // recall on near-duplicates. The previous key (vec_id % 16) was a row-id
     // shard: ~15/16 of genuine near-dup pairs landed in different shards and
     // were never compared. SimilaritySpec pins the recall win on a planted
-    // near-dup set. ----
+    // near-dup set.
+    // Scale law: the 2^8 code space is CONSTANT, so bucket occupancy — and
+    // the within-bucket quadratic verify — grows linearly with the corpus
+    // (measured: 2.9× at 10× data even under --grow-blocks, SCALE.md). The
+    // at-scale remedy is growing the PLANE COUNT with the corpus (16 planes
+    // → 65k buckets, 24 → 16M): code space should track corpus size so
+    // per-bucket membership stays bounded — the same knob IVF turns via
+    // k (cell count), at one extra sign-bit column per added plane. ----
     "sim_pairs_block" -> ((s, d) =>
       blockedDupPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
 
