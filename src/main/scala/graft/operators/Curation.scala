@@ -408,7 +408,14 @@ object Curation extends QueryModule {
           lit("o_orderkey unique_est").as("rule"),
           col("n_checked"), col("n_null_keys"),
           Relational.hllEst("sk").as("est_distinct"),
-          expr("CAST((n_checked - n_null_keys) * 805000 DIV 1000000 AS BIGINT)")
+          // floor(n·0.805) split as quotient/remainder so the multiply
+          // never overflows BIGINT at any batch size (n·805000 wraps at
+          // ~1.15e13 rows — inside 100 TB range; same fix class as the
+          // vocab-coverage millionths): n = q·1e6 + r ⇒
+          // floor(n·805000/1e6) = q·805000 + floor(r·805000/1e6), exact
+          expr("""CAST((n_checked - n_null_keys) DIV 1000000 * 805000
+                 |  + ((n_checked - n_null_keys) % 1000000) * 805000 DIV 1000000
+                 |  AS BIGINT)""".stripMargin)
             .as("min_expected"))
         .withColumn("pass", col("est_distinct") >= col("min_expected"))
     }),
@@ -788,7 +795,8 @@ object Curation extends QueryModule {
         |  SELECT n_checked, n_null_keys,
         |    round((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
         |      * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) / CAST(s AS DOUBLE), 4) AS est_distinct,
-        |    CAST((n_checked - n_null_keys) * 805000 // 1000000 AS BIGINT) AS min_expected
+        |    CAST((n_checked - n_null_keys) // 1000000 * 805000
+        |      + ((n_checked - n_null_keys) % 1000000) * 805000 // 1000000 AS BIGINT) AS min_expected
         |  FROM base, sk
         |)
         |SELECT 'o_orderkey unique_est' AS rule, n_checked, n_null_keys,

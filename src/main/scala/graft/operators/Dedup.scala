@@ -97,12 +97,40 @@ object Dedup extends QueryModule {
     }
 
     /** Read artifact `name` derived from `<d>/<source>.parquet`, building
-      * it with `build` only if no fresh copy exists.
+      * it with `build` only if no fresh copy exists. Builds are ATOMIC:
+      * the table is written under a scratch key and renamed into place
+      * only after the write (and its `_SUCCESS` marker) completed — a
+      * crash mid-build leaves scratch, never a half-written live key that
+      * later reads would silently trust; freshness checks require the
+      * `_SUCCESS` marker, not bare directory existence. Superseded
+      * fingerprints of the same artifact are pruned on rebuild so
+      * regenerated fixtures don't accumulate dead parquet in tmp.
       */
     def table(s: SparkSession, d: String, source: String, name: String)(
         build: => DataFrame): DataFrame = {
       val key = s"${name}_${fingerprint(d, source)}"
-      if (built.add(key) && !wh.exists(key)) wh.truncateWrite(build, key)
+      if (!built.contains(key)) {
+        val live = new java.io.File(wh.tablePath(key))
+        def fresh = new java.io.File(live, "_SUCCESS").exists()
+        if (!fresh) {
+          val scratch = s"${key}__build${java.util.UUID.randomUUID.toString.take(8)}"
+          wh.truncateWrite(build, scratch)
+          if (!fresh) { // another process may have published while we built
+            wh.dropTable(key)
+            if (!new java.io.File(wh.tablePath(scratch)).renameTo(live) && !fresh)
+              throw new IllegalStateException(
+                s"could not publish derived artifact $key")
+          } else wh.dropTable(scratch)
+          // prune superseded generations: same name, different fingerprint
+          val pat = java.util.regex.Pattern.compile(
+            java.util.regex.Pattern.quote(name) + "_[0-9a-f]{16}")
+          Option(new java.io.File(wh.root).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => pat.matcher(f.getName).matches() && f.getName != key)
+            .foreach(f => wh.dropTable(f.getName))
+        }
+        built.add(key)
+      }
       wh.read(s, key)
     }
   }

@@ -181,8 +181,12 @@ object Multimodal extends QueryModule {
         val channels = le2(22)
         val rate = le4(24)
         val bits = le2(34)
+        // channels ≥ 1 and bits ≥ 8 are structural, not arithmetic: a
+        // zero-channel header satisfies the blockAlign/byteRate identities
+        // trivially (0 == 0) and would crash any de-interleaving consumer
         val ok = le4(4) == bytes.length - 8L &&
           ascii(12) == "fmt " && le4(16) == 16L && le2(20) == 1 &&
+          channels >= 1 && bits >= 8 &&
           le2(32) == channels * bits / 8 &&
           le4(28) == rate * channels * bits / 8 &&
           ascii(36) == "data" && le4(40) == bytes.length - 44L
@@ -333,7 +337,19 @@ object Multimodal extends QueryModule {
       if (width <= 0 || height <= 0) return Left("missing or empty IHDR")
       if (idat.size() == 0) return Left("no IDAT data")
       val ch = if (colorType == 2) 3 else 4
-      val stride = width * ch
+      val strideL = width.toLong * ch
+      val rawLen = (strideL + 1L) * height
+      // plausibility gate BEFORE allocating: zlib's maximum compression
+      // ratio is ~1032:1, so claimed dimensions whose raw size exceeds
+      // what the present IDAT bytes could possibly inflate to are a
+      // crafted/corrupt header — degrade typed instead of letting a
+      // 100-byte payload drive a multi-GB allocation (OutOfMemoryError
+      // is not NonFatal and would escape the Left contract)
+      if (rawLen > Int.MaxValue.toLong)
+        return Left("dimensions exceed supported size")
+      if (rawLen > idat.size().toLong * 1100L + 64L)
+        return Left("dimensions implausible for IDAT size")
+      val stride = strideL.toInt
       val raw = new Array[Byte]((stride + 1) * height)
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(idat.toByteArray)
@@ -497,6 +513,10 @@ object Multimodal extends QueryModule {
     val h = WavHeader.sniff(bytes)
     if (h.format != "wav")
       Row(id, h.format, null, null, null, null, null, null)
+    // this decoder implements 16-bit PCM only; a valid wav at another
+    // depth degrades typed instead of decoding garbage labeled "wav"
+    else if (h.bitsPerSample.get != 16)
+      Row(id, "wav-unsupported", null, null, null, null, null, null)
     else {
       val ch = h.channels.get
       val n = (h.dataLen.get / 2L).toInt

@@ -682,6 +682,14 @@ object TextAnalysis extends QueryModule {
     // oracle pattern (sim_topk_mmr precedent). ----
     "txt_bpe_train" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("text"))
+      // placeholder symbols must be FRESH — a corpus containing literal
+      // A..E would conflate text characters with merge symbols, silently
+      // corrupting pair counts IDENTICALLY in both engines (the oracle
+      // could not catch it). Enforce loudly, the srpPlanes precedent:
+      val tainted = docs.filter(col("text").rlike("[A-E]")).limit(1).count()
+      require(tainted == 0L,
+        "txt_bpe_train: corpus contains literal A-E — supply placeholder " +
+          "symbols outside this corpus's alphabet")
       var rewritten = "text" // SQL expr: corpus re-segmented by merges so far
       val table = Seq.newBuilder[(Long, String, String, Long, Long)]
       for (r <- 1 to 5) {
@@ -695,7 +703,11 @@ object TextAnalysis extends QueryModule {
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("pair")).limit(1)
           .collect()(0)
-        val pair = top.getString(0).replace("'", "''")
+        // escape for a Spark SQL literal: backslashes are escape
+        // sequences in Spark (but literal in DuckDB — whose oracle never
+        // embeds the pair as a literal, it flows through subqueries), and
+        // a lone trailing backslash would swallow the closing quote
+        val pair = top.getString(0).replace("\\", "\\\\").replace("'", "''")
         rewritten = s"replace($rewritten, '$pair', '$sym')"
         val nAfter = docs
           .agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))

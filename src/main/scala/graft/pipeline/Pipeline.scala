@@ -152,10 +152,15 @@ class Warehouse(val root: String, val format: String = "parquet") {
           // fail cross-device or on platform file locks). Roll the old
           // live copy back so the "failing publish leaves live untouched"
           // contract holds; if even the rollback fails, say so loudly —
-          // that is the one state needing operator intervention.
-          val rolledBack = !retired.exists() || retired.renameTo(live)
+          // that is the one state needing operator intervention. On a
+          // FIRST publish there is no previous live to restore — say
+          // that, not "restored", so the operator knows readers see
+          // nothing rather than the old table.
           Left(
-            if (rolledBack) s"publish failed: could not promote staged $name (previous live restored)"
+            if (!retired.exists())
+              s"publish failed: could not promote staged $name (no previous live existed)"
+            else if (retired.renameTo(live))
+              s"publish failed: could not promote staged $name (previous live restored)"
             else s"publish failed: could not promote staged $name AND rollback failed — live copy is at ${retired.getPath}")
         } else {
           Warehouse.deleteRecursively(retired)

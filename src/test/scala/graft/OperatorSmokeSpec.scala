@@ -212,6 +212,19 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     gray(29) = ((c >> 24) & 0xff).toByte; gray(30) = ((c >> 16) & 0xff).toByte
     gray(31) = ((c >> 8) & 0xff).toByte; gray(32) = (c & 0xff).toByte
     assert(PngCodec.decode(gray).swap.exists(_.contains("unsupported")))
+    // crafted IHDR claiming huge dimensions over a tiny IDAT: the
+    // plausibility gate must reject BEFORE allocating (zlib can't exceed
+    // ~1032:1), keeping the typed-Left contract instead of an OOM Error
+    val huge = PngCodec.encode(4, 4, 6, (_, _, _) => 0).clone()
+    def putBe4(off: Int, v: Long): Unit = {
+      huge(off) = ((v >> 24) & 0xff).toByte; huge(off + 1) = ((v >> 16) & 0xff).toByte
+      huge(off + 2) = ((v >> 8) & 0xff).toByte; huge(off + 3) = (v & 0xff).toByte
+    }
+    putBe4(16, 16000); putBe4(20, 16000) // width, height inside IHDR
+    val crc2 = new java.util.zip.CRC32(); crc2.update(huge, 12, 17)
+    putBe4(29, crc2.getValue)
+    assert(PngCodec.decode(huge).swap.exists(e =>
+      e.contains("implausible") || e.contains("exceed")))
   }
 
   test("mm_png_decode: decoded pixel sums equal an independent replay of the generator formula") {
@@ -315,6 +328,35 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(8L, bad))),
       media.schema)).collect().head
     assert(rb.getString(1) == "wav-corrupt" && rb.isNullAt(3))
+    // zero-channel header satisfies the byteRate/blockAlign identities
+    // trivially (0 == 0) — must be rejected structurally, not crash the
+    // de-interleave with a divide-by-zero
+    val zeroCh = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(0)
+        .putInt(16000).putInt(0).putShort(0).putShort(16)
+      bb.put("data".getBytes).putInt(4).put(Array[Byte](1, 2, 3, 4))
+      bb.array()
+    }
+    assert(graft.operators.Multimodal.WavHeader.sniff(zeroCh).format == "wav-corrupt")
+    // a VALID wav at a bit depth this decoder doesn't implement degrades
+    // typed instead of decoding garbage labeled "wav"
+    val eightBit = {
+      val d8 = Array[Byte](10, 20, 30, 40)
+      val bb = java.nio.ByteBuffer.allocate(44 + d8.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + d8.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+        .putInt(16000).putInt(16000 * 2).putShort(2).putShort(8)
+      bb.put("data".getBytes).putInt(d8.length).put(d8)
+      bb.array()
+    }
+    val r8b = Multimodal.decodeWav(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, eightBit))),
+      media.schema)).collect().head
+    assert(r8b.getString(1) == "wav-unsupported" && r8b.isNullAt(2))
   }
 
   test("WAV PCM decode: Arrow path is row-identical to the row path on the fixture") {
