@@ -472,6 +472,63 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pngDecodeSchema)
   }
 
+  val pngResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ty", LongType),
+    StructField("tx", LongType),
+    StructField("sy", LongType),
+    StructField("sx", LongType),
+    StructField("r", LongType),
+    StructField("g", LongType),
+    StructField("b", LongType),
+    StructField("a", LongType)))
+
+  /** REAL nearest-neighbor resize on REAL decoded pixels — the image
+    * normalization step every multimodal training pipeline runs before
+    * feature extraction / embedding. For each target cell (ty, tx) of a
+    * fixed `tw`×`th` thumbnail the source pixel is (sy, sx) =
+    * (⌊ty·h/th⌋, ⌊tx·w/tw⌋) — the standard origin-anchored NN mapping,
+    * exact in integer arithmetic for both up- and down-sampling (fixture
+    * images range 1×1 to 16×12 around the 2×2 target). The emitted channel
+    * values exist ONLY by [[PngCodec.decode]] inflating + unfiltering the
+    * bytes and indexing the pixel buffer; a corrupt payload degrades to
+    * ZERO rows for that doc (spec'd). At scale this runs inside the same
+    * narrow Arrow-seam stage as the decode — payload bytes never shuffle,
+    * only th·tw thumbnail rows per image continue.
+    */
+  private def pngResizeRows(tw: Int, th: Int)(id: Long, bytes: Array[Byte]): Seq[Row] =
+    PngCodec.decode(bytes) match {
+      case Left(_) => Seq.empty
+      case Right(dd) =>
+        for {
+          ty <- 0 until th
+          tx <- 0 until tw
+        } yield {
+          val sy = ty * dd.height / th
+          val sx = tx * dd.width / tw
+          val base = (sy * dd.width + sx) * dd.channels
+          def px(c: Int): Long = (dd.pixels(base + c) & 0xff).toLong
+          Row(id, ty.toLong, tx.toLong, sy.toLong, sx.toLong,
+            px(0), px(1), px(2),
+            if (dd.channels == 4) Long.box(px(3)) else null)
+        }
+    }
+
+  /** NN thumbnail resize over the Arrow batch seam (decode + resize fused
+    * where the bytes are read).
+    */
+  def resizePngArrow(media: DataFrame, tw: Int = 2, th: Int = 2): DataFrame =
+    arrowFlatParse(media, pngResizeSchema)(pngResizeRows(tw, th))
+
+  /** Row-path twin of [[resizePngArrow]] (parity spec pins equality). */
+  def resizePng(media: DataFrame, tw: Int = 2, th: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.flatMap { row =>
+      pngResizeRows(tw, th)(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, pngResizeSchema)
+  }
+
   val wavHeaderSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -557,6 +614,72 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, wavDecodeSchema)
   }
 
+  val wavFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("channels", LongType),
+    StructField("n_samples", LongType),
+    StructField("zc_ch0", LongType),
+    StructField("zc_ch1", LongType),
+    StructField("abs_ch0", LongType),
+    StructField("abs_ch1", LongType)))
+
+  /** Per-channel DSP features over REAL decoded PCM: zero-crossing counts
+    * (consecutive same-channel samples whose signs differ — the classic
+    * cheap voiced/unvoiced + noisiness signal, v = 0 counted non-negative)
+    * and Σ|v| amplitude mass — all exact integers so the oracle hash is
+    * bit-stable. Same decode/degradation contract as [[wavDecodeRow]]:
+    * non-wav → typed class, non-16-bit → `wav-unsupported`, zero complete
+    * samples → NULL stats; mono leaves the ch1 columns NULL.
+    */
+  private def wavFeatureRow(id: Long, bytes: Array[Byte]): Row = {
+    val h = WavHeader.sniff(bytes)
+    if (h.format != "wav")
+      Row(id, h.format, null, null, null, null, null, null)
+    else if (h.bitsPerSample.get != 16)
+      Row(id, "wav-unsupported", null, null, null, null, null, null)
+    else {
+      val ch = h.channels.get
+      val n = (h.dataLen.get / 2L).toInt
+      if (n == 0) Row(id, "wav", ch.toLong, 0L, null, null, null, null)
+      else {
+        val zc = new Array[Long](ch)
+        val absSum = new Array[Long](ch)
+        val prev = new Array[Int](ch)
+        val seen = new Array[Boolean](ch)
+        var j = 0
+        while (j < n) {
+          val lo = bytes(44 + 2 * j) & 0xff
+          val hi = bytes(44 + 2 * j + 1) & 0xff
+          var v = lo | (hi << 8)
+          if (v >= 32768) v -= 65536
+          val c = j % ch
+          absSum(c) += math.abs(v).toLong
+          if (seen(c) && ((prev(c) < 0) != (v < 0))) zc(c) += 1
+          prev(c) = v
+          seen(c) = true
+          j += 1
+        }
+        Row(id, "wav", ch.toLong, n.toLong, zc(0),
+          if (ch == 2) Long.box(zc(1)) else null, absSum(0),
+          if (ch == 2) Long.box(absSum(1)) else null)
+      }
+    }
+  }
+
+  /** PCM feature extraction over the Arrow batch seam. */
+  def wavFeaturesArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, wavFeatureSchema)(wavFeatureRow)
+
+  /** Row-path twin of [[wavFeaturesArrow]] (parity spec pins equality). */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      wavFeatureRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, wavFeatureSchema)
+  }
+
   /** WAV header sniffing over the same Arrow batch seam as
     * [[parseHeadersArrow]].
     */
@@ -605,7 +728,18 @@ object Multimodal extends QueryModule {
     */
   private def arrowHeaderParse(
       media: DataFrame, schema: StructType)(
-      parse: (Long, Array[Byte]) => Row): DataFrame = {
+      parse: (Long, Array[Byte]) => Row): DataFrame =
+    arrowFlatParse(media, schema)((id, bytes) => Seq(parse(id, bytes)))
+
+  /** Generalization of [[arrowHeaderParse]] for parsers that emit a
+    * VARIABLE number of rows per payload (e.g. one row per resized pixel):
+    * same per-batch `VectorSchemaRoot` marshalling, same narrow-stage
+    * contract, `parse` returns the (eagerly materialized) rows for one
+    * payload — corrupt payloads may legitimately return zero rows.
+    */
+  private def arrowFlatParse(
+      media: DataFrame, schema: StructType)(
+      parse: (Long, Array[Byte]) => Seq[Row]): DataFrame = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
     val spark = media.sparkSession
@@ -628,7 +762,8 @@ object Multimodal extends QueryModule {
           payload.setValueCount(batch.size)
           root = VectorSchemaRoot.of(docId, payload)
           root.setRowCount(batch.size)
-          (0 until root.getRowCount).map { i =>
+          // eager: rows must be materialized before the finally closes root
+          (0 until root.getRowCount).flatMap { i =>
             parse(docId.get(i), payload.get(i))
           }
         } finally {
@@ -899,6 +1034,27 @@ object Multimodal extends QueryModule {
     "mm_wav_decode" -> ((s, d) => {
       val media = attachWavMedia(Tables.documents(s, d))
       decodeWavArrow(media).orderBy(col("doc_id"))
+    }),
+
+    // ---- REAL resize on REAL pixels: each doc's PNG is decoded
+    // (inflate + unfilter) and nearest-neighbor-resampled to a 2×2
+    // thumbnail inside the Arrow batch seam; the emitted channel values
+    // exist ONLY by indexing the decoded pixel buffer at the NN source
+    // coordinates, while the oracle replays the generator formula at the
+    // SAME coordinates in SQL — it never sees the bytes. Completes the
+    // decode / feature-extract / resize / frame-sample multimodal set. ----
+    "mm_png_resize" -> ((s, d) => {
+      val media = attachPngPixelMedia(Tables.documents(s, d))
+      resizePngArrow(media).orderBy(col("doc_id"), col("ty"), col("tx"))
+    }),
+
+    // ---- per-channel PCM features on REAL decoded samples: zero-crossing
+    // counts + Σ|v| amplitude mass, de-interleaved by channel — the cheap
+    // audio-curation signals (silence/noisiness) computed where the bytes
+    // are read. Oracle recomputes both from the text's byte stream. ----
+    "mm_wav_features" -> ((s, d) => {
+      val media = attachWavMedia(Tables.documents(s, d))
+      wavFeaturesArrow(media).orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -990,6 +1146,63 @@ object Multimodal extends QueryModule {
         |  CAST(m.n AS BIGINT) AS n_samples,
         |  CAST(a.s0 AS BIGINT) AS sum_ch0, CAST(a.s1 AS BIGINT) AS sum_ch1,
         |  CAST(a.sq AS BIGINT) AS sum_sq, CAST(a.pk AS BIGINT) AS peak
+        |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+    // independent replay of the NN resample: the oracle computes the SAME
+    // source coordinates sy = ⌊ty·h/2⌋, sx = ⌊tx·w/2⌋ and evaluates the
+    // pixel GENERATOR there — the Spark side can only reach those values
+    // by decoding the bytes and indexing the pixel buffer
+    "mm_png_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, ch, ty.ty AS ty, tx.tx AS tx,
+        |    (ty.ty * h) // 2 AS sy, (tx.tx * w) // 2 AS sx
+        |  FROM m, UNNEST(range(0, 2)) AS ty(ty), UNNEST(range(0, 2)) AS tx(tx)
+        |)
+        |SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+        |  CAST(sy AS BIGINT) AS sy, CAST(sx AS BIGINT) AS sx,
+        |  CAST((doc_id * 31 + sy * 7 + sx * 5) % 256 AS BIGINT) AS r,
+        |  CAST((doc_id * 31 + sy * 7 + sx * 5 + 11) % 256 AS BIGINT) AS g,
+        |  CAST((doc_id * 31 + sy * 7 + sx * 5 + 22) % 256 AS BIGINT) AS b,
+        |  CAST(CASE WHEN ch = 4 THEN (doc_id * 31 + sy * 7 + sx * 5 + 33) % 256 END AS BIGINT) AS a
+        |FROM px ORDER BY doc_id, ty, tx""".stripMargin,
+    // independent replay of the zero-crossing / amplitude features from
+    // the text byte stream (same sample derivation as mm_wav_decode);
+    // lead() pairs consecutive same-channel samples. Sub-channel sums that
+    // have rows but no hits coalesce to 0 (matches the decoder's counters);
+    // mono ch1 columns and zero-sample docs stay NULL.
+    "mm_wav_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, doc_id % 2 + 1 AS ch,
+        |    octet_length(CAST(text AS BLOB)) // 2 AS n
+        |  FROM documents
+        |), sv AS (
+        |  SELECT doc_id, ch, j.j AS j, j.j % ch AS c,
+        |    CASE WHEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) >= 32768
+        |         THEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) - 65536
+        |         ELSE ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) END AS v
+        |  FROM m, UNNEST(range(0, n)) AS j(j)
+        |), w AS (
+        |  SELECT doc_id, c, v,
+        |    lead(v) OVER (PARTITION BY doc_id, c ORDER BY j) AS nv
+        |  FROM sv
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c = 0 AND nv IS NOT NULL AND ((v < 0) <> (nv < 0)) THEN 1 END) AS z0,
+        |    sum(CASE WHEN c = 1 AND nv IS NOT NULL AND ((v < 0) <> (nv < 0)) THEN 1 END) AS z1,
+        |    sum(CASE WHEN c = 0 THEN abs(v) END) AS a0,
+        |    sum(CASE WHEN c = 1 THEN abs(v) END) AS a1
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, 'wav' AS format, CAST(m.ch AS BIGINT) AS channels,
+        |  CAST(m.n AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN m.n > 0 THEN coalesce(a.z0, 0) END AS BIGINT) AS zc_ch0,
+        |  CAST(CASE WHEN m.n > 0 AND m.ch = 2 THEN coalesce(a.z1, 0) END AS BIGINT) AS zc_ch1,
+        |  CAST(CASE WHEN m.n > 0 THEN coalesce(a.a0, 0) END AS BIGINT) AS abs_ch0,
+        |  CAST(CASE WHEN m.n > 0 AND m.ch = 2 THEN coalesce(a.a1, 0) END AS BIGINT) AS abs_ch1
         |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
         |ORDER BY m.doc_id""".stripMargin)
 }

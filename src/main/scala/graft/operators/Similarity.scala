@@ -224,6 +224,65 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- PQ codebook TRAINING (2 Lloyd rounds per subspace) — the PQ
+    // twin of sim_kmeans_cells, closing the trainable-index story for the
+    // codes-only ADC path: sim_topk_pq/sim_topk_pq_rerank encode against
+    // FROZEN seed codebooks; this query trains them in place. Subvectors
+    // are micro-quantized BIGINTs (floor(x·1e6)), so centroid updates are
+    // exact integer means (Σ DIV n — order-independent) and L2² distances
+    // are exact BIGINT sequential folds; assignment ties break to the
+    // smaller code. Empty cells keep their previous centroid (the
+    // standard Lloyd detail), spelled identically in the oracle's LEFT
+    // JOIN + coalesce. Per round the work is one broadcast of the 32
+    // (m,k) centroid subvectors + one (m,k,pos) partial-agg'd update —
+    // the distributed Lloyd shape (shuffle carries 4·8·16 = 512 rows per
+    // mapper, never vectors). At 100 TB: train each round on a corpus
+    // sample (cell statistics converge long before full passes), plan
+    // shape unchanged. Output: per (m,k) cell the assigned population and
+    // exact centroid digests (Σμ, Σ|μ|). ----
+    "sim_pq_train" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sub = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        .select(col("vec_id"), explode(array((0 to 3).map(lit): _*)).as("m"), col("q"))
+        .select(col("vec_id"), col("m"), expr("slice(q, m * 16 + 1, 16)").as("sv"))
+        .cache()
+      val c0 = sub.filter(col("vec_id").between(1, 8))
+        .select(col("m"), col("vec_id").cast("int").as("k"), col("sv").as("cv"))
+      val byKey = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dd"), col("k"))
+      def assign(cent: DataFrame): DataFrame =
+        sub.join(broadcast(cent), "m")
+          .withColumn("dd", expr(
+            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+          .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("k"), col("sv"))
+      def update(assigned: DataFrame, old: DataFrame): DataFrame = {
+        val fresh = assigned.select(col("m"), col("k"), posexplode(col("sv")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg(sum(col("col")).as("sv_sum"), count(lit(1)).as("n"))
+          .withColumn("mu", expr("sv_sum DIV n"))
+          .groupBy(col("m"), col("k"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("arr"))
+          .select(col("m"), col("k"), expr("transform(arr, t -> t.mu)").as("fv"))
+        old.join(fresh, Seq("m", "k"), "left")
+          .select(col("m"), col("k"), coalesce(col("fv"), col("cv")).as("cv"))
+      }
+      val c1 = update(assign(c0), c0)
+      // final centroids are read twice (population count + digest) — a
+      // 32-row cache, the bounded-dimension-state precedent
+      val c2 = update(assign(c1), c1).cache()
+      val counts = assign(c2).groupBy(col("m"), col("k"))
+        .agg(count(lit(1)).as("n_assigned"))
+      c2.join(counts, Seq("m", "k"), "left")
+        .select(col("m").cast("bigint").as("m"), col("k").cast("bigint").as("k"),
+          coalesce(col("n_assigned"), lit(0L)).cast("bigint").as("n_assigned"),
+          expr("aggregate(cv, 0L, (acc, v) -> acc + v)").as("c_sum"),
+          expr("aggregate(cv, 0L, (acc, v) -> acc + abs(v))").as("c_l1"))
+        .orderBy(col("m"), col("k"))
+    }),
+
     // ---- IVF centroid-drift report: the RETRAIN signal that closes the
     // index-maintenance loop (sim_ivf_ingest assigns new data to frozen
     // centroids; sim_eval_retrieval measures the recall cost; this query
@@ -1048,6 +1107,55 @@ object Similarity extends QueryModule {
          |${assignCte("c1", "a2")}, ${updateCte("a2", "c2")},
          |${assignCte("c2", "af")}
          |SELECT vec_id, cell FROM af ORDER BY vec_id""".stripMargin
+    },
+    "sim_pq_train" -> {
+      // exact BIGINT L2² between 16-dim subvectors — a sequential fold,
+      // matching Spark's zip_with→aggregate bit-for-bit (all integers)
+      def l2(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, 17), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), " +
+          "(acc, v) -> acc + v)"
+      def assignCte(centCte: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT vec_id, m, k, sv FROM (
+           |    SELECT s.vec_id, s.m, c.k, s.sv
+           |    FROM sub s JOIN $centCte c ON s.m = c.m
+           |    QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.m
+           |      ORDER BY ${l2("s.sv", "c.cv")}, c.k) = 1)
+           |)""".stripMargin
+      def updateCte(assignName: String, oldCte: String, name: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT o.m, o.k, coalesce(f.fv, o.cv) AS cv
+           |  FROM $oldCte o LEFT JOIN (
+           |    SELECT m, k, list(mu ORDER BY j) AS fv FROM (
+           |      SELECT m, k, i.i AS j,
+           |        CAST(sum(sv[i.i]) // count(*) AS BIGINT) AS mu
+           |      FROM $assignName, range(1, 17) i(i) GROUP BY m, k, i.i)
+           |    GROUP BY m, k) f
+           |  ON o.m = f.m AND o.k = f.k
+           |)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+         |  FROM embeddings
+         |), sub AS MATERIALIZED (
+         |  SELECT vec_id, m.m AS m, q[m.m * 16 + 1 : m.m * 16 + 16] AS sv
+         |  FROM e, range(0, 4) m(m)
+         |), c0 AS MATERIALIZED (
+         |  SELECT m, CAST(vec_id AS INT) AS k, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), ${assignCte("c0", "a1")}, ${updateCte("a1", "c0", "c1")},
+         |${assignCte("c1", "a2")}, ${updateCte("a2", "c1", "c2")},
+         |${assignCte("c2", "af")},
+         |cnt AS (SELECT m, k, count(*) AS n_assigned FROM af GROUP BY m, k)
+         |SELECT CAST(c2.m AS BIGINT) AS m, CAST(c2.k AS BIGINT) AS k,
+         |  CAST(coalesce(cnt.n_assigned, 0) AS BIGINT) AS n_assigned,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c2.cv),
+         |    (acc, v) -> acc + v) AS BIGINT) AS c_sum,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(c2.cv, v -> abs(v))), (acc, v) -> acc + v) AS BIGINT) AS c_l1
+         |FROM c2 LEFT JOIN cnt ON c2.m = cnt.m AND c2.k = cnt.k
+         |ORDER BY m, k""".stripMargin
     },
     "sim_topk_srp" ->
       s"""WITH planes AS (

@@ -370,6 +370,100 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(rowPath.forall(_(1) == "wav"))
   }
 
+  test("PNG NN resize: picks the exact source pixels, upsamples 1x1, corrupt → zero rows, Arrow == row") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.PngCodec
+    val mediaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b) }),
+      mediaSchema)
+    // 4×2 RGB with per-pixel-distinct values: NN to 2×2 must pick source
+    // pixels (0,0), (0,2), (1,0), (1,2) — any off-by-one or stride bug
+    // lands on a different (y*64 + x*16 + c) value
+    val bytes = PngCodec.encode(4, 2, 2, (y, x, c) => y * 64 + x * 16 + c)
+    val got = Multimodal.resizePng(mediaOf(Seq((1L, bytes))))
+      .orderBy("ty", "tx").collect()
+    assert(got.length == 4)
+    val expect = Seq((0, 0), (0, 2), (1, 0), (1, 2)).zip(got).map {
+      case ((sy, sx), r) =>
+        assert((r.getLong(3), r.getLong(4)) == (sy.toLong, sx.toLong))
+        assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+          ((sy * 64 + sx * 16).toLong, (sy * 64 + sx * 16 + 1).toLong,
+            (sy * 64 + sx * 16 + 2).toLong))
+        assert(r.isNullAt(8), "RGB image has no alpha")
+    }
+    assert(expect.length == 4)
+    // 1×1 RGBA upsamples: all four thumbnail cells read pixel (0,0)
+    val one = PngCodec.encode(1, 1, 6, (_, _, c) => 40 + c)
+    val up = Multimodal.resizePng(mediaOf(Seq((2L, one)))).collect()
+    assert(up.length == 4)
+    up.foreach { r =>
+      assert((r.getLong(3), r.getLong(4)) == (0L, 0L))
+      assert((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)) ==
+        (40L, 41L, 42L, 43L))
+    }
+    // corrupt payload degrades to ZERO rows, never garbage cells
+    val bad = bytes.clone(); bad(bytes.length - 6) = (bad(bytes.length - 6) ^ 1).toByte
+    assert(Multimodal.resizePng(mediaOf(Seq((3L, bad)))).collect().isEmpty)
+    // Arrow seam parity on the full fixture
+    val media = Multimodal.attachPngPixelMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "ty", "tx").collect().map(_.toSeq).toList
+    val rowPath = canon(Multimodal.resizePng(media))
+    val arrowPath = canon(Multimodal.resizePngArrow(media))
+    assert(rowPath.nonEmpty && arrowPath == rowPath)
+  }
+
+  test("WAV features: zero crossings + |v| mass replay planted sign changes; v = 0 counts non-negative") {
+    import graft.operators.Multimodal
+    def wav(channels: Int, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(16000).putInt(16000 * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      bb.array()
+    }
+    val mediaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    def mediaOf(id: Long, b: Array[Byte]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(id, b))),
+      mediaSchema)
+    // stereo, interleaved samples: ch0 = [+1, -32768, +5] (2 crossings),
+    // ch1 = [-1, +32767] (1 crossing)
+    val data = Array[Byte](1, 0, -1, -1, 0, -128, -1, 127, 5, 0)
+    val r = Multimodal.wavFeatures(mediaOf(7L, wav(2, data))).collect().head
+    assert(r.getString(1) == "wav" && r.getLong(2) == 2L && r.getLong(3) == 5L)
+    assert(r.getLong(4) == 2L, "ch0 crossings: +1→-32768, -32768→+5")
+    assert(r.getLong(5) == 1L, "ch1 crossings: -1→+32767")
+    assert(r.getLong(6) == 1L + 32768L + 5L)
+    assert(r.getLong(7) == 1L + 32767L)
+    // mono with zeros: [0, -1, 0, +1] — 0 counts non-negative, so
+    // crossings are 0→-1 and -1→0; ch1 columns stay NULL
+    val mono = Array[Byte](0, 0, -1, -1, 0, 0, 1, 0)
+    val rm = Multimodal.wavFeatures(mediaOf(8L, wav(1, mono))).collect().head
+    assert(rm.getLong(2) == 1L && rm.getLong(3) == 4L)
+    assert(rm.getLong(4) == 2L, "v = 0 must count as non-negative")
+    assert(rm.isNullAt(5) && rm.isNullAt(7))
+    assert(rm.getLong(6) == 0L + 1L + 0L + 1L)
+    // degradation contract matches the decoder: corrupt fmt → typed class
+    val bad = wav(2, data); bad(28) = (bad(28) ^ 1).toByte
+    val rb = Multimodal.wavFeatures(mediaOf(9L, bad)).collect().head
+    assert(rb.getString(1) == "wav-corrupt" && rb.isNullAt(4))
+    // Arrow seam parity on the full fixture
+    val media = Multimodal.attachWavMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(canon(Multimodal.wavFeatures(media)) ==
+      canon(Multimodal.wavFeaturesArrow(media)))
+  }
+
   test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
     import graft.operators.EventTime
     // planted: steady 10/day for 10 days, then a sustained 25/day shift

@@ -467,4 +467,55 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(dists.forall(_ >= 0.0))
     assert(dists == dists.sorted)
   }
+
+  test("sim_pq_train equals a sequential Scala replay of the per-subspace Lloyd loop") {
+    // independent replay: same micro-quantization, same argmin-L2 with
+    // k-tiebreak, same exact-integer centroid means (truncating division),
+    // same empty-cell carry — any divergence in assignment order, division
+    // semantics, or update wiring breaks the comparison
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    for (m <- 0 until 4) {
+      val subs = emb.map { case (id, q) => id -> q.slice(m * 16, m * 16 + 16) }
+      val byId = subs.toMap
+      var cent: Map[Int, Array[Long]] = (1 to 8).map(k => k -> byId(k.toLong)).toMap
+      def l2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      def assign(c: Map[Int, Array[Long]]): Map[Long, Int] =
+        subs.map { case (id, sv) => id -> (1 to 8).minBy(k => (l2(sv, c(k)), k)) }.toMap
+      for (_ <- 1 to 2) {
+        val a = assign(cent)
+        val grouped = subs.groupBy { case (id, _) => a(id) }
+        cent = (1 to 8).map { k =>
+          grouped.get(k) match {
+            case Some(rows) =>
+              // Scala Long / truncates toward zero — the Spark DIV contract
+              k -> Array.tabulate(16)(j => rows.map(_._2(j)).sum / rows.length)
+            case None => k -> cent(k) // empty cell keeps its centroid
+          }
+        }.toMap
+      }
+      val counts = assign(cent).groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      for (k <- 1 to 8)
+        expected += ((m.toLong, k.toLong, counts.getOrElse(k, 0L),
+          cent(k).sum, cent(k).map(math.abs).sum))
+    }
+    val got = SparkEntry.queries("sim_pq_train")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected.toSeq)
+    // population conserves: every subspace assigns every vector exactly once
+    got.groupBy(_._1).foreach { case (m, rows) =>
+      assert(rows.map(_._3).sum == emb.length, s"subspace $m lost vectors")
+    }
+    // non-degenerate training: centroids actually moved off at least one seed
+    assert(got.exists { case (mm, k, _, cSum, _) =>
+      val seed = emb.find(_._1 == k).get._2.slice(mm.toInt * 16, mm.toInt * 16 + 16)
+      cSum != seed.sum
+    }, "no centroid moved — the update rounds did nothing")
+  }
 }
