@@ -164,7 +164,13 @@ object PlanDump {
     // (constant-state sketch agg, no key shuffle)
     "mm_png_decode", "txt_bpe_train", "q_expectations_audit_est",
     // real PCM sample decode through the same Arrow seam
-    "mm_wav_decode")
+    "mm_wav_decode",
+    // round-8 session 2: NN resize fused with the decode (narrow,
+    // 4 thumbnail rows per image continue), PCM zero-crossing features
+    // (same seam), PQ Lloyd training (broadcast 32-centroid table +
+    // (m,k,pos) partial-agg update per round), and the mixed-modality
+    // router capstone (one narrow routed pass → |modalities|-row agg)
+    "mm_png_resize", "mm_wav_features", "sim_pq_train", "pipe_multimodal_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

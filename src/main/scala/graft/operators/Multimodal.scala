@@ -529,6 +529,89 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pngResizeSchema)
   }
 
+  /** Mixed-modality corpus: one binary column holding heterogeneous
+    * payloads — even doc_ids carry a REAL complete PNG (the
+    * [[attachPngPixelMedia]] generator; even ids are RGB) and odd doc_ids
+    * a REAL RIFF/WAVE whose data chunk is the document text (the
+    * [[attachWavMedia]] layout; odd ids are stereo). This is the shape of
+    * a real multimodal lake: the format is NOT a column, it is only
+    * discoverable by sniffing the bytes.
+    */
+  def attachMixedMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"),
+        col("n_chars").cast("bigint").as("n_chars"), col("text")).rdd.map { r =>
+      val id = r.getLong(0); val nChars = r.getLong(1)
+      val bytes =
+        if (id % 2 == 0) {
+          val w = (id % 16 + 1).toInt
+          val h = (nChars % 12 + 1).toInt
+          PngCodec.encode(w, h, 2,
+            (y, x, c) => ((id * 31 + y * 7 + x * 5 + c * 11) % 256).toInt)
+        } else {
+          val data = r.getString(2).getBytes("UTF-8")
+          val rate = (8000 + (nChars % 3) * 4000).toInt
+          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
+            .putInt(rate).putInt(rate * 4).putShort(4).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+          bb.array()
+        }
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val routeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("units", LongType),
+    StructField("mass", LongType)))
+
+  /** The modality ROUTER: sniffs each payload's real bytes (PNG signature
+    * first, then the RIFF frame) and runs the matching REAL decoder —
+    * images report pixel count + total channel mass, audio reports sample
+    * count + total |v| mass; unrecognized or corrupt payloads keep their
+    * typed class with stats withheld. One narrow pass; the router never
+    * consults anything but the bytes.
+    */
+  private def routeRow(id: Long, bytes: Array[Byte]): Row = {
+    val isPng = bytes.length >= MediaHeader.PngSignature.length &&
+      MediaHeader.PngSignature.indices.forall(i => bytes(i) == MediaHeader.PngSignature(i))
+    if (isPng) {
+      val r = pngDecodeRow(id, bytes)
+      if (r.getString(1) != "png") Row(id, r.getString(1), null, null)
+      else {
+        val mass = r.getLong(6) + r.getLong(7) + r.getLong(8) +
+          (if (!r.isNullAt(9)) r.getLong(9) else 0L)
+        Row(id, "image", r.getLong(5), mass)
+      }
+    } else {
+      val r = wavFeatureRow(id, bytes)
+      if (r.getString(1) != "wav") Row(id, r.getString(1), null, null)
+      else if (r.getLong(3) == 0L) Row(id, "audio", 0L, 0L)
+      else Row(id, "audio", r.getLong(3),
+        r.getLong(6) + (if (!r.isNullAt(7)) r.getLong(7) else 0L))
+    }
+  }
+
+  /** Modality routing + decode over the Arrow batch seam. */
+  def routeMixedArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, routeSchema)(routeRow)
+
+  /** Row-path twin of [[routeMixedArrow]] (parity spec pins equality). */
+  def routeMixed(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      routeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, routeSchema)
+  }
+
   val wavHeaderSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -1055,6 +1138,25 @@ object Multimodal extends QueryModule {
     "mm_wav_features" -> ((s, d) => {
       val media = attachWavMedia(Tables.documents(s, d))
       wavFeaturesArrow(media).orderBy(col("doc_id"))
+    }),
+
+    // ---- the multimodal capstone: ONE binary column, heterogeneous REAL
+    // payloads (PNGs and WAVs interleaved), format discovered only by
+    // sniffing bytes. The router runs the matching real decoder per
+    // payload in one narrow pass, then per-modality corpus accounting —
+    // the ingest-audit report a mixed-media lake produces before
+    // training. At scale the routed stats partial-agg to |modalities|
+    // rows per mapper; payload bytes never shuffle. Oracle replays BOTH
+    // generator formulas and unions them. ----
+    "pipe_multimodal_e2e" -> ((s, d) => {
+      val media = attachMixedMedia(Tables.documents(s, d))
+      routeMixedArrow(media)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("units")).as("total_units"),
+          sum(col("mass")).as("total_mass"),
+          max(col("units")).as("max_units"))
+        .orderBy(col("modality"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -1204,5 +1306,42 @@ object Multimodal extends QueryModule {
         |  CAST(CASE WHEN m.n > 0 THEN coalesce(a.a0, 0) END AS BIGINT) AS abs_ch0,
         |  CAST(CASE WHEN m.n > 0 AND m.ch = 2 THEN coalesce(a.a1, 0) END AS BIGINT) AS abs_ch1
         |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
-        |ORDER BY m.doc_id""".stripMargin)
+        |ORDER BY m.doc_id""".stripMargin,
+    // independent replay of BOTH modality generators: even docs through
+    // the pixel formula (RGB), odd docs through the PCM byte stream —
+    // unioned into the same per-modality accounting the router computes
+    // from the bytes alone
+    "pipe_multimodal_e2e" ->
+      """WITH di AS (
+        |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), img AS (
+        |  SELECT doc_id, w * h AS units,
+        |    sum((doc_id * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256) AS mass
+        |  FROM di, UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x),
+        |    UNNEST(range(0, 3)) AS c(c)
+        |  GROUP BY doc_id, w, h
+        |), da AS (
+        |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) // 2 AS n
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), asum AS (
+        |  SELECT doc_id, sum(abs(v)) AS mass FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) >= 32768
+        |           THEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) - 65536
+        |           ELSE ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) END AS v
+        |    FROM da, UNNEST(range(0, n)) AS j(j))
+        |  GROUP BY doc_id
+        |), aud AS (
+        |  SELECT da.doc_id, da.n AS units, coalesce(asum.mass, 0) AS mass
+        |  FROM da LEFT JOIN asum ON da.doc_id = asum.doc_id
+        |), u AS (
+        |  SELECT 'image' AS modality, units, mass FROM img
+        |  UNION ALL SELECT 'audio' AS modality, units, mass FROM aud
+        |)
+        |SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(units) AS BIGINT) AS total_units,
+        |  CAST(sum(mass) AS BIGINT) AS total_mass,
+        |  CAST(max(units) AS BIGINT) AS max_units
+        |FROM u GROUP BY modality ORDER BY modality""".stripMargin)
 }

@@ -233,15 +233,22 @@ object Similarity extends QueryModule {
     // are exact BIGINT sequential folds; assignment ties break to the
     // smaller code. Empty cells keep their previous centroid (the
     // standard Lloyd detail), spelled identically in the oracle's LEFT
-    // JOIN + coalesce. Per round the work is one broadcast of the 32
-    // (m,k) centroid subvectors + one (m,k,pos) partial-agg'd update —
-    // the distributed Lloyd shape (shuffle carries 4·8·16 = 512 rows per
-    // mapper, never vectors). At 100 TB: train each round on a corpus
-    // sample (cell statistics converge long before full passes), plan
-    // shape unchanged. Output: per (m,k) cell the assigned population and
-    // exact centroid digests (Σμ, Σ|μ|). ----
+    // JOIN + coalesce. Plan shape (driver-controlled iteration, the
+    // txt_bpe_train precedent): the 32-entry codebook lives as BOUNDED
+    // driver state inlined as literals — assignment is a narrow
+    // codegen'd projection (32 exact L2 folds + argmin per row, NO
+    // per-vector exchange) and each round's only shuffle is the
+    // (m,k,pos) partial-agg'd centroid update, 4·8·16 = 512 rows per
+    // mapper regardless of corpus size; the per-round collect is those
+    // same ≤512 rows (the PQ-codebook/SRP-planes bounded-state class).
+    // Alternatives measured at sf1 and rejected: window row_number over
+    // the candidate join shuffles every (vector × centroid) row (24 MB);
+    // groupBy(vec,m,sv)+min(struct) still shuffles one signature row per
+    // vector (31 MB). This form shuffles 0.02 MB. At 100 TB: train each
+    // round on a corpus sample (cell statistics converge long before a
+    // full pass), plan shape unchanged. Output: per (m,k) cell the
+    // assigned population and exact centroid digests (Σμ, Σ|μ|). ----
     "sim_pq_train" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val sub = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
@@ -249,37 +256,47 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), explode(array((0 to 3).map(lit): _*)).as("m"), col("q"))
         .select(col("vec_id"), col("m"), expr("slice(q, m * 16 + 1, 16)").as("sv"))
         .cache()
-      val c0 = sub.filter(col("vec_id").between(1, 8))
-        .select(col("m"), col("vec_id").cast("int").as("k"), col("sv").as("cv"))
-      val byKey = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dd"), col("k"))
-      def assign(cent: DataFrame): DataFrame =
-        sub.join(broadcast(cent), "m")
-          .withColumn("dd", expr(
-            "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
-          .withColumn("rn", row_number().over(byKey)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("k"), col("sv"))
-      def update(assigned: DataFrame, old: DataFrame): DataFrame = {
-        val fresh = assigned.select(col("m"), col("k"), posexplode(col("sv")))
-          .groupBy(col("m"), col("k"), col("pos"))
-          .agg(sum(col("col")).as("sv_sum"), count(lit(1)).as("n"))
-          .withColumn("mu", expr("sv_sum DIV n"))
-          .groupBy(col("m"), col("k"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("mu")))).as("arr"))
-          .select(col("m"), col("k"), expr("transform(arr, t -> t.mu)").as("fv"))
-        old.join(fresh, Seq("m", "k"), "left")
-          .select(col("m"), col("k"), coalesce(col("fv"), col("cv")).as("cv"))
+      // seed codebook: the 8 deterministic seed vectors' subvectors
+      // (one bounded 32-row collect)
+      var cent: Map[(Int, Int), Array[Long]] =
+        sub.filter(col("vec_id").between(1, 8)).collect().map { r =>
+          (r.getInt(1), r.getLong(0).toInt) -> r.getSeq[Long](2).toArray
+        }.toMap
+      // argmin code for this row's subspace against the literal codebook:
+      // exact BIGINT folds, array_min on (dd, k) structs ties to smaller k
+      def codeCol(c: Map[(Int, Int), Array[Long]]): Column = {
+        def dd(cv: Array[Long]) =
+          s"aggregate(zip_with(sv, array(${cv.mkString("L, ")}L), " +
+            "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        val branches = (0 to 3).map { m =>
+          val cands = (1 to 8).map(k => s"struct(${dd(c((m, k)))} AS dd, $k AS k)")
+          s"WHEN m = $m THEN array_min(array(${cands.mkString(", ")})).k"
+        }
+        expr(s"CASE ${branches.mkString(" ")} END")
       }
-      val c1 = update(assign(c0), c0)
-      // final centroids are read twice (population count + digest) — a
-      // 32-row cache, the bounded-dimension-state precedent
-      val c2 = update(assign(c1), c1).cache()
-      val counts = assign(c2).groupBy(col("m"), col("k"))
-        .agg(count(lit(1)).as("n_assigned"))
-      c2.join(counts, Seq("m", "k"), "left")
+      for (_ <- 1 to 2) {
+        val fresh = sub.withColumn("k", codeCol(cent))
+          .select(col("m"), col("k"), posexplode(col("sv")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg(expr("sum(col) DIV count(1)").as("mu"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+          }
+        cent = cent.map { case (key, old) => key -> fresh.getOrElse(key, old) }
+      }
+      val counts = sub.withColumn("k", codeCol(cent))
+        .groupBy(col("m"), col("k")).agg(count(lit(1)).as("n_assigned"))
         .select(col("m").cast("bigint").as("m"), col("k").cast("bigint").as("k"),
+          col("n_assigned"))
+      val centDigest = s.createDataFrame(cent.toSeq.map { case ((m, k), cv) =>
+        (m.toLong, k.toLong, cv.sum, cv.map(math.abs).sum)
+      }).toDF("m", "k", "c_sum", "c_l1")
+      centDigest.join(counts, Seq("m", "k"), "left")
+        .select(col("m"), col("k"),
           coalesce(col("n_assigned"), lit(0L)).cast("bigint").as("n_assigned"),
-          expr("aggregate(cv, 0L, (acc, v) -> acc + v)").as("c_sum"),
-          expr("aggregate(cv, 0L, (acc, v) -> acc + abs(v))").as("c_l1"))
+          col("c_sum"), col("c_l1"))
         .orderBy(col("m"), col("k"))
     }),
 

@@ -464,6 +464,54 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       canon(Multimodal.wavFeaturesArrow(media)))
   }
 
+  test("multimodal router: modality from bytes alone, recomposition parity, raw degrade, Arrow == row") {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sf0001)
+    val media = Multimodal.attachMixedMedia(docs)
+    val routed = Multimodal.routeMixed(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(routed.nonEmpty)
+    // parity of the id only DECIDED which generator ran; the router
+    // itself classifies from the bytes — every class must line up
+    routed.foreach { case (id, r) =>
+      assert(r.getString(1) == (if (id % 2 == 0) "image" else "audio"),
+        s"doc $id misrouted as ${r.getString(1)}")
+    }
+    // image units are the real decode's pixel count
+    val nChars = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    routed.filter(_._2.getString(1) == "image").foreach { case (id, r) =>
+      assert(r.getLong(2) == (id % 16 + 1) * (nChars(id) % 12 + 1))
+    }
+    // audio stats recompose from the independently-spec'd wav features
+    val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val wf = Multimodal.wavFeatures(Multimodal.attachWavMedia(odd)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    routed.filter(_._2.getString(1) == "audio").foreach { case (id, r) =>
+      val f = wf(id)
+      val mass =
+        if (f.getLong(3) == 0L) 0L
+        else f.getLong(6) + (if (!f.isNullAt(7)) f.getLong(7) else 0L)
+      assert(r.getLong(2) == f.getLong(3) && r.getLong(3) == mass)
+    }
+    // a payload that is neither modality: typed class, stats withheld
+    val rawMedia = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(999L, "not media at all, just text padding".getBytes))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    val rr = Multimodal.routeMixed(rawMedia).collect().head
+    assert(rr.getString(1) == "raw" && rr.isNullAt(2) && rr.isNullAt(3))
+    // Arrow seam parity on the mixed fixture
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(canon2(Multimodal.routeMixed(media)) ==
+      canon2(Multimodal.routeMixedArrow(media)))
+  }
+
   test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
     import graft.operators.EventTime
     // planted: steady 10/day for 10 days, then a sustained 25/day shift
