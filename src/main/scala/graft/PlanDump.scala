@@ -170,7 +170,11 @@ object PlanDump {
     // (same seam), PQ Lloyd training (broadcast 32-centroid table +
     // (m,k,pos) partial-agg update per round), and the mixed-modality
     // router capstone (one narrow routed pass → |modalities|-row agg)
-    "mm_png_resize", "mm_wav_features", "sim_pq_train", "pipe_multimodal_e2e")
+    "mm_png_resize", "mm_wav_features", "sim_pq_train", "pipe_multimodal_e2e",
+    // tokenizer lifecycle (train + trained-chain apply scan) and the
+    // LATERAL top-N (audit: decorrelated to one co-keyed join + window
+    // rank, never a per-outer-row re-scan)
+    "pipe_tokenizer_e2e", "q_lateral_topn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -900,6 +900,29 @@ object Relational extends QueryModule {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // ---- LATERAL correlated subquery with ORDER BY + LIMIT — the
+    // SQL-standard spelling of top-N-per-group: each low-key customer's
+    // two most expensive orders. Catalyst decorrelates the limited
+    // lateral into ONE co-keyed plan — WindowGroupLimit (a MAP-SIDE
+    // partial top-2-per-key before the exchange, then the final group
+    // limit) feeding a broadcast join with the filtered customer keys
+    // (see PLANS.md) — never a per-outer-row re-scan of orders, which is
+    // what a naive executor would do and what makes this worth pinning
+    // at 100 TB. The inner ORDER BY carries the unique o_orderkey
+    // tiebreak so both engines pick identical rows. ----
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          |WHERE c.c_custkey <= 200
+          |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
     "q4_exists" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_q4")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q4")
@@ -1331,6 +1354,14 @@ object Relational extends QueryModule {
         |    > (SELECT SUM(CAST(round(i.o_totalprice * 100) AS BIGINT))
         |       FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q4_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

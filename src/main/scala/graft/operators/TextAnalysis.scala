@@ -42,6 +42,50 @@ object TextAnalysis extends QueryModule {
     "er" -> "A", "in" -> "B", "ow" -> "C", "or" -> "D", "st" -> "E",
     "me" -> "F", "to" -> "G", "at" -> "H", "lu" -> "I", "al" -> "J")
 
+  /** The 5-round BPE training loop shared by txt_bpe_train and
+    * pipe_tokenizer_e2e: iterate count → pick-top-merge → re-segment,
+    * driver-controlled with exactly one 1-row collect (the picked pair)
+    * per round. Returns the final merge-chain SQL expression (in terms of
+    * column `text`) and the merge table rows
+    * (round, pair, symbol, n, n_syms_after). Placeholder symbols must be
+    * FRESH — a corpus containing literal A..E would conflate text
+    * characters with merge symbols, silently corrupting pair counts
+    * IDENTICALLY in both engines (the oracle could not catch it), so the
+    * taint check fails loudly (the srpPlanes precedent).
+    */
+  private def bpeTrainLoop(docs: DataFrame)
+      : (String, Seq[(Long, String, String, Long, Long)]) = {
+    val tainted = docs.filter(col("text").rlike("[A-E]")).limit(1).count()
+    require(tainted == 0L,
+      "bpeTrainLoop: corpus contains literal A-E — supply placeholder " +
+        "symbols outside this corpus's alphabet")
+    var rewritten = "text" // SQL expr: corpus re-segmented by merges so far
+    val table = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (r <- 1 to 5) {
+      val sym = ('A' + r - 1).toChar.toString
+      val top = docs
+        .select(explode(split(expr(rewritten), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1)
+        .collect()(0)
+      // escape for a Spark SQL literal: backslashes are escape
+      // sequences in Spark (but literal in DuckDB — whose oracle never
+      // embeds the pair as a literal, it flows through subqueries), and
+      // a lone trailing backslash would swallow the closing quote
+      val pair = top.getString(0).replace("\\", "\\\\").replace("'", "''")
+      rewritten = s"replace($rewritten, '$pair', '$sym')"
+      val nAfter = docs
+        .agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
+        .collect()(0).getLong(0)
+      table += ((r.toLong, top.getString(0), sym, top.getLong(1), nAfter))
+    }
+    (rewritten, table.result())
+  }
+
   /** Chained literal `replace` applying [[bpeMerges]] in rank order —
     * the same textual expression is valid Spark SQL and DuckDB SQL.
     */
@@ -681,42 +725,36 @@ object TextAnalysis extends QueryModule {
     // pair flowing through scalar subqueries — the sequential-greedy
     // oracle pattern (sim_topk_mmr precedent). ----
     "txt_bpe_train" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("text"))
-      // placeholder symbols must be FRESH — a corpus containing literal
-      // A..E would conflate text characters with merge symbols, silently
-      // corrupting pair counts IDENTICALLY in both engines (the oracle
-      // could not catch it). Enforce loudly, the srpPlanes precedent:
-      val tainted = docs.filter(col("text").rlike("[A-E]")).limit(1).count()
-      require(tainted == 0L,
-        "txt_bpe_train: corpus contains literal A-E — supply placeholder " +
-          "symbols outside this corpus's alphabet")
-      var rewritten = "text" // SQL expr: corpus re-segmented by merges so far
-      val table = Seq.newBuilder[(Long, String, String, Long, Long)]
-      for (r <- 1 to 5) {
-        val sym = ('A' + r - 1).toChar.toString
-        val top = docs
-          .select(explode(split(expr(rewritten), " ")).as("w"))
-          .filter(length(col("w")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
-          )).as("pair"))
-          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), col("pair")).limit(1)
-          .collect()(0)
-        // escape for a Spark SQL literal: backslashes are escape
-        // sequences in Spark (but literal in DuckDB — whose oracle never
-        // embeds the pair as a literal, it flows through subqueries), and
-        // a lone trailing backslash would swallow the closing quote
-        val pair = top.getString(0).replace("\\", "\\\\").replace("'", "''")
-        rewritten = s"replace($rewritten, '$pair', '$sym')"
-        val nAfter = docs
-          .agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
-          .collect()(0).getLong(0)
-        table += ((r.toLong, top.getString(0), sym, top.getLong(1), nAfter))
-      }
+      val (_, table) = bpeTrainLoop(Tables.documents(s, d).select(col("text")))
       import s.implicits._
-      table.result().toDF("round", "pair", "symbol", "n", "n_syms_after")
+      table.toDF("round", "pair", "symbol", "n", "n_syms_after")
         .orderBy(col("round"))
+    }),
+
+    // ---- the tokenizer LIFECYCLE capstone: train the 5-round merge
+    // table on this corpus ([[bpeTrainLoop]] — the txt_bpe_train loop),
+    // then apply the TRAINED chain to every document (txt_bpe_apply's
+    // inference shape, but with the merges the corpus itself produced,
+    // not a shipped literal artifact) — per-doc symbol counts before /
+    // after and compression per 10k symbols, all exact integers. This is
+    // what "a user can train a tokenizer and run it" means end-to-end.
+    // Same plan economics as its halves: training is driver-controlled
+    // (two partial-agg'd jobs + one 1-row collect per round), inference
+    // is one shuffle-free chained-replace scan. Oracle: the identical
+    // greedy loop as chained MATERIALIZED CTEs carrying doc_id, the
+    // trained pairs flowing through scalar subqueries — the oracle never
+    // sees the Spark side's picks. ----
+    "pipe_tokenizer_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (chain, _) = bpeTrainLoop(docs.select(col("text")))
+      docs.orderBy(col("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT)")
+            .as("n_syms_before"),
+          expr(s"CAST(length(replace($chain, ' ', '')) AS BIGINT)")
+            .as("n_syms_after"))
+        .withColumn("saved_x10000",
+          expr("(n_syms_before - n_syms_after) * 10000 div n_syms_before"))
     }),
 
     // ---- corpus n-gram frequency: top-3 bigrams per language by count
@@ -1128,6 +1166,35 @@ object TextAnalysis extends QueryModule {
            |  (SELECT CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) FROM t$r) AS n_syms_after""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"WITH t0 AS (SELECT text FROM documents)$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
+    },
+    // the same 5-round greedy loop carrying doc_id, then the per-doc
+    // apply of the TRAINED chain (t5). MATERIALIZED throughout — each
+    // t_r is referenced by p_{r+1}, t_{r+1} AND the final join, and
+    // DuckDB 1.0's default inlining re-evaluates chained CTEs
+    // exponentially (the recorded k-core oracle lesson)
+    "pipe_tokenizer_e2e" -> {
+      val rounds = 1 to 5
+      val ctes = rounds.map { r =>
+        val sym = ('A' + r - 1).toChar
+        s""", p$r AS MATERIALIZED (
+           |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM t${r - 1}) ws
+           |    WHERE length(w) >= 2
+           |  ) ps GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+           |), t$r AS MATERIALIZED (
+           |  SELECT doc_id, replace(text, (SELECT pair FROM p$r), '$sym') AS text FROM t${r - 1}
+           |)""".stripMargin
+      }.mkString
+      s"""WITH t0 AS MATERIALIZED (SELECT doc_id, text FROM documents)$ctes
+         |SELECT t0.doc_id,
+         |  CAST(length(replace(t0.text, ' ', '')) AS BIGINT) AS n_syms_before,
+         |  CAST(length(replace(t5.text, ' ', '')) AS BIGINT) AS n_syms_after,
+         |  (CAST(length(replace(t0.text, ' ', '')) AS BIGINT)
+         |    - CAST(length(replace(t5.text, ' ', '')) AS BIGINT)) * 10000
+         |    // CAST(length(replace(t0.text, ' ', '')) AS BIGINT) AS saved_x10000
+         |FROM t0 JOIN t5 ON t0.doc_id = t5.doc_id
+         |ORDER BY t0.doc_id""".stripMargin
     },
     "txt_gopher_rules" ->
       s"""WITH m AS (

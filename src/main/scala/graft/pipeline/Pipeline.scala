@@ -116,6 +116,75 @@ class Warehouse(val root: String, val format: String = "parquet") {
       .format(format)
       .saveAsTable(table)
 
+  /** Versioned snapshot write — time travel for a plain-directory lake.
+    * Each write lands in an immutable `_v=N` directory and a tiny
+    * `_VERSION` marker names the current snapshot, committed by ATOMIC
+    * rename so a reader never observes a half-written snapshot as
+    * current. [[readVersion]] with no version serves the latest;
+    * reproducibility runs pin an explicit one — the training-data-lineage
+    * question ("exactly what did the corpus look like when this model
+    * trained?") that pipe_snapshot_diff answers BETWEEN snapshots, this
+    * answers AT one. Writers are single-owner per table (the
+    * batch-pipeline contract). At 100 TB this is what table formats do
+    * with manifest files; the engine-side contract — immutable snapshot
+    * dirs, marker flip as the commit — is identical. Versioned tables are
+    * read via [[readVersion]], not [[read]] (the marker file and multiple
+    * `_v=` dirs live under the table root). Returns the committed version.
+    */
+  def versionedWrite(df: DataFrame, name: String): Int = {
+    val base = new java.io.File(tablePath(name))
+    base.mkdirs()
+    val next = currentVersion(name).getOrElse(0) + 1
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .save(s"${tablePath(name)}/_v=$next")
+    val tmp = new java.io.File(base, "_VERSION.tmp")
+    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(base, "_VERSION").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The committed snapshot version, if any ([[versionedWrite]] tables). */
+  def currentVersion(name: String): Option[Int] = {
+    val marker = new java.io.File(tablePath(name), "_VERSION")
+    if (!marker.exists()) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toInt)
+  }
+
+  /** Read a snapshot: the pinned `version`, or the current one. Fails
+    * loudly on a missing table or a pruned/unknown version — a lineage
+    * read silently falling through to "latest" would defeat the point.
+    */
+  def readVersion(spark: SparkSession, name: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(name)).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions of $name"))
+    require(new java.io.File(tablePath(name), s"_v=$v").exists(),
+      s"version $v of $name does not exist (pruned or never written)")
+    spark.read.format(format).load(s"${tablePath(name)}/_v=$v")
+  }
+
+  /** All snapshot versions present on disk, ascending. */
+  def listVersions(name: String): Seq[Int] =
+    Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
+      .map(_.getName.stripPrefix("_v=").toInt).sorted.toSeq
+
+  /** Retention: keep the newest `keep` snapshots (the current one is
+    * never dropped regardless). Returns the pruned versions.
+    */
+  def pruneVersions(name: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, "pruneVersions: keep must be >= 1")
+    val cur = currentVersion(name)
+    val dropped = listVersions(name).sorted.reverse.drop(keep)
+      .filterNot(cur.contains)
+    dropped.foreach(v => Warehouse.deleteRecursively(
+      new java.io.File(tablePath(name), s"_v=$v")))
+    dropped.sorted
+  }
+
   /** Write-Audit-Publish: the publish gate a lake runs so readers NEVER see
     * a bad batch. The batch is staged in a quarantine directory invisible
     * to readers, the caller's audit runs on a READBACK of the staged bytes

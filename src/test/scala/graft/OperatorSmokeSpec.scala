@@ -706,6 +706,34 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       "the trained merge table should compress most documents")
   }
 
+  test("pipe_tokenizer_e2e: applying the independently-oracled trained table replays per doc") {
+    // recomposition: take txt_bpe_train's merge table (its own oracle row
+    // pins the training), apply those pairs in rank order per document in
+    // Scala, and the capstone's per-doc counts must match exactly
+    val trained = SparkEntry.queries("txt_bpe_train")(spark, sf0001).collect()
+      .sortBy(_.getLong(0)).map(r => r.getString(1) -> r.getString(2)).toSeq
+    assert(trained.length == 5)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("pipe_tokenizer_e2e")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == docs.keySet)
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val before = text.replace(" ", "").length.toLong
+      val applied = trained.foldLeft(text) { case (t, (p, s)) => t.replace(p, s) }
+      val after = applied.replace(" ", "").length.toLong
+      assert(r.getLong(1) == before, s"doc ${r.getLong(0)} before")
+      assert(r.getLong(2) == after, s"doc ${r.getLong(0)} after")
+      assert(r.getLong(3) == (before - after) * 10000 / before, s"doc ${r.getLong(0)} saved")
+    }
+    // the self-trained table compresses this corpus at least as well in
+    // aggregate as a 5-merge prefix of any fixed shipped table could be
+    // expected to — and strictly compresses overall
+    val totBefore = rows.map(_.getLong(1)).sum
+    val totAfter = rows.map(_.getLong(2)).sum
+    assert(totAfter < totBefore, "trained merges must compress the corpus")
+  }
+
   test("txt_gopher_rules: every field replays in Scala and both outcomes occur") {
     val rows = SparkEntry.queries("txt_gopher_rules")(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")

@@ -15,6 +15,31 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(wh.read(spark, "t").count() == 3)
   }
 
+  test("versioned snapshots: time travel, latest-by-default, retention never drops current") {
+    val wh = new Warehouse(tmpDir("whver"))
+    // no versions yet: loud failure, not an empty frame
+    intercept[IllegalArgumentException](wh.readVersion(spark, "t"))
+    assert(wh.versionedWrite(Seq(1, 2, 3).toDF("x"), "t") == 1)
+    assert(wh.versionedWrite(Seq(10, 20).toDF("x"), "t") == 2)
+    assert(wh.versionedWrite(Seq(7).toDF("x"), "t") == 3)
+    assert(wh.listVersions("t") == Seq(1, 2, 3))
+    assert(wh.currentVersion("t").contains(3))
+    // latest by default; any pinned snapshot is byte-stable history
+    assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(7))
+    assert(wh.readVersion(spark, "t", Some(1)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    assert(wh.readVersion(spark, "t", Some(2)).as[Int].collect().sorted.toSeq == Seq(10, 20))
+    // retention: newest `keep` survive, current is sacred
+    assert(wh.pruneVersions("t", keep = 2) == Seq(1))
+    assert(wh.listVersions("t") == Seq(2, 3))
+    // a pruned pin fails loudly — lineage must never silently see "latest"
+    val e = intercept[IllegalArgumentException](wh.readVersion(spark, "t", Some(1)))
+    assert(e.getMessage.contains("pruned or never written"))
+    assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(7))
+    // keep=1 keeps exactly the current snapshot
+    assert(wh.pruneVersions("t", keep = 1) == Seq(2))
+    assert(wh.listVersions("t") == Seq(3))
+  }
+
   test("partitionedUpsertWrite: re-running a batch date replaces only that partition") {
     val wh = new Warehouse(tmpDir("whp"))
     val spark2 = spark
