@@ -174,7 +174,10 @@ object PlanDump {
     // tokenizer lifecycle (train + trained-chain apply scan) and the
     // LATERAL top-N (audit: decorrelated to one co-keyed join + window
     // rank, never a per-outer-row re-scan)
-    "pipe_tokenizer_e2e", "q_lateral_topn")
+    "pipe_tokenizer_e2e", "q_lateral_topn",
+    // IVFPQ: audit that the ADC scan input is the cell-pruned probe set
+    // (broadcast cell argmax + broadcast q_cell semi), codes-only after
+    "sim_topk_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

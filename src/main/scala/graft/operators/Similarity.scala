@@ -753,6 +753,37 @@ object Similarity extends QueryModule {
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(10)),
 
+    // ---- IVF + PQ combined — the architecture a production vector store
+    // actually runs (coarse quantizer prunes the lake to the probe cell,
+    // PQ-ADC scores only that cell's CODES): assignment is the
+    // sim_topk_ivf broadcast-argmax shape, then the sim_topk_pq ADC
+    // engine runs with its scan base restricted to the query's cell. At
+    // 100 TB the lake is partitioned by cell with codes persisted
+    // per-partition, so one probe reads one cell's code file and never
+    // touches raw vectors — recall is tuned by nprobe (here 1; the
+    // multiprobe pattern is sim_topk_srp_multiprobe) and restored by the
+    // rerank stage (sim_topk_pq_rerank). ----
+    "sim_topk_ivfpq" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("ck"), col("embedding").as("c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("ck"))
+      val cells = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cs", cosine(s, "embedding", "c_emb"))
+        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("ck").as("cell"))
+      val qCell = cells.filter(col("vec_id") === 0).select(col("cell").as("q_cell"))
+      val probe = e.join(cells, "vec_id")
+        .join(broadcast(qCell), col("cell") === col("q_cell"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      pqAdcScores(s, d, Some(probe))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- the production two-stage ANN: PQ-ADC shortlist → exact re-rank.
     // Stage 1 is the codes-only ADC scan (raw vectors never read); stage 2
     // re-ranks ONLY the 50-candidate shortlist with the exact cosine —
@@ -866,7 +897,13 @@ object Similarity extends QueryModule {
     * (ADC shortlist → exact re-rank). Portability: L2² is a sequential
     * zip_with→aggregate fold (bit-identical to list_reduce).
     */
-  private def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+  /** PQ-ADC scores for every vector in `scanBase` (default: the whole
+    * lake minus the query) — codebooks and the query distance table
+    * always come from the full embeddings convention (seeds 1..8, query
+    * 0). `scanBase` lets IVFPQ hand in one coarse cell.
+    */
+  private def pqAdcScores(s: SparkSession, d: String,
+      scanBase: Option[DataFrame] = None): DataFrame = {
     val e = Tables.embeddings(s, d)
     val ms = explode(array((0 to 3).map(lit): _*)).as("m")
     def subv(alias: String) = expr(
@@ -877,7 +914,7 @@ object Similarity extends QueryModule {
     val cb = e.filter(col("vec_id").between(1, 8))
       .select(col("vec_id").as("k"), ms, col("embedding"))
       .select(col("k"), col("m"), subv("c_sub"))
-    val enc = e.filter(col("vec_id") =!= 0)
+    val enc = scanBase.getOrElse(e.filter(col("vec_id") =!= 0))
       .select(col("vec_id"), col("label"), ms, col("embedding"))
       .select(col("vec_id"), col("label"), col("m"), subv("v_sub"))
       .join(broadcast(cb), "m")
@@ -935,6 +972,40 @@ object Similarity extends QueryModule {
          |    SELECT vs.vec_id, vs.label, vs.m, cb.k,
          |      ${duckL2("v_sub", "c_sub")} AS dd
          |    FROM vs JOIN cb ON vs.m = cb.m
+         |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) = 1
+         |), dtab AS (
+         |  SELECT qs.m, cb.k, ${duckL2("q_sub", "c_sub")} AS dq
+         |  FROM qs JOIN cb ON qs.m = cb.m
+         |)
+         |SELECT enc.vec_id, enc.label,
+         |  round(max(CASE WHEN enc.m = 0 THEN dq END)
+         |      + max(CASE WHEN enc.m = 1 THEN dq END)
+         |      + max(CASE WHEN enc.m = 2 THEN dq END)
+         |      + max(CASE WHEN enc.m = 3 THEN dq END), 6) AS adc_dist
+         |FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.k
+         |GROUP BY enc.vec_id, enc.label
+         |ORDER BY adc_dist, enc.vec_id LIMIT 10""".stripMargin,
+    // IVFPQ: the sim_topk_pq pipeline with enc restricted to the query's
+    // coarse cell (the sim_topk_ivf assignment CTEs)
+    "sim_topk_ivfpq" ->
+      s"""$pqSubs, cent AS (
+         |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), cells AS (
+         |  SELECT vec_id, ck AS cell FROM (
+         |    SELECT e.vec_id, c.ck, ${duckCosine("e.embedding", "c.c_emb")} AS cs
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
+         |), qc AS (SELECT cell AS q_cell FROM cells WHERE vec_id = 0),
+         |enc AS (
+         |  SELECT vec_id, label, m, k AS code
+         |  FROM (
+         |    SELECT vs.vec_id, vs.label, vs.m, cb.k,
+         |      ${duckL2("v_sub", "c_sub")} AS dd
+         |    FROM vs
+         |    JOIN cells ON vs.vec_id = cells.vec_id
+         |    JOIN qc ON cells.cell = qc.q_cell
+         |    JOIN cb ON vs.m = cb.m
          |  ) QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, k) = 1
          |), dtab AS (
          |  SELECT qs.m, cb.k, ${duckL2("q_sub", "c_sub")} AS dq

@@ -194,6 +194,29 @@ object EventStreams {
         .as("freq_sketch"))
   }
 
+  /** Per-window top-k largest events (graft_topk over value cents, keyed
+    * by event_id): the live "biggest transactions this hour" report. The
+    * state store holds ONE bounded k-entry buffer per open window — never
+    * per-event state — and the buffer merge is a pure selection by the
+    * (score DESC, id) total order, so it is commutative/associative/
+    * idempotent and the micro-batch fold equals one batch aggregation
+    * bit-for-bit (StreamingSpec pins the parity). Integer-cent scores keep
+    * the order exact.
+    */
+  def windowedTopValues(
+      events: DataFrame,
+      k: Int = 5,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(call_function("graft_topk",
+        expr("CAST(round(value * 100) AS BIGINT)").cast("double"),
+        col("event_id"), lit(k)).as("top_events"))
+  }
+
   /** Exactly-once-style dedup on event_id, state bounded by the watermark. */
   def dedupByEventId(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
     events

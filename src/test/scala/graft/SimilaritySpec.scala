@@ -468,6 +468,48 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(dists == dists.sorted)
   }
 
+  test("sim_topk_ivfpq equals a Scala replay: cell probe, then ADC over only that cell's codes") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    // same fp ops in the same order as graft_cosine (sequential folds)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = (1 to 8).map(k => k -> emb.find(_._1 == k).get._2).toMap
+    def cellOf(v: Array[Double]): Int =
+      (1 to 8).minBy(k => (-cos(v, seeds(k)), k))
+    val qv = emb.find(_._1 == 0L).get._2
+    val qCell = cellOf(qv)
+    def sub(v: Array[Double], m: Int): Array[Double] = v.slice(m * 16, m * 16 + 16)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val dtab = (for (m <- 0 to 3; k <- 1 to 8)
+      yield (m, k) -> l2(sub(qv, m), sub(seeds(k), m))).toMap
+    val expected = emb.filter(e => e._1 != 0L && cellOf(e._2) == qCell)
+      .map { case (id, v, label) =>
+        val adc = (0 to 3).map { m =>
+          dtab((m, (1 to 8).minBy(k => (l2(sub(v, m), sub(seeds(k), m)), k))))
+        }.sum
+        val rounded = BigDecimal(adc)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, label, rounded)
+      }.sortBy { case (id, _, a) => (a, id) }.take(10).toSeq
+    val got = SparkEntry.queries("sim_topk_ivfpq")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2))).toSeq
+    assert(got == expected)
+    // the probe genuinely pruned: the cell holds fewer vectors than the lake
+    assert(emb.count(e => e._1 != 0L && cellOf(e._2) == qCell) < emb.length - 1)
+    assert(got.nonEmpty)
+  }
+
   test("sim_pq_train equals a sequential Scala replay of the per-subspace Lloyd loop") {
     // independent replay: same micro-quantization, same argmin-L2 with
     // k-tiebreak, same exact-integer centroid means (truncating division),

@@ -164,6 +164,47 @@ class StreamingSpec extends SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowedTopValues: bounded top-k buffers across micro-batches equal the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = (1 to 40).map(i =>
+      Event(i, tsH(i % 2, i % 55), 100 + i % 7, "t", (i * 37 % 101).toDouble))
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedTopValues(stream.toDF(), k = 3)
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(17))
+      q.processAllAvailable()
+      stream.addData(events.drop(17))
+      q.processAllAvailable()
+
+      def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = df
+        .select(unix_micros(col("window.start")).as("ws"),
+          expr("transform(top_events, e -> struct(e.score, e.id))").as("top"))
+        .collect().map(_.toSeq).toSet
+      val streamed = norm(spark.table("win_topk"))
+      val batch = norm(EventStreams.windowedTopValues(events.toDF(), k = 3))
+      assert(streamed == batch)
+      assert(streamed.size == 2)
+      // per window the buffer is the TRUE top-3 by (cents DESC, id ASC) —
+      // an independent sequential selection, not the aggregate's own path
+      val got = spark.table("win_topk")
+        .select(unix_micros(col("window.start")).as("ws"),
+          expr("transform(top_events, e -> struct(e.score, e.id))").as("top"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (e.getDouble(0), e.getLong(1))).toList).toMap
+      events.groupBy(_.ts.getTime / 3600000L).foreach { case (h, evs) =>
+        val expect = evs
+          .map(e => (math.round(e.value * 100).toDouble, e.event_id))
+          .sortBy { case (s, id) => (-s, id) }.take(3).toList
+        assert(got(h * 3600000000L) == expect, s"window $h top-3")
+      }
+    } finally q.stop()
+  }
+
   test("windowedTypeCounts append mode: a window emits only once the watermark passes it, then is final") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
