@@ -468,6 +468,19 @@ class SimilaritySpec extends SparkSuiteBase {
     assert(dists == dists.sorted)
   }
 
+  test("sim_topk_pq_artifact: the persisted-codes serving path returns exactly the inline result") {
+    val inline = SparkEntry.queries("sim_topk_pq")(spark, sf0001).collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("sim_topk_pq_artifact")(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(served == inline)
+    // the codes table genuinely exists as a lake artifact on disk
+    val derived = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_derived").getPath)
+    val tables = Option(derived.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("pq_codes_"))
+    assert(tables.nonEmpty, "pq_codes artifact missing from the derived lake")
+    assert(tables.forall(t => new java.io.File(t, "_SUCCESS").exists()))
+  }
+
   test("sim_topk_ivfpq equals a Scala replay: cell probe, then ADC over only that cell's codes") {
     val emb = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding"), col("label")).collect()
