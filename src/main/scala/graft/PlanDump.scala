@@ -177,7 +177,9 @@ object PlanDump {
     "pipe_tokenizer_e2e", "q_lateral_topn",
     // IVFPQ: audit that the ADC scan input is the cell-pruned probe set
     // (broadcast cell argmax + broadcast q_cell semi), codes-only after
-    "sim_topk_ivfpq")
+    "sim_topk_ivfpq",
+    // integer-halving decay score: audit the single per-user partial agg
+    "evt_decay_engagement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -586,6 +586,19 @@ object EventTime extends QueryModule {
         .orderBy(col("p_event_id"))
     }),
 
+    // ---- recency-weighted engagement (exponential decay, libm-free):
+    // each event contributes value_cents >> days_ago — an exact
+    // half-life-of-one-day decay in pure integer arithmetic (pow/exp
+    // doubles would be partition-order hash-unstable). Events 63+ days
+    // old contribute exactly 0 via an explicit guard: Java/Spark mask
+    // shift distances mod 64, so an UNGUARDED 64-day-old event would
+    // wrap to FULL weight — the planted-fixture spec pins this. One
+    // partial-agg'd per-user shuffle; the corpus anchor is a 1-row
+    // broadcast; top-20 report. The feature-store "hot users now"
+    // signal that complements RFM's coarse terciles. ----
+    "evt_decay_engagement" -> ((s, d) =>
+      decayEngagement(Tables.events(s, d))),
+
     // ---- RFM (recency/frequency/monetary) user segmentation with
     // DATA-DERIVED tercile boundaries — the classic lifecycle-marketing
     // segmentation, in exact integer arithmetic. Per-user RFM is one
@@ -700,6 +713,27 @@ object EventTime extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Factored decay-engagement body (spec plants a 100-day-old whale that
+    * must contribute 0 — the shift-wrap bug class). See the
+    * evt_decay_engagement registration comment for the contract.
+    */
+  def decayEngagement(ev: DataFrame): DataFrame = {
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("days_ago",
+        datediff(col("ref_day"), to_date(col("ts"))).cast("bigint"))
+      .withColumn("w_cents",
+        when(col("days_ago") >= 63, lit(0L))
+          .otherwise(expr(
+            "shiftright(CAST(round(value * 100) AS BIGINT), CAST(days_ago AS INT))")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("w_cents")).as("decay_cents"),
+        count(lit(1)).as("n_events"),
+        min(col("days_ago")).as("recency_days"))
+      .orderBy(desc("decay_cents"), col("user_id"))
+      .limit(20)
+  }
+
   /** The CUSUM detector body on any (event_type, day, n) daily-count frame
     * — factored out so specs can drive it with planted change points (the
     * fixture's uniform volume never alerts). See the `evt_cusum_alerts`
@@ -731,6 +765,21 @@ object EventTime extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_decay_engagement" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(ts AS DATE), ref.ref_day) AS days_ago,
+        |    CASE WHEN date_diff('day', CAST(ts AS DATE), ref.ref_day) >= 63 THEN 0
+        |         ELSE CAST(round(value * 100) AS BIGINT)
+        |              >> date_diff('day', CAST(ts AS DATE), ref.ref_day) END AS w_cents
+        |  FROM events, ref
+        |)
+        |SELECT user_id, CAST(sum(w_cents) AS BIGINT) AS decay_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(days_ago) AS BIGINT) AS recency_days
+        |FROM w GROUP BY user_id
+        |ORDER BY decay_cents DESC, user_id LIMIT 20""".stripMargin,
     "evt_rfm_segments" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -537,34 +537,14 @@ object Multimodal extends QueryModule {
     * a real multimodal lake: the format is NOT a column, it is only
     * discoverable by sniffing the bytes.
     */
-  def attachMixedMedia(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val rdd = docs.select(col("doc_id"),
-        col("n_chars").cast("bigint").as("n_chars"), col("text")).rdd.map { r =>
-      val id = r.getLong(0); val nChars = r.getLong(1)
-      val bytes =
-        if (id % 2 == 0) {
-          val w = (id % 16 + 1).toInt
-          val h = (nChars % 12 + 1).toInt
-          PngCodec.encode(w, h, 2,
-            (y, x, c) => ((id * 31 + y * 7 + x * 5 + c * 11) % 256).toInt)
-        } else {
-          val data = r.getString(2).getBytes("UTF-8")
-          val rate = (8000 + (nChars % 3) * 4000).toInt
-          val bb = java.nio.ByteBuffer.allocate(44 + data.length)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(2)
-            .putInt(rate).putInt(rate * 4).putShort(4).putShort(16)
-          bb.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
-          bb.array()
-        }
-      Row(id, bytes)
-    }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("payload", BinaryType))))
-  }
+  def attachMixedMedia(docs: DataFrame): DataFrame =
+    // reuse the two canonical generators — duplicating their byte layouts
+    // here would silently desynchronize this fixture from the
+    // pipe_multimodal_e2e oracle if either ever changed. The parity
+    // conventions already line up: even doc_ids are RGB in
+    // [[attachPngPixelMedia]], odd doc_ids are stereo in [[attachWavMedia]].
+    attachPngPixelMedia(docs.filter(col("doc_id") % 2 === 0))
+      .union(attachWavMedia(docs.filter(col("doc_id") % 2 === 1)))
 
   val routeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -164,18 +164,8 @@ object Similarity extends QueryModule {
     // partitioned by cell, so the non-query cells are never read; the
     // centroid set is tiny and broadcast. ----
     "sim_topk_ivf" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-      val cent = e.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
-      val scored = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .withColumn("cs", cosine(s, "embedding", "c_emb"))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
-      val cells = scored
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("k").as("cell"))
+      val cells = ivfCells(s, d)
       val qCell = cells.filter(col("vec_id") === 0).select(col("cell").as("q_cell"))
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
       e.join(cells, "vec_id")
@@ -780,16 +770,8 @@ object Similarity extends QueryModule {
     // multiprobe pattern is sim_topk_srp_multiprobe) and restored by the
     // rerank stage (sim_topk_pq_rerank). ----
     "sim_topk_ivfpq" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-      val cent = e.filter(col("vec_id").between(1, 8))
-        .select(col("vec_id").as("ck"), col("embedding").as("c_emb"))
-      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("ck"))
-      val cells = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(cent))
-        .withColumn("cs", cosine(s, "embedding", "c_emb"))
-        .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("ck").as("cell"))
+      val cells = ivfCells(s, d)
       val qCell = cells.filter(col("vec_id") === 0).select(col("cell").as("q_cell"))
       val probe = e.join(cells, "vec_id")
         .join(broadcast(qCell), col("cell") === col("q_cell"))
@@ -913,6 +895,23 @@ object Similarity extends QueryModule {
     * (ADC shortlist → exact re-rank). Portability: L2² is a sequential
     * zip_with→aggregate fold (bit-identical to list_reduce).
     */
+  /** Coarse-quantizer cell assignment against the frozen seed centroids
+    * (vec_ids 1..8): broadcast argmax cosine, ties → smaller centroid id.
+    * Shared by sim_topk_ivf and sim_topk_ivfpq.
+    */
+  private def ivfCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("ck"), col("embedding").as("c_emb"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("ck"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cs", cosine(s, "embedding", "c_emb"))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("ck").as("cell"))
+  }
+
   private def pqMs = explode(array((0 to 3).map(lit): _*)).as("m")
   private def pqSubv(alias: String) = expr(
     "transform(slice(embedding, m * 16 + 1, 16), x -> CAST(x AS DOUBLE))").as(alias)

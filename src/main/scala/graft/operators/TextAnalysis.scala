@@ -53,7 +53,7 @@ object TextAnalysis extends QueryModule {
     * IDENTICALLY in both engines (the oracle could not catch it), so the
     * taint check fails loudly (the srpPlanes precedent).
     */
-  private def bpeTrainLoop(docs: DataFrame)
+  private def bpeTrainLoop(docs: DataFrame, measureRounds: Boolean = true)
       : (String, Seq[(Long, String, String, Long, Long)]) = {
     val tainted = docs.filter(col("text").rlike("[A-E]")).limit(1).count()
     require(tainted == 0L,
@@ -78,9 +78,14 @@ object TextAnalysis extends QueryModule {
       // a lone trailing backslash would swallow the closing quote
       val pair = top.getString(0).replace("\\", "\\\\").replace("'", "''")
       rewritten = s"replace($rewritten, '$pair', '$sym')"
-      val nAfter = docs
-        .agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
-        .collect()(0).getLong(0)
+      // the per-round compression scan only matters to callers reporting
+      // the merge table (txt_bpe_train); the tokenizer capstone discards
+      // the table and must not pay 5 extra corpus scans for it
+      val nAfter =
+        if (measureRounds)
+          docs.agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
+            .collect()(0).getLong(0)
+        else -1L
       table += ((r.toLong, top.getString(0), sym, top.getLong(1), nAfter))
     }
     (rewritten, table.result())
@@ -746,7 +751,7 @@ object TextAnalysis extends QueryModule {
     // sees the Spark side's picks. ----
     "pipe_tokenizer_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (chain, _) = bpeTrainLoop(docs.select(col("text")))
+      val (chain, _) = bpeTrainLoop(docs.select(col("text")), measureRounds = false)
       docs.orderBy(col("doc_id"))
         .select(col("doc_id"),
           expr("CAST(length(replace(text, ' ', '')) AS BIGINT)")

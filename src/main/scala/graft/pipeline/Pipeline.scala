@@ -153,31 +153,49 @@ class Warehouse(val root: String, val format: String = "parquet") {
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim.toInt)
   }
 
+  /** A snapshot dir counts ONLY with its writer-completion `_SUCCESS`
+    * marker — bare directory existence may be crash debris from a write
+    * that died before the marker flip (the same rule DerivedArtifacts
+    * enforces for derived tables).
+    */
+  private def versionCommitted(name: String, v: Int): Boolean =
+    new java.io.File(new java.io.File(tablePath(name), s"_v=$v"), "_SUCCESS").exists()
+
   /** Read a snapshot: the pinned `version`, or the current one. Fails
-    * loudly on a missing table or a pruned/unknown version — a lineage
-    * read silently falling through to "latest" would defeat the point.
+    * loudly on a missing table, a pruned/unknown version, or an
+    * UNCOMMITTED snapshot dir (crash debris without `_SUCCESS`) — a
+    * lineage read silently falling through to "latest", or trusting a
+    * half-written directory, would defeat the point.
     */
   def readVersion(spark: SparkSession, name: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(name)).getOrElse(
       throw new IllegalArgumentException(s"no committed versions of $name"))
-    require(new java.io.File(tablePath(name), s"_v=$v").exists(),
+    require(versionCommitted(name, v),
       s"version $v of $name does not exist (pruned or never written)")
     spark.read.format(format).load(s"${tablePath(name)}/_v=$v")
   }
 
-  /** All snapshot versions present on disk, ascending. */
+  /** All COMMITTED snapshot versions, ascending (uncommitted crash
+    * debris is invisible — see [[versionCommitted]]).
+    */
   def listVersions(name: String): Seq[Int] =
     Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("_v="))
-      .map(_.getName.stripPrefix("_v=").toInt).sorted.toSeq
+      .map(_.getName.stripPrefix("_v=").toInt)
+      .filter(versionCommitted(name, _)).sorted.toSeq
 
-  /** Retention: keep the newest `keep` snapshots (the current one is
-    * never dropped regardless). Returns the pruned versions.
+  /** Retention: keep the newest `keep` committed snapshots (the current
+    * one is never dropped regardless); uncommitted `_v=` crash debris is
+    * swept unconditionally. Returns the pruned COMMITTED versions.
     */
   def pruneVersions(name: String, keep: Int): Seq[Int] = {
     require(keep >= 1, "pruneVersions: keep must be >= 1")
     val cur = currentVersion(name)
+    Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
+      .filter(f => !versionCommitted(name, f.getName.stripPrefix("_v=").toInt))
+      .foreach(Warehouse.deleteRecursively)
     val dropped = listVersions(name).sorted.reverse.drop(keep)
       .filterNot(cur.contains)
     dropped.foreach(v => Warehouse.deleteRecursively(

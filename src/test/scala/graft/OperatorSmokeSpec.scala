@@ -512,6 +512,40 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       canon2(Multimodal.routeMixedArrow(media)))
   }
 
+  test("decay engagement: halving replay, and a 100-day-old whale contributes ZERO (shift-wrap guard)") {
+    import graft.operators.EventTime
+    import spark.implicits._
+    def t(daysAgo: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 6, 30)
+        .minusDays(daysAgo.toLong).atStartOfDay())
+    // user 1: 100.00 today + 100.00 one day ago + 100.00 two days ago
+    //   -> 10000 + 5000 + 2500 cents
+    // user 2: a 100-day-old 1,000,000.00 whale. Java's shift masks the
+    // distance mod 64, so 100 % 64 = 36 would leak 100000000 >> 36 = 1? no —
+    // worse, 64 would leak FULL value; the guard must make it exactly 0.
+    // user 3: one event exactly 64 days ago (the wrap distance) — also 0.
+    val ev = Seq(
+      (1L, t(0), 10L, "purchase", 100.0),
+      (2L, t(1), 10L, "purchase", 100.0),
+      (3L, t(2), 10L, "purchase", 100.0),
+      (4L, t(100), 20L, "purchase", 1000000.0),
+      (5L, t(64), 30L, "purchase", 500.0),
+      (6L, t(62), 40L, "purchase", 500.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventTime.decayEngagement(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(10L) == ((10000L + 5000L + 2500L, 3L, 0L)))
+    assert(got(20L)._1 == 0L, "100-day-old event must decay to exactly zero, not wrap")
+    assert(got(30L)._1 == 0L, "64-day-old event (the mod-64 wrap distance) must be zero")
+    // 62 days is inside the guard: 50000 cents >> 62 = 0 by genuine decay
+    assert(got(40L)._1 == 0L && got(40L)._3 == 62L)
+    // and the registered query replays sequentially on the fixture
+    val real = SparkEntry.queries("evt_decay_engagement")(spark, sf0001).collect()
+    assert(real.nonEmpty && real.length <= 20)
+    val scores = real.map(_.getLong(1)).toSeq
+    assert(scores == scores.sortBy(-_), "top-20 must be sorted by score desc")
+  }
+
   test("cusum closed form equals the max(0,s+x-k) recursion; a planted shift alerts") {
     import graft.operators.EventTime
     // planted: steady 10/day for 10 days, then a sustained 25/day shift

@@ -38,6 +38,18 @@ class WarehouseSpec extends SparkSuiteBase {
     // keep=1 keeps exactly the current snapshot
     assert(wh.pruneVersions("t", keep = 1) == Seq(2))
     assert(wh.listVersions("t") == Seq(3))
+    // crash debris: a _v= dir WITHOUT the _SUCCESS marker (writer died
+    // before the marker flip) is invisible to listing, unreadable even
+    // when pinned, and swept by the next prune
+    val debris = new java.io.File(wh.tablePath("t"), "_v=9")
+    assert(debris.mkdirs())
+    java.nio.file.Files.write(new java.io.File(debris, "part-junk").toPath,
+      Array[Byte](1, 2, 3))
+    assert(wh.listVersions("t") == Seq(3), "uncommitted dir must be invisible")
+    intercept[IllegalArgumentException](wh.readVersion(spark, "t", Some(9)))
+    assert(wh.pruneVersions("t", keep = 1) == Seq())
+    assert(!debris.exists(), "prune must sweep uncommitted crash debris")
+    assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(7))
   }
 
   test("partitionedUpsertWrite: re-running a batch date replaces only that partition") {
