@@ -179,7 +179,10 @@ object PlanDump {
     // (broadcast cell argmax + broadcast q_cell semi), codes-only after
     "sim_topk_ivfpq",
     // integer-halving decay score: audit the single per-user partial agg
-    "evt_decay_engagement")
+    "evt_decay_engagement",
+    // feature-store extraction: single Expand for both exact distincts,
+    // one user-key exchange of partials
+    "evt_user_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

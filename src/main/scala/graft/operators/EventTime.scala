@@ -586,6 +586,54 @@ object EventTime extends QueryModule {
         .orderBy(col("p_event_id"))
     }),
 
+    // ---- the feature-store extraction job: ONE scan of the event lake
+    // produces the per-user wide feature row a training pipeline joins
+    // against (activity, breadth, monetary, recency/tenure, decayed
+    // engagement — the evt_decay_engagement weight inline). Exact
+    // integers throughout. Plan: one partial-agg'd user shuffle; the two
+    // all-time COUNT(DISTINCT)s expand the scan 3× map-side (the
+    // q_profile single-Expand class), so the exchange carries (user,
+    // day) and (user, type) partials — the honest exact-distinct cost
+    // (7.4 MB at sf1). `active_days_w9` demonstrates the at-scale exact
+    // alternative for BOUNDED windows: a 63-day day-bitmap folded by
+    // bit_or — constant 8-byte state, no Expand, bit_count at the end —
+    // which is the serving-feature form ("active days in the last 9
+    // weeks"); the horizon stops at shift 62 because 1<<63 overflows
+    // BIGINT in DuckDB (and a >=64 shift WRAPS in the JVM — the decay
+    // guard's bug class). Note HLL registers are NOT the answer here:
+    // per-user day counts are tiny and the libm-free raw estimate is
+    // biased high below ~2.5m without linear counting (documented at
+    // q_hll_distinct). The full output IS the product (a feature
+    // table), so there is no top-k. ----
+    "evt_user_features" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("days_ago", datediff(col("ref_day"), col("day")).cast("bigint"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("w_cents",
+          when(col("days_ago") >= 63, lit(0L))
+            .otherwise(expr("shiftright(cents, CAST(days_ago AS INT))")))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("active_days"),
+          expr("""CAST(bit_count(bit_or(
+            CASE WHEN days_ago <= 62
+                 THEN shiftleft(CAST(1 AS BIGINT), CAST(days_ago AS INT))
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""").as("active_days_w9"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+            .as("m_cents"),
+          min(col("days_ago")).as("recency_days"),
+          max(col("days_ago")).as("tenure_days"),
+          sum(col("w_cents")).as("decay_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- recency-weighted engagement (exponential decay, libm-free):
     // each event contributes value_cents >> days_ago — an exact
     // half-life-of-one-day decay in pure integer arithmetic (pow/exp
@@ -765,6 +813,31 @@ object EventTime extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "evt_user_features" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+        |w AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    date_diff('day', CAST(ts AS DATE), ref.ref_day) AS days_ago,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN date_diff('day', CAST(ts AS DATE), ref.ref_day) >= 63 THEN 0
+        |         ELSE CAST(round(value * 100) AS BIGINT)
+        |              >> date_diff('day', CAST(ts AS DATE), ref.ref_day) END AS w_cents
+        |  FROM events, ref
+        |)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS active_days,
+        |  CAST(bit_count(bit_or(
+        |    CASE WHEN days_ago <= 62 THEN CAST(1 AS BIGINT) << days_ago
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS active_days_w9,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS m_cents,
+        |  CAST(min(days_ago) AS BIGINT) AS recency_days,
+        |  CAST(max(days_ago) AS BIGINT) AS tenure_days,
+        |  CAST(sum(w_cents) AS BIGINT) AS decay_cents
+        |FROM w GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "evt_decay_engagement" ->
       """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
         |w AS (

@@ -512,6 +512,42 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       canon2(Multimodal.routeMixedArrow(media)))
   }
 
+  test("evt_user_features: every field replays sequentially per user") {
+    val rows = SparkEntry.queries("evt_user_features")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")).as("day"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2), r.getDouble(3)))
+    val refDay = ev.map(_._2).max
+    val byUser = ev.groupBy(_._1)
+    assert(rows.map(_.getLong(0)).toSet == byUser.keySet)
+    rows.foreach { r =>
+      val es = byUser(r.getLong(0))
+      def daysAgo(d: java.time.LocalDate): Long =
+        java.time.temporal.ChronoUnit.DAYS.between(d, refDay)
+      def cents(v: Double): Long = math.round(v * 100)
+      assert(r.getLong(1) == es.length.toLong)
+      assert(r.getLong(2) == es.map(_._2).distinct.length.toLong)
+      // windowed day-bitmap: distinct days with days_ago in [0, 62]
+      assert(r.getLong(3) ==
+        es.map(e => daysAgo(e._2)).filter(_ <= 62).distinct.length.toLong)
+      assert(r.getLong(4) == es.map(_._3).distinct.length.toLong)
+      assert(r.getLong(5) == es.count(_._3 == "purchase").toLong)
+      assert(r.getLong(6) == es.filter(_._3 == "purchase").map(e => cents(e._4)).sum)
+      assert(r.getLong(7) == es.map(e => daysAgo(e._2)).min)
+      assert(r.getLong(8) == es.map(e => daysAgo(e._2)).max)
+      assert(r.getLong(9) == es.map { e =>
+        val d = daysAgo(e._2)
+        if (d >= 63) 0L else cents(e._4) >> d.toInt
+      }.sum)
+    }
+  }
+
   test("decay engagement: halving replay, and a 100-day-old whale contributes ZERO (shift-wrap guard)") {
     import graft.operators.EventTime
     import spark.implicits._

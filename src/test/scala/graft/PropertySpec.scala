@@ -227,4 +227,68 @@ class PropertySpec extends SparkSuiteBase {
       got == want
     }, n = 8)
   }
+
+  test("PngCodec round-trips ARBITRARY small images pixel-exactly (both color types, all filters)") {
+    import graft.operators.Multimodal.PngCodec
+    val gen = for {
+      w <- Gen.chooseNum(1, 24)
+      h <- Gen.chooseNum(1, 24)
+      ct <- Gen.oneOf(2, 6)
+      seed <- Gen.chooseNum(0, 100000)
+    } yield (w, h, ct, seed)
+    check(Prop.forAll(gen) { case (w, h, ct, seed) =>
+      def px(y: Int, x: Int, c: Int): Int = (seed * 31 + y * 13 + x * 7 + c * 3) % 256
+      PngCodec.decode(PngCodec.encode(w, h, ct, px)) match {
+        case Right(d) =>
+          val ch = if (ct == 2) 3 else 4
+          d.width == w && d.height == h && d.channels == ch &&
+            (0 until h).forall(y => (0 until w).forall(x => (0 until ch).forall(c =>
+              (d.pixels((y * w + x) * ch + c) & 0xff) == px(y, x, c))))
+        case Left(_) => false
+      }
+    }, n = 40)
+  }
+
+  test("WAV features replay a sequential reference for ARBITRARY PCM streams") {
+    import graft.operators.Multimodal
+    val gen = for {
+      ch <- Gen.oneOf(1, 2)
+      n <- Gen.chooseNum(0, 60)
+      samples <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+      trailing <- Gen.oneOf(true, false)
+    } yield (ch, samples, trailing)
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    check(Prop.forAll(gen) { case (ch, samples, trailing) =>
+      val data0 = samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      val data = (if (trailing) data0 :+ 42.toByte else data0).toArray
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(ch.toShort)
+        .putInt(16000).putInt(16000 * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      bb.put("data".getBytes).putInt(data.length).put(data)
+      val media = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, bb.array()))), mediaSchema)
+      val r = Multimodal.wavFeatures(media).collect().head
+      // sequential reference: the trailing odd byte never counts
+      val byCh = samples.zipWithIndex.groupBy(_._2 % ch)
+        .view.mapValues(_.map(_._1)).toMap
+      def zc(vs: Seq[Int]) = vs.sliding(2).count {
+        case Seq(a, b) => (a < 0) != (b < 0); case _ => false }
+      def absSum(vs: Seq[Int]) = vs.map(v => math.abs(v).toLong).sum
+      if (samples.isEmpty)
+        r.getString(1) == "wav" && r.getLong(3) == 0L && r.isNullAt(4)
+      else {
+        val ok0 = r.getLong(4) == zc(byCh.getOrElse(0, Nil)).toLong &&
+          r.getLong(6) == absSum(byCh.getOrElse(0, Nil))
+        val ok1 =
+          if (ch == 2)
+            r.getLong(5) == zc(byCh.getOrElse(1, Nil)).toLong &&
+              r.getLong(7) == absSum(byCh.getOrElse(1, Nil))
+          else r.isNullAt(5) && r.isNullAt(7)
+        r.getString(1) == "wav" && r.getLong(3) == samples.length.toLong && ok0 && ok1
+      }
+    }, n = 12)
+  }
 }
