@@ -182,7 +182,9 @@ object PlanDump {
     "evt_decay_engagement",
     // feature-store extraction: single Expand for both exact distincts,
     // one user-key exchange of partials
-    "evt_user_features")
+    "evt_user_features",
+    // dataset card: one scan, single Expand for both distincts, 3-row agg
+    "pipe_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -69,6 +69,35 @@ object Curation extends QueryModule {
     // in the SAME split — dedup-then-split remains safe even if upstream
     // dedup missed an exact pair. Pure map stage: zero shuffles at any SF
     // (the output ORDER BY is presentation-only on the source key). ----
+    // ---- the DATASET CARD: the per-split accounting report a corpus
+    // release ships with — volume (docs, whitespace tokens, chars),
+    // language coverage (distinct langs + English share), the EXACT
+    // content-dup rate (docs − distinct md5(text)), and mean length —
+    // one scan + one split-key aggregation (md5/token counts ride the
+    // scan; the two distincts are the q_profile single-Expand class over
+    // a 3-row grouping). The (split, md5) partials are the one
+    // corpus-sized shuffle (1.7 MB at sf1); at 100 TB swap the exact dup
+    // count for graft_hll registers — unlike per-user day counts, corpus
+    // hash cardinality is far above the raw estimator's small-range bias
+    // zone, the q_hll_distinct use case exactly. Splits come from THE
+    // shared contamination-safe policy (splitBucket/splitOf), so the
+    // card describes exactly the corpus txt_split_assign ships. ----
+    "pipe_dataset_card" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split", splitOf(splitBucket(col("text"))))
+        .withColumn("n_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+        .withColumn("hsh", md5(col("text")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars").cast("bigint")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          (count(lit(1)) - countDistinct(col("hsh"))).as("n_exact_dups"),
+          expr("sum(n_tokens) DIV count(1)").as("avg_tokens"))
+        .orderBy(col("split"))
+    }),
+
     "txt_split_assign" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("bucket", splitBucket(col("text")))
@@ -618,6 +647,27 @@ object Curation extends QueryModule {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_dataset_card" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, text,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS bucket,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    md5(text) AS hsh
+        |  FROM documents
+        |), sp AS (
+        |  SELECT CASE WHEN bucket < 80 THEN 'train'
+        |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |    lang, n_chars, n_tokens, hsh
+        |  FROM h
+        |)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(count(*) - count(DISTINCT hsh) AS BIGINT) AS n_exact_dups,
+        |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "txt_split_assign" ->
       """WITH h AS (
         |  SELECT doc_id, source,

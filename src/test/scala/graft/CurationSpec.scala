@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
   */
 class CurationSpec extends SparkSuiteBase {
 
+  test("pipe_dataset_card recomposes from txt_split_assign and a per-split Scala replay") {
+    val card = Curation.queries("pipe_dataset_card")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("train", "val", "test"))
+    val split = Curation.queries("txt_split_assign")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.groupBy { case (id, _, _, _) => split(id) }.foreach { case (sp, ds) =>
+      val r = card(sp)
+      assert(r.getLong(1) == ds.length.toLong)
+      val tokens = ds.map(_._4.split(" ", -1).length.toLong)
+      assert(r.getLong(2) == tokens.sum)
+      assert(r.getLong(3) == ds.map(_._3).sum)
+      assert(r.getLong(4) == ds.map(_._2).distinct.length.toLong)
+      assert(r.getLong(5) == ds.count(_._2 == "en").toLong)
+      assert(r.getLong(6) == ds.length - ds.map(d => md5hex(d._4)).distinct.length,
+        s"split $sp exact-dup count")
+      assert(r.getLong(7) == tokens.sum / ds.length)
+    }
+  }
+
   test("txt_split_assign: byte-identical documents always share a split") {
     val perText = Curation.queries("txt_split_assign")(spark, sf0001)
       .join(Tables.documents(spark, sf0001), "doc_id")
