@@ -117,6 +117,31 @@ class PlanPolicySpec extends SparkSuiteBase {
     assert(plan.contains("md5("), s"expected md5 segment keys in:\n$plan")
   }
 
+  test("q_lateral_topn: the limited lateral decorrelates to WindowGroupLimit, never a re-scan") {
+    // the whole point of registering the LATERAL form: Catalyst must plan
+    // ONE co-keyed pass with a map-side partial group-limit — if a Spark
+    // upgrade regressed this to a per-outer-row subquery (or a cartesian),
+    // the query would silently become O(customers × orders) at scale
+    val plan = SparkEntry.queries("q_lateral_topn")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the decorrelated group-limit plan, got:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sim_pq_train: assignment is a literal-codebook projection — no vector-carrying exchange") {
+    // the trained-codebook Lloyd round must keep the 32-entry codebook as
+    // inlined literal state: the only exchanges are the (m,k,pos) update
+    // partials and the final 32-row joins. A window or groupBy-over-
+    // candidates form would put row_number over a vec-sized exchange.
+    val plan = SparkEntry.queries("sim_pq_train")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "pq_train must not plan a window over the candidate join")
+    assert(plan.contains("array_min"),
+      "assignment should be the generated literal-codebook argmin projection")
+  }
+
   test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
     import spark.implicits._
     val docs = Seq(
