@@ -184,7 +184,10 @@ object PlanDump {
     // one user-key exchange of partials
     "evt_user_features",
     // dataset card: one scan, single Expand for both distincts, 3-row agg
-    "pipe_dataset_card")
+    "pipe_dataset_card",
+    // estimator calibration: audit that the exact-verify engine is reused
+    // and the signature joins stay doc-keyed (sig-sized, no text)
+    "dedup_minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -578,6 +578,36 @@ object Dedup extends QueryModule {
           (col("jaccard") >= 0.2).as("is_dup"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- MinHash estimator CALIBRATION: for a min-wise family each lane
+    // collides with probability J, so (agreeing lanes)/8 is an unbiased
+    // Jaccard estimate — this report buckets every LSH candidate pair by
+    // agreeing lanes and puts the bucket's mean EXACT Jaccard beside the
+    // estimator's implied value (lanes × 125000 in micro-units), the
+    // empirical check that the hash family behaves, run whenever hash
+    // params change (the dedup_band_tuning companion: that report is
+    // analytic, this one is measured). Reuses both audited engines
+    // (candidatePairCounts exact counts, minhashSig lanes); the doc-keyed
+    // signature joins are signature-sized and the output is ≤ 9 rows. ----
+    "dedup_minhash_calibration" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+      val agree = (0 until 8).map(i =>
+        when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L)).reduce(_ + _)
+      candidatePairCounts(s, d)
+        .withColumn("jx1e6",
+          expr("CAST(n_common * 1000000 AS BIGINT) DIV (n_a + n_b - n_common)"))
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("agree_lanes", agree)
+        .groupBy(col("agree_lanes"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jx1e6) DIV count(1)").as("mean_jaccard_x1e6"))
+        .withColumn("implied_x1e6", col("agree_lanes") * lit(125000L))
+        .orderBy(col("agree_lanes"))
+    }),
+
     // ---- CONTAINMENT over the same LSH candidates (Broder's c(A,B) =
     // |A∩B|/|A|): catches near-SUBSET duplication Jaccard under-scores —
     // the crawl-data case where one page's content is wrapped in another's
@@ -1169,6 +1199,34 @@ object Dedup extends QueryModule {
            |FROM bands a JOIN bands b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_calibration" -> {
+        val agreeSql = (0 until 8)
+          .map(i => s"(CASE WHEN ga.mh$i = gb.mh$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$sigCte$bandsCte, cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), sets AS (
+           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
+           |  FROM sh GROUP BY doc_id
+           |), jx AS (
+           |  SELECT doc_a, doc_b,
+           |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) * 1000000
+           |      // (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))) AS jx1e6,
+           |    ($agreeSql) AS agree_lanes
+           |  FROM cand
+           |  JOIN sets sa ON sa.doc_id = doc_a
+           |  JOIN sets sb ON sb.doc_id = doc_b
+           |  JOIN sig ga ON ga.doc_id = doc_a
+           |  JOIN sig gb ON gb.doc_id = doc_b
+           |)
+           |SELECT CAST(agree_lanes AS BIGINT) AS agree_lanes,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(jx1e6) // count(*) AS BIGINT) AS mean_jaccard_x1e6,
+           |  CAST(agree_lanes * 125000 AS BIGINT) AS implied_x1e6
+           |FROM jx GROUP BY agree_lanes ORDER BY agree_lanes""".stripMargin
+      },
       "dedup_verify_candidates" ->
         s"""$sigCte$bandsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -512,6 +512,30 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       canon2(Multimodal.routeMixedArrow(media)))
   }
 
+  test("minhash calibration: buckets recompose from signatures + verified pairs, estimator monotone") {
+    val rows = SparkEntry.queries("dedup_minhash_calibration")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lanes, n, _, implied) =>
+      assert(implied == lanes * 125000L && n > 0 && lanes >= 0 && lanes <= 8)
+    }
+    // calibration direction: more agreeing lanes ⇒ (weakly) higher mean
+    // exact jaccard — the property the estimator exists to have
+    val means = rows.sortBy(_._1).map(_._3).toSeq
+    assert(means == means.sorted,
+      s"estimator must be monotone on the fixture, got $means")
+    // bucket populations recompose from the two independently-oracled
+    // queries: signature lanes + the verified candidate pair list
+    val sig = SparkEntry.queries("dedup_minhash_sig")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val pairs = SparkEntry.queries("dedup_verify_candidates")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byLanes = pairs.groupBy { case (a, b) =>
+      sig(a).zip(sig(b)).count(t => t._1 == t._2).toLong
+    }.view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == byLanes)
+  }
+
   test("evt_user_features: every field replays sequentially per user") {
     val rows = SparkEntry.queries("evt_user_features")(spark, sf0001).collect()
     assert(rows.nonEmpty)
