@@ -8,20 +8,24 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `BINARY` columns with a typed metadata struct travelling beside them.
   *
-  * The IMAGE decode is REAL: [[PngCodec]] implements the public PNG spec
-  * (zlib inflate via `java.util.zip.Inflater`, per-chunk CRC32, all five
-  * scanline filters) with no image library — `mm_png_decode` recovers
-  * actual pixels and the oracle checks their sums/checksum independently.
-  * Only the video-frame content decode remains stubbed ([[FakeDecoder]] —
-  * no video codec exists in this container); its Spark plumbing (schema,
-  * per-partition batched iteration, Arrow seam, partitioning story) is
-  * real and identical to the decoded paths.
+  * ALL THREE modality decodes are REAL — no stubs remain:
+  *  - IMAGE: [[PngCodec]] implements the public PNG spec (zlib inflate via
+  *    `java.util.zip.Inflater`, per-chunk CRC32, all five scanline filters)
+  *    with no image library — `mm_png_decode` recovers actual pixels and
+  *    the oracle checks their sums/checksum independently.
+  *  - AUDIO: [[WavHeader]] + the PCM decoders parse real RIFF/WAVE bytes
+  *    and de-interleave genuine 16-bit samples.
+  *  - VIDEO: [[Y4mCodec]] implements the public YUV4MPEG2 stream layout
+  *    (the uncompressed interchange format real video toolchains pipe
+  *    between stages) — `mm_video_decode` recovers actual per-frame YUV
+  *    planes; a compressed codec (H.26x/AV1) would slot in at the same
+  *    Arrow seam as a JNI/library call.
   *
   * Scale design: payload bytes never shuffle — `decodeFeatures` is a
   * mapPartitions (narrow) stage, so a 100 TB binary lake is decoded where it
   * is read; only the small feature vectors flow on to joins/aggregations.
   * Batch shape: partitions are processed via a buffered iterator in batches
-  * of [[FakeDecoder.batchSize]] rows, the same shape a real GPU/codec decode
+  * of [[MediaBatch.batchSize]] rows, the same shape a real GPU/codec decode
   * would want (amortized model/codec setup per batch, bounded memory) — the
   * Scala `mapPartitions` analog of PySpark's `mapInPandas` batched-UDF
   * contract, which is where a Python decoder (PIL/torchcodec) would plug in.
@@ -36,15 +40,17 @@ object Multimodal extends QueryModule {
       StructField("n_bytes", LongType),
       StructField("sample_rate", IntegerType))))))
 
-  /** Attach a fake binary payload + typed metadata to each document —
-    * stands in for reading an image/audio column from a real lake.
+  /** Attach a raw (format-free) binary payload + typed metadata to each
+    * document — the "unknown bytes" class of a real lake, exercised by
+    * the [[ByteStats]] format-agnostic featurizer and as the degrade
+    * input for the typed decoders.
     */
-  def attachFakeMedia(docs: DataFrame): DataFrame =
+  def attachRawMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       struct(
-        lit("fake/raw").as("format"),
+        lit("application/octet-stream").as("format"),
         length(col("text").cast("binary")).cast("bigint").as("n_bytes"),
         lit(16000).as("sample_rate")).as("meta"))
 
@@ -530,21 +536,20 @@ object Multimodal extends QueryModule {
   }
 
   /** Mixed-modality corpus: one binary column holding heterogeneous
-    * payloads — even doc_ids carry a REAL complete PNG (the
-    * [[attachPngPixelMedia]] generator; even ids are RGB) and odd doc_ids
-    * a REAL RIFF/WAVE whose data chunk is the document text (the
-    * [[attachWavMedia]] layout; odd ids are stereo). This is the shape of
-    * a real multimodal lake: the format is NOT a column, it is only
-    * discoverable by sniffing the bytes.
+    * payloads — doc_id mod 3 = 0 carries a REAL complete PNG (the
+    * [[attachPngPixelMedia]] generator), mod 3 = 1 a REAL RIFF/WAVE whose
+    * data chunk is the document text (the [[attachWavMedia]] layout), and
+    * mod 3 = 2 a REAL YUV4MPEG2 clip (the [[attachY4mMedia]] generator).
+    * This is the shape of a real multimodal lake: the format is NOT a
+    * column, it is only discoverable by sniffing the bytes.
     */
   def attachMixedMedia(docs: DataFrame): DataFrame =
-    // reuse the two canonical generators — duplicating their byte layouts
-    // here would silently desynchronize this fixture from the
-    // pipe_multimodal_e2e oracle if either ever changed. The parity
-    // conventions already line up: even doc_ids are RGB in
-    // [[attachPngPixelMedia]], odd doc_ids are stereo in [[attachWavMedia]].
-    attachPngPixelMedia(docs.filter(col("doc_id") % 2 === 0))
-      .union(attachWavMedia(docs.filter(col("doc_id") % 2 === 1)))
+    // reuse the three canonical generators — duplicating their byte
+    // layouts here would silently desynchronize this fixture from the
+    // pipe_multimodal_e2e oracle if any of them ever changed
+    attachPngPixelMedia(docs.filter(col("doc_id") % 3 === 0))
+      .union(attachWavMedia(docs.filter(col("doc_id") % 3 === 1)))
+      .union(attachY4mMedia(docs.filter(col("doc_id") % 3 === 2)))
 
   val routeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -552,16 +557,21 @@ object Multimodal extends QueryModule {
     StructField("units", LongType),
     StructField("mass", LongType)))
 
-  /** The modality ROUTER: sniffs each payload's real bytes (PNG signature
-    * first, then the RIFF frame) and runs the matching REAL decoder —
-    * images report pixel count + total channel mass, audio reports sample
+  /** The modality ROUTER: sniffs each payload's real bytes (PNG signature,
+    * then the YUV4MPEG2 magic, then the RIFF frame) and runs the matching
+    * REAL decoder — images report pixel count + total channel mass, video
+    * reports luma-pixel count + total plane mass, audio reports sample
     * count + total |v| mass; unrecognized or corrupt payloads keep their
     * typed class with stats withheld. One narrow pass; the router never
     * consults anything but the bytes.
     */
+  private val Y4mMagic = "YUV4MPEG2".getBytes("US-ASCII")
+
   private def routeRow(id: Long, bytes: Array[Byte]): Row = {
     val isPng = bytes.length >= MediaHeader.PngSignature.length &&
       MediaHeader.PngSignature.indices.forall(i => bytes(i) == MediaHeader.PngSignature(i))
+    val isY4m = !isPng && bytes.length >= Y4mMagic.length &&
+      Y4mMagic.indices.forall(i => bytes(i) == Y4mMagic(i))
     if (isPng) {
       val r = pngDecodeRow(id, bytes)
       if (r.getString(1) != "png") Row(id, r.getString(1), null, null)
@@ -570,6 +580,11 @@ object Multimodal extends QueryModule {
           (if (!r.isNullAt(9)) r.getLong(9) else 0L)
         Row(id, "image", r.getLong(5), mass)
       }
+    } else if (isY4m) {
+      val r = y4mDecodeRow(id, bytes)
+      if (r.getString(1) != "y4m") Row(id, r.getString(1), null, null)
+      else Row(id, "video", r.getLong(5),
+        r.getLong(6) + r.getLong(7) + r.getLong(8))
     } else {
       val r = wavFeatureRow(id, bytes)
       if (r.getString(1) != "wav") Row(id, r.getString(1), null, null)
@@ -758,6 +773,303 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, wavHeaderSchema)
   }
 
+  /** A REAL YUV4MPEG2 (y4m) codec — no video library, just the public
+    * y4m stream layout (mjpegtools `yuv4mpeg(5)`): an ASCII stream header
+    * `YUV4MPEG2` with space-separated tagged parameters (`W`/`H` required;
+    * `F` rate, `I` interlacing, `A` aspect, `C` colourspace, `X` metadata
+    * optional), then per frame an ASCII `FRAME` marker line followed by
+    * raw planar YUV. Plane sizes: `C444` = three full `w·h` planes; the
+    * `C420` family = full Y + quarter-resolution U/V (even dimensions
+    * required). Y4M is the uncompressed interchange format real video
+    * toolchains (ffmpeg, mjpegtools, codec test vectors) pipe between
+    * stages — decoding it is genuine frame access, not a stand-in; a
+    * compressed codec (H.26x/AV1) would slot in at the same seam as a
+    * JNI/library call. The encoder exists to build genuine fixtures; the
+    * decoder is the production path: header parse → parameter validation →
+    * per-frame marker walk with exact length arithmetic (a stream that
+    * ends mid-frame, lacks a marker, or carries trailing garbage degrades
+    * typed). Raw format ⇒ no decompression amplification: every
+    * allocation is bounded by the payload length, checked before copying.
+    */
+  object Y4mCodec {
+    /** Frames hold contiguous planar data: Y (w·h), then U, then V
+      * (chromaW·chromaH each).
+      */
+    case class DecodedVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                            chromaW: Int, chromaH: Int, frames: Array[Array[Byte]]) {
+      def nFrames: Int = frames.length
+      def lumaLen: Int = width * height
+      def frameLen: Int = lumaLen + 2 * chromaW * chromaH
+    }
+
+    private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
+
+    /** Encode a real C444 y4m stream. `px(f, plane, y, x)` supplies each
+      * sample (plane 0 = Y, 1 = U, 2 = V).
+      */
+    def encode(width: Int, height: Int, nFrames: Int,
+               px: (Int, Int, Int, Int) => Int): Array[Byte] = {
+      require(width > 0 && height > 0 && nFrames >= 0)
+      val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n"
+        .getBytes("US-ASCII")
+      val marker = "FRAME\n".getBytes("US-ASCII")
+      val frameLen = 3 * width * height
+      val out = new Array[Byte](header.length + nFrames * (marker.length + frameLen))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var off = header.length
+      var f = 0
+      while (f < nFrames) {
+        System.arraycopy(marker, 0, out, off, marker.length)
+        off += marker.length
+        var p = 0
+        while (p < 3) {
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              out(off) = (px(f, p, y, x) & 0xff).toByte
+              off += 1
+              x += 1
+            }
+            y += 1
+          }
+          p += 1
+        }
+        f += 1
+      }
+      out
+    }
+
+    /** The real decode: magic → stream-header tag parse + validation →
+      * per-frame `FRAME` marker walk, each frame's planar payload sliced
+      * by exact length arithmetic. Every malformation returns a typed
+      * reason (tag garbage like `Wabc` surfaces as a parse `decode error`,
+      * still a Left — never garbage frames).
+      */
+    def decode(bytes: Array[Byte]): Either[String, DecodedVideo] = try {
+      if (bytes.length < Magic.length ||
+          !Magic.indices.forall(i => bytes(i) == Magic(i)))
+        return Left("bad magic")
+      // stream-header line: bounded scan for the terminating \n (a real
+      // header is tens of bytes; 512 bounds adversarial marker-less input)
+      var hdrEnd = Magic.length
+      while (hdrEnd < bytes.length && hdrEnd < Magic.length + 512 &&
+        bytes(hdrEnd) != '\n') hdrEnd += 1
+      if (hdrEnd >= bytes.length || bytes(hdrEnd) != '\n')
+        return Left("unterminated stream header")
+      if (hdrEnd > Magic.length && bytes(Magic.length) != ' ')
+        return Left("malformed stream header")
+      val tags = new String(bytes, Magic.length, hdrEnd - Magic.length, "US-ASCII")
+        .split(' ').filter(_.nonEmpty)
+      var w = -1; var h = -1; var fpsNum = 25; var fpsDen = 1
+      var colour = "420jpeg" // the spec's default when no C tag is present
+      for (tag <- tags) (tag.head, tag.tail) match {
+        case ('W', v) => w = v.toInt
+        case ('H', v) => h = v.toInt
+        case ('F', v) =>
+          val parts = v.split(':')
+          if (parts.length != 2) return Left("malformed frame-rate tag")
+          fpsNum = parts(0).toInt; fpsDen = parts(1).toInt
+          if (fpsDen <= 0 || fpsNum < 0) return Left("invalid frame rate")
+        case ('C', v) => colour = v
+        // interlacing / aspect / app metadata: parsed past — they don't
+        // change frame-length arithmetic
+        case ('I', _) | ('A', _) | ('X', _) => ()
+        case (t, _) => return Left(s"unknown stream-header tag '$t'")
+      }
+      if (w <= 0 || h <= 0) return Left("missing or invalid W/H")
+      val (cw, ch) = colour match {
+        case "444" => (w, h)
+        case c if c.startsWith("420") =>
+          if (w % 2 != 0 || h % 2 != 0)
+            return Left("odd dimensions with 4:2:0 chroma")
+          (w / 2, h / 2)
+        case other => return Left(s"unsupported colourspace C$other")
+      }
+      val frameLenL = w.toLong * h + 2L * cw * ch
+      if (frameLenL > Int.MaxValue) return Left("frame size exceeds supported size")
+      val frameLen = frameLenL.toInt
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var off = hdrEnd + 1
+      while (off < bytes.length) {
+        if (off + 6 > bytes.length ||
+            new String(bytes, off, 5, "US-ASCII") != "FRAME")
+          return Left("missing FRAME marker")
+        var i = off + 5
+        while (i < bytes.length && i < off + 5 + 512 && bytes(i) != '\n') i += 1
+        if (i >= bytes.length || bytes(i) != '\n')
+          return Left("unterminated FRAME marker")
+        if (i > off + 5 && bytes(off + 5) != ' ')
+          return Left("malformed FRAME marker")
+        val dataOff = i + 1
+        if (dataOff + frameLen.toLong > bytes.length)
+          return Left("truncated frame")
+        frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + frameLen)
+        off = dataOff + frameLen
+      }
+      Right(DecodedVideo(w, h, fpsNum, fpsDen, cw, ch, frames.toArray))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  /** Small REAL y4m videos (≤ 8×6, 2–4 frames, C444) whose sample values
+    * follow a formula the DuckDB oracle can replay independently — while
+    * the Spark side only learns them by genuinely parsing the container
+    * and slicing the planar frames. Videos are deliberately small: the
+    * oracle enumerates every (frame, plane, y, x) in SQL, which bounds
+    * fixture size, not the decoder (the decode path is the same for a
+    * 1080p stream).
+    */
+  def attachY4mMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"),
+        col("n_chars").cast("bigint").as("n_chars")).rdd.map { r =>
+      val id = r.getLong(0); val nChars = r.getLong(1)
+      val w = (id % 8 + 1).toInt
+      val h = (nChars % 6 + 1).toInt
+      val nf = (nChars % 3 + 2).toInt
+      val bytes = Y4mCodec.encode(w, h, nf,
+        (f, p, y, x) => ((id * 31 + f * 13 + p * 17 + y * 7 + x * 5) % 256).toInt)
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val videoDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType),
+    StructField("n_pixels", LongType),
+    StructField("sum_y", LongType),
+    StructField("sum_u", LongType),
+    StructField("sum_v", LongType),
+    StructField("luma_checksum", LongType),
+    StructField("delta_energy", LongType)))
+
+  /** REAL frame decode stats — the video twin of [[pngDecodeRow]]: after
+    * [[Y4mCodec.decode]] validates and slices the planar frames, exact
+    * integer stats are computed over the actual sample values — per-plane
+    * sums, a positional luma checksum (Σ v·(f·w·h + y·w + x + 1), so any
+    * plane mis-slice breaks the hash), and frame-delta energy
+    * (Σ over consecutive frames of Σ|Y_f − Y_{f−1}| — the scene-change /
+    * static-clip signal a video-curation pipeline filters on). Corrupt
+    * payloads degrade to the typed class with stats withheld.
+    */
+  private def y4mDecodeRow(id: Long, bytes: Array[Byte]): Row =
+    Y4mCodec.decode(bytes) match {
+      case Left(_) =>
+        Row(id, "y4m-corrupt", null, null, null, null, null, null, null, null, null)
+      case Right(v) =>
+        val luma = v.lumaLen
+        val cLen = v.chromaW * v.chromaH
+        var sumY = 0L; var sumU = 0L; var sumV = 0L
+        var checksum = 0L; var delta = 0L
+        var f = 0
+        while (f < v.nFrames) {
+          val fr = v.frames(f)
+          var i = 0
+          while (i < luma) {
+            val pv = fr(i) & 0xff
+            sumY += pv
+            checksum += pv.toLong * (f.toLong * luma + i + 1)
+            i += 1
+          }
+          i = 0
+          while (i < cLen) {
+            sumU += fr(luma + i) & 0xff
+            sumV += fr(luma + cLen + i) & 0xff
+            i += 1
+          }
+          if (f > 0) {
+            val prev = v.frames(f - 1)
+            i = 0
+            while (i < luma) {
+              delta += math.abs((fr(i) & 0xff) - (prev(i) & 0xff)).toLong
+              i += 1
+            }
+          }
+          f += 1
+        }
+        Row(id, "y4m", v.width.toLong, v.height.toLong, v.nFrames.toLong,
+          v.width.toLong * v.height * v.nFrames, sumY, sumU, sumV,
+          checksum, delta)
+    }
+
+  /** Full y4m frame decode over the Arrow batch seam (same contract as
+    * [[decodePngArrow]]): container parse + plane slicing happen where the
+    * bytes are read; only the per-video stats rows continue.
+    */
+  def decodeY4mArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, videoDecodeSchema)(y4mDecodeRow)
+
+  /** Row-path twin of [[decodeY4mArrow]] (parity spec pins equality). */
+  def decodeY4m(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      y4mDecodeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, videoDecodeSchema)
+  }
+
+  /** REAL video featurizer over the Arrow contract — the video twin of
+    * [[PngArrowDecoder]]: each payload is decoded with [[Y4mCodec]] and
+    * featurized as `[width, height, n_frames, mean_y, mean_u, mean_v,
+    * delta_norm, fps]` (plane means normalized to [0, 1]; delta_norm =
+    * frame-delta energy over its 255·(n−1)·w·h maximum). A payload that
+    * fails to decode yields the all-zero vector — the typed-degradation
+    * contract.
+    */
+  object Y4mArrowDecoder extends ArrowBatchDecoder {
+    override def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]] = {
+      val payload = root.getVector("payload")
+        .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+      (0 until root.getRowCount).map { i =>
+        Y4mCodec.decode(payload.get(i)) match {
+          case Left(_) => new Array[Double](MediaBatch.featureDim)
+          case Right(v) if v.nFrames == 0 => new Array[Double](MediaBatch.featureDim)
+          case Right(v) =>
+            val luma = v.lumaLen; val cLen = v.chromaW * v.chromaH
+            var sumY = 0L; var sumU = 0L; var sumV = 0L; var delta = 0L
+            var f = 0
+            while (f < v.nFrames) {
+              val fr = v.frames(f)
+              var j = 0
+              while (j < luma) { sumY += fr(j) & 0xff; j += 1 }
+              j = 0
+              while (j < cLen) {
+                sumU += fr(luma + j) & 0xff
+                sumV += fr(luma + cLen + j) & 0xff
+                j += 1
+              }
+              if (f > 0) {
+                val prev = v.frames(f - 1)
+                j = 0
+                while (j < luma) {
+                  delta += math.abs((fr(j) & 0xff) - (prev(j) & 0xff)).toLong
+                  j += 1
+                }
+              }
+              f += 1
+            }
+            val lumaTotal = luma.toDouble * v.nFrames
+            val chromaTotal = cLen.toDouble * v.nFrames
+            Array(v.width.toDouble, v.height.toDouble, v.nFrames.toDouble,
+              sumY / (255.0 * lumaTotal),
+              if (chromaTotal == 0) 0.0 else sumU / (255.0 * chromaTotal),
+              if (chromaTotal == 0) 0.0 else sumV / (255.0 * chromaTotal),
+              if (v.nFrames < 2) 0.0
+              else delta / (255.0 * (v.nFrames - 1) * luma),
+              v.fpsNum.toDouble / v.fpsDen)
+        }
+      }
+    }
+  }
+
   /** Header sniffing over the SAME Arrow-columnar batch seam as
     * [[decodeFeaturesArrow]]: payload bytes are marshalled into a
     * `VarBinaryVector` per batch and parsed there — the shape a native
@@ -784,7 +1096,7 @@ object Multimodal extends QueryModule {
 
   /** Shared Arrow marshalling for header parsers: rows become one
     * (doc_id BigInt, payload VarBinary) `VectorSchemaRoot` per batch of
-    * [[FakeDecoder.batchSize]], the per-row `parse` reads straight off the
+    * [[MediaBatch.batchSize]], the per-row `parse` reads straight off the
     * vectors — the shape a native (JNI/GPU) header reader consumes. Still
     * a narrow stage; payload bytes never shuffle, only parsed fields
     * continue.
@@ -807,7 +1119,7 @@ object Multimodal extends QueryModule {
     import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.grouped(FakeDecoder.batchSize).flatMap { batch =>
+      it.grouped(MediaBatch.batchSize).flatMap { batch =>
         val alloc = new RootAllocator(Long.MaxValue)
         var docId: BigIntVector = null
         var payload: VarBinaryVector = null
@@ -839,26 +1151,38 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, schema)
   }
 
-  object FakeDecoder {
+  /** Decode batching constants shared by every modality path. */
+  object MediaBatch {
+    /** Rows per decode batch — amortizes codec/Arrow setup, bounds memory. */
     val batchSize = 64
+    /** Width of the fixed-dim feature vectors every featurizer emits. */
     val featureDim = 8
+  }
 
-    /** STUB — a real implementation would decode the image/audio here.
-      * Deterministic fake: k-th feature = mean of payload bytes at positions
-      * ≡ k (mod featureDim), normalized to [0, 1].
-      */
-    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+  /** Format-AGNOSTIC byte-level featurizer — a real statistic, not a
+    * decoder stand-in: feature k = mean of payload bytes at positions
+    * ≡ k (mod featureDim), normalized to [0, 1]. Position-stratified
+    * byte means are the cheap triage signal for unknown binaries:
+    * fixed-stride record layouts and interleaved sample formats show up
+    * as divergence BETWEEN the strata, while compressed/encrypted bytes
+    * flatten all strata toward 0.5 — useful for bucketing a lake's
+    * unclassified tail before paying for real decode attempts. Typed
+    * modality decodes live in [[PngCodec]]/[[wavDecodeRow]]/[[Y4mCodec]].
+    */
+  object ByteStats {
+    def featureBatch(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
       payloads.map { bytes =>
-        val sums = new Array[Double](featureDim)
-        val counts = new Array[Long](featureDim)
+        val dim = MediaBatch.featureDim
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
-          val k = i % featureDim
+          val k = i % dim
           sums(k) += (bytes(i) & 0xff) / 255.0
           counts(k) += 1
           i += 1
         }
-        Array.tabulate(featureDim)(k => if (counts(k) == 0) 0.0 else sums(k) / counts(k))
+        Array.tabulate(dim)(k => if (counts(k) == 0) 0.0 else sums(k) / counts(k))
       }
   }
 
@@ -869,13 +1193,13 @@ object Multimodal extends QueryModule {
 
   /** Per-partition batched decode: the Spark-side contract a real
     * image/audio featurizer plugs into (mapPartitions, batches of
-    * [[FakeDecoder.batchSize]], bounded memory, no shuffle).
+    * [[MediaBatch.batchSize]], bounded memory, no shuffle).
     */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.grouped(FakeDecoder.batchSize).flatMap { batch =>
-        val feats = FakeDecoder.decodeBatch(batch.map(_.getAs[Array[Byte]]("payload")))
+      it.grouped(MediaBatch.batchSize).flatMap { batch =>
+        val feats = ByteStats.featureBatch(batch.map(_.getAs[Array[Byte]]("payload")))
         batch.zip(feats).map { case (row, f) =>
           val payload = row.getAs[Array[Byte]]("payload")
           Row(row.getLong(0), f.toSeq, payload.length.toLong)
@@ -897,16 +1221,16 @@ object Multimodal extends QueryModule {
     def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]]
   }
 
-  /** STUB decoder over the Arrow contract: reads each payload from the
-    * VarBinary vector and applies the same deterministic fake featurization
-    * as [[FakeDecoder]] — so the Arrow path is parity-checkable against the
-    * row path (OperatorSmokeSpec).
+  /** [[ByteStats]] over the Arrow contract: reads each payload from the
+    * VarBinary vector and computes the same position-stratified byte means
+    * — so the Arrow path is parity-checkable against the row path
+    * (OperatorSmokeSpec).
     */
-  object FakeArrowDecoder extends ArrowBatchDecoder {
+  object ByteStatsArrowDecoder extends ArrowBatchDecoder {
     override def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]] = {
       val payload = root.getVector("payload")
         .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
-      FakeDecoder.decodeBatch((0 until root.getRowCount).map(payload.get))
+      ByteStats.featureBatch((0 until root.getRowCount).map(payload.get))
     }
   }
 
@@ -916,9 +1240,8 @@ object Multimodal extends QueryModule {
     * `[width, height, channels, mean_r, mean_g, mean_b, mean_a, mean_all]`
     * (means normalized to [0, 1]; mean_a = 0 for RGB). A payload that fails
     * to decode yields the all-zero vector — the typed-degradation contract,
-    * matching `png-corrupt` on the stats path. This replaces the fake
-    * featurization for the image class; [[FakeDecoder]] remains only where
-    * no codec exists in this container (video frame content).
+    * matching `png-corrupt` on the stats path. [[Y4mArrowDecoder]] is the
+    * video twin; [[ByteStatsArrowDecoder]] covers format-free bytes.
     */
   object PngArrowDecoder extends ArrowBatchDecoder {
     override def decode(root: org.apache.arrow.vector.VectorSchemaRoot): Seq[Array[Double]] = {
@@ -926,7 +1249,7 @@ object Multimodal extends QueryModule {
         .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
       (0 until root.getRowCount).map { i =>
         PngCodec.decode(payload.get(i)) match {
-          case Left(_) => new Array[Double](FakeDecoder.featureDim)
+          case Left(_) => new Array[Double](MediaBatch.featureDim)
           case Right(d) =>
             val sums = new Array[Double](4)
             var j = 0
@@ -946,7 +1269,7 @@ object Multimodal extends QueryModule {
 
   /** [[decodeFeatures]] over the Arrow-columnar batch contract: rows are
     * marshalled into Arrow `VectorSchemaRoot` batches of
-    * [[FakeDecoder.batchSize]] inside `mapPartitions` (still narrow — the
+    * [[MediaBatch.batchSize]] inside `mapPartitions` (still narrow — the
     * payload bytes never shuffle), the decoder consumes the columnar batch,
     * and the feature vectors come back as rows. Output is identical to the
     * row-based path (OperatorSmokeSpec pins it); the difference is the seam:
@@ -955,12 +1278,12 @@ object Multimodal extends QueryModule {
     */
   def decodeFeaturesArrow(
       media: DataFrame,
-      decoder: ArrowBatchDecoder = FakeArrowDecoder): DataFrame = {
+      decoder: ArrowBatchDecoder = ByteStatsArrowDecoder): DataFrame = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.grouped(FakeDecoder.batchSize).flatMap { batch =>
+      it.grouped(MediaBatch.batchSize).flatMap { batch =>
         val alloc = new RootAllocator(Long.MaxValue)
         // vectors are closed via `root` on the happy path; if anything
         // throws BEFORE the root exists they must be closed directly, or
@@ -995,46 +1318,82 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  val frameSchema: StructType = StructType(Seq(
+  val frameSampleSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("frame_idx", IntegerType),
-    StructField("frame_bytes", BinaryType),
-    StructField("n_frames", IntegerType)))
+    StructField("slot", LongType),
+    StructField("frame_idx", LongType),
+    StructField("n_frames", LongType),
+    StructField("frame_len", LongType),
+    StructField("luma_sum", LongType)))
 
-  /** Frame sampling for video-shaped payloads: each payload yields up to
-    * `maxFrames` evenly spaced "frames" (STUB slicing — a real codec would
-    * seek/decode here; the Spark plumbing is the contract). Emitted as
-    * exploded rows (doc_id, frame_idx, frame_bytes) — the layout downstream
-    * per-frame featurizers want. Narrow stage: payloads are sliced where
-    * they are read, only the (smaller) frames continue; at 100 TB the
-    * full-video bytes never shuffle.
+  /** REAL frame sampling on REAL decoded frames — the pre-featurization
+    * step every video-training pipeline runs (a model sees k frames per
+    * clip, not all of them): [[Y4mCodec.decode]] parses the container,
+    * then up to `maxFrames` evenly spaced frames are selected
+    * (`frame_idx = slot · n_frames / k`, the origin-anchored stride) and
+    * each sampled frame's exact luma mass is computed from its actual Y
+    * plane. Corrupt payloads degrade to ZERO rows (the resize contract).
+    * Narrow stage: full-video bytes are decoded where read, only the
+    * per-sampled-frame stat rows continue; at 100 TB the clip bytes never
+    * shuffle.
     */
-  def frameSample(media: DataFrame, maxFrames: Int = 4): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        val payload = row.getAs[Array[Byte]]("payload")
-        val n = math.min(maxFrames, math.max(1, payload.length / 8))
-        val frameLen = math.max(1, payload.length / n)
-        (0 until n).map { i =>
-          val from = i * frameLen
-          val until = math.min(payload.length, from + frameLen)
-          Row(row.getLong(0), i, java.util.Arrays.copyOfRange(payload, from, until), n)
+  private def frameSampleRows(maxFrames: Int)(id: Long, bytes: Array[Byte]): Seq[Row] =
+    Y4mCodec.decode(bytes) match {
+      case Left(_) => Seq.empty
+      case Right(v) if v.nFrames == 0 => Seq.empty
+      case Right(v) =>
+        val k = math.min(maxFrames, v.nFrames)
+        (0 until k).map { slot =>
+          val fidx = slot * v.nFrames / k
+          val fr = v.frames(fidx)
+          var luma = 0L
+          var i = 0
+          while (i < v.lumaLen) { luma += fr(i) & 0xff; i += 1 }
+          Row(id, slot.toLong, fidx.toLong, v.nFrames.toLong,
+            v.frameLen.toLong, luma)
         }
-      }
     }
-    spark.createDataFrame(rdd, frameSchema)
+
+  /** Evenly spaced frame sampling over the Arrow batch seam (decode +
+    * sample fused where the bytes are read).
+    */
+  def frameSampleArrow(media: DataFrame, maxFrames: Int = 2): DataFrame =
+    arrowFlatParse(media, frameSampleSchema)(frameSampleRows(maxFrames))
+
+  /** Row-path twin of [[frameSampleArrow]] (parity spec pins equality). */
+  def frameSample(media: DataFrame, maxFrames: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.flatMap { row =>
+      frameSampleRows(maxFrames)(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, frameSampleSchema)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // frame-sample plumbing, oracle-checkable slice: per-frame byte extents
+    // ---- REAL frame sampling on REAL decoded frames: each doc's y4m clip
+    // is parsed ([[Y4mCodec]]) and up to 2 evenly spaced frames are
+    // selected; frame_idx and each sampled frame's exact luma mass exist
+    // on the Spark side ONLY by slicing the actual Y planes, while the
+    // oracle replays the sampling stride + generator formula in SQL — it
+    // never sees the bytes. ----
     "mm_frame_sample" -> ((s, d) => {
-      val media = attachFakeMedia(Tables.documents(s, d).orderBy(col("doc_id")))
-      frameSample(media, maxFrames = 4)
-        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
-          length(col("frame_bytes")).cast("bigint").as("frame_len"),
-          col("n_frames").cast("bigint").as("n_frames"))
-        .orderBy(col("doc_id"), col("frame_idx"))
+      val media = attachY4mMedia(Tables.documents(s, d))
+      frameSampleArrow(media, maxFrames = 2)
+        .orderBy(col("doc_id"), col("slot"))
+    }),
+    // ---- FULL video-frame decode, the video twin of mm_png_decode: the
+    // payload is a REAL YUV4MPEG2 stream ([[attachY4mMedia]] — ASCII
+    // header, FRAME markers, raw C444 planes) and every value below
+    // except doc_id exists on the Spark side ONLY because
+    // [[Y4mCodec.decode]] genuinely parses the container and slices the
+    // planar frames inside the Arrow batch seam. The oracle replays the
+    // generative sample formula per (frame, plane, y, x) in SQL — it
+    // never sees the bytes — so any header/marker/plane-slicing bug
+    // breaks the hash. delta_energy (Σ|Y_f − Y_{f−1}|) is the
+    // scene-change/static-clip curation signal. ----
+    "mm_video_decode" -> ((s, d) => {
+      val media = attachY4mMedia(Tables.documents(s, d))
+      decodeY4mArrow(media).orderBy(col("doc_id"))
     }),
     // binary-column metadata surface: REAL byte-level header decode. The
     // payload is a PNG-framed binary ([[attachPngMedia]]); the values below
@@ -1121,13 +1480,13 @@ object Multimodal extends QueryModule {
     }),
 
     // ---- the multimodal capstone: ONE binary column, heterogeneous REAL
-    // payloads (PNGs and WAVs interleaved), format discovered only by
-    // sniffing bytes. The router runs the matching real decoder per
-    // payload in one narrow pass, then per-modality corpus accounting —
-    // the ingest-audit report a mixed-media lake produces before
-    // training. At scale the routed stats partial-agg to |modalities|
-    // rows per mapper; payload bytes never shuffle. Oracle replays BOTH
-    // generator formulas and unions them. ----
+    // payloads (PNGs, WAVs, and y4m clips interleaved), format discovered
+    // only by sniffing bytes. The router runs the matching real decoder
+    // per payload in one narrow pass, then per-modality corpus
+    // accounting — the ingest-audit report a mixed-media lake produces
+    // before training. At scale the routed stats partial-agg to
+    // |modalities| rows per mapper; payload bytes never shuffle. Oracle
+    // replays ALL THREE generator formulas and unions them. ----
     "pipe_multimodal_e2e" -> ((s, d) => {
       val media = attachMixedMedia(Tables.documents(s, d))
       routeMixedArrow(media)
@@ -1140,19 +1499,70 @@ object Multimodal extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    // independent replay of the sampling stride + luma GENERATOR: the
+    // oracle computes frame_idx = slot·nf/2 and sums the formula over the
+    // sampled frame's (y, x) — the Spark side can only reach those values
+    // by parsing the container and summing the actual Y plane
     "mm_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
-        |), p AS (
-        |  SELECT doc_id, len, least(4, greatest(1, len // 8)) AS n FROM m
-        |), f AS (
-        |  SELECT doc_id, len, n, greatest(1, len // n) AS fl FROM p
+        |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
+        |    n_chars % 3 + 2 AS nf
+        |  FROM documents
+        |), sel AS (
+        |  SELECT doc_id, w, h, nf, s.s AS slot, (s.s * nf) // 2 AS fidx
+        |  FROM m, UNNEST(range(0, 2)) AS s(s)
+        |), ls AS (
+        |  SELECT doc_id, slot, fidx, nf, w, h,
+        |    sum((doc_id * 31 + fidx * 13 + y.y * 7 + x.x * 5) % 256) AS luma_sum
+        |  FROM sel, UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |  GROUP BY doc_id, slot, fidx, nf, w, h
         |)
-        |SELECT doc_id, i AS frame_idx,
-        |  least(len, (i + 1) * fl) - i * fl AS frame_len,
-        |  n AS n_frames
-        |FROM f, UNNEST(range(0, n)) AS t(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+        |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+        |  CAST(fidx AS BIGINT) AS frame_idx, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(3 * w * h AS BIGINT) AS frame_len,
+        |  CAST(luma_sum AS BIGINT) AS luma_sum
+        |FROM ls ORDER BY doc_id, slot""".stripMargin,
+    // independent replay of the video sample GENERATOR (not the decoder):
+    // the oracle enumerates every (frame, plane, y, x) of each clip and
+    // computes the same plane sums / positional luma checksum /
+    // frame-delta energy the Spark side can only reach by actually
+    // parsing the y4m container and slicing the planar frames
+    "mm_video_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
+        |    n_chars % 3 + 2 AS nf
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, nf, f.f AS f, p.p AS p, y.y AS y, x.x AS x,
+        |    (doc_id * 31 + f.f * 13 + p.p * 17 + y.y * 7 + x.x * 5) % 256 AS v
+        |  FROM m, UNNEST(range(0, nf)) AS f(f), UNNEST(range(0, 3)) AS p(p),
+        |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |), agg AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN p = 0 THEN v END) AS sum_y,
+        |    sum(CASE WHEN p = 1 THEN v END) AS sum_u,
+        |    sum(CASE WHEN p = 2 THEN v END) AS sum_v,
+        |    sum(CASE WHEN p = 0 THEN v * (f * w * h + y * w + x + 1) END) AS luma_checksum
+        |  FROM px GROUP BY doc_id
+        |), dl AS (
+        |  SELECT doc_id, sum(abs(
+        |    (doc_id * 31 + f.f * 13 + y.y * 7 + x.x * 5) % 256 -
+        |    (doc_id * 31 + (f.f - 1) * 13 + y.y * 7 + x.x * 5) % 256)) AS delta_energy
+        |  FROM m, UNNEST(range(1, nf)) AS f(f),
+        |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |  GROUP BY doc_id
+        |)
+        |SELECT m.doc_id, 'y4m' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(w * h * nf AS BIGINT) AS n_pixels,
+        |  CAST(a.sum_y AS BIGINT) AS sum_y, CAST(a.sum_u AS BIGINT) AS sum_u,
+        |  CAST(a.sum_v AS BIGINT) AS sum_v,
+        |  CAST(a.luma_checksum AS BIGINT) AS luma_checksum,
+        |  CAST(coalesce(dl.delta_energy, 0) AS BIGINT) AS delta_energy
+        |FROM m JOIN agg a ON m.doc_id = a.doc_id
+        |LEFT JOIN dl ON m.doc_id = dl.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // independent derivation of the header fields the Spark side PARSES
     // out of the PNG bytes: 8 (sig) + 4 (len) + 4 (type) + 13 (IHDR data)
     // + 4 (crc) = 33 header bytes before the text payload
@@ -1287,23 +1697,25 @@ object Multimodal extends QueryModule {
         |  CAST(CASE WHEN m.n > 0 AND m.ch = 2 THEN coalesce(a.a1, 0) END AS BIGINT) AS abs_ch1
         |FROM m LEFT JOIN agg a ON m.doc_id = a.doc_id
         |ORDER BY m.doc_id""".stripMargin,
-    // independent replay of BOTH modality generators: even docs through
-    // the pixel formula (RGB), odd docs through the PCM byte stream —
-    // unioned into the same per-modality accounting the router computes
-    // from the bytes alone
+    // independent replay of ALL THREE modality generators: doc_id%3=0
+    // through the pixel formula (RGB for even ids, RGBA for odd), %3=1
+    // through the PCM byte stream (mono/stereo by id parity), %3=2
+    // through the y4m sample formula — unioned into the same per-modality
+    // accounting the router computes from the bytes alone
     "pipe_multimodal_e2e" ->
       """WITH di AS (
-        |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h
-        |  FROM documents WHERE doc_id % 2 = 0
+        |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
+        |  FROM documents WHERE doc_id % 3 = 0
         |), img AS (
         |  SELECT doc_id, w * h AS units,
         |    sum((doc_id * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256) AS mass
         |  FROM di, UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x),
-        |    UNNEST(range(0, 3)) AS c(c)
+        |    UNNEST(range(0, ch)) AS c(c)
         |  GROUP BY doc_id, w, h
         |), da AS (
         |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) // 2 AS n
-        |  FROM documents WHERE doc_id % 2 = 1
+        |  FROM documents WHERE doc_id % 3 = 1
         |), asum AS (
         |  SELECT doc_id, sum(abs(v)) AS mass FROM (
         |    SELECT doc_id,
@@ -1315,9 +1727,20 @@ object Multimodal extends QueryModule {
         |), aud AS (
         |  SELECT da.doc_id, da.n AS units, coalesce(asum.mass, 0) AS mass
         |  FROM da LEFT JOIN asum ON da.doc_id = asum.doc_id
+        |), dv AS (
+        |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
+        |    n_chars % 3 + 2 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), vid AS (
+        |  SELECT doc_id, w * h * nf AS units,
+        |    sum((doc_id * 31 + f.f * 13 + p.p * 17 + y.y * 7 + x.x * 5) % 256) AS mass
+        |  FROM dv, UNNEST(range(0, nf)) AS f(f), UNNEST(range(0, 3)) AS p(p),
+        |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |  GROUP BY doc_id, w, h, nf
         |), u AS (
         |  SELECT 'image' AS modality, units, mass FROM img
         |  UNION ALL SELECT 'audio' AS modality, units, mass FROM aud
+        |  UNION ALL SELECT 'video' AS modality, units, mass FROM vid
         |)
         |SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(units) AS BIGINT) AS total_units,

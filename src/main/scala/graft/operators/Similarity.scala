@@ -264,18 +264,26 @@ object Similarity extends QueryModule {
         }
         expr(s"CASE ${branches.mkString(" ")} END")
       }
-      for (_ <- 1 to 2) {
-        val fresh = sub.withColumn("k", codeCol(cent))
-          .select(col("m"), col("k"), posexplode(col("sv")))
-          .groupBy(col("m"), col("k"), col("pos"))
-          .agg(expr("sum(col) DIV count(1)").as("mu"))
-          .collect()
-          .groupBy(r => (r.getInt(0), r.getInt(1)))
-          .map { case (key, rows) =>
-            key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
-          }
-        cent = cent.map { case (key, old) => key -> fresh.getOrElse(key, old) }
-      }
+      // try/finally: the cache exists for the two training passes; once
+      // the loop is done (or dies) the cached subvector partitions are
+      // released so a long-lived session doesn't leak them until LRU
+      // eviction. The final assignment below re-reads the narrow source
+      // once, uncached — cheap, and it keeps the returned plan the
+      // spec-pinned literal-codebook projection (no driver-side tables).
+      try {
+        for (_ <- 1 to 2) {
+          val fresh = sub.withColumn("k", codeCol(cent))
+            .select(col("m"), col("k"), posexplode(col("sv")))
+            .groupBy(col("m"), col("k"), col("pos"))
+            .agg(expr("sum(col) DIV count(1)").as("mu"))
+            .collect()
+            .groupBy(r => (r.getInt(0), r.getInt(1)))
+            .map { case (key, rows) =>
+              key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+            }
+          cent = cent.map { case (key, old) => key -> fresh.getOrElse(key, old) }
+        }
+      } finally sub.unpersist()
       val counts = sub.withColumn("k", codeCol(cent))
         .groupBy(col("m"), col("k")).agg(count(lit(1)).as("n_assigned"))
         .select(col("m").cast("bigint").as("m"), col("k").cast("bigint").as("k"),

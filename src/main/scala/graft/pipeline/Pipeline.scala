@@ -134,7 +134,13 @@ class Warehouse(val root: String, val format: String = "parquet") {
   def versionedWrite(df: DataFrame, name: String): Int = {
     val base = new java.io.File(tablePath(name))
     base.mkdirs()
-    val next = currentVersion(name).getOrElse(0) + 1
+    // Next version = max over ALL on-disk _v= dirs (committed or not), not
+    // the marker: if a prior writer died after the snapshot dir committed
+    // (_SUCCESS present) but before the marker flip, the marker is stale —
+    // deriving from it would Overwrite-rewrite a committed-visible snapshot
+    // under a pinned reader. Counting uncommitted debris too is safe (it
+    // only skips a number) and avoids ever reusing a dir name.
+    val next = (0 +: versionDirs(name).map(_._2)).max + 1
     df.write.mode(SaveMode.Overwrite).format(format)
       .save(s"${tablePath(name)}/_v=$next")
     val tmp = new java.io.File(base, "_VERSION.tmp")
@@ -176,26 +182,42 @@ class Warehouse(val root: String, val format: String = "parquet") {
     spark.read.format(format).load(s"${tablePath(name)}/_v=$v")
   }
 
+  /** Every `_v=N` directory with a NUMERIC suffix, as (dir, version).
+    * Non-numeric strays (`_v=tmp`) are ignored rather than throwing —
+    * one bad directory must not break listing/reads/retention for the
+    * whole table.
+    */
+  private def versionDirs(name: String): Seq[(java.io.File, Int)] =
+    Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap { f =>
+        if (!f.getName.startsWith("_v=")) None
+        else scala.util.Try(f.getName.stripPrefix("_v=").toInt).toOption.map(f -> _)
+      }.toSeq
+
   /** All COMMITTED snapshot versions, ascending (uncommitted crash
     * debris is invisible — see [[versionCommitted]]).
     */
   def listVersions(name: String): Seq[Int] =
-    Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
-      .map(_.getName.stripPrefix("_v=").toInt)
-      .filter(versionCommitted(name, _)).sorted.toSeq
+    versionDirs(name).map(_._2)
+      .filter(versionCommitted(name, _)).sorted
 
   /** Retention: keep the newest `keep` committed snapshots (the current
-    * one is never dropped regardless); uncommitted `_v=` crash debris is
-    * swept unconditionally. Returns the pruned COMMITTED versions.
+    * one is never dropped regardless). Uncommitted `_v=` crash debris is
+    * swept ONLY for versions <= the committed current version: a dir
+    * numbered above current with no `_SUCCESS` yet may be an in-flight
+    * versionedWrite (the _SUCCESS marker only lands at job commit), and a
+    * concurrent maintenance pruner must not destroy it mid-write. Returns
+    * the pruned COMMITTED versions.
     */
   def pruneVersions(name: String, keep: Int): Seq[Int] = {
     require(keep >= 1, "pruneVersions: keep must be >= 1")
     val cur = currentVersion(name)
-    Option(new java.io.File(tablePath(name)).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_v="))
-      .filter(f => !versionCommitted(name, f.getName.stripPrefix("_v=").toInt))
-      .foreach(Warehouse.deleteRecursively)
+    versionDirs(name)
+      .filter { case (_, v) =>
+        !versionCommitted(name, v) && cur.exists(v <= _)
+      }
+      .foreach { case (f, _) => Warehouse.deleteRecursively(f) }
     val dropped = listVersions(name).sorted.reverse.drop(keep)
       .filterNot(cur.contains)
     dropped.foreach(v => Warehouse.deleteRecursively(

@@ -67,14 +67,14 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     }
   }
 
-  test("multimodal decode: batched stub produces fixed-dim features, no shuffle") {
-    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
+  test("multimodal byte-stats featurizer: batched, fixed-dim, deterministic, no shuffle") {
+    val media = Multimodal.attachRawMedia(Tables.documents(spark, sf0001))
     val feats = Multimodal.decodeFeatures(media)
     val rows = feats.limit(20).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
       val f = r.getSeq[Double](r.fieldIndex("features"))
-      assert(f.length == Multimodal.FakeDecoder.featureDim)
+      assert(f.length == Multimodal.MediaBatch.featureDim)
       assert(f.forall(v => v >= 0.0 && v <= 1.0))
       assert(r.getAs[Long]("n_bytes") > 0)
     }
@@ -85,7 +85,7 @@ class OperatorSmokeSpec extends SparkSuiteBase {
   }
 
   test("Arrow-columnar decode path is row-identical to the row-based path") {
-    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
+    val media = Multimodal.attachRawMedia(Tables.documents(spark, sf0001))
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toList, r.getLong(2))).toList
@@ -285,7 +285,7 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       if (ch == 3) assert(f(6) == 0.0)
     }
     // corrupt payload through the same seam: zero vector, not an exception
-    val corrupt = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001).limit(3))
+    val corrupt = Multimodal.attachRawMedia(Tables.documents(spark, sf0001).limit(3))
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("payload"))
     val z = Multimodal.decodeFeaturesArrow(corrupt, Multimodal.PngArrowDecoder).collect()
@@ -474,7 +474,10 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     // parity of the id only DECIDED which generator ran; the router
     // itself classifies from the bytes — every class must line up
     routed.foreach { case (id, r) =>
-      assert(r.getString(1) == (if (id % 2 == 0) "image" else "audio"),
+      val expected = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      assert(r.getString(1) == expected,
         s"doc $id misrouted as ${r.getString(1)}")
     }
     // image units are the real decode's pixel count
@@ -485,9 +488,14 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     routed.filter(_._2.getString(1) == "image").foreach { case (id, r) =>
       assert(r.getLong(2) == (id % 16 + 1) * (nChars(id) % 12 + 1))
     }
+    // video units are the real decode's luma-pixel count across frames
+    routed.filter(_._2.getString(1) == "video").foreach { case (id, r) =>
+      assert(r.getLong(2) ==
+        (id % 8 + 1) * (nChars(id) % 6 + 1) * (nChars(id) % 3 + 2))
+    }
     // audio stats recompose from the independently-spec'd wav features
-    val odd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
-    val wf = Multimodal.wavFeatures(Multimodal.attachWavMedia(odd)).collect()
+    val audioDocs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+    val wf = Multimodal.wavFeatures(Multimodal.attachWavMedia(audioDocs)).collect()
       .map(r => r.getLong(0) -> r).toMap
     routed.filter(_._2.getString(1) == "audio").foreach { case (id, r) =>
       val f = wf(id)
@@ -876,19 +884,84 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(native == relational)
   }
 
-  test("frameSample: frames cover a payload prefix in order, bounded count") {
-    val media = Multimodal.attachFakeMedia(Tables.documents(spark, sf0001))
-    val one = media.limit(1).collect()(0)
-    val payload = one.getAs[Array[Byte]]("payload")
-    val frames = Multimodal.frameSample(media.limit(1), maxFrames = 4)
-      .orderBy("frame_idx").collect()
-    assert(frames.length >= 1 && frames.length <= 4)
-    assert(frames.map(_.getInt(1)).toSeq == frames.indices.toSeq)
-    // frames concatenate to a prefix of the payload (stub may drop a tail
-    // shorter than one frame)
-    val joined = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
-    assert(joined.sameElements(payload.take(joined.length)))
-    assert(joined.length >= payload.length - payload.length / frames.length)
+  test("frameSample: evenly spaced REAL frames, luma from actual planes, corrupt degrades to zero rows") {
+    import graft.operators.Multimodal.Y4mCodec
+    val media = Multimodal.attachY4mMedia(Tables.documents(spark, sf0001))
+    // hand-check one doc: the sampled luma sums equal sums over the
+    // decoded frames at the strided indices
+    val one = media.orderBy("doc_id").limit(1).collect()(0)
+    val v = Y4mCodec.decode(one.getAs[Array[Byte]]("payload")).toOption.get
+    val rows = Multimodal.frameSample(media.orderBy("doc_id").limit(1), maxFrames = 2)
+      .orderBy("slot").collect()
+    val k = math.min(2, v.nFrames)
+    assert(rows.length == k)
+    rows.zipWithIndex.foreach { case (r, slot) =>
+      val fidx = slot * v.nFrames / k
+      assert(r.getLong(1) == slot.toLong && r.getLong(2) == fidx.toLong)
+      assert(r.getLong(3) == v.nFrames.toLong && r.getLong(4) == v.frameLen.toLong)
+      val expectedLuma = (0 until v.lumaLen).map(i => (v.frames(fidx)(i) & 0xff).toLong).sum
+      assert(r.getLong(5) == expectedLuma)
+    }
+    // sampling a 4-frame clip with maxFrames=2 must hit frames 0 and 2
+    val fourFrame = media.collect().find { r =>
+      Y4mCodec.decode(r.getAs[Array[Byte]]("payload")).toOption.exists(_.nFrames == 4)
+    }
+    fourFrame.foreach { r =>
+      val idx = Multimodal.frameSample(
+        spark.createDataFrame(spark.sparkContext.parallelize(Seq(r)), media.schema)
+          .select(col("doc_id"), col("payload")), maxFrames = 2)
+        .orderBy("slot").collect().map(_.getLong(2)).toSeq
+      assert(idx == Seq(0L, 2L))
+    }
+    // corrupt payload: zero rows (typed degrade, the resize contract)
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, "YUV4MPEG2 W2 H2 C444\nFRAME\nxx".getBytes))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType))))
+    assert(Multimodal.frameSample(corrupt).collect().isEmpty)
+    // Arrow seam parity on the full fixture
+    def canonF(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "slot").collect().map(_.toSeq).toList
+    assert(canonF(Multimodal.frameSample(media)) ==
+      canonF(Multimodal.frameSampleArrow(media)))
+  }
+
+  test("Y4mCodec: round-trip, header validation, truncation/garbage degrade typed") {
+    import graft.operators.Multimodal.Y4mCodec
+    val bytes = Y4mCodec.encode(3, 2, 2, (f, p, y, x) => f * 50 + p * 20 + y * 5 + x)
+    val v = Y4mCodec.decode(bytes).toOption.get
+    assert(v.width == 3 && v.height == 2 && v.nFrames == 2)
+    assert(v.chromaW == 3 && v.chromaH == 2 && v.fpsNum == 25 && v.fpsDen == 1)
+    for (f <- 0 until 2; p <- 0 until 3; y <- 0 until 2; x <- 0 until 3)
+      assert((v.frames(f)(p * 6 + y * 3 + x) & 0xff) == f * 50 + p * 20 + y * 5 + x)
+    // C420 chroma arithmetic: 4x2 frame = 8 luma + 2*2 chroma = 12 bytes
+    val c420 = "YUV4MPEG2 W4 H2 C420jpeg\nFRAME\n".getBytes("US-ASCII") ++
+      Array.tabulate(12)(_.toByte)
+    val v420 = Y4mCodec.decode(c420).toOption.get
+    assert(v420.chromaW == 2 && v420.chromaH == 1 && v420.frameLen == 12)
+    // odd dims with 4:2:0 are invalid
+    assert(Y4mCodec.decode("YUV4MPEG2 W3 H2 C420jpeg\n".getBytes("US-ASCII"))
+      .left.exists(_.contains("odd dimensions")))
+    // typed degrades: bad magic, truncated frame, missing marker,
+    // unterminated header, unsupported colourspace, garbage tag value
+    assert(Y4mCodec.decode("JUNK".getBytes).left.exists(_ == "bad magic"))
+    assert(Y4mCodec.decode(bytes.dropRight(1)).left.exists(_ == "truncated frame"))
+    assert(Y4mCodec.decode(bytes ++ "zz".getBytes)
+      .left.exists(_ == "missing FRAME marker"))
+    assert(Y4mCodec.decode("YUV4MPEG2 W2 H2".getBytes)
+      .left.exists(_ == "unterminated stream header"))
+    assert(Y4mCodec.decode("YUV4MPEG2 W2 H2 C999\n".getBytes)
+      .left.exists(_.contains("unsupported colourspace")))
+    assert(Y4mCodec.decode("YUV4MPEG2 Wxx H2 C444\n".getBytes)
+      .left.exists(_.startsWith("decode error")))
+    // decode twin parity: stats row path == Arrow path on the fixture
+    val media = Multimodal.attachY4mMedia(Tables.documents(spark, sf0001))
+    def canonV(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(canonV(Multimodal.decodeY4m(media)) ==
+      canonV(Multimodal.decodeY4mArrow(media)))
   }
 
   // evt_dau_wau replaces the textbook rolling-distinct window (a day-spine

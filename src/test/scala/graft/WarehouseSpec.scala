@@ -38,18 +38,46 @@ class WarehouseSpec extends SparkSuiteBase {
     // keep=1 keeps exactly the current snapshot
     assert(wh.pruneVersions("t", keep = 1) == Seq(2))
     assert(wh.listVersions("t") == Seq(3))
-    // crash debris: a _v= dir WITHOUT the _SUCCESS marker (writer died
-    // before the marker flip) is invisible to listing, unreadable even
-    // when pinned, and swept by the next prune
-    val debris = new java.io.File(wh.tablePath("t"), "_v=9")
+    // crash debris: a _v= dir WITHOUT the _SUCCESS marker is invisible to
+    // listing and unreadable even when pinned. Prune's sweep distinguishes
+    // by version number: a dir NUMBERED ABOVE current may be an in-flight
+    // versionedWrite (_SUCCESS only lands at job commit), so a concurrent
+    // maintenance pruner must leave it alone; a dir at-or-below current
+    // can only be crash debris and is swept.
+    val inflight = new java.io.File(wh.tablePath("t"), "_v=9")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(new java.io.File(inflight, "part-junk").toPath,
+      Array[Byte](1, 2, 3))
+    val debris = new java.io.File(wh.tablePath("t"), "_v=2")
     assert(debris.mkdirs())
     java.nio.file.Files.write(new java.io.File(debris, "part-junk").toPath,
       Array[Byte](1, 2, 3))
-    assert(wh.listVersions("t") == Seq(3), "uncommitted dir must be invisible")
+    assert(wh.listVersions("t") == Seq(3), "uncommitted dirs must be invisible")
     intercept[IllegalArgumentException](wh.readVersion(spark, "t", Some(9)))
     assert(wh.pruneVersions("t", keep = 1) == Seq())
-    assert(!debris.exists(), "prune must sweep uncommitted crash debris")
+    assert(!debris.exists(), "prune must sweep uncommitted debris below current")
+    assert(inflight.exists(), "prune must NOT destroy a possibly-in-flight write")
     assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(7))
+    // a stray non-numeric _v= dir must not break listing/read/retention
+    val stray = new java.io.File(wh.tablePath("t"), "_v=tmp")
+    assert(stray.mkdirs())
+    assert(wh.listVersions("t") == Seq(3))
+    assert(wh.pruneVersions("t", keep = 1) == Seq())
+    assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(7))
+    stray.delete()
+    // crash window between job commit and marker flip: _v=9's data lands
+    // with _SUCCESS but the writer dies before _VERSION points at it. The
+    // NEXT versionedWrite must not reuse (and Overwrite-rewrite) dir 9
+    // under a pinned reader — it derives its number from the dirs on
+    // disk, not the stale marker.
+    Seq(99).toDF("v").write.mode("overwrite").parquet(inflight.getPath)
+    assert(wh.currentVersion("t").contains(3), "marker is stale by design here")
+    assert(wh.readVersion(spark, "t", Some(9)).as[Int].collect().toSeq == Seq(99))
+    val v10 = wh.versionedWrite(Seq(100).toDF("v"), "t")
+    assert(v10 == 10, "next version must skip past the committed-but-unmarked dir")
+    assert(wh.readVersion(spark, "t", Some(9)).as[Int].collect().toSeq == Seq(99),
+      "the orphaned committed snapshot is still intact for pinned readers")
+    assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(100))
   }
 
   test("partitionedUpsertWrite: re-running a batch date replaces only that partition") {
