@@ -49,6 +49,48 @@ object Curation extends QueryModule {
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
 
+  /** A REAL versioned lake table for the version-pinned diff: three
+    * `_v=N` snapshots of the corpus written through
+    * [[graft.pipeline.Warehouse.versionedWrite]] (immutable snapshot
+    * dirs + atomic marker commit), built once per corpus fingerprint
+    * (the [[Dedup.DerivedArtifacts]] staleness contract). Snapshot
+    * contents follow the `pipe_snapshot_diff` conventions so the oracle
+    * can replay them from `documents` independently:
+    *   v1 = doc_id % 10 ≠ 0;
+    *   v2 = doc_id % 23 ≠ 0 with % 37 = 0 texts revised;
+    *   v3 = v2 minus doc_id % 5 = 0 — the LATEST decoy: a diff that
+    *        silently read "latest" instead of the pinned v1/v2 pair
+    *        produces different counts and fails the oracle hash.
+    */
+  private[operators] object VersionedFixture {
+    val wh = new graft.pipeline.Warehouse(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_versioned").getPath)
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def tableName(s: SparkSession, d: String): String = {
+      val key = s"corpus_versions_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      if (!built.contains(key)) {
+        if (wh.listVersions(key) != Seq(1, 2, 3)) {
+          wh.dropTable(key)
+          val docs = Tables.documents(s, d)
+          val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+            .select(col("doc_id"), h60(col("text")).as("h"),
+              col("n_chars").cast("bigint").as("n_chars"))
+          val v2 = docs.filter(col("doc_id") % 23 =!= 0)
+            .select(col("doc_id"),
+              h60(when(col("doc_id") % 37 === 0, concat(col("text"), lit(" rev2")))
+                .otherwise(col("text"))).as("h"),
+              col("n_chars").cast("bigint").as("n_chars"))
+          wh.versionedWrite(v1, key)
+          wh.versionedWrite(v2, key)
+          wh.versionedWrite(v2.filter(col("doc_id") % 5 =!= 0), key)
+        }
+        built.add(key)
+      }
+      key
+    }
+  }
+
   /** Morton (Z-order) bit-interleave of two `bits`-bit BIGINT columns as a
     * flat arithmetic sum — bit i of `x` lands at position 2i, bit i of `y`
     * at 2i+1. Generated as the same literal expression for both engines
@@ -163,6 +205,39 @@ object Curation extends QueryModule {
           h60(when(col("doc_id") % 37 === 0, concat(col("text"), lit(" rev2")))
             .otherwise(col("text"))).as("h_b"),
           col("n_chars").as("chars_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("h_a").isNull, lit("added"))
+            .when(col("h_b").isNull, lit("removed"))
+            .when(col("h_a") =!= col("h_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("chars_b"), col("chars_a"))).cast("bigint")
+            .as("total_chars"))
+        .orderBy(col("change_type"))
+    }),
+
+    // ---- version-PINNED snapshot diff: the lineage question "what
+    // changed between training-set v1 and v2" answered end-to-end
+    // through the warehouse's time-travel layer. Unlike
+    // pipe_snapshot_diff (which derives both sides inline), BOTH inputs
+    // here are genuine `_v=N` snapshot directories written by
+    // [[graft.pipeline.Warehouse.versionedWrite]] and read back by
+    // [[graft.pipeline.Warehouse.readVersion]] with EXPLICIT pins — and
+    // the table's CURRENT version is a deliberately different v3, so a
+    // read that silently fell through to "latest" produces different
+    // counts and fails the oracle hash. The diff itself is the
+    // pipe_snapshot_diff CDC join: one key-partitioned full-outer join
+    // carrying 16-byte content hashes, never text. At 100 TB the pinned
+    // reads are manifest-selected file scans (no extra cost vs latest)
+    // and the join is the same one the unpinned diff pays. ----
+    "pipe_version_diff" -> ((s, d) => {
+      val table = VersionedFixture.tableName(s, d)
+      val a = VersionedFixture.wh.readVersion(s, table, Some(1))
+        .select(col("doc_id"), col("h").as("h_a"), col("n_chars").as("chars_a"))
+      val b = VersionedFixture.wh.readVersion(s, table, Some(2))
+        .select(col("doc_id"), col("h").as("h_b"), col("n_chars").as("chars_b"))
       a.join(b, Seq("doc_id"), "full_outer")
         .withColumn("change_type",
           when(col("h_a").isNull, lit("added"))
@@ -701,6 +776,33 @@ object Curation extends QueryModule {
         |FROM r WHERE rank <= 10
         |ORDER BY source, rank""".stripMargin,
     "pipe_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h_a,
+        |    n_chars AS chars_a
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |), b AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(
+        |      CASE WHEN doc_id % 37 = 0 THEN text || ' rev2' ELSE text END
+        |    ), 1, 15) AS BIGINT) AS h_b,
+        |    n_chars AS chars_b
+        |  FROM documents WHERE doc_id % 23 <> 0
+        |), m AS (
+        |  SELECT h_a, h_b, chars_a, chars_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT CASE WHEN h_a IS NULL THEN 'added'
+        |            WHEN h_b IS NULL THEN 'removed'
+        |            WHEN h_a <> h_b THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  count(*) AS n_docs,
+        |  CAST(sum(coalesce(chars_b, chars_a)) AS BIGINT) AS total_chars
+        |FROM m GROUP BY 1 ORDER BY change_type""".stripMargin,
+    // replays the v1/v2 snapshot DEFINITIONS from `documents` — the Spark
+    // side can only match by correctly selecting the pinned `_v=1`/`_v=2`
+    // directories (current is a different v3, so "latest" fails the hash)
+    "pipe_version_diff" ->
       """WITH a AS (
         |  SELECT doc_id,
         |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h_a,

@@ -83,7 +83,7 @@ object Dedup extends QueryModule {
       new java.io.File(sys.props("java.io.tmpdir"), "graft_derived").getPath)
     private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-    private def fingerprint(d: String, source: String): String = {
+    private[operators] def fingerprint(d: String, source: String): String = {
       val src = new java.io.File(d, s"$source.parquet")
       val files =
         if (src.isDirectory)

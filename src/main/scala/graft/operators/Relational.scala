@@ -161,12 +161,65 @@ object Relational extends QueryModule {
   def saltedJoin(
       left: DataFrame, leftKey: String, saltSrc: Column,
       right: DataFrame, rightKey: String, buckets: Int): DataFrame =
-    left.withColumn("__salt", pmod(saltSrc.cast("bigint"), lit(buckets.toLong)))
-      .join(
-        right.withColumn("__salt_r",
-          explode(sequence(lit(0L), lit(buckets.toLong - 1)))),
-        col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
-      .drop("__salt", "__salt_r")
+    if (buckets <= 1)
+      // the skip-salting decision: no replication, no salt columns — the
+      // plain join IS the salted join at factor 1
+      left.join(right, col(leftKey) === col(rightKey))
+    else
+      left.withColumn("__salt", pmod(saltSrc.cast("bigint"), lit(buckets.toLong)))
+        .join(
+          right.withColumn("__salt_r",
+            explode(sequence(lit(0L), lit(buckets.toLong - 1)))),
+          col(leftKey) === col(rightKey) && col("__salt") === col("__salt_r"))
+        .drop("__salt", "__salt_r")
+
+  /** Data-derived salt sizing — closes the q_skew_report → [[saltedJoin]]
+    * loop: the probe side's group-size distribution is collapsed to the
+    * same count-of-counts histogram q_skew_report builds (per-key counts →
+    * (size, #keys) rows — |distinct group sizes| rows total, bounded by
+    * the max group size, so the collect is metadata-sized at any corpus
+    * scale), and the skew→factor rule mirrors how AQE sizes a skew split:
+    *
+    *   skew_x100 = 100·max_n/p50  (q_skew_report's decision number)
+    *   skew_x100 ≤ threshX100     → factor 1: SKIP salting — the build-side
+    *                                ×buckets replication costs more than
+    *                                the mild skew (AQE's
+    *                                skewedPartitionFactor default of 2
+    *                                would not split either, hence
+    *                                threshX100 = 200)
+    *   otherwise                  → factor ⌈max_n/p50⌉ capped at
+    *                                `maxBuckets`: the hot key's rows split
+    *                                into median-sized shares, exactly the
+    *                                per-partition share AQE's splitter
+    *                                targets
+    *
+    * One partial-agg'd pass over the probe side per decision; at 100 TB a
+    * lake keeps this histogram as ingest-time metadata (the q_skew_report
+    * output persisted) instead of recomputing per query — the rule is the
+    * same either way.
+    */
+  def saltFactorFor(df: DataFrame, key: String,
+      threshX100: Long = 200L, maxBuckets: Int = 16): Int = {
+    val hist = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("keys_at"))
+      .orderBy(col("n")).collect()
+    if (hist.isEmpty) 1
+    else {
+      val nKeys = hist.map(_.getLong(1)).sum
+      val maxN = hist.last.getLong(0)
+      // p50 = smallest size with cumulative keys ≥ ⌈n_keys/2⌉ (the exact
+      // integer rule q_skew_report publishes)
+      val target = (nKeys + 1) / 2
+      var cum = 0L
+      var p50 = maxN
+      var i = 0
+      while (i < hist.length && { cum += hist(i).getLong(1); cum < target }) i += 1
+      if (i < hist.length) p50 = hist(i).getLong(0)
+      val skewX100 = 100L * maxN / math.max(p50, 1L)
+      if (skewX100 <= threshX100) 1
+      else math.min(maxBuckets.toLong, (maxN + p50 - 1) / p50).toInt
+    }
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- TPC-H Q1 style pricing summary (groupBy agg, filter pushdown) ----
@@ -760,13 +813,19 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
-    // ---- salted fact-fact join (skew mitigation; result == plain join) ----
+    // ---- salted fact-fact join (skew mitigation; result == plain join).
+    // The salt factor is DATA-DERIVED ([[saltFactorFor]]): the probe key's
+    // skew_x100 decides both whether to salt at all and how many ways —
+    // on TPC-H-shaped l_orderkey (max group ≈ 2× median) the rule returns
+    // 1 and the join runs plain, exactly as AQE's skew splitter would
+    // decide; a planted hot key flips it to >1 (AqeSkewSpec pins both
+    // branches). ----
     "q_join_salted" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
       saltedJoin(
         li, "l_orderkey", xxhash64(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
-        o, "o_orderkey", buckets = 4)
+        o, "o_orderkey", buckets = saltFactorFor(li, "l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),

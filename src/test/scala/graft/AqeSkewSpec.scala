@@ -64,4 +64,34 @@ class AqeSkewSpec extends SparkSuiteBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltFactorFor: uniform keys skip salting, a planted hub salts to its skew ratio") {
+    import graft.operators.Relational
+    // uniform: every key appears exactly 3 times -> max/p50 = 1 -> no salt
+    val uniform = (0 until 300).map(i => (i % 100, i)).toDF("k", "v")
+    assert(Relational.saltFactorFor(uniform, "k") == 1)
+    // mild TPC-H-shaped skew (max = 2x median) stays below the AQE-default
+    // threshold: replication would cost more than it saves
+    val mild = ((0 until 100).flatMap(i => Seq((i, 2 * i), (i, 2 * i + 1))) ++
+      Seq((0, 1000), (0, 1001))).toDF("k", "v")
+    assert(Relational.saltFactorFor(mild, "k") == 1)
+    // planted hub: one key holds 100 rows vs median 2 -> factor = 16 (cap)
+    val hub = ((0 until 100).map(i => (-1, i)) ++
+      (0 until 200).map(i => (i % 100, i))).toDF("k", "v")
+    assert(Relational.saltFactorFor(hub, "k") == 16)
+    // the cap is configurable; uncapped the hub needs ceil(100/2) = 50
+    assert(Relational.saltFactorFor(hub, "k", maxBuckets = 64) == 50)
+    // salted-at-derived-factor result == plain join on the hub data
+    val dim = (0 until 100).map(i => (i, s"d$i")).toDF("rk", "name")
+    val factor = Relational.saltFactorFor(hub, "k")
+    val salted = Relational.saltedJoin(hub, "k", xxhash64(col("v")), dim, "rk", factor)
+      .groupBy("rk").count().orderBy("rk").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val plain = hub.join(dim, col("k") === col("rk"))
+      .groupBy("rk").count().orderBy("rk").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(salted.sameElements(plain))
+    // factor 1 short-circuits: no __salt machinery, no build replication
+    val plan1 = Relational.saltedJoin(uniform, "k", xxhash64(col("v")), dim, "rk", 1)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan1.contains("__salt") && !plan1.contains("explode"))
+  }
 }

@@ -15,6 +15,27 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(wh.read(spark, "t").count() == 3)
   }
 
+  test("version-pinned diff: prune of a pinned input fails loudly, never silently reads latest") {
+    val wh = new Warehouse(tmpDir("whvd"))
+    wh.versionedWrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    wh.versionedWrite(Seq((2, "b"), (3, "c")).toDF("id", "v"), "t")
+    wh.versionedWrite(Seq((3, "c")).toDF("id", "v"), "t")
+    // the pipe_version_diff shape: both inputs pinned, current (v3) a decoy
+    def diff12() = wh.readVersion(spark, "t", Some(1))
+      .join(wh.readVersion(spark, "t", Some(2)), Seq("id"), "full_outer")
+      .count()
+    assert(diff12() == 3)
+    // retention drops v1; a diff still pinned to it must fail loudly —
+    // lineage must never degrade to "whatever is still on disk"
+    assert(wh.pruneVersions("t", keep = 2) == Seq(1))
+    val e = intercept[IllegalArgumentException](diff12())
+    assert(e.getMessage.contains("pruned or never written"))
+    // the surviving pinned pair still works
+    assert(wh.readVersion(spark, "t", Some(2))
+      .join(wh.readVersion(spark, "t", Some(3)), Seq("id"), "full_outer")
+      .count() == 2)
+  }
+
   test("versioned snapshots: time travel, latest-by-default, retention never drops current") {
     val wh = new Warehouse(tmpDir("whver"))
     // no versions yet: loud failure, not an empty frame
