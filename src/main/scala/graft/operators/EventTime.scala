@@ -623,6 +623,10 @@ object EventTime extends QueryModule {
             CASE WHEN days_ago <= 62
                  THEN shiftleft(CAST(1 AS BIGINT), CAST(days_ago AS INT))
                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""").as("active_days_w9"),
+          // the widened horizon: [[dayBitmapWordAggs]] — a TWO-long
+          // bitmap (word 0 = days 0-62, word 1 = days 63-125), 16-byte
+          // constant state for an ~18-week exact active-day count
+          dayBitmapWordAggs(0), dayBitmapWordAggs(1),
           countDistinct(col("event_type")).as("n_types"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("n_purchases"),
@@ -631,6 +635,8 @@ object EventTime extends QueryModule {
           min(col("days_ago")).as("recency_days"),
           max(col("days_ago")).as("tenure_days"),
           sum(col("w_cents")).as("decay_cents"))
+        .withColumn("active_days_w18", activeDaysW18)
+        .drop("__w18_0", "__w18_1")
         .orderBy(col("user_id"))
     }),
 
@@ -761,6 +767,27 @@ object EventTime extends QueryModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The two-long day-bitmap horizon over a `days_ago` column — 16-byte
+    * constant state for an exact ~18-week (126-day) active-day count.
+    * Word 0 covers days 0–62, word 1 days 63–125; each word stops at
+    * shift 62 because 1<<63 overflows BIGINT in DuckDB and a ≥64 shift
+    * WRAPS mod 64 in the JVM (the decay guard's bug class — a day-100
+    * activity under a single-long form would either vanish or, worse,
+    * alias onto day 36). Generalizes to any horizon as ⌈days/63⌉ words.
+    * Factored so the planted-fixture spec and evt_user_features share one
+    * definition.
+    */
+  private[graft] def dayBitmapWordAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    expr("""bit_or(CASE WHEN days_ago <= 62
+           THEN shiftleft(CAST(1 AS BIGINT), CAST(days_ago AS INT))
+           ELSE CAST(0 AS BIGINT) END)""").as("__w18_0"),
+    expr("""bit_or(CASE WHEN days_ago BETWEEN 63 AND 125
+           THEN shiftleft(CAST(1 AS BIGINT), CAST(days_ago - 63 AS INT))
+           ELSE CAST(0 AS BIGINT) END)""").as("__w18_1"))
+
+  private[graft] def activeDaysW18: org.apache.spark.sql.Column =
+    expr("CAST(bit_count(__w18_0) + bit_count(__w18_1) AS BIGINT)")
+
   /** Factored decay-engagement body (spec plants a 100-day-old whale that
     * must contribute 0 — the shift-wrap bug class). See the
     * evt_decay_engagement registration comment for the contract.
@@ -830,6 +857,12 @@ object EventTime extends QueryModule {
         |  CAST(bit_count(bit_or(
         |    CASE WHEN days_ago <= 62 THEN CAST(1 AS BIGINT) << days_ago
         |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS active_days_w9,
+        |  CAST(bit_count(bit_or(
+        |    CASE WHEN days_ago <= 62 THEN CAST(1 AS BIGINT) << days_ago
+        |         ELSE CAST(0 AS BIGINT) END)) +
+        |  bit_count(bit_or(
+        |    CASE WHEN days_ago BETWEEN 63 AND 125 THEN CAST(1 AS BIGINT) << (days_ago - 63)
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS active_days_w18,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS m_cents,

@@ -121,6 +121,30 @@ object Similarity extends QueryModule {
     call_function("graft_cosine", col(a), col(b))
   }
 
+  /** Frozen-centroid cell assignment as a NARROW literal projection — the
+    * streaming-safe twin of sim_ivf_ingest's broadcast-join argmax: the
+    * bounded centroid set is inlined as literal arrays (the PQ
+    * literal-codebook precedent), so assignment is |K| codegen'd cosines +
+    * an `array_min` argmin per row — no join, no window, no shuffle, legal
+    * in a streaming projection and cheaper at any scale (no K× row
+    * explosion). Tiebreak matches the batch form exactly: max cosine,
+    * then smaller centroid id (struct ordering on (-cos, k)). Returns the
+    * (cell, cs) columns to attach to a frame carrying `embCol`.
+    */
+  private[graft] def cellAssignExpr(s: SparkSession,
+      cent: Seq[(Long, Seq[Float])], embCol: String = "embedding"): (Column, Column) = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    require(cent.nonEmpty, "cellAssignExpr: empty centroid set")
+    val cands = array(cent.map { case (k, emb) =>
+      struct(
+        (lit(0.0) - call_function("graft_cosine", col(embCol), typedLit(emb)))
+          .as("neg"),
+        lit(k).as("k"))
+    }: _*)
+    val best = array_min(cands)
+    (best.getField("k").as("cell"), (lit(0.0) - best.getField("neg")).as("cs"))
+  }
+
   /** DuckDB equivalent of [[hofDot]] — list_reduce is also a sequential fold.
     * Index-based (range + list extract) because DuckDB 1.0's list_zip yields
     * unnamed structs whose fields can't be extracted by name.

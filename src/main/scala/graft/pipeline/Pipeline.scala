@@ -69,10 +69,21 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * filtering on the partition column get file-level pruning.
     */
   def partitionedUpsertWrite(df: DataFrame, name: String, partitionCol: String): Unit =
+    partitionedUpsertWrite(df, name, Seq(partitionCol))
+
+  /** Multi-level variant: dynamic overwrite replaces exactly the LEAF
+    * partitions the batch touches. The ivf-ingest layout uses
+    * (cell, ingest_batch): cell first so readers prune by cell at the
+    * top directory level, a batch-scoped second level so a checkpoint
+    * replay rewrites exactly its own leaves (idempotent) without
+    * clobbering other batches' rows in the same cell.
+    */
+  def partitionedUpsertWrite(df: DataFrame, name: String,
+      partitionCols: Seq[String]): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
+      .partitionBy(partitionCols: _*)
       .format(format)
       .save(tablePath(name))
 

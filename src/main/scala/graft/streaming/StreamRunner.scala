@@ -80,25 +80,80 @@ object StreamRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val stage = s"__stage__${table}_b$batchId"
-          wh.truncateWrite(batch, stage)
-          val staged = wh.read(batch.sparkSession, stage)
-          audit(staged) match {
-            case None =>
-              wh.partitionedUpsertWrite(staged, table, partitionCol)
-              wh.dropTable(stage)
-            case Some(reason) =>
-              wh.truncateWrite(
-                staged
-                  .withColumn("__batch_id",
-                    org.apache.spark.sql.functions.lit(batchId))
-                  .withColumn("__reason",
-                    org.apache.spark.sql.functions.lit(reason)),
-                s"__quarantine__${table}_b$batchId")
-              wh.dropTable(stage)
-          }
-        }
+        gatedPublish(batch, batchId, wh, table, Seq(partitionCol), audit)
       }
       .start()
+
+  /** The per-micro-batch stage → audit-readback → publish/quarantine body
+    * shared by every audited streaming sink (factored so new sinks reuse
+    * the gate rather than re-implementing its crash-safety contract).
+    */
+  private def gatedPublish(
+      batch: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      partitionCols: Seq[String],
+      audit: DataFrame => Option[String]): Unit =
+    if (!batch.isEmpty) {
+      val stage = s"__stage__${table}_b$batchId"
+      wh.truncateWrite(batch, stage)
+      val staged = wh.read(batch.sparkSession, stage)
+      audit(staged) match {
+        case None =>
+          wh.partitionedUpsertWrite(staged, table, partitionCols)
+          wh.dropTable(stage)
+        case Some(reason) =>
+          wh.truncateWrite(
+            staged
+              .withColumn("__batch_id",
+                org.apache.spark.sql.functions.lit(batchId))
+              .withColumn("__reason",
+                org.apache.spark.sql.functions.lit(reason)),
+            s"__quarantine__${table}_b$batchId")
+          wh.dropTable(stage)
+      }
+    }
+
+  /** Streaming IVF index ingest — the foreachBatch twin of
+    * `sim_ivf_ingest`: each micro-batch of (vec_id, embedding) rows is
+    * assigned to the FROZEN centroid set via
+    * [[graft.operators.Similarity.cellAssignExpr]] (a narrow
+    * literal-centroid projection: |K| codegen'd cosines + argmin per row —
+    * no join, no window, no shuffle, so the whole transform is legal on
+    * the streaming side), then published through the same staged-readback
+    * audit gate as every other streaming sink, as a dynamic partition
+    * upsert keyed (cell, ingest_batch):
+    *  - `cell` first ⇒ the lake is cell-partitioned and a probe reading
+    *    one cell prunes files at the top directory level (the
+    *    sim_topk_ivf serving layout);
+    *  - `ingest_batch` second ⇒ a checkpoint replay rewrites exactly its
+    *    own leaf partitions — idempotent recovery without clobbering
+    *    other batches' rows in the same cell.
+    * At 100 TB the ingest cost is one narrow pass over each batch plus a
+    * batch-sized partitioned write; the index grows with ingest and the
+    * retrain signal stays with sim_ivf_drift.
+    */
+  def ivfIngestToWarehouse(
+      embStream: DataFrame,
+      centroids: Seq[(Long, Seq[Float])],
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (cellCol, csCol) =
+      graft.operators.Similarity.cellAssignExpr(embStream.sparkSession, centroids)
+    val assigned = embStream.select(col("vec_id"), col("embedding"), cellCol, csCol)
+    assigned.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gatedPublish(batch.withColumn("ingest_batch", lit(batchId)),
+          batchId, wh, table, Seq("cell", "ingest_batch"), audit)
+      }
+      .start()
+  }
 }

@@ -577,7 +577,28 @@ class OperatorSmokeSpec extends SparkSuiteBase {
         val d = daysAgo(e._2)
         if (d >= 63) 0L else cents(e._4) >> d.toInt
       }.sum)
+      // two-long bitmap horizon: distinct days with days_ago in [0, 125]
+      assert(r.getLong(r.fieldIndex("active_days_w18")) ==
+        es.map(e => daysAgo(e._2)).filter(_ <= 125).distinct.length.toLong)
     }
+  }
+
+  test("two-long day bitmap: a day-100 activity counts in w18 (single-long form drops or wraps it)") {
+    import graft.operators.EventTime
+    import spark.implicits._
+    // days 0 and 100 active, plus 125 (last in-horizon day) and 126 (out).
+    // A single 63-bit word drops day 100 entirely; an UNGUARDED 1<<100
+    // would wrap mod 64 onto day 36 — both wrong. Day 36 is deliberately
+    // inactive so aliasing would show up as a phantom w9 bit.
+    val planted = Seq((1L, 0L), (1L, 100L), (1L, 125L), (1L, 126L), (2L, 36L))
+      .toDF("user_id", "days_ago")
+    val r = planted.groupBy(col("user_id"))
+      .agg(EventTime.dayBitmapWordAggs(0), EventTime.dayBitmapWordAggs(1))
+      .withColumn("w18", EventTime.activeDaysW18)
+      .withColumn("w9", expr("CAST(bit_count(__w18_0) AS BIGINT)"))
+      .collect().map(x => x.getLong(0) -> (x.getAs[Long]("w9"), x.getAs[Long]("w18"))).toMap
+    assert(r(1L) == ((1L, 3L)), "w9 sees only day 0; w18 adds days 100 and 125, not 126")
+    assert(r(2L) == ((1L, 1L)))
   }
 
   test("decay engagement: halving replay, and a 100-day-old whale contributes ZERO (shift-wrap guard)") {

@@ -142,6 +142,62 @@ class PlanPolicySpec extends SparkSuiteBase {
       "assignment should be the generated literal-codebook argmin projection")
   }
 
+  test("no corpus-sized single-partition window: every unpartitioned window consumes bounded input") {
+    // The driver bench prints "WindowExec: No Partition Defined" warnings;
+    // today every such window is bounded by construction (count-of-counts
+    // histograms, partial frontiers, monthly aggregates — inputs collapse
+    // through an Aggregate before the window). Pin that invariant across
+    // the WHOLE registry so a future corpus-sized single-partition sort
+    // can't land silently: for every registered query, any WindowExec /
+    // WindowGroupLimitExec with an empty partitionSpec must have an
+    // Aggregate (or another cardinality-bounding node: limit,
+    // local/literal table) somewhere in its input subtree.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def inputBounded(name: String, p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _ => false
+    } || {
+      // the one non-Aggregate bounded shape, scoped to the query that
+      // owns it: q_skyline's PARTIAL-FRONTIER seam — the window reads
+      // the union of per-partition running-max frontiers materialized
+      // through an RDD boundary (|frontier|·|partitions| rows). The
+      // shape is re-asserted, not trusted: the input must be the RDD
+      // seam with NO file scan beneath, so a rewrite that windowed the
+      // raw corpus directly fails here even for q_skyline.
+      name == "q_skyline" &&
+      p.exists { case _: org.apache.spark.sql.execution.RDDScanExec => true; case _ => false } &&
+      !p.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+        case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => true
+        case _ => false
+      }
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      plan.foreach {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !inputBounded(name, w.child) =>
+          offenders += s"$name: ${w.nodeName}"
+        case w: WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !inputBounded(name, w.child) =>
+          offenders += s"$name: ${w.nodeName}"
+        case _ => ()
+      }
+      // free per-query cached state so the sweep doesn't accumulate
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over potentially corpus-sized input:\n${offenders.mkString("\n")}")
+  }
+
   test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
     import spark.implicits._
     val docs = Seq(

@@ -113,4 +113,82 @@ class StreamRunnerSpec extends SparkSuiteBase {
     // no stage residue
     assert(!new java.io.File(whRoot).list().exists(_.startsWith("__stage__")))
   }
+
+  test("streaming IVF ingest: stream == batch assignment bit-for-bit across a 2-batch split; cell partitions prune") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("ivfl")
+    val wh = new Warehouse(tmpDir("ivfw"))
+    val ckpt = tmpDir("ivfc")
+
+    val emb = Tables.embeddings(spark, sf0001)
+    // frozen centroids: the sim_ivf_ingest seed set (vec_id 1..8)
+    val centroids = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    // ingest set: the sim_ivf_ingest batch, landed as TWO jsonl files
+    val ingest = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(ingest.length > 4)
+    def writeFile(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
+      Files.write(Paths.get(landing, name),
+        rows.map { case (id, e) =>
+          s"""{"vec_id":$id,"embedding":[${e.mkString(",")}]}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val (half1, half2) = ingest.partition(_._1 % 20 == 0)
+    writeFile("drop1.jsonl", half1)
+    writeFile("drop2.jsonl", half2)
+
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1) // force the 2-batch split
+      .json(landing)
+    val q = StreamRunner.ivfIngestToWarehouse(
+      stream, centroids, wh, "ivf_lake",
+      df => if (df.filter(col("embedding").isNull).count() > 0)
+        Some("null embedding") else None,
+      ckpt, Trigger.AvailableNow())
+    q.awaitTermination()
+
+    // batch twin: the sim_ivf_ingest broadcast-join + window argmax on the
+    // SAME vectors — the streaming literal-projection must match it
+    // bit-for-bit (same cosine doubles, same smaller-k tiebreak)
+    import org.apache.spark.sql.expressions.Window
+    val centDf = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("k"), col("embedding").as("c_emb"))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+    val batchAssigned = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cs", call_function("graft_cosine", col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getAs[Double]("cs"))).toMap
+
+    val lake = wh.read(spark, "ivf_lake")
+    val streamed = lake.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Number]("cell").longValue(), r.getAs[Double]("cs"))).toMap
+    assert(streamed == batchAssigned,
+      "streaming literal-centroid assignment must equal the batch argmax bit-for-bit")
+    // both micro-batches landed under their own ingest_batch leaves
+    assert(lake.select(col("ingest_batch")).distinct().count() == 2)
+
+    // cell-partition pruning on the post-ingest read: a one-cell probe
+    // must push a partition filter into the scan and touch only that
+    // cell's directories
+    val someCell = streamed.values.head._1
+    val pruned = wh.read(spark, "ivf_lake").filter(col("cell") === someCell)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"expected a cell partition filter, got: ${scan.partitionFilters}")
+    assert(pruned.collect().map(_.getAs[Long]("vec_id")).toSet ==
+      streamed.filter(_._2._1 == someCell).keySet)
+  }
 }
