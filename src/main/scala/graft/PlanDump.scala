@@ -187,7 +187,14 @@ object PlanDump {
     "pipe_dataset_card",
     // estimator calibration: audit that the exact-verify engine is reused
     // and the signature joins stay doc-keyed (sig-sized, no text)
-    "dedup_minhash_calibration")
+    "dedup_minhash_calibration",
+    // round 9: real y4m frame decode + evenly-spaced frame sampling
+    // (narrow Arrow-seam mapPartitions — clip bytes never shuffle, only
+    // per-video/per-frame stat rows continue)
+    "mm_video_decode", "mm_frame_sample", "mm_video_meta",
+    // version-pinned snapshot diff: audit that both inputs are plain
+    // pinned-directory scans and the join carries 16-byte hashes
+    "pipe_version_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -793,10 +793,12 @@ object Multimodal extends QueryModule {
     */
   object Y4mCodec {
     /** Frames hold contiguous planar data: Y (w·h), then U, then V
-      * (chromaW·chromaH each).
+      * (chromaW·chromaH each). `colourspace` is the parsed C-tag (or the
+      * spec's `420jpeg` default when absent).
       */
     case class DecodedVideo(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
-                            chromaW: Int, chromaH: Int, frames: Array[Array[Byte]]) {
+                            chromaW: Int, chromaH: Int, frames: Array[Array[Byte]],
+                            colourspace: String = "444") {
       def nFrames: Int = frames.length
       def lumaLen: Int = width * height
       def frameLen: Int = lumaLen + 2 * chromaW * chromaH
@@ -804,16 +806,28 @@ object Multimodal extends QueryModule {
 
     private val Magic = "YUV4MPEG2".getBytes("US-ASCII")
 
-    /** Encode a real C444 y4m stream. `px(f, plane, y, x)` supplies each
-      * sample (plane 0 = Y, 1 = U, 2 = V).
+    /** Encode a real y4m stream. `px(f, plane, y, x)` supplies each
+      * sample (plane 0 = Y at full resolution; planes 1/2 = U/V at the
+      * colourspace's chroma resolution — for `420jpeg` the (y, x) passed
+      * are CHROMA coordinates over the quarter-size plane).
       */
     def encode(width: Int, height: Int, nFrames: Int,
-               px: (Int, Int, Int, Int) => Int): Array[Byte] = {
+               px: (Int, Int, Int, Int) => Int,
+               colourspace: String = "444"): Array[Byte] = {
       require(width > 0 && height > 0 && nFrames >= 0)
-      val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C444\n"
-        .getBytes("US-ASCII")
+      val (cw, ch) = colourspace match {
+        case "444" => (width, height)
+        case c if c.startsWith("420") =>
+          require(width % 2 == 0 && height % 2 == 0,
+            "4:2:0 requires even dimensions")
+          (width / 2, height / 2)
+        case other => throw new IllegalArgumentException(s"colourspace $other")
+      }
+      val header =
+        s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C$colourspace\n"
+          .getBytes("US-ASCII")
       val marker = "FRAME\n".getBytes("US-ASCII")
-      val frameLen = 3 * width * height
+      val frameLen = width * height + 2 * cw * ch
       val out = new Array[Byte](header.length + nFrames * (marker.length + frameLen))
       System.arraycopy(header, 0, out, 0, header.length)
       var off = header.length
@@ -823,10 +837,11 @@ object Multimodal extends QueryModule {
         off += marker.length
         var p = 0
         while (p < 3) {
+          val (pw, ph) = if (p == 0) (width, height) else (cw, ch)
           var y = 0
-          while (y < height) {
+          while (y < ph) {
             var x = 0
-            while (x < width) {
+            while (x < pw) {
               out(off) = (px(f, p, y, x) & 0xff).toByte
               off += 1
               x += 1
@@ -907,7 +922,7 @@ object Multimodal extends QueryModule {
         frames += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + frameLen)
         off = dataOff + frameLen
       }
-      Right(DecodedVideo(w, h, fpsNum, fpsDen, cw, ch, frames.toArray))
+      Right(DecodedVideo(w, h, fpsNum, fpsDen, cw, ch, frames.toArray, colour))
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(s"decode error: ${e.getClass.getSimpleName}")
@@ -936,6 +951,77 @@ object Multimodal extends QueryModule {
     }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Colourspace-MIXED y4m corpus: even doc_ids carry the C444 clip of
+    * [[attachY4mMedia]]; odd doc_ids a real 4:2:0 clip (`C420jpeg`,
+    * even dimensions — w ∈ {2,4,6,8}, h ∈ {2,4,6}) whose quarter-size
+    * chroma planes follow the same sample formula over CHROMA
+    * coordinates. The 4:2:0 frame-length arithmetic (w·h + 2·(w/2)·(h/2))
+    * is thereby exercised in an ORACLE query, not just a hand spec
+    * fixture — the shape real camera/codec output actually has.
+    */
+  def attachY4mMixedMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"),
+        col("n_chars").cast("bigint").as("n_chars")).rdd.map { r =>
+      val id = r.getLong(0); val nChars = r.getLong(1)
+      val nf = (nChars % 3 + 2).toInt
+      def sample(f: Int, p: Int, y: Int, x: Int): Int =
+        ((id * 31 + f * 13 + p * 17 + y * 7 + x * 5) % 256).toInt
+      val bytes =
+        if (id % 2 == 0)
+          Y4mCodec.encode((id % 8 + 1).toInt, (nChars % 6 + 1).toInt, nf, sample)
+        else
+          Y4mCodec.encode((2 * (id % 4 + 1)).toInt, (2 * (nChars % 3 + 1)).toInt,
+            nf, sample, "420jpeg")
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("colourspace", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("fps_num", LongType),
+    StructField("fps_den", LongType),
+    StructField("n_frames", LongType),
+    StructField("frame_len", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** Container-metadata parse — the video twin of [[wavRow]]: every field
+    * except doc_id/n_bytes exists only via [[Y4mCodec.decode]] parsing the
+    * ASCII header AND walking the frames (n_frames is counted by the
+    * marker walk; frame_len is the colourspace plane arithmetic — for
+    * 4:2:0, w·h + 2·(w/2)·(h/2)). Corrupt payloads degrade typed with
+    * fields withheld.
+    */
+  private def y4mMetaRow(id: Long, bytes: Array[Byte]): Row =
+    Y4mCodec.decode(bytes) match {
+      case Left(_) =>
+        Row(id, "y4m-corrupt", null, null, null, null, null, null, null,
+          bytes.length.toLong)
+      case Right(v) =>
+        Row(id, "y4m", v.colourspace, v.width.toLong, v.height.toLong,
+          v.fpsNum.toLong, v.fpsDen.toLong, v.nFrames.toLong,
+          v.frameLen.toLong, bytes.length.toLong)
+    }
+
+  /** y4m metadata parse over the Arrow batch seam. */
+  def parseY4mMetaArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, videoMetaSchema)(y4mMetaRow)
+
+  /** Row-path twin of [[parseY4mMetaArrow]] (parity spec pins equality). */
+  def parseY4mMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      y4mMetaRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, videoMetaSchema)
   }
 
   val videoDecodeSchema: StructType = StructType(Seq(
@@ -1395,6 +1481,17 @@ object Multimodal extends QueryModule {
       val media = attachY4mMedia(Tables.documents(s, d))
       decodeY4mArrow(media).orderBy(col("doc_id"))
     }),
+    // ---- container metadata over a colourspace-MIXED corpus (C444 even
+    // docs, real 4:2:0 odd docs): width/height/fps come only from the
+    // parsed ASCII header, n_frames only from the FRAME-marker walk, and
+    // frame_len only from the per-colourspace plane arithmetic — so the
+    // 4:2:0 quarter-chroma layout is proven by the oracle's independent
+    // n_bytes/frame_len replay (header length + n_frames·(6 + frame_len)
+    // must account for every byte), not just a spec fixture. ----
+    "mm_video_meta" -> ((s, d) => {
+      val media = attachY4mMixedMedia(Tables.documents(s, d))
+      parseY4mMetaArrow(media).orderBy(col("doc_id"))
+    }),
     // binary-column metadata surface: REAL byte-level header decode. The
     // payload is a PNG-framed binary ([[attachPngMedia]]); the values below
     // exist on the Spark side ONLY via [[MediaHeader.sniff]] reading the
@@ -1522,6 +1619,36 @@ object Multimodal extends QueryModule {
         |  CAST(3 * w * h AS BIGINT) AS frame_len,
         |  CAST(luma_sum AS BIGINT) AS luma_sum
         |FROM ls ORDER BY doc_id, slot""".stripMargin,
+    // independent replay of the mixed-fixture DEFINITIONS: the oracle
+    // derives width/height/colourspace/frame_len from (doc_id, n_chars)
+    // parity and reconstructs the EXACT byte count (header string length
+    // + n_frames·(6-byte marker + frame_len)) — the Spark side can only
+    // match by genuinely parsing the header and walking the frames with
+    // correct 4:4:4 vs 4:2:0 plane arithmetic
+    "mm_video_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN '444' ELSE '420jpeg' END AS cs,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |         ELSE 2 * (doc_id % 4 + 1) END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars % 6 + 1
+        |         ELSE 2 * (n_chars % 3 + 1) END AS h,
+        |    n_chars % 3 + 2 AS nf
+        |  FROM documents
+        |), fl AS (
+        |  SELECT doc_id, cs, w, h, nf,
+        |    CASE WHEN cs = '444' THEN 3 * w * h
+        |         ELSE w * h + 2 * (w // 2) * (h // 2) END AS frame_len
+        |  FROM m
+        |)
+        |SELECT doc_id, 'y4m' AS format, cs AS colourspace,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(frame_len AS BIGINT) AS frame_len,
+        |  CAST(30 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |    + length(cs) + nf * (6 + frame_len) AS BIGINT) AS n_bytes
+        |FROM fl ORDER BY doc_id""".stripMargin,
     // independent replay of the video sample GENERATOR (not the decoder):
     // the oracle enumerates every (frame, plane, y, x) of each clip and
     // computes the same plane sums / positional luma checksum /

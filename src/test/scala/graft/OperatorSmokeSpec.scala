@@ -949,6 +949,32 @@ class OperatorSmokeSpec extends SparkSuiteBase {
       canonF(Multimodal.frameSampleArrow(media)))
   }
 
+  test("mm_video_meta: 4:2:0 chroma round-trips through the real decoder; Arrow == row") {
+    import graft.operators.Multimodal.Y4mCodec
+    val media = Multimodal.attachY4mMixedMedia(Tables.documents(spark, sf0001))
+    val rows = media.collect()
+    // an odd doc decodes as 420jpeg with quarter chroma planes whose
+    // samples follow the generator formula at CHROMA coordinates
+    val odd = rows.find(_.getLong(0) % 2 == 1).get
+    val id = odd.getLong(0)
+    val v = Y4mCodec.decode(odd.getAs[Array[Byte]]("payload")).toOption.get
+    assert(v.colourspace == "420jpeg")
+    assert(v.chromaW == v.width / 2 && v.chromaH == v.height / 2)
+    val cLen = v.chromaW * v.chromaH
+    for (p <- 1 to 2; y <- 0 until v.chromaH; x <- 0 until v.chromaW)
+      assert((v.frames(0)(v.lumaLen + (p - 1) * cLen + y * v.chromaW + x) & 0xff)
+        == ((id * 31 + p * 17 + y * 7 + x * 5) % 256).toInt)
+    // an even doc stays C444
+    val even = rows.find(_.getLong(0) % 2 == 0).get
+    assert(Y4mCodec.decode(even.getAs[Array[Byte]]("payload"))
+      .toOption.get.colourspace == "444")
+    // Arrow seam parity on the mixed fixture
+    def canonM(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(canonM(Multimodal.parseY4mMeta(media)) ==
+      canonM(Multimodal.parseY4mMetaArrow(media)))
+  }
+
   test("Y4mCodec: round-trip, header validation, truncation/garbage degrade typed") {
     import graft.operators.Multimodal.Y4mCodec
     val bytes = Y4mCodec.encode(3, 2, 2, (f, p, y, x) => f * 50 + p * 20 + y * 5 + x)
