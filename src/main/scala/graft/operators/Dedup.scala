@@ -33,15 +33,25 @@ object Dedup extends QueryModule {
 
   private val P = 1000000007L
 
+  private val shingleArrayExpr =
+    "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+
   /** 0-based 3-word shingles, deduplicated, as (doc_id, source, shingle). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-        )).as("shingle"))
+        explode(expr(shingleArrayExpr)).as("shingle"))
+
+  /** The same shingle extraction over ANY (doc_id, text) frame — the
+    * ingest-side form the streaming dedup sink runs per micro-batch.
+    */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleArrayExpr)).as("shingle"))
 
   /** Universal-hash family over one md5 base hash: h = md5_60(shingle) mod p,
     * mh_i = min((a_i*h + b_i) mod p). One md5 per shingle instead of eight —
@@ -152,6 +162,61 @@ object Dedup extends QueryModule {
       shingles(s, d).filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id"),
           graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h")))
+
+  /** The incremental batch-vs-corpus near-dup MATCHER — the audited engine
+    * dedup_incremental registers and the streaming dedup sink
+    * ([[graft.streaming.StreamRunner.dedupIngestToWarehouse]]) runs per
+    * micro-batch: band the new side's signatures against the PERSISTED
+    * corpus signature table (asymmetric equi-join — candidate work scales
+    * with the ingest), exact-verify candidates against the persisted
+    * 60-bit shingle-hash table, keep rank-1 best match per new doc at
+    * `jaccard ≥ minJaccard`. Self-pairs are excluded: a checkpoint-replayed
+    * batch matching its OWN previously-appended signature rows is a
+    * replay, not a duplicate. Returns (doc_new, dup_of, n_common, jaccard).
+    */
+  private[graft] def incrementalMatches(
+      shNew: DataFrame, sigsOld: DataFrame, hashesOld: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizesOld = hashesOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = bandKeys(minhashSigFrom(shNew)).as("a")
+      .join(bandKeys(sigsOld.select(col("doc_id"),
+          col("mh0"), col("mh1"), col("mh2"), col("mh3"),
+          col("mh4"), col("mh5"), col("mh6"), col("mh7"))).as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+      .filter(col("doc_new") =!= col("doc_old"))
+      .distinct()
+    val hNew = shNew.select(col("doc_id").as("doc_new"),
+      graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h"))
+    val common = pairs
+      .join(hNew, Seq("doc_new"))
+      .join(hashesOld.select(col("doc_id").as("doc_old"), col("h")),
+        Seq("doc_old", "h"))
+      .groupBy(col("doc_new"), col("doc_old"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = common
+      .join(sizesNew.select(col("doc_id").as("doc_new"), col("n_sh").as("n_a")), "doc_new")
+      .join(sizesOld.select(col("doc_id").as("doc_old"), col("n_sh").as("n_b")), "doc_old")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_new")).orderBy(desc("jaccard"), col("doc_old"))
+    scored
+      .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("doc_new"), col("doc_old").as("dup_of"), col("n_common"), col("jaccard"))
+  }
+
+  /** Streaming-side access to the signature builder ((doc_id, mh0..mh7)
+    * from a shingle frame).
+    */
+  private[graft] def minhashSigOf(sh: DataFrame): DataFrame = minhashSigFrom(sh)
+
+  /** Streaming-side access to the 60-bit shingle-hash projection. */
+  private[graft] def shingleHashesOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h"))
 
   /** Persisted ground-truth Jaccard ≥ 0.5 pair list (the exact prefix-join
     * output) — refreshed at config-change time, read by both LSH eval
@@ -644,34 +709,7 @@ object Dedup extends QueryModule {
       // maintained by appending each ingested batch's rows (signatures
       // are per-doc, so the index maintenance IS this query's new side)
       val shNew = shingles(s, d).filter(col("doc_id") % 10 === 0).cache()
-      val sigsOld = corpusSigTable(s, d)
-      val hashesOld = corpusHashTable(s, d)
-      val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val sizesOld = hashesOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = bandKeys(minhashSigFrom(shNew)).as("a")
-        .join(bandKeys(sigsOld).as("b"),
-          col("a.band_idx") === col("b.band_idx") && col("a.bkey") === col("b.bkey"))
-        .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
-        .distinct()
-      val hNew = shNew.select(col("doc_id").as("doc_new"),
-        graft.functions.TextFunctions.md5Bits(col("shingle"), 15).as("h"))
-      val common = pairs
-        .join(hNew, Seq("doc_new"))
-        .join(hashesOld.select(col("doc_id").as("doc_old"), col("h")),
-          Seq("doc_old", "h"))
-        .groupBy(col("doc_new"), col("doc_old"))
-        .agg(count(lit(1)).as("n_common"))
-      val scored = common
-        .join(sizesNew.select(col("doc_id").as("doc_new"), col("n_sh").as("n_a")), "doc_new")
-        .join(sizesOld.select(col("doc_id").as("doc_old"), col("n_sh").as("n_b")), "doc_old")
-        .withColumn("jaccard",
-          round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6))
-        .filter(col("jaccard") >= 0.5)
-      val best = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_new")).orderBy(desc("jaccard"), col("doc_old"))
-      scored
-        .withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-        .select(col("doc_new"), col("doc_old").as("dup_of"), col("n_common"), col("jaccard"))
+      incrementalMatches(shNew, corpusSigTable(s, d), corpusHashTable(s, d))
         .orderBy(col("doc_new"))
     }),
 

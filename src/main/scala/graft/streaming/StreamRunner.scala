@@ -80,13 +80,15 @@ object StreamRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gatedPublish(batch, batchId, wh, table, Seq(partitionCol), audit)
+        gatedPublish(batch, batchId, wh, table, Seq(partitionCol), audit): Unit
       }
       .start()
 
   /** The per-micro-batch stage → audit-readback → publish/quarantine body
     * shared by every audited streaming sink (factored so new sinks reuse
     * the gate rather than re-implementing its crash-safety contract).
+    * Returns true iff the batch PUBLISHED (non-empty and audit passed) —
+    * sinks that maintain derived index tables key their maintenance on it.
     */
   private def gatedPublish(
       batch: DataFrame,
@@ -94,8 +96,9 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       partitionCols: Seq[String],
-      audit: DataFrame => Option[String]): Unit =
-    if (!batch.isEmpty) {
+      audit: DataFrame => Option[String]): Boolean =
+    if (batch.isEmpty) false
+    else {
       val stage = s"__stage__${table}_b$batchId"
       wh.truncateWrite(batch, stage)
       val staged = wh.read(batch.sparkSession, stage)
@@ -103,6 +106,7 @@ object StreamRunner {
         case None =>
           wh.partitionedUpsertWrite(staged, table, partitionCols)
           wh.dropTable(stage)
+          true
         case Some(reason) =>
           wh.truncateWrite(
             staged
@@ -112,8 +116,91 @@ object StreamRunner {
                 org.apache.spark.sql.functions.lit(reason)),
             s"__quarantine__${table}_b$batchId")
           wh.dropTable(stage)
+          false
       }
     }
+
+  /** Streaming DEDUP'D corpus ingest — the foreachBatch twin of the
+    * `dedup_incremental` + `pipe_ingest_e2e` batch pair, closing the
+    * continuous-ingestion loop a training-data lake actually runs. Per
+    * micro-batch of (doc_id, text) documents:
+    *
+    *  1. within-batch EXACT dedup: min-doc_id canonical per content md5
+    *     (the pipe_ingest_e2e stage);
+    *  2. cross-corpus NEAR-dup drop: the batch's MinHash signatures band
+    *     against the PERSISTED corpus signature table and candidates
+    *     exact-verify against the persisted shingle-hash table
+    *     ([[graft.operators.Dedup.incrementalMatches]] — the same audited
+    *     engine the batch query runs; work scales with the batch, corpus
+    *     text is never read);
+    *  3. survivors publish through the staged-readback audit gate into
+    *     `<table>` (partitioned by ingest_batch — idempotent replay);
+    *  4. INDEX MAINTENANCE: the survivors' signatures and shingle hashes
+    *     partition-upsert into `<table>_sigs` / `<table>_hashes`, so the
+    *     NEXT micro-batch dedups against everything ingested so far —
+    *     including this one. A checkpoint replay rewrites its own
+    *     partitions in all three tables (idempotent), and
+    *     incrementalMatches excludes self-pairs so a replayed batch never
+    *     drops its own documents against their previously-appended rows.
+    *
+    * At 100 TB: per-batch cost is shingling the BATCH plus one asymmetric
+    * band equi-join against the signature lake (16-byte rows); the corpus
+    * index grows with ingest exactly as [[graft.operators.Dedup]]'s
+    * artifact scaladoc prescribes.
+    */
+  def dedupIngestToWarehouse(
+      docStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minJaccard: Double = 0.5): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, md5, min}
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val docs = batch.cache()
+          try {
+            val canon = docs
+              .groupBy(md5(col("text")).as("__h"))
+              .agg(min(col("doc_id")).as("doc_id"))
+              .select(col("doc_id"))
+            val exact = docs.join(canon, Seq("doc_id"))
+            val survivors =
+              if (!wh.exists(s"${table}_sigs")) exact
+              else {
+                val s = batch.sparkSession
+                val dupIds = graft.operators.Dedup.incrementalMatches(
+                    graft.operators.Dedup.shinglesOf(exact),
+                    wh.read(s, s"${table}_sigs"),
+                    wh.read(s, s"${table}_hashes").select(col("doc_id"), col("h")),
+                    minJaccard)
+                  .select(col("doc_new").as("doc_id")).distinct()
+                exact.join(dupIds, Seq("doc_id"), "left_anti")
+              }
+            val published = gatedPublish(
+              survivors.withColumn("ingest_batch", lit(batchId)),
+              batchId, wh, table, Seq("ingest_batch"), audit)
+            if (published) {
+              val shS = graft.operators.Dedup.shinglesOf(survivors)
+              wh.partitionedUpsertWrite(
+                graft.operators.Dedup.minhashSigOf(shS)
+                  .withColumn("ingest_batch", lit(batchId)),
+                s"${table}_sigs", Seq("ingest_batch"))
+              wh.partitionedUpsertWrite(
+                graft.operators.Dedup.shingleHashesOf(shS)
+                  .withColumn("ingest_batch", lit(batchId)),
+                s"${table}_hashes", Seq("ingest_batch"))
+            }
+          } finally docs.unpersist()
+        }
+      }
+      .start()
+  }
 
   /** Streaming IVF index ingest — the foreachBatch twin of
     * `sim_ivf_ingest`: each micro-batch of (vec_id, embedding) rows is
@@ -152,7 +239,7 @@ object StreamRunner {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gatedPublish(batch.withColumn("ingest_batch", lit(batchId)),
-          batchId, wh, table, Seq("cell", "ingest_batch"), audit)
+          batchId, wh, table, Seq("cell", "ingest_batch"), audit): Unit
       }
       .start()
   }

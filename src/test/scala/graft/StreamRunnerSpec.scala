@@ -114,6 +114,82 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(!new java.io.File(whRoot).list().exists(_.startsWith("__stage__")))
   }
 
+  test("streaming dedup ingest: exact within batch, near-dup vs corpus index, index advances only on publish") {
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("ddl")
+    val whRoot = tmpDir("ddw")
+    val wh = new Warehouse(whRoot)
+    val ckpt = tmpDir("ddc")
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val u1 = "completely different content about spark streaming state stores here"
+    val t1near = t1 + " plus some extra trailing words"
+    val u2 = "unrelated text covering ivf ingest cell partition upsert gates"
+
+    def drop(file: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, file),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def audit(df: org.apache.spark.sql.DataFrame): Option[String] =
+      if (df.filter(col("text").contains("POISON")).count() > 0)
+        Some("poison batch") else None
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docSchema).json(landing)
+      val q = StreamRunner.dedupIngestToWarehouse(
+        stream, wh, "corpus", audit, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // batch 0: docs 1 and 3 are byte-identical (exact stage keeps min id), 2 unique
+    drop("drop1.jsonl", Seq((1L, t1), (3L, t1), (2L, u1)))
+    runOnce()
+    val after1 = wh.read(spark, "corpus").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after1 == Set(1L, 2L), "exact within-batch dedup keeps the min-id canonical")
+
+    // batch 1: 11 is a byte-identical CROSS-batch dup (caught by the
+    // near-dup engine against batch 0's persisted signatures), 13 a
+    // near-dup, 12 unique
+    drop("drop2.jsonl", Seq((11L, t1), (13L, t1near), (12L, u2)))
+    runOnce()
+    val corpus = wh.read(spark, "corpus")
+    val after2 = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after2.contains(11L), "cross-batch exact dup must drop via the near-dup index")
+    assert(after2.contains(12L) && after2 == after1 ++ after2)
+    // recomposition parity: batch 1's survivors == its exact-stage docs
+    // minus exactly what the AUDITED batch engine matches against the
+    // batch-0 index partitions
+    import spark.implicits._
+    val b2docs = Seq((11L, t1), (13L, t1near), (12L, u2)).toDF("doc_id", "text")
+    val matched = Dedup.incrementalMatches(
+        Dedup.shinglesOf(b2docs),
+        wh.read(spark, "corpus_sigs").filter(col("ingest_batch") === 0),
+        wh.read(spark, "corpus_hashes").filter(col("ingest_batch") === 0)
+          .select(col("doc_id"), col("h")))
+      .select("doc_new").collect().map(_.getLong(0)).toSet
+    assert(matched.contains(11L))
+    assert(after2 == after1 ++ (Set(11L, 12L, 13L) -- matched),
+      "streamed survivors must equal the batch engine's decision exactly")
+    // the index advanced: every corpus doc's signatures are present
+    val sigDocs = wh.read(spark, "corpus_sigs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sigDocs == after2)
+
+    // batch 2 fails the audit: quarantined, corpus AND index untouched
+    drop("drop3.jsonl", Seq((21L, "POISON marker text stays out of the corpus")))
+    runOnce()
+    assert(wh.read(spark, "corpus").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == after2)
+    assert(wh.read(spark, "corpus_sigs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == sigDocs, "index must only advance on publish")
+    val qdir = new java.io.File(whRoot).list().find(_.startsWith("__quarantine__corpus"))
+    assert(qdir.isDefined)
+    assert(wh.read(spark, qdir.get).collect()
+      .forall(_.getAs[String]("__reason") == "poison batch"))
+  }
+
   test("streaming IVF ingest: stream == batch assignment bit-for-bit across a 2-batch split; cell partitions prune") {
     import graft.plans.GraftExtensions
     GraftExtensions.ensureRegistered(spark)
