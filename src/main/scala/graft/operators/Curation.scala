@@ -49,6 +49,40 @@ object Curation extends QueryModule {
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
 
+  /** A REAL shard export for the manifest job: the corpus written ONCE
+    * (per corpus fingerprint — the [[Dedup.DerivedArtifacts]] staleness
+    * contract) as a shard-partitioned table, shard = content-hash mod 8 —
+    * the deterministic assignment a WebDataset/TFRecord export uses so
+    * re-exports land documents in the same shard and byte-identical docs
+    * co-locate. pipe_export_shards computes its manifest from the
+    * READBACK of these files (the WAP readback principle: the manifest
+    * describes what a trainer will actually read, catching writer-side
+    * truncation), while the oracle recomputes it from `documents`
+    * directly — any export loss/duplication breaks the hash.
+    */
+  private[graft] object ExportFixture {
+    val shards = 8L
+    val wh = new graft.pipeline.Warehouse(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_export").getPath)
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def tableName(s: SparkSession, d: String): String = {
+      val key = s"corpus_shards_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      if (!built.contains(key)) {
+        if (!new java.io.File(wh.tablePath(key), "_SUCCESS").exists()) {
+          wh.dropTable(key)
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text"), col("n_chars"),
+              pmod(h60(col("text")), lit(shards)).as("shard"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(wh.tablePath(key))
+        }
+        built.add(key)
+      }
+      key
+    }
+  }
+
   /** A REAL versioned lake table for the version-pinned diff: three
     * `_v=N` snapshots of the corpus written through
     * [[graft.pipeline.Warehouse.versionedWrite]] (immutable snapshot
@@ -216,6 +250,34 @@ object Curation extends QueryModule {
           sum(coalesce(col("chars_b"), col("chars_a"))).cast("bigint")
             .as("total_chars"))
         .orderBy(col("change_type"))
+    }),
+
+    // ---- training-shard export manifest: the accounting file a corpus
+    // release ships NEXT TO its shards so a trainer can verify what it
+    // downloads. The corpus is genuinely EXPORTED (content-hash mod 8
+    // shard-partitioned parquet, [[ExportFixture]]) and the manifest is
+    // computed from the READBACK of those files — per shard: doc count,
+    // char/token mass, an order-independent bit_xor content checksum over
+    // the 60-bit hashes, and the doc-id range. The oracle recomputes the
+    // same manifest from `documents` directly, so any export
+    // loss/duplication/mis-assignment breaks the hash. At 100 TB the
+    // export is one partitioned write (shard pruning for any re-reader)
+    // and the manifest one partial-agg'd pass over it; bit_xor state is
+    // 8 bytes per shard. ----
+    "pipe_export_shards" -> ((s, d) => {
+      val t = ExportFixture.tableName(s, d)
+      ExportFixture.wh.read(s, t)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          sum(expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))"))
+            .cast("bigint").as("total_tokens"),
+          expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
+            .as("checksum_xor"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     }),
 
     // ---- version-PINNED snapshot diff: the lineage question "what
@@ -799,6 +861,19 @@ object Curation extends QueryModule {
         |  count(*) AS n_docs,
         |  CAST(sum(coalesce(chars_b, chars_a)) AS BIGINT) AS total_chars
         |FROM m GROUP BY 1 ORDER BY change_type""".stripMargin,
+    // recomputes the manifest from `documents` directly — the Spark side
+    // reads only the EXPORTED files, so loss/duplication/mis-assignment
+    // in the export breaks the hash
+    "pipe_export_shards" ->
+      """SELECT
+        |  try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+        |  bit_xor(try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS checksum_xor,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     // replays the v1/v2 snapshot DEFINITIONS from `documents` — the Spark
     // side can only match by correctly selecting the pinned `_v=1`/`_v=2`
     // directories (current is a different v3, so "latest" fails the hash)

@@ -1468,17 +1468,19 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"), col("slot"))
     }),
     // ---- FULL video-frame decode, the video twin of mm_png_decode: the
-    // payload is a REAL YUV4MPEG2 stream ([[attachY4mMedia]] — ASCII
-    // header, FRAME markers, raw C444 planes) and every value below
-    // except doc_id exists on the Spark side ONLY because
-    // [[Y4mCodec.decode]] genuinely parses the container and slices the
-    // planar frames inside the Arrow batch seam. The oracle replays the
-    // generative sample formula per (frame, plane, y, x) in SQL — it
-    // never sees the bytes — so any header/marker/plane-slicing bug
-    // breaks the hash. delta_energy (Σ|Y_f − Y_{f−1}|) is the
-    // scene-change/static-clip curation signal. ----
+    // payload is a REAL YUV4MPEG2 stream over the colourspace-MIXED
+    // corpus ([[attachY4mMixedMedia]] — C444 even docs, real 4:2:0 odd
+    // docs) and every value below except doc_id exists on the Spark side
+    // ONLY because [[Y4mCodec.decode]] genuinely parses the container and
+    // slices the planar frames inside the Arrow batch seam — including
+    // the quarter-size chroma planes, whose sums the oracle replays at
+    // CHROMA coordinates. The oracle replays the generative sample
+    // formula per (frame, plane, y, x) in SQL — it never sees the
+    // bytes — so any header/marker/plane-slicing bug (in either
+    // colourspace) breaks the hash. delta_energy (Σ|Y_f − Y_{f−1}|) is
+    // the scene-change/static-clip curation signal. ----
     "mm_video_decode" -> ((s, d) => {
-      val media = attachY4mMedia(Tables.documents(s, d))
+      val media = attachY4mMixedMedia(Tables.documents(s, d))
       decodeY4mArrow(media).orderBy(col("doc_id"))
     }),
     // ---- container metadata over a colourspace-MIXED corpus (C444 even
@@ -1656,21 +1658,37 @@ object Multimodal extends QueryModule {
     // parsing the y4m container and slicing the planar frames
     "mm_video_decode" ->
       """WITH m AS (
-        |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |         ELSE 2 * (doc_id % 4 + 1) END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars % 6 + 1
+        |         ELSE 2 * (n_chars % 3 + 1) END AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |         ELSE doc_id % 4 + 1 END AS cw,
+        |    CASE WHEN doc_id % 2 = 0 THEN n_chars % 6 + 1
+        |         ELSE n_chars % 3 + 1 END AS chh,
         |    n_chars % 3 + 2 AS nf
         |  FROM documents
-        |), px AS (
-        |  SELECT doc_id, w, h, nf, f.f AS f, p.p AS p, y.y AS y, x.x AS x,
-        |    (doc_id * 31 + f.f * 13 + p.p * 17 + y.y * 7 + x.x * 5) % 256 AS v
-        |  FROM m, UNNEST(range(0, nf)) AS f(f), UNNEST(range(0, 3)) AS p(p),
-        |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
-        |), agg AS (
+        |), ly AS (
         |  SELECT doc_id,
-        |    sum(CASE WHEN p = 0 THEN v END) AS sum_y,
+        |    sum(v) AS sum_y,
+        |    sum(v * (f * w * h + y * w + x + 1)) AS luma_checksum
+        |  FROM (
+        |    SELECT doc_id, w, h, f.f AS f, y.y AS y, x.x AS x,
+        |      (doc_id * 31 + f.f * 13 + y.y * 7 + x.x * 5) % 256 AS v
+        |    FROM m, UNNEST(range(0, nf)) AS f(f),
+        |      UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |  ) GROUP BY doc_id
+        |), cr AS (
+        |  SELECT doc_id,
         |    sum(CASE WHEN p = 1 THEN v END) AS sum_u,
-        |    sum(CASE WHEN p = 2 THEN v END) AS sum_v,
-        |    sum(CASE WHEN p = 0 THEN v * (f * w * h + y * w + x + 1) END) AS luma_checksum
-        |  FROM px GROUP BY doc_id
+        |    sum(CASE WHEN p = 2 THEN v END) AS sum_v
+        |  FROM (
+        |    SELECT doc_id, p.p AS p,
+        |      (doc_id * 31 + f.f * 13 + p.p * 17 + y.y * 7 + x.x * 5) % 256 AS v
+        |    FROM m, UNNEST(range(0, nf)) AS f(f), UNNEST(range(1, 3)) AS p(p),
+        |      UNNEST(range(0, chh)) AS y(y), UNNEST(range(0, cw)) AS x(x)
+        |  ) GROUP BY doc_id
         |), dl AS (
         |  SELECT doc_id, sum(abs(
         |    (doc_id * 31 + f.f * 13 + y.y * 7 + x.x * 5) % 256 -
@@ -1683,11 +1701,12 @@ object Multimodal extends QueryModule {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(nf AS BIGINT) AS n_frames,
         |  CAST(w * h * nf AS BIGINT) AS n_pixels,
-        |  CAST(a.sum_y AS BIGINT) AS sum_y, CAST(a.sum_u AS BIGINT) AS sum_u,
-        |  CAST(a.sum_v AS BIGINT) AS sum_v,
-        |  CAST(a.luma_checksum AS BIGINT) AS luma_checksum,
+        |  CAST(ly.sum_y AS BIGINT) AS sum_y, CAST(cr.sum_u AS BIGINT) AS sum_u,
+        |  CAST(cr.sum_v AS BIGINT) AS sum_v,
+        |  CAST(ly.luma_checksum AS BIGINT) AS luma_checksum,
         |  CAST(coalesce(dl.delta_energy, 0) AS BIGINT) AS delta_energy
-        |FROM m JOIN agg a ON m.doc_id = a.doc_id
+        |FROM m JOIN ly ON m.doc_id = ly.doc_id
+        |JOIN cr ON m.doc_id = cr.doc_id
         |LEFT JOIN dl ON m.doc_id = dl.doc_id
         |ORDER BY m.doc_id""".stripMargin,
     // independent derivation of the header fields the Spark side PARSES

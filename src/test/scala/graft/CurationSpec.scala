@@ -357,4 +357,26 @@ class CurationSpec extends SparkSuiteBase {
     assert(row.getLong(5) == pct(99, 100), "p99")
     assert(row.getLong(6) == 100 * sizes.last / pct(1, 2), "skew_x100")
   }
+
+  test("pipe_export_shards: manifest covers the whole corpus; shard reads prune partitions") {
+    val manifest = SparkEntry.queries("pipe_export_shards")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    // completeness: shard doc counts sum to the corpus, id range sane
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(manifest.map(_.getAs[Long]("total_chars")).sum ==
+      docs.agg(sum(col("n_chars"))).collect()(0).getLong(0))
+    // every shard id in [0, 8)
+    assert(manifest.map(_.getAs[Long]("shard")).toSet.subsetOf((0L until 8L).toSet))
+    // a one-shard read prunes at the partition level of the real export
+    val t = graft.operators.Curation.ExportFixture.tableName(spark, sf0001)
+    val one = graft.operators.Curation.ExportFixture.wh.read(spark, t)
+      .filter(col("shard") === 3)
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("shard")),
+      s"expected a shard partition filter, got: ${scan.partitionFilters}")
+    val m3 = manifest.find(_.getAs[Long]("shard") == 3L)
+    assert(one.count() == m3.map(_.getAs[Long]("n_docs")).getOrElse(0L))
+  }
 }
