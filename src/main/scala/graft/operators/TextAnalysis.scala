@@ -159,7 +159,50 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML-framed documents: each doc's text wrapped in a REAL page
+    * template that exercises every hazard the extractor must survive —
+    * doctype, comment, `<style>` content, a `<script>` whose body
+    * contains both a bare `<` comparison and a `"<p>"` string literal, a
+    * quoted attribute containing `>`, `&amp;`/`&#65;` entities, and
+    * `doc_id % 3` extra anchors. The oracle predicts the EXTRACTION
+    * OUTPUT from (doc_id, text) without ever seeing the markup, while the
+    * Spark side can only reach it by genuinely parsing the page.
+    */
+  private def attachHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<!DOCTYPE html>\n<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body { color: #fff; }</style></head>\n" +
+        "<body><!-- generated fixture -->\n<h1>Doc "), col("doc_id"),
+      lit(" &amp; friends &#65;</h1>\n<p class=\"body\" data-x=\"a>b\">"),
+      col("text"),
+      lit("</p>\n<script type=\"text/javascript\">" +
+        "if (1 < 2) { console.log(\"<p>\"); }</script>\n" +
+        "<a href=\"https://example.com/"), col("doc_id"),
+      lit("\">link "), col("doc_id"), lit("</a>"),
+      repeat(lit("\n<a href=\"#\">x</a>"), (col("doc_id") % 3).cast("int")),
+      lit("\n</body></html>")).as("html"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- REAL HTML visible-text extraction (`graft_html_stats`, a
+    // native one-pass state machine — no HTML library): the crawl→corpus
+    // step every training pipeline runs first. Every output value except
+    // doc_id exists on the Spark side ONLY by parsing the markup —
+    // skipping script/style content (including the embedded `<` and
+    // `"<p>"` traps), honoring quoted-attribute `>`, decoding entities,
+    // counting anchors/scripts/tags — while the oracle predicts the same
+    // extraction output directly from the generator. Narrow codegen'd
+    // scan stage; only extracted stats continue. ----
+    "txt_html_extract" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      attachHtml(Tables.documents(s, d))
+        .select(col("doc_id"),
+          call_function("graft_html_stats", col("html")).as("st"))
+        .select(col("doc_id"),
+          md5(col("st.text")).as("extracted_md5"),
+          length(col("st.text")).cast("bigint").as("n_extracted_chars"),
+          col("st.n_links"), col("st.n_scripts"), col("st.n_tags"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- quality scoring: length / word / type-token stats ----
     "txt_stats" -> ((s, d) => {
       Tables.documents(s, d).orderBy(col("doc_id"))
@@ -987,6 +1030,25 @@ object TextAnalysis extends QueryModule {
        |ORDER BY p.word""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // predicts the extraction OUTPUT from (doc_id, text) — title + h1
+    // (entities decoded), body text, anchor texts, whitespace-normalized;
+    // tag/script/link counts follow the template arithmetic. The oracle
+    // never parses markup; the Spark side never sees this formula.
+    "txt_html_extract" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      'Doc ' || doc_id || ' Doc ' || doc_id || ' & friends A ' ||
+        |        text || ' link ' || doc_id || repeat(' x', CAST(doc_id % 3 AS INT)),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(t) AS extracted_md5,
+        |  CAST(length(t) AS BIGINT) AS n_extracted_chars,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
+        |  CAST(1 AS BIGINT) AS n_scripts,
+        |  CAST(18 + 2 * (doc_id % 3) AS BIGINT) AS n_tags
+        |FROM p ORDER BY doc_id""".stripMargin,
     "txt_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

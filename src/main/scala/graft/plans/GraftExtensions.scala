@@ -57,6 +57,14 @@ object GraftExtensions {
         require(args.length == 1, s"graft_simhash60 expects 1 argument, got ${args.length}")
         SimHash60(args.head)
       }),
+    (new FunctionIdentifier("graft_html_stats"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_html_stats",
+        "graft_html_stats(html) - one-pass visible-text extraction: " +
+          "STRUCT<text, n_links, n_scripts, n_tags>"),
+      { args =>
+        require(args.length == 1, s"graft_html_stats expects 1 argument, got ${args.length}")
+        HtmlStats(args.head)
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk",
         "graft_topk(score, id, k) - bounded per-group top-k aggregate, (score DESC, id ASC)"),
