@@ -194,7 +194,12 @@ object PlanDump {
     "mm_video_decode", "mm_frame_sample", "mm_video_meta",
     // version-pinned snapshot diff: audit that both inputs are plain
     // pinned-directory scans and the join carries 16-byte hashes
-    "pipe_version_diff")
+    "pipe_version_diff",
+    // crawl ingestion: narrow Arrow-seam chain (gunzip -> WARC -> HTML),
+    // archive bytes never shuffle; HTML extraction inside the scan stage
+    "crawl_gzip_members", "pipe_crawl_e2e", "txt_html_extract",
+    // export manifest: one partitioned readback + 8-byte bit_xor state
+    "pipe_export_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
+    operators.Crawl,
     operators.EventTime)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

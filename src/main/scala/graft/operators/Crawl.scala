@@ -1,0 +1,413 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Crawl-archive ingestion — the formats a web-scale training corpus
+  * actually arrives in, decoded with REAL codecs (no archive library):
+  *
+  *  - [[GzipCodec]]: RFC 1952 gzip MEMBERS — header flag parsing
+  *    (FEXTRA/FNAME/FCOMMENT/FHCRC), raw-DEFLATE inflate via
+  *    `java.util.zip.Inflater(nowrap)`, CRC32 + ISIZE trailer
+  *    verification, and multi-member concatenation (the `.warc.gz` /
+  *    `.jsonl.gz` shard shape: each record its own member, so a reader
+  *    can seek to any member boundary without decompressing the shard).
+  *  - [[WarcCodec]]: ISO 28500 WARC records — version line, CRLF header
+  *    block, exact Content-Length body slicing, record terminator.
+  *
+  * The capstone `pipe_crawl_e2e` is the CommonCrawl ingestion pipeline
+  * end to end: gzip members → WARC records → response filtering → HTML
+  * visible-text extraction ([[graft.plans.HtmlTextImpl]]) — every stage a
+  * real parser, verified against the oracle's independent generator
+  * replay (the oracle never sees a single archive byte).
+  *
+  * Scale posture: all decode stages run inside ONE narrow
+  * mapPartitions/Arrow-seam pass — archive bytes are decoded where they
+  * are read and never shuffle; only per-document stat rows continue to
+  * the presentation sort. Malformed members/records degrade to typed
+  * reasons, never garbage output.
+  */
+object Crawl extends QueryModule {
+
+  /** RFC 1952 gzip, member-structured. The encoder writes canonical
+    * members (optional FNAME); the decoder is the production path:
+    * header + flag walk → raw inflate → CRC32/ISIZE trailer check →
+    * next member, until the archive is exactly consumed.
+    */
+  object GzipCodec {
+    case class Member(name: Option[String], data: Array[Byte])
+
+    def encodeMember(data: Array[Byte], name: Option[String] = None): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val flg = if (name.isDefined) 0x08 else 0x00
+      out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, flg.toByte,
+        0, 0, 0, 0, // MTIME = 0
+        0, 0xff.toByte)) // XFL, OS = unknown
+      name.foreach { n => out.write(n.getBytes("ISO-8859-1")); out.write(0) }
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      deflater.setInput(data); deflater.finish()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf); out.write(buf, 0, n)
+      }
+      deflater.end()
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      def le4(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      le4(crc.getValue)
+      le4(data.length.toLong & 0xffffffffL)
+      out.toByteArray
+    }
+
+    def encodeMembers(members: Seq[(Option[String], Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      members.foreach { case (n, d) => out.write(encodeMember(d, n)) }
+      out.toByteArray
+    }
+
+    /** Decode ALL members; the archive must be exactly consumed. Every
+      * malformation — bad magic, unsupported compression method, reserved
+      * flag bits, truncated header/stream, CRC or ISIZE mismatch,
+      * trailing garbage — returns a typed Left.
+      */
+    def decodeMembers(bytes: Array[Byte]): Either[String, Seq[Member]] = try {
+      val members = scala.collection.mutable.ArrayBuffer[Member]()
+      var off = 0
+      if (bytes.length == 0) return Left("empty archive")
+      while (off < bytes.length) {
+        if (off + 10 > bytes.length) return Left("truncated member header")
+        if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
+          return Left("bad gzip magic")
+        if ((bytes(off + 2) & 0xff) != 8)
+          return Left("unsupported compression method")
+        val flg = bytes(off + 3) & 0xff
+        if ((flg & 0xe0) != 0) return Left("reserved flag bits set")
+        var p = off + 10
+        if ((flg & 0x04) != 0) { // FEXTRA
+          if (p + 2 > bytes.length) return Left("truncated FEXTRA")
+          val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+          if (p > bytes.length) return Left("truncated FEXTRA")
+        }
+        var name: Option[String] = None
+        if ((flg & 0x08) != 0) { // FNAME
+          val start = p
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          if (p >= bytes.length) return Left("unterminated FNAME")
+          name = Some(new String(bytes, start, p - start, "ISO-8859-1"))
+          p += 1
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          if (p >= bytes.length) return Left("unterminated FCOMMENT")
+          p += 1
+        }
+        if ((flg & 0x02) != 0) { // FHCRC
+          p += 2
+          if (p > bytes.length) return Left("truncated FHCRC")
+        }
+        val inflater = new java.util.zip.Inflater(true)
+        inflater.setInput(bytes, p, bytes.length - p)
+        val data = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        try {
+          while (!inflater.finished()) {
+            val n = inflater.inflate(buf)
+            if (n == 0 && inflater.needsInput())
+              return Left("truncated deflate stream")
+            data.write(buf, 0, n)
+          }
+          val consumed = (bytes.length - p) - inflater.getRemaining
+          p += consumed
+        } finally inflater.end()
+        if (p + 8 > bytes.length) return Left("truncated member trailer")
+        def le4(o: Int): Long =
+          (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        val raw = data.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(raw)
+        if (le4(p) != crc.getValue) return Left("member CRC mismatch")
+        if (le4(p + 4) != (raw.length.toLong & 0xffffffffL))
+          return Left("member ISIZE mismatch")
+        members += Member(name, raw)
+        off = p + 8
+      }
+      Right(members.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  /** ISO 28500 WARC records: `WARC/1.0\r\n`, header lines, blank line,
+    * exactly Content-Length body bytes, `\r\n\r\n` terminator.
+    */
+  object WarcCodec {
+    case class WarcRecord(version: String, headers: Map[String, String],
+                          body: Array[Byte])
+
+    def encode(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      val head = sb.toString.getBytes("UTF-8")
+      val out = new Array[Byte](head.length + body.length + 4)
+      System.arraycopy(head, 0, out, 0, head.length)
+      System.arraycopy(body, 0, out, head.length, body.length)
+      System.arraycopy("\r\n\r\n".getBytes("US-ASCII"), 0, out,
+        head.length + body.length, 4)
+      out
+    }
+
+    def decode(bytes: Array[Byte]): Either[String, WarcRecord] = try {
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i + 1 < bytes.length &&
+          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+        if (i + 1 >= bytes.length) -1 else i
+      }
+      val vEnd = lineEnd(0)
+      if (vEnd < 0) return Left("missing version line")
+      val version = new String(bytes, 0, vEnd, "UTF-8")
+      if (!version.startsWith("WARC/")) return Left("bad warc version")
+      var p = vEnd + 2
+      val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+      var done = false
+      while (!done) {
+        val e = lineEnd(p)
+        if (e < 0) return Left("unterminated header block")
+        if (e == p) { done = true; p += 2 } // blank line
+        else {
+          val line = new String(bytes, p, e - p, "UTF-8")
+          val colon = line.indexOf(':')
+          if (colon <= 0) return Left("malformed header line")
+          headers(line.substring(0, colon).trim) = line.substring(colon + 1).trim
+          p = e + 2
+        }
+      }
+      val len = headers.get("Content-Length") match {
+        case Some(v) => try v.toInt catch {
+          case _: NumberFormatException => return Left("malformed Content-Length")
+        }
+        case None => return Left("missing Content-Length")
+      }
+      if (len < 0 || p + len + 4 > bytes.length) return Left("truncated body")
+      val body = java.util.Arrays.copyOfRange(bytes, p, p + len)
+      val term = new String(bytes, p + len, 4, "US-ASCII")
+      if (term != "\r\n\r\n") return Left("missing record terminator")
+      if (p + len + 4 != bytes.length) return Left("trailing garbage")
+      Right(WarcRecord(version, headers.toMap, body))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  // ---- fixtures: archives built from (doc_id, text) so the DuckDB
+  // oracle predicts every decoded value independently ----
+
+  /** Multi-member gzip archive of the doc's TEXT: the text's UTF-8 bytes
+    * split into `n_chars % 2 + 1` contiguous members, member i named
+    * `doc-<id>-<i>`.
+    */
+  def attachGzipMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("text")).rdd.map { r =>
+      val id = r.getLong(0)
+      val data = r.getString(1).getBytes("UTF-8")
+      val k = data.length % 2 + 1
+      val cut = data.length / k
+      val chunks = (0 until k).map { i =>
+        val from = i * cut
+        val until = if (i == k - 1) data.length else (i + 1) * cut
+        (Some(s"doc-$id-$i"): Option[String],
+          java.util.Arrays.copyOfRange(data, from, until))
+      }
+      Row(id, GzipCodec.encodeMembers(chunks))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** A realistic `.warc.gz` shard slice per doc: TWO gzip members — a
+    * `request` record, then the `response` record whose body is the
+    * doc's HTML page ([[TextAnalysis.htmlTemplate]]).
+    */
+  def attachWarcGzMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("text")).rdd.map { r =>
+      val id = r.getLong(0)
+      val uri = s"https://example.com/$id"
+      val request = WarcCodec.encode(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> s"<urn:graft:$id:req>",
+        "WARC-Target-URI" -> uri),
+        s"GET /$id HTTP/1.1\r\nHost: example.com".getBytes("UTF-8"))
+      val response = WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "text/html"),
+        TextAnalysis.htmlTemplate(id, r.getString(1)).getBytes("UTF-8"))
+      Row(id, GzipCodec.encodeMembers(Seq(None -> request, None -> response)))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val gzipDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_members", LongType),
+    StructField("n_raw_bytes", LongType),
+    StructField("content_md5", StringType),
+    StructField("name_first", StringType)))
+
+  private def gzipDecodeRow(id: Long, bytes: Array[Byte]): Row =
+    GzipCodec.decodeMembers(bytes) match {
+      case Left(_) => Row(id, "gzip-corrupt", null, null, null, null)
+      case Right(members) =>
+        val all = members.map(_.data).foldLeft(Array.emptyByteArray)(_ ++ _)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Row(id, "gzip", members.length.toLong, all.length.toLong,
+          md.digest(all).map("%02x".format(_)).mkString,
+          members.head.name.orNull)
+    }
+
+  val crawlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_records", LongType),
+    StructField("n_responses", LongType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType),
+    StructField("extracted_md5", StringType),
+    StructField("n_extracted_chars", LongType),
+    StructField("n_links", LongType)))
+
+  /** The full crawl-ingestion chain for ONE archive: gzip members → WARC
+    * records → keep responses → HTML visible-text extraction. Fused in
+    * one narrow pass; a failure at ANY layer degrades the whole doc to
+    * the failing layer's typed class.
+    */
+  private def crawlRow(id: Long, bytes: Array[Byte]): Row =
+    GzipCodec.decodeMembers(bytes) match {
+      case Left(_) => Row(id, "gzip-corrupt", null, null, null, null, null, null, null)
+      case Right(members) =>
+        val records = members.map(m => WarcCodec.decode(m.data))
+        if (records.exists(_.isLeft))
+          Row(id, "warc-corrupt", null, null, null, null, null, null, null)
+        else {
+          val recs = records.map(_.toOption.get)
+          val responses = recs.filter(_.headers.get("WARC-Type").contains("response"))
+          if (responses.isEmpty)
+            Row(id, "no-response", recs.length.toLong, 0L, null, null, null, null, null)
+          else {
+            val resp = responses.head
+            val html = new String(resp.body, "UTF-8")
+            val st = graft.plans.HtmlTextImpl.extract(html)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            Row(id, "warc", recs.length.toLong, responses.length.toLong,
+              resp.headers.getOrElse("WARC-Target-URI", null),
+              resp.body.length.toLong,
+              md.digest(st.text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+              st.text.length.toLong, st.links)
+          }
+        }
+    }
+
+  def decodeGzipArrow(media: DataFrame): DataFrame =
+    Multimodal.arrowHeaderParse(media, gzipDecodeSchema)(gzipDecodeRow)
+
+  /** Row-path twin of [[decodeGzipArrow]] (parity spec pins equality). */
+  def decodeGzip(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      gzipDecodeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, gzipDecodeSchema)
+  }
+
+  def crawlExtractArrow(media: DataFrame): DataFrame =
+    Multimodal.arrowHeaderParse(media, crawlSchema)(crawlRow)
+
+  /** Row-path twin of [[crawlExtractArrow]] (parity spec pins equality). */
+  def crawlExtract(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      crawlRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, crawlSchema)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- REAL multi-member gzip decode: member count, reassembled byte
+    // length, content md5, and the first member's FNAME exist on the
+    // Spark side ONLY via [[GzipCodec.decodeMembers]] — header flag walk,
+    // raw inflate, CRC32/ISIZE trailer verification per member — while
+    // the oracle predicts them from (doc_id, text). The compressed bytes
+    // never shuffle. ----
+    "crawl_gzip_members" -> ((s, d) => {
+      val media = attachGzipMedia(Tables.documents(s, d))
+      decodeGzipArrow(media).orderBy(col("doc_id"))
+    }),
+
+    // ---- the crawl-ingestion CAPSTONE over a realistic `.warc.gz`
+    // shape (request + response records, each its own gzip member):
+    // gunzip → WARC header/body parse → response filter → HTML
+    // visible-text extraction, all REAL parsers fused in one narrow
+    // pass. The oracle predicts the final extraction output and the
+    // response body length from the generator — it never sees a single
+    // archive byte — so a bug in ANY of the three codec layers breaks
+    // the hash. ----
+    "pipe_crawl_e2e" -> ((s, d) => {
+      val media = attachWarcGzMedia(Tables.documents(s, d))
+      crawlExtractArrow(media).orderBy(col("doc_id"))
+    }))
+
+  override def oracleSql: Map[String, String] = Map(
+    "crawl_gzip_members" ->
+      """SELECT doc_id, 'gzip' AS format,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 2 + 1 AS BIGINT) AS n_members,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_raw_bytes,
+        |  md5(text) AS content_md5,
+        |  'doc-' || doc_id || '-0' AS name_first
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // predicts the END of the 3-codec chain: the response body length is
+    // the generated page's length and the extraction output is the same
+    // generator replay txt_html_extract pins — while the Spark side must
+    // inflate, slice, and parse to reach either
+    "pipe_crawl_e2e" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<!DOCTYPE html>' || chr(10) ||
+        |    '<html><head><title>Doc ' || doc_id || '</title><style>body { color: #fff; }</style></head>' || chr(10) ||
+        |    '<body><!-- generated fixture -->' || chr(10) ||
+        |    '<h1>Doc ' || doc_id || ' &amp; friends &#65;</h1>' || chr(10) ||
+        |    '<p class="body" data-x="a>b">' || text || '</p>' || chr(10) ||
+        |    '<script type="text/javascript">if (1 < 2) { console.log("<p>"); }</script>' || chr(10) ||
+        |    '<a href="https://example.com/' || doc_id || '">link ' || doc_id || '</a>' ||
+        |    repeat(chr(10) || '<a href="#">x</a>', CAST(doc_id % 3 AS INT)) ||
+        |    chr(10) || '</body></html>' AS html,
+        |    trim(regexp_replace(
+        |      'Doc ' || doc_id || ' Doc ' || doc_id || ' & friends A ' ||
+        |        text || ' link ' || doc_id || repeat(' x', CAST(doc_id % 3 AS INT)),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id, 'warc' AS format,
+        |  CAST(2 AS BIGINT) AS n_records, CAST(1 AS BIGINT) AS n_responses,
+        |  'https://example.com/' || doc_id AS target_uri,
+        |  CAST(octet_length(CAST(html AS BLOB)) AS BIGINT) AS content_length,
+        |  md5(t) AS extracted_md5,
+        |  CAST(length(t) AS BIGINT) AS n_extracted_chars,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_links
+        |FROM page ORDER BY doc_id""".stripMargin)
+}

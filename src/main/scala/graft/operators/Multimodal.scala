@@ -1187,7 +1187,7 @@ object Multimodal extends QueryModule {
     * a narrow stage; payload bytes never shuffle, only parsed fields
     * continue.
     */
-  private def arrowHeaderParse(
+  private[operators] def arrowHeaderParse(
       media: DataFrame, schema: StructType)(
       parse: (Long, Array[Byte]) => Row): DataFrame =
     arrowFlatParse(media, schema)((id, bytes) => Seq(parse(id, bytes)))
@@ -1198,7 +1198,7 @@ object Multimodal extends QueryModule {
     * contract, `parse` returns the (eagerly materialized) rows for one
     * payload — corrupt payloads may legitimately return zero rows.
     */
-  private def arrowFlatParse(
+  private[operators] def arrowFlatParse(
       media: DataFrame, schema: StructType)(
       parse: (Long, Array[Byte]) => Seq[Row]): DataFrame = {
     import org.apache.arrow.memory.RootAllocator

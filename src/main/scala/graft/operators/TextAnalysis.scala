@@ -168,19 +168,31 @@ object TextAnalysis extends QueryModule {
     * OUTPUT from (doc_id, text) without ever seeing the markup, while the
     * Spark side can only reach it by genuinely parsing the page.
     */
-  private def attachHtml(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), concat(
-      lit("<!DOCTYPE html>\n<html><head><title>Doc "), col("doc_id"),
-      lit("</title><style>body { color: #fff; }</style></head>\n" +
-        "<body><!-- generated fixture -->\n<h1>Doc "), col("doc_id"),
-      lit(" &amp; friends &#65;</h1>\n<p class=\"body\" data-x=\"a>b\">"),
-      col("text"),
-      lit("</p>\n<script type=\"text/javascript\">" +
-        "if (1 < 2) { console.log(\"<p>\"); }</script>\n" +
-        "<a href=\"https://example.com/"), col("doc_id"),
-      lit("\">link "), col("doc_id"), lit("</a>"),
-      repeat(lit("\n<a href=\"#\">x</a>"), (col("doc_id") % 3).cast("int")),
-      lit("\n</body></html>")).as("html"))
+  /** THE page template — single source of truth shared by this module's
+    * declarative fixture and [[Crawl]]'s WARC bodies, so the two can
+    * never desynchronize from each other or from the oracles' replay.
+    */
+  private[operators] def htmlTemplate(id: Long, text: String): String =
+    s"""<!DOCTYPE html>
+       |<html><head><title>Doc $id</title><style>body { color: #fff; }</style></head>
+       |<body><!-- generated fixture -->
+       |<h1>Doc $id &amp; friends &#65;</h1>
+       |<p class="body" data-x="a>b">$text</p>
+       |<script type="text/javascript">if (1 < 2) { console.log("<p>"); }</script>
+       |<a href="https://example.com/$id">link $id</a>""".stripMargin +
+      ("\n<a href=\"#\">x</a>" * (id % 3).toInt) + "\n</body></html>"
+
+  private def attachHtml(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("text")).rdd.map { r =>
+      org.apache.spark.sql.Row(r.getLong(0), htmlTemplate(r.getLong(0), r.getString(1)))
+    }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("html",
+        org.apache.spark.sql.types.StringType))))
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- REAL HTML visible-text extraction (`graft_html_stats`, a
