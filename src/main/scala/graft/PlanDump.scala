@@ -197,7 +197,7 @@ object PlanDump {
     "pipe_version_diff",
     // crawl ingestion: narrow Arrow-seam chain (gunzip -> WARC -> HTML),
     // archive bytes never shuffle; HTML extraction inside the scan stage
-    "crawl_gzip_members", "pipe_crawl_e2e", "txt_html_extract",
+    "crawl_gzip_members", "pipe_crawl_e2e", "txt_html_extract", "txt_utf8_audit",
     // export manifest: one partitioned readback + 8-byte bit_xor state
     "pipe_export_shards")
 

@@ -204,6 +204,31 @@ object TextAnalysis extends QueryModule {
     // counting anchors/scripts/tags — while the oracle predicts the same
     // extraction output directly from the generator. Narrow codegen'd
     // scan stage; only extracted stats continue. ----
+    // ---- REAL UTF-8 well-formedness audit (`graft_utf8_stats`, the full
+    // RFC 3629 validity table — overlongs, surrogates, >U+10FFFF all
+    // rejected; resync-per-invalid-byte counting): each doc's bytes carry
+    // a doc_id-determined planted tail — a valid 2-byte ¢, an OVERLONG
+    // C0 80, a valid 3-byte € plus a BEL control, or a run of lone
+    // continuation bytes — and every count below exists on the Spark side
+    // only by walking the bytes through the validator, while the oracle
+    // predicts them from the plant arithmetic. The mojibake/control-noise
+    // gate a crawl corpus passes before tokenization. ----
+    "txt_utf8_audit" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val tail = when(col("doc_id") % 4 === 0, lit("C2A2"))
+        .when(col("doc_id") % 4 === 1, lit("C080"))
+        .when(col("doc_id") % 4 === 2, lit("E282AC07"))
+        .otherwise(repeat(lit("80"), (col("doc_id") % 3 + 1).cast("int")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text").cast("binary"), unhex(tail)).as("payload"))
+        .select(col("doc_id"),
+          call_function("graft_utf8_stats", col("payload")).as("st"))
+        .select(col("doc_id"), col("st.n_valid_chars"), col("st.n_invalid_bytes"),
+          col("st.n_multibyte"), col("st.n_control"), col("st.is_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_html_extract" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
       attachHtml(Tables.documents(s, d))
@@ -1042,6 +1067,19 @@ object TextAnalysis extends QueryModule {
        |ORDER BY p.word""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // predicts every validator count from the planted-tail arithmetic:
+    // the fixture text is ASCII (n_chars valid 1-byte chars, no controls),
+    // so the tail's contribution is exact per doc_id class
+    "txt_utf8_audit" ->
+      """SELECT doc_id,
+        |  CAST(n_chars + CASE doc_id % 4 WHEN 0 THEN 1 WHEN 2 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_valid_chars,
+        |  CAST(CASE doc_id % 4 WHEN 1 THEN 2 WHEN 3 THEN doc_id % 3 + 1
+        |    ELSE 0 END AS BIGINT) AS n_invalid_bytes,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS BIGINT) AS n_multibyte,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_control,
+        |  doc_id % 4 IN (0, 2) AS is_valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // predicts the extraction OUTPUT from (doc_id, text) — title + h1
     // (entities decoded), body text, anchor texts, whitespace-normalized;
     // tag/script/link counts follow the template arithmetic. The oracle

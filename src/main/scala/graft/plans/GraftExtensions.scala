@@ -65,6 +65,14 @@ object GraftExtensions {
         require(args.length == 1, s"graft_html_stats expects 1 argument, got ${args.length}")
         HtmlStats(args.head)
       }),
+    (new FunctionIdentifier("graft_utf8_stats"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_utf8_stats",
+        "graft_utf8_stats(bytes) - one-pass UTF-8 well-formedness audit: " +
+          "STRUCT<n_valid_chars, n_invalid_bytes, n_multibyte, n_control, is_valid>"),
+      { args =>
+        require(args.length == 1, s"graft_utf8_stats expects 1 argument, got ${args.length}")
+        Utf8Stats(args.head)
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk",
         "graft_topk(score, id, k) - bounded per-group top-k aggregate, (score DESC, id ASC)"),
