@@ -359,6 +359,48 @@ object Crawl extends QueryModule {
       decodeGzipArrow(media).orderBy(col("doc_id"))
     }),
 
+    // ---- URL structure audit over a synthesized crawl frontier — the
+    // per-domain accounting that feeds domain caps / robots grouping /
+    // host-level dedup. URLs are generated from (doc_id, n_chars) with
+    // varied subdomains, TLDs, path depths, and query strings; the Spark
+    // side parses them with the BUILT-IN `parse_url` (codegen'd — the
+    // "functions, not UDFs" rule) and derives the registrable domain,
+    // while the oracle re-derives every field with independent regex/
+    // string ops. One narrow projection + one partial-agg'd domain
+    // rollup. ----
+    "crawl_url_stats" -> ((s, d) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
+        lit("/"),
+        array_join(transform(sequence(lit(1), col("doc_id") % 4 + 1),
+          i => concat(lit("p"), i.cast("string"))), "/"),
+        when(col("n_chars") % 2 === 0,
+          concat(lit("?q="), (col("n_chars") % 100).cast("string"),
+            lit("&page="), (col("doc_id") % 5).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"))
+        .select(
+          // registrable domain: last two dot-labels of the host
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"),
+          (size(split(col("path"), "/")) - 1).cast("bigint").as("path_depth"),
+          when(col("query").isNull, 0L)
+            .otherwise(size(split(col("query"), "&")).cast("bigint")).as("n_params"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("path_depth")).as("total_depth"),
+          max(col("path_depth")).as("max_depth"),
+          sum(col("n_params")).as("total_params"))
+        .orderBy(col("domain"))
+    }),
+
     // ---- the crawl-ingestion CAPSTONE over a realistic `.warc.gz`
     // shape (request + response records, each its own gzip member):
     // gunzip → WARC header/body parse → response filter → HTML
@@ -380,6 +422,22 @@ object Crawl extends QueryModule {
         |  md5(text) AS content_md5,
         |  'doc-' || doc_id || '-0' AS name_first
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // re-derives host/path/query with independent string ops (the Spark
+    // side uses the built-in parse_url), then the same domain rollup
+    "crawl_url_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || (doc_id % 7) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+        |    CAST(doc_id % 4 + 1 AS BIGINT) AS path_depth,
+        |    CAST(CASE WHEN n_chars % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_params
+        |  FROM documents
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(path_depth) AS BIGINT) AS total_depth,
+        |  CAST(max(path_depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(n_params) AS BIGINT) AS total_params
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
     // predicts the END of the 3-codec chain: the response body length is
     // the generated page's length and the extraction output is the same
     // generator replay txt_html_extract pins — while the Spark side must

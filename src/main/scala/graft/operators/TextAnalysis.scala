@@ -204,6 +204,30 @@ object TextAnalysis extends QueryModule {
     // counting anchors/scripts/tags — while the oracle predicts the same
     // extraction output directly from the generator. Narrow codegen'd
     // scan stage; only extracted stats continue. ----
+    // ---- SFT record assembly with loss-mask accounting: each document
+    // becomes one instruction-tuning record (system + user + assistant
+    // template) with the numbers a trainer needs to mask the prompt out
+    // of the loss — the mask boundary in chars and whitespace tokens,
+    // total and loss-bearing token counts, and the record's content md5
+    // (both engines assemble and hash the IDENTICAL string — any
+    // template or concatenation drift breaks the hash). Narrow
+    // codegen'd projection; at 100 TB this is the final formatting pass
+    // before pipe_export_shards writes the shards. ----
+    "txt_sft_assemble" -> ((s, d) => {
+      val prompt = concat(
+        lit("### System: You are a helpful assistant.\n### User: Summarize document "),
+        col("doc_id"), lit(".\n### Assistant: "))
+      val full = concat(prompt, col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(full).as("record_md5"),
+          length(prompt).cast("bigint").as("mask_start_char"),
+          lit(14L).as("mask_start_token"), // tokens in the fixed template
+          (lit(14L) + size(split(col("text"), " "))).cast("bigint").as("n_tokens"),
+          size(split(col("text"), " ")).cast("bigint").as("n_loss_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- REAL UTF-8 well-formedness audit (`graft_utf8_stats`, the full
     // RFC 3629 validity table — overlongs, surrogates, >U+10FFFF all
     // rejected; resync-per-invalid-byte counting): each doc's bytes carry
@@ -1067,6 +1091,18 @@ object TextAnalysis extends QueryModule {
        |ORDER BY p.word""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // assembles the IDENTICAL record string and hashes it; token/char
+    // accounting re-derived arithmetically
+    "txt_sft_assemble" ->
+      """SELECT doc_id,
+        |  md5('### System: You are a helpful assistant.' || chr(10) ||
+        |      '### User: Summarize document ' || doc_id || '.' || chr(10) ||
+        |      '### Assistant: ' || text) AS record_md5,
+        |  CAST(87 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS mask_start_char,
+        |  CAST(14 AS BIGINT) AS mask_start_token,
+        |  CAST(14 + len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_loss_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // predicts every validator count from the planted-tail arithmetic:
     // the fixture text is ASCII (n_chars valid 1-byte chars, no controls),
     // so the tail's contribution is exact per doc_id class
