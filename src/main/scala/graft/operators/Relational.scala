@@ -786,6 +786,36 @@ object Relational extends QueryModule {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // ---- RECURSIVE CTE (new SQL surface in Spark 4): the classic
+    // hierarchy-traversal workload — documents arranged as an implicit
+    // binary forest (parent(n) = n DIV 2, roots 0 and 1) walked to a
+    // per-depth census with each node's ROOT carried down the recursion.
+    // IDENTICAL SQL text on both engines (modulo `DIV` vs `//`); Spark
+    // plans the iterative UnionLoop with the default recursion-level
+    // guard (spark.sql.cteRecursionLevelLimit) bounding runaway depth.
+    // At 100 TB each recursion level is one equi-join of the frontier
+    // against the lake — the same per-round shape as the CC/PageRank
+    // iterative family, with depth bounded by the hierarchy (log n
+    // here), not the corpus. ----
+    "q_recursive_tree" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_rec")
+      s.sql(
+        """WITH RECURSIVE tree(doc_id, depth, root) AS (
+          |  SELECT doc_id, 0 AS depth, doc_id AS root
+          |  FROM docs_rec WHERE doc_id < 2
+          |  UNION ALL
+          |  SELECT d.doc_id, t.depth + 1, t.root
+          |  FROM docs_rec d JOIN tree t ON d.doc_id DIV 2 = t.doc_id
+          |  WHERE d.doc_id >= 2
+          |)
+          |SELECT depth, COUNT(*) AS n_docs,
+          |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+          |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+          |  CAST(SUM(CASE WHEN root = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_under_root0
+          |FROM tree GROUP BY depth ORDER BY depth""".stripMargin)
+        .withColumn("depth", col("depth").cast("long"))
+    }),
+
     // ---- explicit GROUPING SETS (the general form rollup/cube sugar over):
     // per-flag totals, per-status totals, and the grand total in ONE pass —
     // Catalyst plans a single Expand + aggregate, not three scans. ----
@@ -1498,6 +1528,21 @@ object Relational extends QueryModule {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // the same recursion, DuckDB spelling (`//` integer division)
+    "q_recursive_tree" ->
+      """WITH RECURSIVE tree(doc_id, depth, root) AS (
+        |  SELECT doc_id, 0 AS depth, doc_id AS root
+        |  FROM documents WHERE doc_id < 2
+        |  UNION ALL
+        |  SELECT d.doc_id, t.depth + 1, t.root
+        |  FROM documents d JOIN tree t ON d.doc_id // 2 = t.doc_id
+        |  WHERE d.doc_id >= 2
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        |  CAST(SUM(CASE WHEN root = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_under_root0
+        |FROM tree GROUP BY depth ORDER BY depth""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
