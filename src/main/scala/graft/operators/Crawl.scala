@@ -274,10 +274,14 @@ object Crawl extends QueryModule {
     GzipCodec.decodeMembers(bytes) match {
       case Left(_) => Row(id, "gzip-corrupt", null, null, null, null)
       case Right(members) =>
-        val all = members.map(_.data).foldLeft(Array.emptyByteArray)(_ ++ _)
+        // stream members straight into the digest — no concatenated copy
+        // (the advertised shard shape is MANY members; an array foldLeft
+        // would be quadratic in member count)
         val md = java.security.MessageDigest.getInstance("MD5")
-        Row(id, "gzip", members.length.toLong, all.length.toLong,
-          md.digest(all).map("%02x".format(_)).mkString,
+        var total = 0L
+        members.foreach { m => md.update(m.data); total += m.data.length }
+        Row(id, "gzip", members.length.toLong, total,
+          md.digest().map("%02x".format(_)).mkString,
           members.head.name.orNull)
     }
 

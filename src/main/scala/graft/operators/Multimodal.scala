@@ -1046,44 +1046,56 @@ object Multimodal extends QueryModule {
     * static-clip signal a video-curation pipeline filters on). Corrupt
     * payloads degrade to the typed class with stats withheld.
     */
+  /** Exact plane statistics over a decoded video — THE single
+    * accumulation shared by the stats row and the Arrow featurizer, so
+    * the two paths can never drift (a chroma-offset fix lands in both).
+    */
+  private case class PlaneStats(sumY: Long, sumU: Long, sumV: Long,
+                                lumaChecksum: Long, delta: Long)
+
+  private def planeStats(v: Y4mCodec.DecodedVideo): PlaneStats = {
+    val luma = v.lumaLen
+    val cLen = v.chromaW * v.chromaH
+    var sumY = 0L; var sumU = 0L; var sumV = 0L
+    var checksum = 0L; var delta = 0L
+    var f = 0
+    while (f < v.nFrames) {
+      val fr = v.frames(f)
+      var i = 0
+      while (i < luma) {
+        val pv = fr(i) & 0xff
+        sumY += pv
+        checksum += pv.toLong * (f.toLong * luma + i + 1)
+        i += 1
+      }
+      i = 0
+      while (i < cLen) {
+        sumU += fr(luma + i) & 0xff
+        sumV += fr(luma + cLen + i) & 0xff
+        i += 1
+      }
+      if (f > 0) {
+        val prev = v.frames(f - 1)
+        i = 0
+        while (i < luma) {
+          delta += math.abs((fr(i) & 0xff) - (prev(i) & 0xff)).toLong
+          i += 1
+        }
+      }
+      f += 1
+    }
+    PlaneStats(sumY, sumU, sumV, checksum, delta)
+  }
+
   private def y4mDecodeRow(id: Long, bytes: Array[Byte]): Row =
     Y4mCodec.decode(bytes) match {
       case Left(_) =>
         Row(id, "y4m-corrupt", null, null, null, null, null, null, null, null, null)
       case Right(v) =>
-        val luma = v.lumaLen
-        val cLen = v.chromaW * v.chromaH
-        var sumY = 0L; var sumU = 0L; var sumV = 0L
-        var checksum = 0L; var delta = 0L
-        var f = 0
-        while (f < v.nFrames) {
-          val fr = v.frames(f)
-          var i = 0
-          while (i < luma) {
-            val pv = fr(i) & 0xff
-            sumY += pv
-            checksum += pv.toLong * (f.toLong * luma + i + 1)
-            i += 1
-          }
-          i = 0
-          while (i < cLen) {
-            sumU += fr(luma + i) & 0xff
-            sumV += fr(luma + cLen + i) & 0xff
-            i += 1
-          }
-          if (f > 0) {
-            val prev = v.frames(f - 1)
-            i = 0
-            while (i < luma) {
-              delta += math.abs((fr(i) & 0xff) - (prev(i) & 0xff)).toLong
-              i += 1
-            }
-          }
-          f += 1
-        }
+        val st = planeStats(v)
         Row(id, "y4m", v.width.toLong, v.height.toLong, v.nFrames.toLong,
-          v.width.toLong * v.height * v.nFrames, sumY, sumU, sumV,
-          checksum, delta)
+          v.width.toLong * v.height * v.nFrames, st.sumY, st.sumU, st.sumV,
+          st.lumaChecksum, st.delta)
     }
 
   /** Full y4m frame decode over the Arrow batch seam (same contract as
@@ -1119,37 +1131,16 @@ object Multimodal extends QueryModule {
           case Left(_) => new Array[Double](MediaBatch.featureDim)
           case Right(v) if v.nFrames == 0 => new Array[Double](MediaBatch.featureDim)
           case Right(v) =>
+            val st = planeStats(v)
             val luma = v.lumaLen; val cLen = v.chromaW * v.chromaH
-            var sumY = 0L; var sumU = 0L; var sumV = 0L; var delta = 0L
-            var f = 0
-            while (f < v.nFrames) {
-              val fr = v.frames(f)
-              var j = 0
-              while (j < luma) { sumY += fr(j) & 0xff; j += 1 }
-              j = 0
-              while (j < cLen) {
-                sumU += fr(luma + j) & 0xff
-                sumV += fr(luma + cLen + j) & 0xff
-                j += 1
-              }
-              if (f > 0) {
-                val prev = v.frames(f - 1)
-                j = 0
-                while (j < luma) {
-                  delta += math.abs((fr(j) & 0xff) - (prev(j) & 0xff)).toLong
-                  j += 1
-                }
-              }
-              f += 1
-            }
             val lumaTotal = luma.toDouble * v.nFrames
             val chromaTotal = cLen.toDouble * v.nFrames
             Array(v.width.toDouble, v.height.toDouble, v.nFrames.toDouble,
-              sumY / (255.0 * lumaTotal),
-              if (chromaTotal == 0) 0.0 else sumU / (255.0 * chromaTotal),
-              if (chromaTotal == 0) 0.0 else sumV / (255.0 * chromaTotal),
+              st.sumY / (255.0 * lumaTotal),
+              if (chromaTotal == 0) 0.0 else st.sumU / (255.0 * chromaTotal),
+              if (chromaTotal == 0) 0.0 else st.sumV / (255.0 * chromaTotal),
               if (v.nFrames < 2) 0.0
-              else delta / (255.0 * (v.nFrames - 1) * luma),
+              else st.delta / (255.0 * (v.nFrames - 1) * luma),
               v.fpsNum.toDouble / v.fpsDen)
         }
       }

@@ -139,9 +139,12 @@ object StreamRunner {
     *     partition-upsert into `<table>_sigs` / `<table>_hashes`, so the
     *     NEXT micro-batch dedups against everything ingested so far —
     *     including this one. A checkpoint replay rewrites its own
-    *     partitions in all three tables (idempotent), and
-    *     incrementalMatches excludes self-pairs so a replayed batch never
-    *     drops its own documents against their previously-appended rows.
+    *     partitions in all three tables (idempotent), and the corpus side
+    *     EXCLUDES the replaying batch id's own index partitions (plus
+    *     incrementalMatches' self-pair filter), so a replayed batch never
+    *     drops its own documents — not even a same-batch near-dup PAIR —
+    *     against the previous attempt's appended rows (spec'd with a
+    *     same-batch-id re-run).
     *
     * At 100 TB: per-batch cost is shingling the BATCH plus one asymmetric
     * band equi-join against the signature lake (16-byte rows); the corpus
@@ -174,10 +177,22 @@ object StreamRunner {
               if (!wh.exists(s"${table}_sigs")) exact
               else {
                 val s = batch.sparkSession
+                // exclude THIS batch id's own index partitions from the
+                // corpus side: on an at-least-once replay (crash after
+                // the writes, before the checkpoint offset commit) the
+                // previous attempt's rows are already in the index, and
+                // matching against them would drop every same-batch
+                // near-dup PAIR (A matches B, B matches A — the
+                // doc_new =!= doc_old filter only covers self-pairs).
+                // The filter is on the partition column, so it prunes
+                // files rather than scanning them.
                 val dupIds = graft.operators.Dedup.incrementalMatches(
                     graft.operators.Dedup.shinglesOf(exact),
-                    wh.read(s, s"${table}_sigs"),
-                    wh.read(s, s"${table}_hashes").select(col("doc_id"), col("h")),
+                    wh.read(s, s"${table}_sigs")
+                      .filter(col("ingest_batch") =!= batchId),
+                    wh.read(s, s"${table}_hashes")
+                      .filter(col("ingest_batch") =!= batchId)
+                      .select(col("doc_id"), col("h")),
                     minJaccard)
                   .select(col("doc_new").as("doc_id")).distinct()
                 exact.join(dupIds, Seq("doc_id"), "left_anti")

@@ -157,7 +157,9 @@ class StreamRunnerSpec extends SparkSuiteBase {
     val corpus = wh.read(spark, "corpus")
     val after2 = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!after2.contains(11L), "cross-batch exact dup must drop via the near-dup index")
-    assert(after2.contains(12L) && after2 == after1 ++ after2)
+    // independent pin of the full survivor set: 11 (exact cross-batch dup)
+    // and 13 (near-dup of batch-0's doc 1) drop; 12 survives
+    assert(after2 == Set(1L, 2L, 12L))
     // recomposition parity: batch 1's survivors == its exact-stage docs
     // minus exactly what the AUDITED batch engine matches against the
     // batch-0 index partitions
@@ -188,6 +190,44 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(qdir.isDefined)
     assert(wh.read(spark, qdir.get).collect()
       .forall(_.getAs[String]("__reason") == "poison batch"))
+  }
+
+  test("streaming dedup ingest: same-batch-id replay keeps a same-batch near-dup PAIR intact") {
+    // the at-least-once hazard: a batch containing near-dups A and B
+    // (different md5, jaccard >= 0.5) publishes, the writer dies before
+    // the checkpoint offset commits, and the SAME batch id re-runs with
+    // A's and B's signatures already in the index. The corpus side must
+    // exclude the replaying batch's own partitions or A matches B and
+    // both are permanently dropped.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("ddr")
+    val wh = new Warehouse(tmpDir("ddrw"))
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    Files.write(Paths.get(landing, "drop.jsonl"),
+      Seq((101L, t1), (102L, t1 + " plus some extra trailing words"),
+        (103L, "entirely unrelated content for the control document here"))
+        .map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamRunner.dedupIngestToWarehouse(
+        spark.readStream.schema(docSchema).json(landing),
+        wh, "corpus", _ => None, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce(tmpDir("ddrc1"))
+    val first = wh.read(spark, "corpus").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(first == Set(101L, 102L, 103L),
+      "within-batch near-dups survive (within-batch dedup is exact-only)")
+    // a fresh checkpoint over the same single file re-runs batch id 0 —
+    // exactly the replay shape — with the index already populated
+    runOnce(tmpDir("ddrc2"))
+    val replayed = wh.read(spark, "corpus").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(replayed == first,
+      "replay must not drop the near-dup pair against its own prior index rows")
   }
 
   test("streaming IVF ingest: stream == batch assignment bit-for-bit across a 2-batch split; cell partitions prune") {
