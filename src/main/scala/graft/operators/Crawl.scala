@@ -351,7 +351,66 @@ object Crawl extends QueryModule {
     spark.createDataFrame(rdd, crawlSchema)
   }
 
+  /** On-disk gzip-member shard files for the V2 source
+    * ([[graft.sources.GzipMemberSource]]): eight `shard-<s>.gz` files,
+    * shard s holding one member per doc with `doc_id % 8 = s` (ascending,
+    * member name `doc-<id>`, data = the text bytes). Built once per
+    * corpus fingerprint; the driver-side writer is fixture generation
+    * only — a production shard set is written by the pipeline that owns
+    * it.
+    */
+  private[graft] object GzipShardFixture {
+    private val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_warcgz")
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def dir(s: SparkSession, d: String): String = {
+      val key = s"shards_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      val out = new java.io.File(base, key)
+      if (!built.contains(key)) {
+        if (!new java.io.File(out, "_DONE").exists()) {
+          graft.pipeline.Warehouse.deleteRecursively(out)
+          out.mkdirs()
+          val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .collect().sortBy(_.getLong(0))
+          (0 until 8).foreach { shard =>
+            val members = docs.filter(_.getLong(0) % 8 == shard).map { r =>
+              (Some(s"doc-${r.getLong(0)}"): Option[String],
+                r.getString(1).getBytes("UTF-8"))
+            }.toSeq
+            java.nio.file.Files.write(
+              new java.io.File(out, s"shard-$shard.gz").toPath,
+              GzipCodec.encodeMembers(members))
+          }
+          java.nio.file.Files.write(new java.io.File(out, "_DONE").toPath,
+            Array.emptyByteArray)
+        }
+        built.add(key)
+      }
+      out.getPath
+    }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- the V2 SOURCE surface: `spark.read.format("warcgz")` over a
+    // real on-disk shard set — per-shard member accounting computed from
+    // rows the custom `TableProvider` produced by genuinely walking and
+    // CRC-verifying each archive. The projection touches only metadata
+    // columns, so `SupportsPushDownRequiredColumns` prunes `data` out of
+    // the ReadSchema (spec-pinned) — the decompressed bytes never become
+    // rows. Oracle predicts the accounting from the shard-assignment
+    // formula. ----
+    "crawl_source_scan" -> ((s, d) => {
+      val dir = GzipShardFixture.dir(s, d)
+      s.read.format("warcgz").load(dir)
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+          min(col("name")).as("first_name"))
+        .select(
+          regexp_extract(col("file"), "shard-(\\d+)", 1).cast("bigint").as("shard"),
+          col("n_members"), col("total_bytes"), col("first_name"))
+        .orderBy(col("shard"))
+    }),
     // ---- REAL multi-member gzip decode: member count, reassembled byte
     // length, content md5, and the first member's FNAME exist on the
     // Spark side ONLY via [[GzipCodec.decodeMembers]] — header flag walk,
@@ -419,6 +478,14 @@ object Crawl extends QueryModule {
     }))
 
   override def oracleSql: Map[String, String] = Map(
+    // predicts the per-shard accounting from the assignment formula; the
+    // Spark side can only reach it by the V2 source decoding the archives
+    "crawl_source_scan" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  min('doc-' || doc_id) AS first_name
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "crawl_gzip_members" ->
       """SELECT doc_id, 'gzip' AS format,
         |  CAST(octet_length(CAST(text AS BLOB)) % 2 + 1 AS BIGINT) AS n_members,

@@ -291,7 +291,7 @@ class Warehouse(val root: String, val format: String = "parquet") {
 }
 
 object Warehouse {
-  private[pipeline] def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles() returns null on I/O error or concurrent removal — never NPE
     // from inside the publish gate.
     if (f.isDirectory)

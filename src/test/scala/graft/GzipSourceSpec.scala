@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Crawl.GzipCodec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The V2 `warcgz` source: short-name registration, row correctness
+  * against the codec, required-column pruning reaching the scan, and
+  * loud typed failure on a corrupt shard.
+  */
+class GzipSourceSpec extends SparkSuiteBase {
+
+  private def writeShards(): String = {
+    val dir = tmpDir("warcgz")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "shard-0.gz").toPath,
+      GzipCodec.encodeMembers(Seq(
+        (Some("a"), "first member".getBytes("UTF-8")),
+        (Some("b"), "second".getBytes("UTF-8")))))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "shard-1.gz").toPath,
+      GzipCodec.encodeMembers(Seq((None, "third one".getBytes("UTF-8")))))
+    // underscore-prefixed files (markers) must be invisible to the scan
+    java.nio.file.Files.write(new java.io.File(dir, "_DONE").toPath,
+      Array.emptyByteArray)
+    dir
+  }
+
+  test("short-name read: one row per member, bytes round-trip, markers skipped") {
+    val rows = spark.read.format("warcgz").load(writeShards())
+      .orderBy("file", "member_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+      r.getLong(3), new String(r.getAs[Array[Byte]](4), "UTF-8"))).toSeq == Seq(
+      ("shard-0.gz", 0L, "a", 12L, "first member"),
+      ("shard-0.gz", 1L, "b", 6L, "second"),
+      ("shard-1.gz", 0L, null, 9L, "third one")))
+  }
+
+  test("required-column pruning reaches the scan: data is not in the ReadSchema") {
+    val df = spark.read.format("warcgz").load(writeShards())
+      .select("file", "n_bytes")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema()
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.fieldNames.toSet == Set("file", "n_bytes"),
+      s"expected a pruned ReadSchema, got ${scans.head.fieldNames.mkString(",")}")
+    assert(df.collect().map(_.getLong(1)).sum == 12 + 6 + 9)
+  }
+
+  test("a corrupt shard fails its task loudly with the codec's typed reason") {
+    val dir = tmpDir("warcgzbad")
+    val ok = GzipCodec.encodeMember("fine".getBytes)
+    val bad = ok.clone(); bad(ok.length - 1) = 0x7f // flip an ISIZE byte
+    java.nio.file.Files.write(new java.io.File(dir, "shard-0.gz").toPath, bad)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warcgz").load(dir).collect()
+    }
+    assert(e.getMessage.contains("ISIZE mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("ISIZE mismatch")))
+  }
+}
