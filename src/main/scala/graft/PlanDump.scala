@@ -199,7 +199,12 @@ object PlanDump {
     // archive bytes never shuffle; HTML extraction inside the scan stage
     "crawl_gzip_members", "pipe_crawl_e2e", "txt_html_extract", "txt_utf8_audit",
     // export manifest: one partitioned readback + 8-byte bit_xor state
-    "pipe_export_shards")
+    "pipe_export_shards",
+    // round-9 session 2 continued: built-in parse_url projection + domain
+    // rollup; V2 source scan (pruned ReadSchema); recursive-CTE frontier
+    // joins; SFT assembly projection
+    "crawl_url_stats", "crawl_source_scan", "q_recursive_tree",
+    "txt_sft_assemble")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
