@@ -327,6 +327,49 @@ object Crawl extends QueryModule {
         }
     }
 
+  /** Archive → DOCUMENTS: every response record in every member of each
+    * archive becomes one (doc_id, text) row — doc identity parsed from
+    * the `WARC-Record-ID` header (`<urn:graft:N>`), text = the HTML
+    * body's extracted visible text ([[graft.plans.HtmlTextImpl]]). The
+    * ingest seam [[graft.streaming.StreamRunner.crawlIngestToWarehouse]]
+    * feeds into the dedup publisher. Malformed archives/records and
+    * non-response or unidentifiable records yield zero rows here — the
+    * accounting query for the corrupt classes is [[crawlExtractArrow]];
+    * an ingest pipeline runs both (extract for the corpus, the stats row
+    * for the quarantine report).
+    */
+  private val RecordIdPattern = java.util.regex.Pattern.compile("urn:graft:(\\d+)")
+
+  def crawlTexts(archives: DataFrame, payloadCol: String): DataFrame = {
+    val spark = archives.sparkSession
+    val rdd = archives.select(col(payloadCol)).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](0)
+        GzipCodec.decodeMembers(bytes) match {
+          case Left(_) => Iterator.empty
+          case Right(members) =>
+            members.iterator.flatMap { m =>
+              WarcCodec.decode(m.data) match {
+                case Right(rec)
+                    if rec.headers.get("WARC-Type").contains("response") =>
+                  val mm = RecordIdPattern.matcher(
+                    rec.headers.getOrElse("WARC-Record-ID", ""))
+                  if (!mm.find()) None
+                  else {
+                    val st = graft.plans.HtmlTextImpl.extract(
+                      new String(rec.body, "UTF-8"))
+                    Some(Row(mm.group(1).toLong, st.text))
+                  }
+                case _ => None
+              }
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
   def decodeGzipArrow(media: DataFrame): DataFrame =
     Multimodal.arrowHeaderParse(media, gzipDecodeSchema)(gzipDecodeRow)
 

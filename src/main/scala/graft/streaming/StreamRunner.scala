@@ -158,64 +158,118 @@ object StreamRunner {
       audit: DataFrame => Option[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minJaccard: Double = 0.5): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, lit, md5, min}
+      minJaccard: Double = 0.5): StreamingQuery =
     docStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val docs = batch.cache()
-          try {
-            val canon = docs
-              .groupBy(md5(col("text")).as("__h"))
-              .agg(min(col("doc_id")).as("doc_id"))
-              .select(col("doc_id"))
-            val exact = docs.join(canon, Seq("doc_id"))
-            val survivors =
-              if (!wh.exists(s"${table}_sigs")) exact
-              else {
-                val s = batch.sparkSession
-                // exclude THIS batch id's own index partitions from the
-                // corpus side: on an at-least-once replay (crash after
-                // the writes, before the checkpoint offset commit) the
-                // previous attempt's rows are already in the index, and
-                // matching against them would drop every same-batch
-                // near-dup PAIR (A matches B, B matches A — the
-                // doc_new =!= doc_old filter only covers self-pairs).
-                // The filter is on the partition column, so it prunes
-                // files rather than scanning them.
-                val dupIds = graft.operators.Dedup.incrementalMatches(
-                    graft.operators.Dedup.shinglesOf(exact),
-                    wh.read(s, s"${table}_sigs")
-                      .filter(col("ingest_batch") =!= batchId),
-                    wh.read(s, s"${table}_hashes")
-                      .filter(col("ingest_batch") =!= batchId)
-                      .select(col("doc_id"), col("h")),
-                    minJaccard)
-                  .select(col("doc_new").as("doc_id")).distinct()
-                exact.join(dupIds, Seq("doc_id"), "left_anti")
-              }
-            val published = gatedPublish(
-              survivors.withColumn("ingest_batch", lit(batchId)),
-              batchId, wh, table, Seq("ingest_batch"), audit)
-            if (published) {
-              val shS = graft.operators.Dedup.shinglesOf(survivors)
-              wh.partitionedUpsertWrite(
-                graft.operators.Dedup.minhashSigOf(shS)
-                  .withColumn("ingest_batch", lit(batchId)),
-                s"${table}_sigs", Seq("ingest_batch"))
-              wh.partitionedUpsertWrite(
-                graft.operators.Dedup.shingleHashesOf(shS)
-                  .withColumn("ingest_batch", lit(batchId)),
-                s"${table}_hashes", Seq("ingest_batch"))
-            }
-          } finally docs.unpersist()
-        }
+        dedupPublishBatch(batch, batchId, wh, table, audit, minJaccard)
       }
       .start()
+
+  /** The per-micro-batch dedup'd-publish body shared by
+    * [[dedupIngestToWarehouse]] (documents arrive as rows) and
+    * [[crawlIngestToWarehouse]] (documents arrive inside `.warc.gz`
+    * archives) — one audited implementation of the exact-dedup →
+    * near-dup-vs-index → publish → index-maintenance contract.
+    */
+  private def dedupPublishBatch(
+      batch: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      minJaccard: Double): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, md5, min}
+    if (!batch.isEmpty) {
+      val docs = batch.cache()
+      try {
+        val canon = docs
+          .groupBy(md5(col("text")).as("__h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val exact = docs.join(canon, Seq("doc_id"))
+        val survivors =
+          if (!wh.exists(s"${table}_sigs")) exact
+          else {
+            val s = batch.sparkSession
+            // exclude THIS batch id's own index partitions from the
+            // corpus side: on an at-least-once replay (crash after
+            // the writes, before the checkpoint offset commit) the
+            // previous attempt's rows are already in the index, and
+            // matching against them would drop every same-batch
+            // near-dup PAIR (A matches B, B matches A — the
+            // doc_new =!= doc_old filter only covers self-pairs).
+            // The filter is on the partition column, so it prunes
+            // files rather than scanning them.
+            val dupIds = graft.operators.Dedup.incrementalMatches(
+                graft.operators.Dedup.shinglesOf(exact),
+                wh.read(s, s"${table}_sigs")
+                  .filter(col("ingest_batch") =!= batchId),
+                wh.read(s, s"${table}_hashes")
+                  .filter(col("ingest_batch") =!= batchId)
+                  .select(col("doc_id"), col("h")),
+                minJaccard)
+              .select(col("doc_new").as("doc_id")).distinct()
+            exact.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        val published = gatedPublish(
+          survivors.withColumn("ingest_batch", lit(batchId)),
+          batchId, wh, table, Seq("ingest_batch"), audit)
+        if (published) {
+          val shS = graft.operators.Dedup.shinglesOf(survivors)
+          wh.partitionedUpsertWrite(
+            graft.operators.Dedup.minhashSigOf(shS)
+              .withColumn("ingest_batch", lit(batchId)),
+            s"${table}_sigs", Seq("ingest_batch"))
+          wh.partitionedUpsertWrite(
+            graft.operators.Dedup.shingleHashesOf(shS)
+              .withColumn("ingest_batch", lit(batchId)),
+            s"${table}_hashes", Seq("ingest_batch"))
+        }
+      } finally docs.unpersist(): Unit
+    }
   }
+
+  /** The END-TO-END crawl ingestion sink — raw `.warc.gz` shard FILES
+    * land in a directory (`spark.readStream.format("binaryFile")`) and
+    * come out the other side as a deduplicated text corpus with a
+    * self-maintaining near-dup index:
+    *
+    *   gunzip members → WARC records → response filter → HTML
+    *   visible-text extraction ([[graft.operators.Crawl.crawlTexts]],
+    *   doc identity from the WARC-Record-ID header) →
+    *   [[dedupPublishBatch]] (exact dedup → near-dup-vs-index → audited
+    *   publish → index maintenance).
+    *
+    * Every stage is the already-audited implementation — the archive
+    * chain is pipe_crawl_e2e's, the dedup chain is
+    * dedupIngestToWarehouse's — composed inside one foreachBatch, so the
+    * whole pipeline inherits their typed-degrade, replay-idempotence,
+    * and quarantine contracts. At 100 TB this IS the production shape:
+    * shard files arrive on object storage, each micro-batch decodes its
+    * files where they are read (narrow), and only extracted text +
+    * 16-byte signature rows ever shuffle.
+    */
+  def crawlIngestToWarehouse(
+      archiveStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minJaccard: Double = 0.5): StreamingQuery =
+    archiveStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupPublishBatch(
+          graft.operators.Crawl.crawlTexts(batch, "content"),
+          batchId, wh, table, audit, minJaccard)
+      }
+      .start()
 
   /** Streaming IVF index ingest — the foreachBatch twin of
     * `sim_ivf_ingest`: each micro-batch of (vec_id, embedding) rows is

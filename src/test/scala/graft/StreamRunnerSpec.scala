@@ -230,6 +230,68 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "replay must not drop the near-dup pair against its own prior index rows")
   }
 
+  test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
+    import graft.operators.Crawl.{GzipCodec, WarcCodec}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("cwl")
+    val wh = new Warehouse(tmpDir("cww"))
+    val ckpt = tmpDir("cwc")
+    def page(text: String) = s"<html><body><p>$text</p></body></html>"
+    def responseMember(id: Long, text: String): (Option[String], Array[Byte]) =
+      None -> WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "Content-Type" -> "text/html"), page(text).getBytes("UTF-8"))
+    def requestMember(id: Long): (Option[String], Array[Byte]) =
+      None -> WarcCodec.encode(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> s"<urn:graft:$id:req>"), s"GET /$id".getBytes)
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "completely different words in this second document body"
+    val textC = "yet another unique page with its own content entirely"
+
+    def runOnce(): Unit = {
+      val binSchema = StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        StructField("length", LongType),
+        StructField("content", org.apache.spark.sql.types.BinaryType)))
+      val q = StreamRunner.crawlIngestToWarehouse(
+        spark.readStream.format("binaryFile").schema(binSchema).load(landing),
+        wh, "crawl_corpus", _ => None, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // shard 1: two pages (with their request records interleaved)
+    Files.write(Paths.get(landing, "shard-001.warc.gz"),
+      GzipCodec.encodeMembers(Seq(
+        requestMember(1), responseMember(1, textA),
+        requestMember(2), responseMember(2, textB))))
+    runOnce()
+    val after1 = wh.read(spark, "crawl_corpus")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(1L -> textA, 2L -> textB),
+      "extraction must recover the page text and record identity")
+    // shard 2: doc 3 duplicates doc 1's page byte-for-byte (must drop via
+    // the index), doc 4 is new; a foreign-id record is skipped
+    Files.write(Paths.get(landing, "shard-002.warc.gz"),
+      GzipCodec.encodeMembers(Seq(
+        responseMember(3, textA),
+        responseMember(4, textC),
+        (None: Option[String]) -> WarcCodec.encode(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> "<urn:other:99>"), page("skipped").getBytes))))
+    runOnce()
+    val after2 = wh.read(spark, "crawl_corpus")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after2 == after1 + (4L -> textC),
+      "the duplicate page drops against the index; the foreign record is skipped")
+    // the index advanced with the survivors only
+    assert(wh.read(spark, "crawl_corpus_sigs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
   test("streaming IVF ingest: stream == batch assignment bit-for-bit across a 2-batch split; cell partitions prune") {
     import graft.plans.GraftExtensions
     GraftExtensions.ensureRegistered(spark)
