@@ -291,4 +291,110 @@ class PropertySpec extends SparkSuiteBase {
       }
     }, n = 12)
   }
+
+  test("GzipCodec: arbitrary multi-member archives round-trip bytes and names exactly") {
+    import graft.operators.Crawl.GzipCodec
+    val member = for {
+      n <- Gen.chooseNum(0, 400)
+      data <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      named <- Gen.oneOf(true, false)
+      name <- Gen.alphaNumStr.map(_.take(12))
+    } yield (if (named && name.nonEmpty) Some(name) else None, data.map(_.toByte).toArray)
+    check(Prop.forAll(Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, member))) { ms =>
+      GzipCodec.decodeMembers(GzipCodec.encodeMembers(ms)) match {
+        case Right(out) =>
+          out.length == ms.length && out.zip(ms).forall { case (o, (n, d)) =>
+            o.name == n && o.data.sameElements(d)
+          }
+        case Left(_) => false
+      }
+    }, n = 25)
+  }
+
+  test("WarcCodec: arbitrary headers and binary bodies round-trip; truncation always degrades typed") {
+    import graft.operators.Crawl.WarcCodec
+    val hdr = for {
+      k <- Gen.alphaStr.suchThat(_.nonEmpty).map(h => "X-" + h.take(10))
+      v <- Gen.alphaNumStr.map(_.take(20))
+    } yield (k, v)
+    val rec = for {
+      hs <- Gen.listOfN(3, hdr)
+      n <- Gen.chooseNum(0, 300)
+      body <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (hs, body.map(_.toByte).toArray)
+    check(Prop.forAll(rec) { case (hs, body) =>
+      val bytes = WarcCodec.encode(hs, body)
+      val rt = WarcCodec.decode(bytes) match {
+        case Right(r) =>
+          r.body.sameElements(body) &&
+            hs.forall { case (k, v) => r.headers.get(k).contains(v) }
+        case Left(_) => false
+      }
+      // any strict prefix must fail typed, never return a record
+      val cut = bytes.length / 2
+      rt && (cut == 0 || WarcCodec.decode(bytes.take(cut)).isLeft)
+    }, n = 25)
+  }
+
+  test("Y4mCodec: arbitrary dims/frames round-trip every sample through encode/decode") {
+    import graft.operators.Multimodal.Y4mCodec
+    val clip = for {
+      w <- Gen.chooseNum(1, 10)
+      h <- Gen.chooseNum(1, 8)
+      nf <- Gen.chooseNum(0, 4)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (w, h, nf, seed)
+    check(Prop.forAll(clip) { case (w, h, nf, seed) =>
+      def px(f: Int, p: Int, y: Int, x: Int) = (seed + f * 13 + p * 17 + y * 7 + x * 5) % 256
+      Y4mCodec.decode(Y4mCodec.encode(w, h, nf, px)) match {
+        case Right(v) =>
+          v.width == w && v.height == h && v.nFrames == nf &&
+            (0 until nf).forall { f =>
+              (0 until 3).forall { p =>
+                (0 until h).forall { y =>
+                  (0 until w).forall { x =>
+                    (v.frames(f)(p * w * h + y * w + x) & 0xff) == px(f, p, y, x)
+                  }
+                }
+              }
+            }
+        case Left(_) => false
+      }
+    }, n = 30)
+  }
+
+  test("Utf8Impl.is_valid agrees with the JDK strict decoder for arbitrary byte arrays") {
+    import graft.plans.Utf8Impl
+    val bytesGen = for {
+      n <- Gen.chooseNum(0, 60)
+      // bias toward the interesting range: high bytes and ASCII mixed
+      bs <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.chooseNum(0, 127), 2 -> Gen.chooseNum(128, 255)))
+    } yield bs.map(_.toByte).toArray
+    check(Prop.forAll(bytesGen) { bytes =>
+      val s = Utf8Impl.stats(bytes)
+      val jdkValid = try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(bytes))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+      (s.invalidBytes == 0L) == jdkValid &&
+        // and on valid input the char count matches the JDK exactly
+        (!jdkValid || s.validChars ==
+          new String(bytes, "UTF-8").codePointCount(0, new String(bytes, "UTF-8").length))
+    }, n = 60)
+  }
+
+  test("HtmlTextImpl: tag-free text is preserved modulo whitespace normalization; wrapping never leaks markup") {
+    import graft.plans.HtmlTextImpl
+    val word = Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+    val textGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    check(Prop.forAll(textGen) { t =>
+      val norm = t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val s = HtmlTextImpl.extract(s"<html><body><p>$t</p></body></html>")
+      s.text == norm && s.tags == 6 && s.links == 0
+    }, n = 40)
+  }
 }
