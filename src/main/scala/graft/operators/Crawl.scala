@@ -327,6 +327,39 @@ object Crawl extends QueryModule {
         }
     }
 
+  /** `.jsonl.gz` sidecar-metadata payloads: one gzip member per doc whose
+    * data is a single JSON line of the doc's metadata.
+    */
+  def attachGzipJsonlMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("lang"), col("n_chars")).rdd.map { r =>
+      val line =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      Row(r.getLong(0), GzipCodec.encodeMember(line.getBytes("UTF-8")))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Archive → text LINES: every member's bytes split on newlines —
+    * the generic front half of any `.jsonl.gz` reader (the JSON parse
+    * stays declarative, downstream in `from_json`).
+    */
+  def decodeGzipLines(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        GzipCodec.decodeMembers(row.getAs[Array[Byte]](0)) match {
+          case Left(_) => Iterator.empty
+          case Right(members) =>
+            members.iterator.flatMap(m =>
+              new String(m.data, "UTF-8").split("\n").iterator.filter(_.nonEmpty))
+        }
+      }.map(Row(_))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(StructField("line", StringType))))
+  }
+
   /** Archive → DOCUMENTS: every response record in every member of each
     * archive becomes one (doc_id, text) row — doc identity parsed from
     * the `WARC-Record-ID` header (`<urn:graft:N>`), text = the HTML
@@ -465,6 +498,32 @@ object Crawl extends QueryModule {
       decodeGzipArrow(media).orderBy(col("doc_id"))
     }),
 
+    // ---- `.jsonl.gz` metadata shards: each doc's payload is a gzip
+    // member holding a JSON-lines record (the sidecar-metadata shard
+    // format every corpus release ships). The MEMBER layer is the real
+    // [[GzipCodec]] (inflate + CRC verify in a narrow pass); the JSON
+    // layer is Catalyst's BUILT-IN `from_json` with an explicit schema
+    // (codegen'd — the "functions, not UDFs" rule; PERMISSIVE nulls
+    // would surface a poisoned line rather than fail the shard). The
+    // oracle predicts the parsed fields and per-language rollup from
+    // `documents` directly. ----
+    "crawl_jsonl_gz" -> ((s, d) => {
+      val media = attachGzipJsonlMedia(Tables.documents(s, d))
+      val lineSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      decodeGzipLines(media)
+        .select(from_json(col("line"), lineSchema).as("j"))
+        .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+          col("j.n_chars").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- URL structure audit over a synthesized crawl frontier — the
     // per-domain accounting that feeds domain caps / robots grouping /
     // host-level dedup. URLs are generated from (doc_id, n_chars) with
@@ -536,6 +595,14 @@ object Crawl extends QueryModule {
         |  md5(text) AS content_md5,
         |  'doc-' || doc_id || '-0' AS name_first
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // predicts the parsed-and-rolled-up metadata from `documents`; the
+    // Spark side can only reach it by inflating the members and parsing
+    // the JSON lines
+    "crawl_jsonl_gz" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // re-derives host/path/query with independent string ops (the Spark
     // side uses the built-in parse_url), then the same domain rollup
     "crawl_url_stats" ->
