@@ -39,6 +39,140 @@ object Crawl extends QueryModule {
   object GzipCodec {
     case class Member(name: Option[String], data: Array[Byte])
 
+    /** Typed malformation signal for the streaming decoder — same reason
+      * strings [[decodeMembers]] returns as `Left`.
+      */
+    final case class CorruptArchive(reason: String)
+        extends RuntimeException(reason)
+
+    /** Incremental member decoder over a raw `InputStream`: inflates ONE
+      * member per advance, CRC32 + ISIZE-verifies it, and releases it
+      * before decoding the next — peak memory is one inflated member plus
+      * a fixed 64 KB read window, never the shard. This is the production
+      * read path for real `.warc.gz` shards (~1 GB compressed, several GB
+      * inflated): the member-structured format exists precisely so a
+      * reader can walk it member-at-a-time, and the eager
+      * [[decodeMembers]] (whole-shard `Array[Member]`) is now just a
+      * convenience wrapper over this iterator for doc-sized payloads.
+      * Malformations throw [[CorruptArchive]] at the failing advance;
+      * members already returned were individually CRC-verified and remain
+      * valid.
+      */
+    final class MemberIterator(in: java.io.InputStream, bufSize: Int = 1 << 16)
+        extends Iterator[Member] {
+      private val buf = new Array[Byte](bufSize)
+      private var bufPos = 0
+      private var bufLen = 0
+      private var eof = false
+      private var pending: Member = null
+      private var done = false
+
+      /** Ensure ≥1 buffered byte; false at end of stream. */
+      private def fill(): Boolean =
+        if (bufPos < bufLen) true
+        else if (eof) false
+        else {
+          bufPos = 0
+          bufLen = 0
+          var n = 0
+          while (bufLen == 0 && { n = in.read(buf); n >= 0 })
+            bufLen = n
+          if (bufLen == 0) { eof = true; false } else true
+        }
+
+      private def readByte(err: String): Int = {
+        if (!fill()) throw CorruptArchive(err)
+        val b = buf(bufPos) & 0xff
+        bufPos += 1
+        b
+      }
+
+      private def skipBytes(n: Int, err: String): Unit = {
+        var k = n
+        while (k > 0) { readByte(err): Unit; k -= 1 }
+      }
+
+      private def le4(err: String): Long = {
+        var v = 0L
+        var i = 0
+        while (i < 4) { v |= readByte(err).toLong << (8 * i); i += 1 }
+        v
+      }
+
+      private def decodeNext(): Member = {
+        if (readByte("truncated member header") != 0x1f ||
+            readByte("truncated member header") != 0x8b)
+          throw CorruptArchive("bad gzip magic")
+        if (readByte("truncated member header") != 8)
+          throw CorruptArchive("unsupported compression method")
+        val flg = readByte("truncated member header")
+        if ((flg & 0xe0) != 0) throw CorruptArchive("reserved flag bits set")
+        skipBytes(6, "truncated member header") // MTIME, XFL, OS
+        if ((flg & 0x04) != 0) { // FEXTRA
+          val lo = readByte("truncated FEXTRA")
+          val hi = readByte("truncated FEXTRA")
+          skipBytes(lo | (hi << 8), "truncated FEXTRA")
+        }
+        var name: Option[String] = None
+        if ((flg & 0x08) != 0) { // FNAME
+          val nb = new java.io.ByteArrayOutputStream()
+          var b = readByte("unterminated FNAME")
+          while (b != 0) { nb.write(b); b = readByte("unterminated FNAME") }
+          name = Some(new String(nb.toByteArray, "ISO-8859-1"))
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          var b = readByte("unterminated FCOMMENT")
+          while (b != 0) b = readByte("unterminated FCOMMENT")
+        }
+        if ((flg & 0x02) != 0) skipBytes(2, "truncated FHCRC")
+        val inflater = new java.util.zip.Inflater(true)
+        val data = new java.io.ByteArrayOutputStream()
+        val out = new Array[Byte](8192)
+        try {
+          inflater.setInput(buf, bufPos, bufLen - bufPos)
+          while (!inflater.finished()) {
+            val n =
+              try inflater.inflate(out)
+              catch {
+                case e: java.util.zip.DataFormatException =>
+                  throw CorruptArchive(
+                    s"decode error: ${e.getClass.getSimpleName}")
+              }
+            if (n > 0) data.write(out, 0, n)
+            else if (inflater.needsInput()) {
+              bufPos = bufLen // the window is fully consumed
+              if (!fill()) throw CorruptArchive("truncated deflate stream")
+              inflater.setInput(buf, bufPos, bufLen - bufPos)
+            } else if (!inflater.finished())
+              throw CorruptArchive("truncated deflate stream")
+          }
+          bufPos = bufLen - inflater.getRemaining
+        } finally inflater.end()
+        val raw = data.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(raw)
+        if (le4("truncated member trailer") != crc.getValue)
+          throw CorruptArchive("member CRC mismatch")
+        if (le4("truncated member trailer") !=
+            (raw.length.toLong & 0xffffffffL))
+          throw CorruptArchive("member ISIZE mismatch")
+        Member(name, raw)
+      }
+
+      override def hasNext: Boolean =
+        pending != null || (!done && {
+          if (!fill()) { done = true; false }
+          else { pending = decodeNext(); true }
+        })
+
+      override def next(): Member = {
+        if (!hasNext) throw new NoSuchElementException("end of archive")
+        val m = pending
+        pending = null
+        m
+      }
+    }
+
     def encodeMember(data: Array[Byte], name: Option[String] = None): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       val flg = if (name.isDefined) 0x08 else 0x00
@@ -76,71 +210,36 @@ object Crawl extends QueryModule {
       * flag bits, truncated header/stream, CRC or ISIZE mismatch,
       * trailing garbage — returns a typed Left.
       */
-    def decodeMembers(bytes: Array[Byte]): Either[String, Seq[Member]] = try {
-      val members = scala.collection.mutable.ArrayBuffer[Member]()
-      var off = 0
-      if (bytes.length == 0) return Left("empty archive")
-      while (off < bytes.length) {
-        if (off + 10 > bytes.length) return Left("truncated member header")
-        if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b)
-          return Left("bad gzip magic")
-        if ((bytes(off + 2) & 0xff) != 8)
-          return Left("unsupported compression method")
-        val flg = bytes(off + 3) & 0xff
-        if ((flg & 0xe0) != 0) return Left("reserved flag bits set")
-        var p = off + 10
-        if ((flg & 0x04) != 0) { // FEXTRA
-          if (p + 2 > bytes.length) return Left("truncated FEXTRA")
-          val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-          p += 2 + xlen
-          if (p > bytes.length) return Left("truncated FEXTRA")
+    /** Lazy SALVAGE view of an in-memory archive: stream members one at a
+      * time until end-of-archive or the first malformation, then stop. A
+      * broken member boundary makes everything after it unreachable in a
+      * sequential gzip stream, so the CRC-verified prefix is exactly what
+      * a production ingest can keep from a shard with one bad record; the
+      * per-archive all-or-nothing accounting (corrupt ⇒ typed class, zero
+      * data rows) stays with [[decodeMembers]] / `crawlExtract`.
+      */
+    def salvageIterator(bytes: Array[Byte]): Iterator[Member] = {
+      val it = new MemberIterator(new java.io.ByteArrayInputStream(bytes))
+      new Iterator[Member] {
+        private var dead = false
+        override def hasNext: Boolean = !dead &&
+          (try it.hasNext
+          catch { case CorruptArchive(_) => dead = true; false })
+        override def next(): Member = {
+          if (!hasNext) throw new NoSuchElementException("end of archive")
+          it.next()
         }
-        var name: Option[String] = None
-        if ((flg & 0x08) != 0) { // FNAME
-          val start = p
-          while (p < bytes.length && bytes(p) != 0) p += 1
-          if (p >= bytes.length) return Left("unterminated FNAME")
-          name = Some(new String(bytes, start, p - start, "ISO-8859-1"))
-          p += 1
-        }
-        if ((flg & 0x10) != 0) { // FCOMMENT
-          while (p < bytes.length && bytes(p) != 0) p += 1
-          if (p >= bytes.length) return Left("unterminated FCOMMENT")
-          p += 1
-        }
-        if ((flg & 0x02) != 0) { // FHCRC
-          p += 2
-          if (p > bytes.length) return Left("truncated FHCRC")
-        }
-        val inflater = new java.util.zip.Inflater(true)
-        inflater.setInput(bytes, p, bytes.length - p)
-        val data = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        try {
-          while (!inflater.finished()) {
-            val n = inflater.inflate(buf)
-            if (n == 0 && inflater.needsInput())
-              return Left("truncated deflate stream")
-            data.write(buf, 0, n)
-          }
-          val consumed = (bytes.length - p) - inflater.getRemaining
-          p += consumed
-        } finally inflater.end()
-        if (p + 8 > bytes.length) return Left("truncated member trailer")
-        def le4(o: Int): Long =
-          (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-        val raw = data.toByteArray
-        val crc = new java.util.zip.CRC32()
-        crc.update(raw)
-        if (le4(p) != crc.getValue) return Left("member CRC mismatch")
-        if (le4(p + 4) != (raw.length.toLong & 0xffffffffL))
-          return Left("member ISIZE mismatch")
-        members += Member(name, raw)
-        off = p + 8
       }
+    }
+
+    def decodeMembers(bytes: Array[Byte]): Either[String, Seq[Member]] = try {
+      if (bytes.length == 0) return Left("empty archive")
+      val it = new MemberIterator(new java.io.ByteArrayInputStream(bytes))
+      val members = scala.collection.mutable.ArrayBuffer[Member]()
+      while (it.hasNext) members += it.next()
       Right(members.toSeq)
     } catch {
+      case CorruptArchive(reason) => Left(reason)
       case scala.util.control.NonFatal(e) =>
         Left(s"decode error: ${e.getClass.getSimpleName}")
     }
@@ -154,6 +253,17 @@ object Crawl extends QueryModule {
                           body: Array[Byte])
 
     def encode(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+      // guard the framing invariants decode() relies on: a CR/LF inside a
+      // key or value would terminate a header line early (mis-slicing the
+      // block), and a caller-supplied Content-Length would conflict with
+      // the one derived from the actual body below
+      headers.foreach { case (k, v) =>
+        require(!k.exists(c => c == '\r' || c == '\n') &&
+            !v.exists(c => c == '\r' || c == '\n'),
+          s"WARC header may not contain CR/LF: $k")
+        require(!k.equalsIgnoreCase("Content-Length"),
+          "Content-Length is derived from the body, not caller-supplied")
+      }
       val sb = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
       sb.append(s"Content-Length: ${body.length}\r\n\r\n")
@@ -348,13 +458,12 @@ object Crawl extends QueryModule {
   def decodeGzipLines(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("payload")).rdd.mapPartitions { it =>
+      // one-member-at-a-time salvage iterator: peak task memory is one
+      // inflated member, not the whole inflated shard — a corrupt member
+      // ends that archive's contribution at the last verified boundary
       it.flatMap { row =>
-        GzipCodec.decodeMembers(row.getAs[Array[Byte]](0)) match {
-          case Left(_) => Iterator.empty
-          case Right(members) =>
-            members.iterator.flatMap(m =>
-              new String(m.data, "UTF-8").split("\n").iterator.filter(_.nonEmpty))
-        }
+        GzipCodec.salvageIterator(row.getAs[Array[Byte]](0)).flatMap(m =>
+          new String(m.data, "UTF-8").split("\n").iterator.filter(_.nonEmpty))
       }.map(Row(_))
     }
     spark.createDataFrame(rdd, StructType(Seq(StructField("line", StringType))))
@@ -376,26 +485,25 @@ object Crawl extends QueryModule {
   def crawlTexts(archives: DataFrame, payloadCol: String): DataFrame = {
     val spark = archives.sparkSession
     val rdd = archives.select(col(payloadCol)).rdd.mapPartitions { it =>
+      // one-member-at-a-time salvage iterator: each member is inflated,
+      // WARC-parsed, extracted, and RELEASED before the next — peak task
+      // memory is one record, not the inflated shard. A corrupt member
+      // ends that archive's contribution at the last verified boundary.
       it.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](0)
-        GzipCodec.decodeMembers(bytes) match {
-          case Left(_) => Iterator.empty
-          case Right(members) =>
-            members.iterator.flatMap { m =>
-              WarcCodec.decode(m.data) match {
-                case Right(rec)
-                    if rec.headers.get("WARC-Type").contains("response") =>
-                  val mm = RecordIdPattern.matcher(
-                    rec.headers.getOrElse("WARC-Record-ID", ""))
-                  if (!mm.find()) None
-                  else {
-                    val st = graft.plans.HtmlTextImpl.extract(
-                      new String(rec.body, "UTF-8"))
-                    Some(Row(mm.group(1).toLong, st.text))
-                  }
-                case _ => None
+        GzipCodec.salvageIterator(row.getAs[Array[Byte]](0)).flatMap { m =>
+          WarcCodec.decode(m.data) match {
+            case Right(rec)
+                if rec.headers.get("WARC-Type").contains("response") =>
+              val mm = RecordIdPattern.matcher(
+                rec.headers.getOrElse("WARC-Record-ID", ""))
+              if (!mm.find()) None
+              else {
+                val st = graft.plans.HtmlTextImpl.extract(
+                  new String(rec.body, "UTF-8"))
+                Some(Row(mm.group(1).toLong, st.text))
               }
-            }
+            case _ => None
+          }
         }
       }
     }

@@ -148,7 +148,13 @@ private[graft] object HtmlTextImpl {
             case e if e.length > 1 && e.charAt(0) == '#' &&
                 e.substring(1).forall(_.isDigit) =>
               val cp = try e.substring(1).toInt catch { case _: Exception => -1 }
-              if (cp >= 0 && Character.isValidCodePoint(cp) && cp != 0)
+              // surrogate code points (U+D800-U+DFFF) are not scalar
+              // values: Character.toChars would embed a lone surrogate,
+              // making the extracted string's UTF-8 bytes (and md5)
+              // replacement-dependent — pass the entity through literally,
+              // the same policy as any other malformed entity
+              if (cp >= 0 && Character.isValidCodePoint(cp) && cp != 0 &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF))
                 new String(Character.toChars(cp))
               else null
             case _ => null

@@ -189,7 +189,12 @@ object StreamRunner {
           .groupBy(md5(col("text")).as("__h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        val exact = docs.join(canon, Seq("doc_id"))
+        // dropDuplicates closes the same-doc_id gap: the min-id canon
+        // join keeps EVERY copy of a row whose doc_id appears twice in
+        // one micro-batch (e.g. the same WARC record landing in two
+        // shard files of the same trigger) — one survivor per doc_id is
+        // the publish contract
+        val exact = docs.join(canon, Seq("doc_id")).dropDuplicates("doc_id")
         val survivors =
           if (!wh.exists(s"${table}_sigs")) exact
           else {

@@ -75,6 +75,111 @@ class CrawlSpec extends SparkSuiteBase {
     assert(WarcCodec.decode(rec ++ "x".getBytes).left.exists(_ == "trailing garbage"))
   }
 
+  test("MemberIterator: decodes a shard far larger than any single buffer in bounded memory") {
+    // The archive is NEVER materialized: the test stream generates one
+    // compressed member at a time, and the iterator holds one inflated
+    // member at a time — 64 MB of logical inflated payload flows through
+    // with peak live memory of one member (+ the 64 KB read window). A
+    // whole-shard readAllBytes/Array[Member] implementation could not
+    // pass without allocating the full archive this stream never holds.
+    val nMembers = 256
+    val memberBytes = 256 * 1024
+    def memberData(idx: Int): Array[Byte] =
+      Array.tabulate[Byte](memberBytes)(i => ((i * 31 + idx * 7) & 0xff).toByte)
+    class GeneratedArchiveStream extends java.io.InputStream {
+      private var idx = 0
+      private var cur: java.io.ByteArrayInputStream = advance()
+      private def advance(): java.io.ByteArrayInputStream =
+        if (idx >= nMembers) null
+        else {
+          val chunk = GzipCodec.encodeMember(memberData(idx), Some(s"m-$idx"))
+          idx += 1
+          new java.io.ByteArrayInputStream(chunk)
+        }
+      override def read(): Int = {
+        val one = new Array[Byte](1)
+        if (read(one, 0, 1) < 0) -1 else one(0) & 0xff
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (cur == null) -1
+        else {
+          val n = cur.read(b, off, len)
+          if (n >= 0) n
+          else { cur = advance(); read(b, off, len) }
+        }
+    }
+    val it = new GzipCodec.MemberIterator(new GeneratedArchiveStream)
+    var count = 0
+    var totalBytes = 0L
+    var sampleOk = true
+    while (it.hasNext) {
+      val m = it.next() // released on the next advance
+      if (count % 64 == 0)
+        sampleOk &&= m.data.sameElements(memberData(count)) &&
+          m.name.contains(s"m-$count")
+      totalBytes += m.data.length
+      count += 1
+    }
+    assert(count == nMembers)
+    assert(totalBytes == nMembers.toLong * memberBytes)
+    assert(sampleOk)
+  }
+
+  test("MemberIterator/salvageIterator: mid-archive corruption — verified prefix, typed stop") {
+    val good = (0 until 3).map(i => Some(s"g-$i") -> s"member $i body".getBytes("UTF-8"))
+    val corrupt = {
+      val m = GzipCodec.encodeMember("doomed".getBytes("UTF-8"))
+      m(m.length - 1) = 0x7f // ISIZE byte flip
+      m
+    }
+    val bytes = GzipCodec.encodeMembers(good) ++ corrupt
+    // the incremental iterator yields the CRC-verified prefix, then throws typed
+    val it = new GzipCodec.MemberIterator(new java.io.ByteArrayInputStream(bytes))
+    val prefix = (0 until 3).map(_ => it.next())
+    assert(prefix.map(_.name.get) == Seq("g-0", "g-1", "g-2"))
+    val e = intercept[GzipCodec.CorruptArchive](it.hasNext)
+    assert(e.reason == "member ISIZE mismatch")
+    // the salvage view ends cleanly at the last verified boundary
+    val salvaged = GzipCodec.salvageIterator(bytes).toSeq
+    assert(salvaged.map(_.name.get) == Seq("g-0", "g-1", "g-2"))
+    // all-or-nothing accounting is unchanged: the archive is Left as a whole
+    assert(GzipCodec.decodeMembers(bytes).left.exists(_ == "member ISIZE mismatch"))
+    // crawlTexts salvages the responses before the corruption point
+    val resp = GzipCodec.encodeMember(WarcCodec.encode(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:graft:7>"),
+      "<html><body>ok</body></html>".getBytes("UTF-8")))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, resp ++ corrupt))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val texts = Crawl.crawlTexts(media, "payload").collect()
+    assert(texts.length == 1 && texts(0).getLong(0) == 7L &&
+      texts(0).getString(1) == "ok")
+  }
+
+  test("WarcCodec.encode guards framing: CR/LF and caller-supplied Content-Length rejected") {
+    intercept[IllegalArgumentException] {
+      WarcCodec.encode(Seq("X" -> "a\r\nInjected: v"), "b".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.encode(Seq("Bad\rKey" -> "v"), "b".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.encode(Seq("Content-Length" -> "9999"), "b".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.encode(Seq("content-length" -> "1"), "b".getBytes)
+    }
+    // sane headers still round-trip
+    assert(WarcCodec.decode(WarcCodec.encode(
+      Seq("WARC-Type" -> "response"), "ok".getBytes)).isRight)
+  }
+
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)

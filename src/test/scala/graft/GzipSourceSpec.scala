@@ -49,6 +49,46 @@ class GzipSourceSpec extends SparkSuiteBase {
     assert(df.collect().map(_.getLong(1)).sum == 12 + 6 + 9)
   }
 
+  test("a zero-length file is an empty shard (zero members), not an error") {
+    val dir = tmpDir("warcgzempty")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "shard-0.gz").toPath,
+      GzipCodec.encodeMembers(Seq((Some("a"), "only".getBytes("UTF-8")))))
+    // a distributed shard writer's empty partition produces exactly this
+    java.nio.file.Files.write(new java.io.File(dir, "shard-1.gz").toPath,
+      Array.emptyByteArray)
+    val rows = spark.read.format("warcgz").load(dir).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "shard-0.gz")
+  }
+
+  test("file-predicate pushdown prunes shard files at planning time") {
+    val dir = writeShards() // shard-0.gz (2 members), shard-1.gz (1 member)
+    val all = spark.read.format("warcgz").load(dir)
+    // without a predicate: one input partition per shard file
+    assert(all.rdd.getNumPartitions == 2)
+    // equality predicate: ONE file planned — the single-shard probe shape
+    val one = all.filter(col("file") === "shard-1.gz")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getLong(3)).toSeq == Seq(9L))
+    // IN predicate
+    val in = all.filter(col("file").isin("shard-0.gz"))
+    assert(in.rdd.getNumPartitions == 1)
+    assert(in.count() == 2)
+    // prefix predicate
+    val pre = all.filter(col("file").startsWith("shard-1"))
+    assert(pre.rdd.getNumPartitions == 1)
+    // a non-file predicate must NOT prune (and results stay correct)
+    val byName = all.filter(col("name") === "a")
+    assert(byName.rdd.getNumPartitions == 2)
+    assert(byName.count() == 1)
+  }
+
+  test("paths resolve through the Hadoop FileSystem API (explicit file:// URI works)") {
+    val dir = writeShards()
+    val rows = spark.read.format("warcgz").load(s"file://$dir").collect()
+    assert(rows.length == 3)
+  }
+
   test("a corrupt shard fails its task loudly with the codec's typed reason") {
     val dir = tmpDir("warcgzbad")
     val ok = GzipCodec.encodeMember("fine".getBytes)

@@ -45,6 +45,19 @@ class HtmlSpec extends SparkSuiteBase {
     assert(extract("<p>&notathing; &#; &#xyz; & bare</p>").text == "&notathing; &#; &#xyz; & bare")
   }
 
+  test("surrogate-range numeric entities pass through literally (never a lone surrogate)") {
+    // U+D800–U+DFFF are not scalar values: decoding one would embed a lone
+    // surrogate whose UTF-8 bytes (and md5) are replacement-dependent —
+    // they take the malformed-entity policy instead
+    val t = extract("<p>&#55296; &#57343; mid &#55999;</p>").text
+    assert(t == "&#55296; &#57343; mid &#55999;")
+    assert(!t.exists(c => Character.isSurrogate(c)))
+    // the boundary neighbors still decode (U+D7FF, U+E000)
+    assert(extract("<p>&#55295;&#57344;</p>").text == "퟿")
+    // astral code points (legitimately ENCODED as surrogate pairs) still decode
+    assert(extract("<p>&#128512;</p>").text == new String(Character.toChars(128512)))
+  }
+
   test("anchors count opening tags only; extra anchors add text") {
     val s = extract("""<a href="/1">one</a> mid <a href="/2">two</a>""")
     assert(s.text == "one mid two")

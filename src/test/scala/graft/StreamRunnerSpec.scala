@@ -142,12 +142,17 @@ class StreamRunnerSpec extends SparkSuiteBase {
       q.awaitTermination()
     }
 
-    // batch 0: docs 1 and 3 are byte-identical (exact stage keeps min id), 2 unique
-    drop("drop1.jsonl", Seq((1L, t1), (3L, t1), (2L, u1)))
+    // batch 0: docs 1 and 3 are byte-identical (exact stage keeps min id),
+    // 2 unique — and doc 2's ROW appears twice in the same micro-batch
+    // (the same WARC record landing in two files of one trigger): exactly
+    // one copy may publish
+    drop("drop1.jsonl", Seq((1L, t1), (3L, t1), (2L, u1), (2L, u1)))
     runOnce()
-    val after1 = wh.read(spark, "corpus").select("doc_id").collect()
-      .map(_.getLong(0)).toSet
+    val rows1 = wh.read(spark, "corpus").select("doc_id").collect().map(_.getLong(0))
+    val after1 = rows1.toSet
     assert(after1 == Set(1L, 2L), "exact within-batch dedup keeps the min-id canonical")
+    assert(rows1.length == 2,
+      "a doc_id appearing twice in one batch publishes exactly one row")
 
     // batch 1: 11 is a byte-identical CROSS-batch dup (caught by the
     // near-dup engine against batch 0's persisted signatures), 13 a
