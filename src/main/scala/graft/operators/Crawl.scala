@@ -346,6 +346,23 @@ object Crawl extends QueryModule {
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** The fixture's WARC `request` record for doc `id`. */
+  private def requestRecord(id: Long): Array[Byte] =
+    WarcCodec.encode(Seq(
+      "WARC-Type" -> "request",
+      "WARC-Record-ID" -> s"<urn:graft:$id:req>",
+      "WARC-Target-URI" -> s"https://example.com/$id"),
+      s"GET /$id HTTP/1.1\r\nHost: example.com".getBytes("UTF-8"))
+
+  /** The fixture's WARC `response` record: the doc's HTML page. */
+  private def responseRecord(id: Long, text: String): Array[Byte] =
+    WarcCodec.encode(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:graft:$id>",
+      "WARC-Target-URI" -> s"https://example.com/$id",
+      "Content-Type" -> "text/html"),
+      TextAnalysis.htmlTemplate(id, text).getBytes("UTF-8"))
+
   /** A realistic `.warc.gz` shard slice per doc: TWO gzip members — a
     * `request` record, then the `response` record whose body is the
     * doc's HTML page ([[TextAnalysis.htmlTemplate]]).
@@ -354,19 +371,9 @@ object Crawl extends QueryModule {
     val spark = docs.sparkSession
     val rdd = docs.select(col("doc_id"), col("text")).rdd.map { r =>
       val id = r.getLong(0)
-      val uri = s"https://example.com/$id"
-      val request = WarcCodec.encode(Seq(
-        "WARC-Type" -> "request",
-        "WARC-Record-ID" -> s"<urn:graft:$id:req>",
-        "WARC-Target-URI" -> uri),
-        s"GET /$id HTTP/1.1\r\nHost: example.com".getBytes("UTF-8"))
-      val response = WarcCodec.encode(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Record-ID" -> s"<urn:graft:$id>",
-        "WARC-Target-URI" -> uri,
-        "Content-Type" -> "text/html"),
-        TextAnalysis.htmlTemplate(id, r.getString(1)).getBytes("UTF-8"))
-      Row(id, GzipCodec.encodeMembers(Seq(None -> request, None -> response)))
+      Row(id, GzipCodec.encodeMembers(Seq(
+        None -> requestRecord(id),
+        None -> responseRecord(id, r.getString(1)))))
     }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
@@ -482,6 +489,40 @@ object Crawl extends QueryModule {
     */
   private val RecordIdPattern = java.util.regex.Pattern.compile("urn:graft:(\\d+)")
 
+  /** One WARC member's bytes → the extracted (doc_id, text) row, if it is
+    * an identifiable response record — the per-member unit shared by the
+    * in-row [[crawlTexts]] and the file-based [[crawlTextsFromFiles]].
+    */
+  private def memberText(data: Array[Byte]): Option[Row] =
+    WarcCodec.decode(data) match {
+      case Right(rec) if rec.headers.get("WARC-Type").contains("response") =>
+        val mm = RecordIdPattern.matcher(
+          rec.headers.getOrElse("WARC-Record-ID", ""))
+        if (!mm.find()) None
+        else Some(Row(mm.group(1).toLong,
+          graft.plans.HtmlTextImpl.extract(new String(rec.body, "UTF-8")).text))
+      case _ => None
+    }
+
+  private val textSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** `.warc.gz` shard FILES → extracted (doc_id, text) documents, read
+    * through the streaming `warcgz` V2 source: one member is inflated,
+    * CRC-verified, WARC-parsed, extracted, and released per row — peak
+    * task memory is one record regardless of shard size, and there is no
+    * whole-file row anywhere (this is the large-shard replacement for
+    * handing `binaryFile` content to [[crawlTexts]], which is capped at
+    * Spark's 2 GB single-file-row ceiling).
+    */
+  def crawlTextsFromFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val members = spark.read.format("warcgz").load(paths: _*).select(col("data"))
+    val rdd = members.rdd.mapPartitions { it =>
+      it.flatMap(row => memberText(row.getAs[Array[Byte]](0)))
+    }
+    spark.createDataFrame(rdd, textSchema)
+  }
+
   def crawlTexts(archives: DataFrame, payloadCol: String): DataFrame = {
     val spark = archives.sparkSession
     val rdd = archives.select(col(payloadCol)).rdd.mapPartitions { it =>
@@ -490,25 +531,11 @@ object Crawl extends QueryModule {
       // memory is one record, not the inflated shard. A corrupt member
       // ends that archive's contribution at the last verified boundary.
       it.flatMap { row =>
-        GzipCodec.salvageIterator(row.getAs[Array[Byte]](0)).flatMap { m =>
-          WarcCodec.decode(m.data) match {
-            case Right(rec)
-                if rec.headers.get("WARC-Type").contains("response") =>
-              val mm = RecordIdPattern.matcher(
-                rec.headers.getOrElse("WARC-Record-ID", ""))
-              if (!mm.find()) None
-              else {
-                val st = graft.plans.HtmlTextImpl.extract(
-                  new String(rec.body, "UTF-8"))
-                Some(Row(mm.group(1).toLong, st.text))
-              }
-            case _ => None
-          }
-        }
+        GzipCodec.salvageIterator(row.getAs[Array[Byte]](0))
+          .flatMap(m => memberText(m.data))
       }
     }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType))))
+    spark.createDataFrame(rdd, textSchema)
   }
 
   def decodeGzipArrow(media: DataFrame): DataFrame =
@@ -536,12 +563,15 @@ object Crawl extends QueryModule {
   }
 
   /** On-disk gzip-member shard files for the V2 source
-    * ([[graft.sources.GzipMemberSource]]): eight `shard-<s>.gz` files,
-    * shard s holding one member per doc with `doc_id % 8 = s` (ascending,
-    * member name `doc-<id>`, data = the text bytes). Built once per
-    * corpus fingerprint; the driver-side writer is fixture generation
-    * only — a production shard set is written by the pipeline that owns
-    * it.
+    * ([[graft.sources.GzipMemberSource]]): up to eight `shard-<s>.gz`
+    * files, shard s holding one member per doc with `doc_id % 8 = s`
+    * (ascending, member name `doc-<id>`, data = the text bytes; an empty
+    * residue class writes NO file, matching the oracle's GROUP BY).
+    * Built once per corpus fingerprint by the DISTRIBUTED
+    * [[graft.sources.GzipShardWriter]] — executor tasks stream the
+    * members, nothing data-sized touches the driver, and the
+    * `crawl_source_scan` oracle row therefore checks the full
+    * write→read round trip of the crawl layer.
     */
   private[graft] object GzipShardFixture {
     private val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_warcgz")
@@ -551,27 +581,99 @@ object Crawl extends QueryModule {
       val key = s"shards_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
       val out = new java.io.File(base, key)
       if (!built.contains(key)) {
-        if (!new java.io.File(out, "_DONE").exists()) {
-          graft.pipeline.Warehouse.deleteRecursively(out)
-          out.mkdirs()
-          val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-            .collect().sortBy(_.getLong(0))
-          (0 until 8).foreach { shard =>
-            val members = docs.filter(_.getLong(0) % 8 == shard).map { r =>
-              (Some(s"doc-${r.getLong(0)}"): Option[String],
-                r.getString(1).getBytes("UTF-8"))
-            }.toSeq
-            java.nio.file.Files.write(
-              new java.io.File(out, s"shard-$shard.gz").toPath,
-              GzipCodec.encodeMembers(members))
-          }
-          java.nio.file.Files.write(new java.io.File(out, "_DONE").toPath,
-            Array.emptyByteArray)
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          graft.sources.GzipShardWriter.write(
+            Tables.documents(s, d).select(col("doc_id"),
+              concat(lit("doc-"), col("doc_id")).as("name"),
+              col("text").cast("binary").as("data")),
+            out.getPath, 8): Unit
         }
         built.add(key)
       }
       out.getPath
     }
+  }
+
+  /** On-disk `.warc.gz` shard files (request + response record per doc,
+    * each its own member, `doc_id % 8` sharding) — the realistic
+    * CommonCrawl shard set, written by the DISTRIBUTED
+    * [[graft.sources.GzipShardWriter]] once per corpus fingerprint.
+    * Record bytes are WARC-encoded on executors; nothing data-sized
+    * touches the driver.
+    */
+  private[graft] object WarcShardFixture {
+    private val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_warcshards")
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def dir(s: SparkSession, d: String): String = {
+      val key = s"warc_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      val out = new java.io.File(base, key)
+      if (!built.contains(key)) {
+        if (!new java.io.File(out, "_SUCCESS").exists()) {
+          val rows = Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .rdd.flatMap { r =>
+              val id = r.getLong(0)
+              // name "q" < "r" sorts the request record before its response
+              Seq(Row(id, "q", requestRecord(id)),
+                Row(id, "r", responseRecord(id, r.getString(1))))
+            }
+          val df = s.createDataFrame(rows, StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("name", StringType),
+            StructField("data", BinaryType))))
+          graft.sources.GzipShardWriter.write(df, out.getPath, 8): Unit
+        }
+        built.add(key)
+      }
+      out.getPath
+    }
+  }
+
+  private val warcStatSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("is_response", LongType),
+    StructField("target_uri", StringType),
+    StructField("content_length", LongType),
+    StructField("extracted_md5", StringType),
+    StructField("n_extracted_chars", LongType),
+    StructField("n_links", LongType)))
+
+  /** Per-MEMBER WARC record stats over `warcgz` source rows — the
+    * file-based building block `pipe_crawl_files_e2e` reassembles into
+    * per-doc accounting. Response records carry the full extraction
+    * columns; request records carry only identity (nulls elsewhere);
+    * unparseable members are dropped (the per-archive typed accounting
+    * stays with [[crawlExtract]]).
+    */
+  def warcRecordStats(members: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    val rdd = members.select(col("data")).rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val data = row.getAs[Array[Byte]](0)
+        WarcCodec.decode(data) match {
+          case Left(_) => None
+          case Right(rec) =>
+            val mm = RecordIdPattern.matcher(
+              rec.headers.getOrElse("WARC-Record-ID", ""))
+            if (!mm.find()) None
+            else {
+              val id = mm.group(1).toLong
+              if (rec.headers.get("WARC-Type").contains("response")) {
+                val st = graft.plans.HtmlTextImpl.extract(
+                  new String(rec.body, "UTF-8"))
+                val md = java.security.MessageDigest.getInstance("MD5")
+                Some(Row(id, 1L,
+                  rec.headers.getOrElse("WARC-Target-URI", null),
+                  rec.body.length.toLong,
+                  md.digest(st.text.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString,
+                  st.text.length.toLong, st.links))
+              } else Some(Row(id, 0L, null, null, null, null, null))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, warcStatSchema)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -685,6 +787,34 @@ object Crawl extends QueryModule {
     "pipe_crawl_e2e" -> ((s, d) => {
       val media = attachWarcGzMedia(Tables.documents(s, d))
       crawlExtractArrow(media).orderBy(col("doc_id"))
+    }),
+
+    // ---- the FILE-based crawl capstone: the write→read symmetry proof
+    // of the whole crawl layer. A realistic on-disk `.warc.gz` shard set
+    // (request + response records, each its own gzip member) is written
+    // by the DISTRIBUTED GzipShardWriter (executor-side streaming
+    // encode), read back through the STREAMING `warcgz` V2 source (one
+    // member live per task at a time), WARC-parsed per member, and
+    // reassembled into per-doc accounting — producing byte-identical
+    // output to the in-row pipe_crawl_e2e, checked by the SAME oracle,
+    // which predicts everything from (doc_id, text) having seen neither
+    // an archive byte nor a shard file. ----
+    "pipe_crawl_files_e2e" -> ((s, d) => {
+      val dir = WarcShardFixture.dir(s, d)
+      warcRecordStats(s.read.format("warcgz").load(dir))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_records"),
+          sum(col("is_response")).cast("bigint").as("n_responses"),
+          max(col("target_uri")).as("target_uri"),
+          max(col("content_length")).as("content_length"),
+          max(col("extracted_md5")).as("extracted_md5"),
+          max(col("n_extracted_chars")).as("n_extracted_chars"),
+          max(col("n_links")).as("n_links"))
+        .select(col("doc_id"), lit("warc").as("format"), col("n_records"),
+          col("n_responses"), col("target_uri"), col("content_length"),
+          col("extracted_md5"), col("n_extracted_chars"), col("n_links"))
+        .orderBy(col("doc_id"))
     }))
 
   override def oracleSql: Map[String, String] = Map(
@@ -727,11 +857,16 @@ object Crawl extends QueryModule {
         |  CAST(max(path_depth) AS BIGINT) AS max_depth,
         |  CAST(sum(n_params) AS BIGINT) AS total_params
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
-    // predicts the END of the 3-codec chain: the response body length is
-    // the generated page's length and the extraction output is the same
-    // generator replay txt_html_extract pins — while the Spark side must
-    // inflate, slice, and parse to reach either
-    "pipe_crawl_e2e" ->
+    "pipe_crawl_e2e" -> crawlE2eOracle,
+    // the FILE-based capstone reassembles to the SAME per-doc accounting:
+    // one oracle text checks both the in-row and the written-shard paths
+    "pipe_crawl_files_e2e" -> crawlE2eOracle)
+
+  // predicts the END of the 3-codec chain: the response body length is
+  // the generated page's length and the extraction output is the same
+  // generator replay txt_html_extract pins — while the Spark side must
+  // inflate, slice, and parse to reach either
+  private val crawlE2eOracle: String =
       """WITH page AS (
         |  SELECT doc_id,
         |    '<!DOCTYPE html>' || chr(10) ||
@@ -756,5 +891,5 @@ object Crawl extends QueryModule {
         |  md5(t) AS extracted_md5,
         |  CAST(length(t) AS BIGINT) AS n_extracted_chars,
         |  CAST(1 + doc_id % 3 AS BIGINT) AS n_links
-        |FROM page ORDER BY doc_id""".stripMargin)
+        |FROM page ORDER BY doc_id""".stripMargin
 }

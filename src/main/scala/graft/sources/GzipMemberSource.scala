@@ -61,10 +61,26 @@ class GzipMemberSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GzipMemberTable(properties.get("path"))
+    new GzipMemberTable(GzipMemberSource.resolvePaths(properties))
 }
 
 object GzipMemberSource {
+  /** `load(p)` arrives as `path`; `load(p1, p2, ...)` as a JSON-encoded
+    * `paths` array (the DataFrameReader convention) — accept both, so a
+    * foreachBatch can hand the source exactly the shard files of one
+    * micro-batch.
+    */
+  private[sources] def resolvePaths(
+      properties: util.Map[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]]).toSeq
+    }.getOrElse(Seq.empty)
+    val all = multi ++ Option(properties.get("path")).toSeq
+    require(all.nonEmpty, "warcgz source requires a path")
+    all
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("member_idx", LongType, nullable = false),
@@ -78,7 +94,7 @@ object GzipMemberSource {
   * from the driver's scan to executor-side partition readers so remote
   * filesystems resolve with the same credentials/settings.
   */
-private class SerializableHadoopConf(
+private[graft] class SerializableHadoopConf(
     @transient var value: org.apache.hadoop.conf.Configuration)
     extends java.io.Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -92,17 +108,16 @@ private class SerializableHadoopConf(
   }
 }
 
-private class GzipMemberTable(path: String) extends Table with SupportsRead {
-  require(path != null, "warcgz source requires a path")
-  override def name(): String = s"warcgz($path)"
+private class GzipMemberTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warcgz(${paths.mkString(",")})"
   override def schema(): StructType = GzipMemberSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GzipScanBuilder(path)
+    new GzipScanBuilder(paths)
 }
 
-private class GzipScanBuilder(path: String)
+private class GzipScanBuilder(paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = GzipMemberSource.schema
@@ -127,10 +142,10 @@ private class GzipScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GzipScan(path, required, pushed)
+  override def build(): Scan = new GzipScan(paths, required, pushed)
 }
 
-private class GzipScan(path: String, required: StructType,
+private class GzipScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -147,26 +162,27 @@ private class GzipScan(path: String, required: StructType,
       case _ => true
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf.value)
-    val status = fs.getFileStatus(root)
-    val files: Array[FileStatus] =
-      if (status.isDirectory)
-        fs.listStatus(root)
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .sortBy(_.getPath.getName)
-      else Array(status)
-    files
-      // zero-length file = empty shard (zero members): planning it away
-      // is both the correct semantics and one less task
-      .filter(_.getLen > 0)
-      // file-predicate pruning: a pruned file contributes no rows under
-      // the pushed predicate anyway (Spark still re-applies the filter)
-      .filter(st => fileMatches(st.getPath.getName))
-      .map(st => GzipFilePartition(st.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.toArray.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf.value)
+      val status = fs.getFileStatus(root)
+      val files: Array[FileStatus] =
+        if (status.isDirectory)
+          fs.listStatus(root)
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.getName)
+        else Array(status)
+      files
+        // zero-length file = empty shard (zero members): planning it away
+        // is both the correct semantics and one less task
+        .filter(_.getLen > 0)
+        // file-predicate pruning: a pruned file contributes no rows under
+        // the pushed predicate anyway (Spark still re-applies the filter)
+        .filter(st => fileMatches(st.getPath.getName))
+        .map(st => GzipFilePartition(st.getPath.toString): InputPartition)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GzipReaderFactory(required, conf)

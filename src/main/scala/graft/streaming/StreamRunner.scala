@@ -238,18 +238,24 @@ object StreamRunner {
   }
 
   /** The END-TO-END crawl ingestion sink — raw `.warc.gz` shard FILES
-    * land in a directory (`spark.readStream.format("binaryFile")`) and
-    * come out the other side as a deduplicated text corpus with a
-    * self-maintaining near-dup index:
+    * land in a directory and come out the other side as a deduplicated
+    * text corpus with a self-maintaining near-dup index:
     *
-    *   gunzip members → WARC records → response filter → HTML
-    *   visible-text extraction ([[graft.operators.Crawl.crawlTexts]],
-    *   doc identity from the WARC-Record-ID header) →
-    *   [[dedupPublishBatch]] (exact dedup → near-dup-vs-index → audited
-    *   publish → index maintenance).
+    *   file DISCOVERY via the `binaryFile` stream with the `content`
+    *   column pruned (only paths flow through the checkpoint — the
+    *   exactly-once file-tracking machinery without the bytes) →
+    *   per micro-batch, the listed shard files are read through the
+    *   STREAMING `warcgz` member source
+    *   ([[graft.operators.Crawl.crawlTextsFromFiles]]: one member
+    *   inflated, CRC-verified, WARC-parsed, extracted, released per
+    *   row) → [[dedupPublishBatch]] (exact dedup → near-dup-vs-index →
+    *   audited publish → index maintenance).
     *
-    * Every stage is the already-audited implementation — the archive
-    * chain is pipe_crawl_e2e's, the dedup chain is
+    * Because no whole-file row ever exists, Spark's 2 GB single-row
+    * ceiling does not apply — real 1 GB+ CommonCrawl shards stream
+    * member-at-a-time with bounded task memory. Every stage is the
+    * already-audited implementation — the archive chain is
+    * pipe_crawl_files_e2e's, the dedup chain is
     * dedupIngestToWarehouse's — composed inside one foreachBatch, so the
     * whole pipeline inherits their typed-degrade, replay-idempotence,
     * and quarantine contracts. At 100 TB this IS the production shape:
@@ -258,23 +264,43 @@ object StreamRunner {
     * 16-byte signature rows ever shuffle.
     */
   def crawlIngestToWarehouse(
-      archiveStream: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      landingDir: String,
       wh: Warehouse,
       table: String,
       audit: DataFrame => Option[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minJaccard: Double = 0.5): StreamingQuery =
-    archiveStream.writeStream
+      minJaccard: Double = 0.5): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
+    // the binaryFile format's fixed schema (streaming file sources
+    // require it explicitly); `content` is pruned by the select below,
+    // so file BYTES are never read here — only listing metadata
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val fileStream = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .load(landingDir)
+      .select(col("path"), col("length")) // content pruned at the scan
+    fileStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupPublishBatch(
-          graft.operators.Crawl.crawlTexts(batch, "content"),
-          batchId, wh, table, audit, minJaccard)
+        // the batch is file METADATA (one row per shard file) — this
+        // collect is bounded by files-per-trigger, never data-sized
+        val paths = batch.select("path").collect().map(_.getString(0)).toSeq
+        if (paths.nonEmpty)
+          dedupPublishBatch(
+            graft.operators.Crawl.crawlTextsFromFiles(spark, paths),
+            batchId, wh, table, audit, minJaccard)
       }
       .start()
+  }
 
   /** Streaming IVF index ingest — the foreachBatch twin of
     * `sim_ivf_ingest`: each micro-batch of (vec_id, embedding) rows is

@@ -256,14 +256,11 @@ class StreamRunnerSpec extends SparkSuiteBase {
     val textC = "yet another unique page with its own content entirely"
 
     def runOnce(): Unit = {
-      val binSchema = StructType(Seq(
-        StructField("path", StringType),
-        StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-        StructField("length", LongType),
-        StructField("content", org.apache.spark.sql.types.BinaryType)))
+      // path-based: file discovery streams metadata only; member bytes
+      // stream through the warcgz source inside foreachBatch
       val q = StreamRunner.crawlIngestToWarehouse(
-        spark.readStream.format("binaryFile").schema(binSchema).load(landing),
-        wh, "crawl_corpus", _ => None, ckpt, Trigger.AvailableNow())
+        spark, landing, wh, "crawl_corpus", _ => None, ckpt,
+        Trigger.AvailableNow())
       q.awaitTermination()
     }
     // shard 1: two pages (with their request records interleaved)
