@@ -135,32 +135,102 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * reproducibility runs pin an explicit one — the training-data-lineage
     * question ("exactly what did the corpus look like when this model
     * trained?") that pipe_snapshot_diff answers BETWEEN snapshots, this
-    * answers AT one. Writers are single-owner per table (the
-    * batch-pipeline contract). At 100 TB this is what table formats do
-    * with manifest files; the engine-side contract — immutable snapshot
-    * dirs, marker flip as the commit — is identical. Versioned tables are
-    * read via [[readVersion]], not [[read]] (the marker file and multiple
+    * answers AT one. At 100 TB this is what table formats do with
+    * manifest files; the engine-side contract — immutable snapshot dirs,
+    * marker flip as the commit — is identical. Versioned tables are read
+    * via [[readVersion]], not [[read]] (the marker file and multiple
     * `_v=` dirs live under the table root). Returns the committed version.
+    *
+    * CONCURRENT writers are safe, optimistic-CAS style (what table
+    * formats do on the manifest):
+    *  1. a writer RESERVES its version number by atomically creating
+    *     `_v=N.reserved` — the filesystem's create-exclusive is the CAS;
+    *     a loser (another writer took N first) retries with a higher
+    *     number, so two concurrent writers commit DISTINCT snapshots
+    *     rather than silently shadowing each other in one directory. A
+    *     writer that loses the reservation race [[maxReserveAttempts]]
+    *     times fails loudly.
+    *  2. the marker flip is MONOTONIC under a cross-process file lock:
+    *     a slower writer with a lower version never regresses `_VERSION`
+    *     below a faster writer's already-published snapshot.
+    * A reservation whose writer crashed mid-write is inert debris: it
+    * only burns a number (the no-reuse rule below), and [[pruneVersions]]
+    * sweeps reservations at or below the committed current version.
     */
   def versionedWrite(df: DataFrame, name: String): Int = {
     val base = new java.io.File(tablePath(name))
     base.mkdirs()
-    // Next version = max over ALL on-disk _v= dirs (committed or not), not
-    // the marker: if a prior writer died after the snapshot dir committed
-    // (_SUCCESS present) but before the marker flip, the marker is stale —
-    // deriving from it would Overwrite-rewrite a committed-visible snapshot
-    // under a pinned reader. Counting uncommitted debris too is safe (it
-    // only skips a number) and avoids ever reusing a dir name.
-    val next = (0 +: versionDirs(name).map(_._2)).max + 1
-    df.write.mode(SaveMode.Overwrite).format(format)
-      .save(s"${tablePath(name)}/_v=$next")
-    val tmp = new java.io.File(base, "_VERSION.tmp")
-    java.nio.file.Files.write(tmp.toPath, next.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(base, "_VERSION").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    next
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      // Next version = max over ALL on-disk _v= dirs (committed or not)
+      // AND live reservations, not the marker: if a prior writer died
+      // after the snapshot dir committed (_SUCCESS present) but before
+      // the marker flip, the marker is stale — deriving from it would
+      // Overwrite-rewrite a committed-visible snapshot under a pinned
+      // reader. Counting uncommitted debris too is safe (it only skips a
+      // number) and avoids ever reusing a dir name.
+      val next = (0 +: (versionDirs(name).map(_._2) ++ reservedVersions(name)))
+        .max + 1
+      val reservation = new java.io.File(base, s"_v=$next.reserved")
+      try {
+        java.nio.file.Files.createFile(reservation.toPath): Unit // the CAS
+        try {
+          df.write.mode(SaveMode.Overwrite).format(format)
+            .save(s"${tablePath(name)}/_v=$next")
+          flipMarkerForward(name, next)
+          committed = next
+        } finally reservation.delete(): Unit // the dir now claims the number
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= Warehouse.maxReserveAttempts)
+            throw new IllegalStateException(
+              s"versionedWrite($name): lost the version-reservation race " +
+                s"$attempt times — concurrent writers are storming this table")
+      }
+    }
+    committed
   }
+
+  /** Live `_v=N.reserved` markers (in-flight or crashed writers). */
+  private def reservedVersions(name: String): Seq[Int] =
+    Option(new java.io.File(tablePath(name)).listFiles())
+      .getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isFile && n.startsWith("_v=") && n.endsWith(".reserved"))
+          scala.util.Try(
+            n.stripPrefix("_v=").stripSuffix(".reserved").toInt).toOption
+        else None
+      }.toSeq
+
+  /** Advance `_VERSION` to `v` unless a higher version already published.
+    * Serialized across processes by a lock file (and across this JVM's
+    * threads by the shared monitor — JVM file locks don't nest within a
+    * process), so read-compare-flip is atomic and the marker is monotone.
+    */
+  private def flipMarkerForward(name: String, v: Int): Unit =
+    Warehouse.markerFlipMonitor.synchronized {
+      val base = new java.io.File(tablePath(name))
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(base, "_VERSION.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (currentVersion(name).forall(_ < v)) {
+            val tmp = new java.io.File(base, "_VERSION.tmp")
+            java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp.toPath,
+              new java.io.File(base, "_VERSION").toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        } finally lock.release()
+      } finally ch.close()
+    }
 
   /** The committed snapshot version, if any ([[versionedWrite]] tables). */
   def currentVersion(name: String): Option[Int] = {
@@ -229,6 +299,13 @@ class Warehouse(val root: String, val format: String = "parquet") {
         !versionCommitted(name, v) && cur.exists(v <= _)
       }
       .foreach { case (f, _) => Warehouse.deleteRecursively(f) }
+    // stale reservations: writers always reserve ABOVE the committed
+    // current version, so a reservation at or below it can only be crash
+    // debris (its number is burned either way — the no-reuse rule)
+    reservedVersions(name)
+      .filter(v => cur.exists(v <= _))
+      .foreach(v => new java.io.File(tablePath(name), s"_v=$v.reserved")
+        .delete(): Unit)
     val dropped = listVersions(name).sorted.reverse.drop(keep)
       .filterNot(cur.contains)
     dropped.foreach(v => Warehouse.deleteRecursively(
@@ -291,6 +368,17 @@ class Warehouse(val root: String, val format: String = "parquet") {
 }
 
 object Warehouse {
+  /** Reservation-race retries before a concurrent versionedWrite gives up
+    * loudly (each loss means another writer just took the next number —
+    * ten consecutive losses is a stampede, not contention).
+    */
+  private[pipeline] val maxReserveAttempts = 10
+
+  /** JVM-wide monitor for `_VERSION` flips — `FileChannel.lock` guards
+    * cross-process but throws on overlap within one JVM.
+    */
+  private[pipeline] val markerFlipMonitor = new Object
+
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles() returns null on I/O error or concurrent removal — never NPE
     // from inside the publish gate.

@@ -94,4 +94,28 @@ class AqeSkewSpec extends SparkSuiteBase {
       .queryExecution.optimizedPlan.toString
     assert(!plan1.contains("__salt") && !plan1.contains("explode"))
   }
+
+  test("persistedSaltFactor: the decision is written once as an ingest-time artifact and re-read") {
+    import graft.operators.Relational
+    // first call computes the histogram and persists the 1-row decision;
+    // it must agree with the direct computation on the same source
+    val li = Tables.lineitem(spark, sf0001)
+    val direct = Relational.saltFactorFor(li, "l_orderkey")
+    val persisted = Relational.persistedSaltFactor(
+      spark, sf0001, "lineitem", "l_orderkey", li)
+    assert(persisted == direct)
+    // the artifact landed on disk, fingerprint-keyed (a fresh JVM would
+    // READ this instead of re-scanning the probe side)
+    val derivedRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    val artifact = Option(derivedRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("salt_factor_l_orderkey_"))
+    assert(artifact.nonEmpty, "the decision must persist as a DerivedArtifacts table")
+    assert(artifact.forall(f => new java.io.File(f, "_SUCCESS").exists()))
+    // a probe that would EXPLODE if scanned proves the re-read path: the
+    // memo serves the second call without touching the probe expression
+    val second = Relational.persistedSaltFactor(
+      spark, sf0001, "lineitem", "l_orderkey",
+      sys.error("probe side must not be re-scanned"))
+    assert(second == direct)
+  }
 }

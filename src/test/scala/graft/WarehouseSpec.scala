@@ -101,6 +101,45 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(100))
   }
 
+  test("versionedWrite: concurrent writers commit DISTINCT versions; marker stays monotone") {
+    val wh = new Warehouse(tmpDir("whrace"))
+    assert(wh.versionedWrite(Seq(1).toDF("x"), "t") == 1)
+    // another writer holds the next slot's reservation (mid-write): this
+    // writer must NOT shadow it — the create-exclusive CAS sends it to a
+    // fresh number
+    val reserved = new java.io.File(wh.tablePath("t"), "_v=2.reserved")
+    java.nio.file.Files.createFile(reserved.toPath)
+    assert(wh.versionedWrite(Seq(2).toDF("x"), "t") == 3,
+      "the loser of the reservation race retries with a higher number")
+    assert(wh.currentVersion("t").contains(3))
+    assert(reserved.exists(), "the in-flight writer's reservation is untouched")
+    // once the committed version passes it, the stale reservation is swept
+    wh.pruneVersions("t", keep = 10)
+    assert(!reserved.exists(), "a reservation at/below current is crash debris")
+
+    // two genuinely concurrent writers: both succeed, versions distinct,
+    // marker = max, both snapshots readable
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      def submit(v: Int) = pool.submit(new java.util.concurrent.Callable[Int] {
+        override def call(): Int = {
+          start.await()
+          wh.versionedWrite(Seq(v).toDF("x"), "t")
+        }
+      })
+      val (fa, fb) = (submit(100), submit(200))
+      start.countDown()
+      val (va, vb) = (fa.get(), fb.get())
+      assert(va != vb, "concurrent writers must never share a version dir")
+      assert(Set(va, vb) == Set(4, 5))
+      assert(wh.currentVersion("t").contains(math.max(va, vb)),
+        "the marker never regresses below the highest published snapshot")
+      assert(wh.readVersion(spark, "t", Some(va)).as[Int].collect().toSeq == Seq(100))
+      assert(wh.readVersion(spark, "t", Some(vb)).as[Int].collect().toSeq == Seq(200))
+    } finally pool.shutdown()
+  }
+
   test("partitionedUpsertWrite: re-running a batch date replaces only that partition") {
     val wh = new Warehouse(tmpDir("whp"))
     val spark2 = spark
