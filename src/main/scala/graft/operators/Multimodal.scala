@@ -400,6 +400,611 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** Baseline JPEG (ITU-T T.81 sequential DCT, Huffman entropy coding) —
+    * the dominant real-world image format, implemented from the public
+    * spec with no image library, the [[PngCodec]] precedent. The DECODER
+    * is fully general baseline: marker walk (APPn/COM skipped, DQT/DHT
+    * accumulated, DRI honored), arbitrary DHT tables (canonical
+    * code construction per the spec's C.2), arbitrary quant tables,
+    * interleaved and single-component scans, sampling factors to 4,
+    * restart markers, byte destuffing, run/size AC decoding with
+    * EOB/ZRL, dequantization, and a double-precision 2-D IDCT with
+    * level shift and clamp. Planes come back at NATIVE component
+    * resolution (4:2:0 chroma at quarter size — the [[Y4mCodec]]
+    * convention), cropped to the declared component dimensions.
+    *
+    * The ENCODER writes genuinely valid baseline files (fixture
+    * generation): custom-but-legal uniform quant tables and compact
+    * canonical DHT tables (what an "optimized Huffman" encoder emits),
+    * coefficients chosen so the lossy DCT round-trip is EXACT — per-block
+    * constant luma plus one horizontal-frequency-4 AC term whose IDCT is
+    * ±F/8 with a closed-form sign pattern — which is what lets the DuckDB
+    * oracle predict every decoded pixel from the generator formula while
+    * the Spark side can only reach them through the full Huffman →
+    * dequant → IDCT chain. Every malformation degrades to a typed
+    * reason, never garbage pixels.
+    */
+  object JpegCodec {
+    /** One component's samples at NATIVE resolution, row-major. */
+    case class Plane(width: Int, height: Int, data: Array[Byte])
+    /** width/height are the frame's; planes are per-component (1 = gray,
+      * 3 = Y, Cb, Cr).
+      */
+    case class Decoded(width: Int, height: Int, planes: Seq[Plane])
+
+    /** Zigzag position → natural position (row*8 + col). */
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    private val CosTable: Array[Array[Double]] = Array.tabulate(8, 8) {
+      (x, u) => math.cos((2 * x + 1) * u * math.Pi / 16)
+    }
+
+    // ---- entropy-coded bit IO ----
+
+    private class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0
+      private var nBits = 0
+      def writeBits(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((v >> i) & 1)
+          nBits += 1
+          if (nBits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00) // byte stuffing
+            acc = 0; nBits = 0
+          }
+          i -= 1
+        }
+      }
+      /** Pad the final partial byte with 1-bits (the spec's fill). */
+      def flush(): Unit = if (nBits > 0) {
+        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; nBits = 0
+      }
+    }
+
+    /** Destuffing bit reader over the entropy-coded segment; stops AT any
+      * marker (0xFF non-zero) and exposes it for restart handling.
+      */
+    private class BitReader(bytes: Array[Byte], private var pos: Int) {
+      private var acc = 0
+      private var nBits = 0
+      private var hitMarker = -1
+
+      /** The marker byte (0xD0-0xD9...) this reader stopped at, or -1. */
+      def marker: Int = hitMarker
+      def position: Int = pos
+
+      def readBit(): Int = {
+        if (nBits == 0) {
+          if (hitMarker >= 0) throw CorruptJpeg("truncated scan")
+          if (pos >= bytes.length) throw CorruptJpeg("truncated scan")
+          val b = bytes(pos) & 0xff
+          pos += 1
+          if (b == 0xff) {
+            if (pos >= bytes.length) throw CorruptJpeg("truncated scan")
+            val b2 = bytes(pos) & 0xff
+            if (b2 == 0x00) { pos += 1; acc = 0xff; nBits = 8 }
+            else { hitMarker = b2; throw CorruptJpeg("truncated scan") }
+          } else { acc = b; nBits = 8 }
+        }
+        nBits -= 1
+        (acc >> nBits) & 1
+      }
+
+      /** Resync to the byte boundary (discarding the spec's 1-bit fill)
+        * and report the marker found there, if any — the restart-marker
+        * detection step.
+        */
+      def atMarker(): Option[Int] = {
+        nBits = 0 // pad bits before a marker are fill, never data
+        if (hitMarker >= 0) return Some(hitMarker)
+        if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+            (bytes(pos + 1) & 0xff) != 0x00) {
+          hitMarker = bytes(pos + 1) & 0xff
+          pos += 2
+          Some(hitMarker)
+        } else None
+      }
+
+      /** Discard pad bits and the consumed restart marker. */
+      def resync(): Unit = { nBits = 0; acc = 0; hitMarker = -1 }
+
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | readBit(); i += 1 }
+        v
+      }
+    }
+
+    private final case class CorruptJpeg(reason: String)
+        extends RuntimeException(reason)
+
+    /** Canonical Huffman table (spec C.2): BITS (codes per length 1..16)
+      * + values in code order.
+      */
+    private class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+      // mincode/maxcode/valptr per length — the spec's F.2.2.3 DECODE
+      private val minCode = new Array[Int](17)
+      private val maxCode = new Array[Int](17)
+      private val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        var l = 1
+        while (l <= 16) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+          if (bits(l - 1) == 0) maxCode(l) = -1
+          code <<= 1
+          l += 1
+        }
+        if (k != vals.length) throw CorruptJpeg("bad huffman table")
+      }
+      def decode(in: BitReader): Int = {
+        var code = in.readBit()
+        var l = 1
+        while (l <= 16) {
+          if (maxCode(l) >= 0 && code <= maxCode(l))
+            return vals(valPtr(l) + code - minCode(l)) & 0xff
+          code = (code << 1) | in.readBit()
+          l += 1
+        }
+        throw CorruptJpeg("bad huffman code")
+      }
+    }
+
+    /** EXTEND (spec F.2.2.1): map `v` in `n` bits to its signed value. */
+    private def extend(v: Int, n: Int): Int =
+      if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+    /** Bit category of a signed value (DC/AC size). */
+    private def category(v: Int): Int = {
+      var a = math.abs(v)
+      var n = 0
+      while (a != 0) { a >>= 1; n += 1 }
+      n
+    }
+
+    // =================== ENCODER (fixture generation) ===================
+
+    /** Uniform quant table: every entry `q` — legal, and it makes the
+      * dequantized coefficient exactly `q ×` the quantized one.
+      */
+    private val Q = 16
+
+    private def be2(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def segment(out: java.io.ByteArrayOutputStream, marker: Int,
+        payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      out.write(be2(payload.length + 2), 0, 2)
+      out.write(payload, 0, payload.length)
+    }
+
+    /** The fixture's compact-but-legal DHT tables: DC = 12 categories at
+      * 4 bits each; AC = the 3 symbols the generator emits (EOB and
+      * run-13/size-1..2) at 2 bits each. A general decoder must build
+      * them canonically from BITS — the standard Annex K tables exercise
+      * the same code path with different numbers.
+      */
+    private val DcBits: Array[Int] =
+      Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals: Array[Byte] = Array.tabulate(12)(_.toByte)
+    private val AcBits: Array[Int] =
+      Array(0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    private val AcVals: Array[Byte] =
+      Array(0x00.toByte, 0xd1.toByte, 0xd2.toByte)
+
+    private def encodeHuffCode(w: BitWriter, bits: Array[Int],
+        vals: Array[Byte], sym: Int): Unit = {
+      // canonical code for `sym` (tables are tiny; recompute per call)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < bits(l - 1)) {
+          if ((vals(k) & 0xff) == sym) { w.writeBits(code, l); return }
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      throw new IllegalArgumentException(s"symbol $sym not in table")
+    }
+
+    /** One block's (quantized DC, quantized AC at zigzag 14) → entropy
+      * bits. Returns the new DC predictor.
+      */
+    private def encodeBlock(w: BitWriter, prevDc: Int, dcq: Int,
+        acq: Int): Int = {
+      val diff = dcq - prevDc
+      val s = category(diff)
+      encodeHuffCode(w, DcBits, DcVals, s)
+      if (s > 0)
+        w.writeBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      if (acq != 0) {
+        val sz = category(acq)
+        require(sz <= 2, s"fixture AC out of table range: $acq")
+        encodeHuffCode(w, AcBits, AcVals, (13 << 4) | sz) // run 13, zigzag 14
+        w.writeBits(if (acq >= 0) acq else acq + (1 << sz) - 1, sz)
+      }
+      encodeHuffCode(w, AcBits, AcVals, 0x00) // EOB
+      prevDc + diff
+    }
+
+    /** Encode a GRAYSCALE baseline JPEG: `w`×8, one row of `w/8` blocks,
+      * per-block (dcq, acq) from `coef(bi)`. `restartInterval` > 0 emits
+      * DRI + RSTn markers every that many MCUs (decoder generality).
+      */
+    def encodeGray(w: Int, coef: Int => (Int, Int),
+        restartInterval: Int = 0): Array[Byte] = {
+      require(w % 8 == 0 && w > 0, "width must be a positive multiple of 8")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8) // SOI
+      writeTables(out, restartInterval)
+      // SOF0: 8-bit, h=8, w, 1 component (id 1, 1x1, qtable 0)
+      segment(out, 0xc0, Array[Byte](8, 0, 8) ++ be2(w) ++
+        Array[Byte](1, 1, 0x11, 0))
+      // SOS: 1 component (id 1, DC table 0 / AC table 0)
+      segment(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      val bw = new BitWriter(out)
+      var prevDc = 0
+      var mcusSinceRestart = 0
+      var rstIdx = 0
+      var bi = 0
+      while (bi < w / 8) {
+        if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + (rstIdx % 8))
+          rstIdx += 1; mcusSinceRestart = 0; prevDc = 0
+        }
+        val (dcq, acq) = coef(bi)
+        prevDc = encodeBlock(bw, prevDc, dcq, acq)
+        mcusSinceRestart += 1
+        bi += 1
+      }
+      bw.flush()
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Encode a 16×16 YCbCr 4:2:0 baseline JPEG (one interleaved MCU:
+      * four luma blocks in 2×2 order, then Cb, then Cr). Luma block bi
+      * (= (y/8)*2 + x/8) gets `lumaCoef(bi)`; chroma blocks are constant
+      * (`cbDc`/`crDc` quantized DC).
+      */
+    def encode420(lumaCoef: Int => (Int, Int), cbDc: Int,
+        crDc: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      writeTables(out, 0)
+      // SOF0: 16×16, 3 components — Y (2x2), Cb (1x1), Cr (1x1), qtable 0
+      segment(out, 0xc0, Array[Byte](8, 0, 16, 0, 16, 3,
+        1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0))
+      segment(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+      val bw = new BitWriter(out)
+      var prevY = 0
+      (0 until 4).foreach { bi =>
+        val (dcq, acq) = lumaCoef(bi)
+        prevY = encodeBlock(bw, prevY, dcq, acq)
+      }
+      encodeBlock(bw, 0, cbDc, 0): Unit
+      encodeBlock(bw, 0, crDc, 0): Unit
+      bw.flush()
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
+    private def writeTables(out: java.io.ByteArrayOutputStream,
+        restartInterval: Int): Unit = {
+      // APP0: a comment-ish application segment (skipped by decoders)
+      segment(out, 0xe0, "graft".getBytes("US-ASCII"))
+      // DQT: table 0, 8-bit, uniform Q in zigzag order
+      segment(out, 0xdb, Array[Byte](0x00) ++ Array.fill(64)(Q.toByte))
+      // DHT: DC class 0 id 0, then AC class 1 id 0
+      segment(out, 0xc4,
+        Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals ++
+          Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals)
+      if (restartInterval > 0)
+        segment(out, 0xdd, be2(restartInterval))
+    }
+
+    // ========================== DECODER ==========================
+
+    private class Component(val id: Int, val h: Int, val v: Int,
+        val tq: Int) {
+      var dcTable: Int = 0
+      var acTable: Int = 0
+      var prevDc: Int = 0
+      var width: Int = 0 // native sample dims (cropped)
+      var height: Int = 0
+      var blocksW: Int = 0 // padded block grid (interleaved: MCU-aligned)
+      var blocksH: Int = 0
+      var data: Array[Byte] = null // padded plane, blocksW*8 × blocksH*8
+    }
+
+    /** The real decode: marker walk → table collection → SOF0 frame →
+      * SOS scan(s) → per-MCU Huffman decode, dequant, IDCT, level shift.
+      * Every malformation returns a typed Left.
+      */
+    def decode(bytes: Array[Byte]): Either[String, Decoded] = try {
+      if (bytes.length < 2 || (bytes(0) & 0xff) != 0xff ||
+          (bytes(1) & 0xff) != 0xd8)
+        return Left("bad signature")
+      val quant = new Array[Array[Int]](4)
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      var restartInterval = 0
+      var frameW = -1
+      var frameH = -1
+      var comps: Array[Component] = null
+      var pos = 2
+
+      def u8(p: Int): Int = {
+        if (p >= bytes.length) throw CorruptJpeg("truncated segment")
+        bytes(p) & 0xff
+      }
+      def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+
+      while (pos < bytes.length) {
+        if (u8(pos) != 0xff) return Left("bad marker")
+        val marker = u8(pos + 1)
+        pos += 2
+        marker match {
+          case 0xd9 => // EOI
+            return if (comps == null) Left("missing frame header")
+            else Left("missing scan")
+          case 0xc0 | 0xc1 => // baseline / extended sequential
+            val len = u16(pos)
+            if (u8(pos + 2) != 8) return Left("unsupported sample precision")
+            frameH = u16(pos + 3)
+            frameW = u16(pos + 5)
+            if (frameW <= 0 || frameH <= 0) return Left("bad frame dimensions")
+            val n = u8(pos + 7)
+            if (n != 1 && n != 3) return Left(s"unsupported component count $n")
+            if (len != 8 + 3 * n) return Left("bad frame header length")
+            comps = Array.tabulate(n) { i =>
+              val off = pos + 8 + 3 * i
+              val hv = u8(off + 1)
+              val c = new Component(u8(off), hv >> 4, hv & 0x0f, u8(off + 2))
+              if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4)
+                return Left("bad sampling factors")
+              c
+            }
+            pos += len
+          case 0xc2 => return Left("unsupported progressive")
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 =>
+            return Left("unsupported frame type")
+          case 0xc4 => // DHT
+            val len = u16(pos)
+            val end = pos + len
+            var p = pos + 2
+            while (p < end) {
+              val tc = u8(p) >> 4
+              val th = u8(p) & 0x0f
+              if (tc > 1 || th > 3) return Left("bad huffman table")
+              val tblBits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val nVals = tblBits.sum
+              if (p + 17 + nVals > end) return Left("bad huffman table")
+              val vals = new Array[Byte](nVals)
+              var i = 0
+              while (i < nVals) { vals(i) = bytes(p + 17 + i); i += 1 }
+              val tbl = new HuffTable(tblBits, vals)
+              if (tc == 0) dcTables(th) = tbl else acTables(th) = tbl
+              p += 17 + nVals
+            }
+            pos += len
+          case 0xdb => // DQT
+            val len = u16(pos)
+            val end = pos + len
+            var p = pos + 2
+            while (p < end) {
+              val pq = u8(p) >> 4
+              val tq = u8(p) & 0x0f
+              if (tq > 3) return Left("bad quant table")
+              if (pq > 1) return Left("bad quant table")
+              val step = if (pq == 0) 1 else 2
+              if (p + 1 + 64 * step > end) return Left("bad quant table")
+              quant(tq) = Array.tabulate(64)(i =>
+                if (pq == 0) u8(p + 1 + i) else u16(p + 1 + 2 * i))
+              p += 1 + 64 * step
+            }
+            pos += len
+          case 0xdd => // DRI
+            restartInterval = u16(pos + 2)
+            pos += u16(pos)
+          case 0xda => // SOS — decode the scan, then we are done
+            if (comps == null) return Left("missing frame header")
+            val len = u16(pos)
+            val ns = u8(pos + 2)
+            if (ns < 1 || ns > comps.length) return Left("bad scan header")
+            val scanComps = Array.tabulate(ns) { i =>
+              val cid = u8(pos + 3 + 2 * i)
+              val c = comps.find(_.id == cid).getOrElse(
+                return Left("scan references unknown component"))
+              c.dcTable = u8(pos + 4 + 2 * i) >> 4
+              c.acTable = u8(pos + 4 + 2 * i) & 0x0f
+              c
+            }
+            pos += len
+            val planes = decodeScan(bytes, pos, scanComps, comps, quant,
+              dcTables, acTables, restartInterval, frameW, frameH)
+            return Right(Decoded(frameW, frameH, planes))
+          case m if m >= 0xd0 && m <= 0xd7 =>
+            return Left("unexpected restart marker")
+          case 0x01 => () // TEM, parameterless
+          case _ => // APPn, COM, anything else with a length
+            pos += u16(pos)
+        }
+      }
+      Left("missing scan")
+    } catch {
+      case CorruptJpeg(reason) => Left(reason)
+      case scala.util.control.NonFatal(e) =>
+        Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+
+    private def decodeScan(bytes: Array[Byte], start: Int,
+        scanComps: Array[Component], comps: Array[Component],
+        quant: Array[Array[Int]], dcTables: Array[HuffTable],
+        acTables: Array[HuffTable], restartInterval: Int,
+        frameW: Int, frameH: Int): Seq[Plane] = {
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      // native (cropped) dims + padded block grids
+      comps.foreach { c =>
+        c.width = (frameW * c.h + hMax - 1) / hMax
+        c.height = (frameH * c.v + vMax - 1) / vMax
+        if (scanComps.length == 1) {
+          c.blocksW = (c.width + 7) / 8
+          c.blocksH = (c.height + 7) / 8
+        } else {
+          val mcusW = (frameW + 8 * hMax - 1) / (8 * hMax)
+          val mcusH = (frameH + 8 * vMax - 1) / (8 * vMax)
+          c.blocksW = mcusW * c.h
+          c.blocksH = mcusH * c.v
+        }
+        c.data = new Array[Byte](c.blocksW * 8 * c.blocksH * 8)
+        c.prevDc = 0
+      }
+      val in = new BitReader(bytes, start)
+      val coeffs = new Array[Int](64)
+      val block = new Array[Int](64)
+
+      def decodeBlockTo(c: Component, bx: Int, by: Int): Unit = {
+        val dc = dcTables(c.dcTable)
+        val ac = acTables(c.acTable)
+        val qt = quant(c.tq)
+        if (dc == null || ac == null) throw CorruptJpeg("missing huffman table")
+        if (qt == null) throw CorruptJpeg("missing quant table")
+        java.util.Arrays.fill(coeffs, 0)
+        val s = dc.decode(in)
+        if (s > 11) throw CorruptJpeg("bad DC category")
+        val diff = extend(in.receive(s), s)
+        c.prevDc += diff
+        coeffs(0) = c.prevDc * qt(0)
+        var k = 1
+        var done = false
+        while (!done && k < 64) {
+          val rs = ac.decode(in)
+          val r = rs >> 4
+          val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL
+            else done = true // EOB
+          } else {
+            k += r
+            if (k > 63) throw CorruptJpeg("AC index overflow")
+            coeffs(Zigzag(k)) = extend(in.receive(sz), sz) * qt(k)
+            k += 1
+          }
+        }
+        // 2-D IDCT (double), level shift, clamp, place into the plane
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var sum = 0.0
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              val cy = CosTable(y)(v)
+              while (u < 8) {
+                val cu = if (u == 0) 0.70710678118654752 else 1.0
+                val cv = if (v == 0) 0.70710678118654752 else 1.0
+                val coef = coeffs(v * 8 + u)
+                if (coef != 0) sum += cu * cv * coef * CosTable(x)(u) * cy
+                u += 1
+              }
+              v += 1
+            }
+            val px = math.round(sum / 4 + 128).toInt
+            block(y * 8 + x) = math.max(0, math.min(255, px))
+            x += 1
+          }
+          y += 1
+        }
+        val planeW = c.blocksW * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            c.data((by * 8 + yy) * planeW + bx * 8 + xx) =
+              block(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+
+      val (mcusW, mcusH) =
+        if (scanComps.length == 1)
+          (scanComps(0).blocksW, scanComps(0).blocksH)
+        else ((frameW + 8 * hMax - 1) / (8 * hMax),
+          (frameH + 8 * vMax - 1) / (8 * vMax))
+      var mcu = 0
+      val totalMcus = mcusW * mcusH
+      var rstExpected = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          in.atMarker() match {
+            case Some(m) if m >= 0xd0 && m <= 0xd7 =>
+              if ((m - 0xd0) != (rstExpected % 8))
+                throw CorruptJpeg("restart marker out of sequence")
+              rstExpected += 1
+              in.resync()
+              comps.foreach(_.prevDc = 0)
+            case _ => throw CorruptJpeg("missing restart marker")
+          }
+        }
+        if (scanComps.length == 1) {
+          val c = scanComps(0)
+          decodeBlockTo(c, mcu % mcusW, mcu / mcusW)
+        } else {
+          val my = mcu / mcusW
+          val mx = mcu % mcusW
+          scanComps.foreach { c =>
+            var v = 0
+            while (v < c.v) {
+              var h = 0
+              while (h < c.h) {
+                decodeBlockTo(c, mx * c.h + h, my * c.v + v)
+                h += 1
+              }
+              v += 1
+            }
+          }
+        }
+        mcu += 1
+      }
+      // crop padded planes to native component dims
+      comps.toSeq.map { c =>
+        val planeW = c.blocksW * 8
+        val outData = new Array[Byte](c.width * c.height)
+        var y = 0
+        while (y < c.height) {
+          System.arraycopy(c.data, y * planeW, outData, y * c.width, c.width)
+          y += 1
+        }
+        Plane(c.width, c.height, outData)
+      }
+    }
+  }
+
   /** Small REAL PNGs (≤ 16×12, RGB for even doc_ids / RGBA for odd) whose
     * pixel values follow a formula the DuckDB oracle can replay
     * independently — while the Spark side only learns them by genuinely
@@ -423,6 +1028,92 @@ object Multimodal extends QueryModule {
     }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Small REAL baseline JPEGs whose decoded pixels follow a closed-form
+    * formula (see [[JpegCodec]]): even doc_ids are GRAYSCALE `w`×8
+    * (w = 8·(id%3+1), so 1-3 blocks; every 4th doc adds restart markers),
+    * odd doc_ids are 16×16 YCbCr 4:2:0 (one interleaved MCU, 4 luma
+    * blocks + quarter-res chroma). Per luma block bi: constant level
+    * vY = 2·((id·7 + bi·13) % 50) + 80 plus a horizontal-frequency-4 AC
+    * whose IDCT adds ±2·((id+bi)%5−2) in the fixed [+,−,−,+,+,−,−,+]
+    * column pattern — chosen so the LOSSY pipeline is bit-exact and the
+    * oracle can replay every pixel, while the Spark side must run the
+    * full Huffman → dequant → IDCT chain to reach them.
+    */
+  def attachJpegMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      def lumaCoef(bi: Int): (Int, Int) = {
+        val vY = 2 * ((id * 7 + bi * 13) % 50).toInt + 80
+        ((vY - 128) / 2, ((id + bi) % 5).toInt - 2)
+      }
+      val bytes =
+        if (id % 2 == 0)
+          JpegCodec.encodeGray(8 * (id % 3 + 1).toInt, lumaCoef,
+            restartInterval = if (id % 4 == 0) 2 else 0)
+        else {
+          val vCb = 2 * ((id * 11) % 40).toInt + 88
+          val vCr = 2 * ((id * 17) % 40).toInt + 88
+          JpegCodec.encode420(lumaCoef, (vCb - 128) / 2, (vCr - 128) / 2)
+        }
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val jpegDecodeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_components", LongType),
+    StructField("sum_y", LongType),
+    StructField("sum_cb", LongType),
+    StructField("sum_cr", LongType),
+    StructField("checksum_y", LongType)))
+
+  private def jpegDecodeRow(id: Long, bytes: Array[Byte]): Row =
+    JpegCodec.decode(bytes) match {
+      case Left(_) =>
+        Row(id, "jpeg-corrupt", null, null, null, null, null, null, null)
+      case Right(d) =>
+        def planeSum(p: JpegCodec.Plane): Long = {
+          var s = 0L; var j = 0
+          while (j < p.data.length) { s += p.data(j) & 0xff; j += 1 }
+          s
+        }
+        val yp = d.planes.head
+        var sumY = 0L
+        var ck = 0L
+        var i = 0
+        while (i < yp.data.length) {
+          val v = (yp.data(i) & 0xff).toLong
+          sumY += v; ck += v * (i + 1); i += 1
+        }
+        Row(id, "jpeg", d.width.toLong, d.height.toLong,
+          d.planes.length.toLong, sumY,
+          if (d.planes.length == 3) Long.box(planeSum(d.planes(1))) else null,
+          if (d.planes.length == 3) Long.box(planeSum(d.planes(2))) else null,
+          ck)
+    }
+
+  /** Full baseline-JPEG decode over the Arrow batch seam: Huffman +
+    * dequant + IDCT run where the bytes are read; only per-image stats
+    * rows continue.
+    */
+  def decodeJpegArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, jpegDecodeSchema)(jpegDecodeRow)
+
+  /** Row-path twin of [[decodeJpegArrow]] (parity spec pins equality). */
+  def decodeJpeg(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.map { row =>
+      jpegDecodeRow(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, jpegDecodeSchema)
   }
 
   val pngDecodeSchema: StructType = StructType(Seq(
@@ -544,12 +1235,13 @@ object Multimodal extends QueryModule {
     * column, it is only discoverable by sniffing the bytes.
     */
   def attachMixedMedia(docs: DataFrame): DataFrame =
-    // reuse the three canonical generators — duplicating their byte
+    // reuse the four canonical generators — duplicating their byte
     // layouts here would silently desynchronize this fixture from the
     // pipe_multimodal_e2e oracle if any of them ever changed
-    attachPngPixelMedia(docs.filter(col("doc_id") % 3 === 0))
-      .union(attachWavMedia(docs.filter(col("doc_id") % 3 === 1)))
-      .union(attachY4mMedia(docs.filter(col("doc_id") % 3 === 2)))
+    attachPngPixelMedia(docs.filter(col("doc_id") % 4 === 0))
+      .union(attachWavMedia(docs.filter(col("doc_id") % 4 === 1)))
+      .union(attachY4mMedia(docs.filter(col("doc_id") % 4 === 2)))
+      .union(attachJpegMedia(docs.filter(col("doc_id") % 4 === 3)))
 
   val routeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -557,9 +1249,10 @@ object Multimodal extends QueryModule {
     StructField("units", LongType),
     StructField("mass", LongType)))
 
-  /** The modality ROUTER: sniffs each payload's real bytes (PNG signature,
-    * then the YUV4MPEG2 magic, then the RIFF frame) and runs the matching
-    * REAL decoder — images report pixel count + total channel mass, video
+  /** The modality ROUTER, now 4-WAY: sniffs each payload's real bytes
+    * (PNG signature, then the JPEG SOI marker, then the YUV4MPEG2 magic,
+    * then the RIFF frame) and runs the matching REAL decoder — images
+    * (PNG or JPEG) report pixel count + total channel/plane mass, video
     * reports luma-pixel count + total plane mass, audio reports sample
     * count + total |v| mass; unrecognized or corrupt payloads keep their
     * typed class with stats withheld. One narrow pass; the router never
@@ -570,9 +1263,20 @@ object Multimodal extends QueryModule {
   private def routeRow(id: Long, bytes: Array[Byte]): Row = {
     val isPng = bytes.length >= MediaHeader.PngSignature.length &&
       MediaHeader.PngSignature.indices.forall(i => bytes(i) == MediaHeader.PngSignature(i))
-    val isY4m = !isPng && bytes.length >= Y4mMagic.length &&
+    val isJpeg = !isPng && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    val isY4m = !isPng && !isJpeg && bytes.length >= Y4mMagic.length &&
       Y4mMagic.indices.forall(i => bytes(i) == Y4mMagic(i))
-    if (isPng) {
+    if (isJpeg) {
+      val r = jpegDecodeRow(id, bytes)
+      if (r.getString(1) != "jpeg") Row(id, r.getString(1), null, null)
+      else {
+        val mass = r.getLong(5) +
+          (if (!r.isNullAt(6)) r.getLong(6) else 0L) +
+          (if (!r.isNullAt(7)) r.getLong(7) else 0L)
+        Row(id, "image", r.getLong(2) * r.getLong(3), mass)
+      }
+    } else if (isPng) {
       val r = pngDecodeRow(id, bytes)
       if (r.getString(1) != "png") Row(id, r.getString(1), null, null)
       else {
@@ -1536,6 +2240,24 @@ object Multimodal extends QueryModule {
       decodePngArrow(media).orderBy(col("doc_id"))
     }),
 
+    // ---- FULL baseline-JPEG decode, the compressed-image rung of the
+    // ladder: the payload is a REAL ITU-T T.81 baseline file
+    // ([[attachJpegMedia]] — DQT/DHT/SOF0/SOS marker stream, canonical
+    // Huffman entropy coding, restart markers on every 4th gray doc,
+    // interleaved 4:2:0 MCUs on odd docs) and every value below except
+    // doc_id exists on the Spark side ONLY because [[JpegCodec.decode]]
+    // genuinely Huffman-decodes, dequantizes, and IDCTs the blocks
+    // inside the Arrow batch seam — chroma at native QUARTER resolution.
+    // The fixture's coefficients make the lossy pipeline bit-exact
+    // (per-block constants + one frequency-4 AC with a closed-form ±
+    // pattern), so the oracle replays every luma pixel and both chroma
+    // plane sums from the generator formula having never seen a byte —
+    // any Huffman/dequant/IDCT/sampling bug breaks the hash. ----
+    "mm_jpeg_decode" -> ((s, d) => {
+      val media = attachJpegMedia(Tables.documents(s, d))
+      decodeJpegArrow(media).orderBy(col("doc_id"))
+    }),
+
     // ---- FULL PCM decode, the audio twin of mm_png_decode: the payload
     // is a real RIFF/WAVE binary whose data chunk carries the document's
     // text bytes as 16-bit LE samples; per-channel sums / energy / peak
@@ -1725,6 +2447,44 @@ object Multimodal extends QueryModule {
     // oracle enumerates every (y, x, channel) of each image and computes
     // the same sums/positional checksum the Spark side can only reach by
     // actually inflating + unfiltering the PNG bytes
+    // independent replay of the JPEG decode: the fixture's coefficient
+    // choice makes the lossy chain exact, so every luma pixel is
+    //   vY(bi) + sgn(x%8) * 2 * acm(bi)
+    // with vY = 2*((id*7 + bi*13) % 50) + 80, acm = (id+bi)%5 - 2, and
+    // sgn the frequency-4 IDCT column pattern [+,-,-,+,+,-,-,+]; chroma
+    // planes are constant at quarter resolution (64 samples each). The
+    // Spark side can only reach any of this through Huffman -> dequant ->
+    // IDCT on the real marker stream.
+    "mm_jpeg_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 * (doc_id % 3 + 1) ELSE 16 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nc
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, nc, y.y AS y, x.x AS x,
+        |    CASE WHEN doc_id % 2 = 0 THEN x.x // 8
+        |         ELSE (y.y // 8) * 2 + (x.x // 8) END AS bi
+        |  FROM m, UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |), pv AS (
+        |  SELECT doc_id, w, h, nc,
+        |    2 * ((doc_id * 7 + bi * 13) % 50) + 80
+        |      + (CASE WHEN x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |        * 2 * ((doc_id + bi) % 5 - 2) AS v,
+        |    y * w + x AS pos
+        |  FROM px
+        |)
+        |SELECT doc_id, 'jpeg' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nc AS BIGINT) AS n_components,
+        |  CAST(sum(v) AS BIGINT) AS sum_y,
+        |  CAST(CASE WHEN nc = 3
+        |    THEN 64 * (2 * ((doc_id * 11) % 40) + 88) END AS BIGINT) AS sum_cb,
+        |  CAST(CASE WHEN nc = 3
+        |    THEN 64 * (2 * ((doc_id * 17) % 40) + 88) END AS BIGINT) AS sum_cr,
+        |  CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum_y
+        |FROM pv GROUP BY doc_id, w, h, nc ORDER BY doc_id""".stripMargin,
     "mm_png_decode" ->
       """WITH m AS (
         |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
@@ -1843,7 +2603,7 @@ object Multimodal extends QueryModule {
       """WITH di AS (
         |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
         |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS ch
-        |  FROM documents WHERE doc_id % 3 = 0
+        |  FROM documents WHERE doc_id % 4 = 0
         |), img AS (
         |  SELECT doc_id, w * h AS units,
         |    sum((doc_id * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256) AS mass
@@ -1852,7 +2612,7 @@ object Multimodal extends QueryModule {
         |  GROUP BY doc_id, w, h
         |), da AS (
         |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) // 2 AS n
-        |  FROM documents WHERE doc_id % 3 = 1
+        |  FROM documents WHERE doc_id % 4 = 1
         |), asum AS (
         |  SELECT doc_id, sum(abs(v)) AS mass FROM (
         |    SELECT doc_id,
@@ -1867,15 +2627,28 @@ object Multimodal extends QueryModule {
         |), dv AS (
         |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
         |    n_chars % 3 + 2 AS nf
-        |  FROM documents WHERE doc_id % 3 = 2
+        |  FROM documents WHERE doc_id % 4 = 2
         |), vid AS (
         |  SELECT doc_id, w * h * nf AS units,
         |    sum((doc_id * 31 + f.f * 13 + p.p * 17 + y.y * 7 + x.x * 5) % 256) AS mass
         |  FROM dv, UNNEST(range(0, nf)) AS f(f), UNNEST(range(0, 3)) AS p(p),
         |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
         |  GROUP BY doc_id, w, h, nf
+        |), jpg AS (
+        |  -- doc_id % 4 = 3 is always odd: the 16x16 4:2:0 colour shape.
+        |  -- Luma mass: the AC pattern cancels over full rows, so each
+        |  -- block contributes 64*vY(bi); chroma adds 64*vCb + 64*vCr at
+        |  -- quarter resolution. units = luma pixels (16*16).
+        |  SELECT doc_id, 256 AS units,
+        |    sum(64 * (2 * ((doc_id * 7 + b.b * 13) % 50) + 80))
+        |      + 64 * (2 * ((doc_id * 11) % 40) + 88)
+        |      + 64 * (2 * ((doc_id * 17) % 40) + 88) AS mass
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) dj,
+        |    UNNEST(range(0, 4)) AS b(b)
+        |  GROUP BY doc_id
         |), u AS (
         |  SELECT 'image' AS modality, units, mass FROM img
+        |  UNION ALL SELECT 'image' AS modality, units, mass FROM jpg
         |  UNION ALL SELECT 'audio' AS modality, units, mass FROM aud
         |  UNION ALL SELECT 'video' AS modality, units, mass FROM vid
         |)

@@ -474,19 +474,24 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     // parity of the id only DECIDED which generator ran; the router
     // itself classifies from the bytes — every class must line up
     routed.foreach { case (id, r) =>
-      val expected = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      val expected = (id % 4) match {
+        case 0 => "image"; case 1 => "audio"; case 2 => "video"
+        case _ => "image" // JPEG routes to the same modality as PNG
       }
       assert(r.getString(1) == expected,
         s"doc $id misrouted as ${r.getString(1)}")
     }
-    // image units are the real decode's pixel count
+    // image units are the real decode's pixel count (PNG formula dims for
+    // the %4=0 docs; JPEG %4=3 docs are all odd -> the 16x16 colour shape)
     val nChars = docs.select(
       org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.col("n_chars").cast("long")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     routed.filter(_._2.getString(1) == "image").foreach { case (id, r) =>
-      assert(r.getLong(2) == (id % 16 + 1) * (nChars(id) % 12 + 1))
+      if (id % 4 == 0)
+        assert(r.getLong(2) == (id % 16 + 1) * (nChars(id) % 12 + 1))
+      else
+        assert(r.getLong(2) == 256L, s"jpeg doc $id units")
     }
     // video units are the real decode's luma-pixel count across frames
     routed.filter(_._2.getString(1) == "video").foreach { case (id, r) =>
@@ -494,7 +499,7 @@ class OperatorSmokeSpec extends SparkSuiteBase {
         (id % 8 + 1) * (nChars(id) % 6 + 1) * (nChars(id) % 3 + 2))
     }
     // audio stats recompose from the independently-spec'd wav features
-    val audioDocs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+    val audioDocs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 1)
     val wf = Multimodal.wavFeatures(Multimodal.attachWavMedia(audioDocs)).collect()
       .map(r => r.getLong(0) -> r).toMap
     routed.filter(_._2.getString(1) == "audio").foreach { case (id, r) =>
