@@ -204,7 +204,12 @@ object PlanDump {
     // rollup; V2 source scan (pruned ReadSchema); recursive-CTE frontier
     // joins; SFT assembly projection
     "crawl_url_stats", "crawl_source_scan", "q_recursive_tree",
-    "txt_sft_assemble")
+    "txt_sft_assemble",
+    // round 10: baseline JPEG decode (narrow Arrow-seam mapPartitions —
+    // Huffman/dequant/IDCT where the bytes are read, only stat rows
+    // continue) and the file-based crawl capstone (streamed warcgz V2
+    // scan -> per-member WARC parse -> one doc-keyed reassembly agg)
+    "mm_jpeg_decode", "pipe_crawl_files_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
