@@ -709,6 +709,27 @@ object Multimodal extends QueryModule {
       out.toByteArray
     }
 
+    /** Encode an 8×8 YCbCr 4:4:4 baseline file as THREE single-component
+      * scans (non-interleaved sequential — legal per T.81) with constant
+      * per-component levels — the decoder-generality fixture proving the
+      * marker walk continues past the first SOS.
+      */
+    def encode444MultiScan(yDc: Int, cbDc: Int, crDc: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      writeTables(out, 0)
+      segment(out, 0xc0, Array[Byte](8, 0, 8, 0, 8, 3,
+        1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+      Seq(1 -> yDc, 2 -> cbDc, 3 -> crDc).foreach { case (cid, dc) =>
+        segment(out, 0xda, Array[Byte](1, cid.toByte, 0x00, 0, 63, 0))
+        val bw = new BitWriter(out)
+        encodeBlock(bw, 0, dc, 0): Unit
+        bw.flush()
+      }
+      out.write(0xff); out.write(0xd9)
+      out.toByteArray
+    }
+
     private def writeTables(out: java.io.ByteArrayOutputStream,
         restartInterval: Int): Unit = {
       // APP0: a comment-ish application segment (skipped by decoders)
@@ -760,14 +781,21 @@ object Multimodal extends QueryModule {
       }
       def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
 
+      val decoded = scala.collection.mutable.Set[Int]() // component ids
+      def finish(): Either[String, Decoded] =
+        if (comps == null) Left("missing frame header")
+        else if (!comps.forall(c => decoded(c.id))) Left("missing scan")
+        else Right(Decoded(frameW, frameH, comps.toSeq.map(cropPlane)))
+
       while (pos < bytes.length) {
         if (u8(pos) != 0xff) return Left("bad marker")
-        val marker = u8(pos + 1)
+        var marker = u8(pos + 1)
         pos += 2
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while (marker == 0xff) { marker = u8(pos); pos += 1 }
         marker match {
           case 0xd9 => // EOI
-            return if (comps == null) Left("missing frame header")
-            else Left("missing scan")
+            return finish()
           case 0xc0 | 0xc1 => // baseline / extended sequential
             val len = u16(pos)
             if (u8(pos + 2) != 8) return Left("unsupported sample precision")
@@ -827,7 +855,9 @@ object Multimodal extends QueryModule {
           case 0xdd => // DRI
             restartInterval = u16(pos + 2)
             pos += u16(pos)
-          case 0xda => // SOS — decode the scan, then we are done
+          case 0xda => // SOS — decode this scan, then keep walking: a
+            // legal baseline file may carry SEVERAL single-component
+            // scans (non-interleaved Y, then Cb, then Cr)
             if (comps == null) return Left("missing frame header")
             val len = u16(pos)
             val ns = u8(pos + 2)
@@ -841,9 +871,9 @@ object Multimodal extends QueryModule {
               c
             }
             pos += len
-            val planes = decodeScan(bytes, pos, scanComps, comps, quant,
+            pos = decodeScan(bytes, pos, scanComps, comps, quant,
               dcTables, acTables, restartInterval, frameW, frameH)
-            return Right(Decoded(frameW, frameH, planes))
+            scanComps.foreach(c => decoded.add(c.id): Unit)
           case m if m >= 0xd0 && m <= 0xd7 =>
             return Left("unexpected restart marker")
           case 0x01 => () // TEM, parameterless
@@ -858,15 +888,32 @@ object Multimodal extends QueryModule {
         Left(s"decode error: ${e.getClass.getSimpleName}")
     }
 
+    /** Crop a component's padded plane to its native dims. */
+    private def cropPlane(c: Component): Plane = {
+      val planeW = c.blocksW * 8
+      val outData = new Array[Byte](c.width * c.height)
+      var y = 0
+      while (y < c.height) {
+        System.arraycopy(c.data, y * planeW, outData, y * c.width, c.width)
+        y += 1
+      }
+      Plane(c.width, c.height, outData)
+    }
+
+    /** Decode one scan's entropy data into its components' planes;
+      * returns the byte position just past the scan (where the next
+      * marker begins).
+      */
     private def decodeScan(bytes: Array[Byte], start: Int,
         scanComps: Array[Component], comps: Array[Component],
         quant: Array[Array[Int]], dcTables: Array[HuffTable],
         acTables: Array[HuffTable], restartInterval: Int,
-        frameW: Int, frameH: Int): Seq[Plane] = {
+        frameW: Int, frameH: Int): Int = {
       val hMax = comps.map(_.h).max
       val vMax = comps.map(_.v).max
-      // native (cropped) dims + padded block grids
-      comps.foreach { c =>
+      // native (cropped) dims + padded block grids for THIS scan's
+      // components (others may be decoded by their own later scan)
+      scanComps.foreach { c =>
         c.width = (frameW * c.h + hMax - 1) / hMax
         c.height = (frameH * c.v + vMax - 1) / vMax
         if (scanComps.length == 1) {
@@ -904,8 +951,10 @@ object Multimodal extends QueryModule {
           val r = rs >> 4
           val sz = rs & 0x0f
           if (sz == 0) {
-            if (r == 15) k += 16 // ZRL
-            else done = true // EOB
+            if (r == 15) { // ZRL: 16 zeros, and a coefficient MUST follow
+              k += 16
+              if (k > 63) throw CorruptJpeg("AC index overflow")
+            } else done = true // EOB
           } else {
             k += r
             if (k > 63) throw CorruptJpeg("AC index overflow")
@@ -991,17 +1040,9 @@ object Multimodal extends QueryModule {
         }
         mcu += 1
       }
-      // crop padded planes to native component dims
-      comps.toSeq.map { c =>
-        val planeW = c.blocksW * 8
-        val outData = new Array[Byte](c.width * c.height)
-        var y = 0
-        while (y < c.height) {
-          System.arraycopy(c.data, y * planeW, outData, y * c.width, c.width)
-          y += 1
-        }
-        Plane(c.width, c.height, outData)
-      }
+      // discard the final byte's 1-bit fill; the scan ends at the byte
+      // boundary, where the next marker begins
+      in.position
     }
   }
 

@@ -216,7 +216,9 @@ object Relational extends QueryModule {
     */
   def persistedSaltFactor(s: SparkSession, d: String, source: String,
       key: String, probe: => DataFrame): Int =
-    saltFactorCache.computeIfAbsent((d, key), _ =>
+    // memo key mirrors the artifact key exactly — (dir, source, key) —
+    // so two sources sharing a key-column name never share a decision
+    saltFactorCache.computeIfAbsent((d, s"$source:$key"), _ =>
       Dedup.DerivedArtifacts.table(s, d, source, s"salt_factor_$key") {
         import s.implicits._
         Seq(saltFactorFor(probe, key)).toDF("factor")

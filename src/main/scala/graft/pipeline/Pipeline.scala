@@ -285,25 +285,31 @@ class Warehouse(val root: String, val format: String = "parquet") {
 
   /** Retention: keep the newest `keep` committed snapshots (the current
     * one is never dropped regardless). Uncommitted `_v=` crash debris is
-    * swept ONLY for versions <= the committed current version: a dir
-    * numbered above current with no `_SUCCESS` yet may be an in-flight
-    * versionedWrite (the _SUCCESS marker only lands at job commit), and a
-    * concurrent maintenance pruner must not destroy it mid-write. Returns
+    * swept ONLY when its version holds NO live reservation: with
+    * concurrent writers, a slower writer can be OVERTAKEN — its
+    * uncommitted dir may sit at or below the committed current version
+    * while its write is still in flight — so "below current" alone no
+    * longer implies debris. A writer holds its `_v=N.reserved` marker for
+    * the whole write (released in its `finally`), so live-reservation ⇒
+    * possibly in flight ⇒ untouchable; no reservation ⇒ the writer
+    * finished or failed, and an uncommitted dir is safe to sweep.
+    * Reservations themselves are swept only when their snapshot dir IS
+    * committed (the unambiguous crashed-between-flip-and-release window);
+    * a reservation with no committed dir might be a writer that reserved
+    * but hasn't saved yet — left alone, it only burns a number. Returns
     * the pruned COMMITTED versions.
     */
   def pruneVersions(name: String, keep: Int): Seq[Int] = {
     require(keep >= 1, "pruneVersions: keep must be >= 1")
     val cur = currentVersion(name)
+    val reserved = reservedVersions(name).toSet
     versionDirs(name)
       .filter { case (_, v) =>
-        !versionCommitted(name, v) && cur.exists(v <= _)
+        !versionCommitted(name, v) && cur.exists(v <= _) && !reserved(v)
       }
       .foreach { case (f, _) => Warehouse.deleteRecursively(f) }
-    // stale reservations: writers always reserve ABOVE the committed
-    // current version, so a reservation at or below it can only be crash
-    // debris (its number is burned either way — the no-reuse rule)
-    reservedVersions(name)
-      .filter(v => cur.exists(v <= _))
+    reserved
+      .filter(v => versionCommitted(name, v))
       .foreach(v => new java.io.File(tablePath(name), s"_v=$v.reserved")
         .delete(): Unit)
     val dropped = listVersions(name).sorted.reverse.drop(keep)

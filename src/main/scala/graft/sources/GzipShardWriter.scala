@@ -88,9 +88,14 @@ object GzipShardWriter {
           }
         } finally out.close()
         val dest = new Path(rootStr, s"shard-$shard.gz")
-        fs.delete(dest, false): Unit // retry/speculation: last attempt wins
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(s"could not commit shard $dest")
+        // ATOMIC overwrite-rename (FileContext, not FileSystem.rename):
+        // a delete+rename pair would let a killed speculative attempt
+        // delete a committed shard and die before replacing it — the
+        // job would still succeed and _SUCCESS would cover a hole.
+        // Attempts write identical bytes (deterministic layout), so
+        // whichever rename lands last, the shard is whole.
+        org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf.value)
+          .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         Iterator.single(shard -> n)
       }
     }.collect().toSeq // one small (shard, count) row per non-empty shard

@@ -183,18 +183,26 @@ object StreamRunner {
       minJaccard: Double): Unit = {
     import org.apache.spark.sql.functions.{col, lit, md5, min}
     if (!batch.isEmpty) {
-      val docs = batch.cache()
+      val docs = batch.withColumn("__h", md5(col("text"))).cache()
       try {
-        val canon = docs
-          .groupBy(md5(col("text")).as("__h"))
+        // one survivor per doc_id, chosen DETERMINISTICALLY (min content
+        // hash wins): `survivors` is evaluated once for the publish job
+        // and again for the signature/hash index jobs, so an arbitrary
+        // per-job pick (dropDuplicates on doc_id alone) could publish one
+        // copy's text while indexing a different copy's signatures —
+        // min-hash-wins makes every evaluation agree. The remaining
+        // dropDuplicates is over byte-identical (doc_id, hash) rows,
+        // where any pick is the same row.
+        val perId = docs.groupBy(col("doc_id")).agg(min(col("__h")).as("__h"))
+        val uniq = docs.join(perId, Seq("doc_id", "__h"))
+          .dropDuplicates("doc_id", "__h")
+        // content-level exact dedup across doc_ids: min-doc_id canonical
+        // per content hash
+        val canon = uniq
+          .groupBy(col("__h"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
-        // dropDuplicates closes the same-doc_id gap: the min-id canon
-        // join keeps EVERY copy of a row whose doc_id appears twice in
-        // one micro-batch (e.g. the same WARC record landing in two
-        // shard files of the same trigger) — one survivor per doc_id is
-        // the publish contract
-        val exact = docs.join(canon, Seq("doc_id")).dropDuplicates("doc_id")
+        val exact = uniq.join(canon, Seq("doc_id")).drop("__h")
         val survivors =
           if (!wh.exists(s"${table}_sigs")) exact
           else {

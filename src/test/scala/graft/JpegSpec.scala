@@ -69,6 +69,31 @@ class JpegSpec extends SparkSuiteBase {
     assert(pcr.data.forall(b => (b & 0xff) == vCr))
   }
 
+  test("multi-scan non-interleaved baseline: the walk continues past the first SOS") {
+    // three single-component scans (Y, Cb, Cr) — legal sequential T.81;
+    // an early-return-at-first-SOS decoder would yield all-zero chroma
+    // encoder takes QUANTIZED DCs: level v decodes as 2*dc + 128
+    val Right(d) = JpegCodec.decode(JpegCodec.encode444MultiScan(
+      (100 - 128) / 2, (90 - 128) / 2, (150 - 128) / 2))
+    assert(d.width == 8 && d.height == 8 && d.planes.length == 3)
+    assert(d.planes.forall(p => p.width == 8 && p.height == 8))
+    assert(d.planes(0).data.forall(b => (b & 0xff) == 100))
+    assert(d.planes(1).data.forall(b => (b & 0xff) == 90))
+    assert(d.planes(2).data.forall(b => (b & 0xff) == 150))
+  }
+
+  test("0xFF fill bytes before a marker are legal (T.81 B.1.1.2)") {
+    val ok = JpegCodec.encodeGray(8, grayCoef(5L))
+    val dqtAt = ok.indices.find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xdb).get
+    // FF FF FF DB: two fill bytes, then the DQT marker
+    val padded = ok.take(dqtAt) ++
+      Array(0xff.toByte, 0xff.toByte) ++ ok.drop(dqtAt)
+    val Right(d) = JpegCodec.decode(padded)
+    assert(d.planes.head.data.sameElements(
+      JpegCodec.decode(ok).toOption.get.planes.head.data))
+  }
+
   test("malformation ladder: every structural break degrades typed") {
     val ok = JpegCodec.encodeGray(8, grayCoef(3L))
     assert(JpegCodec.decode("notajpeg".getBytes).left.exists(_ == "bad signature"))

@@ -145,14 +145,25 @@ class StreamRunnerSpec extends SparkSuiteBase {
     // batch 0: docs 1 and 3 are byte-identical (exact stage keeps min id),
     // 2 unique — and doc 2's ROW appears twice in the same micro-batch
     // (the same WARC record landing in two files of one trigger): exactly
-    // one copy may publish
-    drop("drop1.jsonl", Seq((1L, t1), (3L, t1), (2L, u1), (2L, u1)))
+    // one copy may publish. Doc 6 appears twice with DIFFERENT text (a
+    // re-crawl changed the page within one trigger): the survivor must be
+    // chosen deterministically (min content md5), because the publish job
+    // and the signature-index jobs evaluate the plan independently.
+    val v1 = "first crawl of the changed page body words"
+    val v2 = "second crawl with different body content words"
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected6 = if (md5hex(v1) < md5hex(v2)) v1 else v2
+    drop("drop1.jsonl", Seq((1L, t1), (3L, t1), (2L, u1), (2L, u1), (6L, v1), (6L, v2)))
     runOnce()
-    val rows1 = wh.read(spark, "corpus").select("doc_id").collect().map(_.getLong(0))
-    val after1 = rows1.toSet
-    assert(after1 == Set(1L, 2L), "exact within-batch dedup keeps the min-id canonical")
-    assert(rows1.length == 2,
+    val rows1 = wh.read(spark, "corpus").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val after1 = rows1.map(_._1).toSet
+    assert(after1 == Set(1L, 2L, 6L), "exact within-batch dedup keeps the min-id canonical")
+    assert(rows1.length == 3,
       "a doc_id appearing twice in one batch publishes exactly one row")
+    assert(rows1.toMap.apply(6L) == expected6,
+      "same-id different-text survivor must be the min-md5 copy (deterministic)")
 
     // batch 1: 11 is a byte-identical CROSS-batch dup (caught by the
     // near-dup engine against batch 0's persisted signatures), 13 a
@@ -164,7 +175,7 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(!after2.contains(11L), "cross-batch exact dup must drop via the near-dup index")
     // independent pin of the full survivor set: 11 (exact cross-batch dup)
     // and 13 (near-dup of batch-0's doc 1) drop; 12 survives
-    assert(after2 == Set(1L, 2L, 12L))
+    assert(after2 == Set(1L, 2L, 6L, 12L))
     // recomposition parity: batch 1's survivors == its exact-stage docs
     // minus exactly what the AUDITED batch engine matches against the
     // batch-0 index partitions

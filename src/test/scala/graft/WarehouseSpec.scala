@@ -113,9 +113,24 @@ class WarehouseSpec extends SparkSuiteBase {
       "the loser of the reservation race retries with a higher number")
     assert(wh.currentVersion("t").contains(3))
     assert(reserved.exists(), "the in-flight writer's reservation is untouched")
-    // once the committed version passes it, the stale reservation is swept
+    // an OVERTAKEN in-flight writer (live reservation + uncommitted dir
+    // below current) must survive pruning — its _SUCCESS hasn't landed yet
+    val inflightDir = new java.io.File(wh.tablePath("t"), "_v=2")
+    inflightDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(inflightDir, "part-00000").toPath, Array[Byte](1))
     wh.pruneVersions("t", keep = 10)
-    assert(!reserved.exists(), "a reservation at/below current is crash debris")
+    assert(reserved.exists() && inflightDir.exists(),
+      "prune must not destroy a possibly-in-flight overtaken writer")
+    // once the writer finishes (reservation released), the uncommitted
+    // dir IS debris and sweeps; a reservation left beside a COMMITTED dir
+    // (crash between marker flip and release) also sweeps
+    reserved.delete()
+    val staleRes = new java.io.File(wh.tablePath("t"), "_v=3.reserved")
+    java.nio.file.Files.createFile(staleRes.toPath)
+    wh.pruneVersions("t", keep = 10)
+    assert(!inflightDir.exists(), "released uncommitted dir is crash debris")
+    assert(!staleRes.exists(), "reservation beside a committed dir is debris")
 
     // two genuinely concurrent writers: both succeed, versions distinct,
     // marker = max, both snapshots readable
