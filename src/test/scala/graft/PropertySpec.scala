@@ -311,6 +311,94 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 25)
   }
 
+  test("GzipCodec.MemberIterator: streamed decode == eager decode; salvage is the verified prefix") {
+    import graft.operators.Crawl.GzipCodec
+    val member = for {
+      n <- Gen.chooseNum(0, 300)
+      data <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      named <- Gen.oneOf(true, false)
+      name <- Gen.alphaNumStr.map(_.take(10))
+    } yield (if (named && name.nonEmpty) Some(name) else None, data.map(_.toByte).toArray)
+    check(Prop.forAll(for {
+      ms <- Gen.chooseNum(1, 5).flatMap(k => Gen.listOfN(k, member))
+      corruptTail <- Gen.oneOf(true, false)
+    } yield (ms, corruptTail)) { case (ms, corruptTail) =>
+      val clean = GzipCodec.encodeMembers(ms)
+      val bytes =
+        if (!corruptTail) clean
+        else {
+          val bad = GzipCodec.encodeMember("x".getBytes)
+          bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x5a).toByte
+          clean ++ bad
+        }
+      val streamed = scala.util.Try(
+        new GzipCodec.MemberIterator(
+          new java.io.ByteArrayInputStream(bytes)).toList)
+      val salvaged = GzipCodec.salvageIterator(bytes).toList
+      def matches(out: Seq[GzipCodec.Member]) =
+        out.length == ms.length && out.zip(ms).forall { case (o, (n, d)) =>
+          o.name == n && o.data.sameElements(d)
+        }
+      if (!corruptTail)
+        // streamed == eager == salvage on a clean archive
+        streamed.toOption.exists(matches) && matches(salvaged) &&
+          GzipCodec.decodeMembers(bytes).exists(matches)
+      else
+        // corrupt tail: the iterator throws typed AFTER the verified
+        // prefix; salvage keeps exactly that prefix; eager is Left
+        streamed.isFailure &&
+          streamed.failed.get.isInstanceOf[GzipCodec.CorruptArchive] &&
+          matches(salvaged) && GzipCodec.decodeMembers(bytes).isLeft
+    }, n = 25)
+  }
+
+  test("JpegCodec: arbitrary per-block coefficients round-trip pixel-exactly for arbitrary widths") {
+    import graft.operators.Multimodal.JpegCodec
+    val blockGen = for {
+      dcq <- Gen.chooseNum(-24, 25) // levels 80..178
+      acm <- Gen.chooseNum(-2, 2)
+    } yield (dcq, acm)
+    check(Prop.forAll(for {
+      nBlocks <- Gen.chooseNum(1, 5)
+      blocks <- Gen.listOfN(nBlocks, blockGen)
+      restart <- Gen.oneOf(0, 2)
+    } yield (blocks, restart)) { case (blocks, restart) =>
+      val w = blocks.length * 8
+      val bytes = JpegCodec.encodeGray(w, bi => blocks(bi), restart)
+      JpegCodec.decode(bytes) match {
+        case Right(d) =>
+          val p = d.planes.head
+          d.width == w && d.height == 8 && d.planes.length == 1 &&
+            (0 until 8).forall { y =>
+              (0 until w).forall { x =>
+                val (dcq, acm) = blocks(x / 8)
+                val sgn = if (Set(0, 3, 4, 7)(x % 8)) 1 else -1
+                (p.data(y * w + x) & 0xff) == 128 + 2 * dcq + sgn * 2 * acm
+              }
+            }
+        case Left(_) => false
+      }
+    }, n = 25)
+  }
+
+  test("JpegCodec.decode is TOTAL: arbitrary byte mutations return Left or Right, never throw") {
+    import graft.operators.Multimodal.JpegCodec
+    val base = JpegCodec.encodeGray(16, bi => (5 + bi, 1))
+    check(Prop.forAll(for {
+      at <- Gen.chooseNum(0, base.length - 1)
+      v <- Gen.chooseNum(0, 255)
+      alsoTruncate <- Gen.oneOf(true, false)
+      keep <- Gen.chooseNum(2, base.length)
+    } yield (at, v, alsoTruncate, keep)) { case (at, v, alsoTruncate, keep) =>
+      val mutated = base.clone()
+      mutated(at) = v.toByte
+      val input = if (alsoTruncate) mutated.take(keep) else mutated
+      // total function: any structural damage is a typed Left, and a
+      // harmless mutation (e.g. inside the APP0 payload) still decodes
+      JpegCodec.decode(input).isLeft || JpegCodec.decode(input).isRight
+    }, n = 50)
+  }
+
   test("WarcCodec: arbitrary headers and binary bodies round-trip; truncation always degrades typed") {
     import graft.operators.Crawl.WarcCodec
     val hdr = for {
