@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
   *    can seek to any member boundary without decompressing the shard).
   *  - [[WarcCodec]]: ISO 28500 WARC records — version line, CRLF header
   *    block, exact Content-Length body slicing, record terminator.
+  *  - [[HttpCodec]]: RFC 9112 HTTP/1.1 response messages — the layer a
+  *    real WARC `response` record carries (`application/http`): status
+  *    line, header block, Content-Length / CHUNKED / close-delimited
+  *    body framing, trailer skip.
   *
   * The capstone `pipe_crawl_e2e` is the CommonCrawl ingestion pipeline
-  * end to end: gzip members → WARC records → response filtering → HTML
-  * visible-text extraction ([[graft.plans.HtmlTextImpl]]) — every stage a
-  * real parser, verified against the oracle's independent generator
-  * replay (the oracle never sees a single archive byte).
+  * end to end: gzip members → WARC records → response filtering → HTTP
+  * message parse (dechunking) → HTML visible-text extraction
+  * ([[graft.plans.HtmlTextImpl]]) — every stage a real parser, verified
+  * against the oracle's independent generator replay (the oracle never
+  * sees a single archive byte).
   *
   * Scale posture: all decode stages run inside ONE narrow
   * mapPartitions/Arrow-seam pass — archive bytes are decoded where they
@@ -320,6 +325,145 @@ object Crawl extends QueryModule {
     }
   }
 
+  /** RFC 9112 HTTP/1.1 response messages — the layer a REAL WARC
+    * `response` record carries (`Content-Type: application/http;
+    * msgtype=response`): status line, CRLF header block, then the body
+    * framed by `Content-Length` or by CHUNKED transfer coding (hex size
+    * line + chunk + CRLF per chunk, `0`-chunk + blank trailer to end).
+    * The decoder handles both framings plus close-delimited bodies
+    * (neither header → everything to EOF), skips trailer fields after
+    * the last chunk, and degrades every malformation to a typed reason.
+    */
+  object HttpCodec {
+    case class HttpResponse(status: Int, headers: Map[String, String],
+                            body: Array[Byte])
+
+    def encode(status: Int, reason: String, headers: Seq[(String, String)],
+        body: Array[Byte], chunked: Boolean, chunkSize: Int = 50): Array[Byte] = {
+      require(headers.forall { case (k, v) =>
+        !k.exists(c => c == '\r' || c == '\n') &&
+          !v.exists(c => c == '\r' || c == '\n')
+      }, "HTTP header may not contain CR/LF")
+      val sb = new StringBuilder(s"HTTP/1.1 $status $reason\r\n")
+      headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+      val out = new java.io.ByteArrayOutputStream()
+      if (chunked) {
+        sb.append("Transfer-Encoding: chunked\r\n\r\n")
+        out.write(sb.toString.getBytes("ISO-8859-1"))
+        var off = 0
+        while (off < body.length) {
+          val n = math.min(chunkSize, body.length - off)
+          out.write(s"${n.toHexString}\r\n".getBytes("US-ASCII"))
+          out.write(body, off, n)
+          out.write("\r\n".getBytes("US-ASCII"))
+          off += n
+        }
+        out.write("0\r\n\r\n".getBytes("US-ASCII"))
+      } else {
+        sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+        out.write(sb.toString.getBytes("ISO-8859-1"))
+        out.write(body, 0, body.length)
+      }
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Either[String, HttpResponse] = try {
+      def lineEnd(from: Int): Int = {
+        var i = from
+        while (i + 1 < bytes.length &&
+          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+        if (i + 1 >= bytes.length) -1 else i
+      }
+      val sEnd = lineEnd(0)
+      if (sEnd < 0) return Left("missing status line")
+      val statusLine = new String(bytes, 0, sEnd, "ISO-8859-1")
+      if (!statusLine.startsWith("HTTP/")) return Left("bad status line")
+      val parts = statusLine.split(" ", 3)
+      if (parts.length < 2) return Left("bad status line")
+      val status = try parts(1).toInt catch {
+        case _: NumberFormatException => return Left("bad status code")
+      }
+      var p = sEnd + 2
+      val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+      var done = false
+      while (!done) {
+        val e = lineEnd(p)
+        if (e < 0) return Left("unterminated header block")
+        if (e == p) { done = true; p += 2 }
+        else {
+          val line = new String(bytes, p, e - p, "ISO-8859-1")
+          val colon = line.indexOf(':')
+          if (colon <= 0) return Left("malformed header line")
+          headers(line.substring(0, colon).trim.toLowerCase) =
+            line.substring(colon + 1).trim
+          p = e + 2
+        }
+      }
+      val body: Array[Byte] =
+        if (headers.get("transfer-encoding").exists(
+            _.toLowerCase.contains("chunked"))) {
+          val out = new java.io.ByteArrayOutputStream()
+          var lastChunk = false
+          while (!lastChunk) {
+            val e = lineEnd(p)
+            if (e < 0) return Left("truncated chunk size")
+            val sizeStr = new String(bytes, p, e - p, "US-ASCII")
+              .split(";")(0).trim // chunk extensions ignored
+            val n = try Integer.parseInt(sizeStr, 16) catch {
+              case _: NumberFormatException => return Left("bad chunk size")
+            }
+            if (n < 0) return Left("bad chunk size")
+            p = e + 2
+            if (n == 0) lastChunk = true
+            else {
+              if (p + n + 2 > bytes.length) return Left("truncated chunk")
+              out.write(bytes, p, n)
+              if (bytes(p + n) != '\r' || bytes(p + n + 1) != '\n')
+                return Left("missing chunk terminator")
+              p += n + 2
+            }
+          }
+          // trailer section: zero or more fields, then a blank line
+          var trailerDone = false
+          while (!trailerDone) {
+            val e = lineEnd(p)
+            if (e < 0) return Left("unterminated trailer")
+            if (e == p) { trailerDone = true; p += 2 }
+            else p = e + 2
+          }
+          out.toByteArray
+        } else headers.get("content-length") match {
+          case Some(v) =>
+            val n = try v.toInt catch {
+              case _: NumberFormatException =>
+                return Left("malformed Content-Length")
+            }
+            if (n < 0 || p + n > bytes.length) return Left("truncated body")
+            java.util.Arrays.copyOfRange(bytes, p, p + n)
+          case None => // close-delimited: everything to EOF
+            java.util.Arrays.copyOfRange(bytes, p, bytes.length)
+        }
+      Right(HttpResponse(status, headers.toMap, body))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"decode error: ${e.getClass.getSimpleName}")
+    }
+  }
+
+  /** The payload of a WARC `response` record: if the record declares
+    * `application/http` content (the real CommonCrawl shape), the body
+    * is an HTTP/1.1 message — parse it (status line, headers, chunked or
+    * Content-Length framing) and return ITS body; otherwise the WARC
+    * body is the payload directly. Left = the HTTP layer is declared
+    * but malformed.
+    */
+  private[operators] def responsePayload(
+      rec: WarcCodec.WarcRecord): Either[String, Array[Byte]] =
+    if (rec.headers.get("Content-Type").exists(
+        _.toLowerCase.startsWith("application/http")))
+      HttpCodec.decode(rec.body).map(_.body)
+    else Right(rec.body)
+
   // ---- fixtures: archives built from (doc_id, text) so the DuckDB
   // oracle predicts every decoded value independently ----
 
@@ -354,14 +498,25 @@ object Crawl extends QueryModule {
       "WARC-Target-URI" -> s"https://example.com/$id"),
       s"GET /$id HTTP/1.1\r\nHost: example.com".getBytes("UTF-8"))
 
-  /** The fixture's WARC `response` record: the doc's HTML page. */
+  /** The fixture's WARC `response` record — the REAL CommonCrawl shape:
+    * the record body is a full HTTP/1.1 response message (status line,
+    * headers, chunked transfer coding for odd ids / Content-Length for
+    * even) whose body is the doc's HTML page. The decode chain must now
+    * parse FOUR layers (gzip → WARC → HTTP → HTML) to reach the text the
+    * oracle predicts.
+    */
   private def responseRecord(id: Long, text: String): Array[Byte] =
     WarcCodec.encode(Seq(
       "WARC-Type" -> "response",
       "WARC-Record-ID" -> s"<urn:graft:$id>",
       "WARC-Target-URI" -> s"https://example.com/$id",
-      "Content-Type" -> "text/html"),
-      TextAnalysis.htmlTemplate(id, text).getBytes("UTF-8"))
+      "Content-Type" -> "application/http; msgtype=response"),
+      HttpCodec.encode(200, "OK",
+        Seq("Content-Type" -> "text/html; charset=utf-8",
+          "Server" -> "graft-fixture"),
+        TextAnalysis.htmlTemplate(id, text).getBytes("UTF-8"),
+        chunked = id % 2 == 1,
+        chunkSize = (id % 5 + 1).toInt * 17))
 
   /** A realistic `.warc.gz` shard slice per doc: TWO gzip members — a
     * `request` record, then the `response` record whose body is the
@@ -432,14 +587,20 @@ object Crawl extends QueryModule {
             Row(id, "no-response", recs.length.toLong, 0L, null, null, null, null, null)
           else {
             val resp = responses.head
-            val html = new String(resp.body, "UTF-8")
-            val st = graft.plans.HtmlTextImpl.extract(html)
-            val md = java.security.MessageDigest.getInstance("MD5")
-            Row(id, "warc", recs.length.toLong, responses.length.toLong,
-              resp.headers.getOrElse("WARC-Target-URI", null),
-              resp.body.length.toLong,
-              md.digest(st.text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
-              st.text.length.toLong, st.links)
+            responsePayload(resp) match {
+              case Left(_) =>
+                Row(id, "http-corrupt", recs.length.toLong,
+                  responses.length.toLong, null, null, null, null, null)
+              case Right(payload) =>
+                val html = new String(payload, "UTF-8")
+                val st = graft.plans.HtmlTextImpl.extract(html)
+                val md = java.security.MessageDigest.getInstance("MD5")
+                Row(id, "warc", recs.length.toLong, responses.length.toLong,
+                  resp.headers.getOrElse("WARC-Target-URI", null),
+                  payload.length.toLong,
+                  md.digest(st.text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+                  st.text.length.toLong, st.links)
+            }
           }
         }
     }
@@ -499,8 +660,11 @@ object Crawl extends QueryModule {
         val mm = RecordIdPattern.matcher(
           rec.headers.getOrElse("WARC-Record-ID", ""))
         if (!mm.find()) None
-        else Some(Row(mm.group(1).toLong,
-          graft.plans.HtmlTextImpl.extract(new String(rec.body, "UTF-8")).text))
+        else responsePayload(rec) match {
+          case Left(_) => None // declared-HTTP record that doesn't parse
+          case Right(payload) => Some(Row(mm.group(1).toLong,
+            graft.plans.HtmlTextImpl.extract(new String(payload, "UTF-8")).text))
+        }
       case _ => None
     }
 
@@ -606,7 +770,9 @@ object Crawl extends QueryModule {
     private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
     def dir(s: SparkSession, d: String): String = {
-      val key = s"warc_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      // v2: response records carry the HTTP layer (key bumped so cached
+      // v1 shard sets regenerate)
+      val key = s"warc_v2_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
       val out = new java.io.File(base, key)
       if (!built.contains(key)) {
         if (!new java.io.File(out, "_SUCCESS").exists()) {
@@ -658,17 +824,21 @@ object Crawl extends QueryModule {
             if (!mm.find()) None
             else {
               val id = mm.group(1).toLong
-              if (rec.headers.get("WARC-Type").contains("response")) {
-                val st = graft.plans.HtmlTextImpl.extract(
-                  new String(rec.body, "UTF-8"))
-                val md = java.security.MessageDigest.getInstance("MD5")
-                Some(Row(id, 1L,
-                  rec.headers.getOrElse("WARC-Target-URI", null),
-                  rec.body.length.toLong,
-                  md.digest(st.text.getBytes("UTF-8"))
-                    .map("%02x".format(_)).mkString,
-                  st.text.length.toLong, st.links))
-              } else Some(Row(id, 0L, null, null, null, null, null))
+              if (rec.headers.get("WARC-Type").contains("response"))
+                responsePayload(rec) match {
+                  case Left(_) => None // declared-HTTP record, unparseable
+                  case Right(payload) =>
+                    val st = graft.plans.HtmlTextImpl.extract(
+                      new String(payload, "UTF-8"))
+                    val md = java.security.MessageDigest.getInstance("MD5")
+                    Some(Row(id, 1L,
+                      rec.headers.getOrElse("WARC-Target-URI", null),
+                      payload.length.toLong,
+                      md.digest(st.text.getBytes("UTF-8"))
+                        .map("%02x".format(_)).mkString,
+                      st.text.length.toLong, st.links))
+                }
+              else Some(Row(id, 0L, null, null, null, null, null))
             }
         }
       }
@@ -862,10 +1032,12 @@ object Crawl extends QueryModule {
     // one oracle text checks both the in-row and the written-shard paths
     "pipe_crawl_files_e2e" -> crawlE2eOracle)
 
-  // predicts the END of the 3-codec chain: the response body length is
-  // the generated page's length and the extraction output is the same
-  // generator replay txt_html_extract pins — while the Spark side must
-  // inflate, slice, and parse to reach either
+  // predicts the END of the FOUR-codec chain (gzip → WARC → HTTP →
+  // HTML): content_length is the HTTP BODY length (= the generated
+  // page's bytes — the status line, headers, and chunk framing must be
+  // stripped exactly to land on it) and the extraction output is the
+  // same generator replay txt_html_extract pins — while the Spark side
+  // must inflate, slice, dechunk, and parse to reach either
   private val crawlE2eOracle: String =
       """WITH page AS (
         |  SELECT doc_id,

@@ -180,6 +180,44 @@ class CrawlSpec extends SparkSuiteBase {
       Seq("WARC-Type" -> "response"), "ok".getBytes)).isRight)
   }
 
+  test("HttpCodec: Content-Length, chunked, and close-delimited framings round-trip; degrade ladder") {
+    import graft.operators.Crawl.HttpCodec
+    val body = ("x" * 137).getBytes("UTF-8") // not a multiple of any chunk size
+    // Content-Length framing
+    val cl = HttpCodec.encode(200, "OK", Seq("Content-Type" -> "text/html"), body, chunked = false)
+    val Right(r1) = HttpCodec.decode(cl)
+    assert(r1.status == 200 && r1.body.sameElements(body))
+    assert(r1.headers("content-type") == "text/html")
+    // chunked framing, odd chunk size
+    val ch = HttpCodec.encode(404, "Not Found", Seq("X" -> "y"), body, chunked = true, chunkSize = 13)
+    val Right(r2) = HttpCodec.decode(ch)
+    assert(r2.status == 404 && r2.body.sameElements(body))
+    // the wire form genuinely contains hex chunk-size lines
+    assert(new String(ch, "ISO-8859-1").contains("\r\nd\r\n"))
+    // close-delimited: no framing header, body = rest of bytes
+    val closed = ("HTTP/1.1 200 OK\r\nServer: x\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    val Right(r3) = HttpCodec.decode(closed)
+    assert(r3.body.sameElements(body))
+    // chunk extensions are ignored per RFC 9112
+    val ext = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5;ext=1\r\nhello\r\n0\r\n\r\n").getBytes("ISO-8859-1")
+    assert(HttpCodec.decode(ext).toOption.get.body.sameElements("hello".getBytes))
+    // degrade ladder
+    assert(HttpCodec.decode("not http".getBytes).left.exists(_ == "missing status line"))
+    assert(HttpCodec.decode("FTP/1.1 200 OK\r\n\r\n".getBytes).left.exists(_ == "bad status line"))
+    assert(HttpCodec.decode("HTTP/1.1 abc X\r\n\r\n".getBytes).left.exists(_ == "bad status code"))
+    assert(HttpCodec.decode(cl.dropRight(5)).left.exists(_ == "truncated body"))
+    assert(HttpCodec.decode(ch.dropRight(5)).isLeft)
+    assert(HttpCodec.decode(("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "zz\r\n").getBytes).left.exists(_ == "bad chunk size"))
+    assert(HttpCodec.decode("HTTP/1.1 200 OK\r\nNoColon\r\n\r\n".getBytes)
+      .left.exists(_ == "malformed header line"))
+    // encode guards CR/LF header injection like WarcCodec
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK", Seq("X" -> "a\r\nInjected: v"), body, chunked = false)
+    }
+  }
+
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
@@ -202,6 +240,24 @@ class CrawlSpec extends SparkSuiteBase {
       Seq("WARC-Type" -> "request"), "GET /".getBytes))
     val r3 = Crawl.crawlExtract(one(reqOnly)).collect()(0)
     assert(r3.getString(1) == "no-response" && r3.getLong(2) == 1L)
+    // layer 4: response record DECLARING application/http whose message
+    // is malformed — the new HTTP layer's typed class
+    val badHttp = GzipCodec.encodeMember(WarcCodec.encode(
+      Seq("WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:graft:9>",
+        "Content-Type" -> "application/http; msgtype=response"),
+      "GARBAGE not an http message".getBytes))
+    val r4 = Crawl.crawlExtract(one(badHttp)).collect()(0)
+    assert(r4.getString(1) == "http-corrupt")
+    // a record NOT declaring HTTP still passes its body through directly
+    // (the pre-HTTP fixture shape keeps working)
+    val bare = GzipCodec.encodeMember(WarcCodec.encode(
+      Seq("WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:graft:5>",
+        "Content-Type" -> "text/html"),
+      "<html><body>bare</body></html>".getBytes))
+    val r5 = Crawl.crawlExtract(one(bare)).collect()(0)
+    assert(r5.getString(1) == "warc" && r5.getLong(7) == 4L) // "bare"
     // gzip row/Arrow parity on the member fixture too
     val gz = Crawl.attachGzipMedia(docs)
     assert(canon(Crawl.decodeGzip(gz)) == canon(Crawl.decodeGzipArrow(gz)))

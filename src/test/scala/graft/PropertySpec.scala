@@ -399,6 +399,25 @@ class PropertySpec extends SparkSuiteBase {
     }, n = 50)
   }
 
+  test("HttpCodec: arbitrary binary bodies round-trip under BOTH framings at arbitrary chunk sizes") {
+    import graft.operators.Crawl.HttpCodec
+    val gen = for {
+      n <- Gen.chooseNum(0, 500)
+      body <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      chunked <- Gen.oneOf(true, false)
+      chunkSize <- Gen.chooseNum(1, 97)
+      status <- Gen.chooseNum(100, 599)
+    } yield (body.map(_.toByte).toArray, chunked, chunkSize, status)
+    check(Prop.forAll(gen) { case (body, chunked, chunkSize, status) =>
+      val wire = HttpCodec.encode(status, "R", Seq("X-K" -> "v"),
+        body, chunked, chunkSize)
+      HttpCodec.decode(wire) match {
+        case Right(r) => r.status == status && r.body.sameElements(body)
+        case Left(_) => false
+      }
+    }, n = 40)
+  }
+
   test("WarcCodec: arbitrary headers and binary bodies round-trip; truncation always degrades typed") {
     import graft.operators.Crawl.WarcCodec
     val hdr = for {
