@@ -450,6 +450,113 @@ object Crawl extends QueryModule {
     }
   }
 
+  /** RFC 9309 robots.txt engine — the crawl-compliance gate: group
+    * parsing (stacked `User-agent` lines open a group; rules before any
+    * group are ignored; `#` comments stripped; unknown directives
+    * skipped; keys case-insensitive), group SELECTION (a group naming
+    * the agent beats `*`; all matching groups' rules merge), and rule
+    * matching with the spec's `*` wildcard and `$` end anchor over the
+    * URL's path-and-query, decided by LONGEST-match specificity with
+    * ties going to Allow. No matching rule ⇒ allowed. An empty
+    * `Disallow:` value is a no-op (allow-everything idiom).
+    */
+  object RobotsCodec {
+    case class Rule(allow: Boolean, pattern: String)
+    case class Group(agents: Seq[String], rules: Seq[Rule])
+
+    def parse(text: String): Seq[Group] = {
+      val groups = scala.collection.mutable.ArrayBuffer[Group]()
+      var agents = scala.collection.mutable.ArrayBuffer[String]()
+      var rules = scala.collection.mutable.ArrayBuffer[Rule]()
+      var inGroup = false
+      def flush(): Unit = {
+        if (inGroup) groups += Group(agents.toSeq, rules.toSeq)
+        agents = scala.collection.mutable.ArrayBuffer[String]()
+        rules = scala.collection.mutable.ArrayBuffer[Rule]()
+        inGroup = false
+      }
+      text.split("\n").foreach { raw =>
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.nonEmpty) {
+          val colon = line.indexOf(':')
+          if (colon > 0) {
+            val key = line.substring(0, colon).trim.toLowerCase
+            val value = line.substring(colon + 1).trim
+            key match {
+              case "user-agent" =>
+                // a user-agent AFTER rules starts a fresh group; stacked
+                // user-agent lines extend the current group's agent set
+                if (rules.nonEmpty) flush()
+                agents += value.toLowerCase
+                inGroup = true
+              case "allow" if inGroup =>
+                if (value.nonEmpty) rules += Rule(allow = true, value)
+              case "disallow" if inGroup =>
+                if (value.nonEmpty) rules += Rule(allow = false, value)
+              case _ => () // crawl-delay, sitemap, unknown: ignored
+            }
+          }
+        }
+      }
+      flush()
+      groups.toSeq
+    }
+
+    /** The rules governing `agent`: all groups naming it exactly
+      * (case-insensitive) if any, else all `*` groups.
+      */
+    def rulesFor(groups: Seq[Group], agent: String): Seq[Rule] = {
+      val a = agent.toLowerCase
+      val named = groups.filter(_.agents.contains(a))
+      val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+      chosen.flatMap(_.rules)
+    }
+
+    /** RFC 9309 pattern match over path-and-query: literal prefix match
+      * with `*` (any octet sequence) and a trailing `$` end anchor.
+      */
+    def matches(pattern: String, pathQuery: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val p = if (anchored) pattern.dropRight(1) else pattern
+      val segs = p.split("\\*", -1) // -1 keeps trailing empty seg for "x*"
+      def from(i: Int, segIdx: Int, mustStart: Boolean): Boolean =
+        if (segIdx == segs.length)
+          !anchored || i == pathQuery.length
+        else {
+          val seg = segs(segIdx)
+          if (mustStart) {
+            pathQuery.startsWith(seg, i) &&
+              from(i + seg.length, segIdx + 1, mustStart = false)
+          } else if (segIdx == segs.length - 1 && anchored) {
+            // last segment under $: must sit at the very end
+            pathQuery.length - i >= seg.length && pathQuery.endsWith(seg)
+          } else if (seg.isEmpty) from(i, segIdx + 1, mustStart = false)
+          else {
+            var at = pathQuery.indexOf(seg, i)
+            var ok = false
+            while (at >= 0 && !ok) {
+              ok = from(at + seg.length, segIdx + 1, mustStart = false)
+              if (!ok) at = pathQuery.indexOf(seg, at + 1)
+            }
+            ok
+          }
+        }
+      from(0, 0, mustStart = true)
+    }
+
+    /** Longest-match decision: the matching rule with the longest raw
+      * pattern wins; ties go to Allow; no match ⇒ allowed.
+      */
+    def allowed(rules: Seq[Rule], pathQuery: String): Boolean = {
+      val matching = rules.filter(r => matches(r.pattern, pathQuery))
+      if (matching.isEmpty) true
+      else {
+        val maxLen = matching.map(_.pattern.length).max
+        matching.filter(_.pattern.length == maxLen).exists(_.allow)
+      }
+    }
+  }
+
   /** The payload of a WARC `response` record: if the record declares
     * `application/http` content (the real CommonCrawl shape), the body
     * is an HTTP/1.1 message — parse it (status line, headers, chunked or
@@ -846,6 +953,82 @@ object Crawl extends QueryModule {
     spark.createDataFrame(rdd, warcStatSchema)
   }
 
+  /** The synthesized crawl-frontier URL (shared by `crawl_url_stats` and
+    * `crawl_robots_gate`): varied subdomains, TLDs, path depths, query
+    * strings — all derived from (doc_id, n_chars) so the oracle replays
+    * every field.
+    */
+  private def frontierUrl: org.apache.spark.sql.Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+    lit("site"), (col("doc_id") % 7).cast("string"),
+    when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
+    lit("/"),
+    array_join(transform(sequence(lit(1), col("doc_id") % 4 + 1),
+      i => concat(lit("p"), i.cast("string"))), "/"),
+    when(col("n_chars") % 2 === 0,
+      concat(lit("?q="), (col("n_chars") % 100).cast("string"),
+        lit("&page="), (col("doc_id") % 5).cast("string")))
+      .otherwise(lit("")))
+
+  /** Fixture robots.txt for synthetic domain `domIdx` — three
+    * specificity rungs for `graftbot` (a 6-octet path Disallow, a
+    * 9-octet Allow carve-out that must WIN by longest-match, a 5-octet
+    * wildcard-query Disallow), a `$`-anchored rule that never matches
+    * the frontier, a fully-blocked `otherbot` group, and a `*` group
+    * with a crawl-delay — so group selection, merge, and precedence are
+    * all load-bearing.
+    */
+  private[operators] def robotsTextFor(domIdx: Long): String = {
+    val sb = new StringBuilder(s"# synthetic robots for domain $domIdx\n")
+    sb.append("User-agent: graftbot\n")
+    if (domIdx % 2 == 0) sb.append("Disallow: /p1/p2\n")
+    if (domIdx % 3 == 0) sb.append("Allow: /p1/p2/p3\n")
+    if (domIdx % 5 == 0) sb.append("Disallow: /*?q=\n")
+    sb.append("Disallow: /private$\n")
+    sb.append("\nUser-agent: otherbot\nDisallow: /\n")
+    sb.append("\nUser-agent: *\nCrawl-delay: 5\nDisallow: /never\n")
+    sb.toString
+  }
+
+  private val robotsVerdictSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("domain", StringType),
+    StructField("allowed", org.apache.spark.sql.types.BooleanType)))
+
+  /** Per-URL robots verdicts: the frontier joins its (small, broadcast)
+    * per-domain robots table, and each partition parses every DISTINCT
+    * robots text once (cached) before matching URLs against the selected
+    * agent group per RFC 9309. At 100 TB the frontier is the data side
+    * and robots bodies are domain-count-sized — the broadcast is the
+    * correct shape at any crawl scale.
+    */
+  def robotsVerdicts(frontier: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    val spark = frontier.sparkSession
+    val withParts = frontier.select(
+      col("url"),
+      regexp_extract(parse_url(col("url"), lit("HOST")),
+        "([^.]+\\.[^.]+)$", 1).as("domain"),
+      concat(parse_url(col("url"), lit("PATH")),
+        when(parse_url(col("url"), lit("QUERY")).isNull, lit(""))
+          .otherwise(concat(lit("?"), parse_url(col("url"), lit("QUERY")))))
+        .as("path_query"))
+    val joined = withParts.join(broadcast(robots), Seq("domain"))
+    val rdd = joined.select(col("url"), col("domain"), col("path_query"),
+        col("robots_txt")).rdd
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.HashMap[String, Seq[RobotsCodec.Rule]]()
+        it.map { r =>
+          val rules = cache.getOrElseUpdate(r.getString(3),
+            RobotsCodec.rulesFor(RobotsCodec.parse(r.getString(3)), agent))
+          Row(r.getString(0), r.getString(1),
+            RobotsCodec.allowed(rules, r.getString(2)))
+        }
+      }
+    spark.createDataFrame(rdd, robotsVerdictSchema)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the V2 SOURCE surface: `spark.read.format("warcgz")` over a
     // real on-disk shard set — per-shard member accounting computed from
@@ -914,20 +1097,8 @@ object Crawl extends QueryModule {
     // string ops. One narrow projection + one partial-agg'd domain
     // rollup. ----
     "crawl_url_stats" -> ((s, d) => {
-      val url = concat(
-        lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
-        lit("site"), (col("doc_id") % 7).cast("string"),
-        when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
-        lit("/"),
-        array_join(transform(sequence(lit(1), col("doc_id") % 4 + 1),
-          i => concat(lit("p"), i.cast("string"))), "/"),
-        when(col("n_chars") % 2 === 0,
-          concat(lit("?q="), (col("n_chars") % 100).cast("string"),
-            lit("&page="), (col("doc_id") % 5).cast("string")))
-          .otherwise(lit("")))
       Tables.documents(s, d)
-        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), frontierUrl.as("url"))
         .select(col("doc_id"),
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
@@ -943,6 +1114,32 @@ object Crawl extends QueryModule {
           sum(col("path_depth")).as("total_depth"),
           max(col("path_depth")).as("max_depth"),
           sum(col("n_params")).as("total_params"))
+        .orderBy(col("domain"))
+    }),
+
+    // ---- robots.txt compliance gate over the synthesized frontier: a
+    // REAL RFC 9309 engine (group parsing + selection, `*`/`$` pattern
+    // matching, longest-match precedence with Allow winning ties) runs
+    // per URL against per-domain robots bodies whose rules form three
+    // specificity rungs — the oracle re-derives every verdict from the
+    // closed-form decision (the 9-octet Allow carve-out outranking the
+    // 6-octet Disallow outranking the 5-octet wildcard rule), so a
+    // parsing, group-selection, wildcard, or precedence bug flips
+    // counts. Frontier is the data side; robots broadcast. ----
+    "crawl_robots_gate" -> ((s, d) => {
+      val frontier = Tables.documents(s, d).select(frontierUrl.as("url"))
+      val robots = s.createDataFrame(
+        s.sparkContext.parallelize((0 until 14).map { i =>
+          Row(s"site${i % 7}${if (i < 7) ".com" else ".org"}",
+            robotsTextFor(i.toLong))
+        }),
+        StructType(Seq(StructField("domain", StringType),
+          StructField("robots_txt", StringType))))
+      robotsVerdicts(frontier, robots, "graftbot")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_denied"))
         .orderBy(col("domain"))
     }),
 
@@ -1027,6 +1224,32 @@ object Crawl extends QueryModule {
         |  CAST(max(path_depth) AS BIGINT) AS max_depth,
         |  CAST(sum(n_params) AS BIGINT) AS total_params
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    // re-derives every robots verdict from the closed-form longest-match
+    // decision: the depth-3 Allow (9 octets) outranks the depth-2
+    // Disallow (6), which outranks the wildcard-query Disallow (5);
+    // no match => allowed. The Spark side can only reach these by
+    // parsing the robots bodies and running the RFC 9309 matcher.
+    "crawl_robots_gate" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || (doc_id % 7) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+        |    (doc_id % 7) + CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 7 END AS dom_idx,
+        |    doc_id % 4 + 1 AS depth,
+        |    n_chars % 2 = 0 AS has_q
+        |  FROM documents
+        |), v AS (
+        |  SELECT domain,
+        |    CASE WHEN depth >= 3 AND dom_idx % 3 = 0 THEN true
+        |         WHEN dom_idx % 2 = 0 AND depth >= 2 THEN false
+        |         WHEN dom_idx % 5 = 0 AND has_q THEN false
+        |         ELSE true END AS allowed
+        |  FROM u
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |  CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+        |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
     "pipe_crawl_e2e" -> crawlE2eOracle,
     // the FILE-based capstone reassembles to the SAME per-doc accounting:
     // one oracle text checks both the in-row and the written-shard paths

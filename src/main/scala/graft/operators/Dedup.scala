@@ -106,6 +106,19 @@ object Dedup extends QueryModule {
         .map("%02x".format(_)).mkString.take(16)
     }
 
+    /** Path-only tag (content-independent): scopes superseded-generation
+      * pruning to the SAME source directory, so two sessions working
+      * different scale-factor dirs concurrently never delete each
+      * other's live artifacts — only a regenerated fixture at the same
+      * path (new fingerprint, same tag) supersedes.
+      */
+    private def pathTag(d: String, source: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(new java.io.File(d, s"$source.parquet")
+        .getAbsolutePath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+
     /** Read artifact `name` derived from `<d>/<source>.parquet`, building
       * it with `build` only if no fresh copy exists. Builds are ATOMIC:
       * the table is written under a scratch key and renamed into place
@@ -118,7 +131,8 @@ object Dedup extends QueryModule {
       */
     def table(s: SparkSession, d: String, source: String, name: String)(
         build: => DataFrame): DataFrame = {
-      val key = s"${name}_${fingerprint(d, source)}"
+      val tag = pathTag(d, source)
+      val key = s"${name}_${tag}_${fingerprint(d, source)}"
       if (!built.contains(key)) {
         val live = new java.io.File(wh.tablePath(key))
         def fresh = new java.io.File(live, "_SUCCESS").exists()
@@ -131,9 +145,13 @@ object Dedup extends QueryModule {
               throw new IllegalStateException(
                 s"could not publish derived artifact $key")
           } else wh.dropTable(scratch)
-          // prune superseded generations: same name, different fingerprint
+          // prune superseded generations of the SAME source dir only
+          // (same name + path tag, older fingerprint) — a concurrent
+          // session on a DIFFERENT dir keeps its artifacts; pre-tag
+          // legacy keys (name_<16hex>) are swept as one-time cleanup
           val pat = java.util.regex.Pattern.compile(
-            java.util.regex.Pattern.quote(name) + "_[0-9a-f]{16}")
+            java.util.regex.Pattern.quote(name) +
+              s"_(${tag}_[0-9a-f]{16}|[0-9a-f]{16})")
           Option(new java.io.File(wh.root).listFiles())
             .getOrElse(Array.empty[java.io.File])
             .filter(f => pat.matcher(f.getName).matches() && f.getName != key)

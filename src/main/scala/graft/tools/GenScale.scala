@@ -108,10 +108,16 @@ object GenScale {
     val emb = read("embeddings")
     val vecOff = maxOf(emb, "vec_id")
     write(copies(emb)((d, i) => {
+      // rotate by i MOD dim: factors beyond the embedding dimension would
+      // otherwise drive slice() to a negative length (ANSI error). Copies
+      // i and i+dim share a rotation, which only introduces exact
+      // cross-copy ties in throwaway-smoke ANN rankings — timing, the
+      // thing this fixture measures, is unaffected.
       val rot =
         if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        else expr(s"concat(slice(embedding, ($i % size(embedding)) + 1, " +
+          s"size(embedding) - ($i % size(embedding))), " +
+          s"slice(embedding, 1, $i % size(embedding)))")
       val labelCol =
         if (growBlocks && i > 0) col("label") + lit(i * 10)
         else col("label")

@@ -62,6 +62,32 @@ class ComponentsSpec extends SparkSuiteBase {
       "regenerated fixture must invalidate and rebuild the corpus artifacts")
   }
 
+  test("derived artifacts of DIFFERENT source dirs coexist (concurrent-session isolation)") {
+    import org.apache.spark.sql.functions._
+    // two sessions working different scale-factor dirs must never prune
+    // each other's live artifacts — superseded-generation pruning is
+    // scoped by the path tag to the SAME source dir
+    def mkDir(ids: Seq[Long]): String = {
+      val dir = tmpDir("graft_iso")
+      ids.map(i => (i, s"unique words for doc number $i entirely", "web"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val dirA = mkDir(Seq(10L, 21L, 32L))
+    val dirB = mkDir(Seq(10L, 43L, 54L))
+    assert(Dedup.queries("dedup_incremental")(spark, dirA).collect() != null)
+    val derivedRoot = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    def sigDirs = Option(derivedRoot.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("corpus_minhash_sigs_")).toSet
+    val afterA = sigDirs
+    assert(afterA.nonEmpty)
+    // building dir B's artifact must leave dir A's on disk
+    assert(Dedup.queries("dedup_incremental")(spark, dirB).collect() != null)
+    assert(afterA.subsetOf(sigDirs),
+      "a different source dir's build must not prune this dir's artifact")
+  }
+
   test("dedup_band_tuning replays the S-curve arithmetic and is monotone in bands") {
     val sf = "/root/testdata/sf0.01"
     val sims = Dedup.queries("dedup_prefix_join")(spark, sf).collect()

@@ -218,6 +218,48 @@ class CrawlSpec extends SparkSuiteBase {
     }
   }
 
+  test("RobotsCodec: RFC 9309 group selection, wildcard/$ matching, longest-match precedence") {
+    import graft.operators.Crawl.RobotsCodec
+    val txt =
+      """# comment line
+        |Sitemap: https://x/sitemap.xml
+        |Disallow: /orphan-rule-before-any-group
+        |
+        |User-agent: GraftBot
+        |User-agent: secondbot
+        |Disallow: /a
+        |Allow: /a/b   # trailing comment
+        |Disallow: /*.pdf$
+        |Disallow:
+        |Unknown-directive: zzz
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val groups = RobotsCodec.parse(txt)
+    assert(groups.length == 2)
+    assert(groups.head.agents == Seq("graftbot", "secondbot"),
+      "stacked User-agent lines share one group, case-folded")
+    assert(groups.head.rules.length == 3, "empty Disallow and unknown keys are no-ops")
+    // group selection: named group beats *, so graftbot is NOT fully blocked
+    val rules = RobotsCodec.rulesFor(groups, "GRAFTBOT")
+    assert(rules.length == 3)
+    assert(RobotsCodec.rulesFor(groups, "strangerbot")
+      .contains(RobotsCodec.Rule(allow = false, "/")), "unknown agents get the * group")
+    // longest-match precedence: /a blocked, /a/b carved back out
+    assert(!RobotsCodec.allowed(rules, "/a/x"))
+    assert(RobotsCodec.allowed(rules, "/a/b/deep"))
+    assert(RobotsCodec.allowed(rules, "/elsewhere"), "no matching rule => allowed")
+    // $ anchor with * wildcard: only paths ENDING .pdf
+    assert(!RobotsCodec.allowed(rules, "/files/doc.pdf"))
+    assert(RobotsCodec.allowed(rules, "/files/doc.pdfx"))
+    assert(RobotsCodec.allowed(rules, "/files/pdf.html"))
+    // tie goes to Allow (equal-length patterns)
+    val tie = Seq(RobotsCodec.Rule(allow = false, "/abc"),
+      RobotsCodec.Rule(allow = true, "/ab*"))
+    assert(RobotsCodec.allowed(tie, "/abcd"))
+  }
+
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
