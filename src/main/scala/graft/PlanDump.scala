@@ -209,7 +209,10 @@ object PlanDump {
     // Huffman/dequant/IDCT where the bytes are read, only stat rows
     // continue) and the file-based crawl capstone (streamed warcgz V2
     // scan -> per-member WARC parse -> one doc-keyed reassembly agg)
-    "mm_jpeg_decode", "pipe_crawl_files_e2e")
+    "mm_jpeg_decode", "pipe_crawl_files_e2e",
+    // robots gate: frontier is the data side, robots bodies broadcast,
+    // verdicts in one narrow mapPartitions + one domain rollup
+    "crawl_robots_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -340,10 +340,13 @@ object Crawl extends QueryModule {
 
     def encode(status: Int, reason: String, headers: Seq[(String, String)],
         body: Array[Byte], chunked: Boolean, chunkSize: Int = 50): Array[Byte] = {
-      require(headers.forall { case (k, v) =>
-        !k.exists(c => c == '\r' || c == '\n') &&
-          !v.exists(c => c == '\r' || c == '\n')
-      }, "HTTP header may not contain CR/LF")
+      require(!chunked || chunkSize > 0,
+        "chunked encoding requires a positive chunk size")
+      // the reason phrase is caller-supplied wire text too: a CR/LF there
+      // would inject header lines just like one inside a header value
+      require((reason +: headers.flatMap(h => Seq(h._1, h._2)))
+        .forall(s => !s.exists(c => c == '\r' || c == '\n')),
+        "HTTP reason/header may not contain CR/LF")
       val sb = new StringBuilder(s"HTTP/1.1 $status $reason\r\n")
       headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
       val out = new java.io.ByteArrayOutputStream()
@@ -996,12 +999,14 @@ object Crawl extends QueryModule {
     StructField("domain", StringType),
     StructField("allowed", org.apache.spark.sql.types.BooleanType)))
 
-  /** Per-URL robots verdicts: the frontier joins its (small, broadcast)
-    * per-domain robots table, and each partition parses every DISTINCT
-    * robots text once (cached) before matching URLs against the selected
-    * agent group per RFC 9309. At 100 TB the frontier is the data side
-    * and robots bodies are domain-count-sized — the broadcast is the
-    * correct shape at any crawl scale.
+  /** Per-URL robots verdicts: the frontier LEFT-joins its (small,
+    * broadcast) per-domain robots table — a domain with NO robots row is
+    * ALLOWED, per RFC 9309's unavailable-robots.txt rule (the normal
+    * case in a real crawl), never silently dropped — and each partition
+    * parses every DISTINCT robots text once (cached) before matching
+    * URLs against the selected agent group. At 100 TB the frontier is
+    * the data side and robots bodies are domain-count-sized — the
+    * broadcast is the correct shape at any crawl scale.
     */
   def robotsVerdicts(frontier: DataFrame, robots: DataFrame,
       agent: String): DataFrame = {
@@ -1014,16 +1019,19 @@ object Crawl extends QueryModule {
         when(parse_url(col("url"), lit("QUERY")).isNull, lit(""))
           .otherwise(concat(lit("?"), parse_url(col("url"), lit("QUERY")))))
         .as("path_query"))
-    val joined = withParts.join(broadcast(robots), Seq("domain"))
+    val joined = withParts.join(broadcast(robots), Seq("domain"), "left")
     val rdd = joined.select(col("url"), col("domain"), col("path_query"),
         col("robots_txt")).rdd
       .mapPartitions { it =>
         val cache = scala.collection.mutable.HashMap[String, Seq[RobotsCodec.Rule]]()
         it.map { r =>
-          val rules = cache.getOrElseUpdate(r.getString(3),
-            RobotsCodec.rulesFor(RobotsCodec.parse(r.getString(3)), agent))
-          Row(r.getString(0), r.getString(1),
-            RobotsCodec.allowed(rules, r.getString(2)))
+          val allowed =
+            if (r.isNullAt(3)) true // no robots.txt for this domain
+            else RobotsCodec.allowed(
+              cache.getOrElseUpdate(r.getString(3),
+                RobotsCodec.rulesFor(RobotsCodec.parse(r.getString(3)), agent)),
+              r.getString(2))
+          Row(r.getString(0), r.getString(1), allowed)
         }
       }
     spark.createDataFrame(rdd, robotsVerdictSchema)

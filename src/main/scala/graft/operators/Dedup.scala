@@ -101,8 +101,13 @@ object Dedup extends QueryModule {
         else Array(src)
       val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
         .mkString("|")
+      // canonical path for the same reason as pathTag: path spelling must
+      // not change the identity of the same on-disk fixture
+      val path = try src.getCanonicalPath catch {
+        case _: java.io.IOException => src.getAbsolutePath
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s"${src.getAbsolutePath}|$desc".getBytes("UTF-8"))
+      md.digest(s"$path|$desc".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
     }
 
@@ -113,10 +118,15 @@ object Dedup extends QueryModule {
       * path (new fingerprint, same tag) supersedes.
       */
     private def pathTag(d: String, source: String): String = {
+      val f = new java.io.File(d, s"$source.parquet")
+      // canonical, not absolute: "/data/./sf0.1", a relative spelling, or
+      // a symlink to the same dir must produce the SAME tag, or pruning
+      // and reuse both silently stop working for that dir
+      val path = try f.getCanonicalPath catch {
+        case _: java.io.IOException => f.getAbsolutePath
+      }
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(new java.io.File(d, s"$source.parquet")
-        .getAbsolutePath.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(8)
+      md.digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     }
 
     /** Read artifact `name` derived from `<d>/<source>.parquet`, building

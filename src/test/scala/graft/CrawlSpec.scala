@@ -260,6 +260,33 @@ class CrawlSpec extends SparkSuiteBase {
     assert(RobotsCodec.allowed(tie, "/abcd"))
   }
 
+  test("robotsVerdicts: a domain with NO robots row is ALLOWED, never dropped (RFC 9309)") {
+    import spark.implicits._
+    val frontier = Seq(
+      "https://covered.com/a/x",
+      "https://uncovered.org/anything").toDF("url")
+    val robots = Seq(("covered.com",
+      "User-agent: *\nDisallow: /a\n")).toDF("domain", "robots_txt")
+    val out = Crawl.robotsVerdicts(frontier, robots, "anybot").collect()
+      .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(out.size == 2, "every frontier URL must receive a verdict")
+    assert(!out("covered.com"))
+    assert(out("uncovered.org"), "unavailable robots.txt means crawling is allowed")
+  }
+
+  test("HttpCodec.encode guards: reason CR/LF injection and non-positive chunk sizes rejected") {
+    import graft.operators.Crawl.HttpCodec
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK\r\nX-Evil: 1", Nil, "b".getBytes, chunked = false)
+    }
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK", Nil, "b".getBytes, chunked = true, chunkSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK", Nil, "b".getBytes, chunked = true, chunkSize = -3)
+    }
+  }
+
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)

@@ -395,7 +395,7 @@ class PropertySpec extends SparkSuiteBase {
       val input = if (alsoTruncate) mutated.take(keep) else mutated
       // total function: any structural damage is a typed Left, and a
       // harmless mutation (e.g. inside the APP0 payload) still decodes
-      JpegCodec.decode(input).isLeft || JpegCodec.decode(input).isRight
+      scala.util.Try(JpegCodec.decode(input)).isSuccess
     }, n = 50)
   }
 
