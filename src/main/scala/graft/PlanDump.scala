@@ -212,7 +212,9 @@ object PlanDump {
     "mm_jpeg_decode", "pipe_crawl_files_e2e",
     // robots gate: frontier is the data side, robots bodies broadcast,
     // verdicts in one narrow mapPartitions + one domain rollup
-    "crawl_robots_gate")
+    "crawl_robots_gate",
+    // JPEG decode + NN resize fused narrow (4 thumbnail rows per image)
+    "mm_jpeg_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

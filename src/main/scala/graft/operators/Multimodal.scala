@@ -1267,13 +1267,57 @@ object Multimodal extends QueryModule {
     spark.createDataFrame(rdd, pngResizeSchema)
   }
 
+  val jpegResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ty", LongType),
+    StructField("tx", LongType),
+    StructField("sy", LongType),
+    StructField("sx", LongType),
+    StructField("y", LongType)))
+
+  /** NN thumbnail resize over the decoded LUMA plane — the JPEG twin of
+    * [[pngResizeRows]] (same origin-anchored ⌊t·dim/target⌋ mapping):
+    * the emitted values exist ONLY by [[JpegCodec.decode]] running the
+    * full Huffman → dequant → IDCT chain and indexing the plane; a
+    * corrupt payload degrades to ZERO rows for that doc.
+    */
+  private def jpegResizeRows(tw: Int, th: Int)(id: Long, bytes: Array[Byte]): Seq[Row] =
+    JpegCodec.decode(bytes) match {
+      case Left(_) => Seq.empty
+      case Right(d) =>
+        val yp = d.planes.head
+        for {
+          ty <- 0 until th
+          tx <- 0 until tw
+        } yield {
+          val sy = ty * yp.height / th
+          val sx = tx * yp.width / tw
+          Row(id, ty.toLong, tx.toLong, sy.toLong, sx.toLong,
+            (yp.data(sy * yp.width + sx) & 0xff).toLong)
+        }
+    }
+
+  /** JPEG decode + NN resize fused over the Arrow batch seam. */
+  def resizeJpegArrow(media: DataFrame, tw: Int = 2, th: Int = 2): DataFrame =
+    arrowFlatParse(media, jpegResizeSchema)(jpegResizeRows(tw, th))
+
+  /** Row-path twin of [[resizeJpegArrow]] (parity spec pins equality). */
+  def resizeJpeg(media: DataFrame, tw: Int = 2, th: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.flatMap { row =>
+      jpegResizeRows(tw, th)(row.getLong(0), row.getAs[Array[Byte]]("payload"))
+    }
+    spark.createDataFrame(rdd, jpegResizeSchema)
+  }
+
   /** Mixed-modality corpus: one binary column holding heterogeneous
-    * payloads — doc_id mod 3 = 0 carries a REAL complete PNG (the
-    * [[attachPngPixelMedia]] generator), mod 3 = 1 a REAL RIFF/WAVE whose
-    * data chunk is the document text (the [[attachWavMedia]] layout), and
-    * mod 3 = 2 a REAL YUV4MPEG2 clip (the [[attachY4mMedia]] generator).
-    * This is the shape of a real multimodal lake: the format is NOT a
-    * column, it is only discoverable by sniffing the bytes.
+    * payloads — doc_id mod 4 = 0 carries a REAL complete PNG (the
+    * [[attachPngPixelMedia]] generator), mod 4 = 1 a REAL RIFF/WAVE whose
+    * data chunk is the document text (the [[attachWavMedia]] layout),
+    * mod 4 = 2 a REAL YUV4MPEG2 clip (the [[attachY4mMedia]] generator),
+    * and mod 4 = 3 a REAL baseline JPEG (the [[attachJpegMedia]]
+    * generator). This is the shape of a real multimodal lake: the format
+    * is NOT a column, it is only discoverable by sniffing the bytes.
     */
   def attachMixedMedia(docs: DataFrame): DataFrame =
     // reuse the four canonical generators — duplicating their byte
@@ -2323,6 +2367,17 @@ object Multimodal extends QueryModule {
       resizePngArrow(media).orderBy(col("doc_id"), col("ty"), col("tx"))
     }),
 
+    // ---- the JPEG twin of mm_png_resize: decode + NN-normalize fused in
+    // one narrow pass over the COMPRESSED image corpus — the oracle
+    // replays the generator formula at the same ⌊t·dim/2⌋ source
+    // coordinates (block index and the frequency-4 ± column pattern
+    // included), while the Spark side must Huffman-decode, dequantize,
+    // and IDCT to index any of them. ----
+    "mm_jpeg_resize" -> ((s, d) => {
+      val media = attachJpegMedia(Tables.documents(s, d))
+      resizeJpegArrow(media).orderBy(col("doc_id"), col("ty"), col("tx"))
+    }),
+
     // ---- per-channel PCM features on REAL decoded samples: zero-crossing
     // counts + Σ|v| amplitude mass, de-interleaved by channel — the cheap
     // audio-curation signals (silence/noisiness) computed where the bytes
@@ -2526,6 +2581,32 @@ object Multimodal extends QueryModule {
         |    THEN 64 * (2 * ((doc_id * 17) % 40) + 88) END AS BIGINT) AS sum_cr,
         |  CAST(sum(v * (pos + 1)) AS BIGINT) AS checksum_y
         |FROM pv GROUP BY doc_id, w, h, nc ORDER BY doc_id""".stripMargin,
+    // replays the NN mapping sy=⌊ty·h/2⌋, sx=⌊tx·w/2⌋ and evaluates the
+    // JPEG pixel formula there (block index from the sampled coords, the
+    // frequency-4 ± column pattern applied) — reachable on the Spark
+    // side only through the full decode chain + plane indexing
+    "mm_jpeg_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 * (doc_id % 3 + 1) ELSE 16 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS h
+        |  FROM documents
+        |), cells AS (
+        |  SELECT doc_id, w, h, ty.ty AS ty, tx.tx AS tx,
+        |    (ty.ty * h) // 2 AS sy, (tx.tx * w) // 2 AS sx
+        |  FROM m, UNNEST(range(0, 2)) AS ty(ty), UNNEST(range(0, 2)) AS tx(tx)
+        |), px AS (
+        |  SELECT doc_id, ty, tx, sy, sx,
+        |    CASE WHEN doc_id % 2 = 0 THEN sx // 8
+        |         ELSE (sy // 8) * 2 + (sx // 8) END AS bi
+        |  FROM cells
+        |)
+        |SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+        |  CAST(sy AS BIGINT) AS sy, CAST(sx AS BIGINT) AS sx,
+        |  CAST(2 * ((doc_id * 7 + bi * 13) % 50) + 80
+        |    + (CASE WHEN sx % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        |      * 2 * ((doc_id + bi) % 5 - 2) AS BIGINT) AS y
+        |FROM px ORDER BY doc_id, ty, tx""".stripMargin,
     "mm_png_decode" ->
       """WITH m AS (
         |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,

@@ -124,6 +124,20 @@ class JpegSpec extends SparkSuiteBase {
     assert(noSof.length == ok.length) // (keep the compiler honest about the clone)
   }
 
+  test("jpeg resize: Arrow == row parity; corrupt payload yields zero rows") {
+    val media = Multimodal.attachJpegMedia(Tables.documents(spark, sf0001))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "ty", "tx").collect().map(_.toSeq).toList
+    val rows = canon(Multimodal.resizeJpeg(media))
+    assert(rows == canon(Multimodal.resizeJpegArrow(media)))
+    assert(rows.nonEmpty && rows.size % 4 == 0, "2x2 thumbnail per decodable doc")
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, Array[Byte](0xff.toByte, 0xd8.toByte, 9)))),
+      media.schema)
+    assert(Multimodal.resizeJpeg(bad).collect().isEmpty)
+  }
+
   test("mm_jpeg_decode path: Arrow == row parity; corrupt payload keeps its typed class") {
     val docs = Tables.documents(spark, sf0001)
     val media = Multimodal.attachJpegMedia(docs)
