@@ -214,7 +214,20 @@ object PlanDump {
     // verdicts in one narrow mapPartitions + one domain rollup
     "crawl_robots_gate",
     // JPEG decode + NN resize fused narrow (4 thumbnail rows per image)
-    "mm_jpeg_resize")
+    "mm_jpeg_resize",
+    // round-10 session 2: learned/retrieval ops — BM25 (semi-join against
+    // the broadcast 5-term query BEFORE grouping; totals broadcast;
+    // TakeOrdered top-10), the batch-perceptron pair (per-epoch one
+    // doc-keyed margin agg + one feature-keyed gradient agg, 17-row model
+    // broadcast — weights never shuffle), CCNet terciles (bigram-LM plan +
+    // one lang-partitioned window over doc-level rows), k-NN label eval
+    // (20-probe broadcast, corpus scanned once, bounded top-5 windows)
+    "txt_bm25_topk", "txt_perceptron_train", "txt_perceptron_apply",
+    "txt_ccnet_buckets", "sim_knn_classify",
+    // round-10 session 3: exact substring-span dedup (gram-count semi-join
+    // + per-doc gaps-and-islands window — the suffix-array-free ExactSubstr
+    // plan) and index-served BM25 (postings artifact scan, text never read)
+    "dedup_span_frac", "txt_bm25_artifact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

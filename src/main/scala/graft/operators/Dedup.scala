@@ -965,6 +965,56 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // ---- exact duplicated-SPAN mass report (the ExactSubstr dedup of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): every word position covered by an 8-gram occurring MORE
+    // THAN ONCE corpus-wide is duplicated text; merge each doc's
+    // overlapping [i, i+8) hit intervals and report the duplicated-word
+    // mass ExactSubstr would cut. The paper's suffix array is a
+    // single-machine structure; this is its shuffle-friendly fixed-k
+    // equivalent: gram keys are 8-byte hashes, the duplicate set is a
+    // partial-agg'd count >= 2, the position lookup is a semi-join on the
+    // same key, and interval merging is gaps-and-islands over a
+    // PER-DOC-PARTITIONED window (running max of span ends — one row of
+    // state, never a cross-doc sort). Every doc keeps a row (zero spans
+    // included): the report is the corpus-wide cut plan, and its total
+    // ORDER BY is by primary key, so the sampler never re-runs the
+    // windows. Within-doc repeats count as duplication too — exactly the
+    // paper's suffix-array semantics, which sees a repeated span no
+    // matter which document the other occurrence is in. ----
+    "dedup_span_frac" -> ((s, d) => {
+      val K = 8
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val grams = w.filter(size(col("w")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, size(w) - ${K - 1}),
+             |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(w, i, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("h"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val spans = grams.join(dup, Seq("h"), "left_semi")
+        .withColumn("pmax", max(col("i") + K)
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(
+          when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+          .over(byDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("i")).as("s"), (max(col("i")) + K).as("e"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s")).cast("bigint").as("dup_words"))
+      w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+          coalesce(col("dup_words"), lit(0L)).cast("bigint").as("dup_words"),
+          expr("CAST((coalesce(dup_words, 0) * 1000000) DIV n_words AS BIGINT)")
+            .as("dup_frac_x1e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Bloom-filter ingest prefilter: does a new-batch document share
     // any 5-word segment with the existing corpus? The corpus side is
     // compressed to ONE 4 KB graft_bloom bitmap (bitwise-OR mergeable, so
@@ -1464,6 +1514,41 @@ object Dedup extends QueryModule {
           |JOIN sizes sa ON sa.doc_id = p.doc_a
           |JOIN sizes sb ON sb.doc_id = p.doc_b
           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_span_frac" ->
+        """WITH wrd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), g AS (
+          |  SELECT doc_id, i,
+          |    try_cast('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+          |        FROM wrd WHERE len(w) >= 8)
+          |), dup AS (
+          |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+          |), hits AS (
+          |  SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+          |), mx AS (
+          |  SELECT doc_id, i,
+          |    max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM hits
+          |), isla AS (
+          |  SELECT doc_id, i,
+          |    sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+          |  FROM mx
+          |), spans AS (
+          |  SELECT doc_id, isl, min(i) AS s, max(i) + 8 AS e
+          |  FROM isla GROUP BY doc_id, isl
+          |), per_doc AS (
+          |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_words
+          |  FROM spans GROUP BY doc_id
+          |)
+          |SELECT wrd.doc_id AS doc_id, CAST(len(wrd.w) AS BIGINT) AS n_words,
+          |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+          |  CAST((coalesce(p.dup_words, 0) * 1000000) // len(wrd.w) AS BIGINT) AS dup_frac_x1e6
+          |FROM wrd LEFT JOIN per_doc p ON wrd.doc_id = p.doc_id
+          |ORDER BY wrd.doc_id""".stripMargin,
       "dedup_bloom_prefilter" ->
         """WITH segs AS (
           |  SELECT doc_id,

@@ -913,6 +913,44 @@ object Similarity extends QueryModule {
         .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
           col("rrf_x1e6"), col("lang"), col("source"))
         .orderBy(desc("rrf_x1e6"), col("doc_id"))
+    }),
+
+    // ---- k-NN label classification eval: predict each held-out query
+    // vector's label by majority vote of its 5 nearest neighbours (cosine,
+    // rounded 6 dp; rank ties → smaller vec_id; vote ties → smaller
+    // label — every tiebreak total, so the verdict is oracle-hashable).
+    // This is the eval harness a labelled-embedding pipeline runs to
+    // validate that its vector space separates classes (and, at serving
+    // time, the label-propagation primitive itself). Queries are the FIXED
+    // 20 lowest vec_ids — a constant-size probe set, so the scoring join
+    // is |corpus|×20 against a broadcast — linear in the lake, never
+    // quadratic; per-query state is the bounded top-5 window. At 100 TB
+    // the same plan serves with the corpus side pruned by the IVF cell
+    // lake (sim_topk_ivf) — brute force here because the eval wants
+    // exact neighbours as ground truth. ----
+    "sim_knn_classify" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          col("label").as("true_label"))
+      val byQ = Window.partitionBy(col("qid"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+      val top5 = e.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 5)
+      val byVote = Window.partitionBy(col("qid"))
+        .orderBy(desc("votes"), col("label"))
+      top5.groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(byVote))
+        .filter(col("vr") === 1)
+        .select(col("qid").as("vec_id"), col("true_label"),
+          col("label").as("pred_label"), col("votes"),
+          (col("true_label") === col("label")).cast("int").as("correct"))
+        .orderBy(col("vec_id"))
     }))
 
   /** Query terms for the hybrid lexical side: one rare corpus word (idf
@@ -1627,5 +1665,28 @@ object Similarity extends QueryModule {
          |  coalesce(c.cluster_id, em.vec_id) AS cluster_id,
          |  em.vec_id = coalesce(c.cluster_id, em.vec_id) AS keep
          |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.node_id
-         |ORDER BY em.vec_id""".stripMargin)
+         |ORDER BY em.vec_id""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb, label AS true_label
+         |  FROM embeddings WHERE vec_id < 20
+         |), top5 AS (
+         |  SELECT qid, true_label, label, vec_id
+         |  FROM (
+         |    SELECT q.qid, q.true_label, e.label, e.vec_id,
+         |      round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+         |    FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20)
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos_sim DESC, vec_id) <= 5
+         |), votes AS (
+         |  SELECT qid, true_label, label, count(*) AS votes
+         |  FROM top5 GROUP BY qid, true_label, label
+         |)
+         |SELECT qid AS vec_id, true_label, label AS pred_label,
+         |  CAST(votes AS BIGINT) AS votes,
+         |  CAST(CASE WHEN true_label = label THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM votes
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY votes DESC, label) = 1
+         |ORDER BY vec_id""".stripMargin)
 }

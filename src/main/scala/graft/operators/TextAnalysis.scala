@@ -1004,7 +1004,199 @@ object TextAnalysis extends QueryModule {
     "txt_cms_rollup" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
       cmsEstimates(s, Tables.documents(s, d), rollup = true)
+    }),
+
+    // ---- BM25 lexical retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75):
+    // the keyword-search companion to the sim_* ANN ladder — rank the
+    // corpus against a query, here the corpus's own top-5 non-stop terms
+    // (deterministic on both engines: frequency DESC, word ASC). The whole
+    // scoring chain is INTEGER rational arithmetic so the per-doc sum is
+    // partition-order independent and oracle-hashable: idf scaled 1e3 as
+    // (N−df)·10³ DIV (df+1); the tf saturation term cleared of its k1/b
+    // fractions by multiplying through by 10·total_tokens —
+    // tfn = 2.2·tf / (tf + 0.3 + 0.9·dl·N/total) becomes
+    // 22·tf·total / (10·tf·total + 3·total + 9·dl·N) exactly. Values stay
+    // < 2⁶³ through sf10 (idf ≤ N·10³, numerator ≤ idf·22·dl·total); a
+    // production engine at larger N swaps the same plan onto doubles and
+    // drops the oracle guarantee. Scale: tf is a semi-join against the
+    // broadcast 5-term query before any grouping, so the per-(doc,term)
+    // agg touches only matching tokens; df/dl are partial-agg'd; the
+    // 1-row totals broadcast; top-10 plans TakeOrderedAndProject — no
+    // global sort. ----
+    "txt_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val qterms = toks.filter(!col("word").isin(stop: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("cf"))
+        .orderBy(desc("cf"), col("word")).limit(5)
+        .select(col("word"))
+      val tf = toks.join(broadcast(qterms), "word")
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      bm25Score(tf, toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+    }),
+
+    // ---- BM25 served from a PERSISTED inverted index: the same top-10
+    // ranking as [[txt_bm25_topk]] (identical oracle — that hash-equality
+    // IS the index-correctness proof), but the corpus text is never read.
+    // Build-once artifacts (DerivedArtifacts staleness contract): the
+    // postings list (word, doc_id, tf) and the doc-length table — exactly
+    // what Lucene persists, in columnar form. Serving touches postings
+    // only: query-term collection frequency is sum(tf) over postings (==
+    // the live token count by construction), the 5-term query broadcasts,
+    // and the scan of everything else prunes at the parquet row-group
+    // level. At 100 TB this is the difference between a search that
+    // re-tokenizes the lake and one that reads a posting-list slice —
+    // index once, serve forever; the [[sim_topk_pq_artifact]] precedent
+    // for the lexical side. ----
+    "txt_bm25_artifact" -> ((s, d) => {
+      val postings = Dedup.DerivedArtifacts.table(s, d, "documents", "bm25_postings")(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf")))
+      val doclen = Dedup.DerivedArtifacts.table(s, d, "documents", "bm25_doclen")(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("dl")))
+      val qterms = postings.filter(!col("word").isin(stop: _*))
+        .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+        .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
+      bm25Score(postings.join(broadcast(qterms), "word"), doclen)
+    }),
+
+    // ---- trained quality classifier, batch-perceptron form (the learned
+    // filter a DataComp/Dolma-style pipeline trains to keep target-like
+    // text; labels here: lang = 'en' → +1). Features are hashed
+    // token-counts — 16 md5 buckets + a bias slot — so the model is a
+    // 17-long integer vector and training is PURE AGGREGATION: epoch 1
+    // from w=0 (every doc has margin 0 ⇒ misclassified ⇒ contributes y·x),
+    // w₁[f] = Σ y·x[f]; epoch 2 re-scores every doc under w₁ (one
+    // broadcast join — weights never shuffle) and adds Σ y·x over the
+    // still-misclassified (y·m ≤ 0). Integer weights end-to-end: no
+    // sigmoid/exp (libm, not oracle-portable), no learning-rate float —
+    // bit-identical on any engine, any partitioning. This IS distributed
+    // batch gradient descent's data movement: per epoch one doc-keyed
+    // margin agg + one feature-keyed gradient agg, model state broadcast —
+    // the shape that holds at 100 TB where per-doc state never leaves its
+    // partition. Trains on the even-doc_id half; [[txt_perceptron_apply]]
+    // evaluates held-out. ----
+    "txt_perceptron_train" -> ((s, d) =>
+      perceptronWeights(s, d)
+        .select(col("feature"), col("w1"), col("w2"))
+        .orderBy(col("feature"))),
+
+    // ---- held-out evaluation of the trained perceptron: score every
+    // odd-doc_id document under w₂ (one broadcast join — the model is 17
+    // rows), predict sign(margin) with the training convention margin ≤ 0
+    // → −1, and report per-doc correctness. Integer margins ⇒
+    // oracle-hashable; the accuracy aggregate is one further GROUP BY away
+    // and deliberately left to the reader of this per-doc table (the
+    // driver hash covers every row, a stronger check than one ratio). ----
+    "txt_perceptron_apply" -> ((s, d) => {
+      val test = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+      val feat = hashedFeatures(test)
+      val w2 = perceptronWeights(s, d).select(col("feature"), col("w2"))
+      feat.join(broadcast(w2), "feature")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w2") * col("x")).cast("bigint").as("margin"))
+        .join(test.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("label")), "doc_id")
+        .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+        .withColumn("correct", (col("pred") === col("label")).cast("int"))
+        .select(col("doc_id"), col("margin"), col("pred"), col("label"), col("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- CCNet-style perplexity bucketing: score every document with the
+    // corpus bigram LM (the txt_bigram_lm rational form — no libm log) and
+    // cut each LANGUAGE's score distribution into head/middle/tail
+    // terciles, most-probable first. Per-language cuts are what CCNet
+    // actually ships (a Wikipedia-trained LM per language, buckets
+    // assigned within language), and they keep the rank window PARTITIONED
+    // — the txt_quality_topp idiom: integer cross-multiplication
+    // rn·3 ≤ n / rn·3 ≤ 2n, never a double percentile two engines could
+    // round apart. Scale: the LM scoring is txt_bigram_lm's audited plan;
+    // the bucket pass adds one lang-partitioned window over doc-level
+    // rows (corpus-count rows, not token rows). ----
+    "txt_ccnet_buckets" -> ((s, d) => {
+      val scored = queries("txt_bigram_lm")(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(desc("avg_p"), col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .withColumn("bucket",
+          when(col("rn") * 3 <= col("n_lang"), "head")
+            .when(col("rn") * 3 <= col("n_lang") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_p"), col("bucket"))
+        .orderBy(col("doc_id"))
     }))
+
+  /** BM25 scoring tail shared by the live ([[txt_bm25_topk]]) and
+    * index-serving ([[txt_bm25_artifact]]) forms: the integer-rational
+    * Robertson ranking over a (doc_id, word, tf) matched-postings relation
+    * plus a (doc_id, dl) length table — df re-derived by a partial-agg'd
+    * count, the 1-row totals broadcast, top-10 via TakeOrderedAndProject.
+    * See the txt_bm25_topk query scaladoc for the arithmetic derivation.
+    */
+  private def bm25Score(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(sum(col("dl")).cast("bigint").as("total"),
+      count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idfr", expr("((n_docs - df) * 1000L) DIV (df + 1)"))
+      .withColumn("sterm", expr(
+        "(idfr * 22L * tf * total) DIV (10L * tf * total + 3L * total + 9L * dl * n_docs)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sterm")).cast("bigint").as("score"))
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** Hashed token-count features for the perceptron pair: 16 md5 buckets
+    * (one hex char of md5(word) → 0..15) plus the bias slot (feature 16,
+    * x = 1 for every doc). One shuffle on (doc_id, feature); the bias rows
+    * are a narrow projection unioned in.
+    */
+  private def hashedFeatures(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.md5Bits
+    val fTok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5Bits(col("w"), 1).as("feature"))
+      .groupBy(col("doc_id"), col("feature"))
+      .agg(count(lit(1)).as("x"))
+    val bias = docs.select(col("doc_id"), lit(16L).as("feature"), lit(1L).as("x"))
+    fTok.unionByName(bias)
+  }
+
+  /** The 2-epoch batch-perceptron trainer shared by txt_perceptron_train /
+    * txt_perceptron_apply (see the train entry's scaladoc for the model).
+    * Returns (feature, w1, w2) — integer weights, one row per feature seen
+    * in the even-doc_id training half.
+    */
+  private def perceptronWeights(s: SparkSession, d: String): DataFrame = {
+    val train = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val feat = hashedFeatures(train)
+    val lab = train.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val w1 = feat.join(lab, "doc_id")
+      .groupBy(col("feature"))
+      .agg(sum(col("y") * col("x")).cast("bigint").as("w1"))
+    val marg = feat.join(broadcast(w1), "feature")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w1") * col("x")).cast("bigint").as("m"))
+    val upd = feat.join(lab, "doc_id").join(marg, "doc_id")
+      .filter(col("y") * col("m") <= 0)
+      .groupBy(col("feature"))
+      .agg(sum(col("y") * col("x")).cast("bigint").as("dw"))
+    w1.join(upd, Seq("feature"), "left")
+      .select(col("feature"), col("w1"),
+        (col("w1") + coalesce(col("dw"), lit(0L))).cast("bigint").as("w2"))
+  }
 
   /** Probe keys for the CMS audit: seven corpus words + one absent word
     * (collision-only estimate — exercises the ≥-never-undercounts bound
@@ -1602,5 +1794,135 @@ object TextAnalysis extends QueryModule {
         |        w -> try_cast('0x' || substr(md5(w), 1, 8) AS BIGINT))),
         |    (acc, w) -> (acc * 31 + w) % 1000000007) AS fp_rolling,
         |  md5(text) AS fp_md5
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_bm25_topk" -> bm25OracleSql,
+    // identical oracle by design: index-served BM25 must hash-equal the
+    // live computation — that equality is the inverted-index proof
+    "txt_bm25_artifact" -> bm25OracleSql,
+    "txt_perceptron_train" ->
+      s"""$perceptronCtes
+         |SELECT w1.feature AS feature, w1.w1 AS w1,
+         |  CAST(w1.w1 + coalesce(upd.dw, 0) AS BIGINT) AS w2
+         |FROM w1 LEFT JOIN upd USING (feature)
+         |ORDER BY feature""".stripMargin,
+    "txt_perceptron_apply" ->
+      s"""$perceptronCtes, wfinal AS (
+         |  SELECT w1.feature AS feature,
+         |    CAST(w1.w1 + coalesce(upd.dw, 0) AS BIGINT) AS w2
+         |  FROM w1 LEFT JOIN upd USING (feature)
+         |), test AS (
+         |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+         |), tfeat AS (
+         |  SELECT doc_id,
+         |    try_cast('0x' || substr(md5(w), 1, 1) AS BIGINT) AS feature,
+         |    count(*) AS x
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents WHERE doc_id % 2 = 1)
+         |  GROUP BY doc_id, feature
+         |  UNION ALL
+         |  SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT) FROM test
+         |), margins AS (
+         |  SELECT doc_id, CAST(sum(w2 * x) AS BIGINT) AS margin
+         |  FROM tfeat JOIN wfinal USING (feature) GROUP BY doc_id
+         |)
+         |SELECT m.doc_id AS doc_id, margin,
+         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS label,
+         |  CAST(CASE WHEN (CASE WHEN margin > 0 THEN 1 ELSE -1 END)
+         |              = (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)
+         |       THEN 1 ELSE 0 END AS INT) AS correct
+         |FROM margins m JOIN test USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "txt_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |), bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
+        |), p AS (
+        |  SELECT bi.doc_id, (n2 * 1000000) // n1 AS ps
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |), scored AS (
+        |  SELECT p.doc_id AS doc_id,
+        |    round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
+        |  FROM p GROUP BY p.doc_id
+        |), ranked AS (
+        |  SELECT s.doc_id, d.lang, s.avg_p,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_p DESC, s.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, lang, avg_p,
+        |  CASE WHEN rn * 3 <= n_lang THEN 'head'
+        |       WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin)
+
+  /** The BM25 oracle, shared verbatim by txt_bm25_topk and
+    * txt_bm25_artifact (the oracle always recomputes from `documents`;
+    * serving from the persisted postings must not change a single hash).
+    */
+  private lazy val bm25OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), qterms AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(*) AS cf FROM toks
+       |    WHERE word NOT IN ($stopList)
+       |    GROUP BY word ORDER BY cf DESC, word LIMIT 5)
+       |), tf AS (
+       |  SELECT doc_id, t.word AS word, count(*) AS tf
+       |  FROM toks t JOIN qterms q ON t.word = q.word
+       |  GROUP BY doc_id, t.word
+       |), dfq AS (
+       |  SELECT word, count(*) AS df FROM tf GROUP BY word
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+       |), tot AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS total, count(*) AS n_docs FROM dl
+       |)
+       |SELECT tf.doc_id AS doc_id, dl.dl AS dl,
+       |  count(*) AS n_terms,
+       |  CAST(sum(
+       |    ((((n_docs - df) * 1000) // (df + 1)) * 22 * tf * total)
+       |      // (10 * tf * total + 3 * total + 9 * dl.dl * n_docs)
+       |  ) AS BIGINT) AS score
+       |FROM tf JOIN dfq USING (word) JOIN dl ON tf.doc_id = dl.doc_id, tot
+       |GROUP BY tf.doc_id, dl.dl
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Shared CTE prefix of the perceptron train/apply oracles — the 2-epoch
+    * integer batch-perceptron on the even-doc_id half (see the
+    * txt_perceptron_train query scaladoc for the model).
+    */
+  private val perceptronCtes: String =
+    """WITH train AS (
+      |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+      |), feat AS (
+      |  SELECT doc_id,
+      |    try_cast('0x' || substr(md5(w), 1, 1) AS BIGINT) AS feature,
+      |    count(*) AS x
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM train)
+      |  GROUP BY doc_id, feature
+      |  UNION ALL
+      |  SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT) FROM train
+      |), lab AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM train
+      |), w1 AS (
+      |  SELECT feature, CAST(sum(y * x) AS BIGINT) AS w1
+      |  FROM feat JOIN lab USING (doc_id) GROUP BY feature
+      |), marg AS (
+      |  SELECT doc_id, CAST(sum(w1 * x) AS BIGINT) AS m
+      |  FROM feat JOIN w1 USING (feature) GROUP BY doc_id
+      |), upd AS (
+      |  SELECT feature, CAST(sum(y * x) AS BIGINT) AS dw
+      |  FROM feat JOIN lab USING (doc_id) JOIN marg USING (doc_id)
+      |  WHERE y * m <= 0 GROUP BY feature
+      |)""".stripMargin
 }
