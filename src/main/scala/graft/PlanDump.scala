@@ -227,7 +227,13 @@ object PlanDump {
     // round-10 session 3: exact substring-span dedup (gram-count semi-join
     // + per-doc gaps-and-islands window — the suffix-array-free ExactSubstr
     // plan) and index-served BM25 (postings artifact scan, text never read)
-    "dedup_span_frac", "txt_bm25_artifact")
+    "dedup_span_frac", "txt_bm25_artifact",
+    // the composed 4-gate learned-filter funnel (gopher ∧ ccnet ∧
+    // perceptron ∧ canonical) — one plan, all verdicts per doc
+    "pipe_filter_funnel",
+    // margin-based bitext mining: probe batch broadcast, target lake
+    // scanned once, both rank windows partitioned/bounded
+    "sim_bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -951,6 +951,57 @@ object Similarity extends QueryModule {
           col("label").as("pred_label"), col("votes"),
           (col("true_label") === col("label")).cast("int").as("correct"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- margin-based bitext mining (Artetxe & Schwenk 2019, the
+    // CCMatrix/LASER parallel-corpus miner): for a bounded batch of
+    // source-side vectors (label 0, vec_id < 60 — the "new documents to
+    // align" probe set), find each one's best target-side (label 1)
+    // neighbour and score it by the DIFFERENCE margin — cos(a,b) minus
+    // the mean of both endpoints' top-4 neighbourhoods — which suppresses
+    // hub vectors that are everyone's nearest neighbour. All arithmetic
+    // in SHIFTED integer micro-units (cos+1 scaled 1e6): sums stay
+    // non-negative, so integer division truncates identically on both
+    // engines (Spark DIV truncates toward zero, DuckDB // floors — equal
+    // only for non-negatives), and the shift cancels exactly in the
+    // margin. Scale: the probe batch broadcasts (the knn-classify
+    // pattern); the target lake is scanned ONCE; both rank windows are
+    // partitioned (per-probe: |targets| rows over 60 partitions;
+    // per-target: ≤ 60 rows each) — at 100 TB the target side prunes by
+    // SRP/IVF cell exactly as the ANN ladder serves, brute here because
+    // mining wants exact neighbourhoods as ground truth. ----
+    "sim_bitext_mine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("label") === 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
+      val scored = e.filter(col("label") === 1)
+        .select(col("vec_id").as("tgt_id"), col("embedding"))
+        .crossJoin(broadcast(probes))
+        .withColumn("css",
+          round(cosine(s, "embedding", "s_emb") * lit(1000000), 0)
+            .cast("long") + lit(1000000L))
+      val byQ = Window.partitionBy(col("src_id"))
+        .orderBy(desc("css"), col("tgt_id"))
+      val byT = Window.partitionBy(col("tgt_id"))
+        .orderBy(desc("css"), col("src_id"))
+      val ranked = scored
+        .withColumn("rnf", row_number().over(byQ))
+        .withColumn("rnb", row_number().over(byT))
+      val fwd = ranked.filter(col("rnf") <= 4)
+        .groupBy(col("src_id"))
+        .agg(expr("sum(css) DIV count(1)").as("avgfs"),
+          max(when(col("rnf") === 1, col("tgt_id"))).as("tgt_id"),
+          max(when(col("rnf") === 1, col("css"))).as("bests"))
+      val bwd = ranked.filter(col("rnb") <= 4)
+        .groupBy(col("tgt_id"))
+        .agg(expr("sum(css) DIV count(1)").as("avgbs"))
+      fwd.join(bwd, "tgt_id")
+        .select(col("src_id"), col("tgt_id"),
+          (col("bests") - lit(1000000L)).as("cos_x1e6"),
+          expr("bests - (avgfs + avgbs) DIV 2").as("margin_x1e6"),
+          (expr("bests - (avgfs + avgbs) DIV 2") > 0).as("accepted"))
+        .orderBy(col("src_id"))
     }))
 
   /** Query terms for the hybrid lexical side: one rare corpus word (idf
@@ -1688,5 +1739,37 @@ object Similarity extends QueryModule {
          |FROM votes
          |QUALIFY row_number() OVER (PARTITION BY qid
          |  ORDER BY votes DESC, label) = 1
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    "sim_bitext_mine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS src_id, embedding AS s_emb FROM embeddings
+         |  WHERE label = 0 AND vec_id < 60
+         |), t AS (
+         |  SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE label = 1
+         |), sc AS (
+         |  SELECT t.tgt_id, q.src_id,
+         |    CAST(round(${duckCosine("t.embedding", "q.s_emb")} * 1000000, 0) AS BIGINT)
+         |      + 1000000 AS css
+         |  FROM t CROSS JOIN q
+         |), rk AS (
+         |  SELECT tgt_id, src_id, css,
+         |    row_number() OVER (PARTITION BY src_id ORDER BY css DESC, tgt_id) AS rnf,
+         |    row_number() OVER (PARTITION BY tgt_id ORDER BY css DESC, src_id) AS rnb
+         |  FROM sc
+         |), fwd AS (
+         |  SELECT src_id,
+         |    CAST(sum(css) // count(*) AS BIGINT) AS avgfs,
+         |    max(CASE WHEN rnf = 1 THEN tgt_id END) AS tgt_id,
+         |    max(CASE WHEN rnf = 1 THEN css END) AS bests
+         |  FROM rk WHERE rnf <= 4 GROUP BY src_id
+         |), bwd AS (
+         |  SELECT tgt_id, CAST(sum(css) // count(*) AS BIGINT) AS avgbs
+         |  FROM rk WHERE rnb <= 4 GROUP BY tgt_id
+         |)
+         |SELECT f.src_id AS src_id, f.tgt_id AS tgt_id,
+         |  CAST(f.bests - 1000000 AS BIGINT) AS cos_x1e6,
+         |  CAST(f.bests - (f.avgfs + b.avgbs) // 2 AS BIGINT) AS margin_x1e6,
+         |  f.bests - (f.avgfs + b.avgbs) // 2 > 0 AS accepted
+         |FROM fwd f JOIN bwd b USING (tgt_id)
+         |ORDER BY src_id""".stripMargin)
 }

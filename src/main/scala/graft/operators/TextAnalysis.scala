@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  private val stop = Seq("the", "a", "of", "and")
+  private[graft] val stop = Seq("the", "a", "of", "and")
   private val stopList = stop.map(w => s"'$w'").mkString(", ")
 
   /** Deterministic uniform draw in [0, 1): md5-derived 32-bit hash of the
@@ -1117,6 +1117,49 @@ object TextAnalysis extends QueryModule {
     // round apart. Scale: the LM scoring is txt_bigram_lm's audited plan;
     // the bucket pass adds one lang-partitioned window over doc-level
     // rows (corpus-count rows, not token rows). ----
+    // ---- the COMPOSED learned-filter funnel (the Dolma/DataComp/RefinedWeb
+    // curation chain as ONE plan): every document flows through all four
+    // round-10 gates and the per-doc decision table records each verdict —
+    // (1) Gopher rule gate (the 4 integer-derived booleans), (2) CCNet
+    // perplexity bucket with 'tail' cut (docs under the bigram-LM's 2-token
+    // domain bucket as 'none' and fail), (3) the TRAINED perceptron's
+    // target-likeness prediction (w2 scored over ALL docs — one broadcast
+    // of the 17-row model), (4) exact-dedup canonical keep (min doc_id per
+    // content md5). keep = AND of the four. A per-doc table rather than a
+    // survivor count: the oracle hash then proves every gate's verdict on
+    // every doc, not just the aggregate. Scale: the three metric passes
+    // are the audited plans of their standalone queries (narrow scan /
+    // one lang window / broadcast-model agg), the canon pass shuffles
+    // 16-byte hashes, and the final assembly is doc_id equi-joins. ----
+    "pipe_filter_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gopher = queries("txt_gopher_rules")(s, d)
+        .select(col("doc_id"), col("pass").as("gopher_pass"))
+      val buckets = queries("txt_ccnet_buckets")(s, d)
+        .select(col("doc_id"), col("bucket"))
+      val feat = hashedFeatures(docs)
+      val w2 = perceptronWeights(s, d).select(col("feature"), col("w2"))
+      val pred = feat.join(broadcast(w2), "feature")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w2") * col("x")).cast("bigint").as("margin"))
+        .select(col("doc_id"),
+          when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+      val canon = docs.groupBy(md5(col("text")).as("hsh"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      docs.select(col("doc_id"), md5(col("text")).as("hsh"))
+        .join(canon, "hsh")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_canon"))
+        .join(gopher, "doc_id")
+        .join(buckets, Seq("doc_id"), "left")
+        .join(pred, "doc_id")
+        .withColumn("bucket", coalesce(col("bucket"), lit("none")))
+        .select(col("doc_id"), col("gopher_pass"), col("bucket"),
+          col("pred"), col("is_canon"),
+          (col("gopher_pass") && col("bucket").isin("head", "middle") &&
+            col("pred") === 1L && col("is_canon")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "txt_ccnet_buckets" -> ((s, d) => {
       val scored = queries("txt_bigram_lm")(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
@@ -1140,7 +1183,7 @@ object TextAnalysis extends QueryModule {
     * count, the 1-row totals broadcast, top-10 via TakeOrderedAndProject.
     * See the txt_bm25_topk query scaladoc for the arithmetic derivation.
     */
-  private def bm25Score(tf: DataFrame, dl: DataFrame): DataFrame = {
+  private[graft] def bm25Score(tf: DataFrame, dl: DataFrame): DataFrame = {
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(sum(col("dl")).cast("bigint").as("total"),
       count(lit(1)).as("n_docs"))
@@ -1833,36 +1876,92 @@ object TextAnalysis extends QueryModule {
          |       THEN 1 ELSE 0 END AS INT) AS correct
          |FROM margins m JOIN test USING (doc_id) ORDER BY doc_id""".stripMargin,
     "txt_ccnet_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2
-        |), idx AS (
-        |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
-        |), bi AS (
-        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
-        |), c1 AS (
-        |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
-        |), p AS (
-        |  SELECT bi.doc_id, (n2 * 1000000) // n1 AS ps
-        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        |), scored AS (
-        |  SELECT p.doc_id AS doc_id,
-        |    round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
-        |  FROM p GROUP BY p.doc_id
-        |), ranked AS (
-        |  SELECT s.doc_id, d.lang, s.avg_p,
-        |    row_number() OVER (PARTITION BY d.lang
-        |      ORDER BY s.avg_p DESC, s.doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY d.lang) AS n_lang
-        |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-        |)
-        |SELECT doc_id, lang, avg_p,
-        |  CASE WHEN rn * 3 <= n_lang THEN 'head'
-        |       WHEN rn * 3 <= n_lang * 2 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM ranked ORDER BY doc_id""".stripMargin)
+      s"""WITH $ccnetCtes
+         |SELECT doc_id, lang, avg_p,
+         |  CASE WHEN rn * 3 <= n_lang THEN 'head'
+         |       WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+    "pipe_filter_funnel" ->
+      s"""$perceptronCtes, $ccnetCtes, wfinal AS (
+         |  SELECT w1.feature AS feature,
+         |    CAST(w1.w1 + coalesce(upd.dw, 0) AS BIGINT) AS w2
+         |  FROM w1 LEFT JOIN upd USING (feature)
+         |), afeat AS (
+         |  SELECT doc_id,
+         |    try_cast('0x' || substr(md5(w), 1, 1) AS BIGINT) AS feature,
+         |    count(*) AS x
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY doc_id, feature
+         |  UNION ALL
+         |  SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+         |), apred AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN sum(w2 * x) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |  FROM afeat JOIN wfinal USING (feature) GROUP BY doc_id
+         |), gop AS (
+         |  SELECT doc_id,
+         |    (CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 20 AND 10000)
+         |    AND (CAST(length(replace(text, ' ', '')) AS BIGINT) * 100
+         |         // CAST(len(string_split(text, ' ')) AS BIGINT) BETWEEN 300 AND 1000)
+         |    AND len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) >= 2
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 100
+         |        // CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+         |    AS gopher_pass
+         |  FROM documents
+         |), bkt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN rn * 3 <= n_lang THEN 'head'
+         |         WHEN rn * 3 <= n_lang * 2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM ranked
+         |), canon AS (
+         |  SELECT md5(text) AS hsh, min(doc_id) AS keep_id
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT d.doc_id AS doc_id, g.gopher_pass AS gopher_pass,
+         |  coalesce(b.bucket, 'none') AS bucket, a.pred AS pred,
+         |  d.doc_id = c.keep_id AS is_canon,
+         |  g.gopher_pass AND coalesce(b.bucket, 'none') IN ('head', 'middle')
+         |    AND a.pred = 1 AND d.doc_id = c.keep_id AS keep
+         |FROM documents d
+         |JOIN gop g ON d.doc_id = g.doc_id
+         |LEFT JOIN bkt b ON d.doc_id = b.doc_id
+         |JOIN apred a ON d.doc_id = a.doc_id
+         |JOIN canon c ON md5(d.text) = c.hsh
+         |ORDER BY d.doc_id""".stripMargin)
+
+  /** The CCNet scoring CTE chain (corpus bigram LM → per-doc mean scaled
+    * transition probability → per-language rank), shared by the
+    * txt_ccnet_buckets oracle and the pipe_filter_funnel capstone. Body
+    * only — callers prepend WITH or splice after their own CTEs.
+    */
+  private lazy val ccnetCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), idx AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+      |), bi AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS n2 FROM bi GROUP BY w1, w2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS n1 FROM bi GROUP BY w1
+      |), p AS (
+      |  SELECT bi.doc_id, (n2 * 1000000) // n1 AS ps
+      |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |), scored AS (
+      |  SELECT p.doc_id AS doc_id,
+      |    round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
+      |  FROM p GROUP BY p.doc_id
+      |), ranked AS (
+      |  SELECT s.doc_id, d.lang, s.avg_p,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY s.avg_p DESC, s.doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+      |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      |)""".stripMargin
 
   /** The BM25 oracle, shared verbatim by txt_bm25_topk and
     * txt_bm25_artifact (the oracle always recomputes from `documents`;

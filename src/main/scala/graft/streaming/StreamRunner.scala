@@ -351,4 +351,60 @@ object StreamRunner {
       }
       .start()
   }
+
+  /** Streaming inverted-index maintenance — the foreachBatch twin of
+    * txt_bm25_artifact's index build: each micro-batch of (doc_id, text)
+    * documents is tokenized once and its postings (word, doc_id, tf) and
+    * doc-length (doc_id, dl) rows publish through the staged-readback
+    * audit gate as dynamic partition upserts:
+    *  - postings keyed (wb, ingest_batch), where `wb` is the word's
+    *    16-way md5 bucket ⇒ the index lake is TERM-BUCKETED and a BM25
+    *    query for k terms prunes to ≤ k bucket directories — the
+    *    [[ivfIngestToWarehouse]] cell-partitioning idiom applied to the
+    *    lexical side;
+    *  - doclen keyed (ingest_batch) alone (metadata-sized rows);
+    *  - `ingest_batch` LAST ⇒ a checkpoint replay rewrites exactly its
+    *    own leaf partitions — idempotent recovery, same contract as the
+    *    IVF lake.
+    * The doclen table publishes only if the postings batch passed the
+    * audit (a quarantined batch quarantines WHOLE — a half-indexed batch
+    * would silently deflate its docs' BM25 scores). Per-batch cost is one
+    * narrow tokenize plus two partial-agg'd aggregations over the BATCH;
+    * the corpus is never re-read, so at 100 TB the index stays fresh at
+    * ingest cost while serving reads posting slices only.
+    */
+  def postingsIngestToWarehouse(
+      docStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+    docStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // two aggregations branch off the tokenize; cache the narrow
+        // token projection so the batch source is read once
+        val toks = batch
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .cache()
+        try {
+          val postings = toks.groupBy(col("word"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .withColumn("wb", graft.functions.TextFunctions.md5Bits(col("word"), 1))
+            .withColumn("ingest_batch", lit(batchId))
+          val doclen = toks.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("dl"))
+            .withColumn("ingest_batch", lit(batchId))
+          if (gatedPublish(postings, batchId, wh, s"${table}_postings",
+              Seq("wb", "ingest_batch"), audit))
+            gatedPublish(doclen, batchId, wh, s"${table}_doclen",
+              Seq("ingest_batch"), audit): Unit
+        } finally toks.unpersist(): Unit
+      }
+      .start()
+  }
 }

@@ -155,6 +155,39 @@ class LearnedOpsSpec extends SparkSuiteBase {
     assert(got.getLong(got.fieldIndex("n_spans")) == spans.length.toLong)
   }
 
+  // ---- composed filter funnel ----
+
+  test("filter funnel: keep is exactly the AND of the four gates; gates match their standalone queries") {
+    val funnel = SparkEntry.queries("pipe_filter_funnel")(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(funnel.length == docs.count(), "every doc gets a verdict row")
+    funnel.foreach { r =>
+      val keep = r.getBoolean(r.fieldIndex("keep"))
+      val expected = r.getBoolean(r.fieldIndex("gopher_pass")) &&
+        Set("head", "middle")(r.getString(r.fieldIndex("bucket"))) &&
+        r.getLong(r.fieldIndex("pred")) == 1L &&
+        r.getBoolean(r.fieldIndex("is_canon"))
+      assert(keep == expected, s"doc ${r.getLong(0)}: keep != AND of gates")
+    }
+    // gate columns agree with the standalone queries they compose
+    val gopher = SparkEntry.queries("txt_gopher_rules")(spark, sf0001)
+      .select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val buckets = SparkEntry.queries("txt_ccnet_buckets")(spark, sf0001)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    funnel.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      assert(r.getBoolean(r.fieldIndex("gopher_pass")) == gopher(id))
+      assert(r.getString(r.fieldIndex("bucket")) == buckets.getOrElse(id, "none"))
+    }
+    // the funnel must actually funnel: strictly fewer keeps than docs,
+    // and at least one survivor (degenerate all-false/all-true would
+    // still hash green on a broken gate)
+    val kept = funnel.count(_.getBoolean(5))
+    assert(kept > 0 && kept < funnel.length, s"kept $kept of ${funnel.length}")
+  }
+
   // ---- CCNet buckets ----
 
   test("ccnet buckets: per-language tercile arithmetic and score ordering") {
@@ -178,6 +211,42 @@ class LearnedOpsSpec extends SparkSuiteBase {
     val eligible = spark.read.parquet(s"$sf0001/documents.parquet")
       .filter(size(split(col("text"), " ")) >= 2).count()
     assert(b.length == eligible)
+  }
+
+  // ---- bitext mining ----
+
+  test("bitext mine: one row per probe, margin algebra, hub suppression direction") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val nProbes = e.filter(col("label") === 0 && col("vec_id") < 60).count()
+    val rows = SparkEntry.queries("sim_bitext_mine")(spark, sf0001).collect()
+    assert(rows.length == nProbes && nProbes > 0)
+    rows.foreach { r =>
+      val cos = r.getLong(r.fieldIndex("cos_x1e6"))
+      val margin = r.getLong(r.fieldIndex("margin_x1e6"))
+      assert(cos >= -1000000L && cos <= 1000001L, s"cos out of range: $cos")
+      // margin = best - mean of two top-4 neighbourhood means; the best
+      // IS in its own forward top-4, so margin < best - (best/... ) is
+      // loose — pin the hard bound: margin <= cos + 1e6 (bwd mean >= -1)
+      assert(margin <= cos + 1000000L)
+      assert(r.getBoolean(r.fieldIndex("accepted")) == (margin > 0))
+    }
+    // tgt side only ever proposes label-1 vectors
+    val tgtLabels = e.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach(r => assert(tgtLabels(r.getLong(r.fieldIndex("tgt_id"))) == 1))
+  }
+
+  test("bitext mine: the proposed target is the probe's true cosine argmax over label 1") {
+    val rows = SparkEntry.queries("sim_bitext_mine")(spark, sf0001).collect()
+    val probe = rows.head.getLong(0)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === probe).select(col("embedding").as("s_emb"))
+    val best = e.filter(col("label") === 1).crossJoin(broadcast(q))
+      .withColumn("css",
+        round(call_function("graft_cosine", col("embedding"), col("s_emb"))
+          * lit(1000000), 0).cast("long"))
+      .orderBy(desc("css"), col("vec_id")).limit(1)
+      .select("vec_id").head().getLong(0)
+    assert(rows.head.getLong(rows.head.fieldIndex("tgt_id")) == best)
   }
 
   // ---- kNN classify ----

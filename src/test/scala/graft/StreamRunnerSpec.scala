@@ -382,4 +382,74 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(pruned.collect().map(_.getAs[Long]("vec_id")).toSet ==
       streamed.filter(_._2._1 == someCell).keySet)
   }
+
+  test("streaming postings ingest: streamed index serves BM25 equal to the live ranking; buckets prune") {
+    import graft.operators.TextAnalysis
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("postl")
+    val wh = new Warehouse(tmpDir("postw"))
+    val ckpt = tmpDir("postc")
+
+    // land the sf0.001 corpus as TWO jsonl drops (odd/even doc_id)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        rows.map { case (id, t) =>
+          val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"doc_id":$id,"text":"$esc"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    writeFile("drop1.jsonl", evens)
+    writeFile("drop2.jsonl", odds)
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // force the 2-batch split
+      .json(landing)
+    StreamRunner.postingsIngestToWarehouse(
+      stream, wh, "lex",
+      df => if (df.filter(col("doc_id").isNull).count() > 0)
+        Some("null doc_id") else None,
+      ckpt, Trigger.AvailableNow()).awaitTermination()
+
+    val postings = wh.read(spark, "lex_postings")
+    val doclen = wh.read(spark, "lex_doclen")
+    // both micro-batches landed under their own ingest_batch leaves
+    assert(postings.select("ingest_batch").distinct().count() == 2)
+
+    // the streamed index must equal the batch-built index row-for-row
+    val batchIndex = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postings.select("word", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == batchIndex)
+
+    // SERVING parity: BM25 over the streamed index == the live ranking
+    // (TextAnalysis.bm25Score is the exact scoring tail both forms share)
+    val qterms = postings.filter(!col("word").isin(TextAnalysis.stop: _*))
+      .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+      .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
+    val served = TextAnalysis.bm25Score(
+      postings.join(broadcast(qterms), "word"),
+      doclen.select(col("doc_id"), col("dl"))).collect()
+    val live = SparkEntry.queries("txt_bm25_topk")(spark, sf0001).collect()
+    assert(served.map(_.toSeq).toSeq == live.map(_.toSeq).toSeq,
+      "index-served BM25 must equal the live ranking bit-for-bit")
+
+    // term-bucket pruning: a single-term probe pushes a wb partition
+    // filter and reads only that bucket's directories
+    val term = qterms.head().getString(0)
+    val probe = wh.read(spark, "lex_postings")
+      .filter(col("wb") === expr(s"CAST(conv(substring(md5('$term'), 1, 1), 16, 10) AS BIGINT)"))
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("wb")),
+      s"expected a wb partition filter, got: ${scan.partitionFilters}")
+  }
 }
