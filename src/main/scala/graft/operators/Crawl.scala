@@ -347,6 +347,15 @@ object Crawl extends QueryModule {
       require((reason +: headers.flatMap(h => Seq(h._1, h._2)))
         .forall(s => !s.exists(c => c == '\r' || c == '\n')),
         "HTTP reason/header may not contain CR/LF")
+      // framing headers are WRITER-OWNED (the WarcCodec.encode rule): a
+      // caller-supplied Content-Length or Transfer-Encoding would emit a
+      // message with duplicate/conflicting framing — our decode's
+      // last-wins map masks it locally, but the bytes stay ambiguous to
+      // any other parser
+      require(headers.forall(h =>
+        !h._1.equalsIgnoreCase("Content-Length") &&
+          !h._1.equalsIgnoreCase("Transfer-Encoding")),
+        "framing headers (Content-Length/Transfer-Encoding) are writer-owned")
       val sb = new StringBuilder(s"HTTP/1.1 $status $reason\r\n")
       headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
       val out = new java.io.ByteArrayOutputStream()
@@ -574,6 +583,63 @@ object Crawl extends QueryModule {
       HttpCodec.decode(rec.body).map(_.body)
     else Right(rec.body)
 
+  /** Effective content-type + payload bytes of a response record: an
+    * HTTP-layered record surfaces the HTTP header block's Content-Type
+    * (where real pages declare their charset); a bare record surfaces the
+    * WARC header's. Left = the declared HTTP layer doesn't parse.
+    */
+  private[operators] def responseContent(
+      rec: WarcCodec.WarcRecord): Either[String, (Option[String], Array[Byte])] =
+    if (rec.headers.get("Content-Type").exists(
+        _.toLowerCase.startsWith("application/http")))
+      HttpCodec.decode(rec.body).map(h => (h.headers.get("content-type"), h.body))
+    else Right((rec.headers.get("Content-Type"), rec.body))
+
+  /** CHARSET-AWARE body decoding — the load-then-type discipline applied
+    * to crawl text (the reference loads bytes raw and types later,
+    * `dags/daily_search_history.py:44-49`; the crawl twin must transcode
+    * before extraction or legacy-charset pages — windows-1251, Shift_JIS,
+    * GBK, all over real CommonCrawl — extract as mojibake). Rules:
+    *  - the `charset=` parameter of the Content-Type header (quoted or
+    *    bare, case-insensitive) names the encoding; absent → UTF-8 (the
+    *    HTML5/CommonCrawl default);
+    *  - any charset the JVM knows decodes (UTF-8, the ISO-8859 family,
+    *    windows-125x, Shift_JIS, EUC-JP/KR, GBK, Big5, KOI8-R, ...);
+    *    an unknown label is the typed degrade `charset-unknown`;
+    *  - decoding is STRICT (malformed input REPORTs, never silently
+    *    replaces — the utf8-audit discipline): bytes that don't conform
+    *    to the declared charset degrade as `charset-bad-bytes`.
+    */
+  private[operators] def decodeBody(
+      contentType: Option[String], body: Array[Byte]): Either[String, String] = {
+    val declared = contentType.flatMap { ct =>
+      ct.split(";").iterator.drop(1).map(_.trim).collectFirst {
+        case p if p.toLowerCase.startsWith("charset=") =>
+          p.substring("charset=".length).trim
+            .stripPrefix("\"").stripSuffix("\"").trim
+      }
+    }
+    val name = declared.filter(_.nonEmpty).getOrElse("UTF-8")
+    val charset =
+      try Some(java.nio.charset.Charset.forName(name))
+      catch {
+        case _: java.nio.charset.IllegalCharsetNameException |
+             _: java.nio.charset.UnsupportedCharsetException => None
+      }
+    charset match {
+      case None => Left("charset-unknown")
+      case Some(c) =>
+        val dec = c.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try Right(dec.decode(java.nio.ByteBuffer.wrap(body)).toString)
+        catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            Left("charset-bad-bytes")
+        }
+    }
+  }
+
   // ---- fixtures: archives built from (doc_id, text) so the DuckDB
   // oracle predicts every decoded value independently ----
 
@@ -787,10 +853,17 @@ object Crawl extends QueryModule {
     * task memory is one record regardless of shard size, and there is no
     * whole-file row anywhere (this is the large-shard replacement for
     * handing `binaryFile` content to [[crawlTexts]], which is capped at
-    * Spark's 2 GB single-file-row ceiling).
+    * Spark's 2 GB single-file-row ceiling). With `salvage = true` a
+    * corrupt member ends its FILE's contribution at the last verified
+    * boundary instead of failing the scan — [[crawlTexts]]' typed-degrade
+    * contract, which the continuous-ingest sink relies on (a checkpoint
+    * would otherwise replay the same corrupt shard forever: a permanent
+    * poison pill).
     */
-  def crawlTextsFromFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val members = spark.read.format("warcgz").load(paths: _*).select(col("data"))
+  def crawlTextsFromFiles(spark: SparkSession, paths: Seq[String],
+      salvage: Boolean = false): DataFrame = {
+    val members = spark.read.format("warcgz")
+      .option("salvage", salvage.toString).load(paths: _*).select(col("data"))
     val rdd = members.rdd.mapPartitions { it =>
       it.flatMap(row => memberText(row.getAs[Array[Byte]](0)))
     }

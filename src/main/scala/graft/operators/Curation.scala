@@ -182,18 +182,33 @@ object Curation extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- per-source quality gate: keep the top 25% of each source by
-    // n_chars, ties broken by doc_id (deterministic). The rank comparison
-    // is exact integer cross-multiplication (rn·4 ≤ n_src), never a double
-    // percent_rank both engines could round differently. One window sort
-    // per source partition — the same shape as SCD2 interval building. ----
+    // ---- per-source quality gate: keep the top quarter of each source by
+    // n_chars — assigned by a CUT VALUE, not a rank. The per-source
+    // quartile cutoff comes from a count-of-counts histogram of the
+    // integer n_chars (partial-agg'd; the cumulative window runs over
+    // HISTOGRAM rows — distinct lengths per source, the evt_rfm_segments
+    // bounded-input class — never a docs-sized sort), the ≤|sources|-row
+    // cut table broadcasts back, and keep = n_chars ≥ t1 is a shuffle-free
+    // comparison. t1 = length at descending rank ⌊n/4⌋; on tie-free data
+    // exactly the old rn·4 ≤ n_src rule, and a tie group at the cut is now
+    // kept whole (the old doc_id tie-split forced every doc of a hub
+    // source through ONE row_number sort task — the txt_domain_cap
+    // scaladoc's named anti-pattern, fixed the same way). ----
     "txt_quality_topp" -> ((s, d) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(desc("n_chars"), col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
-        .filter(col("rn") * 4 <= col("n_src"))
+      val docs = Tables.documents(s, d)
+      val cumW = Window.partitionBy(col("source")).orderBy(desc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cuts = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(cumW))
+        .withColumn("n_src", sum(col("k")).over(allW))
+        .groupBy(col("source"))
+        .agg(max(when(col("n_src") >= 4 &&
+          col("cum") >= expr("n_src DIV 4"), col("n_chars"))).as("t1"))
+      docs.join(broadcast(cuts), "source")
+        .filter(col("t1").isNotNull && col("n_chars") >= col("t1"))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("source"), col("doc_id"))
     }),
@@ -817,15 +832,24 @@ object Curation extends QueryModule {
         |  bucket
         |FROM h ORDER BY doc_id""".stripMargin,
     "txt_quality_topp" ->
-      """WITH r AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY source) AS n_src
-        |  FROM documents
+      """WITH qhist AS (
+        |  SELECT source, n_chars, count(*) AS k
+        |  FROM documents GROUP BY source, n_chars
+        |), qcum AS (
+        |  SELECT source, n_chars,
+        |    sum(k) OVER (PARTITION BY source ORDER BY n_chars DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(k) OVER (PARTITION BY source) AS n_src
+        |  FROM qhist
+        |), qcuts AS (
+        |  SELECT source,
+        |    max(CASE WHEN n_src >= 4 AND cum >= n_src // 4 THEN n_chars END) AS t1
+        |  FROM qcum GROUP BY source
         |)
-        |SELECT doc_id, source, n_chars
-        |FROM r WHERE rn * 4 <= n_src
-        |ORDER BY source, doc_id""".stripMargin,
+        |SELECT d.doc_id AS doc_id, d.source AS source, d.n_chars AS n_chars
+        |FROM documents d JOIN qcuts c ON d.source = c.source
+        |WHERE c.t1 IS NOT NULL AND d.n_chars >= c.t1
+        |ORDER BY d.source, d.doc_id""".stripMargin,
     "txt_domain_cap" ->
       """WITH r AS (
         |  SELECT source,

@@ -53,6 +53,52 @@ object Dedup extends QueryModule {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(shingleArrayExpr)).as("shingle"))
 
+  /** Positioned 8-gram hashes over a `(doc_id, w: array<string>)` frame —
+    * the shared extraction of the span-dedup family ([[queries]]
+    * `dedup_span_frac` / `dedup_span_incr`): one row per word position i
+    * carrying the 60-bit md5 of words [i, i+8). Shuffles carry 8-byte
+    * hashes, never gram text.
+    */
+  private def grams8(w: DataFrame): DataFrame = {
+    val K = 8
+    w.filter(size(col("w")) >= K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${K - 1}),
+           |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(w, i, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+  }
+
+  /** Gaps-and-islands span merge + per-doc duplicated-mass report shared
+    * by the span-dedup family: merge each doc's overlapping [i, i+8) hit
+    * intervals via a PER-DOC-PARTITIONED running max (one row of state,
+    * never a cross-doc sort) and report (n_spans, dup_words, dup_frac)
+    * for EVERY doc of `w` (zero-span docs included — the report is the
+    * cut plan).
+    */
+  private def spanReport(w: DataFrame, hits: DataFrame): DataFrame = {
+    val K = 8
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = hits
+      .withColumn("pmax", max(col("i") + K)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
+        .over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + K).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("bigint").as("dup_words"))
+    w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).cast("bigint").as("dup_words"),
+        expr("CAST((coalesce(dup_words, 0) * 1000000) DIV n_words AS BIGINT)")
+          .as("dup_frac_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Universal-hash family over one md5 base hash: h = md5_60(shingle) mod p,
     * mh_i = min((a_i*h + b_i) mod p). One md5 per shingle instead of eight —
     * md5 over the text dominates signature cost; the 8 derived hashes are two
@@ -983,36 +1029,38 @@ object Dedup extends QueryModule {
     // paper's suffix-array semantics, which sees a repeated span no
     // matter which document the other occurrence is in. ----
     "dedup_span_frac" -> ((s, d) => {
-      val K = 8
       val w = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val grams = w.filter(size(col("w")) >= K)
-        .select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(1, size(w) - ${K - 1}),
-             |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(w, i, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      val grams = grams8(w)
       val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select(col("h"))
-      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val spans = grams.join(dup, Seq("h"), "left_semi")
-        .withColumn("pmax", max(col("i") + K)
-          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("isl", sum(
-          when(col("pmax").isNull || col("i") > col("pmax"), 1L).otherwise(0L))
-          .over(byDoc))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("i")).as("s"), (max(col("i")) + K).as("e"))
-      val perDoc = spans.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("e") - col("s")).cast("bigint").as("dup_words"))
-      w.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_words"),
-          coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
-          coalesce(col("dup_words"), lit(0L)).cast("bigint").as("dup_words"),
-          expr("CAST((coalesce(dup_words, 0) * 1000000) DIV n_words AS BIGINT)")
-            .as("dup_frac_x1e6"))
-        .orderBy(col("doc_id"))
+      spanReport(w, grams.join(dup, Seq("h"), "left_semi"))
+    }),
+
+    // ---- INCREMENTAL span-level dedup — the batch-vs-corpus form of
+    // [[dedup_span_frac]], the shape a production ingest actually runs
+    // (Lee et al. 2022 applied to new data): a NEW-batch word position is
+    // duplicated iff its 8-gram already occurs in the EXISTING corpus.
+    // The corpus side is a PERSISTED gram-count artifact (8-byte hashes —
+    // the DerivedArtifacts staleness contract, built once per corpus
+    // fingerprint): per ingest batch the work is batch gram extraction +
+    // one semi-join against the artifact + a per-batch-doc interval
+    // merge — everything scales with the BATCH, the corpus text is never
+    // re-read, exactly the dedup_incremental asymmetry applied to spans.
+    // Deliberately asymmetric: batch-batch duplicates do NOT flag here
+    // (the within-batch pass is dedup_span_frac over the batch — the
+    // composition a full ingest runs; SpanDedupSpec pins the asymmetry
+    // and the artifact-vs-live parity). ----
+    "dedup_span_incr" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val corpusGrams = DerivedArtifacts.table(s, d, "documents", "span_grams8")(
+        grams8(w.filter(col("doc_id") % 10 =!= 0))
+          .groupBy(col("h")).agg(count(lit(1)).as("n")))
+      val batch = w.filter(col("doc_id") % 10 === 0)
+      val hits = grams8(batch)
+        .join(corpusGrams.select(col("h")), Seq("h"), "left_semi")
+      spanReport(batch, hits)
     }),
 
     // ---- Bloom-filter ingest prefilter: does a new-batch document share
@@ -1548,6 +1596,43 @@ object Dedup extends QueryModule {
           |  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
           |  CAST((coalesce(p.dup_words, 0) * 1000000) // len(wrd.w) AS BIGINT) AS dup_frac_x1e6
           |FROM wrd LEFT JOIN per_doc p ON wrd.doc_id = p.doc_id
+          |ORDER BY wrd.doc_id""".stripMargin,
+      "dedup_span_incr" ->
+        """WITH wrd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), g AS (
+          |  SELECT doc_id, i,
+          |    try_cast('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+          |        FROM wrd WHERE len(w) >= 8)
+          |), corpus AS (
+          |  SELECT DISTINCT h FROM g WHERE doc_id % 10 <> 0
+          |), hits AS (
+          |  SELECT g.doc_id, g.i FROM g JOIN corpus USING (h)
+          |  WHERE g.doc_id % 10 = 0
+          |), mx AS (
+          |  SELECT doc_id, i,
+          |    max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM hits
+          |), isla AS (
+          |  SELECT doc_id, i,
+          |    sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+          |  FROM mx
+          |), spans AS (
+          |  SELECT doc_id, isl, min(i) AS s, max(i) + 8 AS e
+          |  FROM isla GROUP BY doc_id, isl
+          |), per_doc AS (
+          |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_words
+          |  FROM spans GROUP BY doc_id
+          |)
+          |SELECT wrd.doc_id AS doc_id, CAST(len(wrd.w) AS BIGINT) AS n_words,
+          |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+          |  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
+          |  CAST((coalesce(p.dup_words, 0) * 1000000) // len(wrd.w) AS BIGINT) AS dup_frac_x1e6
+          |FROM wrd LEFT JOIN per_doc p ON wrd.doc_id = p.doc_id
+          |WHERE wrd.doc_id % 10 = 0
           |ORDER BY wrd.doc_id""".stripMargin,
       "dedup_bloom_prefilter" ->
         """WITH segs AS (

@@ -455,29 +455,34 @@ object EventTime extends QueryModule {
     // the mean — the estimator that doesn't move when the outliers it
     // hunts drag the mean (evt_value_outliers' 2×mean rule flags nothing
     // if one whale doubles the mean). Exact integer arithmetic end to end:
-    // lower medians as the ⌈n/2⌉-th order statistic via event_type-
-    // PARTITIONED windows (never a global sort), outlier test
-    // |cents − med| > 3·MAD as integer compare. The |types|-row median and
-    // MAD tables broadcast back. At 100 TB the exact per-type sort is the
-    // first pressure point — the constant-state path is the same rank walk
-    // over graft_qsketch (evt_value_sketch), traded for sketch error. ----
+    // lower medians as the ⌈n/2⌉-th order statistic read off a
+    // COUNT-OF-COUNTS histogram — the median is a VALUE, so "the min
+    // value whose ascending cumulative count reaches rank (n+1) DIV 2"
+    // is bit-identical to a row_number walk at any tie structure, but the
+    // cumulative window runs over histogram rows (distinct cent values
+    // per type — the evt_rfm_segments bounded-input class), never the
+    // event volume a per-type rank window would funnel through one sort
+    // task at 100 TB. Outlier test |cents − med| > 3·MAD as integer
+    // compare; the |types|-row median and MAD tables broadcast back. ----
     "evt_outliers_mad" -> ((s, d) => {
+      def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame = {
+        val cumW = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val allW = Window.partitionBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.groupBy(col("event_type"), col(vCol)).agg(count(lit(1)).as("k"))
+          .withColumn("cum", sum(col("k")).over(cumW))
+          .withColumn("n", sum(col("k")).over(allW))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col(vCol))).as(out))
+      }
       val ev = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           round(col("value") * 100).cast("bigint").as("cents"))
-      val wc = Window.partitionBy(col("event_type"))
-      val wv = wc.orderBy(col("cents"), col("event_id"))
-      val med = ev.withColumn("rn", row_number().over(wv))
-        .withColumn("n", count(lit(1)).over(wc))
-        .filter(expr("rn = (n + 1) DIV 2"))
-        .select(col("event_type"), col("cents").as("med_cents"))
+      val med = lowerMedian(ev, "cents", "med_cents")
       val res = ev.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("cents") - col("med_cents")))
-      val wd = wc.orderBy(col("dev"), col("event_id"))
-      val mad = res.withColumn("rn", row_number().over(wd))
-        .withColumn("n", count(lit(1)).over(wc))
-        .filter(expr("rn = (n + 1) DIV 2"))
-        .select(col("event_type"), col("dev").as("mad_cents"))
+      val mad = lowerMedian(res, "dev", "mad_cents")
       res.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),

@@ -965,13 +965,19 @@ object Similarity extends QueryModule {
     // engines (Spark DIV truncates toward zero, DuckDB // floors — equal
     // only for non-negatives), and the shift cancels exactly in the
     // margin. Scale: the probe batch broadcasts (the knn-classify
-    // pattern); the target lake is scanned ONCE; both rank windows are
-    // partitioned (per-probe: |targets| rows over 60 partitions;
-    // per-target: ≤ 60 rows each) — at 100 TB the target side prunes by
-    // SRP/IVF cell exactly as the ANN ladder serves, brute here because
-    // mining wants exact neighbourhoods as ground truth. ----
+    // pattern); the target lake is scanned once per direction and BOTH
+    // neighbourhoods are bounded `graft_topk` aggregates — each mapper
+    // keeps a 4-row buffer per key and emits ≤ 4 rows into the shuffle
+    // (map-side combine), so no task ever sorts a corpus-sized probe
+    // partition (the round-10 plan stacked both rank windows and the
+    // forward one funnelled |targets| rows through 60 sort tasks). The
+    // topk buffer's (score DESC, id ASC) order is exactly the old
+    // windows' (css DESC, tgt_id/src_id ASC), so the kept sets — and
+    // every oracle hash — are unchanged. At 100 TB the target side
+    // prunes by SRP/IVF cell exactly as the ANN ladder serves, brute
+    // here because mining wants exact neighbourhoods as ground truth. ----
     "sim_bitext_mine" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.ensureRegistered(s)
       val e = Tables.embeddings(s, d)
       val probes = e.filter(col("label") === 0 && col("vec_id") < 60)
         .select(col("vec_id").as("src_id"), col("embedding").as("s_emb"))
@@ -981,21 +987,22 @@ object Similarity extends QueryModule {
         .withColumn("css",
           round(cosine(s, "embedding", "s_emb") * lit(1000000), 0)
             .cast("long") + lit(1000000L))
-      val byQ = Window.partitionBy(col("src_id"))
-        .orderBy(desc("css"), col("tgt_id"))
-      val byT = Window.partitionBy(col("tgt_id"))
-        .orderBy(desc("css"), col("src_id"))
-      val ranked = scored
-        .withColumn("rnf", row_number().over(byQ))
-        .withColumn("rnb", row_number().over(byT))
-      val fwd = ranked.filter(col("rnf") <= 4)
-        .groupBy(col("src_id"))
-        .agg(expr("sum(css) DIV count(1)").as("avgfs"),
-          max(when(col("rnf") === 1, col("tgt_id"))).as("tgt_id"),
-          max(when(col("rnf") === 1, col("css"))).as("bests"))
-      val bwd = ranked.filter(col("rnb") <= 4)
-        .groupBy(col("tgt_id"))
-        .agg(expr("sum(css) DIV count(1)").as("avgbs"))
+        .select(col("src_id"), col("tgt_id"), col("css"))
+      // css ≤ 2e6 ≪ 2^53, so the DOUBLE score round-trips exactly and
+      // the integer-DIV mean arithmetic is bit-identical to the oracle's
+      val nbhdMean = expr(
+        "CAST(aggregate(top, 0L, (a, x) -> a + CAST(x.score AS BIGINT))" +
+          " DIV size(top) AS BIGINT)")
+      val fwd = scored.groupBy(col("src_id"))
+        .agg(call_function("graft_topk",
+          col("css").cast("double"), col("tgt_id"), lit(4)).as("top"))
+        .select(col("src_id"), nbhdMean.as("avgfs"),
+          expr("top[0].id").as("tgt_id"),
+          expr("CAST(top[0].score AS BIGINT)").as("bests"))
+      val bwd = scored.groupBy(col("tgt_id"))
+        .agg(call_function("graft_topk",
+          col("css").cast("double"), col("src_id"), lit(4)).as("top"))
+        .select(col("tgt_id"), nbhdMean.as("avgbs"))
       fwd.join(bwd, "tgt_id")
         .select(col("src_id"), col("tgt_id"),
           (col("bests") - lit(1000000L)).as("cos_x1e6"),

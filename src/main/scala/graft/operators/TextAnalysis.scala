@@ -1063,6 +1063,33 @@ object TextAnalysis extends QueryModule {
       bm25Score(postings.join(broadcast(qterms), "word"), doclen)
     }),
 
+    // ---- BM25 served from a COMPACTED postings generation: the streamed
+    // index accumulates one (wb, ingest_batch) fragment per micro-batch —
+    // after thousands of batches every k-term probe reads thousands of
+    // posting files per term bucket, the fragmented-segment problem
+    // Lucene solves with merges. The fixture materializes that exact
+    // fragmented layout (8 synthetic ingest generations), runs
+    // [[graft.streaming.StreamRunner.compactPostings]] — a layout-only
+    // rewrite into ONE wb-partitioned VERSIONED snapshot (~one file per
+    // term bucket; the `_VERSION` flip is the atomic reader-visible
+    // commit) — and this query ranks from the pinned compacted
+    // generation. The oracle is IDENTICAL to txt_bm25_topk/artifact:
+    // that hash equality IS the proof that compaction changed the file
+    // layout and nothing else. At 100 TB: probe cost goes from
+    // O(batches) file opens per bucket back to O(1), ingest keeps
+    // appending to the fragmented lake, and the next compaction commits
+    // the next generation. ----
+    "txt_bm25_compacted" -> ((s, d) => {
+      val (wh, pv, dv) = PostingsLakeFixture.compacted(s, d)
+      val postings = wh.readVersion(s, "lex_postings_serve", Some(pv))
+      val doclen = wh.readVersion(s, "lex_doclen_serve", Some(dv))
+      val qterms = postings.filter(!col("word").isin(stop: _*))
+        .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+        .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
+      bm25Score(postings.join(broadcast(qterms), "word"),
+        doclen.select(col("doc_id"), col("dl")))
+    }),
+
     // ---- trained quality classifier, batch-perceptron form (the learned
     // filter a DataComp/Dolma-style pipeline trains to keep target-like
     // text; labels here: lang = 'en' → +1). Features are hashed
@@ -1094,7 +1121,9 @@ object TextAnalysis extends QueryModule {
     "txt_perceptron_apply" -> ((s, d) => {
       val test = Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
       val feat = hashedFeatures(test)
-      val w2 = perceptronWeights(s, d).select(col("feature"), col("w2"))
+      // served from the persisted model artifact — the training scans
+      // never appear in this plan (see [[perceptronModel]])
+      val w2 = perceptronModel(s, d).select(col("feature"), col("w2"))
       feat.join(broadcast(w2), "feature")
         .groupBy(col("doc_id"))
         .agg(sum(col("w2") * col("x")).cast("bigint").as("margin"))
@@ -1110,13 +1139,20 @@ object TextAnalysis extends QueryModule {
     // corpus bigram LM (the txt_bigram_lm rational form — no libm log) and
     // cut each LANGUAGE's score distribution into head/middle/tail
     // terciles, most-probable first. Per-language cuts are what CCNet
-    // actually ships (a Wikipedia-trained LM per language, buckets
-    // assigned within language), and they keep the rank window PARTITIONED
-    // — the txt_quality_topp idiom: integer cross-multiplication
-    // rn·3 ≤ n / rn·3 ≤ 2n, never a double percentile two engines could
-    // round apart. Scale: the LM scoring is txt_bigram_lm's audited plan;
-    // the bucket pass adds one lang-partitioned window over doc-level
-    // rows (corpus-count rows, not token rows). ----
+    // actually ships (a Wikipedia-trained LM per language, cutoff SCORES
+    // derived from the distribution, buckets assigned by comparing each
+    // doc's score to the cutoffs — ties share a bucket). The cutoffs come
+    // from a COUNT-OF-COUNTS histogram of the integer micro-unit score
+    // (avg_p is round(·,4), so p4 = round(avg_p·10⁴) is an exact integer
+    // key): per (lang, p4) counts partial-agg, a cumulative window over
+    // HISTOGRAM rows (distinct scores per language — the evt_rfm_segments
+    // bounded-input class, never a docs-sized sort), and the ≤|langs|-row
+    // cut table broadcasts back so assignment is a shuffle-free
+    // comparison. t1 = score at descending rank ⌊n/3⌋, t2 at ⌊2n/3⌋;
+    // head = p4 ≥ t1, middle = p4 ≥ t2, else tail — on tie-free data
+    // exactly the old rank rule, and a boundary TIE GROUP now lands whole
+    // in the better bucket instead of splitting by doc_id (which at 100 TB
+    // forced every doc of the dominant language through ONE sort task). ----
     // ---- the COMPOSED learned-filter funnel (the Dolma/DataComp/RefinedWeb
     // curation chain as ONE plan): every document flows through all four
     // round-10 gates and the per-doc decision table records each verdict —
@@ -1129,8 +1165,9 @@ object TextAnalysis extends QueryModule {
     // survivor count: the oracle hash then proves every gate's verdict on
     // every doc, not just the aggregate. Scale: the three metric passes
     // are the audited plans of their standalone queries (narrow scan /
-    // one lang window / broadcast-model agg), the canon pass shuffles
-    // 16-byte hashes, and the final assembly is doc_id equi-joins. ----
+    // broadcast-cut comparison / broadcast-model agg), the canon pass
+    // shuffles 16-byte hashes, and the final assembly is doc_id
+    // equi-joins. ----
     "pipe_filter_funnel" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val gopher = queries("txt_gopher_rules")(s, d)
@@ -1138,7 +1175,9 @@ object TextAnalysis extends QueryModule {
       val buckets = queries("txt_ccnet_buckets")(s, d)
         .select(col("doc_id"), col("bucket"))
       val feat = hashedFeatures(docs)
-      val w2 = perceptronWeights(s, d).select(col("feature"), col("w2"))
+      // gate 3 reads the persisted 17-row model — the funnel's plan no
+      // longer retrains the perceptron per query (see [[perceptronModel]])
+      val w2 = perceptronModel(s, d).select(col("feature"), col("w2"))
       val pred = feat.join(broadcast(w2), "feature")
         .groupBy(col("doc_id"))
         .agg(sum(col("w2") * col("x")).cast("bigint").as("margin"))
@@ -1163,14 +1202,25 @@ object TextAnalysis extends QueryModule {
     "txt_ccnet_buckets" -> ((s, d) => {
       val scored = queries("txt_bigram_lm")(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
-      val byLang = Window.partitionBy(col("lang"))
-      val w = byLang.orderBy(desc("avg_p"), col("doc_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .withColumn("p4", round(col("avg_p") * 10000, 0).cast("long"))
+      val cumW = Window.partitionBy(col("lang")).orderBy(desc("p4"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cuts = scored.groupBy(col("lang"), col("p4"))
+        .agg(count(lit(1)).as("k"))
+        .withColumn("cum", sum(col("k")).over(cumW))
+        .withColumn("n_lang", sum(col("k")).over(allW))
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("n_lang") >= 3 &&
+            col("cum") >= expr("n_lang DIV 3"), col("p4"))).as("t1"),
+          max(when(col("n_lang") >= 2 &&
+            col("cum") >= expr("(2 * n_lang) DIV 3"), col("p4"))).as("t2"))
+      scored.join(broadcast(cuts), "lang")
         .withColumn("bucket",
-          when(col("rn") * 3 <= col("n_lang"), "head")
-            .when(col("rn") * 3 <= col("n_lang") * 2, "middle")
+          when(col("t1").isNotNull && col("p4") >= col("t1"), "head")
+            .when(col("t2").isNotNull && col("p4") >= col("t2"), "middle")
             .otherwise("tail"))
         .select(col("doc_id"), col("lang"), col("avg_p"), col("bucket"))
         .orderBy(col("doc_id"))
@@ -1240,6 +1290,68 @@ object TextAnalysis extends QueryModule {
       .select(col("feature"), col("w1"),
         (col("w1") + coalesce(col("dw"), lit(0L))).cast("bigint").as("w2"))
   }
+
+  /** Fragmented → compacted postings lake, built once per corpus
+    * fingerprint: the batch postings matrix written as 8 synthetic ingest
+    * generations — the exact `(wb, ingest_batch)` leaf layout
+    * [[graft.streaming.StreamRunner.postingsIngestToWarehouse]]
+    * accumulates — then compacted by
+    * [[graft.streaming.StreamRunner.compactPostings]] into a versioned
+    * wb-partitioned serve generation. Returns the lake's warehouse plus
+    * the committed (postings, doclen) snapshot versions, so the serving
+    * query reads a PINNED generation (lineage-stable even if a later
+    * compaction commits).
+    */
+  private object PostingsLakeFixture {
+    private val base =
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_postingslake")
+    private val built =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+    def compacted(s: SparkSession, d: String): (graft.pipeline.Warehouse, Int, Int) = {
+      val key = s"lake_v1_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      val wh = new graft.pipeline.Warehouse(new java.io.File(base, key).getPath)
+      val (pv, dv) = built.computeIfAbsent(key, _ =>
+        // the marker commits LAST, so a committed version implies the
+        // whole build (fragmented lake included) completed — a crashed
+        // prior build reruns here
+        (wh.currentVersion("lex_postings_serve"),
+          wh.currentVersion("lex_doclen_serve")) match {
+          case (Some(p), Some(dl)) => (p, dl)
+          case _ =>
+            val toks = Tables.documents(s, d)
+              .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+            wh.partitionedUpsertWrite(
+              toks.groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+                .withColumn("wb",
+                  graft.functions.TextFunctions.md5Bits(col("word"), 1))
+                .withColumn("ingest_batch", pmod(col("doc_id"), lit(8L))),
+              "lex_postings", Seq("wb", "ingest_batch"))
+            wh.partitionedUpsertWrite(
+              toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+                .withColumn("ingest_batch", pmod(col("doc_id"), lit(8L))),
+              "lex_doclen", Seq("ingest_batch"))
+            graft.streaming.StreamRunner.compactPostings(s, wh, "lex")
+        })
+      (wh, pv, dv)
+    }
+  }
+
+  /** The trained perceptron SERVED from a persisted 17-row model artifact
+    * (the txt_bm25_artifact precedent, fingerprint-keyed to the corpus):
+    * training runs once at artifact-build time; every serving query —
+    * txt_perceptron_apply, pipe_filter_funnel's gate 3 — reads the model
+    * table instead of re-running the two training epochs' corpus scans.
+    * Deterministic integer training ⇒ the persisted rows equal a live
+    * [[perceptronWeights]] bit-for-bit, so serving from the artifact
+    * cannot move an oracle hash (LearnedOpsSpec pins the equality). At
+    * 100 TB this is the train-once/score-forever split a learned filter
+    * actually deploys — the model is data-sized-free, the apply pass is
+    * one broadcast join.
+    */
+  private def perceptronModel(s: SparkSession, d: String): DataFrame =
+    Dedup.DerivedArtifacts.table(s, d, "documents", "perceptron_w")(
+      perceptronWeights(s, d))
 
   /** Probe keys for the CMS audit: seven corpus words + one absent word
     * (collision-only estimate — exercises the ≥-never-undercounts bound
@@ -1842,6 +1954,9 @@ object TextAnalysis extends QueryModule {
     // identical oracle by design: index-served BM25 must hash-equal the
     // live computation — that equality is the inverted-index proof
     "txt_bm25_artifact" -> bm25OracleSql,
+    // identical again: the compacted generation must rank exactly as the
+    // fragmented lake and the live scan — compaction is layout-only
+    "txt_bm25_compacted" -> bm25OracleSql,
     "txt_perceptron_train" ->
       s"""$perceptronCtes
          |SELECT w1.feature AS feature, w1.w1 AS w1,
@@ -1877,11 +1992,8 @@ object TextAnalysis extends QueryModule {
          |FROM margins m JOIN test USING (doc_id) ORDER BY doc_id""".stripMargin,
     "txt_ccnet_buckets" ->
       s"""WITH $ccnetCtes
-         |SELECT doc_id, lang, avg_p,
-         |  CASE WHEN rn * 3 <= n_lang THEN 'head'
-         |       WHEN rn * 3 <= n_lang * 2 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM ranked ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, lang, avg_p, bucket
+         |FROM bucketed ORDER BY doc_id""".stripMargin,
     "pipe_filter_funnel" ->
       s"""$perceptronCtes, $ccnetCtes, wfinal AS (
          |  SELECT w1.feature AS feature,
@@ -1910,11 +2022,7 @@ object TextAnalysis extends QueryModule {
          |    AS gopher_pass
          |  FROM documents
          |), bkt AS (
-         |  SELECT doc_id,
-         |    CASE WHEN rn * 3 <= n_lang THEN 'head'
-         |         WHEN rn * 3 <= n_lang * 2 THEN 'middle'
-         |         ELSE 'tail' END AS bucket
-         |  FROM ranked
+         |  SELECT doc_id, bucket FROM bucketed
          |), canon AS (
          |  SELECT md5(text) AS hsh, min(doc_id) AS keep_id
          |  FROM documents GROUP BY 1
@@ -1955,12 +2063,29 @@ object TextAnalysis extends QueryModule {
       |  SELECT p.doc_id AS doc_id,
       |    round(CAST(SUM(ps) AS DOUBLE) / count(*), 4) AS avg_p
       |  FROM p GROUP BY p.doc_id
-      |), ranked AS (
-      |  SELECT s.doc_id, d.lang, s.avg_p,
-      |    row_number() OVER (PARTITION BY d.lang
-      |      ORDER BY s.avg_p DESC, s.doc_id) AS rn,
-      |    count(*) OVER (PARTITION BY d.lang) AS n_lang
+      |), p4s AS (
+      |  SELECT s.doc_id AS doc_id, d.lang AS lang, s.avg_p AS avg_p,
+      |    CAST(round(s.avg_p * 10000, 0) AS BIGINT) AS p4
       |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      |), chist AS (
+      |  SELECT lang, p4, count(*) AS k FROM p4s GROUP BY lang, p4
+      |), ccum AS (
+      |  SELECT lang, p4,
+      |    sum(k) OVER (PARTITION BY lang ORDER BY p4 DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(k) OVER (PARTITION BY lang) AS n_lang
+      |  FROM chist
+      |), ccuts AS (
+      |  SELECT lang,
+      |    max(CASE WHEN n_lang >= 3 AND cum >= n_lang // 3 THEN p4 END) AS t1,
+      |    max(CASE WHEN n_lang >= 2 AND cum >= (2 * n_lang) // 3 THEN p4 END) AS t2
+      |  FROM ccum GROUP BY lang
+      |), bucketed AS (
+      |  SELECT p.doc_id AS doc_id, p.lang AS lang, p.avg_p AS avg_p,
+      |    CASE WHEN t1 IS NOT NULL AND p4 >= t1 THEN 'head'
+      |         WHEN t2 IS NOT NULL AND p4 >= t2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM p4s p JOIN ccuts c ON p.lang = c.lang
       |)""".stripMargin
 
   /** The BM25 oracle, shared verbatim by txt_bm25_topk and

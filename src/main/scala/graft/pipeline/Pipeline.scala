@@ -51,6 +51,22 @@ class Warehouse(val root: String, val format: String = "parquet") {
   def exists(name: String): Boolean =
     new java.io.File(tablePath(name)).exists()
 
+  /** True when the table holds at least one DATA file. An all-empty frame's
+    * write leaves a directory with only `_SUCCESS` — `exists()` is true but
+    * the format cannot infer a schema from zero footers, so a reader keyed
+    * on `exists()` alone would throw. Streaming index maintenance uses this
+    * to treat a schema-less table as "no index yet" (a first micro-batch
+    * whose survivors produce zero index rows — e.g. all docs below the
+    * shingling minimum — must not poison every later batch's corpus read).
+    */
+  def hasData(name: String): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      Option(f.listFiles()).getOrElse(Array.empty).exists(k =>
+        (k.isFile && !k.getName.startsWith("_") && !k.getName.startsWith(".")) ||
+          (k.isDirectory && walk(k)))
+    walk(new java.io.File(tablePath(name)))
+  }
+
   /** S5: WRITE_TRUNCATE — replace table contents (idempotent staging). */
   def truncateWrite(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(format).save(tablePath(name))
@@ -157,7 +173,8 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * only burns a number (the no-reuse rule below), and [[pruneVersions]]
     * sweeps reservations at or below the committed current version.
     */
-  def versionedWrite(df: DataFrame, name: String): Int = {
+  def versionedWrite(df: DataFrame, name: String,
+      partitionCols: Seq[String] = Nil): Int = {
     val base = new java.io.File(tablePath(name))
     base.mkdirs()
     var attempt = 0
@@ -176,7 +193,15 @@ class Warehouse(val root: String, val format: String = "parquet") {
       try {
         java.nio.file.Files.createFile(reservation.toPath): Unit // the CAS
         try {
-          df.write.mode(SaveMode.Overwrite).format(format)
+          // partitioned snapshots (e.g. a compacted postings generation
+          // partitioned by term bucket) keep directory-level pruning
+          // inside the immutable `_v=N` dir. STATIC overwrite always: a
+          // snapshot dir is fresh by construction, and a session-level
+          // dynamic partitionOverwriteMode would suppress the `_SUCCESS`
+          // marker versionCommitted gates reads on
+          val w = df.write.mode(SaveMode.Overwrite).format(format)
+            .option("partitionOverwriteMode", "static")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .save(s"${tablePath(name)}/_v=$next")
           flipMarkerForward(name, next)
           committed = next

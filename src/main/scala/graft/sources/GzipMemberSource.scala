@@ -51,7 +51,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * shard (zero members), not an error — an empty partition of a
   * distributed shard writer produces exactly that. A corrupt archive
   * fails its file's task loudly with the codec's typed reason rather
-  * than emitting partial rows.
+  * than emitting partial rows — unless `.option("salvage", "true")` is
+  * set, in which case a corrupt member ENDS THAT FILE's contribution at
+  * the last verified member boundary (the
+  * [[graft.operators.Crawl.GzipCodec.salvageIterator]] contract, lifted
+  * to the streamed reader). Salvage mode is what a continuous crawl
+  * ingest runs: one rotten shard in a landing directory must cost its
+  * own tail, not poison every replay of the micro-batch that lists it.
   */
 class GzipMemberSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warcgz"
@@ -114,10 +120,10 @@ private class GzipMemberTable(paths: Seq[String]) extends Table with SupportsRea
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GzipScanBuilder(paths)
+    new GzipScanBuilder(paths, options.getBoolean("salvage", false))
 }
 
-private class GzipScanBuilder(paths: Seq[String])
+private class GzipScanBuilder(paths: Seq[String], salvage: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = GzipMemberSource.schema
@@ -142,11 +148,11 @@ private class GzipScanBuilder(paths: Seq[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GzipScan(paths, required, pushed)
+  override def build(): Scan = new GzipScan(paths, required, pushed, salvage)
 }
 
 private class GzipScan(paths: Seq[String], required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], salvage: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -185,24 +191,27 @@ private class GzipScan(paths: Seq[String], required: StructType,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GzipReaderFactory(required, conf)
+    new GzipReaderFactory(required, conf, salvage)
 }
 
 private case class GzipFilePartition(path: String) extends InputPartition
 
 private class GzipReaderFactory(required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, salvage: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GzipPartitionReader(
-      partition.asInstanceOf[GzipFilePartition].path, required, conf)
+      partition.asInstanceOf[GzipFilePartition].path, required, conf, salvage)
 }
 
 /** Streams one shard file: members decode incrementally (one inflated
   * member live at a time) from the open `FSDataInputStream`; a typed
-  * malformation fails the task loudly at the corrupt member's offset.
+  * malformation fails the task loudly at the corrupt member's offset —
+  * or, in salvage mode, ends the file's rows at the last verified
+  * member boundary (the salvage-prefix contract).
   */
 private class GzipPartitionReader(path: String, required: StructType,
-    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    conf: SerializableHadoopConf, salvage: Boolean)
+    extends PartitionReader[InternalRow] {
   import graft.operators.Crawl.GzipCodec
 
   private val hadoopPath = new Path(path)
@@ -222,7 +231,8 @@ private class GzipPartitionReader(path: String, required: StructType,
       else false
     } catch {
       case GzipCodec.CorruptArchive(reason) =>
-        throw new java.io.IOException(s"warcgz $fileName: $reason")
+        if (salvage) false // keep the verified prefix, drop the rotten tail
+        else throw new java.io.IOException(s"warcgz $fileName: $reason")
     }
 
   override def get(): InternalRow = {

@@ -99,6 +99,13 @@ object GzipShardWriter {
         Iterator.single(shard -> n)
       }
     }.collect().toSeq // one small (shard, count) row per non-empty shard
+    // sweep losers' debris before stamping the marker: a failed or killed
+    // (e.g. speculative) attempt leaves its `.inprogress-*` temp behind —
+    // readers already skip dot-prefixed files, but without this sweep the
+    // orphans accumulate until the next full-directory rewrite
+    Option(fs0.globStatus(new Path(rootPath, ".inprogress-*")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs0.delete(st.getPath, false): Unit)
     val success = new Path(rootStr, "_SUCCESS")
     fs0.create(success, true).close()
     counts.sortBy(_._1)

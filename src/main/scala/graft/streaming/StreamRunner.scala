@@ -97,28 +97,54 @@ object StreamRunner {
       table: String,
       partitionCols: Seq[String],
       audit: DataFrame => Option[String]): Boolean =
-    if (batch.isEmpty) false
+    gatedPublishAll(Seq((batch, table, partitionCols)), batchId, wh, audit)
+
+  /** Multi-frame form of the gate for sinks whose batch spans SIBLING
+    * tables that must stay consistent (postings + doclen): ALL frames are
+    * staged, ALL staged readbacks audited, and only if every one passes
+    * does ANY publish — a quarantined batch quarantines WHOLE. Publishing
+    * the frames one gate at a time would let an earlier table commit and a
+    * later one quarantine, leaving the batch half-indexed forever (the
+    * checkpoint marks it done, so it is never repaired).
+    */
+  private def gatedPublishAll(
+      frames: Seq[(DataFrame, String, Seq[String])],
+      batchId: Long,
+      wh: Warehouse,
+      audit: DataFrame => Option[String]): Boolean = {
+    val nonEmpty = frames.filter(!_._1.isEmpty)
+    if (nonEmpty.isEmpty) false
     else {
-      val stage = s"__stage__${table}_b$batchId"
-      wh.truncateWrite(batch, stage)
-      val staged = wh.read(batch.sparkSession, stage)
-      audit(staged) match {
+      val staged = nonEmpty.map { case (batch, table, partitionCols) =>
+        val stage = s"__stage__${table}_b$batchId"
+        wh.truncateWrite(batch, stage)
+        (wh.read(batch.sparkSession, stage), stage, table, partitionCols)
+      }
+      val firstFailure = staged.view
+        .flatMap { case (df, _, table, _) => audit(df).map(table -> _) }
+        .headOption
+      firstFailure match {
         case None =>
-          wh.partitionedUpsertWrite(staged, table, partitionCols)
-          wh.dropTable(stage)
+          staged.foreach { case (df, stage, table, partitionCols) =>
+            wh.partitionedUpsertWrite(df, table, partitionCols)
+            wh.dropTable(stage)
+          }
           true
-        case Some(reason) =>
-          wh.truncateWrite(
-            staged
-              .withColumn("__batch_id",
-                org.apache.spark.sql.functions.lit(batchId))
-              .withColumn("__reason",
-                org.apache.spark.sql.functions.lit(reason)),
-            s"__quarantine__${table}_b$batchId")
-          wh.dropTable(stage)
+        case Some((failedTable, reason)) =>
+          staged.foreach { case (df, stage, table, _) =>
+            wh.truncateWrite(
+              df.withColumn("__batch_id",
+                  org.apache.spark.sql.functions.lit(batchId))
+                .withColumn("__reason", org.apache.spark.sql.functions.lit(
+                  if (table == failedTable) reason
+                  else s"sibling table $failedTable quarantined: $reason")),
+              s"__quarantine__${table}_b$batchId")
+            wh.dropTable(stage)
+          }
           false
       }
     }
+  }
 
   /** Streaming DEDUP'D corpus ingest — the foreachBatch twin of the
     * `dedup_incremental` + `pipe_ingest_e2e` batch pair, closing the
@@ -203,8 +229,12 @@ object StreamRunner {
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
         val exact = uniq.join(canon, Seq("doc_id")).drop("__h")
+        // hasData, not exists: a first batch whose survivors produced ZERO
+        // index rows (all docs below the 3-word shingling minimum) leaves
+        // a schema-less sigs directory — reading it would poison every
+        // later batch; semantically it IS "no index yet"
         val survivors =
-          if (!wh.exists(s"${table}_sigs")) exact
+          if (!wh.hasData(s"${table}_sigs")) exact
           else {
             val s = batch.sparkSession
             // exclude THIS batch id's own index partitions from the
@@ -302,9 +332,14 @@ object StreamRunner {
         // the batch is file METADATA (one row per shard file) — this
         // collect is bounded by files-per-trigger, never data-sized
         val paths = batch.select("path").collect().map(_.getString(0)).toSeq
+        // salvage mode: a corrupt member ends its FILE's contribution at
+        // the last verified boundary (crawlTexts' typed-degrade contract).
+        // Loud-fail would be a PERMANENT poison pill here — the checkpoint
+        // replays the same batch against the same corrupt shard forever.
         if (paths.nonEmpty)
           dedupPublishBatch(
-            graft.operators.Crawl.crawlTextsFromFiles(spark, paths),
+            graft.operators.Crawl.crawlTextsFromFiles(spark, paths,
+              salvage = true),
             batchId, wh, table, audit, minJaccard)
       }
       .start()
@@ -366,13 +401,50 @@ object StreamRunner {
     *  - `ingest_batch` LAST ⇒ a checkpoint replay rewrites exactly its
     *    own leaf partitions — idempotent recovery, same contract as the
     *    IVF lake.
-    * The doclen table publishes only if the postings batch passed the
-    * audit (a quarantined batch quarantines WHOLE — a half-indexed batch
-    * would silently deflate its docs' BM25 scores). Per-batch cost is one
+    * Postings and doclen pass ONE atomic gate ([[gatedPublishAll]]):
+    * both staged, both audited, then both published or both quarantined —
+    * a quarantined batch quarantines WHOLE; a postings-only commit would
+    * silently deflate its docs' BM25 scores forever (the checkpoint marks
+    * the batch done, so it is never repaired). Per-batch cost is one
     * narrow tokenize plus two partial-agg'd aggregations over the BATCH;
     * the corpus is never re-read, so at 100 TB the index stays fresh at
     * ingest cost while serving reads posting slices only.
     */
+  /** Postings-lake COMPACTION — the Lucene segment merge for the streamed
+    * inverted index. [[postingsIngestToWarehouse]] appends one
+    * `(wb, ingest_batch)` leaf per micro-batch; after thousands of
+    * batches a k-term BM25 probe reads thousands of posting fragments per
+    * term bucket. This job rewrites the accumulated fragments as ONE
+    * wb-partitioned generation (~one file per term bucket: a hash
+    * repartition on `wb` before the partitioned write), published as a
+    * VERSIONED snapshot — the `_VERSION` marker flip is the commit, so
+    * the reader-visible swap is atomic, a crashed compactor leaves only
+    * untrusted debris, concurrent compactors CAS distinct generations,
+    * and a pinned reader keeps its generation until it re-resolves.
+    * Rows pass through UNCHANGED (layout-only rewrite: each doc ingests
+    * in exactly one batch, so (word, doc_id) never spans fragments) —
+    * BM25 served from the compacted generation is provably identical to
+    * the fragmented table and to live scoring (StreamRunnerSpec pins all
+    * three; the txt_bm25_compacted oracle hash proves it end-to-end).
+    * Ingest keeps appending to the fragmented table while readers serve
+    * the snapshot; the next compaction run simply commits the next
+    * generation over everything accumulated by then. Returns the
+    * committed (postingsVersion, doclenVersion).
+    */
+  def compactPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val postings = wh.read(spark, s"${table}_postings")
+      .select(col("word"), col("doc_id"), col("tf"), col("wb"))
+      .repartition(col("wb"))
+    val doclen = wh.read(spark, s"${table}_doclen")
+      .select(col("doc_id"), col("dl"))
+    (wh.versionedWrite(postings, s"${table}_postings_serve", Seq("wb")),
+      wh.versionedWrite(doclen, s"${table}_doclen_serve"))
+  }
+
   def postingsIngestToWarehouse(
       docStream: DataFrame,
       wh: Warehouse,
@@ -399,10 +471,14 @@ object StreamRunner {
           val doclen = toks.groupBy(col("doc_id"))
             .agg(count(lit(1)).as("dl"))
             .withColumn("ingest_batch", lit(batchId))
-          if (gatedPublish(postings, batchId, wh, s"${table}_postings",
-              Seq("wb", "ingest_batch"), audit))
-            gatedPublish(doclen, batchId, wh, s"${table}_doclen",
-              Seq("ingest_batch"), audit): Unit
+          // ONE gate over both index tables: stage both, audit both,
+          // publish both or quarantine both — a postings-only commit
+          // would silently drop the batch's docs from BM25 (no doc
+          // lengths) with the checkpoint already marked done
+          gatedPublishAll(Seq(
+              (postings, s"${table}_postings", Seq("wb", "ingest_batch")),
+              (doclen, s"${table}_doclen", Seq("ingest_batch"))),
+            batchId, wh, audit): Unit
         } finally toks.unpersist(): Unit
       }
       .start()

@@ -285,6 +285,17 @@ class CrawlSpec extends SparkSuiteBase {
     intercept[IllegalArgumentException] {
       HttpCodec.encode(200, "OK", Nil, "b".getBytes, chunked = true, chunkSize = -3)
     }
+    // framing headers are writer-owned (the WarcCodec.encode rule): a
+    // caller-supplied Content-Length/Transfer-Encoding would produce
+    // duplicate/conflicting framing on the wire
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK", Seq("content-length" -> "7"),
+        "b".getBytes, chunked = false)
+    }
+    intercept[IllegalArgumentException] {
+      HttpCodec.encode(200, "OK", Seq("Transfer-Encoding" -> "chunked"),
+        "b".getBytes, chunked = true)
+    }
   }
 
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {

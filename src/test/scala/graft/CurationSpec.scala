@@ -71,21 +71,38 @@ class CurationSpec extends SparkSuiteBase {
     assert(rep.count() > 1, "fixture should spread events over multiple z files")
   }
 
-  test("txt_quality_topp: keeps exactly floor(n/4) per source, none worse than a dropped doc") {
-    val kept = Curation.queries("txt_quality_topp")(spark, sf0001)
-    val keptCounts = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    val srcCounts = Tables.documents(spark, sf0001)
-      .groupBy(col("source").as("src")).agg(count(lit(1)).as("n_src"))
-    val bad = keptCounts.join(srcCounts, col("source") === col("src"))
-      .filter(col("n_kept") =!= (col("n_src") / 4).cast("long")).count()
-    assert(bad == 0, "per-source kept count must be floor(n_src/4)")
-    val minKept = kept.groupBy(col("source")).agg(min(col("n_chars")).as("min_kept"))
-    val dropped = Tables.documents(spark, sf0001)
-      .join(kept.select(col("doc_id").as("k_id")), col("doc_id") === col("k_id"), "left_anti")
-    val violations = dropped.join(minKept, "source")
-      .filter(col("n_chars") > col("min_kept")).count()
-    assert(violations == 0,
-      "a dropped doc outscores a kept doc of the same source (ties may equal, never exceed)")
+  test("txt_quality_topp: value-cut quartile — ≥ floor(n/4) kept, minimal, strictly separated") {
+    val kept = Curation.queries("txt_quality_topp")(spark, sf0001).cache()
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      val keptRows = kept.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val bySrc = docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._2)
+      bySrc.foreach { case (src, rows) =>
+        val n = rows.length
+        val k = keptRows.filter(_._2 == src)
+        if (n < 4) assert(k.isEmpty, s"$src: n=$n < 4 must keep nothing")
+        else {
+          // the cut keeps at least the top quarter, overshooting only by
+          // the tie group AT the cut value (kept whole by design) —
+          // dropping that group would fall below floor(n/4): minimality
+          assert(k.length >= n / 4, s"$src: kept ${k.length} < ${n / 4}")
+          val t1 = k.map(_._3).min
+          assert(k.count(_._3 > t1) < n / 4,
+            s"$src: cut not minimal — strictly-above-cut already covers n/4")
+          // keep is EXACTLY the value threshold, and separation is strict
+          val expected = rows.filter(_._3 >= t1).map(_._1).toSet
+          assert(k.map(_._1).toSet == expected,
+            s"$src: kept set != {n_chars >= $t1}")
+          val dropMax = rows.filter(r => !expected(r._1)).map(_._3)
+            .maxOption.getOrElse(Long.MinValue)
+          assert(dropMax < t1,
+            s"$src: a dropped doc ties/beats the cut value $t1")
+        }
+      }
+    } finally kept.unpersist(): Unit
   }
 
   test("txt_domain_cap: graft_topk cap equals the window row_number recomputation") {

@@ -102,6 +102,10 @@ class GzipSourceSpec extends SparkSuiteBase {
     val counts = GzipShardWriter.write(docs, dir, 4)
     assert(counts == Seq(0 -> 2L, 1 -> 2L, 3 -> 1L), "per-shard accounting; empty shard omitted")
     assert(new java.io.File(dir, "_SUCCESS").exists())
+    // no attempt debris survives the commit sweep
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".inprogress-")),
+      "stale .inprogress-* temp files must be swept before _SUCCESS")
     assert(!new java.io.File(dir, "shard-2.gz").exists())
     // readback through the V2 source: contents, names, ascending-key order
     val rows = spark.read.format("warcgz").load(dir)
@@ -139,5 +143,30 @@ class GzipSourceSpec extends SparkSuiteBase {
     }
     assert(e.getMessage.contains("ISIZE mismatch") ||
       Option(e.getCause).exists(_.getMessage.contains("ISIZE mismatch")))
+  }
+
+  test("salvage mode: a corrupt member ends its file's rows at the last verified boundary") {
+    val dir = tmpDir("warcgzsalv")
+    // shard-0: two good members, then a rotten tail (ISIZE flipped on the
+    // third member) — salvage keeps exactly the verified prefix
+    val third = GzipCodec.encodeMember("rotten".getBytes)
+    third(third.length - 1) = 0x7f
+    java.nio.file.Files.write(new java.io.File(dir, "shard-0.gz").toPath,
+      GzipCodec.encodeMembers(Seq(
+        (Some("a"), "good one".getBytes("UTF-8")),
+        (Some("b"), "good two".getBytes("UTF-8")))) ++ third)
+    // shard-1 is wholly fine: the corruption must cost ONLY shard-0's tail
+    java.nio.file.Files.write(new java.io.File(dir, "shard-1.gz").toPath,
+      GzipCodec.encodeMembers(Seq((Some("c"), "intact".getBytes("UTF-8")))))
+    val rows = spark.read.format("warcgz").option("salvage", "true")
+      .load(dir).orderBy("file", "member_idx").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("shard-0.gz", "a"), ("shard-0.gz", "b"), ("shard-1.gz", "c")),
+      "salvage keeps the verified prefix per file and every healthy file whole")
+    // and the DEFAULT mode still fails loudly on the same directory
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("warcgz").load(dir).collect()
+    }: Unit
   }
 }

@@ -64,6 +64,24 @@ class LearnedOpsSpec extends SparkSuiteBase {
     assert(applied.count() == nOdd, "every held-out doc must be scored")
   }
 
+  test("perceptron SERVING reads the persisted model artifact; training stays live") {
+    // apply and the funnel's gate 3 must scan the fingerprint-keyed
+    // perceptron_w artifact instead of re-running the two training
+    // epochs' corpus scans per query (the train-once/score-forever
+    // split). The dot-product test above already proves the served
+    // model equals the live training bit-for-bit.
+    for (q <- Seq("txt_perceptron_apply", "pipe_filter_funnel")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("perceptron_w"),
+        s"$q must serve the model from the persisted artifact")
+    }
+    // the train query IS the training benchmark — it must not silently
+    // become an artifact read
+    assert(!SparkEntry.queries("txt_perceptron_train")(spark, sf0001)
+      .queryExecution.executedPlan.toString.contains("perceptron_w"))
+  }
+
   // ---- BM25 ----
 
   test("bm25 top-10 is score-descending with doc_id tiebreak, scores positive") {
@@ -155,6 +173,45 @@ class LearnedOpsSpec extends SparkSuiteBase {
     assert(got.getLong(got.fieldIndex("n_spans")) == spans.length.toLong)
   }
 
+  test("incremental span dedup: batch-only rows, artifact-served == corpus recompute, asymmetry holds") {
+    val incr = SparkEntry.queries("dedup_span_incr")(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // exactly the batch half (doc_id % 10 == 0), every batch doc reported
+    assert(incr.map(_.getLong(0)).toSet ==
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+        .map(_.getLong(0)).toSet)
+    // parity: the persisted gram artifact must reproduce a LIVE corpus
+    // recompute — hash every corpus 8-gram directly and re-derive one
+    // batch doc's spans
+    val all = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val corpusGrams = all.filter(_._1 % 10 != 0).flatMap { case (_, w) =>
+      w.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+    }.toSet
+    val probe = incr.map(_.getLong(0)).max
+    val wP = all.toMap.apply(probe)
+    val hitStarts = wP.sliding(8).zipWithIndex
+      .filter { case (g, _) => g.length == 8 && corpusGrams(g.mkString(" ")) }
+      .map(_._2 + 1).toSeq
+    var spans = List.empty[(Int, Int)]
+    hitStarts.foreach { i =>
+      spans match {
+        case (s0, e0) :: rest if i <= e0 => spans = (s0, math.max(e0, i + 8)) :: rest
+        case _ => spans = (i, i + 8) :: spans
+      }
+    }
+    val got = incr.find(_.getLong(0) == probe).get
+    assert(got.getLong(got.fieldIndex("dup_words")) ==
+      spans.map { case (s0, e0) => e0 - s0 }.sum.toLong)
+    assert(got.getLong(got.fieldIndex("n_spans")) == spans.length.toLong)
+    // ASYMMETRY: a gram shared only among batch docs must NOT flag — the
+    // batch rows' hits are a subset of what the whole-corpus query finds
+    val whole = SparkEntry.queries("dedup_span_frac")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    incr.foreach(r => assert(r.getLong(3) <= whole(r.getLong(0)),
+      "incremental (corpus-only) mass can never exceed the whole-corpus mass"))
+  }
+
   // ---- composed filter funnel ----
 
   test("filter funnel: keep is exactly the AND of the four gates; gates match their standalone queries") {
@@ -190,22 +247,36 @@ class LearnedOpsSpec extends SparkSuiteBase {
 
   // ---- CCNet buckets ----
 
-  test("ccnet buckets: per-language tercile arithmetic and score ordering") {
+  test("ccnet buckets: per-language value-cut terciles — covering, minimal, strictly ordered") {
     val b = SparkEntry.queries("txt_ccnet_buckets")(spark, sf0001).collect()
     val byLang = b.groupBy(_.getString(1))
     byLang.foreach { case (lang, rows) =>
       val n = rows.length
-      val head = rows.count(_.getString(3) == "head")
-      val mid = rows.count(_.getString(3) == "middle")
-      // rn*3 <= n  ->  exactly floor(n/3) head rows; middle tops up to 2n/3
-      assert(head == n / 3, s"$lang: head $head != ${n / 3}")
-      assert(head + mid == 2 * n / 3, s"$lang: head+middle != floor(2n/3)")
-      // every head score >= every tail score within the language
-      val headMin = rows.filter(_.getString(3) == "head")
-        .map(_.getDouble(2)).minOption.getOrElse(Double.MaxValue)
-      val tailMax = rows.filter(_.getString(3) == "tail")
-        .map(_.getDouble(2)).maxOption.getOrElse(Double.MinValue)
-      assert(headMin >= tailMax, s"$lang: head/tail overlap")
+      def scores(bk: String) = rows.filter(_.getString(3) == bk).map(_.getDouble(2))
+      val (head, mid, tail) = (scores("head"), scores("middle"), scores("tail"))
+      if (n >= 3) {
+        // the value cut covers the tercile target, overshooting only by
+        // the tie group AT the cut (kept whole by design) — dropping
+        // that group would fall below floor(n/3): minimality both ways
+        assert(head.length >= n / 3, s"$lang: head ${head.length} < ${n / 3}")
+        val t1 = head.min
+        assert(head.count(_ > t1) < n / 3, s"$lang: head cut not minimal")
+        assert(head.length + mid.length >= 2 * n / 3,
+          s"$lang: head+middle < floor(2n/3)")
+        if (mid.nonEmpty) {
+          val t2 = mid.min
+          assert((head ++ mid).count(_ > t2) < 2 * n / 3,
+            s"$lang: middle cut not minimal")
+        }
+      }
+      // buckets are STRICT value ranges: min(head) > max(middle) > ... —
+      // a tie can never straddle a bucket boundary any more
+      if (head.nonEmpty && mid.nonEmpty)
+        assert(head.min > mid.max, s"$lang: head/middle overlap")
+      if (mid.nonEmpty && tail.nonEmpty)
+        assert(mid.min > tail.max, s"$lang: middle/tail overlap")
+      if (head.nonEmpty && tail.nonEmpty)
+        assert(head.min > tail.max, s"$lang: head/tail overlap")
     }
     // only docs with >= 2 tokens are scored (the bigram-LM domain)
     val eligible = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -198,6 +198,79 @@ class PlanPolicySpec extends SparkSuiteBase {
       s"unpartitioned window over potentially corpus-sized input:\n${offenders.mkString("\n")}")
   }
 
+  /** Round-10's three perf-weak marks shared one shape the unpartitioned
+    * sweep above could not see: a `row_number`/`rank` window PARTITIONED on
+    * a bounded-cardinality key (lang, source, label-class) over corpus-
+    * sized input — at 100 TB the dominant key funnels through ONE sort
+    * task. Detector: a WindowExec whose every partition expression
+    * references only known bounded-cardinality column names is an offender
+    * unless its input subtree is cardinality-bounded (an Aggregate — the
+    * count-of-counts histogram idiom — a limit, a local table) or carries a
+    * WindowGroupLimit (the top-k pruning that keeps per-key sorts bounded).
+    * DERIVED bucketing keys (shard, wb, cell, band — the salt idiom) are
+    * deliberately NOT in the set: a window partitioned on (source, shard)
+    * IS the salted mitigation this policy prescribes (txt_pack_sequences'
+    * documented shape — raise the shard count with the data).
+    */
+  private val lowCardKeys = Set(
+    "lang", "source", "split", "event_type", "label", "bucket",
+    "region", "segment")
+
+  private def hubFunnelOffenders(
+      name: String,
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: WindowGroupLimitExec => true
+      case _ => false
+    }
+    plan.collect {
+      case w: WindowExec
+          if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.forall(_.references.iterator.forall(a =>
+              lowCardKeys(a.name.toLowerCase))) &&
+            !bounded(w.child) =>
+        s"$name: Window partitioned on " +
+          w.partitionSpec.map(_.sql).mkString(", ")
+    }
+  }
+
+  test("no hub-funnel window: bounded-cardinality partition keys require bounded input or a group limit") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      offenders ++= hubFunnelOffenders(name, plan)
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"window sorts a potentially hub-keyed partition in full:\n${offenders.mkString("\n")}")
+  }
+
+  test("the hub-funnel detector catches the retired round-10 shape (planted offender)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{desc, row_number}
+    // the exact txt_ccnet_buckets/txt_quality_topp r10 anti-pattern: a
+    // rank window partitioned on a low-cardinality key directly over the
+    // corpus scan, no group limit anywhere
+    val planted = Tables.documents(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(desc("n_chars"), col("doc_id"))))
+    val hits = hubFunnelOffenders("planted", planted.queryExecution.sparkPlan)
+    assert(hits.nonEmpty, "the sweep must flag the planted corpus-sized lang window")
+    // and the FIXED queries pass the same detector
+    for (q <- Seq("txt_ccnet_buckets", "txt_quality_topp", "sim_bitext_mine"))
+      assert(hubFunnelOffenders(q,
+        SparkEntry.queries(q)(spark, sf0001).queryExecution.sparkPlan).isEmpty,
+        s"$q still carries a hub-funnel window")
+  }
+
   test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
     import spark.implicits._
     val docs = Seq(

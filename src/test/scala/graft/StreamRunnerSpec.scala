@@ -452,4 +452,160 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(scan.partitionFilters.exists(_.toString.contains("wb")),
       s"expected a wb partition filter, got: ${scan.partitionFilters}")
   }
+
+  test("postings compaction: fewer files, identical BM25, atomic versioned generations") {
+    import graft.operators.TextAnalysis
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("pcl")
+    val wh = new Warehouse(tmpDir("pcw"))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(Paths.get(landing, name),
+        rows.map { case (id, t) =>
+          val esc = t.replace("\\", "\\\\").replace("\"", "\\\"")
+          s"""{"doc_id":$id,"text":"$esc"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val (evens, odds) = docs.partition(_._1 % 2 == 0)
+    writeFile("drop1.jsonl", evens)
+    writeFile("drop2.jsonl", odds)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    StreamRunner.postingsIngestToWarehouse(
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(landing),
+      wh, "clex", _ => None, tmpDir("pcc"), Trigger.AvailableNow())
+      .awaitTermination()
+
+    def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(k =>
+          if (k.isDirectory) walk(k)
+          else if (!k.getName.startsWith("_") && !k.getName.startsWith("."))
+            Seq(k)
+          else Nil)
+      walk(dir)
+    }
+    val (pv, dv) = StreamRunner.compactPostings(spark, wh, "clex")
+    assert((pv, dv) == (1, 1), "first compaction commits generation 1")
+    val fragFiles = dataFiles(new java.io.File(wh.tablePath("clex_postings")))
+    val servFiles = dataFiles(new java.io.File(
+      s"${wh.tablePath("clex_postings_serve")}/_v=$pv"))
+    assert(servFiles.size < fragFiles.size,
+      s"compaction must shrink the file count (${fragFiles.size} -> ${servFiles.size})")
+    // ~one file per term bucket: the layout a k-term probe opens O(1)
+    // files per bucket against
+    val nBuckets = spark.read.parquet(wh.tablePath("clex_postings"))
+      .select("wb").distinct().count()
+    assert(servFiles.size <= nBuckets,
+      s"expected at most one file per wb bucket, got ${servFiles.size} for $nBuckets buckets")
+
+    // serving parity: compacted == fragmented == live, row for row
+    def bm25(postings: org.apache.spark.sql.DataFrame,
+        doclen: org.apache.spark.sql.DataFrame) = {
+      val qterms = postings.filter(!col("word").isin(TextAnalysis.stop: _*))
+        .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+        .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
+      TextAnalysis.bm25Score(postings.join(broadcast(qterms), "word"),
+        doclen.select(col("doc_id"), col("dl"))).collect().map(_.toSeq).toSeq
+    }
+    val compacted = bm25(wh.readVersion(spark, "clex_postings_serve", Some(pv)),
+      wh.readVersion(spark, "clex_doclen_serve", Some(dv)))
+    val fragmented = bm25(wh.read(spark, "clex_postings"),
+      wh.read(spark, "clex_doclen"))
+    val live = SparkEntry.queries("txt_bm25_topk")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(compacted == fragmented, "compaction must not move a single row")
+    assert(compacted == live, "compacted serving must equal the live ranking")
+
+    // ingest continues against the fragmented lake; the PINNED generation
+    // is untouched and the next compaction commits generation 2 over
+    // everything accumulated by then
+    val before = servFiles.map(f => f.getName -> f.lastModified).toSet
+    writeFile("drop3.jsonl", Seq(9999001L -> "zzznew corpus words arriving"))
+    StreamRunner.postingsIngestToWarehouse(
+      spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", 1).json(landing),
+      wh, "clex", _ => None, tmpDir("pcc"), Trigger.AvailableNow())
+      .awaitTermination()
+    assert(dataFiles(new java.io.File(
+      s"${wh.tablePath("clex_postings_serve")}/_v=$pv"))
+      .map(f => f.getName -> f.lastModified).toSet == before,
+      "ingest after compaction must not disturb the committed snapshot")
+    val (pv2, _) = StreamRunner.compactPostings(spark, wh, "clex")
+    assert(pv2 == 2)
+    val gen2 = wh.readVersion(spark, "clex_postings_serve", Some(pv2))
+    assert(gen2.filter(col("doc_id") === 9999001L).count() > 0,
+      "the next generation folds in the post-compaction ingest")
+  }
+
+  test("postings ingest quarantines WHOLE: a doclen-side failure keeps postings out too") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("posthl")
+    val wh = new Warehouse(tmpDir("posthw"))
+    Files.write(Paths.get(landing, "drop.jsonl"),
+      """{"doc_id":1,"text":"alpha beta beta"}""".getBytes("UTF-8"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(docSchema).json(landing)
+    // the audit fails ONLY the doclen frame (it alone carries `dl`) —
+    // pre-fix, postings would already have published when doclen
+    // quarantined, leaving the batch half-indexed forever
+    StreamRunner.postingsIngestToWarehouse(
+      stream, wh, "hlex",
+      df => if (df.columns.contains("dl")) Some("planted doclen failure")
+        else None,
+      tmpDir("posthc"), Trigger.AvailableNow()).awaitTermination()
+    assert(!wh.exists("hlex_postings"),
+      "a sibling-table failure must keep the postings from publishing")
+    assert(!wh.exists("hlex_doclen"))
+    // BOTH frames are quarantined, each with an attributable reason
+    val dq = wh.read(spark, "__quarantine__hlex_doclen_b0")
+    assert(dq.select("__reason").head().getString(0) == "planted doclen failure")
+    val pq = wh.read(spark, "__quarantine__hlex_postings_b0")
+    assert(pq.select("__reason").head().getString(0)
+      .contains("sibling table hlex_doclen quarantined"))
+  }
+
+  test("crawl ingest survives a corrupt shard: salvaged prefix publishes, stream completes") {
+    import graft.operators.Crawl.{GzipCodec, WarcCodec}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("cwsl")
+    val wh = new Warehouse(tmpDir("cwsw"))
+    val ckpt = tmpDir("cwsc")
+    def responseMember(id: Long, text: String): (Option[String], Array[Byte]) =
+      None -> WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "Content-Type" -> "text/html"),
+        s"<html><body><p>$text</p></body></html>".getBytes("UTF-8"))
+    def runOnce(): Unit =
+      StreamRunner.crawlIngestToWarehouse(
+        spark, landing, wh, "salv_corpus", _ => None, ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+    // shard-0: one good page, then a rotten tail — pre-fix this batch
+    // threw, and every checkpoint replay re-listed the same corrupt file:
+    // a PERMANENT poison pill. The salvaged page is deliberately TWO
+    // words (below the 3-word shingling minimum), so batch 0 publishes
+    // zero index rows — pinning the second poison pill this test found:
+    // a schema-less sigs table must read as "no index yet" (hasData),
+    // not fail the next batch's corpus-side read
+    val rotten = GzipCodec.encodeMember("junk".getBytes)
+    rotten(rotten.length - 1) = 0x7f
+    Files.write(Paths.get(landing, "shard-000.warc.gz"),
+      GzipCodec.encodeMembers(Seq(responseMember(1, "salvaged page"))) ++ rotten)
+    runOnce()
+    assert(wh.read(spark, "salv_corpus").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "salvaged page"),
+      "the verified prefix must publish despite the corrupt tail")
+    // and the stream keeps ingesting: a later healthy shard lands normally
+    Files.write(Paths.get(landing, "shard-001.warc.gz"),
+      GzipCodec.encodeMembers(Seq(responseMember(2, "later healthy page"))))
+    runOnce()
+    assert(wh.read(spark, "salv_corpus").count() == 2)
+  }
 }
