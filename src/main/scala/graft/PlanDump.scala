@@ -84,7 +84,8 @@ object PlanDump {
     // token-key score join, 1-row totals broadcast)
     "dedup_keeper_centrality", "q_skew_report", "txt_dsir_weights",
     // recall audit (sample-bounded exhaustive side, label equi-join) and
-    // robust MAD outliers (type-partitioned exact median windows)
+    // robust MAD outliers (r11: medians off count-of-counts histograms —
+    // cumulative windows over distinct-value rows, never event volume)
     "sim_recall_report", "evt_outliers_mad",
     // Simpson diversity: two-level partial agg, no global stage
     "txt_diversity",
@@ -219,9 +220,11 @@ object PlanDump {
     // the broadcast 5-term query BEFORE grouping; totals broadcast;
     // TakeOrdered top-10), the batch-perceptron pair (per-epoch one
     // doc-keyed margin agg + one feature-keyed gradient agg, 17-row model
-    // broadcast — weights never shuffle), CCNet terciles (bigram-LM plan +
-    // one lang-partitioned window over doc-level rows), k-NN label eval
-    // (20-probe broadcast, corpus scanned once, bounded top-5 windows)
+    // broadcast — weights never shuffle; r11: apply serves the persisted
+    // model artifact, no training scan in its plan), CCNet terciles (r11:
+    // cut VALUES from a count-of-counts histogram, broadcast back — no
+    // doc-level rank window), k-NN label eval (20-probe broadcast, corpus
+    // scanned once, bounded top-5 windows)
     "txt_bm25_topk", "txt_perceptron_train", "txt_perceptron_apply",
     "txt_ccnet_buckets", "sim_knn_classify",
     // round-10 session 3: exact substring-span dedup (gram-count semi-join
@@ -231,9 +234,16 @@ object PlanDump {
     // the composed 4-gate learned-filter funnel (gopher ∧ ccnet ∧
     // perceptron ∧ canonical) — one plan, all verdicts per doc
     "pipe_filter_funnel",
-    // margin-based bitext mining: probe batch broadcast, target lake
-    // scanned once, both rank windows partitioned/bounded
-    "sim_bitext_mine")
+    // margin-based bitext mining (r11: BOTH neighbourhood means are
+    // bounded graft_topk aggregates — map-side 4-row buffers, no rank
+    // window anywhere in the plan)
+    "sim_bitext_mine",
+    // round 11: BM25 over the compacted wb-partitioned postings
+    // generation (audit: the scan reads ONE _v=N snapshot, ~one file per
+    // bucket), incremental span dedup (batch grams semi-joined against
+    // the persisted corpus gram artifact — work scales with the batch),
+    // and mixed-charset crawl extraction (narrow decode, typed degrades)
+    "txt_bm25_compacted", "dedup_span_incr", "crawl_charset_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -610,7 +610,7 @@ object Crawl extends QueryModule {
     *    replaces — the utf8-audit discipline): bytes that don't conform
     *    to the declared charset degrade as `charset-bad-bytes`.
     */
-  private[operators] def decodeBody(
+  private[graft] def decodeBody(
       contentType: Option[String], body: Array[Byte]): Either[String, String] = {
     val declared = contentType.flatMap { ct =>
       ct.split(";").iterator.drop(1).map(_.trim).collectFirst {
@@ -694,6 +694,60 @@ object Crawl extends QueryModule {
         chunked = id % 2 == 1,
         chunkSize = (id % 5 + 1).toInt * 17))
 
+  /** Charset classes exercised by [[attachCharsetMedia]] /
+    * `crawl_charset_extract`: (declared label, non-ASCII marker). The
+    * markers are chosen so a wrong decode CANNOT hash right: each uses
+    * code points whose bytes differ across the declared encodings (€ is
+    * 0x80 in windows-1252 and unmappable in ISO-8859-1; the Cyrillic
+    * marker is single-byte in windows-1251 and invalid UTF-8). Class 4
+    * declares a label no decoder knows — the typed `charset-unknown`
+    * degrade path.
+    */
+  private val charsetClasses: Seq[(String, String)] = Seq(
+    ("utf-8", "déjà ✓"),
+    ("ISO-8859-1", "café ±"),
+    ("windows-1252", "€uro œuvre"),
+    ("windows-1251", "привет мир"),
+    ("x-graft-unknown", ""))
+
+  /** Mixed-charset crawl fixture: one WARC response per doc whose HTTP
+    * layer declares `charset=<class label>` and whose body is a minimal
+    * page of the doc's text plus the class marker, ENCODED in that
+    * charset — so the oracle (which only ever sees `documents`) predicts
+    * the extraction text, and the Spark side can reach it only by
+    * actually transcoding the legacy bytes.
+    */
+  def attachCharsetMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("text")).rdd.map { r =>
+      val id = r.getLong(0)
+      val (label, marker) = charsetClasses((id % 5).toInt)
+      val page =
+        s"<html><body><p>${r.getString(1)} $marker</p></body></html>"
+      val cs =
+        if (label == "x-graft-unknown") java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.Charset.forName(label)
+      Row(id, label, WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> s"https://example.com/$id",
+        "Content-Type" -> "application/http; msgtype=response"),
+        HttpCodec.encode(200, "OK",
+          Seq("Content-Type" -> s"text/html; charset=$label"),
+          page.getBytes(cs), chunked = false)))
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("charset", StringType),
+      StructField("payload", BinaryType))))
+  }
+
+  private val charsetStatSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("charset", StringType),
+    StructField("format", StringType),
+    StructField("extracted_md5", StringType),
+    StructField("n_extracted_chars", LongType)))
+
   /** A realistic `.warc.gz` shard slice per doc: TWO gzip members — a
     * `request` record, then the `response` record whose body is the
     * doc's HTML page ([[TextAnalysis.htmlTemplate]]).
@@ -745,9 +799,11 @@ object Crawl extends QueryModule {
     StructField("n_links", LongType)))
 
   /** The full crawl-ingestion chain for ONE archive: gzip members → WARC
-    * records → keep responses → HTML visible-text extraction. Fused in
-    * one narrow pass; a failure at ANY layer degrades the whole doc to
-    * the failing layer's typed class.
+    * records → keep responses → charset-aware transcode ([[decodeBody]])
+    * → HTML visible-text extraction. Fused in one narrow pass; a failure
+    * at ANY layer degrades the whole doc to the failing layer's typed
+    * class (`gzip-corrupt` / `warc-corrupt` / `no-response` /
+    * `http-corrupt` / `charset-unknown` / `charset-bad-bytes`).
     */
   private def crawlRow(id: Long, bytes: Array[Byte]): Row =
     GzipCodec.decodeMembers(bytes) match {
@@ -763,19 +819,28 @@ object Crawl extends QueryModule {
             Row(id, "no-response", recs.length.toLong, 0L, null, null, null, null, null)
           else {
             val resp = responses.head
-            responsePayload(resp) match {
+            responseContent(resp) match {
               case Left(_) =>
                 Row(id, "http-corrupt", recs.length.toLong,
                   responses.length.toLong, null, null, null, null, null)
-              case Right(payload) =>
-                val html = new String(payload, "UTF-8")
-                val st = graft.plans.HtmlTextImpl.extract(html)
-                val md = java.security.MessageDigest.getInstance("MD5")
-                Row(id, "warc", recs.length.toLong, responses.length.toLong,
-                  resp.headers.getOrElse("WARC-Target-URI", null),
-                  payload.length.toLong,
-                  md.digest(st.text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
-                  st.text.length.toLong, st.links)
+              case Right((ct, payload)) =>
+                decodeBody(ct, payload) match {
+                  case Left(reason) =>
+                    // typed charset degrade keeps the record-level
+                    // accounting (the bytes were reached; only the
+                    // text layer is untrusted)
+                    Row(id, reason, recs.length.toLong, responses.length.toLong,
+                      resp.headers.getOrElse("WARC-Target-URI", null),
+                      payload.length.toLong, null, null, null)
+                  case Right(html) =>
+                    val st = graft.plans.HtmlTextImpl.extract(html)
+                    val md = java.security.MessageDigest.getInstance("MD5")
+                    Row(id, "warc", recs.length.toLong, responses.length.toLong,
+                      resp.headers.getOrElse("WARC-Target-URI", null),
+                      payload.length.toLong,
+                      md.digest(st.text.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+                      st.text.length.toLong, st.links)
+                }
             }
           }
         }
@@ -836,10 +901,13 @@ object Crawl extends QueryModule {
         val mm = RecordIdPattern.matcher(
           rec.headers.getOrElse("WARC-Record-ID", ""))
         if (!mm.find()) None
-        else responsePayload(rec) match {
+        else responseContent(rec) match {
           case Left(_) => None // declared-HTTP record that doesn't parse
-          case Right(payload) => Some(Row(mm.group(1).toLong,
-            graft.plans.HtmlTextImpl.extract(new String(payload, "UTF-8")).text))
+          case Right((ct, payload)) => decodeBody(ct, payload) match {
+            case Left(_) => None // charset-unknown / bad bytes: untyped here
+            case Right(html) => Some(Row(mm.group(1).toLong,
+              graft.plans.HtmlTextImpl.extract(html).text))
+          }
         }
       case _ => None
     }
@@ -1008,18 +1076,20 @@ object Crawl extends QueryModule {
             else {
               val id = mm.group(1).toLong
               if (rec.headers.get("WARC-Type").contains("response"))
-                responsePayload(rec) match {
+                responseContent(rec) match {
                   case Left(_) => None // declared-HTTP record, unparseable
-                  case Right(payload) =>
-                    val st = graft.plans.HtmlTextImpl.extract(
-                      new String(payload, "UTF-8"))
-                    val md = java.security.MessageDigest.getInstance("MD5")
-                    Some(Row(id, 1L,
-                      rec.headers.getOrElse("WARC-Target-URI", null),
-                      payload.length.toLong,
-                      md.digest(st.text.getBytes("UTF-8"))
-                        .map("%02x".format(_)).mkString,
-                      st.text.length.toLong, st.links))
+                  case Right((ct, payload)) => decodeBody(ct, payload) match {
+                    case Left(_) => None // charset degrade: no text layer
+                    case Right(html) =>
+                      val st = graft.plans.HtmlTextImpl.extract(html)
+                      val md = java.security.MessageDigest.getInstance("MD5")
+                      Some(Row(id, 1L,
+                        rec.headers.getOrElse("WARC-Target-URI", null),
+                        payload.length.toLong,
+                        md.digest(st.text.getBytes("UTF-8"))
+                          .map("%02x".format(_)).mkString,
+                        st.text.length.toLong, st.links))
+                  }
                 }
               else Some(Row(id, 0L, null, null, null, null, null))
             }
@@ -1224,6 +1294,43 @@ object Crawl extends QueryModule {
         .orderBy(col("domain"))
     }),
 
+    // ---- charset-aware extraction over a MIXED-charset crawl slice:
+    // each doc's page is encoded in its class's declared charset
+    // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
+    // label) and the chain must parse the Content-Type's charset=
+    // parameter, STRICT-transcode the legacy bytes, and extract — or
+    // degrade typed (`charset-unknown`). The oracle predicts the
+    // extracted text and its md5 from `documents` plus the class
+    // markers alone: a decoder that misreads windows-1251 bytes as
+    // UTF-8 (what the pre-round-11 chain did) produces mojibake and
+    // cannot hash right. Scale: one narrow pass, bytes decoded where
+    // they are read, only (id, md5, count) rows continue. ----
+    "crawl_charset_extract" -> ((s, d) => {
+      val media = attachCharsetMedia(Tables.documents(s, d))
+      val rdd = media.select(col("doc_id"), col("charset"), col("payload"))
+        .rdd.map { r =>
+          val id = r.getLong(0)
+          val label = r.getString(1)
+          WarcCodec.decode(r.getAs[Array[Byte]](2)) match {
+            case Left(_) => Row(id, label, "warc-corrupt", null, null)
+            case Right(rec) => responseContent(rec) match {
+              case Left(_) => Row(id, label, "http-corrupt", null, null)
+              case Right((ct, payload)) => decodeBody(ct, payload) match {
+                case Left(reason) => Row(id, label, reason, null, null)
+                case Right(html) =>
+                  val st = graft.plans.HtmlTextImpl.extract(html)
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                  Row(id, label, "warc",
+                    md.digest(st.text.getBytes("UTF-8"))
+                      .map("%02x".format(_)).mkString,
+                    st.text.length.toLong)
+              }
+            }
+          }
+        }
+      s.createDataFrame(rdd, charsetStatSchema).orderBy(col("doc_id"))
+    }),
+
     // ---- the crawl-ingestion CAPSTONE over a realistic `.warc.gz`
     // shape (request + response records, each its own gzip member):
     // gunzip → WARC header/body parse → response filter → HTML
@@ -1331,6 +1438,32 @@ object Crawl extends QueryModule {
         |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
         |  CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+    // predicts the transcoded extraction from `documents` + the class
+    // markers; only a real charset= parse + strict legacy-byte decode on
+    // the Spark side reproduces these hashes
+    "crawl_charset_extract" ->
+      """WITH cls AS (
+        |  SELECT doc_id, text, doc_id % 5 AS k,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'utf-8' WHEN 1 THEN 'ISO-8859-1'
+        |      WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1251'
+        |      ELSE 'x-graft-unknown' END AS charset,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN 'déjà ✓' WHEN 1 THEN 'café ±'
+        |      WHEN 2 THEN '€uro œuvre' WHEN 3 THEN 'привет мир'
+        |      ELSE '' END AS marker
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, charset, k,
+        |    trim(regexp_replace(text || ' ' || marker, '\s+', ' ', 'g')) AS xt
+        |  FROM cls
+        |)
+        |SELECT doc_id, charset,
+        |  CASE WHEN k = 4 THEN 'charset-unknown' ELSE 'warc' END AS format,
+        |  CASE WHEN k = 4 THEN NULL ELSE md5(xt) END AS extracted_md5,
+        |  CASE WHEN k = 4 THEN NULL
+        |       ELSE CAST(length(xt) AS BIGINT) END AS n_extracted_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
     "pipe_crawl_e2e" -> crawlE2eOracle,
     // the FILE-based capstone reassembles to the SAME per-doc accounting:
     // one oracle text checks both the in-row and the written-shard paths

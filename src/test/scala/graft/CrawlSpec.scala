@@ -298,6 +298,32 @@ class CrawlSpec extends SparkSuiteBase {
     }
   }
 
+  test("decodeBody: charset parse ladder — quoted/cased labels, legacy transcode, typed degrades") {
+    import graft.operators.Crawl.decodeBody
+    def ct(v: String) = Some(s"text/html; $v")
+    // absent charset defaults to UTF-8
+    assert(decodeBody(None, "déjà".getBytes("UTF-8")) == Right("déjà"))
+    assert(decodeBody(Some("text/html"), "x".getBytes) == Right("x"))
+    // label parsing: quoted, mixed case, trailing parameters
+    assert(decodeBody(ct("charset=\"ISO-8859-1\""),
+      "café ±".getBytes("ISO-8859-1")) == Right("café ±"))
+    assert(decodeBody(ct("CHARSET=Windows-1251; boundary=x"),
+      "привет".getBytes("windows-1251")) == Right("привет"))
+    // the decisive windows-1252 byte: 0x80 is € there, UNMAPPABLE in
+    // ISO-8859-1's IANA mapping as text — misreading the label changes
+    // the output, so transcoding is observable
+    val euro = "€uro".getBytes("windows-1252")
+    assert(decodeBody(ct("charset=windows-1252"), euro) == Right("€uro"))
+    assert(decodeBody(ct("charset=utf-8"), euro) == Left("charset-bad-bytes"),
+      "cp1252 bytes are not valid UTF-8 — strict decode must degrade, not replace")
+    // unknown label -> typed degrade
+    assert(decodeBody(ct("charset=x-no-such-enc"), "x".getBytes) ==
+      Left("charset-unknown"))
+    // declared UTF-8 with an invalid byte -> bad-bytes degrade
+    assert(decodeBody(ct("charset=utf-8"), Array[Byte]('a', 0xFF.toByte)) ==
+      Left("charset-bad-bytes"))
+  }
+
   test("crawl pipeline: layer failures degrade to the failing layer's class; Arrow == row") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
