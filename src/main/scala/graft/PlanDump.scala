@@ -243,7 +243,17 @@ object PlanDump {
     // bucket), incremental span dedup (batch grams semi-joined against
     // the persisted corpus gram artifact — work scales with the batch),
     // and mixed-charset crawl extraction (narrow decode, typed degrades)
-    "txt_bm25_compacted", "dedup_span_incr", "crawl_charset_extract")
+    "txt_bm25_compacted", "dedup_span_incr", "crawl_charset_extract",
+    // round-11 session 2: the span CUT (per-doc span arrays + narrow
+    // keep-filter HOF — no position-level shuffle), Matryoshka
+    // truncation eval (one scan, four bounded topk aggs — no window),
+    // and the postings merge-policy report (16 bucket rows off
+    // metadata-weight columns)
+    "dedup_span_cut", "sim_matryoshka_eval", "txt_postings_merge_plan",
+    // URL canonicalization (codegen'd parse_url projection; the dedup
+    // window keys on the HIGH-cardinality canon string — the frontier
+    // analog of dedup_exact)
+    "crawl_url_canon")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1099,6 +1099,39 @@ object Crawl extends QueryModule {
     spark.createDataFrame(rdd, warcStatSchema)
   }
 
+  /** Generic URL canonicalization over a frame carrying a `url` column
+    * (built-in codegen'd `parse_url` + array HOFs, no UDF): adds
+    * `canon_url` = lowercase scheme and host; the port only when
+    * NON-default for the scheme; the path; surviving query params
+    * (tracking params utm_* / fbclid / gclid dropped) sorted; fragment
+    * gone. Shared by `crawl_url_canon` and the CrawlSpec rule-ladder
+    * unit tests (which feed planted urls the fixture doesn't cover,
+    * e.g. non-default ports that must SURVIVE).
+    */
+  private[graft] def canonicalizedUrls(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("scheme", lower(parse_url(col("url"), lit("PROTOCOL"))))
+      .withColumn("host", lower(parse_url(col("url"), lit("HOST"))))
+      .withColumn("port",
+        regexp_extract(parse_url(col("url"), lit("AUTHORITY")), ":(\\d+)$", 1))
+      .withColumn("path", parse_url(col("url"), lit("PATH")))
+      .withColumn("params", expr(
+        """array_sort(filter(
+          |  split(coalesce(parse_url(url, 'QUERY'), ''), '&'),
+          |  p -> p != '' AND substring(p, 1, 4) != 'utm_'
+          |    AND NOT substring_index(p, '=', 1) IN ('fbclid', 'gclid')))"""
+          .stripMargin))
+      .withColumn("keep_port",
+        col("port") =!= "" &&
+          !(col("scheme") === "http" && col("port") === "80") &&
+          !(col("scheme") === "https" && col("port") === "443"))
+      .withColumn("canon_url", concat(
+        col("scheme"), lit("://"), col("host"),
+        when(col("keep_port"), concat(lit(":"), col("port"))).otherwise(""),
+        col("path"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(col("params"), "&"))).otherwise("")))
+
   /** The synthesized crawl-frontier URL (shared by `crawl_url_stats` and
     * `crawl_robots_gate`): varied subdomains, TLDs, path depths, query
     * strings — all derived from (doc_id, n_chars) so the oracle replays
@@ -1266,6 +1299,50 @@ object Crawl extends QueryModule {
           max(col("path_depth")).as("max_depth"),
           sum(col("n_params")).as("total_params"))
         .orderBy(col("domain"))
+    }),
+
+    // ---- URL canonicalization + canonical-frontier dedup — the
+    // cheapest dedup a crawl runs, BEFORE any fetch: the same page hides
+    // behind cased schemes/hosts, default ports, tracking parameters
+    // (utm_*/fbclid/gclid), permuted query order, and fragments. The
+    // Spark side canonicalizes GENERICALLY from the raw string with the
+    // built-in codegen'd `parse_url` + array HOFs (lowercase scheme and
+    // host; strip the scheme's default port, KEEP a non-default one;
+    // drop the fragment; drop tracking params; sort survivors), then
+    // groups the frontier by canonical form (min-doc_id keeper — the
+    // exact-dedup convention). The oracle re-derives both the RAW url
+    // and its canonical form from doc_id arithmetic alone, so only a
+    // real parse + normalize can match. The messy-frontier generator
+    // reuses [[frontierUrl]]'s id-arithmetic style with a 20-slot path
+    // space so canonical collisions actually occur. Scale: one narrow
+    // projection, one count-over-canon aggregation keyed on the canon
+    // string — the crawl-frontier analog of dedup_exact. ----
+    "crawl_url_canon" -> ((s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "HTTP").otherwise("https"),
+          lit("://"),
+          when(col("doc_id") % 2 === 0, "WWW.Site").otherwise("www.site"),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 2 === 0, ".COM").otherwise(".org"),
+          when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, ":80").otherwise(":443")).otherwise(""),
+          lit("/p/"), (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 4 === 0, "?b=2&a=1&utm_source=x")
+            .when(col("doc_id") % 4 === 1, "?a=1&b=2")
+            .when(col("doc_id") % 4 === 2, "?a=1").otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("#s"), (col("doc_id") % 9).cast("string"))).otherwise("")
+        ).as("url"))
+      val canon = canonicalizedUrls(raw)
+      val byCanon = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon_url"))
+      canon
+        .withColumn("n_dups", count(lit(1)).over(byCanon))
+        .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(byCanon))
+        .select(col("doc_id"), col("url"), col("canon_url"),
+          col("n_dups"), col("is_canonical"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- robots.txt compliance gate over the synthesized frontier: a
@@ -1464,6 +1541,38 @@ object Crawl extends QueryModule {
         |  CASE WHEN k = 4 THEN NULL
         |       ELSE CAST(length(xt) AS BIGINT) END AS n_extracted_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+    // replays BOTH the messy url and its canonical form from doc_id
+    // arithmetic; the Spark side can only reach the canon by actually
+    // parsing and normalizing the raw string
+    "crawl_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+        |      || '://'
+        |      || CASE WHEN doc_id % 2 = 0 THEN 'WWW.Site' ELSE 'www.site' END
+        |      || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.org' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN
+        |           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        |         ELSE '' END
+        |      || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+        |      || CASE doc_id % 4 WHEN 0 THEN '?b=2&a=1&utm_source=x'
+        |           WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?a=1' ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN '#s' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+        |      AS url,
+        |    'http' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END
+        |      || '://www.site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      || '/p/' || CAST(doc_id % 20 AS VARCHAR)
+        |      || CASE WHEN doc_id % 4 <= 1 THEN '?a=1&b=2'
+        |           WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END AS canon_url
+        |  FROM documents
+        |)
+        |SELECT doc_id, url, canon_url,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical
+        |FROM u ORDER BY doc_id""".stripMargin,
     "pipe_crawl_e2e" -> crawlE2eOracle,
     // the FILE-based capstone reassembles to the SAME per-doc accounting:
     // one oracle text checks both the in-row and the written-shard paths

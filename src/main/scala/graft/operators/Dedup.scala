@@ -68,17 +68,16 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
   }
 
-  /** Gaps-and-islands span merge + per-doc duplicated-mass report shared
-    * by the span-dedup family: merge each doc's overlapping [i, i+8) hit
-    * intervals via a PER-DOC-PARTITIONED running max (one row of state,
-    * never a cross-doc sort) and report (n_spans, dup_words, dup_frac)
-    * for EVERY doc of `w` (zero-span docs included — the report is the
-    * cut plan).
+  /** Merged duplicate spans per doc — gaps-and-islands over the hit
+    * positions via a PER-DOC-PARTITIONED running max (one row of state,
+    * never a cross-doc sort): one (doc_id, s, e) row per maximal merged
+    * [i, i+8) interval. Shared by the report ([[spanReport]]) and the
+    * cut ([[queries]] `dedup_span_cut`).
     */
-  private def spanReport(w: DataFrame, hits: DataFrame): DataFrame = {
+  private def dupSpans(hits: DataFrame): DataFrame = {
     val K = 8
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val spans = hits
+    hits
       .withColumn("pmax", max(col("i") + K)
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("isl", sum(
@@ -86,6 +85,16 @@ object Dedup extends QueryModule {
         .over(byDoc))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("i")).as("s"), (max(col("i")) + K).as("e"))
+  }
+
+  /** Gaps-and-islands span merge + per-doc duplicated-mass report shared
+    * by the span-dedup family: merge each doc's overlapping [i, i+8) hit
+    * intervals ([[dupSpans]]) and report (n_spans, dup_words, dup_frac)
+    * for EVERY doc of `w` (zero-span docs included — the report is the
+    * cut plan).
+    */
+  private def spanReport(w: DataFrame, hits: DataFrame): DataFrame = {
+    val spans = dupSpans(hits)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s")).cast("bigint").as("dup_words"))
@@ -1063,6 +1072,41 @@ object Dedup extends QueryModule {
       spanReport(batch, hits)
     }),
 
+    // ---- the CUT itself — dedup_span_frac's report turned into the
+    // cleaned corpus (what Lee et al.'s ExactSubstr tool actually emits):
+    // every word position covered by a merged duplicate span is REMOVED
+    // and the survivor text re-assembles from the kept positions in
+    // order. Emits per doc the kept-word count and the md5 of the
+    // re-assembled text — the oracle recomputes the cut independently
+    // (positions LEFT JOINed against spans), so the hash proves the
+    // surviving BYTES, not just the mass accounting. Cut-all semantics
+    // (every occurrence of a duplicated span goes, both copies) —
+    // deterministic, and exactly the mass dedup_span_frac reports.
+    // Scale: spans collapse to a per-doc array (span count ≤ n_words/8,
+    // doc-local) broadcast nowhere — the keep filter is a narrow
+    // array-HOF projection over each doc's own words; no position-level
+    // shuffle ever happens. ----
+    "dedup_span_cut" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val grams = grams8(w)
+      val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select(col("h"))
+      val spanArr = dupSpans(grams.join(dup, Seq("h"), "left_semi"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      w.join(spanArr, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          """filter(transform(sequence(1, size(w)),
+            |  i -> struct(i AS i, element_at(w, i) AS wd)),
+            |  p -> sp IS NULL OR NOT exists(sp, x -> p.i >= x.s AND p.i < x.e))"""
+            .stripMargin))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", expr("transform(kept, p -> p.wd)"))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Bloom-filter ingest prefilter: does a new-batch document share
     // any 5-word segment with the existing corpus? The corpus side is
     // compressed to ONE 4 KB graft_bloom bitmap (bitwise-OR mergeable, so
@@ -1596,6 +1640,49 @@ object Dedup extends QueryModule {
           |  CAST(coalesce(p.dup_words, 0) AS BIGINT) AS dup_words,
           |  CAST((coalesce(p.dup_words, 0) * 1000000) // len(wrd.w) AS BIGINT) AS dup_frac_x1e6
           |FROM wrd LEFT JOIN per_doc p ON wrd.doc_id = p.doc_id
+          |ORDER BY wrd.doc_id""".stripMargin,
+      "dedup_span_cut" ->
+        """WITH wrd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), g AS (
+          |  SELECT doc_id, i,
+          |    try_cast('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+          |        FROM wrd WHERE len(w) >= 8)
+          |), dup AS (
+          |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+          |), hits AS (
+          |  SELECT g.doc_id, g.i FROM g JOIN dup USING (h)
+          |), mx AS (
+          |  SELECT doc_id, i,
+          |    max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |  FROM hits
+          |), isla AS (
+          |  SELECT doc_id, i,
+          |    sum(CASE WHEN pmax IS NULL OR i > pmax THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY i) AS isl
+          |  FROM mx
+          |), spans AS (
+          |  SELECT doc_id, isl, min(i) AS s, max(i) + 8 AS e
+          |  FROM isla GROUP BY doc_id, isl
+          |), pos AS (
+          |  SELECT doc_id, i, w[i] AS wd
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM wrd)
+          |), kept AS (
+          |  SELECT p.doc_id, p.i, p.wd
+          |  FROM pos p LEFT JOIN spans sp
+          |    ON p.doc_id = sp.doc_id AND p.i >= sp.s AND p.i < sp.e
+          |  WHERE sp.doc_id IS NULL
+          |), agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          |    md5(coalesce(string_agg(wd, ' ' ORDER BY i), '')) AS kept_md5
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT wrd.doc_id AS doc_id, CAST(len(wrd.w) AS BIGINT) AS n_words,
+          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+          |  coalesce(a.kept_md5, md5('')) AS kept_md5
+          |FROM wrd LEFT JOIN agg a ON wrd.doc_id = a.doc_id
           |ORDER BY wrd.doc_id""".stripMargin,
       "dedup_span_incr" ->
         """WITH wrd AS (

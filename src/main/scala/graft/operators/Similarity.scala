@@ -976,6 +976,52 @@ object Similarity extends QueryModule {
     // every oracle hash — are unchanged. At 100 TB the target side
     // prunes by SRP/IVF cell exactly as the ANN ladder serves, brute
     // here because mining wants exact neighbourhoods as ground truth. ----
+    // ---- Matryoshka truncation eval (Kusupati et al. 2022, MRL): does
+    // the embedding's PREFIX at 8/16/32 dims preserve the full-64-dim
+    // neighbourhood? For the 10 fixed probes, recall@10 of each
+    // truncated-cosine top-10 against the full-dim top-10 — the
+    // measurement that licenses serving truncated vectors (4-8× less
+    // index memory and bandwidth) at a known recall cost. One corpus
+    // scan computes ALL four cosines (sliced sequential folds, rounded
+    // 6 dp — the sim-family determinism convention); all four top-10s
+    // are bounded graft_topk aggregates off that single pass (map-side
+    // 10-row buffers — no rank window, no second scan); intersections
+    // are array HOFs over 10-element lists. At 100 TB the same plan runs
+    // over a probe sample with the corpus side pruned by the IVF lake —
+    // brute here because the eval wants exact neighbourhoods. ----
+    "sim_matryoshka_eval" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      def cosAt(dim: Int) = round(call_function("graft_cosine",
+        expr(s"slice(embedding, 1, $dim)"), expr(s"slice(q_emb, 1, $dim)")), 6)
+      val scored = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(probes))
+        .select(col("qid"), col("vec_id"),
+          cosAt(8).as("c8"), cosAt(16).as("c16"),
+          cosAt(32).as("c32"), cosAt(64).as("c64"))
+      def topk(c: String) =
+        call_function("graft_topk", col(c), col("vec_id"), lit(10)).as(s"t$c")
+      val tops = scored.groupBy(col("qid"))
+        .agg(topk("c8"), topk("c16"), topk("c32"), topk("c64"))
+      def hitsAt(dim: Int) = expr(
+        s"size(filter(tc$dim, x -> exists(tc64, y -> y.id = x.id)))").cast("long")
+      val perQ = tops.select(
+        hitsAt(8).as("h8"), hitsAt(16).as("h16"), hitsAt(32).as("h32"),
+        expr("size(tc64)").cast("long").as("n64"))
+      perQ
+        .agg(sum(col("h8")).as("h8"), sum(col("h16")).as("h16"),
+          sum(col("h32")).as("h32"), sum(col("n64")).as("n_possible"))
+        .select(expr(
+          "stack(3, 8L, h8, 16L, h16, 32L, h32) AS (dim, n_hits)"),
+          col("n_possible"))
+        .select(col("dim"), col("n_hits").cast("bigint").as("n_hits"),
+          col("n_possible").cast("bigint").as("n_possible"),
+          expr("CAST((n_hits * 100) DIV n_possible AS BIGINT)").as("recall_x100"))
+        .orderBy(col("dim"))
+    }),
+
     "sim_bitext_mine" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
       val e = Tables.embeddings(s, d)
@@ -1747,6 +1793,47 @@ object Similarity extends QueryModule {
          |QUALIFY row_number() OVER (PARTITION BY qid
          |  ORDER BY votes DESC, label) = 1
          |ORDER BY vec_id""".stripMargin,
+    "sim_matryoshka_eval" -> {
+      def sliced(dim: Int) = duckCosine(s"c.embedding[1:$dim]", s"q.q_emb[1:$dim]")
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+         |), s AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(${sliced(8)}, 6) AS c8,
+         |    round(${sliced(16)}, 6) AS c16,
+         |    round(${sliced(32)}, 6) AS c32,
+         |    round(${sliced(64)}, 6) AS c64
+         |  FROM c CROSS JOIN q
+         |), t8 AS (
+         |  SELECT qid, vec_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c8 DESC, vec_id) <= 10
+         |), t16 AS (
+         |  SELECT qid, vec_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c16 DESC, vec_id) <= 10
+         |), t32 AS (
+         |  SELECT qid, vec_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c32 DESC, vec_id) <= 10
+         |), t64 AS (
+         |  SELECT qid, vec_id FROM s
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY c64 DESC, vec_id) <= 10
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_possible FROM t64)
+         |SELECT dim, n_hits, n_possible,
+         |  CAST((n_hits * 100) // n_possible AS BIGINT) AS recall_x100
+         |FROM (
+         |  SELECT CAST(8 AS BIGINT) AS dim,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t8 JOIN t64 USING (qid, vec_id)) AS n_hits
+         |  UNION ALL
+         |  SELECT CAST(16 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t16 JOIN t64 USING (qid, vec_id))
+         |  UNION ALL
+         |  SELECT CAST(32 AS BIGINT),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t32 JOIN t64 USING (qid, vec_id))
+         |), n
+         |ORDER BY dim""".stripMargin
+    },
     "sim_bitext_mine" ->
       s"""WITH q AS (
          |  SELECT vec_id AS src_id, embedding AS s_emb FROM embeddings

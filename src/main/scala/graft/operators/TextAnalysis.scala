@@ -1079,6 +1079,29 @@ object TextAnalysis extends QueryModule {
     // O(batches) file opens per bucket back to O(1), ingest keeps
     // appending to the fragmented lake, and the next compaction commits
     // the next generation. ----
+    // ---- postings-lake MAINTENANCE policy: per term bucket, how many
+    // ingest fragments have accumulated and should this bucket's
+    // generation be merged — the signal a scheduler polls to decide when
+    // to run [[graft.streaming.StreamRunner.compactPostings]] (Lucene's
+    // merge policy for the streamed index; the pipe_compaction_plan
+    // idiom applied to the postings layout). Reads the FRAGMENTED lake's
+    // metadata-weight columns only (wb, ingest_batch, word) — partial-
+    // agg'd to 16 bucket rows; the posting payloads never move. Merge
+    // rule: > 4 fragments in a bucket (each probe pays one file open per
+    // fragment per term — the cost the compacted generation amortizes to
+    // one). ----
+    "txt_postings_merge_plan" -> ((s, d) => {
+      val (wh, _, _) = PostingsLakeFixture.compacted(s, d)
+      wh.read(s, "lex_postings")
+        .groupBy(col("wb").cast("bigint").as("wb"))
+        .agg(countDistinct(col("ingest_batch")).as("n_fragments"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("word")).as("n_terms"))
+        .select(col("wb"), col("n_fragments"), col("n_rows"), col("n_terms"),
+          (col("n_fragments") > 4).as("merge"))
+        .orderBy(col("wb"))
+    }),
+
     "txt_bm25_compacted" -> ((s, d) => {
       val (wh, pv, dv) = PostingsLakeFixture.compacted(s, d)
       val postings = wh.readVersion(s, "lex_postings_serve", Some(pv))
@@ -1957,6 +1980,25 @@ object TextAnalysis extends QueryModule {
     // identical again: the compacted generation must rank exactly as the
     // fragmented lake and the live scan — compaction is layout-only
     "txt_bm25_compacted" -> bm25OracleSql,
+    // predicts the fragmented lake's bucket accounting from documents:
+    // postings = distinct (word, doc_id), fragment = the doc's synthetic
+    // ingest generation, bucket = the word's md5 hex digit
+    "txt_postings_merge_plan" ->
+      """WITH pr AS (
+        |  SELECT word, doc_id
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word, doc_id
+        |), b AS (
+        |  SELECT try_cast('0x' || substr(md5(word), 1, 1) AS BIGINT) AS wb,
+        |    doc_id % 8 AS ib, word
+        |  FROM pr
+        |)
+        |SELECT wb, CAST(count(DISTINCT ib) AS BIGINT) AS n_fragments,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_terms,
+        |  count(DISTINCT ib) > 4 AS merge
+        |FROM b GROUP BY wb ORDER BY wb""".stripMargin,
     "txt_perceptron_train" ->
       s"""$perceptronCtes
          |SELECT w1.feature AS feature, w1.w1 AS w1,

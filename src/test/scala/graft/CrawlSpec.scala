@@ -298,6 +298,30 @@ class CrawlSpec extends SparkSuiteBase {
     }
   }
 
+  test("url canonicalization rule ladder: ports, tracking params, fragments, case") {
+    import spark.implicits._
+    val got = graft.operators.Crawl.canonicalizedUrls(Seq(
+      // non-default port SURVIVES (the fixture only exercises defaults)
+      "https://Example.COM:8443/a?utm_campaign=z&z=9&a=1#frag",
+      // default port for the scheme is stripped
+      "http://H.com:80/x",
+      "https://h.com:443/x",
+      // https' default port on http is NOT default — kept
+      "http://h.com:443/x",
+      // tracking params gone even mid-list; survivors sorted; no '?' left
+      "http://h.com/p?utm_source=a",
+      "http://h.com/p?gclid=1&b=2&fbclid=2&a=1"
+    ).toDF("url")).select("url", "canon_url").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://Example.COM:8443/a?utm_campaign=z&z=9&a=1#frag") ==
+      "https://example.com:8443/a?a=1&z=9")
+    assert(got("http://H.com:80/x") == "http://h.com/x")
+    assert(got("https://h.com:443/x") == "https://h.com/x")
+    assert(got("http://h.com:443/x") == "http://h.com:443/x")
+    assert(got("http://h.com/p?utm_source=a") == "http://h.com/p")
+    assert(got("http://h.com/p?gclid=1&b=2&fbclid=2&a=1") == "http://h.com/p?a=1&b=2")
+  }
+
   test("decodeBody: charset parse ladder — quoted/cased labels, legacy transcode, typed degrades") {
     import graft.operators.Crawl.decodeBody
     def ct(v: String) = Some(s"text/html; $v")

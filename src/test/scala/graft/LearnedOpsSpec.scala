@@ -173,6 +173,59 @@ class LearnedOpsSpec extends SparkSuiteBase {
     assert(got.getLong(got.fieldIndex("n_spans")) == spans.length.toLong)
   }
 
+  test("span cut: kept mass complements the span_frac report; untouched docs keep their bytes") {
+    val cut = SparkEntry.queries("dedup_span_cut")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val frac = SparkEntry.queries("dedup_span_frac")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // exact complement: what the report counts as duplicated mass is
+    // exactly what the cut removed, doc for doc
+    cut.foreach { case (id, (nWords, nKept, _)) =>
+      assert(nWords - nKept == frac(id),
+        s"doc $id: cut ${nWords - nKept} words but the report says ${frac(id)}")
+    }
+    // zero-span docs must re-assemble to their ORIGINAL bytes
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val untouched = cut.filter { case (_, (nw, nk, _)) => nw == nk }
+    assert(untouched.nonEmpty, "fixture should leave some docs uncut")
+    untouched.foreach { case (id, (_, _, keptMd5)) =>
+      assert(keptMd5 == docs(id), s"doc $id: uncut text must hash to the original")
+    }
+    // and the fixture must exercise the cut (some doc loses words)
+    assert(cut.exists { case (_, (nw, nk, _)) => nk < nw })
+  }
+
+  test("matryoshka eval: three truncation rows, sound bounds, full-dim ground truth covered") {
+    val rows = SparkEntry.queries("sim_matryoshka_eval")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+    val nProbes = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") < 10).count()
+    rows.foreach { r =>
+      val (hits, possible, recall) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(possible == nProbes * 10, "ground truth = 10 neighbours per probe")
+      assert(hits >= 0 && hits <= possible)
+      assert(recall == hits * 100 / possible)
+    }
+    // a 32-of-64 prefix preserving NOTHING of the neighbourhood would
+    // mean the fixture embeddings are pathological — pin non-degeneracy
+    assert(rows.last.getLong(1) > 0, "dim-32 recall must be non-zero")
+  }
+
+  test("postings merge plan: 16 buckets, fragment bounds, decision matches the rule") {
+    val rows = SparkEntry.queries("txt_postings_merge_plan")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 16L),
+      "one row per md5 hex bucket, ordered")
+    rows.foreach { r =>
+      val (nFrag, nRows, nTerms, merge) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(nFrag >= 1 && nFrag <= 8, "synthetic lake has 8 ingest generations")
+      assert(nTerms <= nRows)
+      assert(merge == (nFrag > 4), "decision must be exactly the >4-fragments rule")
+    }
+  }
+
   test("incremental span dedup: batch-only rows, artifact-served == corpus recompute, asymmetry holds") {
     val incr = SparkEntry.queries("dedup_span_incr")(spark, sf0001).collect()
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
