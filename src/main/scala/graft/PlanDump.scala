@@ -253,7 +253,20 @@ object PlanDump {
     // URL canonicalization (codegen'd parse_url projection; the dedup
     // window keys on the HIGH-cardinality canon string — the frontier
     // analog of dedup_exact)
-    "crawl_url_canon")
+    "crawl_url_canon",
+    // round-11 session 3: perceptual-hash image near-dup (Arrow-seam
+    // decode+hash, 4×16-bit band equi-join — never all-pairs), its
+    // connected-components capstone, and the audio energy-delta
+    // fingerprint (narrow decode, no shuffle)
+    "mm_dhash_neardup", "pipe_image_dedup_e2e", "mm_wav_fingerprint",
+    // PII scrub/audit (codegen'd regex + HOF validation, zero data
+    // shuffles in the scrub; |sources|-row partial-agg rollup)
+    "txt_pii_scrub", "pipe_pii_audit",
+    // positional phrase search (probe-pruned positional postings,
+    // shifted-intersection HOF, no windows) and the host link graph
+    // (one-pass href extraction in the scan projection, edge-key-only
+    // shuffle)
+    "txt_phrase_search", "crawl_link_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1345,6 +1345,63 @@ object Crawl extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- host-level WEB LINK GRAPH from real outlink extraction: each
+    // page's HTML (synthesized, integer-derived — decoy anchors inside a
+    // <script> string literal and an HTML comment, a no-href <a name>,
+    // an entity-encoded query (&amp;), an unquoted uppercase HREF, a
+    // fragment-only link) runs through `graft_html_links` (the one-pass
+    // anchor-href parser), then the frontier pipeline: fragment links
+    // dropped, relative hrefs resolved against the page origin, every
+    // URL canonicalized (scheme/host lowercase, default-port drop,
+    // utm/click-id strip, param sort), and edges rolled up host→host.
+    // The oracle never parses a byte of HTML: it replays the planted
+    // link arithmetic and constructs each CANONICAL url string directly
+    // — url_check (the md5-derived modular sum over every link
+    // occurrence) only agrees if extraction found exactly the real
+    // anchors (decoys excluded) AND resolution+canonicalization produced
+    // the exact strings. Scale: extract/resolve/canonicalize is ONE
+    // narrow projection where the page bytes live (no shuffle); the edge
+    // rollup partial-aggs (host, host, doc_id) tuples — link-graph
+    // construction over a 100 TB crawl shuffles only edge keys, and the
+    // result is |hosts|²-bounded. ----
+    "crawl_link_graph" -> ((s, d) => {
+      val id = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val tld = when(id % 2 === 0, lit(".com")).otherwise(lit(".org"))
+      val pageHost = concat(lit("site"), str(id % 7), tld)
+      val html = concat(
+        lit("<html><head><script>var d = \"<a href='http://decoy.example/x'>d</a>\";" +
+          "</script></head><body><!-- <a href=\"http://comment.example/c\">c</a> -->" +
+          "<p>see <a href=\"/local/"),
+        str(id % 5), lit("?a=1&amp;b=2\">rel</a> and <a href='https://site"),
+        str((id * 3) % 7), tld, lit("/p/"), str(id % 11),
+        lit("?utm_source=t&amp;ref="), str(id % 3), lit("'>abs</a>"),
+        when(id % 3 === 0, concat(lit("<a HREF=HTTPS://WWW.Site"), str((id + 1) % 7),
+          lit(".COM:443/q/"), str(id % 13), lit(">up</a>"))).otherwise(lit("")),
+        when(id % 4 === 0, lit("<a name=\"x\">plain anchor</a>")).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit("<a href=\"#sec"), str(id % 9), lit("\">frag</a>")))
+          .otherwise(lit("")),
+        lit(" again <a href=\"/local/"), str(id % 5),
+        lit("?a=1&amp;b=2\">rel2</a></p></body></html>"))
+      val links = Tables.documents(s, d)
+        .select(id, pageHost.as("page_host"), html.as("html"))
+        .select(col("doc_id"), col("page_host"),
+          explode(call_function("graft_html_links", col("html"))).as("href"))
+        .filter(!col("href").startsWith("#"))
+        .withColumn("url", when(col("href").startsWith("/"),
+            concat(lit("https://"), col("page_host"), col("href")))
+          .otherwise(col("href")))
+      canonicalizedUrls(links)
+        .groupBy(col("page_host"), col("host"))
+        .agg(count(lit(1)).cast("bigint").as("n_links"),
+          countDistinct(col("doc_id")).cast("bigint").as("n_pages"),
+          sum(pmod(conv(substring(md5(col("canon_url")), 1, 15), 16, 10).cast("bigint"),
+            lit(1000000007L))).cast("bigint").as("url_check"))
+        .select(col("page_host").as("src_host"), col("host").as("dst_host"),
+          col("n_links"), col("n_pages"), col("url_check"))
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+
     // ---- robots.txt compliance gate over the synthesized frontier: a
     // REAL RFC 9309 engine (group parsing + selection, `*`/`$` pattern
     // matching, longest-match precedence with Allow winning ties) runs
@@ -1573,6 +1630,46 @@ object Crawl extends QueryModule {
         |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups,
         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical
         |FROM u ORDER BY doc_id""".stripMargin,
+    // replays the planted outlinks as (src, dst, canonical-url, mult)
+    // rows from doc_id arithmetic — never parsing HTML: the decoy
+    // anchors (script string, comment, no-href, fragment) contribute
+    // NOTHING here, so an extractor that picks any of them up inflates
+    // n_links; url_check pins the exact canonical strings (entity
+    // decode, relative resolution, case/port/utm normalization)
+    "crawl_link_graph" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS src
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, src, src AS dst,
+        |    'https://' || src || '/local/' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '?a=1&b=2' AS u, 2 AS m
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, src,
+        |    'site' || CAST((doc_id * 3) % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END,
+        |    'https://site' || CAST((doc_id * 3) % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+        |      || '?ref=' || CAST(doc_id % 3 AS VARCHAR), 1
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, src,
+        |    'www.site' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.com',
+        |    'https://www.site' || CAST((doc_id + 1) % 7 AS VARCHAR)
+        |      || '.com/q/' || CAST(doc_id % 13 AS VARCHAR), 1
+        |  FROM d WHERE doc_id % 3 = 0
+        |)
+        |SELECT src AS src_host, dst AS dst_host,
+        |  CAST(sum(m) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+        |  CAST(sum(m * (try_cast('0x' || substr(md5(u), 1, 15) AS BIGINT)
+        |    % 1000000007)) AS BIGINT) AS url_check
+        |FROM e GROUP BY src, dst
+        |ORDER BY src_host, dst_host""".stripMargin,
     "pipe_crawl_e2e" -> crawlE2eOracle,
     // the FILE-based capstone reassembles to the SAME per-doc accounting:
     // one oracle text checks both the in-row and the written-shard paths

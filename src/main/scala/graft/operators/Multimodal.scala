@@ -1071,6 +1071,136 @@ object Multimodal extends QueryModule {
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** 18×16 RGB PNGs engineered for perceptual-hash dedup: pixel values
+    * are quadratic in (x, y) with coefficients derived from a CONTENT id
+    * that collapses doc_id slots 8/9 of each decade onto slots 0/1 —
+    * slot 8 is a pixel-exact re-render of slot 0 (dHash distance 0) and
+    * slot 9 is slot 1 with one sampled pixel site forced to black or
+    * white, whichever FLIPS that site's gradient comparison (dHash
+    * distance exactly 1–2, the "same image, small edit" case — a naive
+    * ±128 perturbation can be swallowed when the neighbors already
+    * bracket both values). The id must modulate the SPATIAL
+    * coefficients, not brightness: a constant per-image offset cancels
+    * in the gradient comparisons dHash takes, which would collapse every
+    * image to one hash (measured while tuning: 52k accidental pairs
+    * under a brightness-only formula vs 0 here at 500 docs).
+    */
+  def attachDhashMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val k = (id / 10) * 10 + (id % 10) % 8
+      val a1 = (k * 13 % 97 + 7).toInt
+      val a2 = (k * 29 % 83 + 5).toInt
+      val pert = id % 10 == 9
+      // unperturbed gray at sampled cell (ty, tx) — the flip chooses the
+      // extreme that inverts the (2,3)>(2,4) comparison
+      def gray0(ty: Int, tx: Int): Int = {
+        val x = 2 * tx; val y = 2 * ty
+        val v = (a1 * x * x + a2 * x * y + 13 * y * y) % 256
+        (299 * v + 587 * ((v + 11) % 256) + 114 * ((v + 22) % 256)) / 1000
+      }
+      val pv = if (pert && gray0(2, 3) > gray0(2, 4)) 0 else 255
+      val bytes = PngCodec.encode(18, 16, 2, (y, x, c) =>
+        if (pert && y == 4 && x == 6) pv
+        else (a1 * x * x + a2 * x * y + 13 * y * y + c * 11) % 256)
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("hash_hi", LongType),
+    StructField("hash_lo", LongType)))
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: the image
+    * is point-sampled to a 9×8 grid (source coords (2·ty, 2·tx) — exact
+    * integers, so the oracle can replay them), grayscaled with the
+    * integer Rec.601 weights, and each of the 64 bits records whether a
+    * cell outbrightens its right neighbor. Gradient signs survive
+    * re-encoding and uniform brightness shifts — the property that makes
+    * dHash the standard cheap near-dup signal for image corpora. The
+    * split into two 32-bit halves keeps every value positive in a BIGINT
+    * on both engines. Corrupt payloads degrade typed, fields withheld.
+    */
+  private def dhashRow(id: Long, bytes: Array[Byte]): Row =
+    PngCodec.decode(bytes) match {
+      case Left(_) => Row(id, "png-corrupt", null, null)
+      case Right(dec) =>
+        val gray = Array.ofDim[Int](8, 9)
+        var ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 9) {
+            val base = (2 * ty * dec.width + 2 * tx) * dec.channels
+            gray(ty)(tx) = (299 * (dec.pixels(base) & 0xff)
+              + 587 * (dec.pixels(base + 1) & 0xff)
+              + 114 * (dec.pixels(base + 2) & 0xff)) / 1000
+            tx += 1
+          }
+          ty += 1
+        }
+        var hi = 0L; var lo = 0L
+        ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 8) {
+            if (gray(ty)(tx) > gray(ty)(tx + 1)) {
+              val b = ty * 8 + tx
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        Row(id, "png", hi, lo)
+    }
+
+  /** dHash over the Arrow batch seam: decode + hash where the bytes are
+    * read; only 3-long rows continue.
+    */
+  def dhashArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, dhashSchema)(dhashRow)
+
+  /** Banded dHash near-dup candidate pairs verified at hamming ≤ 3 —
+    * shared by `mm_dhash_neardup` (pair report) and
+    * `pipe_image_dedup_e2e` (clusters). 4 bands of 16 bits: by
+    * pigeonhole, ≤ 3 differing bits leave at least one band untouched,
+    * so the band equi-join has FULL recall and the exact
+    * bit_count(xor) filter verifies — never all-pairs (the [[Dedup]]
+    * simhash banding convention at 64 bits). At 100 TB the 3-long hash
+    * frame would be a persisted ingest-time artifact (the
+    * dedup-signature convention); here each side recomputes it.
+    */
+  private def dhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = dhashArrow(attachDhashMedia(Tables.documents(s, d)))
+      .filter(col("format") === "png")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    val banded = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        struct(lit(0).as("ci"), col("hash_lo").bitwiseAND(lit(0xffffL)).as("cv")),
+        struct(lit(1).as("ci"), shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)).as("cv")),
+        struct(lit(2).as("ci"), col("hash_hi").bitwiseAND(lit(0xffffL)).as("cv")),
+        struct(lit(3).as("ci"), shiftright(col("hash_hi"), 16).bitwiseAND(lit(0xffffL)).as("cv"))
+      )).as("c"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+          bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      .distinct()
+  }
+
   /** Small REAL baseline JPEGs whose decoded pixels follow a closed-form
     * formula (see [[JpegCodec]]): even doc_ids are GRAYSCALE `w`×8
     * (w = 8·(id%3+1), so 1-3 blocks; every 4th doc adds restart markers),
@@ -1546,6 +1676,61 @@ object Multimodal extends QueryModule {
     }
     spark.createDataFrame(rdd, wavFeatureSchema)
   }
+
+  val wavFingerprintSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_frames", LongType),
+    StructField("fingerprint", LongType)))
+
+  /** Windowed energy-delta audio fingerprint over REAL decoded PCM — the
+    * audio analog of dHash: channel-0 |v| mass is binned into 16 equal
+    * time windows (window = ⌊f·16/nf⌋, exact integers) and each of 15
+    * bits records whether a window outweighs its successor. Energy-SHAPE
+    * comparisons survive uniform gain changes the way dHash gradients
+    * survive brightness shifts — the standard cheap audio-similarity
+    * signal. Windows with no frames weigh 0; zero complete frames
+    * degrades typed (`wav-empty`), same header/depth degrade ladder as
+    * [[wavDecodeRow]].
+    */
+  private def wavFingerprintRow(id: Long, bytes: Array[Byte]): Row = {
+    val h = WavHeader.sniff(bytes)
+    if (h.format != "wav") Row(id, h.format, null, null)
+    else if (h.bitsPerSample.get != 16) Row(id, "wav-unsupported", null, null)
+    else {
+      val ch = h.channels.get
+      val n = (h.dataLen.get / 2L).toInt
+      val nf = (n + ch - 1) / ch
+      if (nf == 0) Row(id, "wav-empty", null, null)
+      else {
+        val e = new Array[Long](16)
+        var j = 0
+        while (j < n) {
+          if (j % ch == 0) {
+            val lo = bytes(44 + 2 * j) & 0xff
+            val hi = bytes(44 + 2 * j + 1) & 0xff
+            var v = lo | (hi << 8)
+            if (v >= 32768) v -= 65536
+            e((j / ch) * 16 / nf) += math.abs(v).toLong
+          }
+          j += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < 15) {
+          if (e(w) > e(w + 1)) fp |= 1L << w
+          w += 1
+        }
+        Row(id, "wav", nf.toLong, fp)
+      }
+    }
+  }
+
+  /** Audio fingerprint over the Arrow batch seam: decode + bin + compare
+    * where the bytes are read; only 2-long rows continue.
+    */
+  def wavFingerprintArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, wavFingerprintSchema)(wavFingerprintRow)
 
   /** WAV header sniffing over the same Arrow batch seam as
     * [[parseHeadersArrow]].
@@ -2395,6 +2580,52 @@ object Multimodal extends QueryModule {
     // before training. At scale the routed stats partial-agg to
     // |modalities| rows per mapper; payload bytes never shuffle. Oracle
     // replays ALL THREE generator formulas and unions them. ----
+    // ---- Perceptual-hash image near-dup, the IMAGE rung of the dedup
+    // ladder: every payload is a REAL PNG ([[attachDhashMedia]]) whose
+    // 64-bit dHash exists on the Spark side ONLY because
+    // [[PngCodec.decode]] inflates + unfilters the bytes and [[dhashRow]]
+    // point-samples/grayscales/compares actual pixels; candidate pairs
+    // come from a 4×16-bit band equi-join (pigeonhole-complete for
+    // hamming ≤ 3, never all-pairs — the Dedup simhash convention at
+    // 64 bits), verified by exact bit_count(xor). The oracle replays the
+    // generator formula per sampled (ty, tx) in SQL and brute-forces the
+    // pairs — it never sees a byte, so any inflate/unfilter/sampling bug
+    // breaks the hash. The fixture plants one exact dup (slot 8 ≡ slot 0)
+    // and one near dup (slot 9 = slot 1 + one flipped cell) per decade. ----
+    "mm_dhash_neardup" -> ((s, d) =>
+      dhashNeardupPairs(s, d).orderBy(col("a_id"), col("b_id"))),
+
+    // ---- image-dedup capstone: dHash pairs ([[dhashNeardupPairs]]) →
+    // pointer-jumping connected components ([[Dedup.connectedComponents]],
+    // O(log diameter) rounds) → per-cluster membership stats
+    // (keeper convention: min doc_id = cluster_id). Oracle: the same pair
+    // replay + recursive-CTE reachability (the clustersOracle pattern). ----
+    "pipe_image_dedup_e2e" -> ((s, d) => {
+      val pairs = dhashNeardupPairs(s, d)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("bigint").as("cluster_size"),
+          sum(col("doc_id")).cast("bigint").as("sum_member_ids"),
+          max(col("doc_id")).cast("bigint").as("max_member_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // ---- windowed energy-delta audio fingerprint: the 15-bit
+    // energy-shape signature exists on the Spark side ONLY by decoding
+    // the RIFF data chunk's 16-bit LE samples and binning channel-0 |v|
+    // into the 16 time windows ([[wavFingerprintRow]]); the oracle
+    // recomputes every sample from the text's byte values (the
+    // mm_wav_decode idiom) and replays the window arithmetic — it never
+    // sees the framed bytes. ----
+    "mm_wav_fingerprint" -> ((s, d) => {
+      val media = attachWavMedia(Tables.documents(s, d))
+      wavFingerprintArrow(media)
+        .filter(col("format") === "wav")
+        .select(col("doc_id"), col("n_frames"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipe_multimodal_e2e" -> ((s, d) => {
       val media = attachMixedMedia(Tables.documents(s, d))
       routeMixedArrow(media)
@@ -2405,6 +2636,45 @@ object Multimodal extends QueryModule {
           max(col("units")).as("max_units"))
         .orderBy(col("modality"))
     }))
+
+  /** Shared dHash replay CTE (content-id coefficients → sampled-grid
+    * grays → 64 hash bits as two 32-bit BIGINT halves) feeding both the
+    * pair oracle and the cluster capstone oracle.
+    */
+  private val dhashOracleCte: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    (((doc_id // 10) * 10 + (doc_id % 10) % 8) * 13) % 97 + 7 AS a1,
+      |    (((doc_id // 10) * 10 + (doc_id % 10) % 8) * 29) % 83 + 5 AS a2,
+      |    doc_id % 10 = 9 AS pert
+      |  FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, pert, ty.ty AS ty, tx.tx AS tx,
+      |    (299 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty)) % 256)
+      |   + 587 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 11) % 256)
+      |   + 114 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 22) % 256)) // 1000 AS gray
+      |  FROM c, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+      |), fl AS (
+      |  SELECT g3.doc_id, CASE WHEN g3.gray > g4.gray THEN 0 ELSE 255 END AS pv
+      |  FROM g0 g3 JOIN g0 g4 ON g3.doc_id = g4.doc_id
+      |    AND g3.ty = 2 AND g3.tx = 3 AND g4.ty = 2 AND g4.tx = 4
+      |  WHERE g3.pert
+      |), g AS (
+      |  SELECT g0.doc_id, g0.ty, g0.tx,
+      |    CASE WHEN fl.doc_id IS NOT NULL AND g0.ty = 2 AND g0.tx = 3
+      |         THEN fl.pv ELSE g0.gray END AS gray
+      |  FROM g0 LEFT JOIN fl ON g0.doc_id = fl.doc_id
+      |), b AS (
+      |  SELECT l.doc_id,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+      |  WHERE l.tx < 8
+      |  GROUP BY l.doc_id
+      |)
+      |""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     // independent replay of the sampling stride + luma GENERATOR: the
@@ -2721,6 +2991,68 @@ object Multimodal extends QueryModule {
     // through the PCM byte stream (mono/stereo by id parity), %3=2
     // through the y4m sample formula — unioned into the same per-modality
     // accounting the router computes from the bytes alone
+    // replays the dHash generator per sampled (ty, tx) — coefficients
+    // from the collapsed content id, the one perturbed cell included —
+    // and brute-forces the hamming<=3 pairs; the Spark side can only
+    // match by genuinely inflating/unfiltering the PNGs and comparing
+    // decoded gray cells (banding recall proven by the pigeonhole spec)
+    "mm_dhash_neardup" -> (dhashOracleCte +
+      """SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.hash_hi, b2.hash_hi))
+        |     + bit_count(xor(a.hash_lo, b2.hash_lo)) AS BIGINT) AS hamming
+        |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.hash_hi, b2.hash_hi))
+        |    + bit_count(xor(a.hash_lo, b2.hash_lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin),
+    // same pair replay + recursive-CTE reachability min-label (the
+    // clustersOracle pattern) + per-cluster membership aggregates
+    "pipe_image_dedup_e2e" -> (dhashOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        |  WHERE bit_count(xor(a.hash_hi, b2.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b2.hash_lo)) <= 3
+        |), adj AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), nodes AS (SELECT DISTINCT src AS doc_id FROM adj
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM nodes
+        |  UNION SELECT r.a, adj.dst FROM reach r JOIN adj ON r.b = adj.src
+        |), lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_member_ids,
+        |  CAST(max(doc_id) AS BIGINT) AS max_member_id
+        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+    // recomputes every channel-0 sample from the text's byte values (the
+    // mm_wav_decode idiom), bins |v| into the 16 ⌊f·16/nf⌋ windows, and
+    // rebuilds the 15 energy-delta bits — never seeing the framed bytes
+    "mm_wav_fingerprint" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, doc_id % 2 + 1 AS ch,
+        |    octet_length(CAST(text AS BLOB)) // 2 AS n
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, (j.j // ch) AS fi, (n + ch - 1) // ch AS nf,
+        |    abs(CASE WHEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) >= 32768
+        |         THEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) - 65536
+        |         ELSE ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) END) AS a
+        |  FROM m, UNNEST(range(0, n)) AS j(j)
+        |  WHERE j.j % ch = 0
+        |), e AS (
+        |  SELECT doc_id, nf, (fi * 16) // nf AS w, sum(a) AS ew
+        |  FROM f GROUP BY doc_id, nf, (fi * 16) // nf
+        |), fp AS (
+        |  SELECT l.doc_id, l.nf,
+        |    sum(CASE WHEN l.ew > coalesce(r.ew, 0) THEN (1::BIGINT << l.w) ELSE 0 END) AS fpv
+        |  FROM e l LEFT JOIN e r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        |  WHERE l.w < 15
+        |  GROUP BY l.doc_id, l.nf
+        |)
+        |SELECT m.doc_id, CAST(fp.nf AS BIGINT) AS n_frames,
+        |  CAST(fp.fpv AS BIGINT) AS fingerprint
+        |FROM m JOIN fp ON m.doc_id = fp.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     "pipe_multimodal_e2e" ->
       """WITH di AS (
         |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,

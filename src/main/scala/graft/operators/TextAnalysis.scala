@@ -1113,6 +1113,62 @@ object TextAnalysis extends QueryModule {
         doclen.select(col("doc_id"), col("dl")))
     }),
 
+    // ---- POSITIONAL phrase search (Lucene PhraseQuery): exact "w1 w2"
+    // adjacency matched from POSITIONAL postings — (word, doc_id,
+    // positions[]) — by intersecting w1's positions with w2's shifted by
+    // one (`filter(pos1, p -> array_contains(pos2, p+1))`, codegen'd
+    // HOFs). The 3 probe phrases are the corpus's top non-stopword
+    // bigrams (TakeOrderedAndProject, no window anywhere in this query:
+    // bigram enumeration is a per-row transform/sequence HOF, not a
+    // lead() window). The oracle computes phrase frequency the OTHER way
+    // — direct bigram-occurrence counting — so the hash only agrees if
+    // the position lists and the adjacency intersection are exact.
+    // Scale: postings are semi-join-pruned to the ≤6 probe words BEFORE
+    // the grouping (the bm25 broadcast-prune precedent), so the
+    // positional join touches a vanishing slice of the lake; per-doc
+    // position arrays are doc-length-bounded state; the final rollup is
+    // 3 rows. The argmax doc re-derives via a broadcast join back on
+    // max_tf (two-pass argmax — no max_by nondeterminism, no window). ----
+    "txt_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val occ = words.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(!col("w1").isin(stop: _*) && !col("w2").isin(stop: _*))
+      val topPhrases = occ.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cf"))
+        .withColumn("phrase", concat(col("w1"), lit(" "), col("w2")))
+        .orderBy(desc("cf"), col("phrase")).limit(3)
+        .select(col("phrase"), col("w1"), col("w2"))
+      val probeWords = topPhrases.select(col("w1").as("word"))
+        .union(topPhrases.select(col("w2").as("word"))).distinct()
+      val postings = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .join(broadcast(probeWords), "word")
+        .groupBy(col("word"), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      val m = postings.as("p1")
+        .join(broadcast(topPhrases), col("w1") === col("p1.word"))
+        .join(postings.as("p2"),
+          col("w2") === col("p2.word") && col("p1.doc_id") === col("p2.doc_id"))
+        .select(col("phrase"), col("p1.doc_id").as("doc_id"),
+          size(expr("filter(p1.positions, p -> array_contains(p2.positions, p + 1))"))
+            .cast("bigint").as("tf"))
+        .filter(col("tf") > 0)
+      val agg = m.groupBy(col("phrase")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("tf")).cast("bigint").as("total_occ"),
+        max(col("tf")).cast("bigint").as("max_tf"))
+      m.join(broadcast(agg), "phrase")
+        .filter(col("tf") === col("max_tf"))
+        .groupBy(col("phrase"), col("n_docs"), col("total_occ"), col("max_tf"))
+        .agg(min(col("doc_id")).cast("bigint").as("best_doc"))
+        .orderBy(col("phrase"))
+    }),
+
     // ---- trained quality classifier, batch-perceptron form (the learned
     // filter a DataComp/Dolma-style pipeline trains to keep target-like
     // text; labels here: lang = 'en' → +1). Features are hashed
@@ -1183,6 +1239,51 @@ object TextAnalysis extends QueryModule {
     // perplexity bucket with 'tail' cut (docs under the bigram-LM's 2-token
     // domain bucket as 'none' and fail), (3) the TRAINED perceptron's
     // target-likeness prediction (w2 scored over ALL docs — one broadcast
+    // ---- PII detection + redaction (the pre-release scrub every public
+    // training corpus runs — emails, IPv4s, phone numbers): each doc's
+    // text carries a doc_id-determined planted tail mixing REAL PII forms
+    // with decoys that a naive regex would miscount — a no-TLD email
+    // (`user7@exhost`), an IPv4 candidate whose first octet can exceed
+    // 255 (pattern-match but semantically invalid), a short not-a-phone
+    // (`ext 42`). Every count and the redacted-text hash exist on the
+    // Spark side ONLY by running the codegen'd regex extraction +
+    // octet-range validation + 3-pass regexp_replace over the augmented
+    // string, while the oracle predicts them from the plant arithmetic
+    // and constructs the redacted string directly — it never runs a
+    // regex, so any pattern/validation/replacement drift breaks the
+    // hash. Scale: narrow per-row projection, zero shuffles; the ORDER
+    // BY sits on doc_id (source-key sort, regex never re-executes in the
+    // range sampler). ----
+    "txt_pii_scrub" -> ((s, d) =>
+      piiPerDoc(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_email"), col("n_ip_cand"),
+          col("n_ip_valid"), col("n_phone"),
+          md5(col("redacted")).as("redacted_md5"),
+          length(col("redacted")).cast("bigint").as("redacted_len"))
+        .orderBy(col("doc_id"))),
+
+    // ---- corpus-level PII audit: the per-source release report (rates,
+    // class totals, multi-class doc counts) a dataset card cites. Same
+    // detection path as txt_pii_scrub, then a partial-agg'd rollup to
+    // |sources| rows — the per-doc regex work map-side combines, only
+    // counter tuples shuffle. multi_rate is an integer-derived double
+    // division (identical IEEE result in both engines). ----
+    "pipe_pii_audit" -> ((s, d) =>
+      piiPerDoc(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_email")).cast("bigint").as("total_emails"),
+          sum(col("n_ip_valid")).cast("bigint").as("total_valid_ips"),
+          sum(col("n_phone")).cast("bigint").as("total_phones"),
+          sum(when(
+            (when(col("n_email") > 0, 1).otherwise(0) +
+              when(col("n_ip_valid") > 0, 1).otherwise(0) +
+              when(col("n_phone") > 0, 1).otherwise(0)) >= 2, 1L)
+            .otherwise(0L)).cast("bigint").as("docs_multi"))
+        .withColumn("multi_rate", col("docs_multi") / col("n_docs"))
+        .orderBy(col("source"))),
+
     // of the 17-row model), (4) exact-dedup canonical keep (min doc_id per
     // content md5). keep = AND of the four. A per-doc table rather than a
     // survivor count: the oracle hash then proves every gate's verdict on
@@ -1248,6 +1349,73 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("lang"), col("avg_p"), col("bucket"))
         .orderBy(col("doc_id"))
     }))
+
+  /** Java-regex PII patterns shared by scrub/audit. Deliberately plain
+    * RE2-compatible classes (no lookaround) — the same literal strings
+    * would run unchanged in any engine, but the oracle never uses them:
+    * it replays the plant arithmetic instead, which is what proves the
+    * Spark-side extraction is real.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\+1-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Deterministic PII-bearing text: the fixture corpus with a planted
+    * tail appended — per doc_id class, a valid email (two when
+    * doc_id%6=0, a no-TLD decoy when %3=1, none when %3=2), an IPv4
+    * candidate whose FIRST octet ranges over 0..299 (pattern-valid
+    * always, semantically valid iff ≤ 255), and a `+1-` phone
+    * (%4=0; `ext N` decoy otherwise). All pieces are integer-derived
+    * string builds replayable in SQL.
+    */
+  private[graft] def piiAugmented(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: org.apache.spark.sql.Column) = c.cast("string")
+    val emailPart = when(id % 6 === 0,
+        concat(lit("user"), s(id), lit("@ex"), s(id % 7), lit(".org and alt"),
+          s(id), lit("@ex"), s(id % 5), lit(".net")))
+      .when(id % 3 === 0,
+        concat(lit("user"), s(id), lit("@ex"), s(id % 7), lit(".org")))
+      .when(id % 3 === 1, concat(lit("user"), s(id), lit("@exhost")))
+      .otherwise(lit("nobody"))
+    val ipPart = concat(
+      s((id * 7) % 300), lit("."), s((id * 13) % 256), lit("."),
+      s((id * 3) % 256), lit("."), s((id * 11) % 256))
+    val phonePart = when(id % 4 === 0,
+        concat(lit("+1-"), lpad(s((id * 17) % 1000), 3, "0"), lit("-"),
+          lpad(s((id * 19) % 1000), 3, "0"), lit("-"),
+          lpad(s((id * 23) % 10000), 4, "0")))
+      .otherwise(concat(lit("ext "), s(id % 100)))
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" contact "), emailPart, lit(" from "),
+        ipPart, lit(" call "), phonePart).as("aug"))
+  }
+
+  /** The per-doc detection/redaction pass shared by txt_pii_scrub and
+    * pipe_pii_audit: regex extraction for each class, octet-range
+    * validation of IPv4 candidates via array HOFs (codegen'd — no UDF),
+    * and a 3-pass regexp_replace redaction (email → ip → phone; the
+    * classes are textually disjoint so order only matters for
+    * determinism). One narrow projection — nothing here shuffles.
+    */
+  private[graft] def piiPerDoc(docs: DataFrame): DataFrame =
+    piiAugmented(docs)
+      .withColumn("ip_cands", regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+      .select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          .cast("bigint").as("n_email"),
+        size(col("ip_cands")).cast("bigint").as("n_ip_cand"),
+        size(filter(col("ip_cands"), c =>
+          forall(transform(split(c, "\\."), o => o.cast("int") <= 255),
+            b => b))).cast("bigint").as("n_ip_valid"),
+        size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+          .cast("bigint").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("redacted"))
 
   /** BM25 scoring tail shared by the live ([[txt_bm25_topk]]) and
     * index-serving ([[txt_bm25_artifact]]) forms: the integer-rational
@@ -1460,7 +1628,57 @@ object TextAnalysis extends QueryModule {
        |FROM probes p JOIN pest e USING (word) LEFT JOIN pexact x USING (word)
        |ORDER BY p.word""".stripMargin
 
+  /** Shared PII plant-replay CTE (class counts + the constructed redacted
+    * string) feeding both the per-doc scrub oracle and the per-source
+    * audit oracle. Mirrors [[piiAugmented]]'s arithmetic exactly.
+    */
+  private val piiOracleCte: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+      |              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_email,
+      |    CAST(1 AS BIGINT) AS n_ip_cand,
+      |    CAST(CASE WHEN (doc_id * 7) % 300 <= 255 THEN 1 ELSE 0 END AS BIGINT) AS n_ip_valid,
+      |    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phone,
+      |    text || ' contact ' ||
+      |      CASE WHEN doc_id % 6 = 0 THEN '<EMAIL> and <EMAIL>'
+      |           WHEN doc_id % 3 = 0 THEN '<EMAIL>'
+      |           WHEN doc_id % 3 = 1 THEN 'user' || doc_id || '@exhost'
+      |           ELSE 'nobody' END ||
+      |      ' from <IP> call ' ||
+      |      CASE WHEN doc_id % 4 = 0 THEN '<PHONE>'
+      |           ELSE 'ext ' || (doc_id % 100) END AS redacted
+      |  FROM documents
+      |)
+      |""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    // predicts every class count from the plant arithmetic and CONSTRUCTS
+    // the redacted string directly (decoys left in place, matches
+    // replaced) — no regex anywhere in the oracle; the md5 only agrees if
+    // the Spark side's extraction/validation/replacement is exact
+    "txt_pii_scrub" -> (piiOracleCte +
+      """SELECT doc_id, n_email, n_ip_cand, n_ip_valid, n_phone,
+        |  md5(redacted) AS redacted_md5,
+        |  CAST(length(redacted) AS BIGINT) AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin),
+    // same plant replay, rolled up per source; multi_rate re-derived as
+    // the same bigint/bigint double division
+    "pipe_pii_audit" -> (piiOracleCte +
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS total_emails,
+        |  CAST(sum(n_ip_valid) AS BIGINT) AS total_valid_ips,
+        |  CAST(sum(n_phone) AS BIGINT) AS total_phones,
+        |  CAST(sum(CASE WHEN (CASE WHEN n_email > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_ip_valid > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) >= 2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_multi,
+        |  CAST(sum(CASE WHEN (CASE WHEN n_email > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_ip_valid > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) >= 2
+        |           THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT) AS multi_rate
+        |FROM p GROUP BY source ORDER BY source""".stripMargin),
     // assembles the IDENTICAL record string and hashes it; token/char
     // accounting re-derived arithmetically
     "txt_sft_assemble" ->
@@ -1980,6 +2198,36 @@ object TextAnalysis extends QueryModule {
     // identical again: the compacted generation must rank exactly as the
     // fragmented lake and the live scan — compaction is layout-only
     "txt_bm25_compacted" -> bm25OracleSql,
+    // phrase frequency computed the OTHER way: direct bigram-occurrence
+    // counting (list_transform over 1..len-1), never a position list —
+    // agreement proves the Spark side's positional postings and the
+    // shifted-intersection adjacency match are exact
+    "txt_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS phrase
+         |  FROM w WHERE len(w) >= 2
+         |), filt AS (
+         |  SELECT * FROM occ
+         |  WHERE string_split(phrase, ' ')[1] NOT IN ($stopList)
+         |    AND string_split(phrase, ' ')[2] NOT IN ($stopList)
+         |), top3 AS (
+         |  SELECT phrase FROM filt GROUP BY phrase
+         |  ORDER BY count(*) DESC, phrase LIMIT 3
+         |), m AS (
+         |  SELECT f.phrase, f.doc_id, count(*) AS tf
+         |  FROM filt f JOIN top3 USING (phrase) GROUP BY 1, 2
+         |), a AS (
+         |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tf) AS BIGINT) AS total_occ, CAST(max(tf) AS BIGINT) AS max_tf
+         |  FROM m GROUP BY phrase
+         |)
+         |SELECT a.phrase, a.n_docs, a.total_occ, a.max_tf,
+         |  CAST(min(m.doc_id) AS BIGINT) AS best_doc
+         |FROM a JOIN m ON a.phrase = m.phrase AND m.tf = a.max_tf
+         |GROUP BY a.phrase, a.n_docs, a.total_occ, a.max_tf
+         |ORDER BY a.phrase""".stripMargin,
     // predicts the fragmented lake's bucket accounting from documents:
     // postings = distinct (word, doc_id), fragment = the doc's synthetic
     // ingest generation, bucket = the word's md5 hex digit

@@ -65,6 +65,14 @@ object GraftExtensions {
         require(args.length == 1, s"graft_html_stats expects 1 argument, got ${args.length}")
         HtmlStats(args.head)
       }),
+    (new FunctionIdentifier("graft_html_links"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_html_links",
+        "graft_html_links(html) - one-pass anchor-href outlink extraction: " +
+          "ARRAY<STRING> in document order"),
+      { args =>
+        require(args.length == 1, s"graft_html_links expects 1 argument, got ${args.length}")
+        HtmlLinks(args.head)
+      }),
     (new FunctionIdentifier("graft_utf8_stats"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_utf8_stats",
         "graft_utf8_stats(bytes) - one-pass UTF-8 well-formedness audit: " +

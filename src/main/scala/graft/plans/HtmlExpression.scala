@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft_html_stats(html)` — REAL HTML visible-text extraction in ONE
@@ -57,6 +58,54 @@ case class HtmlStats(child: Expression) extends UnaryExpression with CodegenFall
   }
 
   override protected def withNewChildInternal(newChild: Expression): HtmlStats =
+    copy(child = newChild)
+}
+
+/** `graft_html_links(html)` — outlink (anchor `href`) extraction in ONE
+  * pass per row, the crawl-frontier/link-graph side of what
+  * [[HtmlStats]] does for visible text: returns `ARRAY<STRING>` of the
+  * `href` attribute values of opening `<a>` tags, in document order,
+  * entity-decoded the way a browser decodes attribute values
+  * (`&amp;` → `&` inside a query string). The same real-parser hazards
+  * are load-bearing:
+  *
+  *  - an `<a href=...>` inside `<script>`/`<style>` content or an HTML
+  *    comment is NOT a link — raw-content and comment spans are skipped
+  *    with the identical scan rules as the text extractor;
+  *  - attribute values may be double-quoted, single-quoted, or unquoted
+  *    (`href=/p/1`), and a quoted value may contain `>`;
+  *  - the attribute NAME matches case-insensitively (`HREF="..."`), and
+  *    a bare `<a name="x">` anchor with no href contributes nothing;
+  *  - only `<a>` opening tags contribute — `<link href>`/`<img src>`
+  *    are resource references, not frontier edges.
+  *
+  * Scale: evaluates inside the scan projection (CodegenFallback within
+  * the surrounding whole-stage-codegen'd stage) — link extraction over
+  * a 100 TB crawl is a narrow pass where the page bytes already are;
+  * only the (page, href) pairs continue to resolution/canonicalization.
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_html_links"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val hrefs = HtmlTextImpl.extractLinks(input.asInstanceOf[UTF8String].toString)
+    val out = new Array[Any](hrefs.length)
+    var i = 0
+    while (i < hrefs.length) { out(i) = UTF8String.fromString(hrefs(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
     copy(child = newChild)
 }
 
@@ -183,5 +232,144 @@ private[graft] object HtmlTextImpl {
       p += 1
     }
     Stats(norm.toString, links, scripts, tags)
+  }
+
+  /** Entity decode for ATTRIBUTE values — same entity set and same
+    * malformed-pass-through / surrogate-rejection policy as the text
+    * path above (an `href="/p?a=1&amp;b=2"` must yield `a=1&b=2`).
+    */
+  private def decodeEntities(raw: String): String = {
+    if (raw.indexOf('&') < 0) return raw
+    val out = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val semi = raw.indexOf(';', i + 1)
+        val decoded: String =
+          if (semi < 0 || semi - i > 10) null
+          else raw.substring(i + 1, semi) match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case e if e.length > 1 && e.charAt(0) == '#' &&
+                e.substring(1).forall(_.isDigit) =>
+              val cp = try e.substring(1).toInt catch { case _: Exception => -1 }
+              if (cp >= 0 && Character.isValidCodePoint(cp) && cp != 0 &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF))
+                new String(Character.toChars(cp))
+              else null
+            case _ => null
+          }
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** One-pass anchor-href extraction — the [[HtmlLinks]] engine. The tag
+    * walk (comment/declaration skip, quote-aware tag-end scan, raw
+    * `<script>`/`<style>` content skip) is deliberately rule-identical
+    * to [[extract]]'s so the two passes agree on what is markup; this
+    * pass additionally tokenizes the attribute list of each opening
+    * `<a>` tag (quoted/unquoted values, case-insensitive names) and
+    * collects the entity-decoded `href`, preserving document order.
+    */
+  def extractLinks(html: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = html.length
+    def matches(off: Int, pat: String): Boolean =
+      html.regionMatches(true, off, pat, 0, pat.length)
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(i, "<!")) {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          var quote: Char = 0
+          var k = j
+          var end = -1
+          while (k < n && end < 0) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') end = k
+            k += 1
+          }
+          val tagEnd = if (end < 0) n else end + 1
+          val attrEnd = if (end < 0) n else end
+          if (!closing && name == "a") {
+            // attribute walk over [j, attrEnd): name [= value]
+            var p = j
+            var href: String = null
+            while (p < attrEnd && href == null) {
+              while (p < attrEnd && (Character.isWhitespace(html.charAt(p)) ||
+                html.charAt(p) == '/')) p += 1
+              val aStart = p
+              while (p < attrEnd && html.charAt(p) != '=' &&
+                !Character.isWhitespace(html.charAt(p)) &&
+                html.charAt(p) != '/') p += 1
+              val aName = html.substring(aStart, p).toLowerCase
+              while (p < attrEnd && Character.isWhitespace(html.charAt(p))) p += 1
+              var value: String = null
+              if (p < attrEnd && html.charAt(p) == '=') {
+                p += 1
+                while (p < attrEnd && Character.isWhitespace(html.charAt(p))) p += 1
+                if (p < attrEnd && (html.charAt(p) == '"' || html.charAt(p) == '\'')) {
+                  val q = html.charAt(p)
+                  val vStart = p + 1
+                  var vEnd = vStart
+                  while (vEnd < attrEnd && html.charAt(vEnd) != q) vEnd += 1
+                  value = html.substring(vStart, vEnd)
+                  p = math.min(vEnd + 1, attrEnd)
+                } else {
+                  val vStart = p
+                  while (p < attrEnd && !Character.isWhitespace(html.charAt(p))) p += 1
+                  value = html.substring(vStart, p)
+                }
+              }
+              if (aName == "href" && value != null) href = decodeEntities(value)
+              if (aStart == p) p += 1 // safety: always advance
+            }
+            if (href != null) out += href
+          }
+          if (!closing && (name == "script" || name == "style")) {
+            val closeTag = "</" + name
+            var m = tagEnd
+            var found = -1
+            while (m < n && found < 0) {
+              if (html.charAt(m) == '<' && matches(m, closeTag) && {
+                val after = m + closeTag.length
+                after >= n || html.charAt(after) == '>' ||
+                  html.charAt(after) == '/' ||
+                  Character.isWhitespace(html.charAt(after))
+              }) found = m
+              m += 1
+            }
+            if (found < 0) i = n
+            else {
+              val e2 = html.indexOf('>', found)
+              i = if (e2 < 0) n else e2 + 1
+            }
+          } else i = tagEnd
+        }
+      } else i += 1
+    }
+    out.toArray
   }
 }

@@ -82,4 +82,65 @@ class HtmlSpec extends SparkSuiteBase {
       .collect()(0)
     assert(r.getString(0) == "Hi l" && r.getLong(1) == 1L)
   }
+
+  // ---- outlink extraction ([[HtmlLinks]] / extractLinks) ----
+
+  import graft.plans.HtmlTextImpl.extractLinks
+
+  test("links: document order, quoted single/double and unquoted values") {
+    val hs = extractLinks(
+      """<a href="/one">1</a><a href='/two'>2</a><a href=/three x=y>3</a>""")
+    assert(hs.toSeq == Seq("/one", "/two", "/three"))
+  }
+
+  test("links: attribute name matches case-insensitively; non-href anchors skipped") {
+    val hs = extractLinks(
+      """<a HREF="/up">u</a><a name="x">no</a><a title="t" Href='/mix'>m</a>""")
+    assert(hs.toSeq == Seq("/up", "/mix"))
+  }
+
+  test("links: script/style content and comments are not markup") {
+    val hs = extractLinks(
+      "<script>var s = \"<a href='/decoy'>d</a>\";</script>" +
+        "<!-- <a href=\"/ghost\">g</a> --><style>a { content: '<a href=/css>'; }</style>" +
+        "<a href=\"/real\">r</a>")
+    assert(hs.toSeq == Seq("/real"))
+  }
+
+  test("links: only <a> contributes — link/img/area resource refs are not frontier edges") {
+    val hs = extractLinks(
+      """<link href="/style.css"><img src="/i.png"><area href="/map"><a href="/yes">y</a>""")
+    assert(hs.toSeq == Seq("/yes"))
+  }
+
+  test("links: entity decode in attribute values; quoted '>' does not end the tag") {
+    val hs = extractLinks(
+      """<a data-x="a>b" href="/p?a=1&amp;b=2&#65;">e</a><a href="/q?r=1&unknown;">u</a>""")
+    assert(hs.toSeq == Seq("/p?a=1&b=2A", "/q?r=1&unknown;"))
+  }
+
+  test("links: closing </a> never contributes; truncated input degrades") {
+    assert(extractLinks("""</a><a href="/k">k</a>""").toSeq == Seq("/k"))
+    assert(extractLinks("""<a href="/t">t""").toSeq == Seq("/t"))
+    assert(extractLinks("""<a href="/unterminated""").toSeq == Seq("/unterminated"))
+    // `href=` with nothing after it: empty value, same as `<a href=>`
+    assert(extractLinks("<a href=").toSeq == Seq(""))
+    assert(extractLinks("").toSeq == Seq.empty)
+  }
+
+  test("links: first href wins within a tag; empty href is kept as empty string") {
+    assert(extractLinks("""<a href="/a" href="/b">x</a>""").toSeq == Seq("/a"))
+    assert(extractLinks("""<a href="">x</a>""").toSeq == Seq(""))
+  }
+
+  test("expression surface: graft_html_links resolves in SQL over the registered session") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1L, "<a href='/x'>x</a><script>'<a href=/d>'</script><a href=\"/y\">y</a>"))
+      .toDF("id", "html")
+    df.createOrReplaceTempView("html_links_t")
+    val r = spark.sql("SELECT graft_html_links(html) AS hs FROM html_links_t")
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("/x", "/y"))
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.operators.TextAnalysis
+
+/** PII detection/redaction semantics pinned on the planted fixture: valid
+  * forms are found, decoys (no-TLD email, >255 first octet, short phone)
+  * are rejected by the validation the regexes alone can't do, and the
+  * redacted text is clean — re-running detection on it finds nothing.
+  */
+class PiiSpec extends SparkSuiteBase {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private def docsFor(ids: Seq[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(i => Row(i, s"plain words $i", s"src${i % 3}"))), schema)
+
+  private def perDoc(docs: DataFrame): DataFrame = TextAnalysis.piiPerDoc(docs)
+
+  test("plant classes: counts follow the doc_id arithmetic, decoys rejected") {
+    val rows = perDoc(docsFor(0L until 60L))
+      .select(col("doc_id"), col("n_email"), col("n_ip_cand"),
+        col("n_ip_valid"), col("n_phone"))
+      .orderBy(col("doc_id")).collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val expEmail = if (id % 6 == 0) 2L else if (id % 3 == 0) 1L else 0L
+      assert(r.getLong(1) === expEmail, s"n_email doc $id")
+      assert(r.getLong(2) === 1L, s"n_ip_cand doc $id")
+      val expIp = if ((id * 7) % 300 <= 255) 1L else 0L
+      assert(r.getLong(3) === expIp, s"n_ip_valid doc $id")
+      val expPhone = if (id % 4 == 0) 1L else 0L
+      assert(r.getLong(4) === expPhone, s"n_phone doc $id")
+    }
+    // the first-octet decoy actually occurs in this id range
+    assert(rows.exists(r => r.getLong(3) == 0L))
+  }
+
+  test("redacted text is clean: re-detection finds zero matches of any class") {
+    val red = perDoc(docsFor(0L until 60L))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("redacted"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0))).as("e"),
+        size(regexp_extract_all(col("redacted"),
+          lit("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"), lit(0))).as("i"),
+        size(regexp_extract_all(col("redacted"),
+          lit("\\+1-\\d{3}-\\d{3}-\\d{4}"), lit(0))).as("p"))
+      .collect()
+    for (r <- red) {
+      assert(r.getInt(1) === 0, s"email residue doc ${r.getLong(0)}")
+      assert(r.getInt(2) === 0, s"ip residue doc ${r.getLong(0)}")
+      assert(r.getInt(3) === 0, s"phone residue doc ${r.getLong(0)}")
+    }
+  }
+
+  test("redaction preserves surrounding text and decoy forms verbatim") {
+    val r = perDoc(docsFor(Seq(7L))).select(col("redacted")).head.getString(0)
+    // doc 7: %3=1 no-TLD email decoy stays; ip 49.91.21.77 redacted;
+    // %4!=0 phone decoy stays
+    assert(r === "plain words 7 contact user7@exhost from <IP> call ext 7")
+  }
+
+  test("audit rollup: docs_multi counts docs with >=2 distinct classes") {
+    val docs = docsFor(0L until 24L)
+    val per = perDoc(docs)
+      .select(col("doc_id"), col("n_email"), col("n_ip_valid"), col("n_phone"))
+      .collect()
+    val expMulti = per.count { r =>
+      Seq(r.getLong(1) > 0, r.getLong(2) > 0, r.getLong(3) > 0).count(identity) >= 2
+    }
+    val gotMulti = perDoc(docs)
+      .groupBy(col("source"))
+      .agg(sum(when(
+        (when(col("n_email") > 0, 1).otherwise(0) +
+          when(col("n_ip_valid") > 0, 1).otherwise(0) +
+          when(col("n_phone") > 0, 1).otherwise(0)) >= 2, 1L)
+        .otherwise(0L)).as("docs_multi"))
+      .agg(sum(col("docs_multi"))).head.getLong(0)
+    assert(gotMulti === expMulti.toLong)
+    assert(expMulti > 0)
+  }
+}
