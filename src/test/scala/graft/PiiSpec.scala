@@ -62,8 +62,74 @@ class PiiSpec extends SparkSuiteBase {
   test("redaction preserves surrounding text and decoy forms verbatim") {
     val r = perDoc(docsFor(Seq(7L))).select(col("redacted")).head.getString(0)
     // doc 7: %3=1 no-TLD email decoy stays; ip 49.91.21.77 redacted;
-    // %4!=0 phone decoy stays
-    assert(r === "plain words 7 contact user7@exhost from <IP> call ext 7")
+    // %4!=0 phone decoy stays; %5=2 no card; %7=0 valid SSN redacted
+    assert(r === "plain words 7 contact user7@exhost from <IP> call ext 7" +
+      " pay none id <SSN>")
+  }
+
+  test("card classes: Luhn separates the valid plant from the shifted-check decoy") {
+    val rows = perDoc(docsFor(0L until 60L))
+      .select(col("doc_id"), col("n_card_cand"), col("n_card_valid"),
+        col("redacted")).orderBy(col("doc_id")).collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val expCand = if (id % 5 <= 1) 1L else 0L
+      assert(r.getLong(1) === expCand, s"n_card_cand doc $id")
+      assert(r.getLong(2) === (if (id % 5 == 0) 1L else 0L), s"n_card_valid doc $id")
+      if (id % 5 == 0)
+        assert(r.getString(3).contains("<CARD>"), s"valid card not redacted doc $id")
+      if (id % 5 == 1) {
+        // the Luhn-invalid decoy is NOT PII — it must stay, digits intact
+        assert(!r.getString(3).contains("<CARD>"), s"decoy redacted doc $id")
+        assert(r.getString(3).matches(".*\\d{4} \\d{4} \\d{4} \\d{4}.*"),
+          s"decoy digits missing doc $id")
+      }
+    }
+  }
+
+  test("ssn classes: invalid area/group ranges are rejected, valid redacted") {
+    val rows = perDoc(docsFor(0L until 56L))
+      .select(col("doc_id"), col("n_ssn_cand"), col("n_ssn_valid"),
+        col("redacted")).orderBy(col("doc_id")).collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 7 <= 3) 1L else 0L), s"n_ssn_cand doc $id")
+      assert(r.getLong(2) === (if (id % 7 == 0) 1L else 0L), s"n_ssn_valid doc $id")
+      if (id % 7 == 0)
+        assert(r.getString(3).contains("<SSN>"), s"valid ssn not redacted doc $id")
+      if (id % 7 >= 1 && id % 7 <= 3)
+        assert(r.getString(3).matches(".*\\d{3}-\\d{2}-\\d{4}.*"),
+          s"invalid-range decoy missing doc $id")
+    }
+  }
+
+  test("no VALID card or ssn survives in the redacted text") {
+    // re-run the validation-gated detection ON the redacted text: every
+    // candidate that remains must FAIL its checksum/range rule
+    val redocs = perDoc(docsFor(0L until 70L))
+      .select(col("doc_id"), col("redacted").as("text"))
+    val counts = redocs
+      .withColumn("card_cands", regexp_extract_all(col("text"),
+        lit("\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b"), lit(0)))
+      .withColumn("n_valid_card", size(expr(
+        """filter(card_cands, c -> aggregate(sequence(1, 16), 0, (acc, i) ->
+          |  acc + (CASE WHEN i % 2 = 1
+          |    THEN IF(2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT) > 9,
+          |            2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT) - 9,
+          |            2 * CAST(substring(replace(c, ' ', ''), i, 1) AS INT))
+          |    ELSE CAST(substring(replace(c, ' ', ''), i, 1) AS INT) END)
+          |  ) % 10 = 0)""".stripMargin)))
+      .withColumn("ssn_cands", regexp_extract_all(col("text"),
+        lit("\\b\\d{3}-\\d{2}-\\d{4}\\b"), lit(0)))
+      .withColumn("n_valid_ssn", size(expr(
+        """filter(ssn_cands, c ->
+          |  CAST(substring(c, 1, 3) AS INT) NOT IN (0, 666)
+          |  AND CAST(substring(c, 1, 3) AS INT) < 900
+          |  AND CAST(substring(c, 5, 2) AS INT) > 0
+          |  AND CAST(substring(c, 8, 4) AS INT) > 0)""".stripMargin)))
+      .agg(sum(col("n_valid_card")), sum(col("n_valid_ssn"))).head
+    assert(counts.getLong(0) === 0L, "valid card residue")
+    assert(counts.getLong(1) === 0L, "valid ssn residue")
   }
 
   test("audit rollup: docs_multi counts docs with >=2 distinct classes") {
