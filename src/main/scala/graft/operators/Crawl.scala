@@ -1213,6 +1213,48 @@ object Crawl extends QueryModule {
     spark.createDataFrame(rdd, robotsVerdictSchema)
   }
 
+  /** The host→host link-edge report shared by `crawl_link_graph` and
+    * `pipe_crawl_budget`: planted-HTML outlink extraction in the scan
+    * projection (`graft_html_links`), resolution, canonicalization,
+    * and the (src_host, dst_host) rollup — only edge keys shuffle.
+    */
+  private def hostLinkEdges(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val tld = when(id % 2 === 0, lit(".com")).otherwise(lit(".org"))
+    val pageHost = concat(lit("site"), str(id % 7), tld)
+    val html = concat(
+      lit("<html><head><script>var d = \"<a href='http://decoy.example/x'>d</a>\";" +
+        "</script></head><body><!-- <a href=\"http://comment.example/c\">c</a> -->" +
+        "<p>see <a href=\"/local/"),
+      str(id % 5), lit("?a=1&amp;b=2\">rel</a> and <a href='https://site"),
+      str((id * 3) % 7), tld, lit("/p/"), str(id % 11),
+      lit("?utm_source=t&amp;ref="), str(id % 3), lit("'>abs</a>"),
+      when(id % 3 === 0, concat(lit("<a HREF=HTTPS://WWW.Site"), str((id + 1) % 7),
+        lit(".COM:443/q/"), str(id % 13), lit(">up</a>"))).otherwise(lit("")),
+      when(id % 4 === 0, lit("<a name=\"x\">plain anchor</a>")).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("<a href=\"#sec"), str(id % 9), lit("\">frag</a>")))
+        .otherwise(lit("")),
+      lit(" again <a href=\"/local/"), str(id % 5),
+      lit("?a=1&amp;b=2\">rel2</a></p></body></html>"))
+    val links = Tables.documents(s, d)
+      .select(id, pageHost.as("page_host"), html.as("html"))
+      .select(col("doc_id"), col("page_host"),
+        explode(call_function("graft_html_links", col("html"))).as("href"))
+      .filter(!col("href").startsWith("#"))
+      .withColumn("url", when(col("href").startsWith("/"),
+          concat(lit("https://"), col("page_host"), col("href")))
+        .otherwise(col("href")))
+    canonicalizedUrls(links)
+      .groupBy(col("page_host"), col("host"))
+      .agg(count(lit(1)).cast("bigint").as("n_links"),
+        countDistinct(col("doc_id")).cast("bigint").as("n_pages"),
+        sum(pmod(conv(substring(md5(col("canon_url")), 1, 15), 16, 10).cast("bigint"),
+          lit(1000000007L))).cast("bigint").as("url_check"))
+      .select(col("page_host").as("src_host"), col("host").as("dst_host"),
+        col("n_links"), col("n_pages"), col("url_check"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- the V2 SOURCE surface: `spark.read.format("warcgz")` over a
     // real on-disk shard set — per-shard member accounting computed from
@@ -1364,42 +1406,66 @@ object Crawl extends QueryModule {
     // rollup partial-aggs (host, host, doc_id) tuples — link-graph
     // construction over a 100 TB crawl shuffles only edge keys, and the
     // result is |hosts|²-bounded. ----
-    "crawl_link_graph" -> ((s, d) => {
-      val id = col("doc_id")
-      def str(c: org.apache.spark.sql.Column) = c.cast("string")
-      val tld = when(id % 2 === 0, lit(".com")).otherwise(lit(".org"))
-      val pageHost = concat(lit("site"), str(id % 7), tld)
-      val html = concat(
-        lit("<html><head><script>var d = \"<a href='http://decoy.example/x'>d</a>\";" +
-          "</script></head><body><!-- <a href=\"http://comment.example/c\">c</a> -->" +
-          "<p>see <a href=\"/local/"),
-        str(id % 5), lit("?a=1&amp;b=2\">rel</a> and <a href='https://site"),
-        str((id * 3) % 7), tld, lit("/p/"), str(id % 11),
-        lit("?utm_source=t&amp;ref="), str(id % 3), lit("'>abs</a>"),
-        when(id % 3 === 0, concat(lit("<a HREF=HTTPS://WWW.Site"), str((id + 1) % 7),
-          lit(".COM:443/q/"), str(id % 13), lit(">up</a>"))).otherwise(lit("")),
-        when(id % 4 === 0, lit("<a name=\"x\">plain anchor</a>")).otherwise(lit("")),
-        when(id % 5 === 0, concat(lit("<a href=\"#sec"), str(id % 9), lit("\">frag</a>")))
-          .otherwise(lit("")),
-        lit(" again <a href=\"/local/"), str(id % 5),
-        lit("?a=1&amp;b=2\">rel2</a></p></body></html>"))
-      val links = Tables.documents(s, d)
-        .select(id, pageHost.as("page_host"), html.as("html"))
-        .select(col("doc_id"), col("page_host"),
-          explode(call_function("graft_html_links", col("html"))).as("href"))
-        .filter(!col("href").startsWith("#"))
-        .withColumn("url", when(col("href").startsWith("/"),
-            concat(lit("https://"), col("page_host"), col("href")))
-          .otherwise(col("href")))
-      canonicalizedUrls(links)
-        .groupBy(col("page_host"), col("host"))
-        .agg(count(lit(1)).cast("bigint").as("n_links"),
-          countDistinct(col("doc_id")).cast("bigint").as("n_pages"),
-          sum(pmod(conv(substring(md5(col("canon_url")), 1, 15), 16, 10).cast("bigint"),
-            lit(1000000007L))).cast("bigint").as("url_check"))
-        .select(col("page_host").as("src_host"), col("host").as("dst_host"),
-          col("n_links"), col("n_pages"), col("url_check"))
-        .orderBy(col("src_host"), col("dst_host"))
+    "crawl_link_graph" -> ((s, d) =>
+      hostLinkEdges(s, d).orderBy(col("src_host"), col("dst_host"))),
+
+    // ---- per-host CRAWL-BUDGET report — the capstone a scheduler
+    // actually polls, composing the round's pieces end-to-end: robots
+    // verdicts over the frontier ([[robotsVerdicts]], robots broadcast),
+    // canonical-URL dedup of the ALLOWED urls ([[canonicalizedUrls]] —
+    // n_canon is the real fetch count, dup_saved the fetches the canon
+    // pass eliminates), and link-graph authority (in_links/in_hosts from
+    // [[hostLinkEdges]], cross-domain edges only) — then a fetch-priority
+    // bucket from the in-link rank. Scale: the frontier shuffles only
+    // domain keys (three partial-agg'd rollups), robots stays broadcast,
+    // and the rank window runs over the |domains|-sized REPORT (14 rows
+    // here; |hosts| at 100 TB), never the frontier. Oracle: full
+    // closed-form replay of all three inputs (verdict arithmetic, canon
+    // string construction, planted link arithmetic) + the same rank. ----
+    "pipe_crawl_budget" -> ((s, d) => {
+      val frontier = Tables.documents(s, d)
+        .select(col("doc_id"), frontierUrl.as("url"))
+      val robots = s.createDataFrame(
+        s.sparkContext.parallelize((0 until 14).map { i =>
+          Row(s"site${i % 7}${if (i < 7) ".com" else ".org"}",
+            robotsTextFor(i.toLong))
+        }),
+        StructType(Seq(StructField("domain", StringType),
+          StructField("robots_txt", StringType))))
+      val verdicts = robotsVerdicts(frontier, robots, "graftbot")
+      val gate = verdicts.groupBy(col("domain"))
+        .agg(count(lit(1)).cast("bigint").as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).cast("bigint")
+            .as("n_allowed"))
+      val canon = canonicalizedUrls(
+          verdicts.filter(col("allowed")).select(col("url"), col("domain")))
+        .groupBy(col("domain"))
+        .agg(countDistinct(col("canon_url")).cast("bigint").as("n_canon"))
+      val inlinks = hostLinkEdges(s, d)
+        .withColumn("dst_dom",
+          regexp_extract(col("dst_host"), "([^.]+\\.[^.]+)$", 1))
+        .filter(col("src_host") =!= col("dst_dom"))
+        .groupBy(col("dst_dom").as("domain"))
+        .agg(sum(col("n_links")).cast("bigint").as("in_links"),
+          countDistinct(col("src_host")).cast("bigint").as("in_hosts"))
+      val report = gate.join(canon, Seq("domain"), "left")
+        .join(inlinks, Seq("domain"), "left")
+        .select(col("domain"), col("n_urls"), col("n_allowed"),
+          coalesce(col("n_canon"), lit(0L)).as("n_canon"),
+          (col("n_allowed") - coalesce(col("n_canon"), lit(0L))).as("dup_saved"),
+          coalesce(col("in_links"), lit(0L)).as("in_links"),
+          coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("in_links"), col("domain"))
+      report
+        .crossJoin(broadcast(report.agg(count(lit(1)).as("n_dom"))))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("fetch_priority",
+          when((col("rnk") - 1) * 3 < col("n_dom"), "high")
+            .when((col("rnk") - 1) * 3 < col("n_dom") * 2, "mid")
+            .otherwise("low"))
+        .drop("rnk", "n_dom")
+        .orderBy(col("domain"))
     }),
 
     // ---- robots.txt compliance gate over the synthesized frontier: a
@@ -1670,6 +1736,80 @@ object Crawl extends QueryModule {
         |    % 1000000007)) AS BIGINT) AS url_check
         |FROM e GROUP BY src, dst
         |ORDER BY src_host, dst_host""".stripMargin,
+    // closed-form replay of all three budget inputs: the robots verdict
+    // arithmetic (the crawl_robots_gate decision table), the CANONICAL
+    // url string constructed directly (params sorted: page before q),
+    // and the planted link arithmetic (the crawl_link_graph e CTE) —
+    // assembled into the same per-domain report + in-link rank buckets
+    "pipe_crawl_budget" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || (doc_id % 7) ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS domain,
+        |    (doc_id % 7) + CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 7 END AS dom_idx,
+        |    doc_id % 4 + 1 AS depth,
+        |    n_chars % 2 = 0 AS has_q,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |      || 'site' || (doc_id % 7)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END
+        |      || '/' || CASE doc_id % 4 + 1 WHEN 1 THEN 'p1' WHEN 2 THEN 'p1/p2'
+        |                 WHEN 3 THEN 'p1/p2/p3' ELSE 'p1/p2/p3/p4' END
+        |      || CASE WHEN n_chars % 2 = 0
+        |           THEN '?page=' || (doc_id % 5) || '&q=' || (n_chars % 100)
+        |           ELSE '' END AS canon
+        |  FROM documents
+        |), v AS (
+        |  SELECT domain, canon,
+        |    CASE WHEN depth >= 3 AND dom_idx % 3 = 0 THEN true
+        |         WHEN dom_idx % 2 = 0 AND depth >= 2 THEN false
+        |         WHEN dom_idx % 5 = 0 AND has_q THEN false
+        |         ELSE true END AS allowed
+        |  FROM u
+        |), gate AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |    CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |    CAST(count(DISTINCT CASE WHEN allowed THEN canon END) AS BIGINT) AS n_canon
+        |  FROM v GROUP BY domain
+        |), ed AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END AS src
+        |  FROM documents
+        |), e AS (
+        |  SELECT src, src AS dst, 2 AS m FROM ed
+        |  UNION ALL
+        |  SELECT src,
+        |    'site' || CAST((doc_id * 3) % 7 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END, 1
+        |  FROM ed
+        |  UNION ALL
+        |  SELECT src, 'www.site' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.com', 1
+        |  FROM ed WHERE doc_id % 3 = 0
+        |), il AS (
+        |  SELECT CASE WHEN dst LIKE 'www.%' THEN substr(dst, 5) ELSE dst END AS domain,
+        |    CAST(sum(m) AS BIGINT) AS in_links,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS in_hosts
+        |  FROM e
+        |  WHERE src <> CASE WHEN dst LIKE 'www.%' THEN substr(dst, 5) ELSE dst END
+        |  GROUP BY 1
+        |), rep AS (
+        |  SELECT g.domain, g.n_urls, g.n_allowed, g.n_canon,
+        |    g.n_allowed - g.n_canon AS dup_saved,
+        |    coalesce(il.in_links, 0) AS in_links,
+        |    coalesce(il.in_hosts, 0) AS in_hosts
+        |  FROM gate g LEFT JOIN il ON il.domain = g.domain
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY in_links DESC, domain) AS rnk,
+        |    count(*) OVER () AS n_dom
+        |  FROM rep
+        |)
+        |SELECT domain, n_urls, n_allowed, n_canon, dup_saved,
+        |  CAST(in_links AS BIGINT) AS in_links,
+        |  CAST(in_hosts AS BIGINT) AS in_hosts,
+        |  CASE WHEN (rnk - 1) * 3 < n_dom THEN 'high'
+        |       WHEN (rnk - 1) * 3 < n_dom * 2 THEN 'mid'
+        |       ELSE 'low' END AS fetch_priority
+        |FROM ranked ORDER BY domain""".stripMargin,
     "pipe_crawl_e2e" -> crawlE2eOracle,
     // the FILE-based capstone reassembles to the SAME per-doc accounting:
     // one oracle text checks both the in-row and the written-shard paths

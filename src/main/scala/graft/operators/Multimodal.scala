@@ -1259,8 +1259,16 @@ object Multimodal extends QueryModule {
     * demands), but every stage now does output-proportional work; the
     * dedup CONSUMER ([[dhashClusterEdges]]) stays O(g).
     */
-  private def dhashNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val members = dhashCollapse(dhashHashes(s, d))
+  private def dhashNeardupPairs(s: SparkSession, d: String): DataFrame =
+    neardupPairsFrom(dhashHashes(s, d))
+
+  /** The modality-agnostic guarded pair pipeline over any 64-bit
+    * perceptual-hash frame `(doc_id, hash_hi, hash_lo)` — shared by the
+    * image rung (`mm_dhash_neardup`) and the video keyframe rung
+    * (`mm_video_neardup`).
+    */
+  private[graft] def neardupPairsFrom(hashes: DataFrame): DataFrame = {
+    val members = dhashCollapse(hashes)
     val identityPairs = members.as("a").join(members.as("b"),
         col("a.hash_hi") === col("b.hash_hi") &&
           col("a.hash_lo") === col("b.hash_lo") &&
@@ -2033,6 +2041,91 @@ object Multimodal extends QueryModule {
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Small REAL 18×16 C444 y4m clips (2 frames) whose LUMA values are
+    * quadratic in (x, y) with content-id coefficients — the video twin of
+    * [[attachDhashMedia]], same decade collapse: slot 8 re-renders slot 0
+    * exactly (keyframe dHash distance 0) and slot 9 is slot 1 with ONE
+    * sampled keyframe cell forced to whichever extreme flips its
+    * gradient comparison (distance 1-2). Frame 1 adds a +37·f term so a
+    * decoder that hashes the WRONG frame (or mis-walks the FRAME
+    * markers) produces different bits and fails the oracle; chroma
+    * planes carry their own formula so plane-length arithmetic must be
+    * right to even locate the luma.
+    */
+  def attachVideoDupMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val k = (id / 10) * 10 + (id % 10) % 8
+      val a1 = (k * 13 % 97 + 7).toInt
+      val a2 = (k * 29 % 83 + 5).toInt
+      val pert = id % 10 == 9
+      def luma0(y: Int, x: Int): Int = (a1 * x * x + a2 * x * y + 13 * y * y) % 256
+      val pv = if (pert && luma0(4, 6) > luma0(4, 8)) 0 else 255
+      val bytes = Y4mCodec.encode(18, 16, 2, (f, p, y, x) =>
+        if (p == 0) {
+          if (pert && f == 0 && y == 4 && x == 6) pv
+          else (luma0(y, x) + 37 * f) % 256
+        } else (id + p * 31 + y + x).toInt % 256)
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Keyframe dHash over REAL decoded y4m luma: frame 0's Y plane is
+    * point-sampled at (2·ty, 2·tx) — luma IS the gray channel, no RGB
+    * blend — and the 64 gradient bits pack exactly as [[dhashRow]] does.
+    * Clips too small for the 9×8 grid degrade typed.
+    */
+  private def videoDhashRow(id: Long, bytes: Array[Byte]): Row =
+    Y4mCodec.decode(bytes) match {
+      case Left(_) => Row(id, "y4m-corrupt", null, null)
+      case Right(v) if v.nFrames == 0 || v.width < 17 || v.height < 15 =>
+        Row(id, "y4m-small", null, null)
+      case Right(v) =>
+        val luma = v.frames(0)
+        val gray = Array.ofDim[Int](8, 9)
+        var ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 9) {
+            gray(ty)(tx) = luma(2 * ty * v.width + 2 * tx) & 0xff
+            tx += 1
+          }
+          ty += 1
+        }
+        var hi = 0L; var lo = 0L
+        ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 8) {
+            if (gray(ty)(tx) > gray(ty)(tx + 1)) {
+              val b = ty * 8 + tx
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            tx += 1
+          }
+          ty += 1
+        }
+        Row(id, "y4m", hi, lo)
+    }
+
+  /** Keyframe dHash over the Arrow batch seam (decode + hash where the
+    * bytes are read; only 3-long rows continue).
+    */
+  def videoDhashArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, dhashSchema)(videoDhashRow)
+
+  /** The video fixture's keyframe-hash frame (persisted-signature scan
+    * position at 100 TB, recomputed from payloads here — the
+    * [[dhashHashes]] convention).
+    */
+  private def videoDhashHashes(s: SparkSession, d: String): DataFrame =
+    videoDhashArrow(attachVideoDupMedia(Tables.documents(s, d)))
+      .filter(col("format") === "y4m")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+
   val videoMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -2673,6 +2766,19 @@ object Multimodal extends QueryModule {
     "mm_dhash_neardup" -> ((s, d) =>
       dhashNeardupPairs(s, d).orderBy(col("a_id"), col("b_id"))),
 
+    // ---- VIDEO perceptual near-dup — the modality rung that completes
+    // the image/audio/video ladder: keyframe dHash over genuinely decoded
+    // y4m luma planes ([[videoDhashRow]]: container parse → frame-marker
+    // walk → plane slice → sampled gradient bits), then the SAME guarded
+    // pipeline as the image rung ([[neardupPairsFrom]]: identity collapse
+    // → capped rep banding → exact hamming ≤ 3 → cluster-aware
+    // expansion). The oracle replays the luma generator per sampled
+    // keyframe cell and the collapse/cap arithmetic — it never sees a
+    // byte of the stream, so a frame-selection, plane-offset, or
+    // marker-walk bug breaks the hash. ----
+    "mm_video_neardup" -> ((s, d) =>
+      neardupPairsFrom(videoDhashHashes(s, d)).orderBy(col("a_id"), col("b_id"))),
+
     // ---- image-dedup capstone: O(g) cluster edges
     // ([[dhashClusterEdges]]: identity star edges + guarded rep-level
     // near pairs — NEVER the g²/2 pair expansion) → pointer-jumping
@@ -2757,7 +2863,47 @@ object Multimodal extends QueryModule {
       |)
       |""".stripMargin
 
-    /** Shared pair-replay tail mirroring the round-12 engine shape:
+    /** Keyframe-luma replay CTE for the video fixture — the
+    * [[dhashOracleCte]] idiom minus the Rec.601 blend (y4m luma IS the
+    * gray channel): content-id coefficients → sampled frame-0 luma →
+    * the perturbed cell's forced flip → 64 hash bits as two 32-bit
+    * BIGINT halves, feeding the shared [[dhashPairsCte]].
+    */
+  private val videoOracleCte: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    (((doc_id // 10) * 10 + (doc_id % 10) % 8) * 13) % 97 + 7 AS a1,
+      |    (((doc_id // 10) * 10 + (doc_id % 10) % 8) * 29) % 83 + 5 AS a2,
+      |    doc_id % 10 = 9 AS pert
+      |  FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, pert, ty.ty AS ty, tx.tx AS tx,
+      |    (a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty)
+      |     + 13*(2*ty.ty)*(2*ty.ty)) % 256 AS gray
+      |  FROM c, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+      |), fl AS (
+      |  SELECT g3.doc_id, CASE WHEN g3.gray > g4.gray THEN 0 ELSE 255 END AS pv
+      |  FROM g0 g3 JOIN g0 g4 ON g3.doc_id = g4.doc_id
+      |    AND g3.ty = 2 AND g3.tx = 3 AND g4.ty = 2 AND g4.tx = 4
+      |  WHERE g3.pert
+      |), g AS (
+      |  SELECT g0.doc_id, g0.ty, g0.tx,
+      |    CASE WHEN fl.doc_id IS NOT NULL AND g0.ty = 2 AND g0.tx = 3
+      |         THEN fl.pv ELSE g0.gray END AS gray
+      |  FROM g0 LEFT JOIN fl ON g0.doc_id = fl.doc_id
+      |), b AS (
+      |  SELECT l.doc_id,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+      |  WHERE l.tx < 8
+      |  GROUP BY l.doc_id
+      |)
+      |""".stripMargin
+
+  /** Shared pair-replay tail mirroring the round-12 engine shape:
     * identity collapse (min-doc_id reps per distinct hash), 4x16-bit
     * banding of the REPS ONLY with the hot-band cap (values held by > 50
     * reps dropped -- at the fixture's saturated coefficient universe one
@@ -3121,6 +3267,10 @@ override def oracleSql: Map[String, String] = Map(
     // match by genuinely inflating/unfiltering the PNGs and comparing
     // decoded gray cells (banding recall proven by the pigeonhole spec)
     "mm_dhash_neardup" -> (dhashOracleCte + dhashPairsCte +
+      """SELECT a_id, b_id, hamming FROM allpairs
+        |ORDER BY a_id, b_id""".stripMargin),
+    // keyframe-luma replay + the same collapsed/guarded pair arithmetic
+    "mm_video_neardup" -> (videoOracleCte + dhashPairsCte +
       """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
     // same collapsed/guarded pair replay + recursive-CTE reachability

@@ -791,6 +791,35 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    // ---- Matryoshka SERVING — the index shrink `sim_matryoshka_eval`
+    // exists to justify, actually cashed in: the 16-dim PREFIX SLICE of
+    // every embedding is a PERSISTED lake artifact (the
+    // sim_topk_pq_artifact precedent: built once per corpus fingerprint,
+    // read back as a parquet scan), and the probe serves top-k from the
+    // slice table alone — the raw 64-dim vectors are never re-read at
+    // query time, a 4× cut in index bytes scanned and shuffled per query.
+    // Dim 16 is the eval's knee (recall@10 vs dims row for dim=16);
+    // restoring exactness for the tail is the rerank pattern
+    // (sim_topk_pq_rerank) applied on top when recall@16 isn't enough.
+    // Same fp determinism as sim_topk_brute: float32 slices round-trip
+    // parquet losslessly, the fused graft_cosine fold matches DuckDB's
+    // list_reduce order, and round(…, 6) + vec_id tiebreak pin the
+    // ordering. ----
+    "sim_topk_m16" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val slices = Dedup.DerivedArtifacts.table(s, d, "embeddings", "m16_slices")(
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          expr("slice(embedding, 1, 16)").as("m16")))
+      val q = slices.filter(col("vec_id") === 0).select(col("m16").as("q_m16"))
+      slices.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim",
+          round(call_function("graft_cosine", col("m16"), col("q_m16")), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- IVF + PQ combined — the architecture a production vector store
     // actually runs (coarse quantizer prunes the lake to the probe cell,
     // PQ-ADC scores only that cell's CODES): assignment is the
@@ -1353,6 +1382,15 @@ object Similarity extends QueryModule {
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // slices the raw embeddings directly (the artifact is derived state;
+    // the oracle proves the served slice equals the source prefix)
+    "sim_topk_m16" ->
+      s"""WITH q AS (SELECT embedding[1:16] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT vec_id, label, embedding[1:16] AS m16
+         |       FROM embeddings WHERE vec_id <> 0)
+         |SELECT vec_id, label, round(${duckCosine("m16", "q_emb")}, 6) AS cos_sim
+         |FROM sl, q
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_topk_bucketed" ->
       s"""WITH q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0)

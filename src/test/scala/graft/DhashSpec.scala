@@ -85,4 +85,41 @@ class DhashSpec extends SparkSuiteBase {
     assert(out(0L) === 0x7fffL)
     assert(out(2L) === 0L)
   }
+
+  private def videoHashesFor(ids: Seq[Long]): Map[Long, (Long, Long)] = {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_))), docSchema)
+    Multimodal.videoDhashArrow(Multimodal.attachVideoDupMedia(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("video keyframe dHash: slot 8 exact dup, slot 9 at hamming 1-2 of slot 1") {
+    val h = videoHashesFor(0L until 40L)
+    for (d <- 0L until 40L by 10L) {
+      assert(h(d) === h(d + 8), s"video doc $d vs ${d + 8}")
+      val (ahi, alo) = h(d + 1); val (bhi, blo) = h(d + 9)
+      val ham = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      assert(ham >= 1 && ham <= 2, s"video doc ${d + 1} vs ${d + 9}: hamming $ham")
+    }
+  }
+
+  test("video keyframe dHash hashes frame 0, not frame 1") {
+    // frame 1's luma carries a +37 offset mod 256 — if the decoder hashed
+    // it, the comparisons would differ from the frame-0 replay for some
+    // doc in this range; recompute frame 0's expected hash directly
+    val h = videoHashesFor(0L until 20L)
+    for (id <- 0L until 20L if id % 10 != 9) {
+      val k = (id / 10) * 10 + (id % 10) % 8
+      val a1 = (k * 13 % 97 + 7).toInt
+      val a2 = (k * 29 % 83 + 5).toInt
+      def luma(y: Int, x: Int): Int = (a1 * x * x + a2 * x * y + 13 * y * y) % 256
+      var hi = 0L; var lo = 0L
+      for (ty <- 0 until 8; tx <- 0 until 8)
+        if (luma(2 * ty, 2 * tx) > luma(2 * ty, 2 * tx + 2)) {
+          val b = ty * 8 + tx
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      assert(h(id) === (hi, lo), s"video doc $id keyframe hash")
+    }
+  }
 }
