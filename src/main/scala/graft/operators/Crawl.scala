@@ -612,12 +612,20 @@ object Crawl extends QueryModule {
     */
   private[graft] def decodeBody(
       contentType: Option[String], body: Array[Byte]): Either[String, String] = {
+    // tolerate real-world parameter spellings: optional whitespace around
+    // '=' ("charset = utf-8") and single- as well as double-quoted values
+    // ("charset='utf-8'") — all must honor the declaration, not silently
+    // fall back to UTF-8 (and so mis-decode or mis-degrade legacy bytes)
     val declared = contentType.flatMap { ct =>
-      ct.split(";").iterator.drop(1).map(_.trim).collectFirst {
-        case p if p.toLowerCase.startsWith("charset=") =>
-          p.substring("charset=".length).trim
-            .stripPrefix("\"").stripSuffix("\"").trim
-      }
+      ct.split(";").iterator.drop(1).map(_.trim).flatMap { p =>
+        val eq = p.indexOf('=')
+        if (eq < 0) None
+        else if (p.substring(0, eq).trim.equalsIgnoreCase("charset"))
+          Some(p.substring(eq + 1).trim
+            .stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("'").stripSuffix("'").trim)
+        else None
+      }.nextOption()
     }
     val name = declared.filter(_.nonEmpty).getOrElse("UTF-8")
     val charset =
@@ -727,6 +735,16 @@ object Crawl extends QueryModule {
       val cs =
         if (label == "x-graft-unknown") java.nio.charset.StandardCharsets.UTF_8
         else java.nio.charset.Charset.forName(label)
+      // STRICT encode (REPORT, never '?'-substitute): corpus text outside
+      // the class charset must fail LOUDLY here, not decode to a silent
+      // '?' the oracle can't predict (a hash mismatch with no clue)
+      val enc = cs.newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val pageBytes = {
+        val bb = enc.encode(java.nio.CharBuffer.wrap(page))
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+      }
       Row(id, label, WarcCodec.encode(Seq(
         "WARC-Type" -> "response",
         "WARC-Record-ID" -> s"<urn:graft:$id>",
@@ -734,7 +752,7 @@ object Crawl extends QueryModule {
         "Content-Type" -> "application/http; msgtype=response"),
         HttpCodec.encode(200, "OK",
           Seq("Content-Type" -> s"text/html; charset=$label"),
-          page.getBytes(cs), chunked = false)))
+          pageBytes, chunked = false)))
     }
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("doc_id", LongType), StructField("charset", StringType),
@@ -895,6 +913,18 @@ object Crawl extends QueryModule {
     * an identifiable response record — the per-member unit shared by the
     * in-row [[crawlTexts]] and the file-based [[crawlTextsFromFiles]].
     */
+  /** One WARC member → the extracted (doc_id, text) row, or None.
+    *
+    * CONTRACT (deliberate, spec-pinned in CrawlSpec): this is the
+    * DOCUMENT-extraction path — a record whose text layer can't be
+    * trusted (charset-unknown / bad bytes / unparseable HTTP) yields NO
+    * document, because there is no text to emit; it does NOT emit a
+    * typed-degrade row the way the per-record STATS path ([[crawlRow]])
+    * does. The two paths therefore agree on every extractable record and
+    * intentionally diverge on degraded ones: stats keeps the record-level
+    * accounting, extraction keeps only trustworthy text. A pipeline that
+    * needs the degrade ledger runs the stats query beside the ingest.
+    */
   private def memberText(data: Array[Byte]): Option[Row] =
     WarcCodec.decode(data) match {
       case Right(rec) if rec.headers.get("WARC-Type").contains("response") =>
@@ -904,7 +934,7 @@ object Crawl extends QueryModule {
         else responseContent(rec) match {
           case Left(_) => None // declared-HTTP record that doesn't parse
           case Right((ct, payload)) => decodeBody(ct, payload) match {
-            case Left(_) => None // charset-unknown / bad bytes: untyped here
+            case Left(_) => None // charset degrade: no trustworthy text
             case Right(html) => Some(Row(mm.group(1).toLong,
               graft.plans.HtmlTextImpl.extract(html).text))
           }

@@ -430,17 +430,45 @@ object StreamRunner {
     * the snapshot; the next compaction run simply commits the next
     * generation over everything accumulated by then. Returns the
     * committed (postingsVersion, doclenVersion).
+    *
+    * Concurrency: `quiesced = true` (the default; both in-repo callers
+    * run after `awaitTermination`) asserts NO publish is in flight, and
+    * the whole fragmented table compacts. With `quiesced = false` the
+    * read is restricted to FULLY COMMITTED ingest batches — a
+    * mid-publish micro-batch (dynamic partition overwrite is not
+    * directory-atomic) would otherwise be captured torn and frozen into
+    * the immutable `_v=N` snapshot forever. Committed = the batch id
+    * appears in BOTH index tables (gatedPublishAll publishes postings
+    * before doclen, so a postings-only id is a crashed or in-flight
+    * publish) AND is not the newest id seen (the only one a serialized
+    * foreachBatch can still be writing). The batch-id probe is a
+    * ledger-sized collect (one row per micro-batch ever ingested).
     */
   def compactPostings(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
-      table: String): (Int, Int) = {
+      table: String,
+      quiesced: Boolean = true): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val postings = wh.read(spark, s"${table}_postings")
+    val postingsAll = wh.read(spark, s"${table}_postings")
+    val doclenAll = wh.read(spark, s"${table}_doclen")
+    val (postingsIn, doclenIn) =
+      if (quiesced) (postingsAll, doclenAll)
+      else {
+        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+          df.select(col("ingest_batch").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+        val pb = ids(postingsAll)
+        val db = ids(doclenAll)
+        val newest = (pb ++ db).maxOption
+        val committed = (pb intersect db) -- newest
+        (postingsAll.filter(col("ingest_batch").isin(committed.toSeq: _*)),
+          doclenAll.filter(col("ingest_batch").isin(committed.toSeq: _*)))
+      }
+    val postings = postingsIn
       .select(col("word"), col("doc_id"), col("tf"), col("wb"))
       .repartition(col("wb"))
-    val doclen = wh.read(spark, s"${table}_doclen")
-      .select(col("doc_id"), col("dl"))
+    val doclen = doclenIn.select(col("doc_id"), col("dl"))
     (wh.versionedWrite(postings, s"${table}_postings_serve", Seq("wb")),
       wh.versionedWrite(doclen, s"${table}_doclen_serve"))
   }

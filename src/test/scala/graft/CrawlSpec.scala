@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Crawl
-import graft.operators.Crawl.{GzipCodec, WarcCodec}
+import graft.operators.Crawl.{GzipCodec, HttpCodec, WarcCodec}
 import org.apache.spark.sql.functions._
 
 class CrawlSpec extends SparkSuiteBase {
@@ -160,6 +160,45 @@ class CrawlSpec extends SparkSuiteBase {
     val texts = Crawl.crawlTexts(media, "payload").collect()
     assert(texts.length == 1 && texts(0).getLong(0) == 7L &&
       texts(0).getString(1) == "ok")
+  }
+
+  test("charset degrade: extraction DROPS the record, stats types it (pinned contract)") {
+    // one record declaring windows-1251 whose body bytes are invalid in
+    // it (0x98 is unmapped in cp1251): decodeBody degrades typed
+    val badBody = Array[Byte](0x3c, 'p'.toByte, 0x3e, 0x98.toByte, 0x3c,
+      '/'.toByte, 'p'.toByte, 0x3e)
+    val rec = GzipCodec.encodeMember(WarcCodec.encode(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:graft:11>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      HttpCodec.encode(200, "OK",
+        Seq("Content-Type" -> "text/html; charset=windows-1251"),
+        badBody, chunked = false)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(11L, rec))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    // DOCUMENT path: no trustworthy text -> no row (never a garbage doc)
+    assert(Crawl.crawlTexts(media, "payload").collect().isEmpty)
+    // STATS path: the record-level accounting keeps a TYPED degrade row
+    val stats = Crawl.crawlExtract(media).collect()
+    assert(stats.length === 1)
+    assert(stats(0).getString(1) === "charset-bad-bytes")
+  }
+
+  test("decodeBody tolerates whitespace around charset= and single quotes") {
+    val bytes = "héllo".getBytes("ISO-8859-1")
+    for (ct <- Seq("text/html; charset = ISO-8859-1",
+        "text/html; charset='ISO-8859-1'",
+        "text/html; CHARSET=\"iso-8859-1\""))
+      assert(Crawl.decodeBody(Some(ct), bytes) === Right("héllo"), ct)
+    // no declaration still defaults to UTF-8
+    assert(Crawl.decodeBody(Some("text/html"), "ok".getBytes("UTF-8"))
+      === Right("ok"))
   }
 
   test("WarcCodec.encode guards framing: CR/LF and caller-supplied Content-Length rejected") {

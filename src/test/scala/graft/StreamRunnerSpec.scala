@@ -541,6 +541,57 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "the next generation folds in the post-compaction ingest")
   }
 
+  test("non-quiesced compaction skips torn and possibly-in-flight batches") {
+    val wh = new Warehouse(tmpDir("cpq"))
+    def postingsFor(b: Long, ids: Seq[Long]) =
+      spark.createDataFrame(ids.map(i => (s"w$i", i, 1L, i % 4, b)))
+        .toDF("word", "doc_id", "tf", "wb", "ingest_batch")
+    def doclenFor(b: Long, ids: Seq[Long]) =
+      spark.createDataFrame(ids.map(i => (i, 5L, b)))
+        .toDF("doc_id", "dl", "ingest_batch")
+    // batches 0 and 1 fully committed (both tables); batch 2 is the
+    // NEWEST (possibly mid-publish); batch 3... instead: make batch 2
+    // postings-only (a torn publish) AND newest — covers both rules in
+    // one lake, then a second lake isolates the newest-exclusion rule
+    for (b <- 0L to 1L) {
+      wh.partitionedUpsertWrite(postingsFor(b, Seq(10 + b, 20 + b)),
+        "t_postings", Seq("wb", "ingest_batch"))
+      wh.partitionedUpsertWrite(doclenFor(b, Seq(10 + b, 20 + b)),
+        "t_doclen", Seq("ingest_batch"))
+    }
+    wh.partitionedUpsertWrite(postingsFor(2L, Seq(99L)),
+      "t_postings", Seq("wb", "ingest_batch"))
+    val (pv, dv) = StreamRunner.compactPostings(spark, wh, "t", quiesced = false)
+    val served = wh.readVersion(spark, "t_postings_serve", Some(pv))
+    assert(served.filter(col("doc_id") === 99L).count() === 0L,
+      "torn batch 2 must not reach the snapshot")
+    assert(served.count() === 4L, "batches 0 and 1 fully served")
+    assert(wh.readVersion(spark, "t_doclen_serve", Some(dv)).count() === 4L)
+
+    // newest-exclusion alone: batch 2 now committed in BOTH tables but is
+    // the newest id -> still held back (it may be an in-flight overwrite)
+    wh.partitionedUpsertWrite(doclenFor(2L, Seq(99L)),
+      "t_doclen", Seq("ingest_batch"))
+    val (pv2, _) = StreamRunner.compactPostings(spark, wh, "t", quiesced = false)
+    assert(wh.readVersion(spark, "t_postings_serve", Some(pv2))
+      .filter(col("doc_id") === 99L).count() === 0L,
+      "newest batch held back until a later batch supersedes it")
+    // a later committed batch makes 2 compactable
+    for (b <- 3L to 3L) {
+      wh.partitionedUpsertWrite(postingsFor(b, Seq(31L)),
+        "t_postings", Seq("wb", "ingest_batch"))
+      wh.partitionedUpsertWrite(doclenFor(b, Seq(31L)),
+        "t_doclen", Seq("ingest_batch"))
+    }
+    val (pv3, _) = StreamRunner.compactPostings(spark, wh, "t", quiesced = false)
+    assert(wh.readVersion(spark, "t_postings_serve", Some(pv3))
+      .filter(col("doc_id") === 99L).count() === 1L,
+      "superseded batch 2 now serves")
+    // quiesced compaction (the default) takes everything
+    val (pv4, _) = StreamRunner.compactPostings(spark, wh, "t")
+    assert(wh.readVersion(spark, "t_postings_serve", Some(pv4)).count() === 6L)
+  }
+
   test("postings ingest quarantines WHOLE: a doclen-side failure keeps postings out too") {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val landing = tmpDir("posthl")
