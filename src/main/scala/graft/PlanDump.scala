@@ -266,7 +266,15 @@ object PlanDump {
     // shifted-intersection HOF, no windows) and the host link graph
     // (one-pass href extraction in the scan projection, edge-key-only
     // shuffle)
-    "txt_phrase_search", "crawl_link_graph")
+    "txt_phrase_search", "crawl_link_graph",
+    // round 12: the guarded perceptual rungs (identity collapse before
+    // banding, hot-band cap — audit: the rep-level band join and the
+    // O(g) star-edge union in the capstone), the video keyframe twin,
+    // the Matryoshka slice-artifact serve (audit: the artifact scan —
+    // raw embeddings never re-read), and the crawl-budget capstone
+    // (audit: robots broadcast, domain-key-only shuffles, the rank
+    // window over the |domains|-sized report)
+    "mm_video_neardup", "sim_topk_m16", "pipe_crawl_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
