@@ -632,14 +632,24 @@ object Dedup extends QueryModule {
   /** DISTINCT LSH candidate pairs (doc_a < doc_b) from a banded signature
     * set — the one band-key self-join every pair consumer in this module
     * shares (clusters, stars, triangles, PageRank, keepers, verify).
+    * Hot-band-guarded ([[capHotBands]]): one boilerplate band value can
+    * never make a join group quadratic for ANY consumer; the shared
+    * oracle bandsCte replays the cap, so every derived oracle stays
+    * exact at every SF. (The asymmetric incremental join in
+    * [[incrementalMatches]] is deliberately NOT capped: its new side is
+    * batch-bounded, so a hot corpus value costs b·H — linear in the
+    * lake, not quadratic — and the streaming composition runs exact
+    * dedup first.)
     */
-  private def pairsFromBands(bands: DataFrame): DataFrame =
+  private def pairsFromBands(bands0: DataFrame): DataFrame = {
+    val bands = capHotBands(bands0, Seq("band_idx", "bkey"))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** [[pairsFromBands]] over the `documents` table's MinHash signatures. */
   private def candidatePairs(s: SparkSession, d: String): DataFrame =
@@ -1431,11 +1441,20 @@ object Dedup extends QueryModule {
     // Band key: the band's two <2^30 minhashes packed exactly into one
     // 60-bit BIGINT — hash-free and collision-free (round 2 paid an md5 per
     // band per doc here; see bandKeys on the Spark side).
-    val bandsCte = s""", bands AS (
+    // `bands` is HOT-BAND-GUARDED exactly as the engine's capHotBands
+    // (values held by > 50 docs dropped) so every consumer oracle —
+    // pairs, verify, containment, calibration, clusters, stars,
+    // triangles, pagerank, keepers — replays the cap in lockstep
+    val bandsCte = s""", bands0 AS (
       |  SELECT doc_id, 0 AS band_idx, mh0 * 1073741824 + mh1 AS bkey FROM sig UNION ALL
       |  SELECT doc_id, 1, mh2 * 1073741824 + mh3 FROM sig UNION ALL
       |  SELECT doc_id, 2, mh4 * 1073741824 + mh5 FROM sig UNION ALL
       |  SELECT doc_id, 3, mh6 * 1073741824 + mh7 FROM sig
+      |), keepb AS (
+      |  SELECT band_idx, bkey FROM bands0
+      |  GROUP BY band_idx, bkey HAVING count(*) <= 50
+      |), bands AS (
+      |  SELECT b.* FROM bands0 b JOIN keepb USING (band_idx, bkey)
       |)""".stripMargin
     Map(
       "dedup_exact" ->
@@ -1461,17 +1480,12 @@ object Dedup extends QueryModule {
            |WHERE round(CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common), 6) >= 0.2
            |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash_sig" -> s"$sigCte\nSELECT * FROM sig ORDER BY doc_id",
-      // mirrors the engine's hot-band guard (capHotBands, cap=50): band
-      // values held by > 50 docs are dropped before the self-join
+      // `bands` is already hot-band-guarded in bandsCte (engine: the
+      // explicit capHotBands in the query)
       "dedup_minhash_pairs" ->
-        s"""$sigCte$bandsCte, keepb AS (
-           |  SELECT band_idx, bkey FROM bands
-           |  GROUP BY band_idx, bkey HAVING count(*) <= 50
-           |), bands_k AS (
-           |  SELECT b.* FROM bands b JOIN keepb USING (band_idx, bkey)
-           |)
+        s"""$sigCte$bandsCte
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-           |FROM bands_k a JOIN bands_k b
+           |FROM bands a JOIN bands b
            |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_minhash_calibration" -> {
@@ -1814,7 +1828,7 @@ object Dedup extends QueryModule {
       "dedup_incremental" ->
         s"""$sigCte$bandsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
-           |  FROM bands a JOIN bands b
+           |  FROM bands0 a JOIN bands0 b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
            |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
            |), sets AS (
@@ -1837,7 +1851,7 @@ object Dedup extends QueryModule {
       "pipe_ingest_e2e" ->
         s"""$sigCte$bandsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
-           |  FROM bands a JOIN bands b
+           |  FROM bands0 a JOIN bands0 b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
            |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
            |), sets AS (
