@@ -274,7 +274,13 @@ object PlanDump {
     // raw embeddings never re-read), and the crawl-budget capstone
     // (audit: robots broadcast, domain-key-only shuffles, the rank
     // window over the |domains|-sized report)
-    "mm_video_neardup", "sim_topk_m16", "pipe_crawl_budget")
+    "mm_video_neardup", "sim_topk_m16", "pipe_crawl_budget",
+    // round-12 session 2: the two-stage Matryoshka serve (audit: stage-1
+    // scans the slice artifact, stage-2 joins 50 broadcast ids into the
+    // full-vector lake) and incremental image dedup (audit: batch side
+    // decodes live, corpus side scans the persisted signature artifact,
+    // asymmetric band join)
+    "sim_topk_m16_rerank", "mm_dhash_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

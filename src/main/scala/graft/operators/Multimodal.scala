@@ -2779,6 +2779,47 @@ object Multimodal extends QueryModule {
     "mm_video_neardup" -> ((s, d) =>
       neardupPairsFrom(videoDhashHashes(s, d)).orderBy(col("a_id"), col("b_id"))),
 
+    // ---- INCREMENTAL image dedup — dedup_incremental's batch-vs-corpus
+    // asymmetry applied to the image modality: the ingest BATCH
+    // (doc_id%10 ∈ {8,9} — exactly the fixture's planted re-render/edit
+    // slots) decodes and hashes LIVE, while the corpus side reads the
+    // PERSISTED dHash signature artifact (the DerivedArtifacts contract —
+    // corpus pixels are never re-decoded). Candidates via the asymmetric
+    // band equi-join (full recall at hamming ≤ 3 by pigeonhole; exact
+    // duplicates collide in all four bands, so no separate equality
+    // join), verified by exact bit_count, rank-1 best corpus match per
+    // batch image (min hamming, tie min corpus id — one bounded
+    // min-struct aggregate, no window). Deliberately uncapped like
+    // [[graft.operators.Dedup.incrementalMatches]]: the batch side is
+    // ingest-bounded, so a hot corpus band value costs b·H — linear in
+    // the lake. Work scales with the BATCH at any corpus size. ----
+    "mm_dhash_incr" -> ((s, d) => {
+      val corpus = Dedup.DerivedArtifacts.table(s, d, "documents", "dhash_sigs")(
+        dhashArrow(attachDhashMedia(
+            Tables.documents(s, d).filter(col("doc_id") % 10 <= 7)))
+          .filter(col("format") === "png")
+          .select(col("doc_id"), col("hash_hi"), col("hash_lo")))
+      val batch = dhashArrow(attachDhashMedia(
+          Tables.documents(s, d).filter(col("doc_id") % 10 >= 8)))
+        .filter(col("format") === "png")
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      val cands = dhashBanded(batch).as("a")
+        .join(dhashBanded(corpus).as("b"),
+          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))
+        .withColumn("hamming",
+          (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+            bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
+          col("hamming"))
+        .distinct()
+      cands.groupBy(col("doc_new"))
+        .agg(min(struct(col("hamming"), col("dup_of"))).as("m"))
+        .select(col("doc_new"), col("m.dup_of").as("dup_of"),
+          col("m.hamming").as("hamming"))
+        .orderBy(col("doc_new"))
+    }),
+
     // ---- image-dedup capstone: O(g) cluster edges
     // ([[dhashClusterEdges]]: identity star edges + guarded rep-level
     // near pairs — NEVER the g²/2 pair expansion) → pointer-jumping
@@ -3273,6 +3314,23 @@ override def oracleSql: Map[String, String] = Map(
     "mm_video_neardup" -> (videoOracleCte + dhashPairsCte +
       """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
+    // batch-vs-corpus replay: brute-forces every (new, old) pair at
+    // hamming <= 3 from the generator hashes (proving the asymmetric
+    // banding's recall), then the same rank-1 (hamming, dup_of) pick
+    "mm_dhash_incr" -> (dhashOracleCte +
+      """, nw AS (SELECT * FROM b WHERE doc_id % 10 >= 8),
+        |old AS (SELECT * FROM b WHERE doc_id % 10 <= 7),
+        |cand AS (
+        |  SELECT nw.doc_id AS doc_new, old.doc_id AS dup_of,
+        |    CAST(bit_count(xor(nw.hash_hi, old.hash_hi))
+        |       + bit_count(xor(nw.hash_lo, old.hash_lo)) AS BIGINT) AS hamming
+        |  FROM nw JOIN old ON bit_count(xor(nw.hash_hi, old.hash_hi))
+        |       + bit_count(xor(nw.hash_lo, old.hash_lo)) <= 3
+        |)
+        |SELECT doc_new, dup_of, hamming FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_new ORDER BY hamming, dup_of) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY doc_new""".stripMargin),
     // same collapsed/guarded pair replay + recursive-CTE reachability
     // min-label (the clustersOracle pattern) + per-cluster membership
     // aggregates

@@ -155,6 +155,15 @@ object Similarity extends QueryModule {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** The persisted 16-dim prefix-slice index (the Matryoshka artifact)
+    * shared by the direct serve and the rerank form: built once per
+    * corpus fingerprint, read back as a parquet scan.
+    */
+  private def m16Slices(s: SparkSession, d: String): DataFrame =
+    Dedup.DerivedArtifacts.table(s, d, "embeddings", "m16_slices")(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        expr("slice(embedding, 1, 16)").as("m16")))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute-force cosine top-k against one query vector ----
     "sim_topk_brute" -> ((s, d) => {
@@ -807,14 +816,41 @@ object Similarity extends QueryModule {
     // ordering. ----
     "sim_topk_m16" -> ((s, d) => {
       graft.plans.GraftExtensions.ensureRegistered(s)
-      val slices = Dedup.DerivedArtifacts.table(s, d, "embeddings", "m16_slices")(
-        Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-          expr("slice(embedding, 1, 16)").as("m16")))
+      val slices = m16Slices(s, d)
       val q = slices.filter(col("vec_id") === 0).select(col("m16").as("q_m16"))
       slices.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cos_sim",
           round(call_function("graft_cosine", col("m16"), col("q_m16")), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- the two-stage Matryoshka serve — sim_topk_pq_rerank's pattern
+    // on the slice index: stage 1 scans ONLY the persisted 16-dim
+    // artifact for a 50-candidate shortlist (¼ the bytes of a full-dim
+    // scan), stage 2 point-looks-up full vectors for the 50 survivors
+    // (broadcast id semi) and re-ranks with the exact 64-dim cosine —
+    // recall lost to truncation is restored on exactly the rows that
+    // matter. At 100 TB the full-vector lake is touched for 50 rows per
+    // query, never scanned. ----
+    "sim_topk_m16_rerank" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val slices = m16Slices(s, d)
+      val q16 = slices.filter(col("vec_id") === 0).select(col("m16").as("q_m16"))
+      val shortlist = slices.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q16))
+        .withColumn("c16",
+          round(call_function("graft_cosine", col("m16"), col("q_m16")), 6))
+        .orderBy(desc("c16"), col("vec_id"))
+        .limit(50)
+        .select(col("vec_id"))
+      val e = Tables.embeddings(s, d)
+      val qf = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(qf))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
         .select(col("vec_id"), col("label"), col("cos_sim"))
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
@@ -1382,6 +1418,17 @@ object Similarity extends QueryModule {
       s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(${duckCosine("embedding", "q_emb")}, 6) AS cos_sim
          |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // two-stage replay: the 16-dim shortlist ORDER/LIMIT then the exact
+    // full-dim re-rank — same rounding and tiebreaks as the engine
+    "sim_topk_m16_rerank" ->
+      s"""WITH q16 AS (SELECT embedding[1:16] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT vec_id, round(${duckCosine("embedding[1:16]", "q_emb")}, 6) AS c16
+         |       FROM embeddings, q16 WHERE vec_id <> 0),
+         |short AS (SELECT vec_id FROM sl ORDER BY c16 DESC, vec_id LIMIT 50),
+         |qf AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round(${duckCosine("e.embedding", "qf.q_emb")}, 6) AS cos_sim
+         |FROM embeddings e JOIN short USING (vec_id), qf
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // slices the raw embeddings directly (the artifact is derived state;
     // the oracle proves the served slice equals the source prefix)
