@@ -1239,6 +1239,36 @@ object Multimodal extends QueryModule {
         col("rep_b").as("doc_b")))
   }
 
+  /** Batch-vs-corpus perceptual matcher — the image analog of
+    * [[Dedup.incrementalMatches]], shared by the `mm_dhash_incr` query
+    * and the streaming image-ingest sink
+    * ([[graft.streaming.StreamRunner.imageIngestToWarehouse]]): an
+    * asymmetric band equi-join (batch bands × corpus bands — full recall
+    * at hamming ≤ 3 by pigeonhole; exact dups collide in all four bands)
+    * verified by exact bit_count, then rank-1 best corpus match per
+    * batch image (min hamming, tie min corpus id — one bounded
+    * min-struct aggregate, no window). Deliberately uncapped: the batch
+    * side is ingest-bounded, so a hot corpus band value costs b·H —
+    * linear in the lake. Returns (doc_new, dup_of, hamming).
+    */
+  private[graft] def dhashIncrementalMatches(
+      batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val cands = dhashBanded(batch).as("a")
+      .join(dhashBanded(corpus).as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))
+      .withColumn("hamming",
+        (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+          bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
+        col("hamming"))
+      .distinct()
+    cands.groupBy(col("doc_new"))
+      .agg(min(struct(col("hamming"), col("dup_of"))).as("m"))
+      .select(col("doc_new"), col("m.dup_of").as("dup_of"),
+        col("m.hamming").as("hamming"))
+  }
+
   /** The fixture's dHash frame — at 100 TB this is a persisted
     * ingest-time signature artifact (the dedup-signature convention);
     * here each query recomputes it from the payloads.
@@ -2803,21 +2833,7 @@ object Multimodal extends QueryModule {
           Tables.documents(s, d).filter(col("doc_id") % 10 >= 8)))
         .filter(col("format") === "png")
         .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-      val cands = dhashBanded(batch).as("a")
-        .join(dhashBanded(corpus).as("b"),
-          col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))
-        .withColumn("hamming",
-          (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
-            bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
-        .filter(col("hamming") <= 3)
-        .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
-          col("hamming"))
-        .distinct()
-      cands.groupBy(col("doc_new"))
-        .agg(min(struct(col("hamming"), col("dup_of"))).as("m"))
-        .select(col("doc_new"), col("m.dup_of").as("dup_of"),
-          col("m.hamming").as("hamming"))
-        .orderBy(col("doc_new"))
+      dhashIncrementalMatches(batch, corpus).orderBy(col("doc_new"))
     }),
 
     // ---- image-dedup capstone: O(g) cluster edges

@@ -345,6 +345,90 @@ object StreamRunner {
       .start()
   }
 
+  /** Streaming IMAGE ingest with perceptual dedup — the multimodal twin
+    * of [[dedupIngestToWarehouse]], closing the continuous-ingestion
+    * loop for an image lake. Per micro-batch of (doc_id, payload) rows:
+    *
+    *  1. dHash where the bytes are read
+    *     ([[graft.operators.Multimodal.dhashArrow]] over the Arrow
+    *     seam); corrupt payloads drop HERE, typed by the decode — only
+    *     (doc_id, hash_hi, hash_lo) rows continue;
+    *  2. within-batch EXACT dedup: identity collapse on the 64-bit hash
+    *     ([[graft.operators.Multimodal.dhashCollapse]] — min-doc_id
+    *     representative, the canonical-keeper convention);
+    *  3. cross-corpus NEAR-dup drop: the batch's signatures band against
+    *     the PERSISTED signature index
+    *     ([[graft.operators.Multimodal.dhashIncrementalMatches]] —
+    *     asymmetric join, work scales with the batch; corpus pixels are
+    *     never re-decoded), with the replaying batch id's own index
+    *     partitions EXCLUDED (the at-least-once replay rule
+    *     [[dedupIngestToWarehouse]] pins: a replayed batch must not
+    *     match the previous attempt's appended rows);
+    *  4. survivors publish through the staged-readback audit gate into
+    *     `<table>` (partitioned by ingest_batch — idempotent replay) and
+    *     their signatures partition-upsert into `<table>_sigs`, so the
+    *     NEXT micro-batch dedups against everything ingested so far.
+    *
+    * At 100 TB: per-batch cost is decoding the BATCH plus one
+    * signature-width band join against the index — the image lake's
+    * bytes are read exactly once, at their own ingest.
+    */
+  def imageIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imagePublishBatch(batch, batchId, wh, table, audit)
+      }
+      .start()
+
+  private def imagePublishBatch(
+      batch: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.Multimodal
+    if (!batch.isEmpty) {
+      val hashes = Multimodal.dhashArrow(batch)
+        .filter(col("format") === "png")
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+        .cache()
+      try {
+        // within-batch exact dedup: one representative per distinct hash
+        val exact = Multimodal.dhashCollapse(hashes)
+          .filter(col("doc_id") === col("rep"))
+          .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+        val survivors =
+          if (!wh.hasData(s"${table}_sigs")) exact
+          else {
+            val corpus = wh.read(batch.sparkSession, s"${table}_sigs")
+              .filter(col("ingest_batch") =!= batchId)
+              .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+            val dupIds = Multimodal.dhashIncrementalMatches(exact, corpus)
+              .select(col("doc_new").as("doc_id")).distinct()
+            exact.join(dupIds, Seq("doc_id"), "left_anti")
+          }
+        val published = gatedPublish(
+          survivors.withColumn("ingest_batch", lit(batchId)),
+          batchId, wh, table, Seq("ingest_batch"), audit)
+        if (published) {
+          wh.partitionedUpsertWrite(
+            survivors.withColumn("ingest_batch", lit(batchId)),
+            s"${table}_sigs", Seq("ingest_batch"))
+        }
+      } finally hashes.unpersist(): Unit
+    }
+  }
+
   /** Streaming IVF index ingest — the foreachBatch twin of
     * `sim_ivf_ingest`: each micro-batch of (vec_id, embedding) rows is
     * assigned to the FROZEN centroid set via

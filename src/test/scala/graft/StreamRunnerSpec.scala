@@ -541,6 +541,67 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "the next generation folds in the post-compaction ingest")
   }
 
+  test("streaming image ingest: exact + near dups dropped vs the live index, replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // payloads from the dhash fixture generator (decade slots: 8 is a
+    // pixel-exact re-render of 0, 9 a one-cell edit of 1)
+    val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+    def payloads(ids: Seq[Long]): Map[Long, Array[Byte]] = {
+      val docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_))), docSchema)
+      Multimodal.attachDhashMedia(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
+    val pay = payloads(Seq(0L, 1L, 2L, 8L, 9L, 20L, 28L, 21L))
+    val wh = new Warehouse(tmpDir("imgingest"))
+    val cp = tmpDir("imgingest_cp")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamRunner.imageIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "imgs", _ => None,
+      cp, Trigger.AvailableNow())
+    // batch 0: three distinct images
+    ms.addData(Seq(0L, 1L, 2L).map(i => i -> pay(i)))
+    q.processAllAvailable(); q.stop()
+    assert(wh.read(spark, "imgs").count() === 3L)
+    // batch 1 (SAME checkpoint — the continuation, so only the new data
+    // forms the batch): 8 (exact dup of corpus 0), 9 (near dup of corpus
+    // 1), 20 and 28 (28 hashes identically to 20 -> within-batch
+    // collapse), 21 (new)
+    ms.addData(Seq(8L, 9L, 20L, 28L, 21L).map(i => i -> pay(i)))
+    val q2 = StreamRunner.imageIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "imgs", _ => None,
+      cp, Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    val docs = wh.read(spark, "imgs").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(docs === Set(0L, 1L, 2L, 20L, 21L),
+      s"8/9 near-dups and the 28 within-batch dup must drop, got $docs")
+    // the signature index covers every survivor for the NEXT batch
+    val sigDocs = wh.read(spark, "imgs_sigs").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sigDocs === Set(0L, 1L, 2L, 20L, 21L))
+    // replay idempotence: re-running the same batch id against its own
+    // appended index rows must not drop the batch's docs
+    val hashes = Multimodal.dhashArrow(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(20L, pay(20L)), Row(21L, pay(21L)))),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("payload", BinaryType)))))
+      .filter(col("format") === "png")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    // replay idempotence: a replayed batch 1 excludes its OWN index
+    // partition from the corpus side, so 20/21's previously-appended
+    // signature rows can't drop the replay's docs
+    val corpusNotOwn = wh.read(spark, "imgs_sigs")
+      .filter(col("ingest_batch") =!= 1L)
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    assert(Multimodal.dhashIncrementalMatches(hashes, corpusNotOwn)
+      .count() === 0L)
+  }
+
   test("non-quiesced compaction skips torn and possibly-in-flight batches") {
     val wh = new Warehouse(tmpDir("cpq"))
     def postingsFor(b: Long, ids: Seq[Long]) =
