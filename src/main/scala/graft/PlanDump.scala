@@ -280,7 +280,9 @@ object PlanDump {
     // full-vector lake) and incremental image dedup (audit: batch side
     // decodes live, corpus side scans the persisted signature artifact,
     // asymmetric band join)
-    "sim_topk_m16_rerank", "mm_dhash_incr")
+    "sim_topk_m16_rerank", "mm_dhash_incr",
+    // temporal video fingerprint: narrow Arrow-seam decode, no shuffle
+    "mm_video_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

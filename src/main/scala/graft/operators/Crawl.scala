@@ -1485,10 +1485,17 @@ object Crawl extends QueryModule {
           (col("n_allowed") - coalesce(col("n_canon"), lit(0L))).as("dup_saved"),
           coalesce(col("in_links"), lit(0L)).as("in_links"),
           coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+      // rank + report size off ONE global window over the |domains|-sized
+      // report (a crossJoin'd count would duplicate the whole report
+      // subtree — the robots RDD pass is not exchange-reusable)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(desc("in_links"), col("domain"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("in_links"), col("domain"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
       report
-        .crossJoin(broadcast(report.agg(count(lit(1)).as("n_dom"))))
+        .withColumn("n_dom", count(lit(1)).over(wAll))
         .withColumn("rnk", row_number().over(w))
         .withColumn("fetch_priority",
           when((col("rnk") - 1) * 3 < col("n_dom"), "high")

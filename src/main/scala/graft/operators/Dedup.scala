@@ -384,7 +384,7 @@ object Dedup extends QueryModule {
     * ([[queries]] `dedup_exact_hash`, or the identity collapse the dHash
     * rung runs) removes copy-heavy groups first, so surviving hot values
     * are degenerate signatures, not real near-dup clusters. Dropped mass
-    * is observable via [[hotBandMass]] (spec-pinned in DedupSpec).
+    * is observable via [[hotBandMass]] (spec-pinned in BandGuardSpec).
     */
   private[graft] def capHotBands(banded: DataFrame, keys: Seq[String],
                                  cap: Long = BandCap): DataFrame = {
@@ -1452,7 +1452,7 @@ object Dedup extends QueryModule {
       |  SELECT doc_id, 3, mh6 * 1073741824 + mh7 FROM sig
       |), keepb AS (
       |  SELECT band_idx, bkey FROM bands0
-      |  GROUP BY band_idx, bkey HAVING count(*) <= 50
+      |  GROUP BY band_idx, bkey HAVING count(*) <= $BandCap
       |), bands AS (
       |  SELECT b.* FROM bands0 b JOIN keepb USING (band_idx, bkey)
       |)""".stripMargin
@@ -2048,7 +2048,7 @@ object Dedup extends QueryModule {
            |  SELECT doc_id, source, simhash16, 2, (simhash16 >> 11) & 31 FROM sig_src
            |), keepc AS (
            |  SELECT source, ci, cv FROM chunks
-           |  GROUP BY source, ci, cv HAVING count(*) <= 50
+           |  GROUP BY source, ci, cv HAVING count(*) <= $BandCap
            |), kept AS (
            |  SELECT c.* FROM chunks c JOIN keepc USING (source, ci, cv)
            |)

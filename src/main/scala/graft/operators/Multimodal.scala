@@ -1225,8 +1225,8 @@ object Multimodal extends QueryModule {
     * image — never the g²/2 pair expansion) unioned with the rep-level
     * near-dup pairs. Connectivity is preserved exactly — every member
     * reaches its rep, and reps link across groups — so the components
-    * equal those of the full pair list. MultimodalGuardSpec pins the
-    * linear bound with a planted g-identical-images corpus.
+    * equal those of the full pair list. BandGuardSpec pins the linear
+    * bound with a planted g-identical-images corpus.
     */
   private[graft] def dhashClusterEdges(hashes: DataFrame): DataFrame = {
     val members = dhashCollapse(hashes)
@@ -2156,6 +2156,45 @@ object Multimodal extends QueryModule {
       .filter(col("format") === "y4m")
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
 
+  val videoFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_frames", LongType),
+    StructField("fingerprint", LongType)))
+
+  /** TEMPORAL energy-shape video fingerprint — the [[wavFingerprintRow]]
+    * idiom across FRAMES instead of time windows: per decoded frame the
+    * luma mass (Σ Y samples), and bit f records whether frame f
+    * outweighs frame f+1. The sign of the frame-to-frame energy delta
+    * survives uniform gain/brightness the way dHash gradients do, and —
+    * unlike the keyframe hash — changes when frames are REORDERED,
+    * dropped, or retimed: the cheap cut-detection signal that
+    * complements [[videoDhashRow]]'s spatial one. Clips under 2 frames
+    * degrade typed.
+    */
+  private def videoFingerprintRow(id: Long, bytes: Array[Byte]): Row =
+    Y4mCodec.decode(bytes) match {
+      case Left(_) => Row(id, "y4m-corrupt", null, null)
+      case Right(v) if v.nFrames < 2 => Row(id, "y4m-short", null, null)
+      case Right(v) =>
+        val mass = v.frames.map { fr =>
+          var s = 0L; var i = 0
+          while (i < v.lumaLen) { s += fr(i) & 0xff; i += 1 }
+          s
+        }
+        var fp = 0L
+        var f = 0
+        while (f < v.nFrames - 1) {
+          if (mass(f) > mass(f + 1)) fp |= 1L << f
+          f += 1
+        }
+        Row(id, "y4m", v.nFrames.toLong, fp)
+    }
+
+  /** Temporal fingerprint over the Arrow batch seam. */
+  def videoFingerprintArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, videoFpSchema)(videoFingerprintRow)
+
   val videoMetaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -2809,6 +2848,19 @@ object Multimodal extends QueryModule {
     "mm_video_neardup" -> ((s, d) =>
       neardupPairsFrom(videoDhashHashes(s, d)).orderBy(col("a_id"), col("b_id"))),
 
+    // ---- temporal energy-shape fingerprint over the mm_video_decode
+    // fixture: the Spark side reaches frame masses only by genuinely
+    // walking FRAME markers and slicing luma planes; the oracle
+    // recomputes every sample from the generator formula (the
+    // mm_wav_fingerprint idiom) and replays the delta-sign packing. ----
+    "mm_video_fingerprint" -> ((s, d) => {
+      val media = attachY4mMedia(Tables.documents(s, d))
+      videoFingerprintArrow(media)
+        .filter(col("format") === "y4m")
+        .select(col("doc_id"), col("n_frames"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- INCREMENTAL image dedup — dedup_incremental's batch-vs-corpus
     // asymmetry applied to the image modality: the ingest BATCH
     // (doc_id%10 ∈ {8,9} — exactly the fixture's planted re-render/edit
@@ -2970,7 +3022,7 @@ object Multimodal extends QueryModule {
     * the hashes themselves still come only from the generator replay.
     */
   private val dhashPairsCte: String =
-    """, reps AS (
+    s""", reps AS (
       |  SELECT min(doc_id) AS rid, hash_hi, hash_lo FROM b
       |  GROUP BY hash_hi, hash_lo
       |), mem AS (
@@ -2981,7 +3033,7 @@ object Multimodal extends QueryModule {
       |  UNION ALL SELECT rid, hash_hi, hash_lo, 2, hash_hi & 65535 FROM reps
       |  UNION ALL SELECT rid, hash_hi, hash_lo, 3, (hash_hi >> 16) & 65535 FROM reps
       |), keepc AS (
-      |  SELECT ci, cv FROM rchunks GROUP BY ci, cv HAVING count(*) <= 50
+      |  SELECT ci, cv FROM rchunks GROUP BY ci, cv HAVING count(*) <= ${Dedup.BandCap}
       |), kc AS (
       |  SELECT c.* FROM rchunks c JOIN keepc USING (ci, cv)
       |), rpairs AS (
@@ -3330,6 +3382,29 @@ override def oracleSql: Map[String, String] = Map(
     "mm_video_neardup" -> (videoOracleCte + dhashPairsCte +
       """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
+    // recomputes every frame's luma mass from the generator formula
+    // ((id*31 + f*13 + y*7 + x*5) % 256 over the id-arithmetic w×h grid)
+    // and replays the delta-sign packing — never seeing a stream byte
+    "mm_video_fingerprint" ->
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 8 + 1 AS w, n_chars % 6 + 1 AS h,
+        |    n_chars % 3 + 2 AS nf
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, nf, f.f AS f,
+        |    sum((doc_id*31 + f.f*13 + y.y*7 + x.x*5) % 256) AS mass
+        |  FROM m, UNNEST(range(0, nf)) AS f(f),
+        |    UNNEST(range(0, h)) AS y(y), UNNEST(range(0, w)) AS x(x)
+        |  GROUP BY doc_id, nf, f.f
+        |), fp AS (
+        |  SELECT l.doc_id, l.nf,
+        |    sum(CASE WHEN l.mass > r.mass THEN (1::BIGINT << l.f) ELSE 0 END) AS fpv
+        |  FROM e l JOIN e r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+        |  GROUP BY l.doc_id, l.nf
+        |)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(fpv AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin,
     // batch-vs-corpus replay: brute-forces every (new, old) pair at
     // hamming <= 3 from the generator hashes (proving the asymmetric
     // banding's recall), then the same rank-1 (hamming, dup_of) pick

@@ -407,7 +407,10 @@ object StreamRunner {
         val exact = Multimodal.dhashCollapse(hashes)
           .filter(col("doc_id") === col("rep"))
           .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-        val survivors =
+        // cached: survivors embeds the corpus-index band join and is
+        // evaluated for BOTH the staged publish and the sigs upsert — the
+        // dominant per-batch join must not run twice
+        val survivors = (
           if (!wh.hasData(s"${table}_sigs")) exact
           else {
             val corpus = wh.read(batch.sparkSession, s"${table}_sigs")
@@ -416,15 +419,17 @@ object StreamRunner {
             val dupIds = Multimodal.dhashIncrementalMatches(exact, corpus)
               .select(col("doc_new").as("doc_id")).distinct()
             exact.join(dupIds, Seq("doc_id"), "left_anti")
-          }
-        val published = gatedPublish(
-          survivors.withColumn("ingest_batch", lit(batchId)),
-          batchId, wh, table, Seq("ingest_batch"), audit)
-        if (published) {
-          wh.partitionedUpsertWrite(
+          }).cache()
+        try {
+          val published = gatedPublish(
             survivors.withColumn("ingest_batch", lit(batchId)),
-            s"${table}_sigs", Seq("ingest_batch"))
-        }
+            batchId, wh, table, Seq("ingest_batch"), audit)
+          if (published) {
+            wh.partitionedUpsertWrite(
+              survivors.withColumn("ingest_batch", lit(batchId)),
+              s"${table}_sigs", Seq("ingest_batch"))
+          }
+        } finally survivors.unpersist(): Unit
       } finally hashes.unpersist(): Unit
     }
   }
