@@ -474,17 +474,20 @@ object Crawl extends QueryModule {
     */
   object RobotsCodec {
     case class Rule(allow: Boolean, pattern: String)
-    case class Group(agents: Seq[String], rules: Seq[Rule])
+    case class Group(agents: Seq[String], rules: Seq[Rule],
+                     delay: Option[Int] = None)
 
     def parse(text: String): Seq[Group] = {
       val groups = scala.collection.mutable.ArrayBuffer[Group]()
       var agents = scala.collection.mutable.ArrayBuffer[String]()
       var rules = scala.collection.mutable.ArrayBuffer[Rule]()
+      var delay: Option[Int] = None
       var inGroup = false
       def flush(): Unit = {
-        if (inGroup) groups += Group(agents.toSeq, rules.toSeq)
+        if (inGroup) groups += Group(agents.toSeq, rules.toSeq, delay)
         agents = scala.collection.mutable.ArrayBuffer[String]()
         rules = scala.collection.mutable.ArrayBuffer[Rule]()
+        delay = None
         inGroup = false
       }
       text.split("\n").foreach { raw =>
@@ -496,16 +499,21 @@ object Crawl extends QueryModule {
             val value = line.substring(colon + 1).trim
             key match {
               case "user-agent" =>
-                // a user-agent AFTER rules starts a fresh group; stacked
-                // user-agent lines extend the current group's agent set
-                if (rules.nonEmpty) flush()
+                // a user-agent AFTER any directive starts a fresh group;
+                // stacked user-agent lines extend the current agent set
+                if (rules.nonEmpty || delay.nonEmpty) flush()
                 agents += value.toLowerCase
                 inGroup = true
               case "allow" if inGroup =>
                 if (value.nonEmpty) rules += Rule(allow = true, value)
               case "disallow" if inGroup =>
                 if (value.nonEmpty) rules += Rule(allow = false, value)
-              case _ => () // crawl-delay, sitemap, unknown: ignored
+              case "crawl-delay" if inGroup =>
+                // the de-facto politeness directive (not in RFC 9309 but
+                // honored by every major crawler): integer seconds;
+                // malformed values ignored, repeated lines keep the first
+                if (delay.isEmpty) delay = value.toIntOption.filter(_ >= 0)
+              case _ => () // sitemap, unknown: ignored
             }
           }
         }
@@ -522,6 +530,20 @@ object Crawl extends QueryModule {
       val named = groups.filter(_.agents.contains(a))
       val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
       chosen.flatMap(_.rules)
+    }
+
+    /** The crawl delay governing `agent` under the same group-selection
+      * precedence as [[rulesFor]] (named groups beat `*`): the MINIMUM
+      * delay across chosen groups that declare one — the conservative
+      * read when several groups name the agent. None = no delay declared
+      * for this agent (the usual case; crawler default applies).
+      */
+    def delayFor(groups: Seq[Group], agent: String): Option[Int] = {
+      val a = agent.toLowerCase
+      val named = groups.filter(_.agents.contains(a))
+      val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+      val ds = chosen.flatMap(_.delay)
+      if (ds.isEmpty) None else Some(ds.min)
     }
 
     /** RFC 9309 pattern match over path-and-query: literal prefix match
@@ -1195,6 +1217,8 @@ object Crawl extends QueryModule {
     if (domIdx % 3 == 0) sb.append("Allow: /p1/p2/p3\n")
     if (domIdx % 5 == 0) sb.append("Disallow: /*?q=\n")
     sb.append("Disallow: /private$\n")
+    // politeness rung: every third domain declares a per-agent delay
+    if (domIdx % 3 == 0) sb.append(s"Crawl-delay: ${domIdx % 4 + 1}\n")
     sb.append("\nUser-agent: otherbot\nDisallow: /\n")
     sb.append("\nUser-agent: *\nCrawl-delay: 5\nDisallow: /never\n")
     sb.toString
@@ -1283,6 +1307,22 @@ object Crawl extends QueryModule {
           lit(1000000007L))).cast("bigint").as("url_check"))
       .select(col("page_host").as("src_host"), col("host").as("dst_host"),
         col("n_links"), col("n_pages"), col("url_check"))
+  }
+
+  /** Per-domain crawl delay for `agent` from the robots table — a
+    * |domains|-sized frame ([[RobotsCodec.delayFor]] per body), the
+    * politeness input a fetch scheduler multiplies into its budget.
+    */
+  def robotsDelays(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    val rdd = robots.select(col("domain"), col("robots_txt")).rdd.map { r =>
+      Row(r.getString(0),
+        RobotsCodec.delayFor(RobotsCodec.parse(r.getString(1)), agent)
+          .map(_.toLong).map(Long.box).orNull)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("domain", StringType),
+      StructField("crawl_delay", org.apache.spark.sql.types.LongType))))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1478,13 +1518,20 @@ object Crawl extends QueryModule {
         .groupBy(col("dst_dom").as("domain"))
         .agg(sum(col("n_links")).cast("bigint").as("in_links"),
           countDistinct(col("src_host")).cast("bigint").as("in_hosts"))
+      val delays = robotsDelays(robots, "graftbot")
       val report = gate.join(canon, Seq("domain"), "left")
         .join(inlinks, Seq("domain"), "left")
+        .join(broadcast(delays), Seq("domain"), "left")
         .select(col("domain"), col("n_urls"), col("n_allowed"),
           coalesce(col("n_canon"), lit(0L)).as("n_canon"),
           (col("n_allowed") - coalesce(col("n_canon"), lit(0L))).as("dup_saved"),
           coalesce(col("in_links"), lit(0L)).as("in_links"),
-          coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+          coalesce(col("in_hosts"), lit(0L)).as("in_hosts"),
+          coalesce(col("crawl_delay"), lit(0L)).as("crawl_delay"),
+          // politeness-bound drain time: fetching the canonical set one
+          // request per delay period — what the scheduler actually plans
+          (coalesce(col("n_canon"), lit(0L)) *
+            coalesce(col("crawl_delay"), lit(0L))).as("drain_seconds"))
       // rank + report size off ONE global window over the |domains|-sized
       // report (a crossJoin'd count would duplicate the whole report
       // subtree — the robots RDD pass is not exchange-reusable)
@@ -1796,14 +1843,15 @@ object Crawl extends QueryModule {
         |           ELSE '' END AS canon
         |  FROM documents
         |), v AS (
-        |  SELECT domain, canon,
+        |  SELECT domain, dom_idx, canon,
         |    CASE WHEN depth >= 3 AND dom_idx % 3 = 0 THEN true
         |         WHEN dom_idx % 2 = 0 AND depth >= 2 THEN false
         |         WHEN dom_idx % 5 = 0 AND has_q THEN false
         |         ELSE true END AS allowed
         |  FROM u
         |), gate AS (
-        |  SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  SELECT domain, max(dom_idx) AS dom_idx,
+        |    CAST(count(*) AS BIGINT) AS n_urls,
         |    CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
         |    CAST(count(DISTINCT CASE WHEN allowed THEN canon END) AS BIGINT) AS n_canon
         |  FROM v GROUP BY domain
@@ -1833,7 +1881,11 @@ object Crawl extends QueryModule {
         |  SELECT g.domain, g.n_urls, g.n_allowed, g.n_canon,
         |    g.n_allowed - g.n_canon AS dup_saved,
         |    coalesce(il.in_links, 0) AS in_links,
-        |    coalesce(il.in_hosts, 0) AS in_hosts
+        |    coalesce(il.in_hosts, 0) AS in_hosts,
+        |    CAST(CASE WHEN g.dom_idx % 3 = 0 THEN g.dom_idx % 4 + 1
+        |         ELSE 0 END AS BIGINT) AS crawl_delay,
+        |    CAST(g.n_canon * (CASE WHEN g.dom_idx % 3 = 0
+        |         THEN g.dom_idx % 4 + 1 ELSE 0 END) AS BIGINT) AS drain_seconds
         |  FROM gate g LEFT JOIN il ON il.domain = g.domain
         |), ranked AS (
         |  SELECT *, row_number() OVER (ORDER BY in_links DESC, domain) AS rnk,
@@ -1843,6 +1895,7 @@ object Crawl extends QueryModule {
         |SELECT domain, n_urls, n_allowed, n_canon, dup_saved,
         |  CAST(in_links AS BIGINT) AS in_links,
         |  CAST(in_hosts AS BIGINT) AS in_hosts,
+        |  crawl_delay, drain_seconds,
         |  CASE WHEN (rnk - 1) * 3 < n_dom THEN 'high'
         |       WHEN (rnk - 1) * 3 < n_dom * 2 THEN 'mid'
         |       ELSE 'low' END AS fetch_priority

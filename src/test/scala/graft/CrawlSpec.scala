@@ -162,6 +162,46 @@ class CrawlSpec extends SparkSuiteBase {
       texts(0).getString(1) == "ok")
   }
 
+  test("robots Crawl-delay: parse, group precedence, malformed values, group splits") {
+    import graft.operators.Crawl.RobotsCodec
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /x
+        |Crawl-delay: 3
+        |
+        |User-agent: *
+        |Crawl-delay: 5
+        |Disallow: /never
+        |""".stripMargin
+    val g = RobotsCodec.parse(txt)
+    // named group wins over * for the delay, same precedence as rules
+    assert(RobotsCodec.delayFor(g, "graftbot") === Some(3))
+    assert(RobotsCodec.delayFor(g, "otherbot") === Some(5))
+    // a crawl-delay-only group still splits at the next user-agent
+    val g2 = RobotsCodec.parse(
+      """User-agent: a
+        |Crawl-delay: 2
+        |User-agent: b
+        |Disallow: /q
+        |""".stripMargin)
+    assert(g2.length === 2)
+    assert(RobotsCodec.delayFor(g2, "a") === Some(2))
+    assert(RobotsCodec.delayFor(g2, "b") === None)
+    assert(RobotsCodec.rulesFor(g2, "b").nonEmpty)
+    // malformed and negative values are ignored; min across groups wins
+    val g3 = RobotsCodec.parse(
+      """User-agent: c
+        |Crawl-delay: soon
+        |User-agent: c
+        |Crawl-delay: -1
+        |User-agent: c
+        |Crawl-delay: 7
+        |User-agent: c
+        |Crawl-delay: 4
+        |""".stripMargin)
+    assert(RobotsCodec.delayFor(g3, "c") === Some(4))
+  }
+
   test("charset degrade: extraction DROPS the record, stats types it (pinned contract)") {
     // one record declaring windows-1251 whose body bytes are invalid in
     // it (0x98 is unmapped in cp1251): decodeBody degrades typed
