@@ -282,7 +282,10 @@ object PlanDump {
     // asymmetric band join)
     "sim_topk_m16_rerank", "mm_dhash_incr",
     // temporal video fingerprint: narrow Arrow-seam decode, no shuffle
-    "mm_video_fingerprint")
+    "mm_video_fingerprint",
+    // sequence packing: per-(shard, block) bounded cumsum windows, two
+    // partial-agg rollups — no corpus-wide sort
+    "pipe_seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -279,6 +279,44 @@ object Curation extends QueryModule {
     // export is one partitioned write (shard pruning for any re-reader)
     // and the manifest one partial-agg'd pass over it; bit_xor state is
     // 8 bytes per shard. ----
+    // ---- SEQUENCE-PACKING report — the GPT-style concat-and-chunk
+    // accounting a pretraining data loader runs: documents concatenate in
+    // doc_id order and split into fixed 512-token context windows, so a
+    // doc whose token span crosses a window boundary is SPLIT across
+    // training examples. Packing is PER (shard, 1000-doc block) — the
+    // pack-within-a-file-split shape real loaders use — so the running
+    // cumsum window is bounded by the block, never a corpus-wide sort
+    // (the hub-funnel rule). Report per shard: doc/token mass, window
+    // count (sum of per-block ceils), boundary-crossing docs, and the
+    // integer fill ratio (padding waste = 1e6 − fill). The oracle replays
+    // the identical cumsum/ceil arithmetic. ----
+    "pipe_seq_pack" -> ((s, d) => {
+      val C = 512L
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+          pmod(h60(col("text")), lit(8L)).as("shard"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        .withColumn("block", expr("doc_id DIV 1000"))
+      val w = Window.partitionBy(col("shard"), col("block"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val placed = docs
+        .withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("spans",
+          expr(s"(cb DIV $C) < ((cb + n_tokens - 1) DIV $C)"))
+      placed.groupBy(col("shard"), col("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"),
+          sum(when(col("spans"), 1L).otherwise(0L)).as("n_span"))
+        .withColumn("wins", expr(s"(toks + ${C - 1}) DIV $C"))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("toks")).cast("bigint").as("total_tokens"),
+          sum(col("wins")).cast("bigint").as("n_windows"),
+          sum(col("n_span")).cast("bigint").as("n_spanning"))
+        .withColumn("fill_x1e6",
+          expr(s"(total_tokens * 1000000) DIV (n_windows * $C)"))
+        .orderBy(col("shard"))
+    }),
+
     "pipe_export_shards" -> ((s, d) => {
       val t = ExportFixture.tableName(s, d)
       ExportFixture.wh.read(s, t)
@@ -888,6 +926,35 @@ object Curation extends QueryModule {
     // recomputes the manifest from `documents` directly — the Spark side
     // reads only the EXPORTED files, so loss/duplication/mis-assignment
     // in the export breaks the hash
+    // replays the shard hash, per-block token cumsum, boundary-crossing
+    // predicate, and ceil-window arithmetic in lockstep
+    "pipe_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id // 1000 AS block
+        |  FROM documents
+        |), p AS (
+        |  SELECT shard, block, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard, block
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cb
+        |  FROM t
+        |), pb AS (
+        |  SELECT shard, block, count(*) AS n_docs, sum(n_tokens) AS toks,
+        |    sum(CASE WHEN (cb // 512) < ((cb + n_tokens - 1) // 512)
+        |        THEN 1 ELSE 0 END) AS n_span
+        |  FROM p GROUP BY shard, block
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum((toks + 511) // 512) AS BIGINT) AS n_windows,
+        |  CAST(sum(n_span) AS BIGINT) AS n_spanning,
+        |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
+        |    AS fill_x1e6
+        |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
     "pipe_export_shards" ->
       """SELECT
         |  try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
