@@ -285,7 +285,11 @@ object PlanDump {
     "mm_video_fingerprint",
     // sequence packing: per-(shard, block) bounded cumsum windows, two
     // partial-agg rollups — no corpus-wide sort
-    "pipe_seq_pack")
+    "pipe_seq_pack",
+    // token-budget sampler: histogram-cut selection (bounded cumulative
+    // window over ≤65536 bucket rows per source + one occupancy-bounded
+    // boundary-bucket window) — never a per-source corpus sort
+    "pipe_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -279,6 +279,64 @@ object Curation extends QueryModule {
     // export is one partitioned write (shard pruning for any re-reader)
     // and the manifest one partial-agg'd pass over it; bit_xor state is
     // 8 bytes per shard. ----
+    // ---- TOKEN-BUDGET mixture sampler — "sample each source down to
+    // its token budget" (the data-mixing step that turns raw source
+    // masses into a training mixture): docs are taken in deterministic
+    // md5 order until the source's budget (here src_tokens DIV (2 + 
+    // md5(source) mod 3) — a derived stand-in for the mixture config)
+    // is reached. Scalable selection WITHOUT a per-source corpus sort —
+    // the count-of-counts histogram-cut pattern: (source, 16-bit md5
+    // prefix) token masses partial-agg to ≤ 65536 rows per source, a
+    // bounded cumulative window finds the CUTOFF bucket, and only that
+    // one bucket's docs need a within-bucket cumsum (occupancy-bounded);
+    // buckets below the cutoff are taken whole, above dropped. Because
+    // the bucket id is a PREFIX of the md5 order, the two-stage pick
+    // equals the straight per-source cumsum the oracle replays. Includes
+    // the straddling doc (take-while cum_before < budget), so overshoot
+    // is at most one doc. ----
+    "pipe_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
+      val budgets = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+        .withColumn("budget", expr(
+          "src_tokens DIV (2 + CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT) % 3)"))
+        .select(col("source"), col("budget"))
+      val hist = docs.groupBy(col("source"), col("hb"))
+        .agg(sum(col("n_tokens")).as("bt"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cutoff = hist
+        .withColumn("cum_before", coalesce(sum(col("bt")).over(wSrc), lit(0L)))
+        .join(broadcast(budgets), "source")
+        .filter(col("cum_before") + col("bt") >= col("budget"))
+        .groupBy(col("source"))
+        .agg(min(struct(col("hb"), col("cum_before"))).as("c"))
+        .select(col("source"), col("c.hb").as("cut_hb"),
+          col("c.cum_before").as("below_tokens"))
+      val joined = docs.join(broadcast(cutoff), Seq("source"), "left")
+        .join(broadcast(budgets), "source")
+      val fullBelow = joined
+        .filter(col("cut_hb").isNull || col("hb") < col("cut_hb"))
+        .select(col("source"), col("budget"), col("n_tokens"))
+      val wB = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = joined.filter(col("hb") === col("cut_hb"))
+        .withColumn("cb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+        .filter(col("below_tokens") + col("cb") < col("budget"))
+        .select(col("source"), col("budget"), col("n_tokens"))
+      fullBelow.unionByName(boundary)
+        .groupBy(col("source"))
+        .agg(max(col("budget")).cast("bigint").as("budget"),
+          count(lit(1)).cast("bigint").as("n_selected"),
+          sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
+        .withColumn("overshoot", (col("sel_tokens") - col("budget")).cast("bigint"))
+        .orderBy(col("source"))
+    }),
+
     // ---- SEQUENCE-PACKING report — the GPT-style concat-and-chunk
     // accounting a pretraining data loader runs: documents concatenate in
     // doc_id order and split into fixed 512-token context windows, so a
@@ -926,6 +984,33 @@ object Curation extends QueryModule {
     // recomputes the manifest from `documents` directly — the Spark side
     // reads only the EXPORTED files, so loss/duplication/mis-assignment
     // in the export breaks the hash
+    // replays the take-while selection as ONE straight per-source md5-
+    // ordered cumsum — agreeing with the engine's two-stage histogram
+    // cut proves the bucket decomposition exact, not just plausible
+    "pipe_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, sum(n_tokens)
+        |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
+        |    AS budget
+        |  FROM t GROUP BY source
+        |), o AS (
+        |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS cb
+        |  FROM t
+        |), sel AS (
+        |  SELECT o.source, o.n_tokens, b.budget
+        |  FROM o JOIN b USING (source) WHERE o.cb < b.budget
+        |)
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+        |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // replays the shard hash, per-block token cumsum, boundary-crossing
     // predicate, and ceil-window arithmetic in lockstep
     "pipe_seq_pack" ->
