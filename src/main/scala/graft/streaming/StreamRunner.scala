@@ -380,26 +380,55 @@ object StreamRunner {
       audit: DataFrame => Option[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    perceptualIngestToWarehouse(mediaStream, wh, table, audit, checkpointDir,
+      graft.operators.Multimodal.dhashArrow, "png", trigger)
+
+  /** The VIDEO twin: keyframe dHash over decoded y4m luma
+    * ([[graft.operators.Multimodal.videoDhashArrow]]) through the same
+    * collapse → incremental-match → audited-publish body.
+    */
+  def videoIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    perceptualIngestToWarehouse(mediaStream, wh, table, audit, checkpointDir,
+      graft.operators.Multimodal.videoDhashArrow, "y4m", trigger)
+
+  private def perceptualIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      hashArrow: DataFrame => DataFrame,
+      okFormat: String,
+      trigger: Trigger): StreamingQuery =
     mediaStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        imagePublishBatch(batch, batchId, wh, table, audit)
+        perceptualPublishBatch(batch, batchId, wh, table, audit,
+          hashArrow, okFormat)
       }
       .start()
 
-  private def imagePublishBatch(
+  private def perceptualPublishBatch(
       batch: DataFrame,
       batchId: Long,
       wh: Warehouse,
       table: String,
-      audit: DataFrame => Option[String]): Unit = {
+      audit: DataFrame => Option[String],
+      hashArrow: DataFrame => DataFrame,
+      okFormat: String): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.operators.Multimodal
     if (!batch.isEmpty) {
-      val hashes = Multimodal.dhashArrow(batch)
-        .filter(col("format") === "png")
+      val hashes = hashArrow(batch)
+        .filter(col("format") === okFormat)
         .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
         .cache()
       try {

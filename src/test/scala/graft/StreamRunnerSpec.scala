@@ -602,6 +602,40 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .count() === 0L)
   }
 
+  test("streaming video ingest: keyframe dups drop via the shared perceptual body") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+    def payloads(ids: Seq[Long]): Map[Long, Array[Byte]] = {
+      val docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_))), docSchema)
+      Multimodal.attachVideoDupMedia(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
+    val pay = payloads(Seq(0L, 1L, 8L, 9L, 30L))
+    val wh = new Warehouse(tmpDir("vidingest"))
+    val cp = tmpDir("vidingest_cp")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamRunner.videoIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "vids", _ => None,
+      cp, Trigger.AvailableNow())
+    ms.addData(Seq(0L, 1L).map(i => i -> pay(i)))
+    q.processAllAvailable(); q.stop()
+    // batch 1: 8 re-renders 0 exactly, 9 is 1's one-cell keyframe edit
+    // (hamming 1-2), 30 is new
+    ms.addData(Seq(8L, 9L, 30L).map(i => i -> pay(i)))
+    val q2 = StreamRunner.videoIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "vids", _ => None,
+      cp, Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    val docs = wh.read(spark, "vids").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(docs === Set(0L, 1L, 30L), s"got $docs")
+  }
+
   test("non-quiesced compaction skips torn and possibly-in-flight batches") {
     val wh = new Warehouse(tmpDir("cpq"))
     def postingsFor(b: Long, ids: Seq[Long]) =
