@@ -510,9 +510,13 @@ object Crawl extends QueryModule {
                 if (value.nonEmpty) rules += Rule(allow = false, value)
               case "crawl-delay" if inGroup =>
                 // the de-facto politeness directive (not in RFC 9309 but
-                // honored by every major crawler): integer seconds;
-                // malformed values ignored, repeated lines keep the first
-                if (delay.isEmpty) delay = value.toIntOption.filter(_ >= 0)
+                // honored by every major crawler): seconds, FRACTIONAL
+                // values common in the wild ("0.5") — ceil'd so an
+                // explicit throttle request never rounds to no delay;
+                // malformed/negative ignored, repeated lines keep the first
+                if (delay.isEmpty)
+                  delay = value.toDoubleOption.filter(_ >= 0)
+                    .map(dv => math.ceil(dv).toInt)
               case _ => () // sitemap, unknown: ignored
             }
           }
@@ -533,17 +537,19 @@ object Crawl extends QueryModule {
     }
 
     /** The crawl delay governing `agent` under the same group-selection
-      * precedence as [[rulesFor]] (named groups beat `*`): the MINIMUM
-      * delay across chosen groups that declare one — the conservative
-      * read when several groups name the agent. None = no delay declared
-      * for this agent (the usual case; crawler default applies).
+      * precedence as [[rulesFor]] (named groups beat `*`): the MAXIMUM
+      * delay across chosen groups that declare one — for politeness the
+      * conservative read is the site's STRICTEST declared rate (the
+      * minimum would under-wait by exactly the ratio of the two
+      * declarations). None = no delay declared for this agent (the
+      * usual case; crawler default applies).
       */
     def delayFor(groups: Seq[Group], agent: String): Option[Int] = {
       val a = agent.toLowerCase
       val named = groups.filter(_.agents.contains(a))
       val chosen = if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
       val ds = chosen.flatMap(_.delay)
-      if (ds.isEmpty) None else Some(ds.min)
+      if (ds.isEmpty) None else Some(ds.max)
     }
 
     /** RFC 9309 pattern match over path-and-query: literal prefix match
@@ -1502,7 +1508,10 @@ object Crawl extends QueryModule {
         }),
         StructType(Seq(StructField("domain", StringType),
           StructField("robots_txt", StringType))))
-      val verdicts = robotsVerdicts(frontier, robots, "graftbot")
+      // cached: the RDD-backed verdict pass feeds BOTH the gate rollup
+      // and the canonical-dedup branch — without it the robots matching
+      // runs twice (RDD scans are not exchange-reusable)
+      val verdicts = robotsVerdicts(frontier, robots, "graftbot").cache()
       val gate = verdicts.groupBy(col("domain"))
         .agg(count(lit(1)).cast("bigint").as("n_urls"),
           sum(when(col("allowed"), 1L).otherwise(0L)).cast("bigint")

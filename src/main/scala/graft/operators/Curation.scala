@@ -301,8 +301,8 @@ object Curation extends QueryModule {
         .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
       val budgets = docs.groupBy(col("source"))
         .agg(sum(col("n_tokens")).as("src_tokens"))
-        .withColumn("budget", expr(
-          "src_tokens DIV (2 + CAST(conv(substring(md5(source), 1, 15), 16, 10) AS BIGINT) % 3)"))
+        .withColumn("__src_h", pmod(h60(col("source")), lit(3L)))
+        .withColumn("budget", expr("src_tokens DIV (2 + __src_h)"))
         .select(col("source"), col("budget"))
       val hist = docs.groupBy(col("source"), col("hb"))
         .agg(sum(col("n_tokens")).as("bt"))

@@ -188,7 +188,8 @@ class CrawlSpec extends SparkSuiteBase {
     assert(RobotsCodec.delayFor(g2, "a") === Some(2))
     assert(RobotsCodec.delayFor(g2, "b") === None)
     assert(RobotsCodec.rulesFor(g2, "b").nonEmpty)
-    // malformed and negative values are ignored; min across groups wins
+    // malformed and negative values are ignored; the STRICTEST (max)
+    // declared delay wins — politeness never under-waits
     val g3 = RobotsCodec.parse(
       """User-agent: c
         |Crawl-delay: soon
@@ -199,7 +200,13 @@ class CrawlSpec extends SparkSuiteBase {
         |User-agent: c
         |Crawl-delay: 4
         |""".stripMargin)
-    assert(RobotsCodec.delayFor(g3, "c") === Some(4))
+    assert(RobotsCodec.delayFor(g3, "c") === Some(7))
+    // fractional delays (widespread in real robots.txt) ceil, never drop
+    val g4 = RobotsCodec.parse(
+      """User-agent: d
+        |Crawl-delay: 0.5
+        |""".stripMargin)
+    assert(RobotsCodec.delayFor(g4, "d") === Some(1))
   }
 
   test("charset degrade: extraction DROPS the record, stats types it (pinned contract)") {
