@@ -289,7 +289,10 @@ object PlanDump {
     // token-budget sampler: histogram-cut selection (bounded cumulative
     // window over ≤65536 bucket rows per source + one occupancy-bounded
     // boundary-bucket window) — never a per-source corpus sort
-    "pipe_token_budget")
+    "pipe_token_budget",
+    // cross-modality dedup capstone: one narrow sniff+decode+sign pass,
+    // |modalities| output rows
+    "pipe_media_dedup_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -2156,6 +2156,113 @@ object Multimodal extends QueryModule {
       .filter(col("format") === "y4m")
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
 
+  /** Mixed-media corpus with PLANTED CROSS-REPRESENTATION duplicates —
+    * every dup is byte-DIFFERENT but perceptually identical, so nothing
+    * short of real decoding can find it: modality = id%3 (PNG / WAV /
+    * Y4M), content index c = id/3, and every c ≡ 7 (mod 8) re-expresses
+    * content c−7 as
+    *  - image: the same pixel formula re-rendered on a WIDER canvas
+    *    (20×16 vs 18×16 — equal at every dHash-sampled site, different
+    *    bytes everywhere);
+    *  - audio: the same waveform at 2× GAIN (energy-shape sign bits are
+    *    gain-invariant; every byte differs);
+    *  - video: the same keyframe with a DIFFERENT second frame (keyframe
+    *    dHash equal, stream bytes differ).
+    * A byte-level hash sees zero duplicates in this corpus; the 64-bit
+    * image/video signatures see exactly the planted ones, and the
+    * 15-bit audio fingerprint sees them PLUS a measurable over-merge
+    * (short fingerprints trade resolution for size — the report makes
+    * that tradeoff a number, n_redundant − planted, instead of a
+    * surprise).
+    */
+  def attachPerceptualMixMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val c = id / 3
+      val dup = c % 8 == 7
+      val k = if (dup) c - 7 else c
+      val a1 = (k * 13 % 97 + 7).toInt
+      val a2 = (k * 29 % 83 + 5).toInt
+      val bytes = (id % 3) match {
+        case 0 =>
+          PngCodec.encode(if (dup) 20 else 18, 16, 2, (y, x, ch) =>
+            (a1 * x * x + a2 * x * y + 13 * y * y + ch * 11) % 256)
+        case 1 =>
+          val amp = if (dup) 2 else 1
+          val pcm = new Array[Byte](64)
+          var j = 0
+          while (j < 32) {
+            val v = (amp * (((k * 37 + j * 13 + k * j * 7) % 197) - 98)).toInt & 0xffff
+            pcm(2 * j) = (v & 0xff).toByte
+            pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+            j += 1
+          }
+          wavPcm(pcm, channels = 1, rate = 8000)
+        case _ =>
+          Y4mCodec.encode(18, 16, 2, (f, pl, y, x) =>
+            if (pl == 0)
+              (a1 * x * x + a2 * x * y + 13 * y * y +
+                f * (if (dup) 91 else 37)) % 256
+            else (k + pl * 31 + y + x).toInt % 256)
+      }
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Byte-level RIFF/WAVE builder (16-bit PCM) for fixtures constructed
+    * from computed samples rather than text bytes.
+    */
+  private def wavPcm(pcm: Array[Byte], channels: Int, rate: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    out.array()
+  }
+
+  val mediaSigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("sig_hi", LongType),
+    StructField("sig_lo", LongType)))
+
+  /** Byte-sniffing PERCEPTUAL signature router: per payload, the magic
+    * picks the modality and its signature — image dHash ([[dhashRow]]),
+    * audio energy-shape fingerprint ([[wavFingerprintRow]], sig_hi 0),
+    * video keyframe dHash ([[videoDhashRow]]) — one decode where the
+    * bytes are read, 64 bits out regardless of modality. Undecodable
+    * payloads degrade typed with signatures withheld.
+    */
+  private def mediaSigRow(id: Long, bytes: Array[Byte]): Row = {
+    def fail(reason: String) = Row(id, reason, null, null)
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') {
+      val r = dhashRow(id, bytes)
+      if (r.getString(1) != "png") fail(r.getString(1))
+      else Row(id, "image", r.getLong(2), r.getLong(3))
+    } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') {
+      val r = wavFingerprintRow(id, bytes)
+      if (r.getString(1) != "wav") fail(r.getString(1))
+      else Row(id, "audio", 0L, r.getLong(3))
+    } else if (bytes.length >= 9 &&
+        new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2") {
+      val r = videoDhashRow(id, bytes)
+      if (r.getString(1) != "y4m") fail(r.getString(1))
+      else Row(id, "video", r.getLong(2), r.getLong(3))
+    } else fail("unknown-media")
+  }
+
+  /** Signature router over the Arrow batch seam. */
+  def mediaSigArrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, mediaSigSchema)(mediaSigRow)
+
   val videoFpSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -2922,6 +3029,29 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- CROSS-MODALITY perceptual dedup capstone: the signature
+    // router ([[mediaSigArrow]]) decodes each payload by its magic and
+    // emits the modality's 64-bit perceptual signature; the report
+    // counts per-modality items, distinct signatures, and redundant
+    // copies. Every planted dup is byte-DIFFERENT (wider canvas / 2×
+    // gain / different second frame), so a byte-hash dedup sees ZERO of
+    // them — the oracle replays all three signature formulas from the
+    // content arithmetic and counts distinct values itself, so a decoder
+    // that collapses, garbles, or byte-hashes breaks the count. Scale:
+    // one narrow decode pass, |modalities| output rows, signature-width
+    // shuffle. ----
+    "pipe_media_dedup_e2e" -> ((s, d) => {
+      val media = attachPerceptualMixMedia(Tables.documents(s, d))
+      mediaSigArrow(media)
+        .filter(col("modality").isin("image", "audio", "video"))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).cast("bigint").as("n_items"),
+          countDistinct(col("sig_hi"), col("sig_lo")).cast("bigint")
+            .as("n_distinct"))
+        .withColumn("n_redundant", (col("n_items") - col("n_distinct")).cast("bigint"))
+        .orderBy(col("modality"))
+    }),
+
     "pipe_multimodal_e2e" -> ((s, d) => {
       val media = attachMixedMedia(Tables.documents(s, d))
       routeMixedArrow(media)
@@ -3382,6 +3512,79 @@ override def oracleSql: Map[String, String] = Map(
     "mm_video_neardup" -> (videoOracleCte + dhashPairsCte +
       """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
+    // replays ALL THREE perceptual signature formulas from the content
+    // arithmetic (image Rec.601 dHash bits, audio |v| window-delta bits
+    // with the dup class's 2x gain, video keyframe luma bits) and counts
+    // distinct values itself — never decoding a byte
+    "pipe_media_dedup_e2e" ->
+      """WITH co AS (
+        |  SELECT doc_id, doc_id % 3 AS m,
+        |    (doc_id // 3) % 8 = 7 AS dup,
+        |    CASE WHEN (doc_id // 3) % 8 = 7 THEN doc_id // 3 - 7
+        |         ELSE doc_id // 3 END AS k
+        |  FROM documents
+        |), ck AS (
+        |  SELECT doc_id, m, dup, k,
+        |    (k * 13) % 97 + 7 AS a1, (k * 29) % 83 + 5 AS a2
+        |  FROM co
+        |), ig AS (
+        |  SELECT doc_id, ty.ty AS ty, tx.tx AS tx,
+        |    (299 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty)) % 256)
+        |   + 587 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 11) % 256)
+        |   + 114 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 22) % 256)) // 1000 AS gray
+        |  FROM ck, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+        |  WHERE m = 0
+        |), ib AS (
+        |  SELECT l.doc_id,
+        |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+        |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+        |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM ig l JOIN ig r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+        |  WHERE l.tx < 8 GROUP BY l.doc_id
+        |), vg AS (
+        |  SELECT doc_id, ty.ty AS ty, tx.tx AS tx,
+        |    (a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty)
+        |     + 13*(2*ty.ty)*(2*ty.ty)) % 256 AS gray
+        |  FROM ck, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+        |  WHERE m = 2
+        |), vb AS (
+        |  SELECT l.doc_id,
+        |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+        |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+        |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM vg l JOIN vg r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+        |  WHERE l.tx < 8 GROUP BY l.doc_id
+        |), au AS (
+        |  SELECT doc_id, j.j AS j,
+        |    (CASE WHEN dup THEN 2 ELSE 1 END)
+        |      * (((k*37 + j.j*13 + k*j.j*7) % 197) - 98) AS v
+        |  FROM ck, UNNEST(range(0, 32)) AS j(j) WHERE m = 1
+        |), ae AS (
+        |  SELECT doc_id, j // 2 AS w, sum(abs(v)) AS ew
+        |  FROM au GROUP BY doc_id, j // 2
+        |), ab AS (
+        |  SELECT l.doc_id,
+        |    CAST(sum(CASE WHEN l.ew > r.ew THEN (1::BIGINT << l.w) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM ae l JOIN ae r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        |  GROUP BY l.doc_id
+        |), rep AS (
+        |  SELECT 'image' AS modality, count(*) AS n_items,
+        |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)) AS n_distinct
+        |  FROM ib
+        |  UNION ALL
+        |  SELECT 'audio', count(*), count(DISTINCT fp) FROM ab
+        |  UNION ALL
+        |  SELECT 'video', count(*),
+        |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR))
+        |  FROM vb
+        |)
+        |SELECT modality, CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n_items - n_distinct AS BIGINT) AS n_redundant
+        |FROM rep ORDER BY modality""".stripMargin,
     // recomputes every frame's luma mass from the generator formula
     // ((id*31 + f*13 + y*7 + x*5) % 256 over the id-arithmetic w×h grid)
     // and replays the delta-sign packing — never seeing a stream byte
