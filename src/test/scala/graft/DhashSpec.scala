@@ -122,4 +122,29 @@ class DhashSpec extends SparkSuiteBase {
       assert(h(id) === (hi, lo), s"video doc $id keyframe hash")
     }
   }
+
+  test("perceptual mix fixture: every planted dup is byte-DIFFERENT but signature-equal") {
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 48L).map(Row(_))), docSchema)
+    val payloads = Multimodal.attachPerceptualMixMedia(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val sigs = Multimodal.mediaSigArrow(Multimodal.attachPerceptualMixMedia(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // dup pairs: content c = id/3 with c%8==7 duplicates content c-7 of
+    // the SAME modality (id and id-21 share id%3)
+    var checked = 0
+    for (id <- 0L until 48L; c = id / 3 if c % 8 == 7) {
+      val base = id - 21 // (c-7)*3 + m
+      assert(!payloads(id).sameElements(payloads(base)),
+        s"dup $id must differ from $base at the BYTE level")
+      assert(sigs(id) === sigs(base),
+        s"dup $id must equal $base at the SIGNATURE level")
+      checked += 1
+    }
+    assert(checked >= 3, "all three modalities exercised")
+    // modalities routed correctly by magic
+    assert(sigs(0L)._1 === "image" && sigs(1L)._1 === "audio" &&
+      sigs(2L)._1 === "video")
+  }
 }
