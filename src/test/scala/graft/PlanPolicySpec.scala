@@ -271,6 +271,67 @@ class PlanPolicySpec extends SparkSuiteBase {
         s"$q still carries a hub-funnel window")
   }
 
+  test("sim_topk_m16: the serve scans ONLY the slice artifact, never raw embeddings") {
+    val df = graft.operators.Similarity.queries("sim_topk_m16")(spark, sf0001)
+    // optimizedPlan (AQE wraps executedPlan until execution): the file
+    // relations visible to the query ARE the artifact, nothing else
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.contains("m16_slices")),
+      s"every scan must hit the slice artifact, found: $scans")
+    assert(!scans.exists(_.contains("embeddings.parquet")),
+      "raw 64-dim embeddings must not be re-read at query time")
+  }
+
+  test("sim_topk_m16_rerank: stage 2 point-lookups come via a BROADCAST of the shortlist") {
+    val df = graft.operators.Similarity.queries("sim_topk_m16_rerank")(spark, sf0001)
+    // the full-vector lake joins the 50-id shortlist broadcast-side: a
+    // shuffle of the lake for 50 rows would be the wrong shape at any SF
+    assert(broadcastHintedSides(df) >= 1,
+      "the shortlist must carry the broadcast hint into the rerank join")
+  }
+
+  test("pipe_crawl_budget: robots/delays broadcast; the rank window input is the aggregated report") {
+    val df = graft.operators.Crawl.queries("pipe_crawl_budget")(spark, sf0001)
+    // one hint survives to the final plan (the delays frame); the robots
+    // broadcast lives inside the RDD-backed verdict helper's own plan
+    assert(broadcastHintedSides(df) >= 1,
+      "the delays frame must join broadcast-side")
+    // every Window's input subtree must contain an Aggregate — the rank
+    // runs over the |domains|-sized report, never the frontier
+    val offending = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if !w.child.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+          case _ => false
+        } => w.nodeName
+    }
+    assert(offending.isEmpty, s"window over non-aggregated input: $offending")
+  }
+
+  test("pipe_seq_pack / pipe_token_budget: every window is partition-bounded or aggregate-fed") {
+    for (name <- Seq("pipe_seq_pack", "pipe_token_budget")) {
+      val df = graft.operators.Curation.queries(name)(spark, sf0001)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          // unpartitioned windows must consume aggregated (bounded) input;
+          // partitioned ones are fine (shard/block/source keys)
+          if w.partitionSpec.isEmpty && !w.child.exists {
+            case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+            case _ => false
+          } => w.nodeName
+      }
+      assert(bad.isEmpty, s"$name: unpartitioned window over raw input: $bad")
+    }
+  }
+
   test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
     import spark.implicits._
     val docs = Seq(
