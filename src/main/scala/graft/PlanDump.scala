@@ -292,7 +292,9 @@ object PlanDump {
     "pipe_token_budget",
     // cross-modality dedup capstone: one narrow sniff+decode+sign pass,
     // |modalities| output rows
-    "pipe_media_dedup_e2e")
+    "pipe_media_dedup_e2e",
+    // the token-budget CUT: same histogram machinery, per-doc verdicts
+    "pipe_token_budget_cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

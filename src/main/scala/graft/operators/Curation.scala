@@ -337,6 +337,51 @@ object Curation extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // ---- the CUT itself — pipe_token_budget's report turned into the
+    // per-doc keep verdict a downstream export consumes (the
+    // dedup_span_frac → dedup_span_cut convention): every doc keeps a
+    // row, keep = true iff its md5-order prefix position lands under
+    // the source's budget. Same histogram-cut machinery — the verdict
+    // assembly is two partition-pruned branches unioned with the
+    // always-false remainder. ----
+    "pipe_token_budget_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
+      val budgets = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("src_tokens"))
+        .withColumn("__src_h", pmod(h60(col("source")), lit(3L)))
+        .withColumn("budget", expr("src_tokens DIV (2 + __src_h)"))
+        .select(col("source"), col("budget"))
+      val hist = docs.groupBy(col("source"), col("hb"))
+        .agg(sum(col("n_tokens")).as("bt"))
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("hb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cutoff = hist
+        .withColumn("cum_before", coalesce(sum(col("bt")).over(wSrc), lit(0L)))
+        .join(broadcast(budgets), "source")
+        .filter(col("cum_before") + col("bt") >= col("budget"))
+        .groupBy(col("source"))
+        .agg(min(struct(col("hb"), col("cum_before"))).as("c"))
+        .select(col("source"), col("c.hb").as("cut_hb"),
+          col("c.cum_before").as("below_tokens"))
+      val joined = docs.join(broadcast(cutoff), Seq("source"), "left")
+        .join(broadcast(budgets), "source")
+      val wB = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boundary = joined.filter(col("hb") === col("cut_hb"))
+        .withColumn("cb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("below_tokens") + col("cb") < col("budget")).as("keep"))
+      joined.filter(col("cut_hb").isNull || col("hb") =!= col("cut_hb"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("cut_hb").isNull || col("hb") < col("cut_hb")).as("keep"))
+        .unionByName(boundary)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SEQUENCE-PACKING report — the GPT-style concat-and-chunk
     // accounting a pretraining data loader runs: documents concatenate in
     // doc_id order and split into fixed 512-token context windows, so a
@@ -984,6 +1029,26 @@ object Curation extends QueryModule {
     // recomputes the manifest from `documents` directly — the Spark side
     // reads only the EXPORTED files, so loss/duplication/mis-assignment
     // in the export breaks the hash
+    // the same straight-cumsum replay, emitted as per-doc verdicts
+    "pipe_token_budget_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, sum(n_tokens)
+        |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
+        |    AS budget
+        |  FROM t GROUP BY source
+        |), o AS (
+        |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS cb
+        |  FROM t
+        |)
+        |SELECT o.doc_id, o.source, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+        |  o.cb < b.budget AS keep
+        |FROM o JOIN b USING (source) ORDER BY o.doc_id""".stripMargin,
     // replays the take-while selection as ONE straight per-source md5-
     // ordered cumsum — agreeing with the engine's two-stage histogram
     // cut proves the bucket decomposition exact, not just plausible
