@@ -1508,10 +1508,15 @@ object Crawl extends QueryModule {
         }),
         StructType(Seq(StructField("domain", StringType),
           StructField("robots_txt", StringType))))
-      // cached: the RDD-backed verdict pass feeds BOTH the gate rollup
-      // and the canonical-dedup branch — without it the robots matching
-      // runs twice (RDD scans are not exchange-reusable)
-      val verdicts = robotsVerdicts(frontier, robots, "graftbot").cache()
+      // localCheckpoint (not cache): the RDD-backed verdict pass feeds
+      // BOTH the gate rollup and the canonical-dedup branch — without it
+      // the robots matching runs twice (RDD scans are not
+      // exchange-reusable). Checkpointing materializes eagerly and is
+      // GC-reclaimed when the plan dies, where a .cache() with no
+      // unpersist hook would pin the pass in executor memory for the
+      // session (the dedup_clusters convention).
+      val verdicts = robotsVerdicts(frontier, robots, "graftbot")
+        .localCheckpoint()
       val gate = verdicts.groupBy(col("domain"))
         .agg(count(lit(1)).cast("bigint").as("n_urls"),
           sum(when(col("allowed"), 1L).otherwise(0L)).cast("bigint")

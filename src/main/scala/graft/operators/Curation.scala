@@ -49,6 +49,92 @@ object Curation extends QueryModule {
       .when(bucket < 90, lit("val"))
       .otherwise(lit("test"))
 
+  /** The shared docs→budgets→histogram→cutoff→joined frames of the
+    * token-budget family (`pipe_token_budget`, its `_cut` verdicts, and
+    * the BPE-counted twins) — ONE definition so the report and the
+    * verdict can never drift from each other or from the oracle's
+    * straight-cumsum replay. `nTokens` is the per-doc token counter (an
+    * expression over `text`: whitespace split or the trained BPE chain).
+    *
+    * Shape (the 100 TB argument): per-source budgets are a partial-agg'd
+    * rollup; the md5-prefix HISTOGRAM (65k buckets max) finds the cutoff
+    * bucket with a bounded cumulative window; `joined` carries every doc
+    * with its source's `budget`, `cut_hb`, and `below_tokens` via two
+    * broadcast joins — only the single cutoff bucket's docs ever enter
+    * the `boundaryWindow` cumsum (occupancy-bounded, never the corpus).
+    */
+  private case class BudgetFrames(
+      joined: DataFrame,
+      boundaryWindow: org.apache.spark.sql.expressions.WindowSpec)
+
+  private def budgetCutFrames(docsIn: DataFrame, nTokens: Column): BudgetFrames = {
+    val docs = docsIn.select(col("doc_id"), col("source"),
+        nTokens.cast("bigint").as("n_tokens"), md5(col("text")).as("h"))
+      .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
+    val budgets = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("__src_h", pmod(h60(col("source")), lit(3L)))
+      .withColumn("budget", expr("src_tokens DIV (2 + __src_h)"))
+      .select(col("source"), col("budget"))
+    val hist = docs.groupBy(col("source"), col("hb"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("hb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoff = hist
+      .withColumn("cum_before", coalesce(sum(col("bt")).over(wSrc), lit(0L)))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_before") + col("bt") >= col("budget"))
+      .groupBy(col("source"))
+      .agg(min(struct(col("hb"), col("cum_before"))).as("c"))
+      .select(col("source"), col("c.hb").as("cut_hb"),
+        col("c.cum_before").as("below_tokens"))
+    val joined = docs.join(broadcast(cutoff), Seq("source"), "left")
+      .join(broadcast(budgets), "source")
+    val wB = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    BudgetFrames(joined, wB)
+  }
+
+  /** The per-source selection REPORT over [[budgetCutFrames]]: buckets
+    * below the cutoff are taken whole, the cutoff bucket take-whiles its
+    * own cumsum (so overshoot is at most one doc).
+    */
+  private def budgetSelectionReport(f: BudgetFrames): DataFrame = {
+    val fullBelow = f.joined
+      .filter(col("cut_hb").isNull || col("hb") < col("cut_hb"))
+      .select(col("source"), col("budget"), col("n_tokens"))
+    val boundary = f.joined.filter(col("hb") === col("cut_hb"))
+      .withColumn("cb",
+        coalesce(sum(col("n_tokens")).over(f.boundaryWindow), lit(0L)))
+      .filter(col("below_tokens") + col("cb") < col("budget"))
+      .select(col("source"), col("budget"), col("n_tokens"))
+    fullBelow.unionByName(boundary)
+      .groupBy(col("source"))
+      .agg(max(col("budget")).cast("bigint").as("budget"),
+        count(lit(1)).cast("bigint").as("n_selected"),
+        sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
+      .withColumn("overshoot", (col("sel_tokens") - col("budget")).cast("bigint"))
+      .orderBy(col("source"))
+  }
+
+  /** The per-doc CUT verdicts over the same frames — two
+    * partition-pruned branches unioned with the always-decided
+    * remainder (the dedup_span_frac → dedup_span_cut convention).
+    */
+  private def budgetCutVerdicts(f: BudgetFrames): DataFrame = {
+    val boundary = f.joined.filter(col("hb") === col("cut_hb"))
+      .withColumn("cb",
+        coalesce(sum(col("n_tokens")).over(f.boundaryWindow), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("below_tokens") + col("cb") < col("budget")).as("keep"))
+    f.joined.filter(col("cut_hb").isNull || col("hb") =!= col("cut_hb"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cut_hb").isNull || col("hb") < col("cut_hb")).as("keep"))
+      .unionByName(boundary)
+      .orderBy(col("doc_id"))
+  }
+
   /** A REAL shard export for the manifest job: the corpus written ONCE
     * (per corpus fingerprint — the [[Dedup.DerivedArtifacts]] staleness
     * contract) as a shard-partitioned table, shard = content-hash mod 8 —
@@ -295,46 +381,8 @@ object Curation extends QueryModule {
     // the straddling doc (take-while cum_before < budget), so overshoot
     // is at most one doc. ----
     "pipe_token_budget" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-          md5(col("text")).as("h"))
-        .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
-      val budgets = docs.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("src_tokens"))
-        .withColumn("__src_h", pmod(h60(col("source")), lit(3L)))
-        .withColumn("budget", expr("src_tokens DIV (2 + __src_h)"))
-        .select(col("source"), col("budget"))
-      val hist = docs.groupBy(col("source"), col("hb"))
-        .agg(sum(col("n_tokens")).as("bt"))
-      val wSrc = Window.partitionBy(col("source")).orderBy(col("hb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cutoff = hist
-        .withColumn("cum_before", coalesce(sum(col("bt")).over(wSrc), lit(0L)))
-        .join(broadcast(budgets), "source")
-        .filter(col("cum_before") + col("bt") >= col("budget"))
-        .groupBy(col("source"))
-        .agg(min(struct(col("hb"), col("cum_before"))).as("c"))
-        .select(col("source"), col("c.hb").as("cut_hb"),
-          col("c.cum_before").as("below_tokens"))
-      val joined = docs.join(broadcast(cutoff), Seq("source"), "left")
-        .join(broadcast(budgets), "source")
-      val fullBelow = joined
-        .filter(col("cut_hb").isNull || col("hb") < col("cut_hb"))
-        .select(col("source"), col("budget"), col("n_tokens"))
-      val wB = Window.partitionBy(col("source"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val boundary = joined.filter(col("hb") === col("cut_hb"))
-        .withColumn("cb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
-        .filter(col("below_tokens") + col("cb") < col("budget"))
-        .select(col("source"), col("budget"), col("n_tokens"))
-      fullBelow.unionByName(boundary)
-        .groupBy(col("source"))
-        .agg(max(col("budget")).cast("bigint").as("budget"),
-          count(lit(1)).cast("bigint").as("n_selected"),
-          sum(col("n_tokens")).cast("bigint").as("sel_tokens"))
-        .withColumn("overshoot", (col("sel_tokens") - col("budget")).cast("bigint"))
-        .orderBy(col("source"))
+      budgetSelectionReport(budgetCutFrames(Tables.documents(s, d),
+        size(split(col("text"), " ")).cast("bigint")))
     }),
 
     // ---- the CUT itself — pipe_token_budget's report turned into the
@@ -345,41 +393,8 @@ object Curation extends QueryModule {
     // assembly is two partition-pruned branches unioned with the
     // always-false remainder. ----
     "pipe_token_budget_cut" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-          md5(col("text")).as("h"))
-        .withColumn("hb", conv(substring(col("h"), 1, 4), 16, 10).cast("bigint"))
-      val budgets = docs.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("src_tokens"))
-        .withColumn("__src_h", pmod(h60(col("source")), lit(3L)))
-        .withColumn("budget", expr("src_tokens DIV (2 + __src_h)"))
-        .select(col("source"), col("budget"))
-      val hist = docs.groupBy(col("source"), col("hb"))
-        .agg(sum(col("n_tokens")).as("bt"))
-      val wSrc = Window.partitionBy(col("source")).orderBy(col("hb"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cutoff = hist
-        .withColumn("cum_before", coalesce(sum(col("bt")).over(wSrc), lit(0L)))
-        .join(broadcast(budgets), "source")
-        .filter(col("cum_before") + col("bt") >= col("budget"))
-        .groupBy(col("source"))
-        .agg(min(struct(col("hb"), col("cum_before"))).as("c"))
-        .select(col("source"), col("c.hb").as("cut_hb"),
-          col("c.cum_before").as("below_tokens"))
-      val joined = docs.join(broadcast(cutoff), Seq("source"), "left")
-        .join(broadcast(budgets), "source")
-      val wB = Window.partitionBy(col("source"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val boundary = joined.filter(col("hb") === col("cut_hb"))
-        .withColumn("cb", coalesce(sum(col("n_tokens")).over(wB), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          (col("below_tokens") + col("cb") < col("budget")).as("keep"))
-      joined.filter(col("cut_hb").isNull || col("hb") =!= col("cut_hb"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          (col("cut_hb").isNull || col("hb") < col("cut_hb")).as("keep"))
-        .unionByName(boundary)
-        .orderBy(col("doc_id"))
+      budgetCutVerdicts(budgetCutFrames(Tables.documents(s, d),
+        size(split(col("text"), " ")).cast("bigint")))
     }),
 
     // ---- SEQUENCE-PACKING report — the GPT-style concat-and-chunk

@@ -1482,10 +1482,19 @@ object TextAnalysis extends QueryModule {
         size(col("valid_cards")).cast("bigint").as("n_card_valid"),
         size(col("ssn_cands")).cast("bigint").as("n_ssn_cand"),
         size(col("valid_ssns")).cast("bigint").as("n_ssn_valid"),
+        // boundary-aware gated scrub: each VALIDATED candidate is rebuilt
+        // as a \b-anchored literal pattern (every non-alphanumeric char
+        // escaped), so a candidate string that also occurs EMBEDDED in a
+        // longer digit run elsewhere in the doc is left alone there —
+        // plain substring replace would rewrite it
         expr(
           """aggregate(valid_ssns,
-            |  aggregate(valid_cards, red3, (acc, c) -> replace(acc, c, '<CARD>')),
-            |  (acc, c) -> replace(acc, c, '<SSN>'))""".stripMargin).as("redacted"))
+            |  aggregate(valid_cards, red3, (acc, c) -> regexp_replace(acc,
+            |    concat('\\b', regexp_replace(c, '([^a-zA-Z0-9])', '\\\\$1'), '\\b'),
+            |    '<CARD>')),
+            |  (acc, c) -> regexp_replace(acc,
+            |    concat('\\b', regexp_replace(c, '([^a-zA-Z0-9])', '\\\\$1'), '\\b'),
+            |    '<SSN>'))""".stripMargin).as("redacted"))
 
   /** BM25 scoring tail shared by the live ([[txt_bm25_topk]]) and
     * index-serving ([[txt_bm25_artifact]]) forms: the integer-rational

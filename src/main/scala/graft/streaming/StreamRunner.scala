@@ -580,6 +580,13 @@ object StreamRunner {
         val db = ids(doclenAll)
         val newest = (pb ++ db).maxOption
         val committed = (pb intersect db) -- newest
+        // nothing fully committed yet (a single-batch history excludes
+        // itself as the newest; a postings-only id is a torn publish):
+        // publishing now would point _serve at an EMPTY generation —
+        // keep whatever generation currently serves instead
+        if (committed.isEmpty)
+          return (wh.currentVersion(s"${table}_postings_serve").getOrElse(0),
+            wh.currentVersion(s"${table}_doclen_serve").getOrElse(0))
         (postingsAll.filter(col("ingest_batch").isin(committed.toSeq: _*)),
           doclenAll.filter(col("ingest_batch").isin(committed.toSeq: _*)))
       }

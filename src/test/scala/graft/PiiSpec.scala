@@ -132,6 +132,26 @@ class PiiSpec extends SparkSuiteBase {
     assert(counts.getLong(1) === 0L, "valid ssn residue")
   }
 
+  test("redaction is boundary-aware: a valid card embedded in a longer digit run stays") {
+    // doc 0's valid plant is "1234 5678 9012 3452" (dj(j) = j % 10,
+    // Luhn check digit 2). The text carries that exact string EMBEDDED in
+    // a longer digit run (9…9 on both sides): the \b-anchored candidate
+    // regex never matches there, so redaction must not rewrite it either —
+    // a plain substring replace would have produced "9<CARD>9".
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "x 91234 5678 9012 34529 y", "src0"))), schema)
+    val r = perDoc(docs)
+      .select(col("n_card_cand"), col("n_card_valid"), col("redacted")).head
+    assert(r.getLong(0) === 1L, "embedded run must not become a candidate")
+    assert(r.getLong(1) === 1L)
+    val red = r.getString(2)
+    assert(red.contains("x 91234 5678 9012 34529 y"),
+      "embedded digit run must survive verbatim")
+    assert(red.contains("pay <CARD> id"),
+      "the boundary-anchored plant must still be scrubbed")
+  }
+
   test("audit rollup: docs_multi counts docs with >=2 distinct classes") {
     val docs = docsFor(0L until 24L)
     val per = perDoc(docs)

@@ -636,6 +636,36 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(docs === Set(0L, 1L, 30L), s"got $docs")
   }
 
+  test("non-quiesced compaction with nothing committed keeps the serve generation") {
+    val wh = new Warehouse(tmpDir("cpq0"))
+    // single-batch history: batch 0 is the newest (possibly in-flight),
+    // so the committed set is EMPTY — publishing would point _serve at a
+    // zero-row generation; the compactor must keep whatever serves now
+    wh.partitionedUpsertWrite(
+      spark.createDataFrame(Seq(("w1", 1L, 1L, 1L, 0L)))
+        .toDF("word", "doc_id", "tf", "wb", "ingest_batch"),
+      "t2_postings", Seq("wb", "ingest_batch"))
+    wh.partitionedUpsertWrite(
+      spark.createDataFrame(Seq((1L, 5L, 0L)))
+        .toDF("doc_id", "dl", "ingest_batch"),
+      "t2_doclen", Seq("ingest_batch"))
+    val (pv, dv) = StreamRunner.compactPostings(spark, wh, "t2", quiesced = false)
+    assert((pv, dv) === (0, 0), "no serve generation exists yet")
+    assert(wh.currentVersion("t2_postings_serve").isEmpty,
+      "an empty generation must NOT be published")
+    // a second batch makes batch 0 committed; compaction now serves it
+    wh.partitionedUpsertWrite(
+      spark.createDataFrame(Seq(("w2", 2L, 1L, 2L, 1L)))
+        .toDF("word", "doc_id", "tf", "wb", "ingest_batch"),
+      "t2_postings", Seq("wb", "ingest_batch"))
+    wh.partitionedUpsertWrite(
+      spark.createDataFrame(Seq((2L, 7L, 1L)))
+        .toDF("doc_id", "dl", "ingest_batch"),
+      "t2_doclen", Seq("ingest_batch"))
+    val (pv2, _) = StreamRunner.compactPostings(spark, wh, "t2", quiesced = false)
+    assert(wh.readVersion(spark, "t2_postings_serve", Some(pv2)).count() === 1L)
+  }
+
   test("non-quiesced compaction skips torn and possibly-in-flight batches") {
     val wh = new Warehouse(tmpDir("cpq"))
     def postingsFor(b: Long, ids: Seq[Long]) =
