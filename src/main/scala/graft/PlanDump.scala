@@ -294,7 +294,21 @@ object PlanDump {
     // |modalities| output rows
     "pipe_media_dedup_e2e",
     // the token-budget CUT: same histogram machinery, per-doc verdicts
-    "pipe_token_budget_cut")
+    "pipe_token_budget_cut",
+    // round 13: the widened 60-bit audio fingerprint (narrow Arrow-seam
+    // decode — four per-window features in one pass, no shuffle)
+    "mm_wav_fingerprint60",
+    // cross-modality dedup CUT: one narrow sniff+decode+sign pass, then
+    // identity-collapsed guarded banding per modality into ONE CC run —
+    // audit: star edges (never pair expansion), node-id-only shuffles
+    "pipe_media_dedup_cut",
+    // redirect resolution: fixed-5-round url-key equi-joins of the
+    // still-unresolved rows against the redirect edge table; the canon
+    // projection is codegen'd parse_url — audit: no per-row driver walk
+    "crawl_redirects",
+    // BPE-counted budget twins: the merge chain is a literal-replace
+    // projection inside the same histogram-cut / block-bounded plans
+    "pipe_token_budget_bpe", "pipe_seq_pack_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1208,6 +1208,164 @@ object Crawl extends QueryModule {
         lit("&page="), (col("doc_id") % 5).cast("string")))
       .otherwise(lit("")))
 
+  // ---------- HTTP redirect records (3xx + Location) ----------
+
+  /** The redirect fixture's frontier URL — injective in doc_id; EVEN ids
+    * carry an unsorted query string plus a utm tracking param, so the
+    * resolved target's canonicalization is load-bearing (params must
+    * sort, utm must drop).
+    */
+  private def redirectUrl(id: Long): String = {
+    val base = s"https://site${id % 3}.com/d/$id"
+    if (id % 2 == 0) s"$base?b=${id % 9}&a=${id % 5}&utm_src=x" else base
+  }
+
+  /** WARC response records whose HTTP layer carries REAL 3xx redirects —
+    * the records the response-payload chain filters out but a frontier
+    * builder must consume (3xx `Location` targets are frontier inputs
+    * and a top source of duplicate canonical URLs). Classes by
+    * c = doc_id % 12 (host = site{id%3}, so every ±3/±6 hop stays
+    * same-host and relative Locations resolve):
+    *  - c ∈ {1, 5}: 301 absolute → url(id+3) (lands on a 200 — 1 hop);
+    *  - c = 2: 302 absolute → url(id+3) = a c=5 redirect → 2-hop chain;
+    *  - c = 7: 301 RELATIVE `Location: /d/…` (path+query of url(id+3)) —
+    *    resolves against the record's own scheme://host;
+    *  - c = 3 ↔ c = 9: 301 → url(id±6) — a 2-cycle the resolver must
+    *    detect as a LOOP (or dangle when id+6 falls past the corpus);
+    *  - c = 6: 301 → a /gone/ URL no record serves (dangling);
+    *  - else: 200 OK terminals.
+    * The oracle replays the whole walk in doc_id space (url() is
+    * injective), so status parsing, Location extraction, relative
+    * resolution, loop detection, and the hop cap all flip rows.
+    */
+  def attachRedirectMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.map { r =>
+      val id = r.getLong(0)
+      val c = id % 12
+      val (st, reason, headers, body) =
+        if (c == 2)
+          (302, "Found", Seq("Location" -> redirectUrl(id + 3)),
+            Array.emptyByteArray)
+        else if (c == 1 || c == 3 || c == 5 || c == 6 || c == 7 || c == 9) {
+          val loc = c match {
+            case 1 | 5 => redirectUrl(id + 3)
+            case 7 => redirectUrl(id + 3).replaceFirst("^https://[^/]+", "")
+            case 3 => redirectUrl(id + 6)
+            case 9 => redirectUrl(id - 6)
+            case _ => s"https://site${id % 3}.com/gone/$id"
+          }
+          (301, "Moved Permanently", Seq("Location" -> loc),
+            Array.emptyByteArray)
+        } else
+          (200, "OK", Seq("Content-Type" -> "text/plain"),
+            s"payload $id".getBytes("UTF-8"))
+      val bytes = WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:redir:$id>",
+        "WARC-Target-URI" -> redirectUrl(id),
+        "Content-Type" -> "application/http; msgtype=response"),
+        HttpCodec.encode(st, reason, headers, body, chunked = false))
+      Row(id, bytes)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  val redirectSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("url", StringType),
+    StructField("status", LongType),
+    StructField("location", StringType)))
+
+  /** WARC → HTTP parse keeping the STATUS LINE layer the payload chain
+    * drops: (url = WARC-Target-URI, status, Location header). Corrupt
+    * layers degrade typed.
+    */
+  private def redirectRow(id: Long, bytes: Array[Byte]): Row =
+    WarcCodec.decode(bytes) match {
+      case Left(_) => Row(id, "warc-corrupt", null, null, null)
+      case Right(rec) =>
+        HttpCodec.decode(rec.body) match {
+          case Left(_) => Row(id, "http-corrupt",
+            rec.headers.getOrElse("WARC-Target-URI", null), null, null)
+          case Right(h) => Row(id, "http",
+            rec.headers.getOrElse("WARC-Target-URI", null),
+            h.status.toLong, h.headers.get("location").orNull)
+        }
+    }
+
+  /** Redirect-record parse over the Arrow batch seam. */
+  def redirectRecordsArrow(media: DataFrame): DataFrame =
+    Multimodal.arrowHeaderParse(media, redirectSchema)(redirectRow)
+
+  /** Redirect-CHAIN resolution over a parsed record frame `(doc_id, url,
+    * status, location)` — the frontier feeder a real crawler runs. Per
+    * 3xx record: resolve the Location (relative paths against the
+    * record's own scheme://host), then follow the chain through the
+    * redirect edge table up to `maxHops` follows (5 — the conventional
+    * crawler cap), carrying the ≤ maxHops-entry visited list for LOOP
+    * detection. Outcomes are typed: `ok` (landed on a 200 record — the
+    * canonicalized landing URL is emitted for the frontier), `dangling`
+    * (target serves no record), `loop` (next hop already visited),
+    * `chain_cap` (still redirecting at the cap).
+    *
+    * Scale: each hop is ONE url-key equi-join of the still-unresolved
+    * rows against the redirect edge table (redirects are a fraction of
+    * the frontier; the loop runs a fixed maxHops times regardless of
+    * data), with lineage cut per round — never a per-row driver walk.
+    */
+  private[graft] def resolveRedirects(
+      records: DataFrame, maxHops: Int = 5): DataFrame = {
+    val recs = records.filter(col("format") === "http")
+    val redirects = recs
+      .filter(col("status").between(300L, 399L) && col("location").isNotNull)
+      .withColumn("target",
+        when(col("location").startsWith("/"),
+          concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1),
+            col("location")))
+          .otherwise(col("location")))
+    val terminals = recs.filter(col("status") === 200L)
+      .select(col("url").as("t_url"))
+    val edges = redirects.select(col("url").as("cur"), col("target").as("nxt"))
+    var state = redirects.select(col("doc_id"), col("status"),
+        col("target").as("cur"), lit(1L).as("n_hops"),
+        array(col("url")).as("visited"),
+        lit(null).cast("string").as("outcome"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val j = state.join(edges, Seq("cur"), "left")
+      // settle order (matched by the oracle): already settled / chain
+      // ends here / next hop revisits / cap reached — else advance
+      val o2 = when(col("outcome").isNotNull, col("outcome"))
+        .when(col("nxt").isNull, lit("end"))
+        .when(array_contains(col("visited"), col("nxt")) ||
+          col("nxt") === col("cur"), lit("loop"))
+        .when(col("n_hops") >= maxHops, lit("chain_cap"))
+      state = j.select(col("doc_id"), col("status"),
+          when(o2.isNull, col("nxt")).otherwise(col("cur")).as("cur2"),
+          when(o2.isNull, col("n_hops") + 1).otherwise(col("n_hops"))
+            .as("n_hops"),
+          when(o2.isNull, array_append(col("visited"), col("cur")))
+            .otherwise(col("visited")).as("visited"),
+          o2.as("outcome"))
+        .withColumnRenamed("cur2", "cur")
+        .localCheckpoint()
+    }
+    val done = state.join(terminals, col("cur") === col("t_url"), "left")
+      .withColumn("outcome",
+        when(col("outcome").isNull || col("outcome") === "end",
+          when(col("t_url").isNotNull, lit("ok")).otherwise(lit("dangling")))
+          .otherwise(col("outcome")))
+    canonicalizedUrls(done.withColumnRenamed("cur", "url"))
+      .select(col("doc_id"), col("status").cast("bigint").as("status"),
+        col("n_hops").cast("bigint").as("n_hops"), col("outcome"),
+        col("url").as("final_url"),
+        when(col("outcome") === "ok", col("canon_url"))
+          .otherwise(lit(null).cast("string")).as("final_canon"))
+  }
+
   /** Fixture robots.txt for synthetic domain `domIdx` — three
     * specificity rungs for `graftbot` (a 6-octet path Disallow, a
     * 9-octet Allow carve-out that must WIN by longest-match, a 5-octet
@@ -1592,6 +1750,20 @@ object Crawl extends QueryModule {
         .orderBy(col("domain"))
     }),
 
+    // ---- HTTP REDIRECT resolution: real 3xx WARC records parsed for
+    // status + Location ([[redirectRow]]), relative Locations resolved
+    // against the record's own host, chains followed through an
+    // iterative url-key equi-join (cap 5) with typed loop / dangling /
+    // chain_cap degrades, and ok landings canonicalized for the frontier
+    // ([[canonicalizedUrls]] — the consumer the duplicate-URL dedup
+    // feeds). The oracle replays the entire walk in doc_id space
+    // (url(id) is injective) including the visited-list loop rule and
+    // the landing URL's param-sort/utm-drop canon. ----
+    "crawl_redirects" -> ((s, d) => {
+      val media = attachRedirectMedia(Tables.documents(s, d))
+      resolveRedirects(redirectRecordsArrow(media)).orderBy(col("doc_id"))
+    }),
+
     // ---- charset-aware extraction over a MIXED-charset crawl slice:
     // each doc's page is encoded in its class's declared charset
     // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
@@ -1736,6 +1908,71 @@ object Crawl extends QueryModule {
         |  CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
         |  CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
         |FROM v GROUP BY domain ORDER BY domain""".stripMargin,
+    // replays the redirect walk in doc_id space: class arithmetic for
+    // status/target, a recursive CTE carrying the visited list for loop
+    // detection, the 5-hop cap, and the landing url's canon construction
+    // (params sorted, utm dropped) — the Spark side reaches the same
+    // rows only by parsing real WARC/HTTP bytes and joining url strings
+    "crawl_redirects" ->
+      """WITH RECURSIVE cls AS (
+        |  SELECT doc_id, doc_id % 12 AS c,
+        |    CASE WHEN doc_id % 12 IN (1, 2, 5, 7) THEN doc_id + 3
+        |         WHEN doc_id % 12 = 3 THEN doc_id + 6
+        |         WHEN doc_id % 12 = 9 THEN doc_id - 6 END AS tid,
+        |    doc_id % 12 IN (1, 2, 3, 5, 6, 7, 9) AS is_redir,
+        |    CASE WHEN doc_id % 12 = 2 THEN 302 ELSE 301 END AS status
+        |  FROM documents
+        |), walk AS (
+        |  SELECT doc_id AS src, status, tid AS cur, 1 AS n_hops,
+        |    [doc_id] AS visited, CAST(NULL AS VARCHAR) AS outcome,
+        |    CAST(NULL AS BIGINT) AS fin
+        |  FROM cls WHERE is_redir AND c <> 6
+        |  UNION ALL
+        |  SELECT w.src, w.status,
+        |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir OR t.c = 6
+        |           OR list_contains(w.visited, t.tid) OR t.tid = w.cur
+        |           OR w.n_hops >= 5
+        |         THEN w.cur ELSE t.tid END,
+        |    CASE WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c <> 6
+        |           AND NOT list_contains(w.visited, t.tid) AND t.tid <> w.cur
+        |           AND w.n_hops < 5
+        |         THEN w.n_hops + 1
+        |         WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c = 6
+        |         THEN w.n_hops + 1 ELSE w.n_hops END,
+        |    list_append(w.visited, w.cur),
+        |    CASE WHEN t.doc_id IS NULL THEN 'dangling'
+        |         WHEN NOT t.is_redir THEN 'ok'
+        |         WHEN t.c = 6 THEN 'dangling'
+        |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN 'loop'
+        |         WHEN w.n_hops >= 5 THEN 'chain_cap' END,
+        |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir THEN w.cur
+        |         WHEN t.c = 6 THEN -w.cur - 1000000
+        |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN w.cur
+        |         WHEN w.n_hops >= 5 THEN w.cur END
+        |  FROM walk w LEFT JOIN cls t ON w.cur = t.doc_id
+        |  WHERE w.outcome IS NULL
+        |), settled AS (
+        |  SELECT src, status, n_hops, outcome, fin FROM walk
+        |  WHERE outcome IS NOT NULL
+        |), gone6 AS (
+        |  SELECT doc_id AS src, status, 1 AS n_hops, 'dangling' AS outcome,
+        |    -doc_id - 1000000 AS fin
+        |  FROM cls WHERE c = 6
+        |), allrows AS (
+        |  SELECT * FROM settled UNION ALL SELECT * FROM gone6
+        |)
+        |SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
+        |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
+        |  CASE WHEN fin < -999999
+        |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
+        |    ELSE 'https://site' || (fin % 3) || '.com/d/' || fin
+        |      || CASE WHEN fin % 2 = 0 THEN '?b=' || (fin % 9) || '&a=' || (fin % 5) || '&utm_src=x' ELSE '' END
+        |  END AS final_url,
+        |  CASE WHEN outcome = 'ok'
+        |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
+        |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
+        |  END AS final_canon
+        |FROM allrows ORDER BY doc_id""".stripMargin,
     // predicts the transcoded extraction from `documents` + the class
     // markers; only a real charset= parse + strict legacy-byte decode on
     // the Spark side reproduces these hashes

@@ -118,6 +118,38 @@ object Curation extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** The SEQUENCE-PACKING report over a parameterized token counter —
+    * the GPT-style concat-and-chunk accounting, per (shard, 1000-doc
+    * block) so the running cumsum window is block-bounded, never a
+    * corpus-wide sort. Shared by the whitespace and BPE-counted forms.
+    */
+  private def seqPackReport(docsIn: DataFrame, nTokens: Column): DataFrame = {
+    val C = 512L
+    val docs = docsIn.select(col("doc_id"),
+        pmod(h60(col("text")), lit(8L)).as("shard"),
+        nTokens.cast("bigint").as("n_tokens"))
+      .withColumn("block", expr("doc_id DIV 1000"))
+    val w = Window.partitionBy(col("shard"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = docs
+      .withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("spans",
+        expr(s"(cb DIV $C) < ((cb + n_tokens - 1) DIV $C)"))
+    placed.groupBy(col("shard"), col("block"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"),
+        sum(when(col("spans"), 1L).otherwise(0L)).as("n_span"))
+      .withColumn("wins", expr(s"(toks + ${C - 1}) DIV $C"))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
+        sum(col("toks")).cast("bigint").as("total_tokens"),
+        sum(col("wins")).cast("bigint").as("n_windows"),
+        sum(col("n_span")).cast("bigint").as("n_spanning"))
+      .withColumn("fill_x1e6",
+        expr(s"(total_tokens * 1000000) DIV (n_windows * $C)"))
+      .orderBy(col("shard"))
+  }
+
   /** The per-doc CUT verdicts over the same frames — two
     * partition-pruned branches unioned with the always-decided
     * remainder (the dedup_span_frac → dedup_span_cut convention).
@@ -409,30 +441,26 @@ object Curation extends QueryModule {
     // integer fill ratio (padding waste = 1e6 − fill). The oracle replays
     // the identical cumsum/ceil arithmetic. ----
     "pipe_seq_pack" -> ((s, d) => {
-      val C = 512L
-      val docs = Tables.documents(s, d).select(col("doc_id"),
-          pmod(h60(col("text")), lit(8L)).as("shard"),
-          size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-        .withColumn("block", expr("doc_id DIV 1000"))
-      val w = Window.partitionBy(col("shard"), col("block"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val placed = docs
-        .withColumn("cb", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("spans",
-          expr(s"(cb DIV $C) < ((cb + n_tokens - 1) DIV $C)"))
-      placed.groupBy(col("shard"), col("block"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"),
-          sum(when(col("spans"), 1L).otherwise(0L)).as("n_span"))
-        .withColumn("wins", expr(s"(toks + ${C - 1}) DIV $C"))
-        .groupBy(col("shard"))
-        .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
-          sum(col("toks")).cast("bigint").as("total_tokens"),
-          sum(col("wins")).cast("bigint").as("n_windows"),
-          sum(col("n_span")).cast("bigint").as("n_spanning"))
-        .withColumn("fill_x1e6",
-          expr(s"(total_tokens * 1000000) DIV (n_windows * $C)"))
-        .orderBy(col("shard"))
+      seqPackReport(Tables.documents(s, d),
+        size(split(col("text"), " ")).cast("bigint"))
+    }),
+
+    // ---- TOKENIZER-CONSISTENT twins of the budget family: the same
+    // histogram-cut / block-bounded-cumsum plans, but every count is BPE
+    // TOKENS under the shipped merge table
+    // ([[TextAnalysis.bpeTokenCountSql]] — the txt_bpe_apply inference
+    // chain), because real mixture configs and context windows are in
+    // tokenizer tokens, not whitespace words. The merge chain is a
+    // codegen'd literal-replace projection, so the plan shapes (and the
+    // 100 TB argument) are unchanged; the oracle applies the identical
+    // chain textually. ----
+    "pipe_token_budget_bpe" -> ((s, d) => {
+      budgetSelectionReport(budgetCutFrames(Tables.documents(s, d),
+        expr(TextAnalysis.bpeTokenCountSql)))
+    }),
+
+    "pipe_seq_pack_bpe" -> ((s, d) => {
+      seqPackReport(Tables.documents(s, d), expr(TextAnalysis.bpeTokenCountSql))
     }),
 
     "pipe_export_shards" -> ((s, d) => {
@@ -1091,6 +1119,33 @@ object Curation extends QueryModule {
         |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
         |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
         |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    // the BPE twin: identical straight-cumsum replay with n_tokens under
+    // the SAME literal merge chain (textually valid in both engines)
+    "pipe_token_budget_bpe" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    ${TextAnalysis.bpeTokenCountSql} AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, sum(n_tokens)
+        |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
+        |    AS budget
+        |  FROM t GROUP BY source
+        |), o AS (
+        |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS cb
+        |  FROM t
+        |), sel AS (
+        |  SELECT o.source, o.n_tokens, b.budget
+        |  FROM o JOIN b USING (source) WHERE o.cb < b.budget
+        |)
+        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+        |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
     // replays the shard hash, per-block token cumsum, boundary-crossing
     // predicate, and ceil-window arithmetic in lockstep
     "pipe_seq_pack" ->
@@ -1098,6 +1153,35 @@ object Curation extends QueryModule {
         |  SELECT doc_id,
         |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
         |    len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id // 1000 AS block
+        |  FROM documents
+        |), p AS (
+        |  SELECT shard, block, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard, block
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS cb
+        |  FROM t
+        |), pb AS (
+        |  SELECT shard, block, count(*) AS n_docs, sum(n_tokens) AS toks,
+        |    sum(CASE WHEN (cb // 512) < ((cb + n_tokens - 1) // 512)
+        |        THEN 1 ELSE 0 END) AS n_span
+        |  FROM p GROUP BY shard, block
+        |)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum((toks + 511) // 512) AS BIGINT) AS n_windows,
+        |  CAST(sum(n_span) AS BIGINT) AS n_spanning,
+        |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
+        |    AS fill_x1e6
+        |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
+    // the BPE twin of the packing replay — same cumsum/ceil arithmetic,
+    // token counts under the literal merge chain
+    "pipe_seq_pack_bpe" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+        |    ${TextAnalysis.bpeTokenCountSql} AS n_tokens,
         |    doc_id // 1000 AS block
         |  FROM documents
         |), p AS (

@@ -1244,7 +1244,10 @@ object Multimodal extends QueryModule {
     * and the streaming image-ingest sink
     * ([[graft.streaming.StreamRunner.imageIngestToWarehouse]]): an
     * asymmetric band equi-join (batch bands × corpus bands — full recall
-    * at hamming ≤ 3 by pigeonhole; exact dups collide in all four bands)
+    * at hamming ≤ maxHamming ≤ 3 by pigeonhole; exact dups collide in
+    * all four bands, so maxHamming = 0 is equality matching — the audio
+    * twin's setting, where hamming tolerance on an energy-shape code
+    * would re-open the over-merge the 60-bit widening closed)
     * verified by exact bit_count, then rank-1 best corpus match per
     * batch image (min hamming, tie min corpus id — one bounded
     * min-struct aggregate, no window). Deliberately uncapped: the batch
@@ -1252,14 +1255,14 @@ object Multimodal extends QueryModule {
     * linear in the lake. Returns (doc_new, dup_of, hamming).
     */
   private[graft] def dhashIncrementalMatches(
-      batch: DataFrame, corpus: DataFrame): DataFrame = {
+      batch: DataFrame, corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
     val cands = dhashBanded(batch).as("a")
       .join(dhashBanded(corpus).as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))
       .withColumn("hamming",
         (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
           bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
         col("hamming"))
       .distinct()
@@ -1848,6 +1851,84 @@ object Multimodal extends QueryModule {
   def wavFingerprintArrow(media: DataFrame): DataFrame =
     arrowHeaderParse(media, wavFingerprintSchema)(wavFingerprintRow)
 
+  val wavFingerprint60Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_frames", LongType),
+    StructField("sig_hi", LongType),
+    StructField("sig_lo", LongType)))
+
+  /** 60-bit FOUR-FEATURE energy-shape audio fingerprint — the widened
+    * form a dedup DROP LIST is allowed to consume ([[wavFingerprintRow]]'s
+    * 15 bits index a 32k space: fine as a report signal, but at lake
+    * scale distinct audio collapses into false dup clusters). Four
+    * per-window features over the same 16 time windows, each feature
+    * owning one 16-bit chunk (bit 16·b+w set iff e_b(w) > e_b(w+1),
+    * w < 15 — bit 15 of every chunk stays 0):
+    *  - e0: Σ|v|       (the original energy mass),
+    *  - e1: Σ|Δv|      (first-difference mass — a high-band proxy),
+    *  - e2: Σ|Δ²v|     (second difference — spectral-tilt proxy),
+    *  - e3: max|v|     (peak envelope).
+    * All four scale LINEARLY with gain, so the across-window comparison
+    * bits keep the 15-bit form's gain invariance while quadrupling the
+    * resolution — and the chunk-aligned layout means the shared 4×16-bit
+    * banding ([[dhashBanded]]) sees one feature per band instead of a
+    * constant-zero hi half. Deltas are across consecutive CHANNEL-0
+    * frames; windows with no frames weigh 0; degrade ladder as
+    * [[wavFingerprintRow]].
+    */
+  private[operators] def wavFingerprint60Row(id: Long, bytes: Array[Byte]): Row = {
+    val h = WavHeader.sniff(bytes)
+    if (h.format != "wav") Row(id, h.format, null, null, null)
+    else if (h.bitsPerSample.get != 16) Row(id, "wav-unsupported", null, null, null)
+    else {
+      val ch = h.channels.get
+      val n = (h.dataLen.get / 2L).toInt
+      val nf = (n + ch - 1) / ch
+      if (nf == 0) Row(id, "wav-empty", null, null, null)
+      else {
+        val e = Array.ofDim[Long](4, 16)
+        var prev = 0; var prev2 = 0
+        var j = 0
+        while (j < n) {
+          if (j % ch == 0) {
+            val lo8 = bytes(44 + 2 * j) & 0xff
+            val hi8 = bytes(44 + 2 * j + 1) & 0xff
+            var v = lo8 | (hi8 << 8)
+            if (v >= 32768) v -= 65536
+            val fi = j / ch
+            val w = fi * 16 / nf
+            val a = math.abs(v).toLong
+            e(0)(w) += a
+            if (fi >= 1) e(1)(w) += math.abs(v - prev).toLong
+            if (fi >= 2) e(2)(w) += math.abs(v - 2 * prev + prev2).toLong
+            if (a > e(3)(w)) e(3)(w) = a
+            prev2 = prev; prev = v
+          }
+          j += 1
+        }
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 4) {
+          var w = 0
+          while (w < 15) {
+            if (e(b)(w) > e(b)(w + 1)) {
+              val pos = 16 * b + w
+              if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+            }
+            w += 1
+          }
+          b += 1
+        }
+        Row(id, "wav", nf.toLong, hi, lo)
+      }
+    }
+  }
+
+  /** Widened audio fingerprint over the Arrow batch seam. */
+  def wavFingerprint60Arrow(media: DataFrame): DataFrame =
+    arrowHeaderParse(media, wavFingerprint60Schema)(wavFingerprint60Row)
+
   /** WAV header sniffing over the same Arrow batch seam as
     * [[parseHeadersArrow]].
     */
@@ -2168,12 +2249,17 @@ object Multimodal extends QueryModule {
     *    gain-invariant; every byte differs);
     *  - video: the same keyframe with a DIFFERENT second frame (keyframe
     *    dHash equal, stream bytes differ).
+    * Image content c ≡ 3 (mod 8) additionally re-expresses content c−3
+    * with ONE sampled pixel site flipped (the [[attachDhashMedia]] pert
+    * idiom — dHash distance 1–2): the NEAR-dup class the cut capstone's
+    * hamming ≤ 3 merge must catch and exact-signature equality must NOT.
     * A byte-level hash sees zero duplicates in this corpus; the 64-bit
-    * image/video signatures see exactly the planted ones, and the
-    * 15-bit audio fingerprint sees them PLUS a measurable over-merge
-    * (short fingerprints trade resolution for size — the report makes
-    * that tradeoff a number, n_redundant − planted, instead of a
-    * surprise).
+    * image/video signatures see exactly the planted ones. The audio
+    * fingerprint width is the measured tradeoff: the 15-bit
+    * [[wavFingerprintRow]] sees the plants PLUS an over-merge of 14 on
+    * this corpus (distinct waveforms colliding in a 32k space) where the
+    * 60-bit [[wavFingerprint60Row]] the router now serves cuts that to
+    * 2 — `MediaDedupSpec` pins the strict inequality.
     */
   def attachPerceptualMixMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -2181,13 +2267,23 @@ object Multimodal extends QueryModule {
       val id = r.getLong(0)
       val c = id / 3
       val dup = c % 8 == 7
-      val k = if (dup) c - 7 else c
+      val near = id % 3 == 0 && c % 8 == 3
+      val k = if (dup) c - 7 else if (near) c - 3 else c
       val a1 = (k * 13 % 97 + 7).toInt
       val a2 = (k * 29 % 83 + 5).toInt
       val bytes = (id % 3) match {
         case 0 =>
+          // unperturbed gray at sampled cell (ty, tx) — the near class
+          // flips the (2,3)>(2,4) comparison, the attachDhashMedia idiom
+          def gray0(ty: Int, tx: Int): Int = {
+            val x = 2 * tx; val y = 2 * ty
+            val v = (a1 * x * x + a2 * x * y + 13 * y * y) % 256
+            (299 * v + 587 * ((v + 11) % 256) + 114 * ((v + 22) % 256)) / 1000
+          }
+          val pv = if (near && gray0(2, 3) > gray0(2, 4)) 0 else 255
           PngCodec.encode(if (dup) 20 else 18, 16, 2, (y, x, ch) =>
-            (a1 * x * x + a2 * x * y + 13 * y * y + ch * 11) % 256)
+            if (near && y == 4 && x == 6) pv
+            else (a1 * x * x + a2 * x * y + 13 * y * y + ch * 11) % 256)
         case 1 =>
           val amp = if (dup) 2 else 1
           val pcm = new Array[Byte](64)
@@ -2235,7 +2331,9 @@ object Multimodal extends QueryModule {
 
   /** Byte-sniffing PERCEPTUAL signature router: per payload, the magic
     * picks the modality and its signature — image dHash ([[dhashRow]]),
-    * audio energy-shape fingerprint ([[wavFingerprintRow]], sig_hi 0),
+    * audio 60-bit four-feature energy-shape fingerprint
+    * ([[wavFingerprint60Row]] — the width a drop list may consume; the
+    * 15-bit [[wavFingerprintRow]] stays as the report-only comparison),
     * video keyframe dHash ([[videoDhashRow]]) — one decode where the
     * bytes are read, 64 bits out regardless of modality. Undecodable
     * payloads degrade typed with signatures withheld.
@@ -2248,9 +2346,9 @@ object Multimodal extends QueryModule {
       else Row(id, "image", r.getLong(2), r.getLong(3))
     } else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F') {
-      val r = wavFingerprintRow(id, bytes)
+      val r = wavFingerprint60Row(id, bytes)
       if (r.getString(1) != "wav") fail(r.getString(1))
-      else Row(id, "audio", 0L, r.getLong(3))
+      else Row(id, "audio", r.getLong(3), r.getLong(4))
     } else if (bytes.length >= 9 &&
         new String(bytes, 0, 9, "US-ASCII") == "YUV4MPEG2") {
       val r = videoDhashRow(id, bytes)
@@ -3029,6 +3127,20 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the WIDENED 60-bit audio fingerprint ([[wavFingerprint60Row]]):
+    // four per-window features (|v| mass, |Δv|, |Δ²v|, peak) × 15
+    // across-window sign bits, one feature per 16-bit band chunk. The
+    // oracle recomputes every channel-0 sample from the text's byte
+    // values, takes the deltas with lag(), and rebuilds all 60 bits —
+    // never seeing the framed bytes. ----
+    "mm_wav_fingerprint60" -> ((s, d) => {
+      val media = attachWavMedia(Tables.documents(s, d))
+      wavFingerprint60Arrow(media)
+        .filter(col("format") === "wav")
+        .select(col("doc_id"), col("n_frames"), col("sig_hi"), col("sig_lo"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- CROSS-MODALITY perceptual dedup capstone: the signature
     // router ([[mediaSigArrow]]) decodes each payload by its magic and
     // emits the modality's 64-bit perceptual signature; the report
@@ -3050,6 +3162,54 @@ object Multimodal extends QueryModule {
             .as("n_distinct"))
         .withColumn("n_redundant", (col("n_items") - col("n_distinct")).cast("bigint"))
         .orderBy(col("modality"))
+    }),
+
+    // ---- the cross-modality CUT — pipe_media_dedup_e2e's accounting
+    // turned into an actual dedup (the report → verdict convention):
+    // per modality, NEAR-dup merge — image and video through the
+    // identity-collapsed, hot-band-guarded hamming ≤ 3 edge set
+    // ([[dhashClusterEdges]]: O(g) star edges per duplicate group, never
+    // the pair expansion), audio through exact 60-bit signature equality
+    // (the width [[wavFingerprint60Row]] earns; hamming tolerance on an
+    // energy-shape code would re-open the over-merge the widening
+    // closed) — then ONE connected-components run over the union (doc
+    // ids are globally unique, so modalities can share the CC without
+    // ever linking), canonical keeper = min doc_id, and a per-doc
+    // keep/drop verdict every downstream export can consume. The oracle
+    // replays all three signature formulas (including the near class's
+    // forced-pixel flip and the dup class's 2× gain), brute-forces the
+    // per-modality pairs, and reruns reachability min-label — so a
+    // decoder, banding, or clustering bug all flip verdicts. Scale: one
+    // narrow decode pass; the edge set is output-proportional; CC rounds
+    // shuffle node ids only. ----
+    "pipe_media_dedup_cut" -> ((s, d) => {
+      val media = attachPerceptualMixMedia(Tables.documents(s, d))
+      // localCheckpoint: the RDD-backed decode pass feeds three modality
+      // branches plus the final verdict join — uncheckpointed it would
+      // re-decode every payload four times (RDD scans are not
+      // exchange-reusable), and the plan dies with the query
+      val sigs = mediaSigArrow(media)
+        .filter(col("modality").isin("image", "audio", "video"))
+        .localCheckpoint()
+      def hashesOf(m: String): DataFrame = sigs
+        .filter(col("modality") === m)
+        .select(col("doc_id"), col("sig_hi").as("hash_hi"),
+          col("sig_lo").as("hash_lo"))
+      val audioStars = {
+        val members = dhashCollapse(hashesOf("audio"))
+        members.filter(col("doc_id") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      }
+      val edges = dhashClusterEdges(hashesOf("image"))
+        .unionByName(dhashClusterEdges(hashesOf("video")))
+        .unionByName(audioStars)
+      val cc = Dedup.connectedComponents(edges)
+      sigs.select(col("doc_id"), col("modality"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")).cast("bigint"))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     "pipe_multimodal_e2e" -> ((s, d) => {
@@ -3185,7 +3345,97 @@ object Multimodal extends QueryModule {
       |)
       |""".stripMargin
 
-override def oracleSql: Map[String, String] = Map(
+  /** Shared replay of ALL THREE [[attachPerceptualMixMedia]] signature
+    * formulas — image Rec.601 dHash (dup = wider canvas → same k, near =
+    * the forced-pixel flip), video keyframe luma dHash, audio 60-bit
+    * four-feature energy code (dup = 2× gain; deltas via lag) — ending
+    * in per-modality bit frames `ib` / `vb` / `ab` (doc_id, hi, lo).
+    * Feeds both the e2e accounting oracle and the cut capstone's
+    * cluster/keeper replay. Brute-force pairing downstream is exact
+    * against the engine's guarded banding because no 16-bit chunk value
+    * here approaches the [[Dedup.BandCap]] (measured max occupancy 3).
+    */
+  private val mediaSigOracleCte: String =
+    """WITH ck AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    (doc_id // 3) % 8 = 7 AS dup,
+      |    m = 0 AND (doc_id // 3) % 8 = 3 AS nr,
+      |    CASE WHEN (doc_id // 3) % 8 = 7 THEN doc_id // 3 - 7
+      |         WHEN doc_id % 3 = 0 AND (doc_id // 3) % 8 = 3 THEN doc_id // 3 - 3
+      |         ELSE doc_id // 3 END AS k
+      |  FROM documents
+      |), ck2 AS (
+      |  SELECT doc_id, m, dup, nr, k,
+      |    (k * 13) % 97 + 7 AS a1, (k * 29) % 83 + 5 AS a2
+      |  FROM ck
+      |), ig0 AS (
+      |  SELECT doc_id, nr, ty.ty AS ty, tx.tx AS tx,
+      |    (299 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty)) % 256)
+      |   + 587 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 11) % 256)
+      |   + 114 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 22) % 256)) // 1000 AS gray
+      |  FROM ck2, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+      |  WHERE m = 0
+      |), ifl AS (
+      |  SELECT g3.doc_id, CASE WHEN g3.gray > g4.gray THEN 0 ELSE 255 END AS pv
+      |  FROM ig0 g3 JOIN ig0 g4 ON g3.doc_id = g4.doc_id
+      |    AND g3.ty = 2 AND g3.tx = 3 AND g4.ty = 2 AND g4.tx = 4
+      |  WHERE g3.nr
+      |), ig AS (
+      |  SELECT ig0.doc_id, ig0.ty, ig0.tx,
+      |    CASE WHEN ifl.doc_id IS NOT NULL AND ig0.ty = 2 AND ig0.tx = 3
+      |         THEN ifl.pv ELSE ig0.gray END AS gray
+      |  FROM ig0 LEFT JOIN ifl ON ig0.doc_id = ifl.doc_id
+      |), ib AS (
+      |  SELECT l.doc_id,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM ig l JOIN ig r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+      |  WHERE l.tx < 8 GROUP BY l.doc_id
+      |), vg AS (
+      |  SELECT doc_id, ty.ty AS ty, tx.tx AS tx,
+      |    (a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty)
+      |     + 13*(2*ty.ty)*(2*ty.ty)) % 256 AS gray
+      |  FROM ck2, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
+      |  WHERE m = 2
+      |), vb AS (
+      |  SELECT l.doc_id,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
+      |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM vg l JOIN vg r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+      |  WHERE l.tx < 8 GROUP BY l.doc_id
+      |), au0 AS (
+      |  SELECT doc_id, j.j AS j,
+      |    (CASE WHEN dup THEN 2 ELSE 1 END)
+      |      * (((k*37 + j.j*13 + k*j.j*7) % 197) - 98) AS v
+      |  FROM ck2, UNNEST(range(0, 32)) AS j(j) WHERE m = 1
+      |), au AS (
+      |  SELECT doc_id, j, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv,
+      |    lag(v, 2) OVER (PARTITION BY doc_id ORDER BY j) AS pv2
+      |  FROM au0
+      |), ae AS (
+      |  SELECT doc_id, j // 2 AS w,
+      |    sum(abs(v)) AS e0,
+      |    sum(CASE WHEN j >= 1 THEN abs(v - pv) ELSE 0 END) AS e1,
+      |    sum(CASE WHEN j >= 2 THEN abs(v - 2 * pv + pv2) ELSE 0 END) AS e2,
+      |    max(abs(v)) AS e3
+      |  FROM au GROUP BY doc_id, j // 2
+      |), ab AS (
+      |  SELECT l.doc_id,
+      |    CAST(sum(CASE WHEN l.e2 > coalesce(r.e2, 0) THEN (1::BIGINT << l.w) ELSE 0 END)
+      |      + sum(CASE WHEN l.e3 > coalesce(r.e3, 0) THEN (1::BIGINT << (16 + l.w)) ELSE 0 END) AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN l.e0 > coalesce(r.e0, 0) THEN (1::BIGINT << l.w) ELSE 0 END)
+      |      + sum(CASE WHEN l.e1 > coalesce(r.e1, 0) THEN (1::BIGINT << (16 + l.w)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM ae l LEFT JOIN ae r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+      |  WHERE l.w < 15 GROUP BY l.doc_id
+      |)
+      |""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
     // independent replay of the sampling stride + luma GENERATOR: the
     // oracle computes frame_idx = slot·nf/2 and sums the formula over the
     // sampled frame's (y, x) — the Spark side can only reach those values
@@ -3513,69 +3763,19 @@ override def oracleSql: Map[String, String] = Map(
       """SELECT a_id, b_id, hamming FROM allpairs
         |ORDER BY a_id, b_id""".stripMargin),
     // replays ALL THREE perceptual signature formulas from the content
-    // arithmetic (image Rec.601 dHash bits, audio |v| window-delta bits
-    // with the dup class's 2x gain, video keyframe luma bits) and counts
-    // distinct values itself — never decoding a byte
-    "pipe_media_dedup_e2e" ->
-      """WITH co AS (
-        |  SELECT doc_id, doc_id % 3 AS m,
-        |    (doc_id // 3) % 8 = 7 AS dup,
-        |    CASE WHEN (doc_id // 3) % 8 = 7 THEN doc_id // 3 - 7
-        |         ELSE doc_id // 3 END AS k
-        |  FROM documents
-        |), ck AS (
-        |  SELECT doc_id, m, dup, k,
-        |    (k * 13) % 97 + 7 AS a1, (k * 29) % 83 + 5 AS a2
-        |  FROM co
-        |), ig AS (
-        |  SELECT doc_id, ty.ty AS ty, tx.tx AS tx,
-        |    (299 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty)) % 256)
-        |   + 587 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 11) % 256)
-        |   + 114 * ((a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty) + 13*(2*ty.ty)*(2*ty.ty) + 22) % 256)) // 1000 AS gray
-        |  FROM ck, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
-        |  WHERE m = 0
-        |), ib AS (
-        |  SELECT l.doc_id,
-        |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
-        |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
-        |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM ig l JOIN ig r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
-        |  WHERE l.tx < 8 GROUP BY l.doc_id
-        |), vg AS (
-        |  SELECT doc_id, ty.ty AS ty, tx.tx AS tx,
-        |    (a1*(2*tx.tx)*(2*tx.tx) + a2*(2*tx.tx)*(2*ty.ty)
-        |     + 13*(2*ty.ty)*(2*ty.ty)) % 256 AS gray
-        |  FROM ck, UNNEST(range(0, 8)) AS ty(ty), UNNEST(range(0, 9)) AS tx(tx)
-        |  WHERE m = 2
-        |), vb AS (
-        |  SELECT l.doc_id,
-        |    CAST(sum(CASE WHEN l.ty*8 + l.tx >= 32 AND l.gray > r.gray
-        |      THEN (1::BIGINT << (l.ty*8 + l.tx - 32)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN l.ty*8 + l.tx < 32 AND l.gray > r.gray
-        |      THEN (1::BIGINT << (l.ty*8 + l.tx)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM vg l JOIN vg r ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
-        |  WHERE l.tx < 8 GROUP BY l.doc_id
-        |), au AS (
-        |  SELECT doc_id, j.j AS j,
-        |    (CASE WHEN dup THEN 2 ELSE 1 END)
-        |      * (((k*37 + j.j*13 + k*j.j*7) % 197) - 98) AS v
-        |  FROM ck, UNNEST(range(0, 32)) AS j(j) WHERE m = 1
-        |), ae AS (
-        |  SELECT doc_id, j // 2 AS w, sum(abs(v)) AS ew
-        |  FROM au GROUP BY doc_id, j // 2
-        |), ab AS (
-        |  SELECT l.doc_id,
-        |    CAST(sum(CASE WHEN l.ew > r.ew THEN (1::BIGINT << l.w) ELSE 0 END)
-        |      AS BIGINT) AS fp
-        |  FROM ae l JOIN ae r ON l.doc_id = r.doc_id AND r.w = l.w + 1
-        |  GROUP BY l.doc_id
-        |), rep AS (
+    // arithmetic (image Rec.601 dHash bits incl. the near class's forced
+    // pixel flip, the 60-bit four-feature audio code with the dup
+    // class's 2x gain, video keyframe luma bits) and counts distinct
+    // values itself — never decoding a byte
+    "pipe_media_dedup_e2e" -> (mediaSigOracleCte +
+      """, rep AS (
         |  SELECT 'image' AS modality, count(*) AS n_items,
         |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR)) AS n_distinct
         |  FROM ib
         |  UNION ALL
-        |  SELECT 'audio', count(*), count(DISTINCT fp) FROM ab
+        |  SELECT 'audio', count(*),
+        |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR))
+        |  FROM ab
         |  UNION ALL
         |  SELECT 'video', count(*),
         |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR))
@@ -3584,7 +3784,33 @@ override def oracleSql: Map[String, String] = Map(
         |SELECT modality, CAST(n_items AS BIGINT) AS n_items,
         |  CAST(n_distinct AS BIGINT) AS n_distinct,
         |  CAST(n_items - n_distinct AS BIGINT) AS n_redundant
-        |FROM rep ORDER BY modality""".stripMargin,
+        |FROM rep ORDER BY modality""".stripMargin),
+    // same three-formula replay, then BRUTE-FORCE per-modality pairs
+    // (hamming <= 3 for image/video, 60-bit equality for audio),
+    // recursive-CTE reachability min-label, keeper = min doc_id — the
+    // full cluster/keeper arithmetic the engine's guarded banding + CC
+    // must reproduce exactly
+    "pipe_media_dedup_cut" -> (mediaSigOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sig AS (
+        |  SELECT doc_id, 'image' AS modality, hi, lo FROM ib
+        |  UNION ALL SELECT doc_id, 'video', hi, lo FROM vb
+        |  UNION ALL SELECT doc_id, 'audio', hi, lo FROM ab
+        |), prs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.modality = b.modality AND a.doc_id < b.doc_id
+        |  WHERE CASE WHEN a.modality = 'audio' THEN a.hi = b.hi AND a.lo = b.lo
+        |        ELSE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 END
+        |), adj AS (
+        |  SELECT da AS src, db AS dst FROM prs UNION SELECT db, da FROM prs
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM (SELECT DISTINCT src AS doc_id FROM adj)
+        |  UNION SELECT r.a, adj.dst FROM reach r JOIN adj ON r.b = adj.src
+        |), lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |SELECT s.doc_id, s.modality,
+        |  CAST(coalesce(l.cluster_id, s.doc_id) AS BIGINT) AS cluster_id,
+        |  coalesce(l.cluster_id, s.doc_id) = s.doc_id AS keep
+        |FROM sig s LEFT JOIN lab l ON s.doc_id = l.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
     // recomputes every frame's luma mass from the generator formula
     // ((id*31 + f*13 + y*7 + x*5) % 256 over the id-arithmetic w×h grid)
     // and replays the delta-sign packing — never seeing a stream byte
@@ -3671,6 +3897,47 @@ override def oracleSql: Map[String, String] = Map(
         |)
         |SELECT m.doc_id, CAST(fp.nf AS BIGINT) AS n_frames,
         |  CAST(fp.fpv AS BIGINT) AS fingerprint
+        |FROM m JOIN fp ON m.doc_id = fp.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+    // the widened form: same per-sample replay, plus lag()-built first
+    // and second differences and the per-window max — all four feature
+    // chunks rebuilt bit-for-bit from the text bytes
+    "mm_wav_fingerprint60" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, doc_id % 2 + 1 AS ch,
+        |    octet_length(CAST(text AS BLOB)) // 2 AS n
+        |  FROM documents
+        |), f0 AS (
+        |  SELECT doc_id, (j.j // ch) AS fi, (n + ch - 1) // ch AS nf,
+        |    CASE WHEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) >= 32768
+        |         THEN ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) - 65536
+        |         ELSE ord(substr(text, 2 * j.j + 1, 1)) + 256 * ord(substr(text, 2 * j.j + 2, 1)) END AS v
+        |  FROM m, UNNEST(range(0, n)) AS j(j)
+        |  WHERE j.j % ch = 0
+        |), f AS (
+        |  SELECT doc_id, fi, nf, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY fi) AS pv,
+        |    lag(v, 2) OVER (PARTITION BY doc_id ORDER BY fi) AS pv2
+        |  FROM f0
+        |), e AS (
+        |  SELECT doc_id, nf, (fi * 16) // nf AS w,
+        |    sum(abs(v)) AS e0,
+        |    sum(CASE WHEN fi >= 1 THEN abs(v - pv) ELSE 0 END) AS e1,
+        |    sum(CASE WHEN fi >= 2 THEN abs(v - 2 * pv + pv2) ELSE 0 END) AS e2,
+        |    max(abs(v)) AS e3
+        |  FROM f GROUP BY doc_id, nf, (fi * 16) // nf
+        |), fp AS (
+        |  SELECT l.doc_id, l.nf,
+        |    sum(CASE WHEN l.e2 > coalesce(r.e2, 0) THEN (1::BIGINT << l.w) ELSE 0 END)
+        |      + sum(CASE WHEN l.e3 > coalesce(r.e3, 0) THEN (1::BIGINT << (16 + l.w)) ELSE 0 END) AS hi,
+        |    sum(CASE WHEN l.e0 > coalesce(r.e0, 0) THEN (1::BIGINT << l.w) ELSE 0 END)
+        |      + sum(CASE WHEN l.e1 > coalesce(r.e1, 0) THEN (1::BIGINT << (16 + l.w)) ELSE 0 END) AS lo
+        |  FROM e l LEFT JOIN e r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        |  WHERE l.w < 15
+        |  GROUP BY l.doc_id, l.nf
+        |)
+        |SELECT m.doc_id, CAST(fp.nf AS BIGINT) AS n_frames,
+        |  CAST(fp.hi AS BIGINT) AS sig_hi, CAST(fp.lo AS BIGINT) AS sig_lo
         |FROM m JOIN fp ON m.doc_id = fp.doc_id
         |ORDER BY m.doc_id""".stripMargin,
     "pipe_multimodal_e2e" ->

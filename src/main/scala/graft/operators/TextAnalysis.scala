@@ -93,11 +93,23 @@ object TextAnalysis extends QueryModule {
 
   /** Chained literal `replace` applying [[bpeMerges]] in rank order —
     * the same textual expression is valid Spark SQL and DuckDB SQL.
+    * Exposed to [[Curation]] so the token-budget family can count BPE
+    * tokens with the SAME shipped merge table the tokenizer queries use
+    * (real mixture configs are in tokenizer tokens, not whitespace
+    * words).
     */
-  private def bpeApplied(inner: String): String =
+  private[operators] def bpeApplied(inner: String): String =
     bpeMerges.foldLeft(inner) { case (acc, (p, r)) =>
       s"replace($acc, '$p', '$r')"
     }
+
+  /** Per-doc BPE token count under the shipped merge table — the
+    * `n_syms_after` arithmetic of txt_bpe_apply as one expression
+    * (symbols are single chars after merging, so the count is the
+    * space-stripped length). Valid in both engines.
+    */
+  private[operators] def bpeTokenCountSql: String =
+    s"CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)"
 
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
   private def shingled(df: DataFrame): DataFrame = df

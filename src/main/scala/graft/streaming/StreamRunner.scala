@@ -360,18 +360,20 @@ object StreamRunner {
     *     the PERSISTED signature index
     *     ([[graft.operators.Multimodal.dhashIncrementalMatches]] —
     *     asymmetric join, work scales with the batch; corpus pixels are
-    *     never re-decoded), with the replaying batch id's own index
-    *     partitions EXCLUDED (the at-least-once replay rule
+    *     never re-decoded), with rows the replaying batch itself first
+    *     inserted EXCLUDED (the at-least-once replay rule
     *     [[dedupIngestToWarehouse]] pins: a replayed batch must not
-    *     match the previous attempt's appended rows);
+    *     match the previous attempt's rows);
     *  4. survivors publish through the staged-readback audit gate into
     *     `<table>` (partitioned by ingest_batch — idempotent replay) and
-    *     their signatures partition-upsert into `<table>_sigs`, so the
-    *     NEXT micro-batch dedups against everything ingested so far.
+    *     their signatures upsert HASH-KEYED WITH COUNTS into
+    *     `<table>_sigs` (see [[perceptualPublishBatch]] — one row per
+    *     distinct surviving signature), so the NEXT micro-batch dedups
+    *     against everything ingested so far at distinct-signature cost.
     *
     * At 100 TB: per-batch cost is decoding the BATCH plus one
-    * signature-width band join against the index — the image lake's
-    * bytes are read exactly once, at their own ingest.
+    * signature-width band join against the distinct-signature index —
+    * the image lake's bytes are read exactly once, at their own ingest.
     */
   def imageIngestToWarehouse(
       mediaStream: DataFrame,
@@ -397,6 +399,30 @@ object StreamRunner {
     perceptualIngestToWarehouse(mediaStream, wh, table, audit, checkpointDir,
       graft.operators.Multimodal.videoDhashArrow, "y4m", trigger)
 
+  /** The AUDIO twin: the 60-bit four-feature energy-shape fingerprint
+    * over REAL decoded PCM
+    * ([[graft.operators.Multimodal.wavFingerprint60Arrow]]) through the
+    * same collapse → incremental-match → audited-publish body, completing
+    * the modality ladder the batch side has. Matching is EXACT signature
+    * equality (maxHamming = 0): hamming tolerance on an energy-shape
+    * code would re-open the over-merge the 60-bit widening closed — the
+    * same rule the batch cut capstone applies.
+    */
+  def audioIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    perceptualIngestToWarehouse(mediaStream, wh, table, audit, checkpointDir,
+      df => graft.operators.Multimodal.wavFingerprint60Arrow(df)
+        .select(col("doc_id"), col("format"), col("sig_hi").as("hash_hi"),
+          col("sig_lo").as("hash_lo")),
+      "wav", trigger, maxHamming = 0)
+  }
+
   private def perceptualIngestToWarehouse(
       mediaStream: DataFrame,
       wh: Warehouse,
@@ -405,61 +431,146 @@ object StreamRunner {
       checkpointDir: String,
       hashArrow: DataFrame => DataFrame,
       okFormat: String,
-      trigger: Trigger): StreamingQuery =
+      trigger: Trigger,
+      maxHamming: Int = 3): StreamingQuery =
     mediaStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         perceptualPublishBatch(batch, batchId, wh, table, audit,
-          hashArrow, okFormat)
+          hashArrow, okFormat, maxHamming)
       }
       .start()
 
-  private def perceptualPublishBatch(
+  /** Hash-bucket count of the perceptual signature index — fixed, so a
+    * reader prunes by bucket and a batch's upsert rewrites only the
+    * buckets it touches.
+    */
+  private[graft] val SigBuckets = 64L
+
+  /** One micro-batch of the perceptual-ingest body. The signature index
+    * `<table>_sigs` is HASH-KEYED with counts — one row per distinct
+    * surviving signature `(doc_id = first-seen keeper, hash_hi, hash_lo,
+    * n_copies, first_batch, last_batch)`, partitioned by hash bucket
+    * `sb` — so the corpus side of the incremental match is bounded by
+    * distinct signatures, never ingest history, and every signature's
+    * total copy mass stays observable (the no-silent-drops rule).
+    * Replay safety (at-least-once foreachBatch):
+    *  - rows FIRST SEEN by the replaying batch (`first_batch = batchId`)
+    *    are excluded from the match corpus and replaced by the replay's
+    *    own survivors — the previous attempt's rows can never drop the
+    *    replay's docs;
+    *  - count adds onto pre-existing rows are guarded by `last_batch`:
+    *    a row already stamped with this batch id skips the re-add, so a
+    *    partially-written upsert converges instead of double-counting.
+    * The upsert reads ONLY the touched buckets back, merges, and
+    * dynamic-overwrites exactly those `sb` partitions (localCheckpoint
+    * breaks the read-own-path lineage). Per-batch write cost is the
+    * touched buckets' rows; a 100 TB deployment would amortize further
+    * with LSM-style delta partitions + periodic hash-keyed compaction
+    * (the compactPostings shape) — the INVARIANT this layout buys, index
+    * rows == distinct surviving signatures, is what keeps every future
+    * batch's match join bounded.
+    */
+  private[graft] def perceptualPublishBatch(
       batch: DataFrame,
       batchId: Long,
       wh: Warehouse,
       table: String,
       audit: DataFrame => Option[String],
       hashArrow: DataFrame => DataFrame,
-      okFormat: String): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+      okFormat: String,
+      maxHamming: Int): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, pmod, sum, when}
     import graft.operators.Multimodal
+    val sigsName = s"${table}_sigs"
+    def sb(c: org.apache.spark.sql.Column) = pmod(c, lit(SigBuckets))
     if (!batch.isEmpty) {
-      val hashes = hashArrow(batch)
+      // within-batch exact dedup WITH copy counts: one representative
+      // per distinct hash, add_n = how many batch items carried it
+      val exactCnt = hashArrow(batch)
         .filter(col("format") === okFormat)
-        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+        .groupBy(col("hash_hi"), col("hash_lo"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("add_n"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"), col("add_n"))
         .cache()
       try {
-        // within-batch exact dedup: one representative per distinct hash
-        val exact = Multimodal.dhashCollapse(hashes)
-          .filter(col("doc_id") === col("rep"))
-          .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-        // cached: survivors embeds the corpus-index band join and is
-        // evaluated for BOTH the staged publish and the sigs upsert — the
-        // dominant per-batch join must not run twice
-        val survivors = (
-          if (!wh.hasData(s"${table}_sigs")) exact
-          else {
-            val corpus = wh.read(batch.sparkSession, s"${table}_sigs")
-              .filter(col("ingest_batch") =!= batchId)
-              .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-            val dupIds = Multimodal.dhashIncrementalMatches(exact, corpus)
-              .select(col("doc_new").as("doc_id")).distinct()
-            exact.join(dupIds, Seq("doc_id"), "left_anti")
-          }).cache()
+        val hasIndex = wh.hasData(sigsName)
+        // cached: matches feed BOTH the survivor anti-join and the count
+        // rollup — the dominant band join must not run twice
+        val matched = (
+          if (!hasIndex)
+            exactCnt.limit(0).select(col("doc_id").as("doc_new"),
+              col("add_n").as("dup_of"))
+          else
+            Multimodal.dhashIncrementalMatches(
+              exactCnt.select(col("doc_id"), col("hash_hi"), col("hash_lo")),
+              wh.read(batch.sparkSession, sigsName)
+                .filter(col("first_batch") =!= batchId)
+                .select(col("doc_id"), col("hash_hi"), col("hash_lo")),
+              maxHamming)
+              .select(col("doc_new"), col("dup_of"))
+          ).cache()
+        val survivors = exactCnt.join(
+            matched.select(col("doc_new").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .cache()
         try {
           val published = gatedPublish(
-            survivors.withColumn("ingest_batch", lit(batchId)),
+            survivors.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+              .withColumn("ingest_batch", lit(batchId)),
             batchId, wh, table, Seq("ingest_batch"), audit)
           if (published) {
-            wh.partitionedUpsertWrite(
-              survivors.withColumn("ingest_batch", lit(batchId)),
-              s"${table}_sigs", Seq("ingest_batch"))
+            val inserts = survivors.select(
+              col("doc_id"), col("hash_hi"), col("hash_lo"),
+              col("add_n").as("n_copies"),
+              lit(batchId).as("first_batch"), lit(batchId).as("last_batch"))
+            val (merged, addBuckets) =
+              if (!hasIndex) (inserts, Array.empty[Long])
+              else {
+                // copy mass of batch items merged into EXISTING rows,
+                // keyed by the corpus keeper's doc_id
+                val adds = matched
+                  .join(exactCnt.select(col("doc_id").as("doc_new"),
+                    col("add_n")), "doc_new")
+                  .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"))
+                val corpus = wh.read(batch.sparkSession, sigsName)
+                  .drop("sb") // re-derived from hash_lo at write time
+                  .filter(col("first_batch") =!= batchId)
+                  .join(broadcast(adds.withColumnRenamed("dup_of", "doc_id")),
+                    Seq("doc_id"), "left")
+                val m = corpus
+                  .withColumn("n_copies",
+                    when(col("add_n").isNotNull && col("last_batch") =!= batchId,
+                      col("n_copies") + col("add_n")).otherwise(col("n_copies")))
+                  .withColumn("last_batch",
+                    when(col("add_n").isNotNull && col("last_batch") =!= batchId,
+                      lit(batchId)).otherwise(col("last_batch")))
+                  .drop("add_n")
+                  .unionByName(inserts)
+                // buckets of the CORPUS rows receiving adds — a near
+                // match's keeper can live in a different bucket than the
+                // batch item's own hash
+                val ab = corpus.filter(col("add_n").isNotNull)
+                  .select(sb(col("hash_lo")).as("v"))
+                  .distinct().collect().map(_.getLong(0))
+                (m, ab)
+              }
+            // rewrite ONLY the buckets this batch touched (new hashes or
+            // count adds); the bucket-id collects are bounded by SigBuckets
+            val affected = (survivors.select(sb(col("hash_lo")).as("v"))
+              .distinct().collect().map(_.getLong(0)) ++ addBuckets).distinct
+            if (affected.nonEmpty) {
+              val out = merged
+                .withColumn("sb", sb(col("hash_lo")))
+                .filter(col("sb").isin(affected: _*))
+                .localCheckpoint()
+              wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
+            }
           }
-        } finally survivors.unpersist(): Unit
-      } finally hashes.unpersist(): Unit
+        } finally { survivors.unpersist(); matched.unpersist(): Unit }
+      } finally exactCnt.unpersist(): Unit
     }
   }
 

@@ -384,6 +384,51 @@ class CrawlSpec extends SparkSuiteBase {
     }
   }
 
+  test("redirect resolution rule ladder: relative base, loop, chain cap, dangling") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // a synthetic parsed-record frame exercising the paths the main
+    // fixture can't reach: a 6-long chain that must hit the 5-hop cap,
+    // a relative Location, a 2-cycle, and a dangling absolute target
+    val chain = (0 to 6).map(i =>
+      Row(100L + i, "http", s"https://h.com/c$i", 301L, s"https://h.com/c${i + 1}"))
+    val rows = chain ++ Seq(
+      Row(107L, "http", "https://h.com/c7", 200L, null),
+      // relative: /landing resolves against h.com and lands on the 200 below
+      Row(110L, "http", "https://h.com/start", 301L, "/landing"),
+      Row(111L, "http", "https://h.com/landing", 200L, null),
+      // 2-cycle
+      Row(120L, "http", "https://h.com/a", 302L, "https://h.com/b"),
+      Row(121L, "http", "https://h.com/b", 301L, "https://h.com/a"),
+      // dangling absolute
+      Row(130L, "http", "https://h.com/x", 301L, "https://h.com/nowhere"),
+      // a corrupt row must not participate at all
+      Row(140L, "warc-corrupt", null, null, null))
+    val recs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("format", StringType), StructField("url", StringType),
+        StructField("status", LongType), StructField("location", StringType))))
+    val out = Crawl.resolveRedirects(recs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // chain head 100: follows 101..104 (5 hops taken), still redirecting
+    assert(out(100L) === ((5L, "chain_cap", "https://h.com/c5")))
+    // mid-chain 102: c3, c4, c5, c6, then c7 is a 200 — exactly 5 hops, ok
+    assert(out(102L) === ((5L, "ok", "https://h.com/c7")))
+    assert(out(110L) === ((1L, "ok", "https://h.com/landing")),
+      "relative Location must resolve against the record's own host")
+    assert(out(120L)._2 === "loop")
+    assert(out(121L)._2 === "loop")
+    assert(out(130L) === ((1L, "dangling", "https://h.com/nowhere")))
+    assert(!out.contains(140L), "corrupt records must not enter resolution")
+    // canon column only for ok landings
+    val canon = Crawl.resolveRedirects(recs)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+    assert(canon(110L) === Some("https://h.com/landing"))
+    assert(canon(120L) === None)
+  }
+
   test("url canonicalization rule ladder: ports, tracking params, fragments, case") {
     import spark.implicits._
     val got = graft.operators.Crawl.canonicalizedUrls(Seq(

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The cross-modality dedup capstone's semantics, pinned on the
+  * perceptual-mix fixture — the round-12 "accounting, not a dedup" gap's
+  * done-criteria:
+  *  - the 60-bit four-feature audio fingerprint's over-merge on the mix
+  *    corpus is STRICTLY below the 15-bit form's while every planted
+  *    2×-gain dup still collides (the widen-before-drop-lists rule);
+  *  - `pipe_media_dedup_cut` drops every planted byte-different dup in
+  *    all three modalities, merges the image NEAR class via hamming
+  *    (their signatures differ from their base's — equality alone cannot
+  *    find them), keeps exactly the min-doc_id per cluster, and emits a
+  *    verdict for every media row.
+  */
+class MediaDedupSpec extends SparkSuiteBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs(n: Long) =
+    spark.range(n).select(col("id").cast("long").as("doc_id"))
+
+  test("60-bit audio fingerprint: planted gain-dups collide, over-merge strictly below 15-bit") {
+    val media = Multimodal.attachPerceptualMixMedia(docs(500))
+      .filter(col("doc_id") % 3 === 1) // the WAV third of the mix
+    val n = media.count()
+    val planted = (0L until 500L)
+      .count(id => id % 3 == 1 && (id / 3) % 8 == 7 && id / 3 >= 7)
+    val d15 = Multimodal.wavFingerprintArrow(media)
+      .filter(col("format") === "wav")
+      .select(col("fingerprint")).distinct().count()
+    val w60 = Multimodal.wavFingerprint60Arrow(media)
+      .filter(col("format") === "wav").cache()
+    try {
+      val d60 = w60.select(col("sig_hi"), col("sig_lo")).distinct().count()
+      val over15 = (n - d15) - planted
+      val over60 = (n - d60) - planted
+      assert(over60 >= 0, "every planted 2x-gain dup must still collide at 60 bits")
+      assert(over60 < over15,
+        s"widening must strictly reduce over-merge (got 15-bit $over15, 60-bit $over60)")
+      // the measured values on this corpus (14 -> 2) — keep the old
+      // number as the comparison the fixture scaladoc cites
+      assert(over15 === 14L)
+      assert(over60 === 2L)
+      // gain invariance, directly: each planted dup's 60-bit code equals
+      // its base's
+      val sig = w60.select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (id <- 0L until 500L
+           if id % 3 == 1 && (id / 3) % 8 == 7 && id / 3 >= 7) {
+        assert(sig(id) === sig(id - 21),
+          s"2x-gain dup $id must share its base's 60-bit code")
+      }
+    } finally w60.unpersist(): Unit
+  }
+
+  test("media dedup cut: plants drop, near class merges via hamming, keepers are min-id") {
+    val cut = Multimodal.queries("pipe_media_dedup_cut")(spark, sf).cache()
+    try {
+      val nDocs = 500L // sf0.001 documents
+      assert(cut.count() === nDocs, "one verdict per media row")
+      val verdicts = cut.select(col("doc_id"), col("cluster_id"), col("keep"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // every planted byte-different dup drops, in all three modalities,
+      // and lands in its base's cluster (min id = the base unless an
+      // incidental smaller member joined — assert membership, not label)
+      for (id <- 0L until nDocs if (id / 3) % 8 == 7 && id / 3 >= 7) {
+        val (cl, keep) = verdicts(id)
+        assert(!keep, s"planted dup $id must drop")
+        val base = id - 21 // same modality, content c-7
+        assert(cl === verdicts(base)._1, s"dup $id must share base $base's cluster")
+      }
+      // the image NEAR class (one flipped sampled pixel, hamming 1-2)
+      // drops too — and its signature is NOT equal to the base's, so
+      // only the hamming merge can have found it
+      val sigs = Multimodal.mediaSigArrow(
+          Multimodal.attachPerceptualMixMedia(docs(nDocs)))
+        .filter(col("modality") === "image")
+        .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val nearIds = (0L until nDocs)
+        .filter(id => id % 3 == 0 && (id / 3) % 8 == 3 && id / 3 >= 3)
+      assert(nearIds.nonEmpty)
+      for (id <- nearIds) {
+        val base = id - 9 // image of content c-3
+        assert(sigs(id) !== sigs(base),
+          s"near image $id must be signature-DISTINCT from base $base")
+        assert(!verdicts(id)._2, s"near image $id must drop")
+        assert(verdicts(id)._1 === verdicts(base)._1,
+          s"near image $id must join base $base's cluster")
+      }
+      // canonical keeper: the cluster label IS the min member id, and it
+      // is the only kept member
+      val byCluster = verdicts.toSeq.groupBy(_._2._1)
+      for ((cl, members) <- byCluster) {
+        assert(members.map(_._1).min === cl, s"cluster $cl label must be min id")
+        assert(members.count(_._2._2) === 1, s"cluster $cl must keep exactly one")
+        assert(verdicts(cl)._2, s"cluster $cl's keeper must be the label")
+      }
+    } finally cut.unpersist(): Unit
+  }
+}

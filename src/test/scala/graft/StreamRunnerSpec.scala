@@ -580,10 +580,18 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .collect().map(_.getLong(0)).toSet
     assert(docs === Set(0L, 1L, 2L, 20L, 21L),
       s"8/9 near-dups and the 28 within-batch dup must drop, got $docs")
-    // the signature index covers every survivor for the NEXT batch
-    val sigDocs = wh.read(spark, "imgs_sigs").select(col("doc_id"))
-      .collect().map(_.getLong(0)).toSet
-    assert(sigDocs === Set(0L, 1L, 2L, 20L, 21L))
+    // the signature index covers every survivor for the NEXT batch —
+    // HASH-KEYED: one row per distinct surviving signature, with the
+    // copy mass of everything merged into it
+    val sigs = wh.read(spark, "imgs_sigs")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet === Set(0L, 1L, 2L, 20L, 21L))
+    // row count == distinct surviving hashes (never ingest history)
+    assert(wh.read(spark, "imgs_sigs").count() === 5L)
+    // counts: 0 absorbed exact-dup 8, 1 absorbed near-dup 9, 20 absorbed
+    // within-batch 28; total copy mass == every decoded item ever seen
+    assert(sigs === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 20L -> 2L, 21L -> 1L))
     // replay idempotence: re-running the same batch id against its own
     // appended index rows must not drop the batch's docs
     val hashes = Multimodal.dhashArrow(spark.createDataFrame(
@@ -592,14 +600,97 @@ class StreamRunnerSpec extends SparkSuiteBase {
           StructField("payload", BinaryType)))))
       .filter(col("format") === "png")
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-    // replay idempotence: a replayed batch 1 excludes its OWN index
-    // partition from the corpus side, so 20/21's previously-appended
+    // replay idempotence: a replayed batch 1 excludes the rows it FIRST
+    // INSERTED from the corpus side, so 20/21's previously-inserted
     // signature rows can't drop the replay's docs
     val corpusNotOwn = wh.read(spark, "imgs_sigs")
-      .filter(col("ingest_batch") =!= 1L)
+      .filter(col("first_batch") =!= 1L)
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
     assert(Multimodal.dhashIncrementalMatches(hashes, corpusNotOwn)
       .count() === 0L)
+    // full-body replay: re-running batch 1 through the publish body must
+    // leave the index EXACTLY as it is (no re-added counts — the
+    // last_batch guard — and no lost docs)
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(8L, 9L, 20L, 28L, 21L).map(i =>
+        Row(i, pay(i)))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    StreamRunner.perceptualPublishBatch(replay, 1L, wh, "imgs", _ => None,
+      Multimodal.dhashArrow, "png", maxHamming = 3)
+    val sigs2 = wh.read(spark, "imgs_sigs")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs2 === sigs, "replay must not change the index")
+    val docs2 = wh.read(spark, "imgs").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(docs2 === Set(0L, 1L, 2L, 20L, 21L))
+  }
+
+  test("streaming audio ingest: gain-dups drop by EXACT 60-bit equality; index stays hash-keyed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // payloads from the perceptual-mix generator's WAV third (id%3==1):
+    // content c = id/3; c%8==7 is the same waveform at 2x gain as c-7
+    val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+    def payloads(ids: Seq[Long]): Map[Long, Array[Byte]] = {
+      val docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_))), docSchema)
+      Multimodal.attachPerceptualMixMedia(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
+    // 1 (c=0), 4 (c=1), 7 (c=2) | 22 (c=7: 2x-gain dup of 1),
+    // 25 (c=8, new), 46 (c=15: 2x-gain of 25 -> within-batch signature
+    // collapse), 49 (c=16, new)
+    val pay = payloads(Seq(1L, 4L, 7L, 22L, 25L, 46L, 49L))
+    val wh = new Warehouse(tmpDir("audingest"))
+    val cp = tmpDir("audingest_cp")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamRunner.audioIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "auds", _ => None,
+      cp, Trigger.AvailableNow())
+    ms.addData(Seq(1L, 4L, 7L).map(i => i -> pay(i)))
+    q.processAllAvailable(); q.stop()
+    assert(wh.read(spark, "auds").count() === 3L)
+    ms.addData(Seq(22L, 25L, 46L, 49L).map(i => i -> pay(i)))
+    val q2 = StreamRunner.audioIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "auds", _ => None,
+      cp, Trigger.AvailableNow())
+    q2.processAllAvailable(); q2.stop()
+    val docs = wh.read(spark, "auds").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(docs === Set(1L, 4L, 7L, 25L, 49L),
+      s"gain-dup 22 and within-batch dup 46 must drop, got $docs")
+    val sigs = wh.read(spark, "auds_sigs")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(1L -> 2L, 4L -> 1L, 7L -> 1L, 25L -> 2L, 49L -> 1L))
+    assert(wh.read(spark, "auds_sigs").count() === 5L,
+      "index rows == distinct surviving signatures")
+  }
+
+  test("audio matching is equality-only: hamming-1 signatures do NOT merge at maxHamming=0") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    def frame(rows: Seq[(Long, Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, h, l) => Row(i, h, l) }),
+      hashSchema)
+    val corpus = frame(Seq((0L, 0x11L, 0x22L)))
+    val exact = frame(Seq((10L, 0x11L, 0x22L)))
+    val near = frame(Seq((11L, 0x11L, 0x23L))) // hamming 1
+    assert(Multimodal.dhashIncrementalMatches(exact, corpus, maxHamming = 0)
+      .count() === 1L)
+    assert(Multimodal.dhashIncrementalMatches(near, corpus, maxHamming = 0)
+      .count() === 0L, "hamming tolerance must be off for energy-shape codes")
+    assert(Multimodal.dhashIncrementalMatches(near, corpus, maxHamming = 3)
+      .count() === 1L)
   }
 
   test("streaming video ingest: keyframe dups drop via the shared perceptual body") {
