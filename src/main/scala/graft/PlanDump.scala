@@ -296,8 +296,9 @@ object PlanDump {
     // the token-budget CUT: same histogram machinery, per-doc verdicts
     "pipe_token_budget_cut",
     // round 13: the widened 60-bit audio fingerprint (narrow Arrow-seam
-    // decode — four per-window features in one pass, no shuffle)
-    "mm_wav_fingerprint60",
+    // decode — four per-window features in one pass, no shuffle) and the
+    // width-tradeoff report (two decode aggs + a 1-row broadcast)
+    "mm_wav_fingerprint60", "mm_wav_overmerge",
     // cross-modality dedup CUT: one narrow sniff+decode+sign pass, then
     // identity-collapsed guarded banding per modality into ONE CC run —
     // audit: star edges (never pair expansion), node-id-only shuffles

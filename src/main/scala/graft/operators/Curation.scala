@@ -982,6 +982,67 @@ object Curation extends QueryModule {
         .orderBy(col("channel"))
     }))
 
+  /** ONE straight-cumsum replay template for the token-budget report,
+    * parameterized by the token-count SQL (whitespace or the BPE chain) —
+    * the oracle-side twin of [[budgetCutFrames]]'s sharing, so the two
+    * counted forms can never drift.
+    */
+  private def tokenBudgetOracle(nTokensSql: String): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, $nTokensSql AS n_tokens,
+      |    md5(text) AS h
+      |  FROM documents
+      |), b AS (
+      |  SELECT source, sum(n_tokens)
+      |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
+      |    AS budget
+      |  FROM t GROUP BY source
+      |), o AS (
+      |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND 1 PRECEDING), 0) AS cb
+      |  FROM t
+      |), sel AS (
+      |  SELECT o.source, o.n_tokens, b.budget
+      |  FROM o JOIN b USING (source) WHERE o.cb < b.budget
+      |)
+      |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+      |  CAST(count(*) AS BIGINT) AS n_selected,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+      |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
+      |FROM sel GROUP BY source ORDER BY source""".stripMargin
+
+  /** The packing replay template — same parameterization. */
+  private def seqPackOracle(nTokensSql: String): String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
+      |    $nTokensSql AS n_tokens,
+      |    doc_id // 1000 AS block
+      |  FROM documents
+      |), p AS (
+      |  SELECT shard, block, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY shard, block
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS cb
+      |  FROM t
+      |), pb AS (
+      |  SELECT shard, block, count(*) AS n_docs, sum(n_tokens) AS toks,
+      |    sum(CASE WHEN (cb // 512) < ((cb + n_tokens - 1) // 512)
+      |        THEN 1 ELSE 0 END) AS n_span
+      |  FROM p GROUP BY shard, block
+      |)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  CAST(sum((toks + 511) // 512) AS BIGINT) AS n_windows,
+      |  CAST(sum(n_span) AS BIGINT) AS n_spanning,
+      |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
+      |    AS fill_x1e6
+      |FROM pb GROUP BY shard ORDER BY shard""".stripMargin
+
+  private val wsTokensSql = "len(string_split(text, ' '))"
+
   def oracleSql: Map[String, String] = Map(
     "pipe_dataset_card" ->
       """WITH h AS (
@@ -1095,115 +1156,16 @@ object Curation extends QueryModule {
     // replays the take-while selection as ONE straight per-source md5-
     // ordered cumsum — agreeing with the engine's two-stage histogram
     // cut proves the bucket decomposition exact, not just plausible
-    "pipe_token_budget" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
-        |    md5(text) AS h
-        |  FROM documents
-        |), b AS (
-        |  SELECT source, sum(n_tokens)
-        |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
-        |    AS budget
-        |  FROM t GROUP BY source
-        |), o AS (
-        |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
-        |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND 1 PRECEDING), 0) AS cb
-        |  FROM t
-        |), sel AS (
-        |  SELECT o.source, o.n_tokens, b.budget
-        |  FROM o JOIN b USING (source) WHERE o.cb < b.budget
-        |)
-        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
-        |  CAST(count(*) AS BIGINT) AS n_selected,
-        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
-        |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
-        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_token_budget" -> tokenBudgetOracle(wsTokensSql),
     // the BPE twin: identical straight-cumsum replay with n_tokens under
     // the SAME literal merge chain (textually valid in both engines)
-    "pipe_token_budget_bpe" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, source,
-        |    ${TextAnalysis.bpeTokenCountSql} AS n_tokens,
-        |    md5(text) AS h
-        |  FROM documents
-        |), b AS (
-        |  SELECT source, sum(n_tokens)
-        |    // (2 + (try_cast('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3))
-        |    AS budget
-        |  FROM t GROUP BY source
-        |), o AS (
-        |  SELECT t.*, coalesce(sum(n_tokens) OVER (PARTITION BY source
-        |    ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND 1 PRECEDING), 0) AS cb
-        |  FROM t
-        |), sel AS (
-        |  SELECT o.source, o.n_tokens, b.budget
-        |  FROM o JOIN b USING (source) WHERE o.cb < b.budget
-        |)
-        |SELECT source, CAST(max(budget) AS BIGINT) AS budget,
-        |  CAST(count(*) AS BIGINT) AS n_selected,
-        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
-        |  CAST(sum(n_tokens) - max(budget) AS BIGINT) AS overshoot
-        |FROM sel GROUP BY source ORDER BY source""".stripMargin,
+    "pipe_token_budget_bpe" -> tokenBudgetOracle(TextAnalysis.bpeTokenCountSql),
     // replays the shard hash, per-block token cumsum, boundary-crossing
     // predicate, and ceil-window arithmetic in lockstep
-    "pipe_seq_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    doc_id // 1000 AS block
-        |  FROM documents
-        |), p AS (
-        |  SELECT shard, block, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard, block
-        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND 1 PRECEDING), 0) AS cb
-        |  FROM t
-        |), pb AS (
-        |  SELECT shard, block, count(*) AS n_docs, sum(n_tokens) AS toks,
-        |    sum(CASE WHEN (cb // 512) < ((cb + n_tokens - 1) // 512)
-        |        THEN 1 ELSE 0 END) AS n_span
-        |  FROM p GROUP BY shard, block
-        |)
-        |SELECT CAST(shard AS BIGINT) AS shard,
-        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
-        |  CAST(sum((toks + 511) // 512) AS BIGINT) AS n_windows,
-        |  CAST(sum(n_span) AS BIGINT) AS n_spanning,
-        |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
-        |    AS fill_x1e6
-        |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_seq_pack" -> seqPackOracle(wsTokensSql),
     // the BPE twin of the packing replay — same cumsum/ceil arithmetic,
     // token counts under the literal merge chain
-    "pipe_seq_pack_bpe" ->
-      s"""WITH t AS (
-        |  SELECT doc_id,
-        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
-        |    ${TextAnalysis.bpeTokenCountSql} AS n_tokens,
-        |    doc_id // 1000 AS block
-        |  FROM documents
-        |), p AS (
-        |  SELECT shard, block, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard, block
-        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |      AND 1 PRECEDING), 0) AS cb
-        |  FROM t
-        |), pb AS (
-        |  SELECT shard, block, count(*) AS n_docs, sum(n_tokens) AS toks,
-        |    sum(CASE WHEN (cb // 512) < ((cb + n_tokens - 1) // 512)
-        |        THEN 1 ELSE 0 END) AS n_span
-        |  FROM p GROUP BY shard, block
-        |)
-        |SELECT CAST(shard AS BIGINT) AS shard,
-        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
-        |  CAST(sum((toks + 511) // 512) AS BIGINT) AS n_windows,
-        |  CAST(sum(n_span) AS BIGINT) AS n_spanning,
-        |  CAST(sum(toks) * 1000000 // (sum((toks + 511) // 512) * 512) AS BIGINT)
-        |    AS fill_x1e6
-        |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipe_seq_pack_bpe" -> seqPackOracle(TextAnalysis.bpeTokenCountSql),
     "pipe_export_shards" ->
       """SELECT
         |  try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,

@@ -3141,6 +3141,41 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the WIDTH TRADEOFF as a gate-checked number: both fingerprint
+    // decoders run over the perceptual-mix audio third and report their
+    // over-merge (redundant signatures beyond the planted 2×-gain dups).
+    // This is the comparison the 15→60-bit widening was justified by —
+    // kept as an oracle row so a regression in either decoder (or a
+    // fixture drift) moves a number the gate hashes. The oracle exploits
+    // that the 15-bit code IS chunk 0 of the 60-bit one (same e0
+    // comparisons), so one replay covers both widths. ----
+    "mm_wav_overmerge" -> ((s, d) => {
+      val media = attachPerceptualMixMedia(Tables.documents(s, d))
+        .filter(col("doc_id") % 3 === 1)
+      val planted = Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1 &&
+          expr("doc_id DIV 3") % 8 === 7 && expr("doc_id DIV 3") >= 7)
+        .agg(count(lit(1)).as("n_planted"))
+      val w15 = wavFingerprintArrow(media).filter(col("format") === "wav")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("fingerprint")).as("n_distinct"))
+        .withColumn("width_bits", lit(15L))
+      val w60 = wavFingerprint60Arrow(media).filter(col("format") === "wav")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("sig_hi"), col("sig_lo")).as("n_distinct"))
+        .withColumn("width_bits", lit(60L))
+      w15.unionByName(w60)
+        .crossJoin(broadcast(planted))
+        .select(col("width_bits"),
+          col("n_items").cast("bigint").as("n_items"),
+          col("n_distinct").cast("bigint").as("n_distinct"),
+          (col("n_items") - col("n_distinct")).cast("bigint").as("n_redundant"),
+          col("n_planted").cast("bigint").as("n_planted"),
+          (col("n_items") - col("n_distinct") - col("n_planted"))
+            .cast("bigint").as("over_merge"))
+        .orderBy(col("width_bits"))
+    }),
+
     // ---- CROSS-MODALITY perceptual dedup capstone: the signature
     // router ([[mediaSigArrow]]) decodes each payload by its magic and
     // emits the modality's 64-bit perceptual signature; the report
@@ -3940,6 +3975,28 @@ object Multimodal extends QueryModule {
         |  CAST(fp.hi AS BIGINT) AS sig_hi, CAST(fp.lo AS BIGINT) AS sig_lo
         |FROM m JOIN fp ON m.doc_id = fp.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // one 60-bit replay covers BOTH widths: the 15-bit code is chunk 0
+    // of the 60-bit lo (identical e0 window comparisons), so distinct
+    // counting lo & 32767 reproduces the narrow decoder's merges
+    "mm_wav_overmerge" -> (mediaSigOracleCte +
+      """, pl AS (
+        |  SELECT count(*) AS n_planted FROM documents
+        |  WHERE doc_id % 3 = 1 AND (doc_id // 3) % 8 = 7 AND doc_id // 3 >= 7
+        |), r AS (
+        |  SELECT 15 AS width_bits, count(*) AS n_items,
+        |    count(DISTINCT lo & 32767) AS n_distinct FROM ab
+        |  UNION ALL
+        |  SELECT 60, count(*),
+        |    count(DISTINCT CAST(hi AS VARCHAR) || ':' || CAST(lo AS VARCHAR))
+        |  FROM ab
+        |)
+        |SELECT CAST(width_bits AS BIGINT) AS width_bits,
+        |  CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  CAST(n_items - n_distinct AS BIGINT) AS n_redundant,
+        |  CAST(pl.n_planted AS BIGINT) AS n_planted,
+        |  CAST(n_items - n_distinct - pl.n_planted AS BIGINT) AS over_merge
+        |FROM r, pl ORDER BY width_bits""".stripMargin),
     "pipe_multimodal_e2e" ->
       """WITH di AS (
         |  SELECT doc_id, doc_id % 16 + 1 AS w, n_chars % 12 + 1 AS h,
