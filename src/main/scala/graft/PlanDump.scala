@@ -307,6 +307,8 @@ object PlanDump {
     // still-unresolved rows against the redirect edge table; the canon
     // projection is codegen'd parse_url — audit: no per-row driver walk
     "crawl_redirects",
+    // frontier merge: one decode pass feeds both rollups; |domains| rows
+    "pipe_frontier_merge",
     // BPE-counted budget twins: the merge chain is a literal-replace
     // projection inside the same histogram-cut / block-bounded plans
     "pipe_token_budget_bpe", "pipe_seq_pack_bpe")

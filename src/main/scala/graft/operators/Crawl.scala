@@ -1764,6 +1764,44 @@ object Crawl extends QueryModule {
       resolveRedirects(redirectRecordsArrow(media)).orderBy(col("doc_id"))
     }),
 
+    // ---- FRONTIER MERGE: the per-domain crawl-ops rollup the redirect
+    // resolver exists to feed — how many fetches the frontier SAVES per
+    // domain. Pages (200 records) and resolved redirects roll up by
+    // domain; `redirect_dup_saved` = ok chains MINUS distinct canonical
+    // landings (the fixture's c=2 and c=5 chains genuinely converge on
+    // the same c=8 pages, so the dedup across discovery channels is
+    // load-bearing, not zero by construction); dangling/loop/cap counts
+    // are the frontier's hygiene columns. One decode pass feeds both
+    // rollups (localCheckpoint — the RDD seam is not exchange-reusable);
+    // everything after is |domains|-sized. The oracle reruns the SAME
+    // walk replay `crawl_redirects` uses and re-derives every count. ----
+    "pipe_frontier_merge" -> ((s, d) => {
+      val media = attachRedirectMedia(Tables.documents(s, d))
+      val recs = redirectRecordsArrow(media).localCheckpoint()
+      val dom = (u: org.apache.spark.sql.Column) =>
+        regexp_extract(u, "https://([^/]+)/", 1)
+      val pages = recs.filter(col("status") === 200L)
+        .groupBy(dom(col("url")).as("domain"))
+        .agg(count(lit(1)).cast("bigint").as("n_pages"))
+      val redir = resolveRedirects(recs)
+        .groupBy(dom(col("final_url")).as("domain"))
+        .agg(count(lit(1)).cast("bigint").as("n_redirects"),
+          sum(when(col("outcome") === "ok", 1L).otherwise(0L))
+            .cast("bigint").as("n_resolved_ok"),
+          countDistinct(when(col("outcome") === "ok", col("final_canon")))
+            .cast("bigint").as("n_distinct_landings"),
+          sum(when(col("outcome") === "dangling", 1L).otherwise(0L))
+            .cast("bigint").as("n_dangling"),
+          sum(when(col("outcome") === "loop", 1L).otherwise(0L))
+            .cast("bigint").as("n_loop"))
+      pages.join(redir, Seq("domain"), "full_outer")
+        .na.fill(0L, Seq("n_pages", "n_redirects", "n_resolved_ok",
+          "n_distinct_landings", "n_dangling", "n_loop"))
+        .withColumn("redirect_dup_saved",
+          (col("n_resolved_ok") - col("n_distinct_landings")).cast("bigint"))
+        .orderBy(col("domain"))
+    }),
+
     // ---- charset-aware extraction over a MIXED-charset crawl slice:
     // each doc's page is encoded in its class's declared charset
     // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
@@ -1842,6 +1880,63 @@ object Crawl extends QueryModule {
         .orderBy(col("doc_id"))
     }))
 
+  /** The redirect WALK replay in doc_id space (class arithmetic → the
+    * recursive visited-list walk with the 5-hop cap → `allrows(src,
+    * status, n_hops, outcome, fin)`; /gone/ landings encode as
+    * `-src - 1000000`) — shared by the `crawl_redirects` row replay and
+    * the `pipe_frontier_merge` per-domain rollup, so the two can never
+    * disagree about a chain.
+    */
+  private val redirectWalkCte: String =
+    """WITH RECURSIVE cls AS (
+      |  SELECT doc_id, doc_id % 12 AS c,
+      |    CASE WHEN doc_id % 12 IN (1, 2, 5, 7) THEN doc_id + 3
+      |         WHEN doc_id % 12 = 3 THEN doc_id + 6
+      |         WHEN doc_id % 12 = 9 THEN doc_id - 6 END AS tid,
+      |    doc_id % 12 IN (1, 2, 3, 5, 6, 7, 9) AS is_redir,
+      |    CASE WHEN doc_id % 12 = 2 THEN 302 ELSE 301 END AS status
+      |  FROM documents
+      |), walk AS (
+      |  SELECT doc_id AS src, status, tid AS cur, 1 AS n_hops,
+      |    [doc_id] AS visited, CAST(NULL AS VARCHAR) AS outcome,
+      |    CAST(NULL AS BIGINT) AS fin
+      |  FROM cls WHERE is_redir AND c <> 6
+      |  UNION ALL
+      |  SELECT w.src, w.status,
+      |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir OR t.c = 6
+      |           OR list_contains(w.visited, t.tid) OR t.tid = w.cur
+      |           OR w.n_hops >= 5
+      |         THEN w.cur ELSE t.tid END,
+      |    CASE WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c <> 6
+      |           AND NOT list_contains(w.visited, t.tid) AND t.tid <> w.cur
+      |           AND w.n_hops < 5
+      |         THEN w.n_hops + 1
+      |         WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c = 6
+      |         THEN w.n_hops + 1 ELSE w.n_hops END,
+      |    list_append(w.visited, w.cur),
+      |    CASE WHEN t.doc_id IS NULL THEN 'dangling'
+      |         WHEN NOT t.is_redir THEN 'ok'
+      |         WHEN t.c = 6 THEN 'dangling'
+      |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN 'loop'
+      |         WHEN w.n_hops >= 5 THEN 'chain_cap' END,
+      |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir THEN w.cur
+      |         WHEN t.c = 6 THEN -w.cur - 1000000
+      |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN w.cur
+      |         WHEN w.n_hops >= 5 THEN w.cur END
+      |  FROM walk w LEFT JOIN cls t ON w.cur = t.doc_id
+      |  WHERE w.outcome IS NULL
+      |), settled AS (
+      |  SELECT src, status, n_hops, outcome, fin FROM walk
+      |  WHERE outcome IS NOT NULL
+      |), gone6 AS (
+      |  SELECT doc_id AS src, status, 1 AS n_hops, 'dangling' AS outcome,
+      |    -doc_id - 1000000 AS fin
+      |  FROM cls WHERE c = 6
+      |), allrows AS (
+      |  SELECT * FROM settled UNION ALL SELECT * FROM gone6
+      |)
+      |""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     // predicts the per-shard accounting from the assignment formula; the
     // Spark side can only reach it by the V2 source decoding the archives
@@ -1913,55 +2008,8 @@ object Crawl extends QueryModule {
     // detection, the 5-hop cap, and the landing url's canon construction
     // (params sorted, utm dropped) — the Spark side reaches the same
     // rows only by parsing real WARC/HTTP bytes and joining url strings
-    "crawl_redirects" ->
-      """WITH RECURSIVE cls AS (
-        |  SELECT doc_id, doc_id % 12 AS c,
-        |    CASE WHEN doc_id % 12 IN (1, 2, 5, 7) THEN doc_id + 3
-        |         WHEN doc_id % 12 = 3 THEN doc_id + 6
-        |         WHEN doc_id % 12 = 9 THEN doc_id - 6 END AS tid,
-        |    doc_id % 12 IN (1, 2, 3, 5, 6, 7, 9) AS is_redir,
-        |    CASE WHEN doc_id % 12 = 2 THEN 302 ELSE 301 END AS status
-        |  FROM documents
-        |), walk AS (
-        |  SELECT doc_id AS src, status, tid AS cur, 1 AS n_hops,
-        |    [doc_id] AS visited, CAST(NULL AS VARCHAR) AS outcome,
-        |    CAST(NULL AS BIGINT) AS fin
-        |  FROM cls WHERE is_redir AND c <> 6
-        |  UNION ALL
-        |  SELECT w.src, w.status,
-        |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir OR t.c = 6
-        |           OR list_contains(w.visited, t.tid) OR t.tid = w.cur
-        |           OR w.n_hops >= 5
-        |         THEN w.cur ELSE t.tid END,
-        |    CASE WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c <> 6
-        |           AND NOT list_contains(w.visited, t.tid) AND t.tid <> w.cur
-        |           AND w.n_hops < 5
-        |         THEN w.n_hops + 1
-        |         WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c = 6
-        |         THEN w.n_hops + 1 ELSE w.n_hops END,
-        |    list_append(w.visited, w.cur),
-        |    CASE WHEN t.doc_id IS NULL THEN 'dangling'
-        |         WHEN NOT t.is_redir THEN 'ok'
-        |         WHEN t.c = 6 THEN 'dangling'
-        |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN 'loop'
-        |         WHEN w.n_hops >= 5 THEN 'chain_cap' END,
-        |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir THEN w.cur
-        |         WHEN t.c = 6 THEN -w.cur - 1000000
-        |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN w.cur
-        |         WHEN w.n_hops >= 5 THEN w.cur END
-        |  FROM walk w LEFT JOIN cls t ON w.cur = t.doc_id
-        |  WHERE w.outcome IS NULL
-        |), settled AS (
-        |  SELECT src, status, n_hops, outcome, fin FROM walk
-        |  WHERE outcome IS NOT NULL
-        |), gone6 AS (
-        |  SELECT doc_id AS src, status, 1 AS n_hops, 'dangling' AS outcome,
-        |    -doc_id - 1000000 AS fin
-        |  FROM cls WHERE c = 6
-        |), allrows AS (
-        |  SELECT * FROM settled UNION ALL SELECT * FROM gone6
-        |)
-        |SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
+    "crawl_redirects" -> (redirectWalkCte +
+      """SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
         |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
         |  CASE WHEN fin < -999999
         |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
@@ -1972,7 +2020,36 @@ object Crawl extends QueryModule {
         |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
         |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
         |  END AS final_canon
-        |FROM allrows ORDER BY doc_id""".stripMargin,
+        |FROM allrows ORDER BY doc_id""".stripMargin),
+    // the SAME walk replay rolled up per domain (src % 3 — every planted
+    // hop is same-host, including the /gone/ and past-corpus targets);
+    // landings dedup on fin, pages counted from the non-redirect classes
+    "pipe_frontier_merge" -> (redirectWalkCte +
+      """, pg AS (
+        |  SELECT 'site' || (doc_id % 3) || '.com' AS domain,
+        |    count(*) AS n_pages
+        |  FROM cls WHERE NOT is_redir GROUP BY 1
+        |), rd AS (
+        |  SELECT 'site' || (src % 3) || '.com' AS domain,
+        |    count(*) AS n_redirects,
+        |    sum(CASE WHEN outcome = 'ok' THEN 1 ELSE 0 END) AS n_resolved_ok,
+        |    count(DISTINCT CASE WHEN outcome = 'ok' THEN fin END)
+        |      AS n_distinct_landings,
+        |    sum(CASE WHEN outcome = 'dangling' THEN 1 ELSE 0 END) AS n_dangling,
+        |    sum(CASE WHEN outcome = 'loop' THEN 1 ELSE 0 END) AS n_loop
+        |  FROM allrows GROUP BY 1
+        |)
+        |SELECT coalesce(pg.domain, rd.domain) AS domain,
+        |  CAST(coalesce(n_pages, 0) AS BIGINT) AS n_pages,
+        |  CAST(coalesce(n_redirects, 0) AS BIGINT) AS n_redirects,
+        |  CAST(coalesce(n_resolved_ok, 0) AS BIGINT) AS n_resolved_ok,
+        |  CAST(coalesce(n_distinct_landings, 0) AS BIGINT) AS n_distinct_landings,
+        |  CAST(coalesce(n_dangling, 0) AS BIGINT) AS n_dangling,
+        |  CAST(coalesce(n_loop, 0) AS BIGINT) AS n_loop,
+        |  CAST(coalesce(n_resolved_ok, 0) - coalesce(n_distinct_landings, 0)
+        |    AS BIGINT) AS redirect_dup_saved
+        |FROM pg FULL OUTER JOIN rd ON pg.domain = rd.domain
+        |ORDER BY domain""".stripMargin),
     // predicts the transcoded extraction from `documents` + the class
     // markers; only a real charset= parse + strict legacy-byte decode on
     // the Spark side reproduces these hashes
