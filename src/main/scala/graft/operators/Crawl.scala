@@ -1319,31 +1319,51 @@ object Crawl extends QueryModule {
   private[graft] def resolveRedirects(
       records: DataFrame, maxHops: Int = 5): DataFrame = {
     val recs = records.filter(col("format") === "http")
+    // RFC 3986 reference resolution, the forms a crawler actually sees:
+    // absolute; protocol-relative (`//host/p` — base scheme); root-
+    // relative (`/p` — base origin); path-relative (`p`, `a/b` — base
+    // origin + base directory). `.`/`..` segments are left verbatim
+    // (they survive into canon; the fixture plants none).
+    val origin = regexp_extract(col("url"), "^(https?://[^/]+)", 1)
+    val baseDir = regexp_extract(col("url"), "^https?://[^/]+(.*/)", 1)
     val redirects = recs
       .filter(col("status").between(300L, 399L) && col("location").isNotNull)
       .withColumn("target",
-        when(col("location").startsWith("/"),
-          concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1),
+        when(col("location").startsWith("//"),
+          concat(regexp_extract(col("url"), "^(https?):", 1), lit(":"),
             col("location")))
-          .otherwise(col("location")))
+          .when(col("location").startsWith("/"), concat(origin, col("location")))
+          .when(col("location").rlike("^https?://"), col("location"))
+          .otherwise(concat(origin,
+            when(baseDir === "", lit("/")).otherwise(baseDir),
+            col("location"))))
     val terminals = recs.filter(col("status") === 200L)
       .select(col("url").as("t_url"))
     val edges = redirects.select(col("url").as("cur"), col("target").as("nxt"))
-    var state = redirects.select(col("doc_id"), col("status"),
+    // a 3xx with NO Location is undrivable — typed out, never silently
+    // dropped (pipe_frontier_merge counts it with the hygiene columns)
+    val noLocation = recs
+      .filter(col("status").between(300L, 399L) && col("location").isNull)
+      .select(col("doc_id"), col("status"), col("url").as("cur"),
+        lit(0L).as("n_hops"), lit("no_location").as("outcome"))
+    // per round, ONLY the still-unresolved rows join the edge table;
+    // settled rows leave the loop the round they settle (their slice of
+    // the round's checkpoint is final) — per-round cost tracks the
+    // unresolved frontier, not the full redirect set
+    var active = redirects.select(col("doc_id"), col("status"),
         col("target").as("cur"), lit(1L).as("n_hops"),
-        array(col("url")).as("visited"),
-        lit(null).cast("string").as("outcome"))
+        array(col("url")).as("visited"))
       .localCheckpoint()
+    val settled = Seq.newBuilder[DataFrame]
     for (_ <- 1 to maxHops) {
-      val j = state.join(edges, Seq("cur"), "left")
-      // settle order (matched by the oracle): already settled / chain
-      // ends here / next hop revisits / cap reached — else advance
-      val o2 = when(col("outcome").isNotNull, col("outcome"))
-        .when(col("nxt").isNull, lit("end"))
+      val j = active.join(edges, Seq("cur"), "left")
+      // settle order (matched by the oracle): chain ends here / next hop
+      // revisits / cap reached — else advance
+      val o2 = when(col("nxt").isNull, lit("end"))
         .when(array_contains(col("visited"), col("nxt")) ||
           col("nxt") === col("cur"), lit("loop"))
         .when(col("n_hops") >= maxHops, lit("chain_cap"))
-      state = j.select(col("doc_id"), col("status"),
+      val stepped = j.select(col("doc_id"), col("status"),
           when(o2.isNull, col("nxt")).otherwise(col("cur")).as("cur2"),
           when(o2.isNull, col("n_hops") + 1).otherwise(col("n_hops"))
             .as("n_hops"),
@@ -1352,10 +1372,20 @@ object Crawl extends QueryModule {
           o2.as("outcome"))
         .withColumnRenamed("cur2", "cur")
         .localCheckpoint()
+      settled += stepped.filter(col("outcome").isNotNull)
+        .select(col("doc_id"), col("status"), col("cur"), col("n_hops"),
+          col("outcome"))
+      active = stepped.filter(col("outcome").isNull)
+        .drop("outcome")
     }
+    // the cap guarantees `active` is empty after maxHops rounds (every
+    // row settles as end/loop/chain_cap by then)
+    val state = settled.result()
+      .reduce(_ unionByName _)
+      .unionByName(noLocation)
     val done = state.join(terminals, col("cur") === col("t_url"), "left")
       .withColumn("outcome",
-        when(col("outcome").isNull || col("outcome") === "end",
+        when(col("outcome") === "end",
           when(col("t_url").isNotNull, lit("ok")).otherwise(lit("dangling")))
           .otherwise(col("outcome")))
     canonicalizedUrls(done.withColumnRenamed("cur", "url"))
@@ -1912,17 +1942,23 @@ object Crawl extends QueryModule {
       |           AND w.n_hops < 5
       |         THEN w.n_hops + 1
       |         WHEN t.doc_id IS NOT NULL AND t.is_redir AND t.c = 6
+      |           AND w.n_hops < 5
       |         THEN w.n_hops + 1 ELSE w.n_hops END,
       |    list_append(w.visited, w.cur),
+      |    -- settle precedence mirrors the engine's o2 exactly: chain
+      |    -- ends (t missing / 200) / loop / cap, and only THEN the
+      |    -- advance-into-/gone/ shortcut (the engine advances and
+      |    -- settles 'end'->dangling one round later with the same
+      |    -- n_hops+1; at the cap the engine's chain_cap wins first)
       |    CASE WHEN t.doc_id IS NULL THEN 'dangling'
       |         WHEN NOT t.is_redir THEN 'ok'
-      |         WHEN t.c = 6 THEN 'dangling'
       |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN 'loop'
-      |         WHEN w.n_hops >= 5 THEN 'chain_cap' END,
+      |         WHEN w.n_hops >= 5 THEN 'chain_cap'
+      |         WHEN t.c = 6 THEN 'dangling' END,
       |    CASE WHEN t.doc_id IS NULL OR NOT t.is_redir THEN w.cur
-      |         WHEN t.c = 6 THEN -w.cur - 1000000
       |         WHEN list_contains(w.visited, t.tid) OR t.tid = w.cur THEN w.cur
-      |         WHEN w.n_hops >= 5 THEN w.cur END
+      |         WHEN w.n_hops >= 5 THEN w.cur
+      |         WHEN t.c = 6 THEN -w.cur - 1000000 END
       |  FROM walk w LEFT JOIN cls t ON w.cur = t.doc_id
       |  WHERE w.outcome IS NULL
       |), settled AS (

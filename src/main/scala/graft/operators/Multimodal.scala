@@ -1203,7 +1203,8 @@ object Multimodal extends QueryModule {
     * Distinct reps can never be at hamming 0, so the 1..3 range loses
     * nothing.
     */
-  private[graft] def dhashRepPairs(reps: DataFrame): DataFrame = {
+  private[graft] def dhashRepPairs(
+      reps: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = Dedup.capHotBands(dhashBanded(reps), Seq("ci", "cv"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -1213,7 +1214,7 @@ object Multimodal extends QueryModule {
       .withColumn("hamming",
         (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
           bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a.doc_id").as("rep_a"), col("b.doc_id").as("rep_b"),
         col("hamming"))
       .distinct()
@@ -1228,15 +1229,22 @@ object Multimodal extends QueryModule {
     * equal those of the full pair list. BandGuardSpec pins the linear
     * bound with a planted g-identical-images corpus.
     */
-  private[graft] def dhashClusterEdges(hashes: DataFrame): DataFrame = {
+  private[graft] def dhashClusterEdges(
+      hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     val members = dhashCollapse(hashes)
     val identityEdges = members.filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val reps = members.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-    identityEdges.unionByName(
-      dhashRepPairs(reps).select(col("rep_a").as("doc_a"),
-        col("rep_b").as("doc_b")))
+    // maxHamming = 0 is EXACT-equality clustering (the audio rule):
+    // distinct reps can never be at hamming 0, so the banded rep join
+    // has nothing to contribute and is skipped entirely
+    if (maxHamming <= 0) identityEdges
+    else {
+      val reps = members.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      identityEdges.unionByName(
+        dhashRepPairs(reps, maxHamming).select(col("rep_a").as("doc_a"),
+          col("rep_b").as("doc_b")))
+    }
   }
 
   /** Batch-vs-corpus perceptual matcher — the image analog of
@@ -3150,8 +3158,11 @@ object Multimodal extends QueryModule {
     // that the 15-bit code IS chunk 0 of the 60-bit one (same e0
     // comparisons), so one replay covers both widths. ----
     "mm_wav_overmerge" -> ((s, d) => {
+      // localCheckpoint: BOTH width decoders read this RDD-backed
+      // fixture — uncheckpointed, the payload generation would run twice
       val media = attachPerceptualMixMedia(Tables.documents(s, d))
         .filter(col("doc_id") % 3 === 1)
+        .localCheckpoint()
       val planted = Tables.documents(s, d)
         .filter(col("doc_id") % 3 === 1 &&
           expr("doc_id DIV 3") % 8 === 7 && expr("doc_id DIV 3") >= 7)
@@ -3230,14 +3241,12 @@ object Multimodal extends QueryModule {
         .filter(col("modality") === m)
         .select(col("doc_id"), col("sig_hi").as("hash_hi"),
           col("sig_lo").as("hash_lo"))
-      val audioStars = {
-        val members = dhashCollapse(hashesOf("audio"))
-        members.filter(col("doc_id") =!= col("rep"))
-          .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-      }
       val edges = dhashClusterEdges(hashesOf("image"))
         .unionByName(dhashClusterEdges(hashesOf("video")))
-        .unionByName(audioStars)
+        // audio: maxHamming 0 — exact 60-bit equality only (identity
+        // stars); hamming tolerance on an energy-shape code would
+        // re-open the over-merge the widening closed
+        .unionByName(dhashClusterEdges(hashesOf("audio"), maxHamming = 0))
       val cc = Dedup.connectedComponents(edges)
       sigs.select(col("doc_id"), col("modality"))
         .join(cc, Seq("doc_id"), "left")

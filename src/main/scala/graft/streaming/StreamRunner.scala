@@ -526,47 +526,58 @@ object StreamRunner {
               col("doc_id"), col("hash_hi"), col("hash_lo"),
               col("add_n").as("n_copies"),
               lit(batchId).as("first_batch"), lit(batchId).as("last_batch"))
-            val (merged, addBuckets) =
-              if (!hasIndex) (inserts, Array.empty[Long])
-              else {
-                // copy mass of batch items merged into EXISTING rows,
-                // keyed by the corpus keeper's doc_id
-                val adds = matched
-                  .join(exactCnt.select(col("doc_id").as("doc_new"),
-                    col("add_n")), "doc_new")
-                  .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"))
-                val corpus = wh.read(batch.sparkSession, sigsName)
-                  .drop("sb") // re-derived from hash_lo at write time
-                  .filter(col("first_batch") =!= batchId)
-                  .join(broadcast(adds.withColumnRenamed("dup_of", "doc_id")),
-                    Seq("doc_id"), "left")
-                val m = corpus
-                  .withColumn("n_copies",
-                    when(col("add_n").isNotNull && col("last_batch") =!= batchId,
-                      col("n_copies") + col("add_n")).otherwise(col("n_copies")))
-                  .withColumn("last_batch",
-                    when(col("add_n").isNotNull && col("last_batch") =!= batchId,
-                      lit(batchId)).otherwise(col("last_batch")))
-                  .drop("add_n")
-                  .unionByName(inserts)
-                // buckets of the CORPUS rows receiving adds — a near
-                // match's keeper can live in a different bucket than the
-                // batch item's own hash
-                val ab = corpus.filter(col("add_n").isNotNull)
-                  .select(sb(col("hash_lo")).as("v"))
-                  .distinct().collect().map(_.getLong(0))
-                (m, ab)
-              }
-            // rewrite ONLY the buckets this batch touched (new hashes or
-            // count adds); the bucket-id collects are bounded by SigBuckets
-            val affected = (survivors.select(sb(col("hash_lo")).as("v"))
-              .distinct().collect().map(_.getLong(0)) ++ addBuckets).distinct
-            if (affected.nonEmpty) {
-              val out = merged
-                .withColumn("sb", sb(col("hash_lo")))
-                .filter(col("sb").isin(affected: _*))
+            if (!hasIndex) {
+              val out = inserts.withColumn("sb", sb(col("hash_lo")))
                 .localCheckpoint()
-              wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
+              if (!out.isEmpty)
+                wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
+            } else {
+              // copy mass of batch items merged into EXISTING rows,
+              // keyed by the corpus keeper's doc_id; addTargets carries
+              // the keeper's OWN hash_lo (from the already-read match
+              // corpus embedded in `matched`'s build) so the touched
+              // buckets are known BEFORE any merge read — a near match's
+              // keeper can live in a different bucket than the batch
+              // item's own hash
+              val adds = matched
+                .join(exactCnt.select(col("doc_id").as("doc_new"),
+                  col("add_n")), "doc_new")
+                .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"))
+                .cache()
+              try {
+                val addBuckets = wh.read(batch.sparkSession, sigsName)
+                  .join(broadcast(adds.select(col("dup_of").as("doc_id"))),
+                    Seq("doc_id"))
+                  .select(col("sb").cast("long").as("v"))
+                  .distinct().collect().map(_.getLong(0))
+                // the bucket-id collects are bounded by SigBuckets
+                val affected = (survivors.select(sb(col("hash_lo")).as("v"))
+                  .distinct().collect().map(_.getLong(0)) ++ addBuckets).distinct
+                if (affected.nonEmpty) {
+                  // merge-read ONLY the touched buckets: sb is the
+                  // partition column, so this scan is directory-pruned —
+                  // per-batch upsert cost is the touched buckets' rows,
+                  // never the whole index
+                  val merged = wh.read(batch.sparkSession, sigsName)
+                    .filter(col("sb").isin(affected: _*))
+                    .drop("sb") // re-derived from hash_lo at write time
+                    .filter(col("first_batch") =!= batchId)
+                    .join(broadcast(adds.withColumnRenamed("dup_of", "doc_id")),
+                      Seq("doc_id"), "left")
+                    .withColumn("n_copies",
+                      when(col("add_n").isNotNull && col("last_batch") =!= batchId,
+                        col("n_copies") + col("add_n")).otherwise(col("n_copies")))
+                    .withColumn("last_batch",
+                      when(col("add_n").isNotNull && col("last_batch") =!= batchId,
+                        lit(batchId)).otherwise(col("last_batch")))
+                    .drop("add_n")
+                    .unionByName(inserts)
+                  val out = merged
+                    .withColumn("sb", sb(col("hash_lo")))
+                    .localCheckpoint()
+                  wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
+                }
+              } finally adds.unpersist(): Unit
             }
           }
         } finally { survivors.unpersist(); matched.unpersist(): Unit }

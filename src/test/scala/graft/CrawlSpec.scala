@@ -403,7 +403,14 @@ class CrawlSpec extends SparkSuiteBase {
       // dangling absolute
       Row(130L, "http", "https://h.com/x", 301L, "https://h.com/nowhere"),
       // a corrupt row must not participate at all
-      Row(140L, "warc-corrupt", null, null, null))
+      Row(140L, "warc-corrupt", null, null, null),
+      // protocol-relative: //host/path takes the BASE's scheme
+      Row(150L, "http", "https://h.com/dir/a", 301L, "//x.com/z"),
+      // path-relative: resolves against the base's directory
+      Row(151L, "http", "https://h.com/dir/a2", 301L, "b2"),
+      Row(152L, "http", "https://h.com/dir/b2", 200L, null),
+      // a 3xx with NO Location is typed out, never silently dropped
+      Row(153L, "http", "https://h.com/noloc", 301L, null))
     val recs = spark.createDataFrame(
       spark.sparkContext.parallelize(rows),
       StructType(Seq(StructField("doc_id", LongType),
@@ -422,6 +429,12 @@ class CrawlSpec extends SparkSuiteBase {
     assert(out(121L)._2 === "loop")
     assert(out(130L) === ((1L, "dangling", "https://h.com/nowhere")))
     assert(!out.contains(140L), "corrupt records must not enter resolution")
+    assert(out(150L) === ((1L, "dangling", "https://x.com/z")),
+      "protocol-relative Location must take the base scheme + its own host")
+    assert(out(151L) === ((1L, "ok", "https://h.com/dir/b2")),
+      "path-relative Location must resolve against the base directory")
+    assert(out(153L) === ((0L, "no_location", "https://h.com/noloc")),
+      "a 3xx without Location gets a typed verdict")
     // canon column only for ok landings
     val canon = Crawl.resolveRedirects(recs)
       .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
