@@ -56,6 +56,58 @@ class MediaDedupSpec extends SparkSuiteBase {
     } finally w60.unpersist(): Unit
   }
 
+  test("fingerprint identities: chunk 0 == the 15-bit code; exact 2x-gain invariance") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    // standalone RIFF builder (the fixture's wavPcm shape) over
+    // deterministic pseudo-random PCM — 120 mono clips, varied lengths,
+    // amplitudes < 16384 so the 2x gain cannot clip
+    def wav(pcm: Array[Short]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + 2 * pcm.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * pcm.length)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(2 * pcm.length)
+      pcm.foreach(out.putShort)
+      out.array()
+    }
+    def pcmFor(seed: Long, n: Int): Array[Short] =
+      Array.tabulate(n)(j =>
+        ((((seed * 6364136223846793005L + j * 1442695040888963407L) >>> 17)
+          % 32767L) - 16383L).toShort)
+    val rows = (0 until 120).flatMap { i =>
+      val pcm = pcmFor(i.toLong, 7 + i * 3 % 90)
+      Seq(Row(2L * i, wav(pcm)),
+        Row(2L * i + 1, wav(pcm.map(v => (v * 2).toShort))))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val f60 = Multimodal.wavFingerprint60Arrow(media)
+      .filter(col("format") === "wav")
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val f15 = Multimodal.wavFingerprintArrow(media)
+      .filter(col("format") === "wav")
+      .select(col("doc_id"), col("fingerprint"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f60.size === 240)
+    for (i <- 0 until 120) {
+      val id = 2L * i
+      // chunk 0 of the 60-bit code IS the 15-bit code (the identity the
+      // mm_wav_overmerge oracle replays one formula through)
+      assert((f60(id)._2 & 32767L) === f15(id), s"chunk0 identity clip $i")
+      // all four features scale linearly with gain, so every across-
+      // window comparison bit is EXACTLY invariant under 2x
+      assert(f60(id + 1) === f60(id), s"gain invariance clip $i")
+      assert(f15(id + 1) === f15(id), s"15-bit gain invariance clip $i")
+    }
+  }
+
   test("media dedup cut: plants drop, near class merges via hamming, keepers are min-id") {
     val cut = Multimodal.queries("pipe_media_dedup_cut")(spark, sf).cache()
     try {
