@@ -303,6 +303,8 @@ object PlanDump {
     // identity-collapsed guarded banding per modality into ONE CC run —
     // audit: star edges (never pair expansion), node-id-only shuffles
     "pipe_media_dedup_cut",
+    // the verdicts consumed: keep-only manifest rollup off the same body
+    "pipe_media_export",
     // redirect resolution: fixed-5-round url-key equi-joins of the
     // still-unresolved rows against the redirect edge table; the canon
     // projection is codegen'd parse_url — audit: no per-row driver walk

@@ -3229,31 +3229,31 @@ object Multimodal extends QueryModule {
     // narrow decode pass; the edge set is output-proportional; CC rounds
     // shuffle node ids only. ----
     "pipe_media_dedup_cut" -> ((s, d) => {
-      val media = attachPerceptualMixMedia(Tables.documents(s, d))
-      // localCheckpoint: the RDD-backed decode pass feeds three modality
-      // branches plus the final verdict join — uncheckpointed it would
-      // re-decode every payload four times (RDD scans are not
-      // exchange-reusable), and the plan dies with the query
-      val sigs = mediaSigArrow(media)
-        .filter(col("modality").isin("image", "audio", "video"))
-        .localCheckpoint()
-      def hashesOf(m: String): DataFrame = sigs
-        .filter(col("modality") === m)
-        .select(col("doc_id"), col("sig_hi").as("hash_hi"),
-          col("sig_lo").as("hash_lo"))
-      val edges = dhashClusterEdges(hashesOf("image"))
-        .unionByName(dhashClusterEdges(hashesOf("video")))
-        // audio: maxHamming 0 — exact 60-bit equality only (identity
-        // stars); hamming tolerance on an energy-shape code would
-        // re-open the over-merge the widening closed
-        .unionByName(dhashClusterEdges(hashesOf("audio"), maxHamming = 0))
-      val cc = Dedup.connectedComponents(edges)
-      sigs.select(col("doc_id"), col("modality"))
-        .join(cc, Seq("doc_id"), "left")
-        .withColumn("cluster_id",
-          coalesce(col("cluster_id"), col("doc_id")).cast("bigint"))
-        .withColumn("keep", col("cluster_id") === col("doc_id"))
+      mediaCutVerdicts(s, d)
+        .select(col("doc_id"), col("modality"), col("cluster_id"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the verdicts CONSUMED: the per-modality export manifest a
+    // trainer's loader reads — keep-only counts, an order-insensitive
+    // XOR checksum of the kept signatures (the pipe_export_shards
+    // manifest idiom: loss or duplication in the export flips the
+    // checksum), and the kept id range. One rollup over the shared
+    // verdict body; the oracle reruns the full signature + cluster
+    // replay and re-derives every manifest column. ----
+    "pipe_media_export" -> ((s, d) => {
+      mediaCutVerdicts(s, d)
+        .groupBy(col("modality"))
+        .agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"),
+          expr("bit_xor(CASE WHEN keep THEN sig_hi END)").cast("bigint")
+            .as("sig_hi_xor"),
+          expr("bit_xor(CASE WHEN keep THEN sig_lo END)").cast("bigint")
+            .as("sig_lo_xor"),
+          min(when(col("keep"), col("doc_id"))).cast("bigint").as("min_kept"),
+          max(when(col("keep"), col("doc_id"))).cast("bigint").as("max_kept"))
+        .orderBy(col("modality"))
     }),
 
     "pipe_multimodal_e2e" -> ((s, d) => {
@@ -3389,6 +3389,36 @@ object Multimodal extends QueryModule {
       |)
       |""".stripMargin
 
+  /** The cross-modality dedup VERDICT body shared by the cut and the
+    * export manifest: decode once (localCheckpoint — the RDD-backed
+    * signature pass feeds three modality branches plus the verdict
+    * join), per-modality near-dup edges (guarded hamming ≤ 3 banding
+    * for image/video; maxHamming 0 = exact 60-bit equality for audio —
+    * hamming tolerance on an energy-shape code would re-open the
+    * over-merge the widening closed), ONE connected-components run over
+    * the union (doc ids are globally unique, so modalities share the CC
+    * without ever linking), min-doc_id keeper. Returns
+    * (doc_id, modality, sig_hi, sig_lo, cluster_id, keep).
+    */
+  private def mediaCutVerdicts(s: SparkSession, d: String): DataFrame = {
+    val media = attachPerceptualMixMedia(Tables.documents(s, d))
+    val sigs = mediaSigArrow(media)
+      .filter(col("modality").isin("image", "audio", "video"))
+      .localCheckpoint()
+    def hashesOf(m: String): DataFrame = sigs
+      .filter(col("modality") === m)
+      .select(col("doc_id"), col("sig_hi").as("hash_hi"),
+        col("sig_lo").as("hash_lo"))
+    val edges = dhashClusterEdges(hashesOf("image"))
+      .unionByName(dhashClusterEdges(hashesOf("video")))
+      .unionByName(dhashClusterEdges(hashesOf("audio"), maxHamming = 0))
+    val cc = Dedup.connectedComponents(edges)
+    sigs.join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")).cast("bigint"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+  }
+
   /** Shared replay of ALL THREE [[attachPerceptualMixMedia]] signature
     * formulas — image Rec.601 dHash (dup = wider canvas → same k, near =
     * the forced-pixel flip), video keyframe luma dHash, audio 60-bit
@@ -3478,6 +3508,29 @@ object Multimodal extends QueryModule {
       |  WHERE l.w < 15 GROUP BY l.doc_id
       |)
       |""".stripMargin
+
+  /** [[mediaSigOracleCte]] extended with the brute-force per-modality
+    * pair set and the recursive reachability min-label — the full
+    * cluster replay shared by the cut verdicts and the export manifest.
+    */
+  private val mediaClusterOracleCte: String =
+    mediaSigOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sig AS (
+        |  SELECT doc_id, 'image' AS modality, hi, lo FROM ib
+        |  UNION ALL SELECT doc_id, 'video', hi, lo FROM vb
+        |  UNION ALL SELECT doc_id, 'audio', hi, lo FROM ab
+        |), prs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.modality = b.modality AND a.doc_id < b.doc_id
+        |  WHERE CASE WHEN a.modality = 'audio' THEN a.hi = b.hi AND a.lo = b.lo
+        |        ELSE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 END
+        |), adj AS (
+        |  SELECT da AS src, db AS dst FROM prs UNION SELECT db, da FROM prs
+        |), reach AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM (SELECT DISTINCT src AS doc_id FROM adj)
+        |  UNION SELECT r.a, adj.dst FROM reach r JOIN adj ON r.b = adj.src
+        |), lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     // independent replay of the sampling stride + luma GENERATOR: the
@@ -3834,27 +3887,28 @@ object Multimodal extends QueryModule {
     // recursive-CTE reachability min-label, keeper = min doc_id — the
     // full cluster/keeper arithmetic the engine's guarded banding + CC
     // must reproduce exactly
-    "pipe_media_dedup_cut" -> (mediaSigOracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, sig AS (
-        |  SELECT doc_id, 'image' AS modality, hi, lo FROM ib
-        |  UNION ALL SELECT doc_id, 'video', hi, lo FROM vb
-        |  UNION ALL SELECT doc_id, 'audio', hi, lo FROM ab
-        |), prs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM sig a JOIN sig b ON a.modality = b.modality AND a.doc_id < b.doc_id
-        |  WHERE CASE WHEN a.modality = 'audio' THEN a.hi = b.hi AND a.lo = b.lo
-        |        ELSE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3 END
-        |), adj AS (
-        |  SELECT da AS src, db AS dst FROM prs UNION SELECT db, da FROM prs
-        |), reach AS (
-        |  SELECT doc_id AS a, doc_id AS b FROM (SELECT DISTINCT src AS doc_id FROM adj)
-        |  UNION SELECT r.a, adj.dst FROM reach r JOIN adj ON r.b = adj.src
-        |), lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-        |SELECT s.doc_id, s.modality,
+    "pipe_media_dedup_cut" -> (mediaClusterOracleCte +
+      """SELECT s.doc_id, s.modality,
         |  CAST(coalesce(l.cluster_id, s.doc_id) AS BIGINT) AS cluster_id,
         |  coalesce(l.cluster_id, s.doc_id) = s.doc_id AS keep
         |FROM sig s LEFT JOIN lab l ON s.doc_id = l.doc_id
         |ORDER BY s.doc_id""".stripMargin),
+    // the SAME cluster replay rolled into the manifest columns — keep
+    // counts, order-insensitive signature XORs, kept id range
+    "pipe_media_export" -> (mediaClusterOracleCte +
+      """, v AS (
+        |  SELECT s.doc_id, s.modality, s.hi, s.lo,
+        |    coalesce(l.cluster_id, s.doc_id) = s.doc_id AS keep
+        |  FROM sig s LEFT JOIN lab l ON s.doc_id = l.doc_id
+        |)
+        |SELECT modality,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(bit_xor(CASE WHEN keep THEN hi END) AS BIGINT) AS sig_hi_xor,
+        |  CAST(bit_xor(CASE WHEN keep THEN lo END) AS BIGINT) AS sig_lo_xor,
+        |  CAST(min(CASE WHEN keep THEN doc_id END) AS BIGINT) AS min_kept,
+        |  CAST(max(CASE WHEN keep THEN doc_id END) AS BIGINT) AS max_kept
+        |FROM v GROUP BY modality ORDER BY modality""".stripMargin),
     // recomputes every frame's luma mass from the generator formula
     // ((id*31 + f*13 + y*7 + x*5) % 256 over the id-arithmetic w×h grid)
     // and replays the delta-sign packing — never seeing a stream byte
