@@ -1318,14 +1318,19 @@ object Crawl extends QueryModule {
     */
   private[graft] def resolveRedirects(
       records: DataFrame, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "resolveRedirects needs at least one follow")
     val recs = records.filter(col("format") === "http")
     // RFC 3986 reference resolution, the forms a crawler actually sees:
-    // absolute; protocol-relative (`//host/p` — base scheme); root-
-    // relative (`/p` — base origin); path-relative (`p`, `a/b` — base
-    // origin + base directory). `.`/`..` segments are left verbatim
-    // (they survive into canon; the fixture plants none).
+    // absolute (ANY scheme, case-insensitive per RFC 3986 §3.1);
+    // protocol-relative (`//host/p` — base scheme); root-relative
+    // (`/p` — base origin); path-relative (`p`, `a/b` — base origin +
+    // the base PATH's directory, query dropped). `.`/`..` segments are
+    // left verbatim (they survive into canon; the fixture plants none).
     val origin = regexp_extract(col("url"), "^(https?://[^/]+)", 1)
-    val baseDir = regexp_extract(col("url"), "^https?://[^/]+(.*/)", 1)
+    // directory of the base PATH only — a slash inside the base QUERY
+    // ("/watch?v=a/b") must not leak into relative resolution
+    val baseDir = regexp_extract(
+      parse_url(col("url"), lit("PATH")), "^(.*/)", 1)
     val redirects = recs
       .filter(col("status").between(300L, 399L) && col("location").isNotNull)
       .withColumn("target",
@@ -1333,7 +1338,8 @@ object Crawl extends QueryModule {
           concat(regexp_extract(col("url"), "^(https?):", 1), lit(":"),
             col("location")))
           .when(col("location").startsWith("/"), concat(origin, col("location")))
-          .when(col("location").rlike("^https?://"), col("location"))
+          .when(col("location").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+            col("location"))
           .otherwise(concat(origin,
             when(baseDir === "", lit("/")).otherwise(baseDir),
             col("location"))))
@@ -1341,7 +1347,9 @@ object Crawl extends QueryModule {
       .select(col("url").as("t_url"))
     val edges = redirects.select(col("url").as("cur"), col("target").as("nxt"))
     // a 3xx with NO Location is undrivable — typed out, never silently
-    // dropped (pipe_frontier_merge counts it with the hygiene columns)
+    // dropped (pipe_frontier_merge carries it in its n_no_location
+    // hygiene column, so ok + dangling + loop + cap + no_location sums
+    // back to n_redirects)
     val noLocation = recs
       .filter(col("status").between(300L, 399L) && col("location").isNull)
       .select(col("doc_id"), col("status"), col("url").as("cur"),
@@ -1823,10 +1831,12 @@ object Crawl extends QueryModule {
           sum(when(col("outcome") === "dangling", 1L).otherwise(0L))
             .cast("bigint").as("n_dangling"),
           sum(when(col("outcome") === "loop", 1L).otherwise(0L))
-            .cast("bigint").as("n_loop"))
+            .cast("bigint").as("n_loop"),
+          sum(when(col("outcome") === "no_location", 1L).otherwise(0L))
+            .cast("bigint").as("n_no_location"))
       pages.join(redir, Seq("domain"), "full_outer")
         .na.fill(0L, Seq("n_pages", "n_redirects", "n_resolved_ok",
-          "n_distinct_landings", "n_dangling", "n_loop"))
+          "n_distinct_landings", "n_dangling", "n_loop", "n_no_location"))
         .withColumn("redirect_dup_saved",
           (col("n_resolved_ok") - col("n_distinct_landings")).cast("bigint"))
         .orderBy(col("domain"))
@@ -2072,7 +2082,9 @@ object Crawl extends QueryModule {
         |    count(DISTINCT CASE WHEN outcome = 'ok' THEN fin END)
         |      AS n_distinct_landings,
         |    sum(CASE WHEN outcome = 'dangling' THEN 1 ELSE 0 END) AS n_dangling,
-        |    sum(CASE WHEN outcome = 'loop' THEN 1 ELSE 0 END) AS n_loop
+        |    sum(CASE WHEN outcome = 'loop' THEN 1 ELSE 0 END) AS n_loop,
+        |    sum(CASE WHEN outcome = 'no_location' THEN 1 ELSE 0 END)
+        |      AS n_no_location
         |  FROM allrows GROUP BY 1
         |)
         |SELECT coalesce(pg.domain, rd.domain) AS domain,
@@ -2082,6 +2094,7 @@ object Crawl extends QueryModule {
         |  CAST(coalesce(n_distinct_landings, 0) AS BIGINT) AS n_distinct_landings,
         |  CAST(coalesce(n_dangling, 0) AS BIGINT) AS n_dangling,
         |  CAST(coalesce(n_loop, 0) AS BIGINT) AS n_loop,
+        |  CAST(coalesce(n_no_location, 0) AS BIGINT) AS n_no_location,
         |  CAST(coalesce(n_resolved_ok, 0) - coalesce(n_distinct_landings, 0)
         |    AS BIGINT) AS redirect_dup_saved
         |FROM pg FULL OUTER JOIN rd ON pg.domain = rd.domain

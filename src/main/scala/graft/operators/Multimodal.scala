@@ -1205,6 +1205,11 @@ object Multimodal extends QueryModule {
     */
   private[graft] def dhashRepPairs(
       reps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // the 4×16-bit banding's pigeonhole recall guarantee holds only up
+    // to hamming 3 (4 bands, ≤ 3 flipped bits leave one band untouched);
+    // a larger threshold would silently miss pairs, never loudly
+    require(maxHamming <= 3,
+      s"4-band pigeonhole recall is exact only for hamming <= 3, got $maxHamming")
     val banded = Dedup.capHotBands(dhashBanded(reps), Seq("ci", "cv"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -1264,6 +1269,8 @@ object Multimodal extends QueryModule {
     */
   private[graft] def dhashIncrementalMatches(
       batch: DataFrame, corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band pigeonhole recall is exact only for hamming <= 3, got $maxHamming")
     val cands = dhashBanded(batch).as("a")
       .join(dhashBanded(corpus).as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))

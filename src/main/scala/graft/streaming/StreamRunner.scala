@@ -533,12 +533,12 @@ object StreamRunner {
                 wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
             } else {
               // copy mass of batch items merged into EXISTING rows,
-              // keyed by the corpus keeper's doc_id; addTargets carries
-              // the keeper's OWN hash_lo (from the already-read match
-              // corpus embedded in `matched`'s build) so the touched
-              // buckets are known BEFORE any merge read — a near match's
-              // keeper can live in a different bucket than the batch
-              // item's own hash
+              // keyed by the corpus keeper's doc_id. The keeper's bucket
+              // comes from a semi-join against the index's partition
+              // column (a near match's keeper can live in a different
+              // bucket than the batch item's own hash), so the touched
+              // buckets are known BEFORE the merge read and that read
+              // stays directory-pruned
               val adds = matched
                 .join(exactCnt.select(col("doc_id").as("doc_new"),
                   col("add_n")), "doc_new")

@@ -410,7 +410,15 @@ class CrawlSpec extends SparkSuiteBase {
       Row(151L, "http", "https://h.com/dir/a2", 301L, "b2"),
       Row(152L, "http", "https://h.com/dir/b2", 200L, null),
       // a 3xx with NO Location is typed out, never silently dropped
-      Row(153L, "http", "https://h.com/noloc", 301L, null))
+      Row(153L, "http", "https://h.com/noloc", 301L, null),
+      // a slash inside the base QUERY must not leak into relative
+      // resolution — the directory comes from the PATH alone
+      Row(160L, "http", "https://h.com/w/deep?v=a/b", 301L, "n3"),
+      Row(161L, "http", "https://h.com/w/n3", 200L, null),
+      // an absolute Location with an UPPERCASE scheme passes through
+      // verbatim (RFC 3986 schemes are case-insensitive) — it must not
+      // be mangled into a path-relative concatenation
+      Row(162L, "http", "https://h.com/up", 301L, "HTTPS://h.com/c7"))
     val recs = spark.createDataFrame(
       spark.sparkContext.parallelize(rows),
       StructType(Seq(StructField("doc_id", LongType),
@@ -435,6 +443,10 @@ class CrawlSpec extends SparkSuiteBase {
       "path-relative Location must resolve against the base directory")
     assert(out(153L) === ((0L, "no_location", "https://h.com/noloc")),
       "a 3xx without Location gets a typed verdict")
+    assert(out(160L) === ((1L, "ok", "https://h.com/w/n3")),
+      "base-query slashes must not leak into the resolution directory")
+    assert(out(162L)._3 === "HTTPS://h.com/c7",
+      "uppercase-scheme absolute Locations pass through verbatim")
     // canon column only for ok landings
     val canon = Crawl.resolveRedirects(recs)
       .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
