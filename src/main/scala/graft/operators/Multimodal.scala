@@ -3241,25 +3241,35 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- the verdicts CONSUMED: the per-modality export manifest a
-    // trainer's loader reads — keep-only counts, an order-insensitive
-    // XOR checksum of the kept signatures (the pipe_export_shards
-    // manifest idiom: loss or duplication in the export flips the
-    // checksum), and the kept id range. One rollup over the shared
-    // verdict body; the oracle reruns the full signature + cluster
-    // replay and re-derives every manifest column. ----
+    // ---- the verdicts CONSUMED, end to end: a REAL keep-only export
+    // ([[MediaExportFixture]] — modality-partitioned parquet written
+    // from the verdicts once per corpus fingerprint) whose manifest is
+    // computed from the READBACK of the exported files (keep counts, an
+    // order-insensitive XOR checksum of kept signatures — the
+    // pipe_export_shards idiom — and the kept id range), while the
+    // oracle re-derives every column from `documents` alone: loss,
+    // duplication, or mis-partitioning in the export flips the hash.
+    // n_dropped comes from the modality totals (id arithmetic), so no
+    // second decode pass is paid. ----
     "pipe_media_export" -> ((s, d) => {
-      mediaCutVerdicts(s, d)
+      val t = MediaExportFixture.tableName(s, d)
+      val kept = MediaExportFixture.wh.read(s, t)
         .groupBy(col("modality"))
-        .agg(
-          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
-          sum(when(col("keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"),
-          expr("bit_xor(CASE WHEN keep THEN sig_hi END)").cast("bigint")
-            .as("sig_hi_xor"),
-          expr("bit_xor(CASE WHEN keep THEN sig_lo END)").cast("bigint")
-            .as("sig_lo_xor"),
-          min(when(col("keep"), col("doc_id"))).cast("bigint").as("min_kept"),
-          max(when(col("keep"), col("doc_id"))).cast("bigint").as("max_kept"))
+        .agg(count(lit(1)).cast("bigint").as("n_kept"),
+          expr("bit_xor(sig_hi)").cast("bigint").as("sig_hi_xor"),
+          expr("bit_xor(sig_lo)").cast("bigint").as("sig_lo_xor"),
+          min(col("doc_id")).cast("bigint").as("min_kept"),
+          max(col("doc_id")).cast("bigint").as("max_kept"))
+      val totals = Tables.documents(s, d)
+        .groupBy(when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"))
+        .agg(count(lit(1)).as("n_items"))
+      kept.join(broadcast(totals), "modality")
+        .select(col("modality"), col("n_kept"),
+          (col("n_items") - col("n_kept")).cast("bigint").as("n_dropped"),
+          col("sig_hi_xor"), col("sig_lo_xor"),
+          col("min_kept"), col("max_kept"))
         .orderBy(col("modality"))
     }),
 
@@ -3395,6 +3405,38 @@ object Multimodal extends QueryModule {
       |  JOIN mem mb ON mb.rid = rpairs.rb
       |)
       |""".stripMargin
+
+  /** A REAL keep-only media export behind the manifest: the cut
+    * verdicts ([[mediaCutVerdicts]]), keepers only, written ONCE per
+    * corpus fingerprint (the [[Dedup.DerivedArtifacts]] staleness
+    * contract) as a modality-partitioned table — `pipe_media_export`
+    * computes its manifest from the READBACK of these files (the WAP
+    * readback principle: the manifest describes what a trainer will
+    * actually load, so writer-side loss, duplication, or
+    * mis-partitioning breaks the checksum), while the oracle recomputes
+    * every column from `documents` alone.
+    */
+  private[graft] object MediaExportFixture {
+    val wh = new graft.pipeline.Warehouse(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_media_export").getPath)
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def tableName(s: SparkSession, d: String): String = {
+      val key = s"media_keep_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      if (!built.contains(key)) {
+        if (!new java.io.File(wh.tablePath(key), "_SUCCESS").exists()) {
+          wh.dropTable(key)
+          mediaCutVerdicts(s, d).filter(col("keep"))
+            .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+              col("modality"))
+            .write.mode("overwrite").partitionBy("modality")
+            .parquet(wh.tablePath(key))
+        }
+        built.add(key)
+      }
+      key
+    }
+  }
 
   /** The cross-modality dedup VERDICT body shared by the cut and the
     * export manifest: decode once (localCheckpoint — the RDD-backed

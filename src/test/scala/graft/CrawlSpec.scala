@@ -418,7 +418,12 @@ class CrawlSpec extends SparkSuiteBase {
       // an absolute Location with an UPPERCASE scheme passes through
       // verbatim (RFC 3986 schemes are case-insensitive) — it must not
       // be mangled into a path-relative concatenation
-      Row(162L, "http", "https://h.com/up", 301L, "HTTPS://h.com/c7"))
+      Row(162L, "http", "https://h.com/up", 301L, "HTTPS://h.com/c7"),
+      // chains CROSS hosts via absolute Locations (the main fixture is
+      // same-host by construction; a real frontier is not)
+      Row(170L, "http", "https://a.com/x", 301L, "https://b.com/y"),
+      Row(171L, "http", "https://b.com/y", 302L, "https://c.com/z"),
+      Row(172L, "http", "https://c.com/z", 200L, null))
     val recs = spark.createDataFrame(
       spark.sparkContext.parallelize(rows),
       StructType(Seq(StructField("doc_id", LongType),
@@ -447,6 +452,8 @@ class CrawlSpec extends SparkSuiteBase {
       "base-query slashes must not leak into the resolution directory")
     assert(out(162L)._3 === "HTTPS://h.com/c7",
       "uppercase-scheme absolute Locations pass through verbatim")
+    assert(out(170L) === ((2L, "ok", "https://c.com/z")),
+      "chains must follow across hosts")
     // canon column only for ok landings
     val canon = Crawl.resolveRedirects(recs)
       .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
