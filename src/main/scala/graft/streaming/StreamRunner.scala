@@ -467,11 +467,20 @@ object StreamRunner {
     * The upsert reads ONLY the touched buckets back, merges, and
     * dynamic-overwrites exactly those `sb` partitions (localCheckpoint
     * breaks the read-own-path lineage). Per-batch write cost is the
-    * touched buckets' rows; a 100 TB deployment would amortize further
-    * with LSM-style delta partitions + periodic hash-keyed compaction
-    * (the compactPostings shape) — the INVARIANT this layout buys, index
-    * rows == distinct surviving signatures, is what keeps every future
-    * batch's match join bounded.
+    * touched buckets' rows — at THIS deployment's batch sizes that is
+    * the right tradeoff. A 100 TB deployment whose batches touch every
+    * bucket would amortize with the LSM shape instead (designed, not
+    * yet needed here): per batch append ONE cheap delta partition
+    * (insert + count-add rows, idempotent by ingest_batch overwrite);
+    * the match corpus reads base ∪ delta-inserts; a periodic
+    * compaction folds deltas into a NEW base generation through
+    * [[graft.pipeline.Warehouse.versionedWrite]] carrying a
+    * `folded_thru` watermark (the compactPostings committed-set shape),
+    * so a crash between the fold commit and the delta GC can never
+    * double-count — deltas at or below the watermark are simply never
+    * trusted again. The INVARIANT either layout buys — index rows ==
+    * distinct surviving signatures — is what keeps every future batch's
+    * match join bounded.
     */
   private[graft] def perceptualPublishBatch(
       batch: DataFrame,
