@@ -1300,6 +1300,20 @@ object Crawl extends QueryModule {
   def redirectRecordsArrow(media: DataFrame): DataFrame =
     Multimodal.arrowHeaderParse(media, redirectSchema)(redirectRow)
 
+  /** The PERSISTED crawl frontier: the archive's parsed redirect records
+    * `(doc_id, format, url, status, location)` as a fingerprint-keyed
+    * [[Dedup.DerivedArtifacts]] table — the status-line edges and 200
+    * landings a frontier walk needs, WITHOUT the WARC/HTTP bytes. A real
+    * crawler maintains this at ingest time (each batch's parsed records
+    * append with the batch — the dedup_incremental signature-table
+    * convention), so redirect resolution reads parsed url keys, never
+    * re-decoding the archive; here it is built once per corpus
+    * fingerprint and read by `crawl_frontier_incr`.
+    */
+  private def frontierRecordsTable(s: SparkSession, d: String): DataFrame =
+    Dedup.DerivedArtifacts.table(s, d, "documents", "frontier_records")(
+      redirectRecordsArrow(attachRedirectMedia(Tables.documents(s, d))))
+
   /** Redirect-CHAIN resolution over a parsed record frame `(doc_id, url,
     * status, location)` — the frontier feeder a real crawler runs. Per
     * 3xx record: resolve the Location (relative paths against the
@@ -1317,21 +1331,25 @@ object Crawl extends QueryModule {
     * data), with lineage cut per round — never a per-row driver walk.
     */
   private[graft] def resolveRedirects(
-      records: DataFrame, maxHops: Int = 5): DataFrame = {
-    require(maxHops >= 1, "resolveRedirects needs at least one follow")
-    val recs = records.filter(col("format") === "http")
-    // RFC 3986 reference resolution, the forms a crawler actually sees:
-    // absolute (ANY scheme, case-insensitive per RFC 3986 §3.1);
-    // protocol-relative (`//host/p` — base scheme); root-relative
-    // (`/p` — base origin); path-relative (`p`, `a/b` — base origin +
-    // the base PATH's directory, query dropped). `.`/`..` segments are
-    // left verbatim (they survive into canon; the fixture plants none).
+      records: DataFrame, maxHops: Int = 5): DataFrame =
+    resolveRedirectsAgainst(records, records, maxHops)
+
+  /** RFC 3986 reference resolution of each 3xx record's Location, the
+    * forms a crawler actually sees: absolute (ANY scheme,
+    * case-insensitive per RFC 3986 §3.1); protocol-relative (`//host/p`
+    * — base scheme); root-relative (`/p` — base origin); path-relative
+    * (`p`, `a/b` — base origin + the base PATH's directory, query
+    * dropped). `.`/`..` segments are left verbatim (they survive into
+    * canon; the fixture plants none). Returns the 3xx-with-Location
+    * rows with a `target` column added.
+    */
+  private def resolvedTargets(recs: DataFrame): DataFrame = {
     val origin = regexp_extract(col("url"), "^(https?://[^/]+)", 1)
     // directory of the base PATH only — a slash inside the base QUERY
     // ("/watch?v=a/b") must not leak into relative resolution
     val baseDir = regexp_extract(
       parse_url(col("url"), lit("PATH")), "^(.*/)", 1)
-    val redirects = recs
+    recs
       .filter(col("status").between(300L, 399L) && col("location").isNotNull)
       .withColumn("target",
         when(col("location").startsWith("//"),
@@ -1343,9 +1361,33 @@ object Crawl extends QueryModule {
           .otherwise(concat(origin,
             when(baseDir === "", lit("/")).otherwise(baseDir),
             col("location"))))
-    val terminals = recs.filter(col("status") === 200L)
-      .select(col("url").as("t_url"))
-    val edges = redirects.select(col("url").as("cur"), col("target").as("nxt"))
+  }
+
+  /** The asymmetric form [[resolveRedirects]] delegates to, and the
+    * daily-frontier job runs directly: `batch`'s 3xx records START the
+    * walk (one output row per batch redirect record), while the chain
+    * FOLLOWS `archive`'s edges and lands on `archive`'s 200 terminals —
+    * so an incremental run decodes only the new batch and reads the
+    * archive side from a persisted parsed-record artifact
+    * ([[frontierRecordsTable]]), never re-decoding the WARC lake.
+    */
+  private[graft] def resolveRedirectsAgainst(
+      batch: DataFrame, archive: DataFrame, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, "resolveRedirects needs at least one follow")
+    val recs = batch.filter(col("format") === "http")
+    val arc = archive.filter(col("format") === "http")
+    val redirects = resolvedTargets(recs)
+    val terminals = arc.filter(col("status") === 200L)
+      .select(col("url").as("t_url")).distinct()
+    // ONE edge per source URL: real recrawl frontiers carry duplicate
+    // records for the same URL, and a duplicated `cur` key would fan
+    // out every hop join and emit conflicting settled rows per doc_id.
+    // Keeper = the lowest record id (deterministic; this fixture's urls
+    // are injective in doc_id, so the collapse is a no-op there).
+    val edges = resolvedTargets(arc)
+      .groupBy(col("url"))
+      .agg(min_by(col("target"), col("doc_id")).as("nxt"))
+      .select(col("url").as("cur"), col("nxt"))
     // a 3xx with NO Location is undrivable — typed out, never silently
     // dropped (pipe_frontier_merge carries it in its n_no_location
     // hygiene column, so ok + dangling + loop + cap + no_location sums
@@ -1842,6 +1884,25 @@ object Crawl extends QueryModule {
         .orderBy(col("domain"))
     }),
 
+    // ---- INCREMENTAL frontier walk — the daily-job form of
+    // crawl_redirects, and the structural fix for its decode-bound
+    // scale ladder: only the NEW ingest batch (doc_id % 10 = 0, the
+    // dedup_incremental convention) decodes its WARC/HTTP bytes; the
+    // archive side of the walk — the redirect EDGE table and the 200
+    // landings every chain terminates against — reads the PERSISTED
+    // parsed-record artifact ([[frontierRecordsTable]]), so per-run
+    // cost scales with the batch plus maxHops url-key joins against
+    // parsed keys, never a re-decode of the lake. Output = exactly the
+    // full walk's rows for the batch's sources (CrawlSpec pins the
+    // artifact-vs-live parity); the oracle replays the SAME doc_id-space
+    // walk filtered to batch sources. ----
+    "crawl_frontier_incr" -> ((s, d) => {
+      val batch = redirectRecordsArrow(attachRedirectMedia(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
+      resolveRedirectsAgainst(batch, frontierRecordsTable(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- charset-aware extraction over a MIXED-charset crawl slice:
     // each doc's page is encoded in its class's declared charset
     // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
@@ -2067,6 +2128,22 @@ object Crawl extends QueryModule {
         |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
         |  END AS final_canon
         |FROM allrows ORDER BY doc_id""".stripMargin),
+    // the SAME walk replay restricted to the ingest batch's sources —
+    // the incremental engine path (batch decoded live, archive edges
+    // from the persisted artifact) must land on identical rows
+    "crawl_frontier_incr" -> (redirectWalkCte +
+      """SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
+        |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
+        |  CASE WHEN fin < -999999
+        |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
+        |    ELSE 'https://site' || (fin % 3) || '.com/d/' || fin
+        |      || CASE WHEN fin % 2 = 0 THEN '?b=' || (fin % 9) || '&a=' || (fin % 5) || '&utm_src=x' ELSE '' END
+        |  END AS final_url,
+        |  CASE WHEN outcome = 'ok'
+        |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
+        |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
+        |  END AS final_canon
+        |FROM allrows WHERE src % 10 = 0 ORDER BY doc_id""".stripMargin),
     // the SAME walk replay rolled up per domain (src % 3 — every planted
     // hop is same-host, including the /gone/ and past-corpus targets);
     // landings dedup on fin, pages counted from the non-redirect classes

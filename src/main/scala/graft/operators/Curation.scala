@@ -455,11 +455,13 @@ object Curation extends QueryModule {
     // 100 TB argument) are unchanged; the oracle applies the identical
     // chain textually. ----
     "pipe_token_budget_bpe" -> ((s, d) => {
+      TextAnalysis.requireBpeCountable(s, d)
       budgetSelectionReport(budgetCutFrames(Tables.documents(s, d),
         expr(TextAnalysis.bpeTokenCountSql)))
     }),
 
     "pipe_seq_pack_bpe" -> ((s, d) => {
+      TextAnalysis.requireBpeCountable(s, d)
       seqPackReport(Tables.documents(s, d), expr(TextAnalysis.bpeTokenCountSql))
     }),
 

@@ -1265,10 +1265,15 @@ object Multimodal extends QueryModule {
     * batch image (min hamming, tie min corpus id — one bounded
     * min-struct aggregate, no window). Deliberately uncapped: the batch
     * side is ingest-bounded, so a hot corpus band value costs b·H —
-    * linear in the lake. Returns (doc_new, dup_of, hamming).
+    * linear in the lake. Returns (doc_new, dup_of, hamming); with
+    * `carryDupHashLo` the winning corpus row's `hash_lo` rides along as
+    * `dup_hash_lo` (functionally determined by `dup_of`, so the rank-1
+    * pick is unchanged) — the streaming sigs-index upsert derives the
+    * keeper's hash bucket from it WITHOUT re-scanning the index.
     */
   private[graft] def dhashIncrementalMatches(
-      batch: DataFrame, corpus: DataFrame, maxHamming: Int = 3): DataFrame = {
+      batch: DataFrame, corpus: DataFrame, maxHamming: Int = 3,
+      carryDupHashLo: Boolean = false): DataFrame = {
     require(maxHamming <= 3,
       s"4-band pigeonhole recall is exact only for hamming <= 3, got $maxHamming")
     val cands = dhashBanded(batch).as("a")
@@ -1278,12 +1283,19 @@ object Multimodal extends QueryModule {
         (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
           bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo")))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
-        col("hamming"))
+      .select((Seq(col("a.doc_id").as("doc_new"), col("b.doc_id").as("dup_of"),
+        col("hamming")) ++ (if (carryDupHashLo)
+          Seq(col("b.hash_lo").as("dup_hash_lo")) else Nil)): _*)
       .distinct()
-    cands.groupBy(col("doc_new"))
-      .agg(min(struct(col("hamming"), col("dup_of"))).as("m"))
-      .select(col("doc_new"), col("m.dup_of").as("dup_of"),
+    val best = cands.groupBy(col("doc_new"))
+      .agg(min(struct((Seq(col("hamming"), col("dup_of")) ++
+        (if (carryDupHashLo) Seq(col("dup_hash_lo")) else Nil)): _*)).as("m"))
+    if (carryDupHashLo)
+      best.select(col("doc_new"), col("m.dup_of").as("dup_of"),
+        col("m.hamming").as("hamming"),
+        col("m.dup_hash_lo").as("dup_hash_lo"))
+    else
+      best.select(col("doc_new"), col("m.dup_of").as("dup_of"),
         col("m.hamming").as("hamming"))
   }
 

@@ -106,10 +106,36 @@ object TextAnalysis extends QueryModule {
   /** Per-doc BPE token count under the shipped merge table — the
     * `n_syms_after` arithmetic of txt_bpe_apply as one expression
     * (symbols are single chars after merging, so the count is the
-    * space-stripped length). Valid in both engines.
+    * space-stripped length). Valid in both engines. Callers on the
+    * counting path must run [[requireBpeCountable]] first: a corpus
+    * containing a literal A–J would yield wrong counts IDENTICALLY in
+    * engine and oracle, so the gate could never catch it.
     */
   private[operators] def bpeTokenCountSql: String =
     s"CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)"
+
+  /** Loud taint guard for the SHIPPED merge chain's counting path
+    * ([[bpeApplied]] / [[bpeTokenCountSql]]): the full placeholder
+    * alphabet is A–J (wider than [[bpeTrainLoop]]'s own A–E guard — the
+    * loop mints only 5 symbols, the shipped table maps 10), and a corpus
+    * carrying any of them literally would conflate text with merge
+    * symbols. Memoized per corpus fingerprint so the scan is paid once
+    * per fixture, not once per counting query.
+    */
+  private val bpeCountableDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[operators] def requireBpeCountable(s: SparkSession, d: String): Unit = {
+    val key = Dedup.DerivedArtifacts.fingerprint(d, "documents")
+    if (!bpeCountableDirs.contains(key)) {
+      val tainted = Tables.documents(s, d)
+        .filter(col("text").rlike("[A-J]")).limit(1).count()
+      require(tainted == 0L,
+        "BPE token counting: corpus contains a literal A-J — the shipped " +
+          "merge table's placeholder symbols must be outside the corpus " +
+          "alphabet")
+      bpeCountableDirs.add(key)
+    }
+  }
 
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
   private def shingled(df: DataFrame): DataFrame = df

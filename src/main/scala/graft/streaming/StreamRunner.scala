@@ -491,7 +491,7 @@ object StreamRunner {
       hashArrow: DataFrame => DataFrame,
       okFormat: String,
       maxHamming: Int): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, pmod, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, pmod, sum, when}
     import graft.operators.Multimodal
     val sigsName = s"${table}_sigs"
     def sb(c: org.apache.spark.sql.Column) = pmod(c, lit(SigBuckets))
@@ -511,15 +511,15 @@ object StreamRunner {
         val matched = (
           if (!hasIndex)
             exactCnt.limit(0).select(col("doc_id").as("doc_new"),
-              col("add_n").as("dup_of"))
+              col("add_n").as("dup_of"), col("hash_lo").as("dup_hash_lo"))
           else
             Multimodal.dhashIncrementalMatches(
               exactCnt.select(col("doc_id"), col("hash_hi"), col("hash_lo")),
               wh.read(batch.sparkSession, sigsName)
                 .filter(col("first_batch") =!= batchId)
                 .select(col("doc_id"), col("hash_hi"), col("hash_lo")),
-              maxHamming)
-              .select(col("doc_new"), col("dup_of"))
+              maxHamming, carryDupHashLo = true)
+              .select(col("doc_new"), col("dup_of"), col("dup_hash_lo"))
           ).cache()
         val survivors = exactCnt.join(
             matched.select(col("doc_new").as("doc_id")).distinct(),
@@ -543,21 +543,23 @@ object StreamRunner {
             } else {
               // copy mass of batch items merged into EXISTING rows,
               // keyed by the corpus keeper's doc_id. The keeper's bucket
-              // comes from a semi-join against the index's partition
-              // column (a near match's keeper can live in a different
+              // comes from its OWN hash_lo, carried through the match
+              // join (a near match's keeper can live in a different
               // bucket than the batch item's own hash), so the touched
-              // buckets are known BEFORE the merge read and that read
-              // stays directory-pruned
+              // buckets are known from match output alone — no per-batch
+              // re-scan of the index — and the merge read below stays
+              // directory-pruned
               val adds = matched
                 .join(exactCnt.select(col("doc_id").as("doc_new"),
                   col("add_n")), "doc_new")
-                .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"))
+                .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"),
+                  // hash_lo is functionally determined by the keeper id
+                  // (one index row per signature) — max is just a picker
+                  max(col("dup_hash_lo")).as("dup_hash_lo"))
                 .cache()
               try {
-                val addBuckets = wh.read(batch.sparkSession, sigsName)
-                  .join(broadcast(adds.select(col("dup_of").as("doc_id"))),
-                    Seq("doc_id"))
-                  .select(col("sb").cast("long").as("v"))
+                val addBuckets = adds
+                  .select(sb(col("dup_hash_lo")).as("v"))
                   .distinct().collect().map(_.getLong(0))
                 // the bucket-id collects are bounded by SigBuckets
                 val affected = (survivors.select(sb(col("hash_lo")).as("v"))
@@ -571,8 +573,8 @@ object StreamRunner {
                     .filter(col("sb").isin(affected: _*))
                     .drop("sb") // re-derived from hash_lo at write time
                     .filter(col("first_batch") =!= batchId)
-                    .join(broadcast(adds.withColumnRenamed("dup_of", "doc_id")),
-                      Seq("doc_id"), "left")
+                    .join(broadcast(adds.select(col("dup_of").as("doc_id"),
+                      col("add_n"))), Seq("doc_id"), "left")
                     .withColumn("n_copies",
                       when(col("add_n").isNotNull && col("last_batch") =!= batchId,
                         col("n_copies") + col("add_n")).otherwise(col("n_copies")))

@@ -461,6 +461,59 @@ class CrawlSpec extends SparkSuiteBase {
     assert(canon(120L) === None)
   }
 
+  test("incremental frontier walk: asymmetric parity, duplicate-edge collapse") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("format", StringType), StructField("url", StringType),
+      StructField("status", LongType), StructField("location", StringType)))
+    val rows = Seq(
+      // duplicate SOURCE records for the same url (normal in a recrawl
+      // frontier): the edge table must collapse to the min-doc_id
+      // record's target, and each RECORD still gets exactly one verdict
+      Row(200L, "http", "https://d.com/s", 301L, "https://d.com/t1"),
+      Row(201L, "http", "https://d.com/s", 301L, "https://d.com/t2"),
+      Row(202L, "http", "https://d.com/t1", 200L, null),
+      // a chain THROUGH the duplicated url follows the collapsed edge
+      Row(203L, "http", "https://d.com/head", 301L, "https://d.com/s"),
+      // duplicate 200 records for one url must not fan the settle join
+      Row(204L, "http", "https://d.com/t1", 200L, null),
+      Row(210L, "http", "https://d.com/p", 301L, "https://d.com/t1"))
+    val recs = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val full = Crawl.resolveRedirects(recs)
+    assert(full.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "duplicate source/terminal records must not fan out settled rows")
+    val got = full.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got(200L) === ((1L, "ok", "https://d.com/t1")))
+    // record 201's OWN Location starts its walk (its target is what the
+    // record says), but the EDGE for d.com/s is the min-record's t1
+    assert(got(201L) === ((1L, "dangling", "https://d.com/t2")))
+    assert(got(203L) === ((2L, "ok", "https://d.com/t1")),
+      "a chain through a duplicated url follows the min-doc_id edge")
+    assert(got(210L) === ((1L, "ok", "https://d.com/t1")))
+    // asymmetric parity: walking only a batch slice against the full
+    // archive == the full walk filtered to the batch's sources
+    val batch = recs.filter(col("doc_id") % 2 === 0)
+    val inc = Crawl.resolveRedirectsAgainst(batch, recs)
+    val expect = full.filter(col("doc_id") % 2 === 0)
+    assert(inc.orderBy("doc_id").collect().toSeq ===
+      expect.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("crawl_frontier_incr: artifact-vs-live parity on the fixture") {
+    // the incremental query (batch decoded live, archive side read from
+    // the persisted parsed-record artifact) must produce exactly the
+    // full walk's rows for the batch's sources
+    val live = Crawl.queries("crawl_redirects")(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0)
+    val incr = Crawl.queries("crawl_frontier_incr")(spark, sf0001)
+    assert(incr.count() > 0)
+    assert(incr.orderBy("doc_id").collect().toSeq ===
+      live.orderBy("doc_id").collect().toSeq)
+  }
+
   test("url canonicalization rule ladder: ports, tracking params, fragments, case") {
     import spark.implicits._
     val got = graft.operators.Crawl.canonicalizedUrls(Seq(
