@@ -313,7 +313,19 @@ object PlanDump {
     "pipe_frontier_merge",
     // BPE-counted budget twins: the merge chain is a literal-replace
     // projection inside the same histogram-cut / block-bounded plans
-    "pipe_token_budget_bpe", "pipe_seq_pack_bpe")
+    "pipe_token_budget_bpe", "pipe_seq_pack_bpe",
+    // round 14: the incremental frontier walk (audit: batch decoded
+    // live, archive edges/terminals scanned from the persisted
+    // parsed-record artifact — no WARC decode on the corpus side)
+    "crawl_frontier_incr",
+    // incremental cross-modality cut (audit: batch side one routed
+    // decode pass, corpus side three artifact scans, asymmetric band
+    // joins — signature-width shuffles only)
+    "pipe_media_dedup_incr",
+    // BPE-counted report twins (audit: same single-scan card / mix
+    // plans — the merge chain is a codegen'd literal-replace projection;
+    // corpus side never shuffles in the mixes)
+    "pipe_dataset_card_bpe", "txt_domain_mix_bpe", "txt_temperature_mix_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

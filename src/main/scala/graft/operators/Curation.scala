@@ -67,6 +67,25 @@ object Curation extends QueryModule {
       joined: DataFrame,
       boundaryWindow: org.apache.spark.sql.expressions.WindowSpec)
 
+  /** The dataset-card rollup over a parameterized token counter — ONE
+    * definition shared by the whitespace and BPE-counted cards so the
+    * two can never drift structurally (only the counter differs).
+    */
+  private def datasetCard(docs: DataFrame, nTokens: Column): DataFrame =
+    docs
+      .withColumn("split", splitOf(splitBucket(col("text"))))
+      .withColumn("n_tokens", nTokens.cast("bigint"))
+      .withColumn("hsh", md5(col("text")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars").cast("bigint")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        (count(lit(1)) - countDistinct(col("hsh"))).as("n_exact_dups"),
+        expr("sum(n_tokens) DIV count(1)").as("avg_tokens"))
+      .orderBy(col("split"))
+
   private def budgetCutFrames(docsIn: DataFrame, nTokens: Column): BudgetFrames = {
     val docs = docsIn.select(col("doc_id"), col("source"),
         nTokens.cast("bigint").as("n_tokens"), md5(col("text")).as("h"))
@@ -277,19 +296,19 @@ object Curation extends QueryModule {
     // shared contamination-safe policy (splitBucket/splitOf), so the
     // card describes exactly the corpus txt_split_assign ships. ----
     "pipe_dataset_card" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("split", splitOf(splitBucket(col("text"))))
-        .withColumn("n_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-        .withColumn("hsh", md5(col("text")))
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("n_chars").cast("bigint")).as("total_chars"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
-          (count(lit(1)) - countDistinct(col("hsh"))).as("n_exact_dups"),
-          expr("sum(n_tokens) DIV count(1)").as("avg_tokens"))
-        .orderBy(col("split"))
+      datasetCard(Tables.documents(s, d),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+    }),
+
+    // ---- the TOKENIZER-CONSISTENT card: identical rollup, token mass
+    // under the shipped BPE merge table ([[TextAnalysis.bpeTokenCountSql]]
+    // — the counter the budget/packing family already uses), so a
+    // release card and the mixture/budget configs it documents can never
+    // disagree about what a "token" is. Same single-scan plan — the
+    // merge chain is a codegen'd literal-replace projection. ----
+    "pipe_dataset_card_bpe" -> ((s, d) => {
+      TextAnalysis.requireBpeCountable(s, d)
+      datasetCard(Tables.documents(s, d), expr(TextAnalysis.bpeTokenCountSql))
     }),
 
     "txt_split_assign" -> ((s, d) => {
@@ -466,6 +485,7 @@ object Curation extends QueryModule {
     }),
 
     "pipe_export_shards" -> ((s, d) => {
+      TextAnalysis.requireBpeCountable(s, d)
       val t = ExportFixture.tableName(s, d)
       ExportFixture.wh.read(s, t)
         .groupBy(col("shard").cast("bigint").as("shard"))
@@ -474,6 +494,11 @@ object Curation extends QueryModule {
           sum(col("n_chars")).cast("bigint").as("total_chars"),
           sum(expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))"))
             .cast("bigint").as("total_tokens"),
+          // the manifest a release note quotes must count the SAME
+          // tokens the mixture/budget configs do — BPE under the
+          // shipped merge table, alongside the legacy regex count
+          sum(expr(TextAnalysis.bpeTokenCountSql))
+            .cast("bigint").as("total_tokens_bpe"),
           expr("bit_xor(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT))")
             .as("checksum_xor"),
           min(col("doc_id")).as("min_doc"),
@@ -1045,28 +1070,36 @@ object Curation extends QueryModule {
 
   private val wsTokensSql = "len(string_split(text, ' '))"
 
+  /** The card replay over a parameterized token-count SQL — shared by
+    * the whitespace and BPE-counted twins, mirroring [[datasetCard]].
+    */
+  private def datasetCardOracle(tokSql: String): String =
+    s"""WITH h AS (
+       |  SELECT lang, n_chars, text,
+       |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS bucket,
+       |    $tokSql AS n_tokens,
+       |    md5(text) AS hsh
+       |  FROM documents
+       |), sp AS (
+       |  SELECT CASE WHEN bucket < 80 THEN 'train'
+       |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |    lang, n_chars, n_tokens, hsh
+       |  FROM h
+       |)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(count(*) - count(DISTINCT hsh) AS BIGINT) AS n_exact_dups,
+       |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "pipe_dataset_card" ->
-      """WITH h AS (
-        |  SELECT lang, n_chars, text,
-        |    try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS bucket,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    md5(text) AS hsh
-        |  FROM documents
-        |), sp AS (
-        |  SELECT CASE WHEN bucket < 80 THEN 'train'
-        |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |    lang, n_chars, n_tokens, hsh
-        |  FROM h
-        |)
-        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |  CAST(count(*) - count(DISTINCT hsh) AS BIGINT) AS n_exact_dups,
-        |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS avg_tokens
-        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    "pipe_dataset_card" -> datasetCardOracle(wsTokensSql),
+    // the BPE twin: identical rollup replay, counts under the SAME
+    // literal merge chain (textually valid in both engines)
+    "pipe_dataset_card_bpe" -> datasetCardOracle(TextAnalysis.bpeTokenCountSql),
     "txt_split_assign" ->
       """WITH h AS (
         |  SELECT doc_id, source,
@@ -1169,11 +1202,12 @@ object Curation extends QueryModule {
     // token counts under the literal merge chain
     "pipe_seq_pack_bpe" -> seqPackOracle(TextAnalysis.bpeTokenCountSql),
     "pipe_export_shards" ->
-      """SELECT
+      s"""SELECT
         |  try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT) % 8 AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(${TextAnalysis.bpeTokenCountSql}) AS BIGINT) AS total_tokens_bpe,
         |  bit_xor(try_cast('0x' || substr(md5(text), 1, 15) AS BIGINT)) AS checksum_xor,
         |  CAST(min(doc_id) AS BIGINT) AS min_doc,
         |  CAST(max(doc_id) AS BIGINT) AS max_doc

@@ -3253,6 +3253,46 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the INCREMENTAL cross-modality cut — pipe_media_dedup_cut's
+    // scheduled-batch form (the reference's own cadence model), the
+    // dedup_incremental asymmetry applied to ALL THREE modalities at
+    // once: the ingest batch (doc_id % 10 = 0) byte-sniffs, decodes and
+    // signs LIVE in one routed pass ([[mediaSigArrow]]); the corpus
+    // side reads the PERSISTED per-modality signature artifact (the
+    // DerivedArtifacts contract — corpus pixels/samples are never
+    // re-decoded). Per modality, the asymmetric band match of
+    // mm_dhash_incr (hamming ≤ 3 for image/video; maxHamming 0 = exact
+    // 60-bit equality for audio — the over-merge rule the batch cut
+    // applies), rank-1 best corpus match per batch item. The oracle
+    // replays all three signature formulas, brute-forces batch-vs-corpus
+    // pairs per modality, and reruns the rank-1 pick. Work scales with
+    // the BATCH at any corpus size; MediaDedupSpec pins the
+    // corpus-never-redecoded asymmetry. ----
+    "pipe_media_dedup_incr" -> ((s, d) => {
+      val corpus = Dedup.DerivedArtifacts.table(s, d, "documents",
+        "media_corpus_sigs")(
+        mediaSigArrow(attachPerceptualMixMedia(
+            Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)))
+          .filter(col("modality").isin("image", "audio", "video"))
+          .select(col("doc_id"), col("modality"),
+            col("sig_hi"), col("sig_lo")))
+      // ONE routed decode pass over the batch feeds all three branches
+      val batch = mediaSigArrow(attachPerceptualMixMedia(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
+        .filter(col("modality").isin("image", "audio", "video"))
+        .localCheckpoint()
+      def side(df: DataFrame, m: String): DataFrame = df
+        .filter(col("modality") === m)
+        .select(col("doc_id"), col("sig_hi").as("hash_hi"),
+          col("sig_lo").as("hash_lo"))
+      Seq(("image", 3), ("video", 3), ("audio", 0)).map { case (m, h) =>
+        dhashIncrementalMatches(side(batch, m), side(corpus, m), h)
+          .withColumn("modality", lit(m))
+      }.reduce(_ unionByName _)
+        .select(col("doc_new"), col("modality"), col("dup_of"), col("hamming"))
+        .orderBy(col("doc_new"))
+    }),
+
     // ---- the verdicts CONSUMED, end to end: a REAL keep-only export
     // ([[MediaExportFixture]] — modality-partitioned parquet written
     // from the verdicts once per corpus fingerprint) whose manifest is
@@ -3264,8 +3304,7 @@ object Multimodal extends QueryModule {
     // n_dropped comes from the modality totals (id arithmetic), so no
     // second decode pass is paid. ----
     "pipe_media_export" -> ((s, d) => {
-      val t = MediaExportFixture.tableName(s, d)
-      val kept = MediaExportFixture.wh.read(s, t)
+      val kept = MediaExportFixture.read(s, d)
         .groupBy(col("modality"))
         .agg(count(lit(1)).cast("bigint").as("n_kept"),
           expr("bit_xor(sig_hi)").cast("bigint").as("sig_hi_xor"),
@@ -3419,34 +3458,46 @@ object Multimodal extends QueryModule {
       |""".stripMargin
 
   /** A REAL keep-only media export behind the manifest: the cut
-    * verdicts ([[mediaCutVerdicts]]), keepers only, written ONCE per
-    * corpus fingerprint (the [[Dedup.DerivedArtifacts]] staleness
-    * contract) as a modality-partitioned table — `pipe_media_export`
-    * computes its manifest from the READBACK of these files (the WAP
-    * readback principle: the manifest describes what a trainer will
-    * actually load, so writer-side loss, duplication, or
-    * mis-partitioning breaks the checksum), while the oracle recomputes
-    * every column from `documents` alone.
+    * verdicts ([[mediaCutVerdicts]]), keepers only, committed as an
+    * IMMUTABLE VERSIONED snapshot per corpus fingerprint
+    * ([[graft.pipeline.Warehouse.versionedWrite]]'s reservation CAS —
+    * concurrent builders land distinct `_v=N` dirs; readers pin one) as
+    * a modality-partitioned table — `pipe_media_export` computes its
+    * manifest from the READBACK of these files (the WAP readback
+    * principle: the manifest describes what a trainer will actually
+    * load, so writer-side loss, duplication, or mis-partitioning breaks
+    * the checksum), while the oracle recomputes every column from
+    * `documents` alone.
     */
   private[graft] object MediaExportFixture {
     val wh = new graft.pipeline.Warehouse(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_media_export").getPath)
-    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_media_export_v").getPath)
+    // version PIN per key: the snapshot this JVM built or first observed
+    // — later commits by other builders never swap a reader mid-session
+    private val pinned =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-    def tableName(s: SparkSession, d: String): String = {
-      val key = s"media_keep_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
-      if (!built.contains(key)) {
-        if (!new java.io.File(wh.tablePath(key), "_SUCCESS").exists()) {
-          wh.dropTable(key)
-          mediaCutVerdicts(s, d).filter(col("keep"))
-            .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
-              col("modality"))
-            .write.mode("overwrite").partitionBy("modality")
-            .parquet(wh.tablePath(key))
-        }
-        built.add(key)
-      }
-      key
+    def tableName(d: String): String =
+      s"media_keep_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+
+    /** The pinned keep-only export snapshot. Builds go through
+      * [[graft.pipeline.Warehouse.versionedWrite]]'s reservation CAS —
+      * two racing builder JVMs commit DISTINCT immutable `_v=N` dirs
+      * (never the old fixture's shared-path dropTable+overwrite, which
+      * could tear a concurrent writer's files) — and every read is
+      * version-PINNED, the pipe_version_diff contract.
+      */
+    def read(s: SparkSession, d: String): DataFrame = {
+      val key = tableName(d)
+      val v = pinned.computeIfAbsent(key, _ =>
+        wh.currentVersion(key).map(Integer.valueOf).getOrElse {
+          Integer.valueOf(wh.versionedWrite(
+            mediaCutVerdicts(s, d).filter(col("keep"))
+              .select(col("doc_id"), col("sig_hi"), col("sig_lo"),
+                col("modality")),
+            key, Seq("modality")))
+        })
+      wh.readVersion(s, key, Some(v.intValue))
     }
   }
 
@@ -4007,6 +4058,30 @@ object Multimodal extends QueryModule {
         |       + bit_count(xor(nw.hash_lo, old.hash_lo)) <= 3
         |)
         |SELECT doc_new, dup_of, hamming FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_new ORDER BY hamming, dup_of) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY doc_new""".stripMargin),
+    // the cross-modality incremental replay: all three signature
+    // formulas, batch (doc_id % 10 = 0) brute-forced against the corpus
+    // remainder per modality (equality-only for audio), same rank-1 pick
+    "pipe_media_dedup_incr" -> (mediaSigOracleCte +
+      """, sg AS (
+        |  SELECT doc_id, 'image' AS modality, hi, lo FROM ib
+        |  UNION ALL SELECT doc_id, 'video', hi, lo FROM vb
+        |  UNION ALL SELECT doc_id, 'audio', hi, lo FROM ab
+        |), nw AS (SELECT * FROM sg WHERE doc_id % 10 = 0),
+        |old AS (SELECT * FROM sg WHERE doc_id % 10 <> 0),
+        |cand AS (
+        |  SELECT nw.doc_id AS doc_new, nw.modality, old.doc_id AS dup_of,
+        |    CAST(bit_count(xor(nw.hi, old.hi))
+        |       + bit_count(xor(nw.lo, old.lo)) AS BIGINT) AS hamming
+        |  FROM nw JOIN old ON nw.modality = old.modality
+        |  WHERE CASE WHEN nw.modality = 'audio'
+        |          THEN nw.hi = old.hi AND nw.lo = old.lo
+        |        ELSE bit_count(xor(nw.hi, old.hi))
+        |           + bit_count(xor(nw.lo, old.lo)) <= 3 END
+        |)
+        |SELECT doc_new, modality, dup_of, hamming FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY doc_new ORDER BY hamming, dup_of) AS rn FROM cand)
         |WHERE rn = 1 ORDER BY doc_new""".stripMargin),

@@ -565,6 +565,65 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // ---- the TOKEN-MASS domain mix: real mixture configs balance
+    // sources by TOKENIZER tokens, not doc counts — same deterministic
+    // hash-vs-probability draw as txt_domain_mix, with the per-source
+    // weight = BPE token mass under the shipped merge table (the same
+    // counter the budget family and the BPE dataset card use, so the
+    // mix and the card can never disagree). keep-prob = min-source
+    // token mass / source token mass ⇒ expected kept token mass equals
+    // the smallest source's. Plan unchanged: one scan + a |sources|
+    // broadcast, no shuffle of the corpus side. ----
+    "txt_domain_mix_bpe" -> ((s, d) => {
+      requireBpeCountable(s, d)
+      val docs = Tables.documents(s, d)
+        .withColumn("u", u01(col("doc_id")))
+        .withColumn("n_tokens", expr(bpeTokenCountSql))
+      val counts = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("n"))
+      val kMin = counts.agg(min(col("n")).as("k"))
+      docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(kMin))
+        .filter(col("u") < col("k").cast("double") / col("n").cast("double"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n"), col("k"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the TOKEN-MASS temperature (α=0.5) mix: target fraction per
+    // source ∝ sqrt(token mass); sampled size = half the total token
+    // mass. Identical fp discipline to txt_temperature_mix (sequential
+    // source-sorted weight fold, identical association on both
+    // engines); the report carries BOTH kept docs and kept token mass —
+    // the number a training-mix config actually budgets. ----
+    "txt_temperature_mix_bpe" -> ((s, d) => {
+      requireBpeCountable(s, d)
+      val docs = Tables.documents(s, d)
+        .withColumn("u", u01(col("doc_id")))
+        .withColumn("nt", expr(bpeTokenCountSql))
+      val counts = docs.groupBy(col("source")).agg(sum(col("nt")).as("n"))
+      val z = counts.agg(
+        expr("aggregate(transform(sort_array(collect_list(struct(source, " +
+          "sqrt(CAST(n AS DOUBLE)) AS w))), x -> x.w), 0.0D, (a, x) -> a + x)").as("z"),
+        sum(col("n")).as("n_total"))
+      val p = least(lit(1.0),
+        sqrt(col("n").cast("double")) / col("z")
+          * (col("n_total").cast("double") / 2.0) / col("n").cast("double"))
+      val kept = docs.join(broadcast(counts), "source")
+        .crossJoin(broadcast(z))
+        .filter(col("u") < p)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept_docs"),
+          sum(col("nt")).as("kept_tokens"))
+      counts.crossJoin(broadcast(z))
+        .withColumn("target_frac",
+          round(sqrt(col("n").cast("double")) / col("z"), 6))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n").cast("bigint").as("n_tokens"),
+          col("target_frac"),
+          coalesce(col("n_kept_docs"), lit(0L)).cast("bigint").as("n_kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).cast("bigint").as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- fuzzy matching: Levenshtein distance over blocked short-text
     // pairs (identical metric in both engines). The THRESHOLD form of the
     // builtin (levenshtein(l, r, k) — banded DP, early exit, -1 beyond the
@@ -2231,6 +2290,51 @@ object TextAnalysis extends QueryModule {
         |FROM u JOIN c USING (source), k
         |WHERE u.u < CAST(k.k AS DOUBLE) / CAST(c.n AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
+    // the token-mass twin: identical draw, per-source weights = BPE
+    // token mass under the same literal merge chain
+    "txt_domain_mix_bpe" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u,
+        |    $bpeTokenCountSql AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n FROM u GROUP BY source
+        |), k AS (SELECT min(n) AS k FROM c)
+        |SELECT u.doc_id, u.source, u.n_tokens, c.n, k.k
+        |FROM u JOIN c USING (source), k
+        |WHERE u.u < CAST(k.k AS DOUBLE) / CAST(c.n AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
+    // the token-mass temperature twin: same sequential source-sorted
+    // sqrt-weight fold and p formula, weights = BPE token mass; kept
+    // doc and token masses both replayed
+    "txt_temperature_mix_bpe" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(try_cast('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 AS u,
+        |    $bpeTokenCountSql AS nt
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS n FROM u GROUP BY source
+        |), z AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)), (a, x) -> a + x) AS z,
+        |         CAST(SUM(n) AS BIGINT) AS n_total
+        |  FROM c
+        |), kept AS (
+        |  SELECT u.source, count(*) AS n_kept_docs,
+        |    CAST(sum(u.nt) AS BIGINT) AS kept_tokens
+        |  FROM u JOIN c USING (source) CROSS JOIN z
+        |  WHERE u.u < least(1.0, sqrt(CAST(c.n AS DOUBLE)) / z.z
+        |                         * (CAST(z.n_total AS DOUBLE) / 2.0) / CAST(c.n AS DOUBLE))
+        |  GROUP BY u.source
+        |)
+        |SELECT c.source, c.n AS n_tokens,
+        |  round(sqrt(CAST(c.n AS DOUBLE)) / z.z, 6) AS target_frac,
+        |  CAST(coalesce(n_kept_docs, 0) AS BIGINT) AS n_kept_docs,
+        |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM c CROSS JOIN z LEFT JOIN kept ON c.source = kept.source
+        |ORDER BY c.source""".stripMargin,
     "pipe_training_shards" ->
       """WITH q AS (
         |  SELECT doc_id, source,

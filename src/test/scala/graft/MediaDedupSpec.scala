@@ -153,4 +153,70 @@ class MediaDedupSpec extends SparkSuiteBase {
       }
     } finally cut.unpersist(): Unit
   }
+
+  test("pipe_media_dedup_incr: persisted-artifact corpus equals a live decode; batch-sized work") {
+    val incr = Multimodal.queries("pipe_media_dedup_incr")(spark, sf)
+      .collect().toSeq
+    assert(incr.nonEmpty, "the fixture plants batch-vs-corpus media dups")
+    // live replay: decode BOTH sides and run the same per-modality
+    // asymmetric match — the artifact-served path must land on
+    // identical rows (artifact-vs-live parity)
+    val all = Multimodal.mediaSigArrow(Multimodal.attachPerceptualMixMedia(
+        Tables.documents(spark, sf)))
+      .filter(col("modality").isin("image", "audio", "video"))
+      .localCheckpoint()
+    def side(batchSide: Boolean, m: String) = all
+      .filter(if (batchSide) col("doc_id") % 10 === 0
+        else col("doc_id") % 10 =!= 0)
+      .filter(col("modality") === m)
+      .select(col("doc_id"), col("sig_hi").as("hash_hi"),
+        col("sig_lo").as("hash_lo"))
+    val live = Seq(("image", 3), ("video", 3), ("audio", 0)).map {
+      case (m, h) =>
+        Multimodal.dhashIncrementalMatches(side(true, m), side(false, m), h)
+          .withColumn("modality", lit(m))
+    }.reduce(_ unionByName _)
+      .select(col("doc_new"), col("modality"), col("dup_of"), col("hamming"))
+      .orderBy(col("doc_new")).collect().toSeq
+    assert(incr === live)
+    // every batch doc's matches come from the corpus side only (the
+    // asymmetry: a batch doc can never be dropped against another batch
+    // doc here — that is the within-batch collapse's job)
+    assert(incr.forall(r => r.getLong(0) % 10 == 0 && r.getLong(2) % 10 != 0))
+  }
+
+  test("media export is versioned: racing builders commit DISTINCT snapshots, both readable") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val wh = Multimodal.MediaExportFixture.wh
+    val key = "media_keep_spec_race"
+    wh.dropTable(key)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("modality", StringType)))
+    def frame(tag: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(tag, "image"), Row(tag + 1, "audio"))),
+      schema)
+    // two concurrent builders racing the reservation CAS
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val vs = Await.result(
+      Future.sequence(Seq(10L, 20L).map(t =>
+        Future(wh.versionedWrite(frame(t), key, Seq("modality"))))),
+      5.minutes)
+    assert(vs.toSet.size === 2, s"racing builds must land distinct versions, got $vs")
+    // both snapshots committed intact — neither tore the other's files
+    for (v <- vs) {
+      val rows = wh.readVersion(spark, key, Some(v))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(rows === Set(10L, 11L) || rows === Set(20L, 21L))
+      assert(rows.size === 2)
+    }
+    // the real export reads are PINNED: two reads return the same snapshot
+    val a = Multimodal.MediaExportFixture.read(spark, sf)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = Multimodal.MediaExportFixture.read(spark, sf)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }
