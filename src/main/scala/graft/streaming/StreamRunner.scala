@@ -423,6 +423,63 @@ object StreamRunner {
       "wav", trigger, maxHamming = 0)
   }
 
+  /** The ROUTED mixed-modality ingest — the production shape of a media
+    * lake's landing zone: ONE stream of mixed (doc_id, payload) rows,
+    * byte-sniff-routed and signed in a single decode pass
+    * ([[graft.operators.Multimodal.mediaSigArrow]] — PNG/JPEG → dHash,
+    * WAV → the 60-bit energy fingerprint, Y4M → keyframe dHash), then
+    * each modality's slice drives its own signature index through the
+    * SAME per-modality body the dedicated twins run
+    * ([[perceptualPublishHashed]]) with that modality's matching rule
+    * (hamming ≤ 3 for image/video, exact equality for audio). Publishes
+    * `<prefix>_image|_audio|_video` plus their `_sigs` indexes — all
+    * replay-idempotent via the shared body's first_batch/last_batch
+    * guards, under ONE checkpoint. Per-batch cost: one narrow decode of
+    * the batch + three signature-width index matches; the mixed lake's
+    * bytes are read exactly once, at their own ingest.
+    */
+  def mediaIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      tablePrefix: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaPublishBatch(batch, batchId, wh, tablePrefix, audit)
+      }
+      .start()
+
+  /** One micro-batch of the routed ingest: decode + route + sign ONCE
+    * (localCheckpoint — the RDD-backed router feeds three branches),
+    * then the shared per-modality publish body per slice. Unroutable
+    * payloads drop typed at the router (the crawl salvage rule: loud
+    * failure would be a permanent poison pill under checkpoint replay).
+    */
+  private[graft] def mediaPublishBatch(
+      batch: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      tablePrefix: String,
+      audit: DataFrame => Option[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!batch.isEmpty) {
+      val sigs = graft.operators.Multimodal.mediaSigArrow(batch)
+        .filter(col("modality").isin("image", "audio", "video"))
+        .localCheckpoint()
+      for ((m, maxH) <- Seq(("image", 3), ("video", 3), ("audio", 0)))
+        perceptualPublishHashed(
+          sigs.filter(col("modality") === m)
+            .select(col("doc_id"), col("sig_hi").as("hash_hi"),
+              col("sig_lo").as("hash_lo")),
+          batchId, wh, s"${tablePrefix}_$m", audit, maxH)
+    }
+  }
+
   private def perceptualIngestToWarehouse(
       mediaStream: DataFrame,
       wh: Warehouse,
@@ -491,15 +548,35 @@ object StreamRunner {
       hashArrow: DataFrame => DataFrame,
       okFormat: String,
       maxHamming: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!batch.isEmpty)
+      perceptualPublishHashed(
+        hashArrow(batch).filter(col("format") === okFormat)
+          .select(col("doc_id"), col("hash_hi"), col("hash_lo")),
+        batchId, wh, table, audit, maxHamming)
+  }
+
+  /** The hash-frame half of the perceptual-ingest body — everything
+    * after the modality's decode. Factored out so the ROUTED
+    * mixed-modality sink ([[mediaIngestToWarehouse]]) can decode a
+    * mixed batch ONCE and drive all three per-modality indexes through
+    * this one implementation.
+    */
+  private[graft] def perceptualPublishHashed(
+      hashed: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      maxHamming: Int): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, pmod, sum, when}
     import graft.operators.Multimodal
     val sigsName = s"${table}_sigs"
     def sb(c: org.apache.spark.sql.Column) = pmod(c, lit(SigBuckets))
-    if (!batch.isEmpty) {
+    if (!hashed.isEmpty) {
       // within-batch exact dedup WITH copy counts: one representative
       // per distinct hash, add_n = how many batch items carried it
-      val exactCnt = hashArrow(batch)
-        .filter(col("format") === okFormat)
+      val exactCnt = hashed
         .groupBy(col("hash_hi"), col("hash_lo"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("add_n"))
         .select(col("doc_id"), col("hash_hi"), col("hash_lo"), col("add_n"))
@@ -515,7 +592,7 @@ object StreamRunner {
           else
             Multimodal.dhashIncrementalMatches(
               exactCnt.select(col("doc_id"), col("hash_hi"), col("hash_lo")),
-              wh.read(batch.sparkSession, sigsName)
+              wh.read(hashed.sparkSession, sigsName)
                 .filter(col("first_batch") =!= batchId)
                 .select(col("doc_id"), col("hash_hi"), col("hash_lo")),
               maxHamming, carryDupHashLo = true)
@@ -569,7 +646,7 @@ object StreamRunner {
                   // partition column, so this scan is directory-pruned —
                   // per-batch upsert cost is the touched buckets' rows,
                   // never the whole index
-                  val merged = wh.read(batch.sparkSession, sigsName)
+                  val merged = wh.read(hashed.sparkSession, sigsName)
                     .filter(col("sb").isin(affected: _*))
                     .drop("sb") // re-derived from hash_lo at write time
                     .filter(col("first_batch") =!= batchId)

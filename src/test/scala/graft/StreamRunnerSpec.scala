@@ -672,6 +672,95 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "index rows == distinct surviving signatures")
   }
 
+  test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the perceptual-mix generator: id%3 picks the modality (0=PNG,
+    // 1=WAV, 2=Y4M), c=id/3; c%8==7 is a byte-different dup of c-7,
+    // image c%8==3 a near (one flipped sampled pixel) of c-3
+    val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+    def payloads(ids: Seq[Long]): Map[Long, Array[Byte]] = {
+      val docs = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_))), docSchema)
+      Multimodal.attachPerceptualMixMedia(docs).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    }
+    val b0 = Seq(0L, 1L, 2L) // one seed per modality
+    // 9: image near of 0; 21/22/23: dups of 0/1/2; 24/25/26: new (c=8)
+    val b1 = Seq(9L, 21L, 24L, 22L, 25L, 23L, 26L)
+    val pay = payloads(b0 ++ b1)
+    val wh = new Warehouse(tmpDir("medingest"))
+    val cp = tmpDir("medingest_cp")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamRunner.mediaIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "med", _ => None, cp)
+    ms.addData(b0.map(i => i -> pay(i)))
+    q.processAllAvailable(); q.stop()
+    ms.addData(b1.map(i => i -> pay(i)))
+    val q2 = StreamRunner.mediaIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "med", _ => None, cp)
+    q2.processAllAvailable(); q2.stop()
+    def docsOf(t: String): Set[Long] = wh.read(spark, t)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    def sigsOf(t: String): Map[Long, Long] = wh.read(spark, s"${t}_sigs")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(docsOf("med_image") === Set(0L, 24L),
+      "near 9 and exact-dup 21 must drop against corpus image 0")
+    assert(docsOf("med_audio") === Set(1L, 25L),
+      "the 2x-gain dup 22 must drop by exact 60-bit equality")
+    assert(docsOf("med_video") === Set(2L, 26L),
+      "the different-second-frame dup 23 must drop by keyframe hash")
+    assert(sigsOf("med_image") === Map(0L -> 3L, 24L -> 1L))
+    assert(sigsOf("med_audio") === Map(1L -> 2L, 25L -> 1L))
+    assert(sigsOf("med_video") === Map(2L -> 2L, 26L -> 1L))
+    // the routed run must equal the three dedicated per-modality twins
+    // on the same per-modality slices with the same batch split
+    def twin(run: (org.apache.spark.sql.DataFrame, Warehouse, String, org.apache.spark.sql.DataFrame => Option[String], String, org.apache.spark.sql.streaming.Trigger) => org.apache.spark.sql.streaming.StreamingQuery,
+        m: Long, table: String): (Set[Long], Map[Long, Long]) = {
+      val twh = new Warehouse(tmpDir(s"twin$m"))
+      val tcp = tmpDir(s"twin${m}_cp")
+      val tms = MemoryStream[(Long, Array[Byte])]
+      val tq = run(tms.toDF().toDF("doc_id", "payload"), twh, table,
+        _ => None, tcp, Trigger.AvailableNow())
+      tms.addData(b0.filter(_ % 3 == m).map(i => i -> pay(i)))
+      tq.processAllAvailable(); tq.stop()
+      tms.addData(b1.filter(_ % 3 == m).map(i => i -> pay(i)))
+      val tq2 = run(tms.toDF().toDF("doc_id", "payload"), twh, table,
+        _ => None, tcp, Trigger.AvailableNow())
+      tq2.processAllAvailable(); tq2.stop()
+      (twh.read(spark, table).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet,
+        twh.read(spark, s"${table}_sigs").select(col("doc_id"), col("n_copies"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
+    val (iDocs, iSigs) = twin(StreamRunner.imageIngestToWarehouse, 0L, "timg")
+    assert(iDocs === docsOf("med_image") && iSigs === sigsOf("med_image"),
+      "routed image drops must equal the dedicated image twin's")
+    val (aDocs, aSigs) = twin(StreamRunner.audioIngestToWarehouse, 1L, "taud")
+    assert(aDocs === docsOf("med_audio") && aSigs === sigsOf("med_audio"),
+      "routed audio drops must equal the dedicated audio twin's")
+    val (vDocs, vSigs) = twin(StreamRunner.videoIngestToWarehouse, 2L, "tvid")
+    assert(vDocs === docsOf("med_video") && vSigs === sigsOf("med_video"),
+      "routed video drops must equal the dedicated video twin's")
+    // checkpoint-replay idempotence across ALL THREE indexes: re-running
+    // batch 1 through the routed body must change nothing anywhere
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(b1.map(i => Row(i, pay(i)))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    StreamRunner.mediaPublishBatch(replay, 1L, wh, "med", _ => None)
+    assert(docsOf("med_image") === Set(0L, 24L))
+    assert(docsOf("med_audio") === Set(1L, 25L))
+    assert(docsOf("med_video") === Set(2L, 26L))
+    assert(sigsOf("med_image") === Map(0L -> 3L, 24L -> 1L))
+    assert(sigsOf("med_audio") === Map(1L -> 2L, 25L -> 1L))
+    assert(sigsOf("med_video") === Map(2L -> 2L, 26L -> 1L))
+  }
+
   test("audio matching is equality-only: hamming-1 signatures do NOT merge at maxHamming=0") {
     import org.apache.spark.sql.Row
     import graft.operators.Multimodal
