@@ -2044,6 +2044,26 @@ object Crawl extends QueryModule {
       |)
       |""".stripMargin
 
+  /** The settled-rows projection shared by the full and incremental
+    * redirect oracles (final_url / final_canon reconstruction from the
+    * `fin` encoding) — ONE definition so a fixture URL/canon change can
+    * never desynchronize the two. `where` restricts to the batch's
+    * sources for the incremental form.
+    */
+  private def redirectWalkSelect(where: String): String =
+    s"""SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
+       |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
+       |  CASE WHEN fin < -999999
+       |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
+       |    ELSE 'https://site' || (fin % 3) || '.com/d/' || fin
+       |      || CASE WHEN fin % 2 = 0 THEN '?b=' || (fin % 9) || '&a=' || (fin % 5) || '&utm_src=x' ELSE '' END
+       |  END AS final_url,
+       |  CASE WHEN outcome = 'ok'
+       |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
+       |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
+       |  END AS final_canon
+       |FROM allrows ${where}ORDER BY doc_id""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     // predicts the per-shard accounting from the assignment formula; the
     // Spark side can only reach it by the V2 source decoding the archives
@@ -2115,35 +2135,12 @@ object Crawl extends QueryModule {
     // detection, the 5-hop cap, and the landing url's canon construction
     // (params sorted, utm dropped) — the Spark side reaches the same
     // rows only by parsing real WARC/HTTP bytes and joining url strings
-    "crawl_redirects" -> (redirectWalkCte +
-      """SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
-        |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
-        |  CASE WHEN fin < -999999
-        |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
-        |    ELSE 'https://site' || (fin % 3) || '.com/d/' || fin
-        |      || CASE WHEN fin % 2 = 0 THEN '?b=' || (fin % 9) || '&a=' || (fin % 5) || '&utm_src=x' ELSE '' END
-        |  END AS final_url,
-        |  CASE WHEN outcome = 'ok'
-        |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
-        |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
-        |  END AS final_canon
-        |FROM allrows ORDER BY doc_id""".stripMargin),
+    "crawl_redirects" -> (redirectWalkCte + redirectWalkSelect("")),
     // the SAME walk replay restricted to the ingest batch's sources —
     // the incremental engine path (batch decoded live, archive edges
     // from the persisted artifact) must land on identical rows
-    "crawl_frontier_incr" -> (redirectWalkCte +
-      """SELECT src AS doc_id, CAST(status AS BIGINT) AS status,
-        |  CAST(n_hops AS BIGINT) AS n_hops, outcome,
-        |  CASE WHEN fin < -999999
-        |    THEN 'https://site' || ((-fin - 1000000) % 3) || '.com/gone/' || (-fin - 1000000)
-        |    ELSE 'https://site' || (fin % 3) || '.com/d/' || fin
-        |      || CASE WHEN fin % 2 = 0 THEN '?b=' || (fin % 9) || '&a=' || (fin % 5) || '&utm_src=x' ELSE '' END
-        |  END AS final_url,
-        |  CASE WHEN outcome = 'ok'
-        |    THEN 'https://site' || (fin % 3) || '.com/d/' || fin
-        |      || CASE WHEN fin % 2 = 0 THEN '?a=' || (fin % 5) || '&b=' || (fin % 9) ELSE '' END
-        |  END AS final_canon
-        |FROM allrows WHERE src % 10 = 0 ORDER BY doc_id""".stripMargin),
+    "crawl_frontier_incr" ->
+      (redirectWalkCte + redirectWalkSelect("WHERE src % 10 = 0 ")),
     // the SAME walk replay rolled up per domain (src % 3 — every planted
     // hop is same-host, including the /gone/ and past-corpus targets);
     // landings dedup on fin, pages counted from the non-redirect classes

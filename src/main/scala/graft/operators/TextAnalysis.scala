@@ -899,6 +899,7 @@ object TextAnalysis extends QueryModule {
     // before/after + compression per 10k symbols, all exact integers.
     // Shuffle-free scan at any SF. ----
     "txt_bpe_apply" -> ((s, d) => {
+      requireBpeCountable(s, d)
       Tables.documents(s, d).orderBy(col("doc_id"))
         .select(col("doc_id"),
           expr("CAST(length(replace(text, ' ', '')) AS BIGINT)")

@@ -573,7 +573,11 @@ object StreamRunner {
     import graft.operators.Multimodal
     val sigsName = s"${table}_sigs"
     def sb(c: org.apache.spark.sql.Column) = pmod(c, lit(SigBuckets))
-    if (!hashed.isEmpty) {
+    // no emptiness pre-check here: probing `hashed` would pay a partial
+    // decode the callers' frames don't owe (the dedicated twins pass a
+    // lazy hashArrow chain), and the body below is empty-safe — an empty
+    // frame flows to empty survivors/adds and writes nothing
+    locally {
       // within-batch exact dedup WITH copy counts: one representative
       // per distinct hash, add_n = how many batch items carried it
       val exactCnt = hashed
@@ -603,10 +607,18 @@ object StreamRunner {
             Seq("doc_id"), "left_anti")
           .cache()
         try {
-          val published = gatedPublish(
-            survivors.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
-              .withColumn("ingest_batch", lit(batchId)),
-            batchId, wh, table, Seq("ingest_batch"), audit)
+          // a DUP-ONLY batch (every item matched an existing signature)
+          // publishes no docs, but its copy mass must still merge into
+          // the index — the gate's "empty batch" false would otherwise
+          // silently drop the counts forever (the checkpoint marks the
+          // batch done), so emptiness short-circuits to the maintenance
+          // branch instead of through the gate
+          val published =
+            if (survivors.isEmpty) true
+            else gatedPublish(
+              survivors.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+                .withColumn("ingest_batch", lit(batchId)),
+              batchId, wh, table, Seq("ingest_batch"), audit)
           if (published) {
             val inserts = survivors.select(
               col("doc_id"), col("hash_hi"), col("hash_lo"),

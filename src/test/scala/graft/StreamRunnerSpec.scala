@@ -761,6 +761,43 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(sigsOf("med_video") === Map(2L -> 2L, 26L -> 1L))
   }
 
+  test("a dup-only micro-batch still merges its copy mass into the index") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    // batch 1 carries ONLY an exact dup of corpus image 0 (decade slot
+    // 8 is the pixel-exact re-render): zero survivors, so nothing
+    // publishes — but the keeper's n_copies must still advance, or the
+    // copy mass is lost forever (the checkpoint marks the batch done)
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    def frame(ids: Seq[Long]) = {
+      val pay = Multimodal.attachDhashMedia(spark.createDataFrame(
+          spark.sparkContext.parallelize(ids.map(Row(_))),
+          StructType(Seq(StructField("doc_id", LongType))))).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(i, pay(i)))), docSchema)
+    }
+    val wh = new Warehouse(tmpDir("duponly"))
+    StreamRunner.perceptualPublishBatch(frame(Seq(0L)), 0L, wh, "dimg",
+      _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
+    def sigs = wh.read(spark, "dimg_sigs")
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(0L -> 1L))
+    StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 1L, wh, "dimg",
+      _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
+    assert(wh.read(spark, "dimg").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet === Set(0L),
+      "a dup-only batch publishes no docs")
+    assert(sigs === Map(0L -> 2L),
+      "the dup-only batch's copy mass must merge into the keeper")
+    // replay idempotence: the last_batch guard blocks the double-count
+    StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 1L, wh, "dimg",
+      _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
+    assert(sigs === Map(0L -> 2L))
+  }
+
   test("audio matching is equality-only: hamming-1 signatures do NOT merge at maxHamming=0") {
     import org.apache.spark.sql.Row
     import graft.operators.Multimodal
