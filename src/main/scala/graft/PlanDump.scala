@@ -325,7 +325,11 @@ object PlanDump {
     // BPE-counted report twins (audit: same single-scan card / mix
     // plans — the merge chain is a codegen'd literal-replace projection;
     // corpus side never shuffles in the mixes)
-    "pipe_dataset_card_bpe", "txt_domain_mix_bpe", "txt_temperature_mix_bpe")
+    "pipe_dataset_card_bpe", "txt_domain_mix_bpe", "txt_temperature_mix_bpe",
+    // streaming-maintained frontier serve (audit: two persisted-state
+    // scans + one walk-state-sized rank-1 window — no archive decode,
+    // no data-sized shuffle)
+    "pipe_frontier_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

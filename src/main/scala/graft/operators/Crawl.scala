@@ -1300,6 +1300,45 @@ object Crawl extends QueryModule {
   def redirectRecordsArrow(media: DataFrame): DataFrame =
     Multimodal.arrowHeaderParse(media, redirectSchema)(redirectRow)
 
+  /** A REAL streaming-maintained frontier behind `pipe_frontier_serve`:
+    * the streaming ingest body
+    * ([[graft.streaming.StreamRunner.frontierPublishBatch]]) run over
+    * the redirect fixture in TWO batches (the corpus slice, then the
+    * doc_id % 10 = 0 ingest slice — so cross-batch chains genuinely
+    * dangle in batch 0 and re-resolve in batch 1), built once per
+    * corpus fingerprint. Content is deterministic and every write is an
+    * idempotent partition upsert, so concurrent rebuilds converge; the
+    * done-marker gates reads on a COMPLETED two-batch build (the
+    * DerivedArtifacts freshness rule).
+    */
+  private[graft] object FrontierServeFixture {
+    val wh = new graft.pipeline.Warehouse(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_frontier_serve").getPath)
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    /** Build (if needed) and return the fixture's table prefix. */
+    def build(s: SparkSession, d: String): String = {
+      val p = s"fs_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+      if (!built.contains(p)) {
+        val done = new java.io.File(wh.root, s"${p}__DONE")
+        if (!done.exists()) {
+          wh.dropTable(s"${p}_records")
+          wh.dropTable(s"${p}_settled")
+          val media = attachRedirectMedia(Tables.documents(s, d))
+          graft.streaming.StreamRunner.frontierPublishBatch(
+            media.filter(col("doc_id") % 10 =!= 0), 0L, wh, p, _ => None)
+          graft.streaming.StreamRunner.frontierPublishBatch(
+            media.filter(col("doc_id") % 10 === 0), 1L, wh, p, _ => None)
+          done.getParentFile.mkdirs()
+          try java.nio.file.Files.createFile(done.toPath)
+          catch { case _: java.nio.file.FileAlreadyExistsException => }
+        }
+        built.add(p)
+      }
+      p
+    }
+  }
+
   /** The PERSISTED crawl frontier: the archive's parsed redirect records
     * `(doc_id, format, url, status, location)` as a fingerprint-keyed
     * [[Dedup.DerivedArtifacts]] table — the status-line edges and 200
@@ -1903,6 +1942,31 @@ object Crawl extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the STREAMING-MAINTAINED frontier hash-checked against the
+    // from-scratch replay: [[FrontierServeFixture]] feeds the redirect
+    // archive through the streaming frontier body in TWO batches (the
+    // corpus slice, then the doc_id % 10 = 0 ingest slice), so chains
+    // whose targets land in the LATER batch genuinely settle dangling
+    // first and re-resolve when the target arrives (the retry queue's
+    // whole point); the query reads the SERVE view — each source's
+    // latest settled outcome from the persisted state tables — while
+    // the oracle replays the ONE-SHOT walk over the full archive in
+    // doc_id space. The serve view converging to the from-scratch walk
+    // is the correctness contract of incremental frontier maintenance:
+    // a retry bug, a replay double-count, or a stale-row leak in the
+    // rank-1 view all flip rows. Scale: the state tables are
+    // redirect-count-sized; the serve read is one walk-state-sized
+    // rank-1 window, never an archive scan. ----
+    "pipe_frontier_serve" -> ((s, d) => {
+      val p = FrontierServeFixture.build(s, d)
+      graft.streaming.StreamRunner
+        .frontierSettled(s, FrontierServeFixture.wh, p)
+        .select(col("doc_id"), col("status").cast("bigint").as("status"),
+          col("n_hops").cast("bigint").as("n_hops"), col("outcome"),
+          col("final_url"), col("final_canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- charset-aware extraction over a MIXED-charset crawl slice:
     // each doc's page is encoded in its class's declared charset
     // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
@@ -2141,6 +2205,10 @@ object Crawl extends QueryModule {
     // from the persisted artifact) must land on identical rows
     "crawl_frontier_incr" ->
       (redirectWalkCte + redirectWalkSelect("WHERE src % 10 = 0 ")),
+    // the streaming-maintained serve view must CONVERGE to the
+    // from-scratch walk — the oracle is the full replay, identical to
+    // crawl_redirects' (deliberately: that equality IS the contract)
+    "pipe_frontier_serve" -> (redirectWalkCte + redirectWalkSelect("")),
     // the SAME walk replay rolled up per domain (src % 3 — every planted
     // hop is same-host, including the /gone/ and past-corpus targets);
     // landings dedup on fin, pages counted from the non-redirect classes

@@ -423,6 +423,116 @@ object StreamRunner {
       "wav", trigger, maxHamming = 0)
   }
 
+  /** Streaming CRAWL-FRONTIER ingest — the continuous form of
+    * `crawl_frontier_incr`, closing the loop on how the persisted
+    * frontier is MAINTAINED: per micro-batch of raw (doc_id, payload)
+    * WARC-record rows,
+    *
+    *  1. parse status-line records where the bytes are read
+    *     ([[graft.operators.Crawl.redirectRecordsArrow]]) and APPEND
+    *     them to the parsed-record lake `<table>_records` (partitioned
+    *     by ingest_batch — idempotent replay), so the archive's bytes
+    *     are decoded exactly once, at their own ingest;
+    *  2. walk THIS batch's redirects — plus every currently-DANGLING
+    *     source (a real crawler's retry queue: a chain that dangled
+    *     because its target had not been crawled yet re-resolves the
+    *     batch the target arrives) — against the ACCUMULATED parsed
+    *     records ([[graft.operators.Crawl.resolveRedirectsAgainst]]);
+    *  3. publish the round's settled outcomes into `<table>_settled`
+    *     through the audit gate (partitioned by ingest_batch); the
+    *     SERVE view ([[frontierSettled]]) takes each source's LATEST
+    *     outcome, so a dangling superseded by a later ok never
+    *     resurfaces.
+    *
+    * Replay safety: the retry set is derived EXCLUDING rows settled by
+    * this batch id ([[frontierSettled]]'s excludeBatch guard), so a
+    * replayed batch re-walks exactly what its first attempt walked and
+    * rewrites its partition bit-identically — the first_batch idiom of
+    * the perceptual index applied to walk state. Per-batch cost: decode
+    * of the batch + a walk over (batch redirects + current danglings) —
+    * both ingest-shaped; permanently-dangling sources re-walk each
+    * batch (a production deployment would age them out of the retry
+    * set; the walk itself is |danglings|-bounded either way).
+    */
+  def frontierIngestToWarehouse(
+      mediaStream: DataFrame,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        frontierPublishBatch(batch, batchId, wh, table, audit)
+      }
+      .start()
+
+  /** One micro-batch of the frontier ingest (see
+    * [[frontierIngestToWarehouse]]).
+    */
+  private[graft] def frontierPublishBatch(
+      batch: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val recsName = s"${table}_records"
+      val settledName = s"${table}_settled"
+      // decode once; the checkpointed frame feeds the lake append, the
+      // walk's starters, and the starter-dedup
+      val recs = graft.operators.Crawl.redirectRecordsArrow(batch)
+        .filter(col("format") === "http").localCheckpoint()
+      wh.partitionedUpsertWrite(
+        recs.withColumn("ingest_batch", lit(batchId)), recsName,
+        Seq("ingest_batch"))
+      val archive = wh.read(spark, recsName).drop("ingest_batch")
+      // the retry queue: currently-dangling sources re-walk against the
+      // grown archive; their raw records come from the lake by key.
+      // dropDuplicates guards the replay overlap (a replayed batch's own
+      // rows may still be listed dangling by an EARLIER batch's row)
+      val retry =
+        if (!wh.hasData(settledName)) recs.limit(0)
+        else archive.join(
+          frontierSettled(spark, wh, table, excludeBatch = Some(batchId))
+            .filter(col("outcome") === "dangling").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+      val starters = recs.unionByName(retry).dropDuplicates("doc_id")
+      val settled = graft.operators.Crawl
+        .resolveRedirectsAgainst(starters, archive)
+        .withColumn("ingest_batch", lit(batchId))
+      gatedPublish(settled, batchId, wh, settledName,
+        Seq("ingest_batch"), audit): Unit
+    }
+  }
+
+  /** The frontier's SERVE view: each source's LATEST settled outcome
+    * (rank-1 by ingest_batch per doc_id — the settled table is
+    * redirect-count-sized, so the window is walk-state-sized, never
+    * archive-sized). `excludeBatch` is the replay guard: a replaying
+    * batch derives its retry set as if its own attempt never ran.
+    */
+  def frontierSettled(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    val t = wh.read(spark, s"${table}_settled")
+    val base = excludeBatch
+      .map(b => t.filter(col("ingest_batch") =!= b)).getOrElse(t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("ingest_batch"))
+    base.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** The ROUTED mixed-modality ingest — the production shape of a media
     * lake's landing zone: ONE stream of mixed (doc_id, payload) rows,
     * byte-sniff-routed and signed in a single decode pass

@@ -672,6 +672,86 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "index rows == distinct surviving signatures")
   }
 
+  test("streaming frontier ingest: danglings re-resolve when their targets arrive; serve == the batch walk; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Row
+    import graft.operators.Crawl
+    import graft.operators.Crawl.{HttpCodec, WarcCodec}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def warcOf(url: String, status: Int, loc: Option[String]): Array[Byte] =
+      WarcCodec.encode(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:spec:$url>",
+        "WARC-Target-URI" -> url,
+        "Content-Type" -> "application/http; msgtype=response"),
+        HttpCodec.encode(status,
+          if (status == 200) "OK" else "Moved Permanently",
+          loc.map("Location" -> _).toSeq ++
+            (if (status == 200) Seq("Content-Type" -> "text/plain") else Nil),
+          if (status == 200) "x".getBytes("UTF-8") else Array.emptyByteArray,
+          chunked = false))
+    // batch 0: 10 redirects to /b which has NOT been crawled yet
+    // (dangles), 12 redirects to the already-present 200 /c (ok now)
+    val b0: Seq[(Long, Array[Byte])] = Seq(
+      10L -> warcOf("https://f.com/a", 301, Some("https://f.com/b")),
+      11L -> warcOf("https://f.com/c", 200, None),
+      12L -> warcOf("https://f.com/d", 301, Some("https://f.com/c")))
+    // batch 1: /b ARRIVES (10 must re-resolve to ok); 14 dangles forever
+    val b1: Seq[(Long, Array[Byte])] = Seq(
+      13L -> warcOf("https://f.com/b", 200, None),
+      14L -> warcOf("https://f.com/e", 301, Some("https://f.com/nowhere")))
+    val wh = new Warehouse(tmpDir("frontingest"))
+    val cp = tmpDir("frontingest_cp")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    // data BEFORE start: AvailableNow snapshots available offsets at
+    // query start, so post-start addData is not guaranteed a batch
+    ms.addData(b0)
+    val q = StreamRunner.frontierIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "fr", _ => None, cp)
+    q.processAllAvailable(); q.stop()
+    assert(wh.hasData("fr_records"), "batch 0 must have appended parsed records")
+    def serve: Map[Long, (String, Long, String)] =
+      StreamRunner.frontierSettled(spark, wh, "fr")
+        .select(col("doc_id"), col("outcome"), col("n_hops"), col("final_url"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(serve === Map(
+      10L -> (("dangling", 1L, "https://f.com/b")),
+      12L -> (("ok", 1L, "https://f.com/c"))),
+      "batch 0: the not-yet-crawled target dangles, the present one resolves")
+    ms.addData(b1)
+    val q2 = StreamRunner.frontierIngestToWarehouse(
+      ms.toDF().toDF("doc_id", "payload"), wh, "fr", _ => None, cp)
+    q2.processAllAvailable(); q2.stop()
+    val after = serve
+    assert(after(10L) === (("ok", 1L, "https://f.com/b")),
+      "the dangling source must re-resolve the batch its target arrives")
+    assert(after(12L) === (("ok", 1L, "https://f.com/c")))
+    assert(after(14L)._1 === "dangling")
+    // the serve view must equal the ONE-SHOT batch walk over the full
+    // archive (the crawl_redirects form) — the incremental maintenance
+    // can never disagree with a from-scratch resolution
+    val allRecs = Crawl.redirectRecordsArrow(spark.createDataFrame(
+      spark.sparkContext.parallelize((b0 ++ b1).map { case (i, p) => Row(i, p) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType)))))
+    val oneShot = Crawl.resolveRedirects(allRecs)
+      .select(col("doc_id"), col("outcome"), col("n_hops"), col("final_url"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(after === oneShot, "serve view must equal the from-scratch walk")
+    // replay: re-running batch 1 through the body must rewrite its
+    // partition bit-identically (the excludeBatch retry guard)
+    StreamRunner.frontierPublishBatch(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(b1.map { case (i, p) => Row(i, p) }),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("payload", BinaryType)))),
+      1L, wh, "fr", _ => None)
+    assert(serve === after, "a replayed batch must not change the serve view")
+  }
+
   test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.Row
