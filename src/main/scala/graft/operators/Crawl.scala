@@ -1315,23 +1315,54 @@ object Crawl extends QueryModule {
     val wh = new graft.pipeline.Warehouse(
       new java.io.File(sys.props("java.io.tmpdir"), "graft_frontier_serve").getPath)
     private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val suffixes = Seq("_records", "_settled")
 
-    /** Build (if needed) and return the fixture's table prefix. */
-    def build(s: SparkSession, d: String): String = {
-      val p = s"fs_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+    /** Build (if needed) and return the fixture's table prefix. Builds
+      * run under a SCRATCH prefix and publish by rename with the done
+      * marker created only after both tables landed (the
+      * DerivedArtifacts atomic-publish rule) — concurrent builders never
+      * drop a completed build's tables or share stage paths, and a crash
+      * mid-build leaves unmarked debris the next build sweeps, never a
+      * half-built fixture a reader would trust. Superseded fingerprint
+      * generations of the SAME source dir are pruned on rebuild.
+      */
+    def build(s: SparkSession, d: String): String = synchronized {
+      val tag = Dedup.DerivedArtifacts.pathTag(d, "documents")
+      val fp = Dedup.DerivedArtifacts.fingerprint(d, "documents")
+      val p = s"fs_${tag}_$fp"
       if (!built.contains(p)) {
         val done = new java.io.File(wh.root, s"${p}__DONE")
         if (!done.exists()) {
-          wh.dropTable(s"${p}_records")
-          wh.dropTable(s"${p}_settled")
+          val scratch = s"${p}__bld${java.util.UUID.randomUUID.toString.take(8)}"
           val media = attachRedirectMedia(Tables.documents(s, d))
           graft.streaming.StreamRunner.frontierPublishBatch(
-            media.filter(col("doc_id") % 10 =!= 0), 0L, wh, p, _ => None)
+            media.filter(col("doc_id") % 10 =!= 0), 0L, wh, scratch, _ => None)
           graft.streaming.StreamRunner.frontierPublishBatch(
-            media.filter(col("doc_id") % 10 === 0), 1L, wh, p, _ => None)
-          done.getParentFile.mkdirs()
-          try java.nio.file.Files.createFile(done.toPath)
-          catch { case _: java.nio.file.FileAlreadyExistsException => }
+            media.filter(col("doc_id") % 10 === 0), 1L, wh, scratch, _ => None)
+          if (!done.exists()) { // another process may have published
+            suffixes.foreach { suf =>
+              wh.dropTable(s"$p$suf") // unmarked debris only (no done marker)
+              new java.io.File(wh.tablePath(s"$scratch$suf"))
+                .renameTo(new java.io.File(wh.tablePath(s"$p$suf"))): Unit
+            }
+            done.getParentFile.mkdirs()
+            try java.nio.file.Files.createFile(done.toPath): Unit
+            catch { case _: java.nio.file.FileAlreadyExistsException => }
+          } else suffixes.foreach(suf => wh.dropTable(s"$scratch$suf"))
+          // prune superseded generations of the same source dir (same
+          // tag, older fingerprint) — regenerated fixtures must not
+          // accumulate dead parquet in tmp (the DerivedArtifacts rule)
+          val pat = java.util.regex.Pattern.compile(
+            s"fs_${tag}_([0-9a-f]{16})(__DONE|_records|_settled)")
+          Option(new java.io.File(wh.root).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .foreach { f =>
+              val m = pat.matcher(f.getName)
+              if (m.matches() && m.group(1) != fp) {
+                if (f.isDirectory) wh.dropTable(f.getName)
+                else f.delete(): Unit
+              }
+            }
         }
         built.add(p)
       }

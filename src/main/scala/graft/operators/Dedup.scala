@@ -172,7 +172,7 @@ object Dedup extends QueryModule {
       * other's live artifacts — only a regenerated fixture at the same
       * path (new fingerprint, same tag) supersedes.
       */
-    private def pathTag(d: String, source: String): String = {
+    private[operators] def pathTag(d: String, source: String): String = {
       val f = new java.io.File(d, s"$source.parquet")
       // canonical, not absolute: "/data/./sf0.1", a relative spelling, or
       // a symlink to the same dir must produce the SAME tag, or pruning

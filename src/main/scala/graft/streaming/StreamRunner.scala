@@ -453,6 +453,18 @@ object StreamRunner {
     * both ingest-shaped; permanently-dangling sources re-walk each
     * batch (a production deployment would age them out of the retry
     * set; the walk itself is |danglings|-bounded either way).
+    *
+    * Convergence precondition: the serve view equals the from-scratch
+    * walk (`pipe_frontier_serve`'s oracle contract) when each URL's
+    * record is STABLE — the archive grows by NEW urls, the normal crawl
+    * shape. A re-crawl that changes an existing url's response class
+    * (200 → 3xx, or a new redirect target) alters edges that
+    * already-settled ok/loop/cap chains walked through; reconciling
+    * those requires re-enqueueing every source whose path touches the
+    * changed url (an inverted path index — a different design). The
+    * retry queue here re-reconciles DANGLING sources only, which is
+    * exactly the outcome class that new records can legally change
+    * under the stable-record rule.
     */
   def frontierIngestToWarehouse(
       mediaStream: DataFrame,
@@ -479,35 +491,80 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       audit: DataFrame => Option[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, not}
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val recsName = s"${table}_records"
       val settledName = s"${table}_settled"
-      // decode once; the checkpointed frame feeds the lake append, the
-      // walk's starters, and the starter-dedup
+      // decode once; the checkpointed frame feeds the archive view, the
+      // walk's starters, and the gated publish
       val recs = graft.operators.Crawl.redirectRecordsArrow(batch)
         .filter(col("format") === "http").localCheckpoint()
-      wh.partitionedUpsertWrite(
-        recs.withColumn("ingest_batch", lit(batchId)), recsName,
-        Seq("ingest_batch"))
-      val archive = wh.read(spark, recsName).drop("ingest_batch")
-      // the retry queue: currently-dangling sources re-walk against the
-      // grown archive; their raw records come from the lake by key.
-      // dropDuplicates guards the replay overlap (a replayed batch's own
-      // rows may still be listed dangling by an EARLIER batch's row)
-      val retry =
-        if (!wh.hasData(settledName)) recs.limit(0)
-        else archive.join(
-          frontierSettled(spark, wh, table, excludeBatch = Some(batchId))
-            .filter(col("outcome") === "dangling").select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-      val starters = recs.unionByName(retry).dropDuplicates("doc_id")
-      val settled = graft.operators.Crawl
-        .resolveRedirectsAgainst(starters, archive)
-        .withColumn("ingest_batch", lit(batchId))
-      gatedPublish(settled, batchId, wh, settledName,
-        Seq("ingest_batch"), audit): Unit
+      // a batch with no parseable status-line records neither grows the
+      // archive nor can change any outcome (retries against an UNCHANGED
+      // archive re-derive identical rows) — and writing the empty frame
+      // would leave a schema-less directory that poisons every later
+      // read under checkpoint replay (the hasData scaladoc hazard)
+      if (!recs.isEmpty) {
+        // the walk's archive view: everything already PUBLISHED plus this
+        // batch's own rows in memory — the batch cannot read its own
+        // not-yet-gated append, because records and settled outcomes
+        // publish ATOMICALLY through one gate below. Replay overlap
+        // (the published table already holding this batch's partition)
+        // is safe: the walk collapses edges per source url and dedups
+        // terminals, so duplicated rows change nothing.
+        val archive =
+          if (wh.hasData(recsName))
+            wh.read(spark, recsName).drop("ingest_batch").unionByName(recs)
+          else recs
+        // serve state as of BEFORE this batch id (the replay guard: a
+        // replayed batch derives retries and deltas as if its first
+        // attempt never ran)
+        val prior =
+          if (!wh.hasData(settledName)) None
+          else Some(frontierSettled(spark, wh, table,
+            excludeBatch = Some(batchId)))
+        // the retry queue: currently-dangling sources re-walk against
+        // the grown archive; their raw records come from the lake by key
+        val retry = prior match {
+          case None => recs.limit(0)
+          case Some(p) => archive.join(
+            p.filter(col("outcome") === "dangling").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+        }
+        val starters = recs.unionByName(retry).dropDuplicates("doc_id")
+        val walk = graft.operators.Crawl
+          .resolveRedirectsAgainst(starters, archive)
+        // publish only CHANGED outcomes: a permanently-dangling source
+        // re-walks each batch but re-publishes nothing, so the settled
+        // table holds one row per source per outcome CHANGE — never
+        // O(batches × danglings) — and the serve view's rank-1 window
+        // stays walk-state-sized
+        val settled = (prior match {
+          case None => walk
+          case Some(p) =>
+            val pr = p.select(col("doc_id"), col("status").as("p_status"),
+              col("n_hops").as("p_n_hops"), col("outcome").as("p_outcome"),
+              col("final_url").as("p_final_url"),
+              col("final_canon").as("p_final_canon"))
+            walk.join(pr, Seq("doc_id"), "left")
+              .filter(not(col("status") <=> col("p_status") &&
+                col("n_hops") <=> col("p_n_hops") &&
+                col("outcome") <=> col("p_outcome") &&
+                col("final_url") <=> col("p_final_url") &&
+                col("final_canon") <=> col("p_final_canon")))
+              .drop("p_status", "p_n_hops", "p_outcome", "p_final_url",
+                "p_final_canon")
+        }).withColumn("ingest_batch", lit(batchId))
+        // ONE gate for both frames — a quarantined batch quarantines
+        // WHOLE: its records never feed later walks, its settled rows
+        // never reach the serve view (the gatedPublishAll sibling rule)
+        gatedPublishAll(Seq(
+          (recs.withColumn("ingest_batch", lit(batchId)), recsName,
+            Seq("ingest_batch")),
+          (settled, settledName, Seq("ingest_batch"))),
+          batchId, wh, audit): Unit
+      }
     }
   }
 

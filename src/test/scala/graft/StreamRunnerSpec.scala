@@ -741,15 +741,37 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
     assert(after === oneShot, "serve view must equal the from-scratch walk")
+    // delta publishing: the settled table holds one row per source per
+    // outcome CHANGE (10@b0 dangling, 12@b0 ok, 10@b1 ok, 14@b1
+    // dangling) — unchanged retries re-publish nothing
+    assert(wh.read(spark, "fr_settled").count() === 4L,
+      "only changed outcomes publish — never O(batches x danglings)")
     // replay: re-running batch 1 through the body must rewrite its
     // partition bit-identically (the excludeBatch retry guard)
+    def b1frame = spark.createDataFrame(
+      spark.sparkContext.parallelize(b1.map { case (i, p) => Row(i, p) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    StreamRunner.frontierPublishBatch(b1frame, 1L, wh, "fr", _ => None)
+    assert(serve === after, "a replayed batch must not change the serve view")
+    assert(wh.read(spark, "fr_settled").count() === 4L)
+    // a batch with NO parseable status-line records must be a no-op —
+    // not a schema-less write that poisons later reads under replay
     StreamRunner.frontierPublishBatch(
       spark.createDataFrame(
-        spark.sparkContext.parallelize(b1.map { case (i, p) => Row(i, p) }),
+        spark.sparkContext.parallelize(Seq(
+          Row(90L, "definitely not a warc record".getBytes("UTF-8")))),
         StructType(Seq(StructField("doc_id", LongType),
           StructField("payload", BinaryType)))),
-      1L, wh, "fr", _ => None)
-    assert(serve === after, "a replayed batch must not change the serve view")
+      2L, wh, "fr", _ => None)
+    assert(serve === after, "an unparseable batch must change nothing")
+    // quarantine-WHOLE: a batch failing the audit publishes NEITHER its
+    // records NOR its settled rows — bad edges never feed later walks
+    val wh2 = new Warehouse(tmpDir("frq"))
+    StreamRunner.frontierPublishBatch(b1frame, 0L, wh2, "fq",
+      _ => Some("schema drift"))
+    assert(!wh2.hasData("fq_records") && !wh2.hasData("fq_settled"),
+      "a quarantined batch must quarantine whole")
   }
 
   test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
