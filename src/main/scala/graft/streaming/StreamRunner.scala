@@ -451,8 +451,9 @@ object StreamRunner {
     * the perceptual index applied to walk state. Per-batch cost: decode
     * of the batch + a walk over (batch redirects + current danglings) —
     * both ingest-shaped; permanently-dangling sources re-walk each
-    * batch (a production deployment would age them out of the retry
-    * set; the walk itself is |danglings|-bounded either way).
+    * batch until `retryMaxAge` ages them out (a source whose LAST
+    * dangling verdict is more than that many batches old stops
+    * retrying — the crawler's give-up rule; None retries forever).
     *
     * Convergence precondition: the serve view equals the from-scratch
     * walk (`pipe_frontier_serve`'s oracle contract) when each URL's
@@ -472,13 +473,14 @@ object StreamRunner {
       table: String,
       audit: DataFrame => Option[String],
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      retryMaxAge: Option[Long] = None): StreamingQuery =
     mediaStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        frontierPublishBatch(batch, batchId, wh, table, audit)
+        frontierPublishBatch(batch, batchId, wh, table, audit, retryMaxAge)
       }
       .start()
 
@@ -490,7 +492,8 @@ object StreamRunner {
       batchId: Long,
       wh: Warehouse,
       table: String,
-      audit: DataFrame => Option[String]): Unit = {
+      audit: DataFrame => Option[String],
+      retryMaxAge: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit, not}
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -525,12 +528,21 @@ object StreamRunner {
           else Some(frontierSettled(spark, wh, table,
             excludeBatch = Some(batchId)))
         // the retry queue: currently-dangling sources re-walk against
-        // the grown archive; their raw records come from the lake by key
+        // the grown archive; their raw records come from the lake by
+        // key. retryMaxAge ages out sources whose LAST dangling verdict
+        // is older than that many batches — delta-publishing stamps a
+        // verdict's batch only when the outcome CHANGED, so the age is
+        // measured from the last genuine state change, and the
+        // derivation stays deterministic under replay (the verdicts are
+        // excludeBatch-guarded state, not wall-clock)
         val retry = prior match {
           case None => recs.limit(0)
-          case Some(p) => archive.join(
-            p.filter(col("outcome") === "dangling").select(col("doc_id")),
-            Seq("doc_id"), "left_semi")
+          case Some(p) =>
+            val dang = p.filter(col("outcome") === "dangling")
+            val live = retryMaxAge
+              .map(a => dang.filter(col("ingest_batch") >= lit(batchId - a)))
+              .getOrElse(dang)
+            archive.join(live.select(col("doc_id")), Seq("doc_id"), "left_semi")
         }
         val starters = recs.unionByName(retry).dropDuplicates("doc_id")
         val walk = graft.operators.Crawl

@@ -772,6 +772,22 @@ class StreamRunnerSpec extends SparkSuiteBase {
       _ => Some("schema drift"))
     assert(!wh2.hasData("fq_records") && !wh2.hasData("fq_settled"),
       "a quarantined batch must quarantine whole")
+    // retry aging: with retryMaxAge = 0, a dangling whose verdict is one
+    // batch old stops retrying — its target arriving no longer flips it
+    val wh3 = new Warehouse(tmpDir("frage"))
+    def b0frame = spark.createDataFrame(
+      spark.sparkContext.parallelize(b0.map { case (i, p) => Row(i, p) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    StreamRunner.frontierPublishBatch(b0frame, 0L, wh3, "fa", _ => None)
+    StreamRunner.frontierPublishBatch(b1frame, 1L, wh3, "fa", _ => None,
+      retryMaxAge = Some(0L))
+    val aged = StreamRunner.frontierSettled(spark, wh3, "fa")
+      .select(col("doc_id"), col("outcome"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(aged(10L) === "dangling",
+      "an aged-out dangling must not retry even when its target arrives")
+    assert(aged(14L) === "dangling")
   }
 
   test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
