@@ -838,7 +838,7 @@ object StreamRunner {
                   // per-batch upsert cost is the touched buckets' rows,
                   // never the whole index
                   val merged = wh.read(hashed.sparkSession, sigsName)
-                    .filter(col("sb").isin(affected: _*))
+                    .filter(col("sb").isin(affected.toIndexedSeq: _*))
                     .drop("sb") // re-derived from hash_lo at write time
                     .filter(col("first_batch") =!= batchId)
                     .join(broadcast(adds.select(col("dup_of").as("doc_id"),
