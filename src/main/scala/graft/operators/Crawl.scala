@@ -1320,11 +1320,16 @@ object Crawl extends QueryModule {
     /** Build (if needed) and return the fixture's table prefix. Builds
       * run under a SCRATCH prefix and publish by rename with the done
       * marker created only after both tables landed (the
-      * DerivedArtifacts atomic-publish rule) — concurrent builders never
-      * drop a completed build's tables or share stage paths, and a crash
-      * mid-build leaves unmarked debris the next build sweeps, never a
-      * half-built fixture a reader would trust. Superseded fingerprint
-      * generations of the SAME source dir are pruned on rebuild.
+      * DerivedArtifacts atomic-publish rule), with the recheck-and-swap
+      * serialized across PROCESSES by an OS file lock — without it, a
+      * second process could pass the `!done.exists()` recheck, watch the
+      * first complete its publish, and then drop the completed tables
+      * mid-swap while readers already trust the marker. A failed rename
+      * throws BEFORE the marker is written (never a marked-complete
+      * missing fixture); a crash mid-build leaves unmarked scratch the
+      * next build's prune sweeps once it is demonstrably stale.
+      * Superseded fingerprint generations of the SAME source dir are
+      * pruned on rebuild.
       */
     def build(s: SparkSession, d: String): String = synchronized {
       val tag = Dedup.DerivedArtifacts.pathTag(d, "documents")
@@ -1339,26 +1344,46 @@ object Crawl extends QueryModule {
             media.filter(col("doc_id") % 10 =!= 0), 0L, wh, scratch, _ => None)
           graft.streaming.StreamRunner.frontierPublishBatch(
             media.filter(col("doc_id") % 10 === 0), 1L, wh, scratch, _ => None)
-          if (!done.exists()) { // another process may have published
-            suffixes.foreach { suf =>
-              wh.dropTable(s"$p$suf") // unmarked debris only (no done marker)
-              new java.io.File(wh.tablePath(s"$scratch$suf"))
-                .renameTo(new java.io.File(wh.tablePath(s"$p$suf"))): Unit
-            }
-            done.getParentFile.mkdirs()
-            try java.nio.file.Files.createFile(done.toPath): Unit
-            catch { case _: java.nio.file.FileAlreadyExistsException => }
-          } else suffixes.foreach(suf => wh.dropTable(s"$scratch$suf"))
+          val lockFile = new java.io.File(wh.root, s"${p}__LOCK")
+          lockFile.getParentFile.mkdirs()
+          val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lk = ch.lock() // blocks until any concurrent publisher exits
+            try {
+              if (!done.exists()) { // under the lock this recheck is final
+                suffixes.foreach { suf =>
+                  wh.dropTable(s"$p$suf") // unmarked debris only (no marker)
+                  if (!new java.io.File(wh.tablePath(s"$scratch$suf"))
+                      .renameTo(new java.io.File(wh.tablePath(s"$p$suf"))))
+                    throw new IllegalStateException(
+                      s"could not publish frontier fixture table $p$suf")
+                }
+                try java.nio.file.Files.createFile(done.toPath): Unit
+                catch { case _: java.nio.file.FileAlreadyExistsException => }
+              } else suffixes.foreach(suf => wh.dropTable(s"$scratch$suf"))
+            } finally lk.release()
+          } finally ch.close()
           // prune superseded generations of the same source dir (same
-          // tag, older fingerprint) — regenerated fixtures must not
-          // accumulate dead parquet in tmp (the DerivedArtifacts rule)
+          // tag, older fingerprint — including their scratch/lock
+          // debris), plus CRASHED same-fp scratch: unmarked __bld dirs
+          // older than an hour cannot belong to a live builder (builds
+          // run in minutes and a live one holds its rows pre-publish),
+          // so they are sweep-safe; younger ones are left for the next
+          // build. Regenerated fixtures must not accumulate dead parquet
+          // in tmp (the DerivedArtifacts rule).
+          val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
           val pat = java.util.regex.Pattern.compile(
-            s"fs_${tag}_([0-9a-f]{16})(__DONE|_records|_settled)")
+            s"fs_${tag}_([0-9a-f]{16})(__bld[0-9a-f]{8})?" +
+              "(__DONE|__LOCK|_records|_settled)")
           Option(new java.io.File(wh.root).listFiles())
             .getOrElse(Array.empty[java.io.File])
             .foreach { f =>
               val m = pat.matcher(f.getName)
-              if (m.matches() && m.group(1) != fp) {
+              if (m.matches() &&
+                  (m.group(1) != fp ||
+                    (m.group(2) != null && f.lastModified < staleMs))) {
                 if (f.isDirectory) wh.dropTable(f.getName)
                 else f.delete(): Unit
               }

@@ -146,6 +146,42 @@ object StreamRunner {
     }
   }
 
+  /** Audit-ONLY form of the gate, for a batch that publishes no rows of
+    * its own but still mutates derived state (a dup-only perceptual
+    * batch merging copy mass into the sigs index): the frame is STAGED
+    * and its READBACK audited exactly like a publishing batch's would
+    * be, and a failing audit quarantines the frame and returns false so
+    * the caller skips the state mutation. Without this, a batch the
+    * audit would quarantine could still merge its copy counts into the
+    * index through the gate's empty-survivors short-circuit — weakening
+    * the quarantine-whole rule — with the checkpoint already marked
+    * done, so the bad merge would never be repaired.
+    */
+  private def auditGateOnly(
+      frame: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String]): Boolean =
+    if (frame.isEmpty) true // empty batch: no state mutation to gate
+    else {
+      import org.apache.spark.sql.functions.lit
+      val stage = s"__stage__${table}_b$batchId"
+      wh.truncateWrite(frame, stage)
+      val rb = wh.read(frame.sparkSession, stage)
+      val verdict = audit(rb)
+      verdict match {
+        case None => wh.dropTable(stage); true
+        case Some(reason) =>
+          wh.truncateWrite(
+            rb.withColumn("__batch_id", lit(batchId))
+              .withColumn("__reason", lit(reason)),
+            s"__quarantine__${table}_b$batchId")
+          wh.dropTable(stage)
+          false
+      }
+    }
+
   /** Streaming DEDUP'D corpus ingest — the foreachBatch twin of the
     * `dedup_incremental` + `pipe_ingest_e2e` batch pair, closing the
     * continuous-ingestion loop a training-data lake actually runs. Per
@@ -790,10 +826,15 @@ object StreamRunner {
           // publishes no docs, but its copy mass must still merge into
           // the index — the gate's "empty batch" false would otherwise
           // silently drop the counts forever (the checkpoint marks the
-          // batch done), so emptiness short-circuits to the maintenance
-          // branch instead of through the gate
+          // batch done). The maintenance branch is still GATED: the
+          // batch's staged hash readback passes the same audit a
+          // publishing batch would, so a batch the audit would
+          // quarantine never merges its counts either (auditGateOnly)
           val published =
-            if (survivors.isEmpty) true
+            if (survivors.isEmpty) auditGateOnly(
+              exactCnt.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+                .withColumn("ingest_batch", lit(batchId)),
+              batchId, wh, table, audit)
             else gatedPublish(
               survivors.select(col("doc_id"), col("hash_hi"), col("hash_lo"))
                 .withColumn("ingest_batch", lit(batchId)),

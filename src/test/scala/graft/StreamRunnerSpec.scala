@@ -914,6 +914,16 @@ class StreamRunnerSpec extends SparkSuiteBase {
     StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 1L, wh, "dimg",
       _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
     assert(sigs === Map(0L -> 2L))
+    // a dup-only batch the AUDIT rejects must NOT merge its copy mass:
+    // the maintenance branch runs behind the same staged-readback gate
+    // as a publishing batch (same dup payload, NEW batch id — the
+    // last_batch guard alone would have let batch 2's counts through)
+    StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 2L, wh, "dimg",
+      _ => Some("schema drift"), Multimodal.dhashArrow, "png", maxHamming = 3)
+    assert(sigs === Map(0L -> 2L),
+      "a quarantined dup-only batch must not merge counts")
+    assert(new java.io.File(wh.tablePath("__quarantine__dimg_b2")).exists(),
+      "the rejected dup-only batch must land in quarantine for forensics")
   }
 
   test("audio matching is equality-only: hamming-1 signatures do NOT merge at maxHamming=0") {
