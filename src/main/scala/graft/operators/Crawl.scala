@@ -1300,22 +1300,33 @@ object Crawl extends QueryModule {
   def redirectRecordsArrow(media: DataFrame): DataFrame =
     Multimodal.arrowHeaderParse(media, redirectSchema)(redirectRow)
 
-  /** A REAL streaming-maintained frontier behind `pipe_frontier_serve`:
-    * the streaming ingest body
-    * ([[graft.streaming.StreamRunner.frontierPublishBatch]]) run over
-    * the redirect fixture in TWO batches (the corpus slice, then the
-    * doc_id % 10 = 0 ingest slice — so cross-batch chains genuinely
-    * dangle in batch 0 and re-resolve in batch 1), built once per
+  /** A REAL streaming-maintained frontier fixture: the streaming ingest
+    * body ([[graft.streaming.StreamRunner.frontierPublishBatch]]) run
+    * over the redirect fixture in `slices` batches, built once per
     * corpus fingerprint. Content is deterministic and every write is an
     * idempotent partition upsert, so concurrent rebuilds converge; the
-    * done-marker gates reads on a COMPLETED two-batch build (the
-    * DerivedArtifacts freshness rule).
+    * done-marker gates reads on a COMPLETED build of the CURRENT layout
+    * (its content is the layout version, so a code change that adds
+    * side tables forces a rebuild instead of serving a stale shape).
+    * Variants: [[FrontierServeFixture]] (`pipe_frontier_serve` /
+    * `pipe_frontier_compacted` / `pipe_frontier_gated` — two batches,
+    * default retry bound) and [[FrontierAgedFixture]]
+    * (`pipe_frontier_aged` — three batches, retryMaxAge = 1, so
+    * late-arriving targets genuinely age out).
     */
-  private[graft] object FrontierServeFixture {
+  private[graft] sealed class FrontierFixture(
+      variant: String,
+      slices: Seq[org.apache.spark.sql.Column],
+      retryMaxAge: Option[Long]) {
     val wh = new graft.pipeline.Warehouse(
-      new java.io.File(sys.props("java.io.tmpdir"), "graft_frontier_serve").getPath)
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_frontier_$variant").getPath)
     private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    private val suffixes = Seq("_records", "_settled")
+    private val compactedOnce =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val suffixes =
+      Seq("_records", "_settled", "_edges", "_terminals", "_ledger")
+    private val layout = "v2"
 
     /** Build (if needed) and return the fixture's table prefix. Builds
       * run under a SCRATCH prefix and publish by rename with the done
@@ -1331,19 +1342,29 @@ object Crawl extends QueryModule {
       * Superseded fingerprint generations of the SAME source dir are
       * pruned on rebuild.
       */
+    /** True iff the done marker exists AND records the current layout
+      * version — an older session's fixture (different side-table set)
+      * reads as NOT done and rebuilds.
+      */
+    private def isDone(done: java.io.File): Boolean =
+      done.exists() && (try new String(
+        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == layout
+      catch { case _: java.io.IOException => false })
+
     def build(s: SparkSession, d: String): String = synchronized {
       val tag = Dedup.DerivedArtifacts.pathTag(d, "documents")
       val fp = Dedup.DerivedArtifacts.fingerprint(d, "documents")
       val p = s"fs_${tag}_$fp"
       if (!built.contains(p)) {
         val done = new java.io.File(wh.root, s"${p}__DONE")
-        if (!done.exists()) {
+        if (!isDone(done)) {
           val scratch = s"${p}__bld${java.util.UUID.randomUUID.toString.take(8)}"
           val media = attachRedirectMedia(Tables.documents(s, d))
-          graft.streaming.StreamRunner.frontierPublishBatch(
-            media.filter(col("doc_id") % 10 =!= 0), 0L, wh, scratch, _ => None)
-          graft.streaming.StreamRunner.frontierPublishBatch(
-            media.filter(col("doc_id") % 10 === 0), 1L, wh, scratch, _ => None)
+          slices.zipWithIndex.foreach { case (cond, i) =>
+            graft.streaming.StreamRunner.frontierPublishBatch(
+              media.filter(cond), i.toLong, wh, scratch, _ => None,
+              retryMaxAge)
+          }
           val lockFile = new java.io.File(wh.root, s"${p}__LOCK")
           lockFile.getParentFile.mkdirs()
           val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
@@ -1352,16 +1373,16 @@ object Crawl extends QueryModule {
           try {
             val lk = ch.lock() // blocks until any concurrent publisher exits
             try {
-              if (!done.exists()) { // under the lock this recheck is final
+              if (!isDone(done)) { // under the lock this recheck is final
                 suffixes.foreach { suf =>
-                  wh.dropTable(s"$p$suf") // unmarked debris only (no marker)
+                  wh.dropTable(s"$p$suf") // unmarked or stale-layout debris
                   if (!new java.io.File(wh.tablePath(s"$scratch$suf"))
                       .renameTo(new java.io.File(wh.tablePath(s"$p$suf"))))
                     throw new IllegalStateException(
                       s"could not publish frontier fixture table $p$suf")
                 }
-                try java.nio.file.Files.createFile(done.toPath): Unit
-                catch { case _: java.nio.file.FileAlreadyExistsException => }
+                java.nio.file.Files.write(done.toPath,
+                  layout.getBytes("UTF-8")): Unit
               } else suffixes.foreach(suf => wh.dropTable(s"$scratch$suf"))
             } finally lk.release()
           } finally ch.close()
@@ -1376,7 +1397,8 @@ object Crawl extends QueryModule {
           val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
           val pat = java.util.regex.Pattern.compile(
             s"fs_${tag}_([0-9a-f]{16})(__bld[0-9a-f]{8})?" +
-              "(__DONE|__LOCK|_records|_settled)")
+              "(__DONE|__LOCK|_records|_settled|_edges|_terminals|_ledger" +
+              "|_records_serve|_settled_serve)")
           Option(new java.io.File(wh.root).listFiles())
             .getOrElse(Array.empty[java.io.File])
             .foreach { f =>
@@ -1393,7 +1415,41 @@ object Crawl extends QueryModule {
       }
       p
     }
+
+    /** Build (if needed), then COMPACT the fixture's frontier lakes into
+      * versioned `_serve` snapshots once per JVM
+      * ([[graft.streaming.StreamRunner.compactFrontier]] — each call
+      * commits a NEW generation, so the memo keeps a session from
+      * stacking identical versions; retention pruned to the last two so
+      * cross-session reruns stay bounded). Returns the table prefix.
+      */
+    def compact(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      if (compactedOnce.add(p)) {
+        graft.streaming.StreamRunner.compactFrontier(s, wh, p)
+        wh.pruneVersions(s"${p}_records_serve", keep = 2)
+        wh.pruneVersions(s"${p}_settled_serve", keep = 2): Unit
+      }
+      p
+    }
   }
+
+  private[graft] object FrontierServeFixture extends FrontierFixture(
+    "serve",
+    Seq(col("doc_id") % 10 =!= 0, col("doc_id") % 10 === 0),
+    graft.streaming.StreamRunner.DefaultRetryMaxAge)
+
+  /** Three batches (doc_id % 10: the bulk, then the 5s, then the 0s)
+    * under retryMaxAge = 1, so a chain whose blocking record lands two
+    * batches after the source's last state change genuinely AGES OUT
+    * while one landing the very next batch still re-resolves — the
+    * give-up/retry boundary `pipe_frontier_aged`'s oracle replays.
+    */
+  private[graft] object FrontierAgedFixture extends FrontierFixture(
+    "aged",
+    Seq(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5,
+      col("doc_id") % 10 === 5, col("doc_id") % 10 === 0),
+    Some(1L))
 
   /** The PERSISTED crawl frontier: the archive's parsed redirect records
     * `(doc_id, format, url, status, location)` as a fingerprint-keyed
@@ -1458,6 +1514,48 @@ object Crawl extends QueryModule {
             col("location"))))
   }
 
+  /** Hash-bucket count shared by every persisted frontier side table
+    * (edges keyed by source url, terminals by landing url, records by
+    * doc_id). Fixed, so a reader prunes directories by bucket and a
+    * batch's upsert rewrites only the buckets it touches (the
+    * perceptual sigs-index convention).
+    */
+  private[graft] val FrontierBuckets = 64L
+
+  /** Bucket id of a frontier key (url string or doc_id). */
+  private[graft] def frontierBucket(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(FrontierBuckets))
+
+  /** One edge row per parsed 3xx record: `(cur = record url, nxt =
+    * RFC 3986-resolved Location, rid = record id)` — the raw edge
+    * delta a frontier ingest derives from its batch before the
+    * min-record-id collapse.
+    */
+  private[graft] def frontierEdgesOf(recs: DataFrame): DataFrame =
+    resolvedTargets(recs.filter(col("format") === "http"))
+      .select(col("url").as("cur"), col("target").as("nxt"),
+        col("doc_id").as("rid"))
+
+  /** ONE edge per source URL: real recrawl frontiers carry duplicate
+    * records for the same URL, and a duplicated `cur` key would fan
+    * out every hop join and emit conflicting settled rows per doc_id.
+    * Keeper = the lowest record id (deterministic, and IDEMPOTENT
+    * under replayed/duplicated rows — min of a multiset is stable, so
+    * a checkpoint replay merging its own previous rows converges).
+    */
+  private[graft] def collapseEdges(edges: DataFrame): DataFrame =
+    edges.groupBy(col("cur"))
+      .agg(min_by(col("nxt"), col("rid")).as("nxt"),
+        min(col("rid")).as("rid"))
+
+  /** Distinct 200-landing URLs of a parsed-record frame — the terminal
+    * set chains resolve against. Distinct ⇒ idempotent under replay.
+    */
+  private[graft] def frontierTerminalsOf(recs: DataFrame): DataFrame =
+    recs.filter(col("format") === "http" && col("status") === 200L)
+      .select(col("url").as("t_url")).distinct()
+
   /** The asymmetric form [[resolveRedirects]] delegates to, and the
     * daily-frontier job runs directly: `batch`'s 3xx records START the
     * walk (one output row per batch redirect record), while the chain
@@ -1468,21 +1566,45 @@ object Crawl extends QueryModule {
     */
   private[graft] def resolveRedirectsAgainst(
       batch: DataFrame, archive: DataFrame, maxHops: Int = 5): DataFrame = {
+    val arc = archive.filter(col("format") === "http")
+    walkChains(batch,
+      collapseEdges(frontierEdgesOf(arc)).select(col("cur"), col("nxt")),
+      frontierTerminalsOf(arc), maxHops)
+  }
+
+  /** The redirect-chain walk over PRE-DERIVED edge and terminal frames —
+    * the form the streaming frontier runs against its PERSISTED
+    * `_edges`/`_terminals` lakes ([[graft.streaming.StreamRunner
+    * .frontierPublishBatch]]), so per-batch walk cost never re-derives
+    * either side from the record archive. `edges` = `(cur, nxt[, eb])`
+    * (one row per source url — [[collapseEdges]]' contract); `terminals`
+    * = `(t_url[, tb])`. When the bucket columns are present, each hop
+    * join FILTERS the lake to the buckets the active frontier's keys
+    * hash to (a ≤[[FrontierBuckets]]-row collect per round — the
+    * carryDupHashLo idiom), so the bucket-partitioned lake is
+    * directory-pruned: per-round I/O is bounded by touched buckets, not
+    * the archive. A steady-state retry batch touching a handful of urls
+    * reads a handful of bucket directories; a batch touching everything
+    * degrades gracefully to the full-lake join.
+    */
+  private[graft] def walkChains(
+      batch: DataFrame, edges: DataFrame, terminals: DataFrame,
+      maxHops: Int = 5): DataFrame = {
     require(maxHops >= 1, "resolveRedirects needs at least one follow")
     val recs = batch.filter(col("format") === "http")
-    val arc = archive.filter(col("format") === "http")
     val redirects = resolvedTargets(recs)
-    val terminals = arc.filter(col("status") === 200L)
-      .select(col("url").as("t_url")).distinct()
-    // ONE edge per source URL: real recrawl frontiers carry duplicate
-    // records for the same URL, and a duplicated `cur` key would fan
-    // out every hop join and emit conflicting settled rows per doc_id.
-    // Keeper = the lowest record id (deterministic; this fixture's urls
-    // are injective in doc_id, so the collapse is a no-op there).
-    val edges = resolvedTargets(arc)
-      .groupBy(col("url"))
-      .agg(min_by(col("target"), col("doc_id")).as("nxt"))
-      .select(col("url").as("cur"), col("nxt"))
+    val edgesBucketed = edges.columns.contains("eb")
+    val termsBucketed = terminals.columns.contains("tb")
+    def bucketsOf(keys: DataFrame, key: String): Seq[Long] =
+      keys.select(frontierBucket(col(key)).as("v"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    def prunedEdges(active: DataFrame): DataFrame =
+      if (!edgesBucketed) edges
+      else {
+        val touched = bucketsOf(active, "cur")
+        if (touched.isEmpty) edges.limit(0).drop("eb")
+        else edges.filter(col("eb").isin(touched: _*)).drop("eb")
+      }
     // a 3xx with NO Location is undrivable — typed out, never silently
     // dropped (pipe_frontier_merge carries it in its n_no_location
     // hygiene column, so ok + dangling + loop + cap + no_location sums
@@ -1501,7 +1623,7 @@ object Crawl extends QueryModule {
       .localCheckpoint()
     val settled = Seq.newBuilder[DataFrame]
     for (_ <- 1 to maxHops) {
-      val j = active.join(edges, Seq("cur"), "left")
+      val j = active.join(prunedEdges(active), Seq("cur"), "left")
       // settle order (matched by the oracle): chain ends here / next hop
       // revisits / cap reached — else advance
       val o2 = when(col("nxt").isNull, lit("end"))
@@ -1528,7 +1650,17 @@ object Crawl extends QueryModule {
     val state = settled.result()
       .reduce(_ unionByName _)
       .unionByName(noLocation)
-    val done = state.join(terminals, col("cur") === col("t_url"), "left")
+    val terms =
+      if (!termsBucketed) terminals
+      else {
+        // the terminal probe is one distinct-landing-sized key set; its
+        // buckets prune the terminal lake the same way the hop joins
+        // prune edges
+        val touched = bucketsOf(state.select(col("cur")).distinct(), "cur")
+        if (touched.isEmpty) terminals.limit(0).drop("tb")
+        else terminals.filter(col("tb").isin(touched: _*)).drop("tb")
+      }
+    val done = state.join(terms, col("cur") === col("t_url"), "left")
       .withColumn("outcome",
         when(col("outcome") === "end",
           when(col("t_url").isNotNull, lit("ok")).otherwise(lit("dangling")))
@@ -2023,6 +2155,84 @@ object Crawl extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the COMPACTED serve view: the streaming frontier's per-batch
+    // `ingest_batch` fragments rewritten as ONE versioned generation
+    // ([[graft.streaming.StreamRunner.compactFrontier]] — the
+    // txt_bm25_compacted discipline applied to walk state) and the
+    // rank-1 window served from the pinned snapshot. The oracle is the
+    // SAME from-scratch walk replay as pipe_frontier_serve — compacted
+    // == live == from-scratch is the layout-only-rewrite proof. ----
+    "pipe_frontier_compacted" -> ((s, d) => {
+      val p = FrontierServeFixture.compact(s, d)
+      graft.streaming.StreamRunner
+        .frontierSettledCompacted(s, FrontierServeFixture.wh, p)
+        .select(col("doc_id"), col("status").cast("bigint").as("status"),
+          col("n_hops").cast("bigint").as("n_hops"), col("outcome"),
+          col("final_url"), col("final_canon"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- RETRY AGING: the three-batch fixture under retryMaxAge = 1,
+    // so a dangling source whose blocking record lands within one batch
+    // of its last state change re-resolves, while one whose record
+    // lands later — or never — settles the typed `aged_out` (the
+    // crawler's give-up rule, distinguishable from "still dangling" in
+    // the serve view). The oracle replays the per-batch state machine
+    // (dangle → retry-within-window → resolve/age-out) as a recursive
+    // simulation over doc_id classes, so a retry-window off-by-one, a
+    // missing aged_out emission, or an aged source that wrongly keeps
+    // retrying all flip rows. ----
+    "pipe_frontier_aged" -> ((s, d) => {
+      val p = FrontierAgedFixture.build(s, d)
+      graft.streaming.StreamRunner
+        .frontierSettled(s, FrontierAgedFixture.wh, p)
+        .select(col("doc_id"), col("status").cast("bigint").as("status"),
+          col("n_hops").cast("bigint").as("n_hops"), col("outcome"),
+          col("final_url"), col("final_canon"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the FETCH QUEUE: what the crawler actually requests next —
+    // the serve view's ok landings, canonical-deduplicated (n_sources
+    // counts converging chains), gated by a REAL robots.txt engine run
+    // (site1 carries a Disallow with two longest-match Allow carve-outs
+    // keyed on the canon query's a= value; site2 has NO robots row —
+    // RFC 9309's unavailable-is-allowed rule), then rank-capped per
+    // domain (8 fetches per politeness window). Robots and the rank
+    // window are |landings|-sized; the oracle re-derives all three
+    // gates in closed form from the walk replay. ----
+    "pipe_frontier_gated" -> ((s, d) => {
+      val p = FrontierServeFixture.build(s, d)
+      val landings = graft.streaming.StreamRunner
+        .frontierSettled(s, FrontierServeFixture.wh, p)
+        .filter(col("outcome") === "ok")
+        .groupBy(col("final_canon").as("url"))
+        .agg(count(lit(1)).cast("bigint").as("n_sources"))
+      val robots = s.createDataFrame(
+        s.sparkContext.parallelize(Seq(Row("site1.com",
+          "User-agent: graftbot\nDisallow: /d/\nAllow: /d/*?a=1\n" +
+            "Allow: /d/*?a=3\n\nUser-agent: otherbot\nDisallow: /\n\n" +
+            "User-agent: *\nDisallow: /\n"))),
+        StructType(Seq(StructField("domain", StringType),
+          StructField("robots_txt", StringType))))
+      val verdicts = robotsVerdicts(landings.select(col("url")), robots,
+        "graftbot")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"), col("allowed"))
+        .orderBy(col("canon_url"))
+      verdicts.withColumnRenamed("url", "canon_url")
+        .join(landings.withColumnRenamed("url", "canon_url"),
+          Seq("canon_url"))
+        .withColumn("fetch_rank",
+          when(col("allowed"),
+            row_number().over(w).cast("bigint")))
+        .select(col("domain"), col("canon_url"), col("n_sources"),
+          col("allowed"), col("fetch_rank"),
+          when(col("allowed"), col("fetch_rank") <= 8)
+            .otherwise(lit(false)).as("fetched"))
+        .orderBy(col("domain"), col("canon_url"))
+    }),
+
     // ---- charset-aware extraction over a MIXED-charset crawl slice:
     // each doc's page is encoded in its class's declared charset
     // (UTF-8 / ISO-8859-1 / windows-1252 / windows-1251 / an unknown
@@ -2265,6 +2475,134 @@ object Crawl extends QueryModule {
     // from-scratch walk — the oracle is the full replay, identical to
     // crawl_redirects' (deliberately: that equality IS the contract)
     "pipe_frontier_serve" -> (redirectWalkCte + redirectWalkSelect("")),
+    // the compacted snapshot serves the SAME rows — layout-only rewrite
+    // proven by reusing pipe_frontier_serve's oracle verbatim
+    "pipe_frontier_compacted" -> (redirectWalkCte + redirectWalkSelect("")),
+    // replays the retry/aging state machine per source in closed form:
+    // each chain (≤ 2 nodes in this fixture) blocks on its nodes'
+    // ARRIVAL batches (b: doc_id%10 → 0/1/2); a dangling retries while
+    // its last state change is ≤ 1 batch old, re-resolving on progress
+    // (which restarts the window) and settling aged_out the batch the
+    // window lapses — exactly the engine's delta-published verdicts
+    "pipe_frontier_aged" ->
+      """WITH RECURSIVE params AS (
+        |  SELECT max(doc_id) AS maxid FROM documents
+        |), cls AS (
+        |  SELECT doc_id, doc_id % 12 AS c,
+        |    CASE WHEN doc_id % 12 IN (1, 2, 5, 7) THEN doc_id + 3
+        |         WHEN doc_id % 12 = 3 THEN doc_id + 6
+        |         WHEN doc_id % 12 = 9 THEN doc_id - 6 END AS n1,
+        |    CASE WHEN doc_id % 12 = 2 THEN doc_id + 6 END AS n2,
+        |    CASE WHEN doc_id % 12 = 2 THEN 302 ELSE 301 END AS status,
+        |    CASE WHEN doc_id % 10 = 0 THEN 2 WHEN doc_id % 10 = 5 THEN 1
+        |         ELSE 0 END AS b
+        |  FROM documents
+        |  WHERE doc_id % 12 IN (1, 2, 3, 5, 6, 7, 9)
+        |), src AS (
+        |  -- arrival batch of each chain node; 99 = never (past corpus
+        |  -- or the /gone/ target no record serves)
+        |  SELECT doc_id, c, status, b, n1, n2,
+        |    CASE WHEN c = 6 OR n1 > maxid THEN 99
+        |         WHEN n1 % 10 = 0 THEN 2 WHEN n1 % 10 = 5 THEN 1
+        |         ELSE 0 END AS a1,
+        |    CASE WHEN n2 IS NULL THEN NULL
+        |         WHEN n2 > maxid THEN 99
+        |         WHEN n2 % 10 = 0 THEN 2 WHEN n2 % 10 = 5 THEN 1
+        |         ELSE 0 END AS a2
+        |  FROM cls, params
+        |), sim AS (
+        |  -- st: 0 = dangling at n1 (1 hop), 1 = dangling at n2 (2 hops,
+        |  -- the c=2 chain), 2 = terminal walk outcome (ok/loop),
+        |  -- 3 = aged_out; l = last state-change batch; pos = dangling
+        |  -- position frozen into an aged_out row
+        |  SELECT doc_id, b AS t,
+        |    CASE WHEN b >= a1 AND (a2 IS NULL OR b >= a2) THEN 2
+        |         WHEN b >= a1 THEN 1 ELSE 0 END AS st,
+        |    CAST(b AS INTEGER) AS l,
+        |    CASE WHEN b >= a1 THEN 1 ELSE 0 END AS pos
+        |  FROM src
+        |  UNION ALL
+        |  SELECT m.doc_id, m.t + 1,
+        |    CASE WHEN m.st >= 2 THEN m.st
+        |         WHEN m.t + 1 - m.l > 1 THEN 3
+        |         WHEN m.t + 1 >= s.a1 AND (s.a2 IS NULL OR m.t + 1 >= s.a2)
+        |           THEN 2
+        |         WHEN m.t + 1 >= s.a1 THEN 1 ELSE 0 END,
+        |    CASE WHEN m.st >= 2 THEN m.l
+        |         WHEN m.t + 1 - m.l > 1 THEN m.t + 1
+        |         WHEN (CASE WHEN m.t + 1 >= s.a1
+        |                 AND (s.a2 IS NULL OR m.t + 1 >= s.a2) THEN 2
+        |                 WHEN m.t + 1 >= s.a1 THEN 1 ELSE 0 END) <> m.st
+        |           THEN m.t + 1 ELSE m.l END,
+        |    CASE WHEN m.st >= 2 OR m.t + 1 - m.l > 1 THEN m.pos
+        |         WHEN m.t + 1 >= s.a1 THEN 1 ELSE 0 END
+        |  FROM sim m JOIN src s ON m.doc_id = s.doc_id
+        |  WHERE m.t < 2
+        |), fin AS (
+        |  SELECT m.doc_id, s.status, s.c, m.st, m.pos,
+        |    -- node the final row points at: the terminal landing for
+        |    -- st = 2 (n2 for the 2-hop c=2 chain, n1 otherwise), else
+        |    -- the frozen dangling position
+        |    CASE WHEN m.st = 2 THEN
+        |           (CASE WHEN s.c = 2 THEN s.n2 ELSE s.n1 END)
+        |         WHEN m.pos = 1 THEN s.n2 ELSE s.n1 END AS node
+        |  FROM sim m JOIN src s ON m.doc_id = s.doc_id
+        |  WHERE m.t = 2
+        |)
+        |SELECT doc_id, CAST(status AS BIGINT) AS status,
+        |  CAST(CASE WHEN st = 2 AND c = 2 THEN 2
+        |            WHEN st = 2 THEN 1
+        |            WHEN pos = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_hops,
+        |  CASE WHEN st = 2 AND c IN (3, 9) THEN 'loop'
+        |       WHEN st = 2 THEN 'ok'
+        |       WHEN st = 3 THEN 'aged_out'
+        |       ELSE 'dangling' END AS outcome,
+        |  CASE WHEN c = 6
+        |    THEN 'https://site' || (doc_id % 3) || '.com/gone/' || doc_id
+        |    ELSE 'https://site' || (node % 3) || '.com/d/' || node
+        |      || CASE WHEN node % 2 = 0
+        |           THEN '?b=' || (node % 9) || '&a=' || (node % 5)
+        |             || '&utm_src=x'
+        |           ELSE '' END
+        |  END AS final_url,
+        |  CASE WHEN st = 2 AND c NOT IN (3, 9)
+        |    THEN 'https://site' || (node % 3) || '.com/d/' || node
+        |      || CASE WHEN node % 2 = 0
+        |           THEN '?a=' || (node % 5) || '&b=' || (node % 9)
+        |           ELSE '' END
+        |  END AS final_canon
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    // re-derives the fetch queue's three gates in closed form: ok
+    // landings from the walk replay (canonical-deduplicated — n_sources
+    // counts converging chains), the robots verdict from the planted
+    // rule arithmetic (site1: Allow carve-outs win longest-match iff
+    // a = fin%5 ∈ {1,3}; site2: no robots row → allowed), and the
+    // per-domain rank cap
+    "pipe_frontier_gated" -> (redirectWalkCte +
+      """, okc AS (
+        |  SELECT fin, 'site' || (fin % 3) || '.com' AS domain,
+        |    'https://site' || (fin % 3) || '.com/d/' || fin
+        |      || CASE WHEN fin % 2 = 0
+        |           THEN '?a=' || (fin % 5) || '&b=' || (fin % 9)
+        |           ELSE '' END AS canon_url,
+        |    count(*) AS n_sources
+        |  FROM allrows WHERE outcome = 'ok' GROUP BY fin
+        |), verd AS (
+        |  SELECT domain, canon_url, n_sources,
+        |    CASE WHEN fin % 3 = 1 THEN fin % 5 IN (1, 3)
+        |         ELSE true END AS allowed
+        |  FROM okc
+        |), ranked AS (
+        |  SELECT domain, canon_url, CAST(n_sources AS BIGINT) AS n_sources,
+        |    allowed,
+        |    CASE WHEN allowed THEN CAST(row_number() OVER (
+        |      PARTITION BY domain, allowed ORDER BY canon_url) AS BIGINT)
+        |    END AS fetch_rank
+        |  FROM verd
+        |)
+        |SELECT domain, canon_url, n_sources, allowed, fetch_rank,
+        |  CASE WHEN allowed THEN fetch_rank <= 8 ELSE false END AS fetched
+        |FROM ranked ORDER BY domain, canon_url""".stripMargin),
     // the SAME walk replay rolled up per domain (src % 3 — every planted
     // hop is same-host, including the /gone/ and past-corpus targets);
     // landings dedup on fin, pages counted from the non-redirect classes

@@ -510,7 +510,7 @@ object StreamRunner {
       audit: DataFrame => Option[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      retryMaxAge: Option[Long] = None): StreamingQuery =
+      retryMaxAge: Option[Long] = DefaultRetryMaxAge): StreamingQuery =
     mediaStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -520,8 +520,71 @@ object StreamRunner {
       }
       .start()
 
+  /** Default dangling-retry bound: a source whose last state CHANGE is
+    * more than this many batches old stops re-walking and settles
+    * `aged_out` (a real crawl's danglings are mostly permanent — an
+    * unbounded default would grow per-batch walk work monotonically).
+    * `Some(n)` keeps late-arriving targets re-resolving for n batches
+    * after the last change; `None` retries forever (opt-in).
+    */
+  private[graft] val DefaultRetryMaxAge: Option[Long] = Some(8L)
+
+  /** Merge a batch-derived `delta` into the bucket-partitioned frontier
+    * side table `name` (edges / terminals): read back ONLY the buckets
+    * the delta's keys hash to (a ≤[[graft.operators.Crawl
+    * .FrontierBuckets]]-row collect), `combine` old∪new (an idempotent
+    * collapse — min-rid keeper or distinct — so checkpoint replays
+    * converge), and return
+    *  - the merged TOUCHED-bucket frame to publish (partition column
+    *    `bcol` re-derived, so the upsert dynamic-overwrites exactly the
+    *    touched bucket directories), and
+    *  - the WALK VIEW: untouched persisted buckets ∪ merged — the full
+    *    post-batch index this batch's walk reads, still carrying `bcol`
+    *    so the walk's per-hop pruning stays directory-pruned.
+    * Per-batch I/O is the touched buckets' rows, never the lake.
+    */
+  private def mergeFrontierBuckets(
+      wh: Warehouse,
+      name: String,
+      bcol: String,
+      delta: DataFrame,
+      keyCol: String,
+      combine: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, not}
+    import graft.operators.Crawl.frontierBucket
+    def stamped(df: DataFrame) =
+      df.withColumn(bcol, frontierBucket(col(keyCol)))
+    if (!wh.hasData(name)) {
+      val merged = stamped(combine(delta))
+      (merged, merged)
+    } else {
+      val persisted = wh.read(delta.sparkSession, name)
+      val touched = delta.select(frontierBucket(col(keyCol)).as("v"))
+        .distinct().collect().map(_.getLong(0)).toIndexedSeq
+      if (touched.isEmpty) (delta.limit(0), persisted)
+      else {
+        val merged = stamped(combine(
+          persisted.filter(col(bcol).isin(touched: _*)).drop(bcol)
+            .unionByName(delta)))
+        (merged,
+          persisted.filter(not(col(bcol).isin(touched: _*)))
+            .unionByName(merged))
+      }
+    }
+  }
+
   /** One micro-batch of the frontier ingest (see
-    * [[frontierIngestToWarehouse]]).
+    * [[frontierIngestToWarehouse]]). The walk never re-derives state
+    * from the record archive: redirect EDGES (one row per source url,
+    * min-record-id keeper) and 200-landing TERMINALS are maintained as
+    * url-hash-bucketed lakes (`<t>_edges` / `<t>_terminals`) upserted
+    * in the same atomic gate as the records and settled outcomes, and
+    * each hop join directory-prunes them to the active frontier's
+    * buckets ([[graft.operators.Crawl.walkChains]]). Retry sources'
+    * raw records come from the doc_id-bucketed record lake pruned the
+    * same way. A ledger row publishes LAST, marking the batch fully
+    * committed — the compaction job's torn-publish guard
+    * ([[compactFrontier]]).
     */
   private[graft] def frontierPublishBatch(
       batch: DataFrame,
@@ -529,15 +592,16 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       audit: DataFrame => Option[String],
-      retryMaxAge: Option[Long] = None): Unit = {
+      retryMaxAge: Option[Long] = DefaultRetryMaxAge): Unit = {
     import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.operators.Crawl
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       val recsName = s"${table}_records"
       val settledName = s"${table}_settled"
-      // decode once; the checkpointed frame feeds the archive view, the
-      // walk's starters, and the gated publish
-      val recs = graft.operators.Crawl.redirectRecordsArrow(batch)
+      // decode once; the checkpointed frame feeds the edge/terminal
+      // deltas, the walk's starters, and the gated publish
+      val recs = Crawl.redirectRecordsArrow(batch)
         .filter(col("format") === "http").localCheckpoint()
       // a batch with no parseable status-line records neither grows the
       // archive nor can change any outcome (retries against an UNCHANGED
@@ -545,17 +609,19 @@ object StreamRunner {
       // would leave a schema-less directory that poisons every later
       // read under checkpoint replay (the hasData scaladoc hazard)
       if (!recs.isEmpty) {
-        // the walk's archive view: everything already PUBLISHED plus this
-        // batch's own rows in memory — the batch cannot read its own
-        // not-yet-gated append, because records and settled outcomes
-        // publish ATOMICALLY through one gate below. Replay overlap
-        // (the published table already holding this batch's partition)
-        // is safe: the walk collapses edges per source url and dedups
-        // terminals, so duplicated rows change nothing.
-        val archive =
-          if (wh.hasData(recsName))
-            wh.read(spark, recsName).drop("ingest_batch").unionByName(recs)
-          else recs
+        // batch-derived index deltas, merged into the persisted lakes at
+        // touched-bucket cost; the walk views see the full post-batch
+        // index without scanning it (replay overlap is safe: the
+        // combines are idempotent, so re-merging rows the previous
+        // attempt already published converges bit-identically)
+        val (mergedEdges, edgesView) = mergeFrontierBuckets(wh,
+          s"${table}_edges", "eb",
+          Crawl.collapseEdges(Crawl.frontierEdgesOf(recs)), "cur",
+          Crawl.collapseEdges)
+        val (mergedTerms, termsView) = mergeFrontierBuckets(wh,
+          s"${table}_terminals", "tb",
+          Crawl.frontierTerminalsOf(recs), "t_url",
+          _.distinct())
         // serve state as of BEFORE this batch id (the replay guard: a
         // replayed batch derives retries and deltas as if its first
         // attempt never ran)
@@ -564,31 +630,51 @@ object StreamRunner {
           else Some(frontierSettled(spark, wh, table,
             excludeBatch = Some(batchId)))
         // the retry queue: currently-dangling sources re-walk against
-        // the grown archive; their raw records come from the lake by
-        // key. retryMaxAge ages out sources whose LAST dangling verdict
-        // is older than that many batches — delta-publishing stamps a
-        // verdict's batch only when the outcome CHANGED, so the age is
-        // measured from the last genuine state change, and the
-        // derivation stays deterministic under replay (the verdicts are
-        // excludeBatch-guarded state, not wall-clock)
-        val retry = prior match {
-          case None => recs.limit(0)
+        // the grown index; their raw records come from the record lake
+        // pruned to the retry ids' doc_id buckets. retryMaxAge ages out
+        // sources whose LAST dangling verdict is older than that many
+        // batches — delta-publishing stamps a verdict's batch only when
+        // the outcome CHANGED, so the age is measured from the last
+        // genuine state change, and the derivation stays deterministic
+        // under replay (the verdicts are excludeBatch-guarded state,
+        // not wall-clock). Expired danglings settle `aged_out` — typed,
+        // so the serve view distinguishes "gave up" from "still
+        // dangling" — and never re-walk (aged_out is not dangling).
+        val (retry, agedOut) = prior match {
+          case None => (recs.limit(0), None)
           case Some(p) =>
             val dang = p.filter(col("outcome") === "dangling")
-            val live = retryMaxAge
-              .map(a => dang.filter(col("ingest_batch") >= lit(batchId - a)))
-              .getOrElse(dang)
-            archive.join(live.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            val (live, expired) = retryMaxAge match {
+              case None => (dang, None)
+              case Some(a) =>
+                (dang.filter(col("ingest_batch") >= lit(batchId - a)),
+                  Some(dang.filter(col("ingest_batch") < lit(batchId - a))
+                    .select(col("doc_id"), col("status"), col("n_hops"),
+                      lit("aged_out").as("outcome"), col("final_url"),
+                      col("final_canon"))))
+            }
+            val liveIds = live.select(col("doc_id"))
+            val dbs = liveIds
+              .select(Crawl.frontierBucket(col("doc_id")).as("v"))
+              .distinct().collect().map(_.getLong(0)).toIndexedSeq
+            val retryRecs =
+              if (dbs.isEmpty) recs.limit(0)
+              else wh.read(spark, recsName)
+                .filter(col("db").isin(dbs: _*))
+                .drop("db", "ingest_batch")
+                .join(liveIds, Seq("doc_id"), "left_semi")
+            (retryRecs, expired)
         }
         val starters = recs.unionByName(retry).dropDuplicates("doc_id")
-        val walk = graft.operators.Crawl
-          .resolveRedirectsAgainst(starters, archive)
+        val walk = Crawl.walkChains(starters,
+          edgesView.select(col("cur"), col("nxt"), col("eb")),
+          termsView.select(col("t_url"), col("tb")))
         // publish only CHANGED outcomes: a permanently-dangling source
         // re-walks each batch but re-publishes nothing, so the settled
         // table holds one row per source per outcome CHANGE — never
         // O(batches × danglings) — and the serve view's rank-1 window
         // stays walk-state-sized
-        val settled = (prior match {
+        val changes = prior match {
           case None => walk
           case Some(p) =>
             val pr = p.select(col("doc_id"), col("status").as("p_status"),
@@ -603,17 +689,108 @@ object StreamRunner {
                 col("final_canon") <=> col("p_final_canon")))
               .drop("p_status", "p_n_hops", "p_outcome", "p_final_url",
                 "p_final_canon")
-        }).withColumn("ingest_batch", lit(batchId))
-        // ONE gate for both frames — a quarantined batch quarantines
+        }
+        // fresh walk evidence beats giving up: a source that both aged
+        // out AND was re-walked this batch (re-ingested) keeps the walk
+        // row — two same-batch settled rows per doc_id would tie the
+        // serve view's rank-1 window
+        val settled = agedOut match {
+          case None => changes
+          case Some(a) =>
+            changes.unionByName(
+              a.join(walk.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        }
+        // ONE gate for every frame — a quarantined batch quarantines
         // WHOLE: its records never feed later walks, its settled rows
-        // never reach the serve view (the gatedPublishAll sibling rule)
+        // never reach the serve view, its edge/terminal deltas never
+        // mislead a later chain (the gatedPublishAll sibling rule). The
+        // 1-row LEDGER frame publishes LAST: its batch id present means
+        // every sibling frame committed.
         gatedPublishAll(Seq(
-          (recs.withColumn("ingest_batch", lit(batchId)), recsName,
+          (recs.withColumn("db", Crawl.frontierBucket(col("doc_id")))
+            .withColumn("ingest_batch", lit(batchId)), recsName,
+            Seq("db", "ingest_batch")),
+          (settled.withColumn("ingest_batch", lit(batchId)), settledName,
             Seq("ingest_batch")),
-          (settled, settledName, Seq("ingest_batch"))),
+          (mergedEdges, s"${table}_edges", Seq("eb")),
+          (mergedTerms, s"${table}_terminals", Seq("tb")),
+          (spark.range(1).select(lit(batchId).as("ingest_batch"),
+            lit(1L).as("committed")), s"${table}_ledger",
+            Seq("ingest_batch"))),
           batchId, wh, audit): Unit
       }
     }
+  }
+
+  /** Frontier-lake COMPACTION — [[compactPostings]]' versioned-snapshot
+    * shape applied to the streaming frontier's two per-batch appenders:
+    * `<t>_records` and `<t>_settled` gain one `ingest_batch` leaf per
+    * micro-batch, so after thousands of batches every retry read and
+    * serve window pays per-fragment open cost. This job rewrites the
+    * accumulated fragments as ONE generation each — records re-bucketed
+    * by `db` (the retry probe's pruning key, ~one file per bucket),
+    * settled as a single walk-state-sized frame — published as VERSIONED
+    * snapshots (`_records_serve` / `_settled_serve`): the `_VERSION`
+    * flip is the atomic reader-visible commit, a crashed compactor
+    * leaves only untrusted debris, concurrent compactors CAS distinct
+    * generations, a pinned reader keeps its generation. Rows pass
+    * through UNCHANGED (`ingest_batch` kept as a data column — the
+    * serve view's rank-1 window needs it), so
+    * [[frontierSettledCompacted]] is provably identical to the live
+    * [[frontierSettled]]. The edge/terminal lakes need no compaction:
+    * their bucket upserts dynamically OVERWRITE whole bucket
+    * directories, so fragments never accumulate.
+    *
+    * Concurrency: with `quiesced = false` the read is restricted to
+    * batch ids present in the LEDGER — the 1-row frame each batch
+    * publishes last — so a mid-publish batch (dynamic partition
+    * overwrite is not directory-atomic) can never be captured torn and
+    * frozen into the immutable snapshot. Returns the committed
+    * (recordsVersion, settledVersion).
+    */
+  def compactFrontier(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val recsAll = wh.read(spark, s"${table}_records")
+    val settledAll = wh.read(spark, s"${table}_settled")
+    val (recsIn, settledIn) =
+      if (quiesced) (recsAll, settledAll)
+      else {
+        // ledger-sized collect: one row per micro-batch ever ingested
+        val committed = wh.read(spark, s"${table}_ledger")
+          .select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (committed.isEmpty)
+          return (wh.currentVersion(s"${table}_records_serve").getOrElse(0),
+            wh.currentVersion(s"${table}_settled_serve").getOrElse(0))
+        (recsAll.filter(col("ingest_batch").isin(committed.toSeq: _*)),
+          settledAll.filter(col("ingest_batch").isin(committed.toSeq: _*)))
+      }
+    (wh.versionedWrite(recsIn.repartition(col("db")),
+      s"${table}_records_serve", Seq("db")),
+      wh.versionedWrite(settledIn, s"${table}_settled_serve"))
+  }
+
+  /** [[frontierSettled]] served from the COMPACTED snapshot — the same
+    * rank-1-per-source window over the pinned `_settled_serve`
+    * generation instead of the fragmented live table. Bit-identical to
+    * the live view as of the compaction (the pipe_frontier_compacted
+    * oracle contract).
+    */
+  def frontierSettledCompacted(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc, row_number}
+    val t = wh.readVersion(spark, s"${table}_settled_serve")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("ingest_batch"))
+    t.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** The frontier's SERVE view: each source's LATEST settled outcome

@@ -746,6 +746,58 @@ class StreamRunnerSpec extends SparkSuiteBase {
     // dangling) — unchanged retries re-publish nothing
     assert(wh.read(spark, "fr_settled").count() === 4L,
       "only changed outcomes publish — never O(batches x danglings)")
+    // the persisted EDGE lake: one min-record-id row per source url,
+    // bucket-partitioned — the walk reads it instead of re-deriving
+    // edges from the record archive each batch
+    val edges = wh.read(spark, "fr_edges")
+      .select(col("cur"), col("nxt"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(edges === Map(
+      "https://f.com/a" -> "https://f.com/b",
+      "https://f.com/d" -> "https://f.com/c",
+      "https://f.com/e" -> "https://f.com/nowhere"),
+      "edge lake must hold one resolved-target row per source url")
+    assert(wh.read(spark, "fr_terminals").select(col("t_url"))
+      .collect().map(_.getString(0)).toSet ===
+      Set("https://f.com/b", "https://f.com/c"),
+      "terminal lake must hold the distinct 200 landings")
+    // a key-filtered edge probe directory-prunes on the eb partition
+    // column — the walk's per-hop pruning reads touched buckets only
+    val probe = wh.read(spark, "fr_edges")
+      .filter(col("eb") ===
+        graft.operators.Crawl.frontierBucket(lit("https://f.com/a")))
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("eb")),
+      s"expected an eb partition filter, got: ${scan.partitionFilters}")
+    // the commit LEDGER: one row per fully-published batch, written
+    // last — the compaction job's torn-publish guard
+    assert(wh.read(spark, "fr_ledger")
+      .select(col("ingest_batch").cast("long"))
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L))
+    // COMPACTION: the fragmented records/settled lakes rewritten as one
+    // versioned generation each; the snapshot-served view is
+    // bit-identical to the live serve view
+    val (rv, sv) = StreamRunner.compactFrontier(spark, wh, "fr")
+    assert(rv === 1 && sv === 1, "first compaction commits generation 1")
+    val compServe = StreamRunner.frontierSettledCompacted(spark, wh, "fr")
+      .select(col("doc_id"), col("outcome"), col("n_hops"), col("final_url"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(compServe === after,
+      "compacted serve view must equal the live serve view")
+    // torn-publish guard: a records partition with NO ledger row (a
+    // crashed mid-publish batch) must not be frozen into the snapshot
+    wh.partitionedUpsertWrite(
+      wh.read(spark, "fr_records").limit(1)
+        .withColumn("ingest_batch", lit(99L)).localCheckpoint(),
+      "fr_records", Seq("db", "ingest_batch"))
+    val (rv2, _) = StreamRunner.compactFrontier(spark, wh, "fr",
+      quiesced = false)
+    assert(wh.readVersion(spark, "fr_records_serve", Some(rv2))
+      .filter(col("ingest_batch") === 99L).count() === 0L,
+      "an unledgered batch must be excluded from the compacted snapshot")
     // replay: re-running batch 1 through the body must rewrite its
     // partition bit-identically (the excludeBatch retry guard)
     def b1frame = spark.createDataFrame(
@@ -770,10 +822,14 @@ class StreamRunnerSpec extends SparkSuiteBase {
     val wh2 = new Warehouse(tmpDir("frq"))
     StreamRunner.frontierPublishBatch(b1frame, 0L, wh2, "fq",
       _ => Some("schema drift"))
-    assert(!wh2.hasData("fq_records") && !wh2.hasData("fq_settled"),
-      "a quarantined batch must quarantine whole")
+    assert(!wh2.hasData("fq_records") && !wh2.hasData("fq_settled") &&
+      !wh2.hasData("fq_edges") && !wh2.hasData("fq_terminals") &&
+      !wh2.hasData("fq_ledger"),
+      "a quarantined batch must quarantine whole — all five frames")
     // retry aging: with retryMaxAge = 0, a dangling whose verdict is one
-    // batch old stops retrying — its target arriving no longer flips it
+    // batch old settles the TYPED aged_out — it stops retrying (its
+    // target arriving no longer flips it) and the serve view
+    // distinguishes "gave up" from "still dangling"
     val wh3 = new Warehouse(tmpDir("frage"))
     def b0frame = spark.createDataFrame(
       spark.sparkContext.parallelize(b0.map { case (i, p) => Row(i, p) }),
@@ -785,9 +841,17 @@ class StreamRunnerSpec extends SparkSuiteBase {
     val aged = StreamRunner.frontierSettled(spark, wh3, "fa")
       .select(col("doc_id"), col("outcome"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(aged(10L) === "dangling",
-      "an aged-out dangling must not retry even when its target arrives")
-    assert(aged(14L) === "dangling")
+    assert(aged(10L) === "aged_out",
+      "an aged-out dangling must settle aged_out, not keep retrying")
+    assert(aged(14L) === "dangling",
+      "a dangling within its retry window stays dangling, not aged")
+    // a replay of the aging batch rewrites its partition bit-identically
+    StreamRunner.frontierPublishBatch(b1frame, 1L, wh3, "fa", _ => None,
+      retryMaxAge = Some(0L))
+    assert(StreamRunner.frontierSettled(spark, wh3, "fa")
+      .select(col("doc_id"), col("outcome"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === aged,
+      "replaying the aging batch must not change the serve view")
   }
 
   test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
