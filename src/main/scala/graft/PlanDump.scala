@@ -329,7 +329,19 @@ object PlanDump {
     // streaming-maintained frontier serve (audit: two persisted-state
     // scans + one walk-state-sized rank-1 window — no archive decode,
     // no data-sized shuffle)
-    "pipe_frontier_serve")
+    "pipe_frontier_serve",
+    // round 15: the COMPACTED serve view (audit: one pinned _v=N
+    // snapshot scan + the same rank-1 window — per-fragment open cost
+    // gone, no other plan change)
+    "pipe_frontier_compacted",
+    // retry-aging serve view (audit: same serve shape over the 3-batch
+    // aged fixture — aging work happened at ingest, the serve plan is
+    // unchanged walk-state-sized state)
+    "pipe_frontier_aged",
+    // the fetch queue (audit: landings-sized robots verdict pass with
+    // the robots table BROADCAST, one |landings| rank window, no
+    // data-sized shuffle — only canon-url keys and report rows move)
+    "pipe_frontier_gated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -1387,25 +1387,34 @@ object Crawl extends QueryModule {
             } finally lk.release()
           } finally ch.close()
           // prune superseded generations of the same source dir (same
-          // tag, older fingerprint — including their scratch/lock
-          // debris), plus CRASHED same-fp scratch: unmarked __bld dirs
-          // older than an hour cannot belong to a live builder (builds
-          // run in minutes and a live one holds its rows pre-publish),
-          // so they are sweep-safe; younger ones are left for the next
-          // build. Regenerated fixtures must not accumulate dead parquet
-          // in tmp (the DerivedArtifacts rule).
+          // tag, older fingerprint) and CRASHED build debris (__bld
+          // scratch and the gate's __stage__/__quarantine__ leftovers a
+          // crash inside the publish gate strands). EVERY deletion is
+          // age-guarded: entries younger than an hour may belong to a
+          // LIVE concurrent builder (even an old-fingerprint one racing
+          // a corpus regeneration — builds run in minutes), and sweeping
+          // its tables mid-publish would re-open the marked-complete-
+          // missing-fixture hole the publish lock closes. __LOCK files
+          // are never swept: deleting a lock file another process holds
+          // lets a third process lock the recreated path, silently
+          // breaking the cross-process serialization (they are 0 bytes).
+          // Regenerated fixtures must not accumulate dead parquet in tmp
+          // (the DerivedArtifacts rule).
           val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
           val pat = java.util.regex.Pattern.compile(
-            s"fs_${tag}_([0-9a-f]{16})(__bld[0-9a-f]{8})?" +
-              "(__DONE|__LOCK|_records|_settled|_edges|_terminals|_ledger" +
-              "|_records_serve|_settled_serve)")
+            s"(__stage__|__quarantine__)?fs_${tag}_([0-9a-f]{16})" +
+              "(__bld[0-9a-f]{8})?" +
+              "(__DONE|_records|_settled|_edges|_terminals|_ledger" +
+              "|_records_serve|_settled_serve)(_b[0-9]+)?")
           Option(new java.io.File(wh.root).listFiles())
             .getOrElse(Array.empty[java.io.File])
             .foreach { f =>
               val m = pat.matcher(f.getName)
-              if (m.matches() &&
-                  (m.group(1) != fp ||
-                    (m.group(2) != null && f.lastModified < staleMs))) {
+              val debris = m.matches() && f.lastModified < staleMs &&
+                (m.group(2) != fp || // superseded generation
+                  m.group(3) != null || // crashed scratch (any fp)
+                  m.group(1) != null) // stranded stage/quarantine
+              if (debris) {
                 if (f.isDirectory) wh.dropTable(f.getName)
                 else f.delete(): Unit
               }
@@ -1423,12 +1432,16 @@ object Crawl extends QueryModule {
       * stacking identical versions; retention pruned to the last two so
       * cross-session reruns stay bounded). Returns the table prefix.
       */
-    def compact(s: SparkSession, d: String): String = {
+    def compact(s: SparkSession, d: String): String = synchronized {
       val p = build(s, d)
-      if (compactedOnce.add(p)) {
+      // memoize only AFTER the compaction committed: a failed run (lost
+      // CAS race, transient Spark failure) must retry next call, not
+      // permanently serve "no committed versions"
+      if (!compactedOnce.contains(p)) {
         graft.streaming.StreamRunner.compactFrontier(s, wh, p)
         wh.pruneVersions(s"${p}_records_serve", keep = 2)
-        wh.pruneVersions(s"${p}_settled_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_settled_serve", keep = 2)
+        compactedOnce.add(p): Unit
       }
       p
     }
@@ -1622,7 +1635,13 @@ object Crawl extends QueryModule {
         array(col("url")).as("visited"))
       .localCheckpoint()
     val settled = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to maxHops) {
+    var round = 0
+    // early exit once every chain settled: a steady-state retry batch
+    // whose chains all end by round 2 must not pay the remaining rounds'
+    // bucket collects + checkpoints (isEmpty on a checkpointed frame is
+    // a cheap local scan)
+    while (round < maxHops && !active.isEmpty) {
+      round += 1
       val j = active.join(prunedEdges(active), Seq("cur"), "left")
       // settle order (matched by the oracle): chain ends here / next hop
       // revisits / cap reached — else advance
@@ -1646,9 +1665,13 @@ object Crawl extends QueryModule {
         .drop("outcome")
     }
     // the cap guarantees `active` is empty after maxHops rounds (every
-    // row settles as end/loop/chain_cap by then)
-    val state = settled.result()
-      .reduce(_ unionByName _)
+    // row settles as end/loop/chain_cap by then); a batch with NO
+    // redirects never enters the loop, so seed the empty settled shape
+    val frames = settled.result()
+    val state = (if (frames.isEmpty)
+      active.select(col("doc_id"), col("status"), col("cur"),
+        col("n_hops"), lit(null).cast("string").as("outcome")).limit(0)
+    else frames.reduce(_ unionByName _))
       .unionByName(noLocation)
     val terms =
       if (!termsBucketed) terminals

@@ -294,7 +294,12 @@ object Curation extends QueryModule {
     // hash cardinality is far above the raw estimator's small-range bias
     // zone, the q_hll_distinct use case exactly. Splits come from THE
     // shared contamination-safe policy (splitBucket/splitOf), so the
-    // card describes exactly the corpus txt_split_assign ships. ----
+    // card describes exactly the corpus txt_split_assign ships.
+    // NAMING POLICY (round 15): whitespace counts are the cheap
+    // DIAGNOSTIC form — pipe_dataset_card_bpe is the PRIMARY,
+    // budget-consistent card (counts with the shipped BPE merge table,
+    // the number a token budget actually spends); cite the _bpe number
+    // in release notes (SURVEY §2.12). ----
     "pipe_dataset_card" -> ((s, d) => {
       datasetCard(Tables.documents(s, d),
         expr("CAST(size(split(text, ' ')) AS BIGINT)"))

@@ -520,7 +520,11 @@ object TextAnalysis extends QueryModule {
     // source — a per-source sort that the biggest domain turns into the
     // straggler; the threshold form trades ±sqrt(k) size jitter for a
     // filter-only plan. Both are deterministic; the threshold form is
-    // registered.) ----
+    // registered.)
+    // NAMING POLICY (round 15): doc-count weighting is the cheap
+    // DIAGNOSTIC form — txt_domain_mix_bpe (token-MASS weights under
+    // the shipped BPE merge table) is the PRIMARY mix a mixture config
+    // budgets with; cite the _bpe numbers (SURVEY §2.12). ----
     "txt_domain_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("u", u01(col("doc_id")))
@@ -542,7 +546,11 @@ object TextAnalysis extends QueryModule {
     // source-sorted weights (fp + isn't associative — an agg SUM would be
     // partition-order dependent), and the p formula is written with the
     // identical association on both engines. Corpus side is one scan +
-    // filter against broadcast constants — no shuffle at any scale. ----
+    // filter against broadcast constants — no shuffle at any scale.
+    // NAMING POLICY (round 15): doc-count weighting is the cheap
+    // DIAGNOSTIC form — txt_temperature_mix_bpe (token-MASS weights) is
+    // the PRIMARY temperature mix; cite the _bpe numbers (SURVEY §2.12).
+    // ----
     "txt_temperature_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d).withColumn("u", u01(col("doc_id")))
       val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))

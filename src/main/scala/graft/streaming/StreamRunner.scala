@@ -111,6 +111,23 @@ object StreamRunner {
       frames: Seq[(DataFrame, String, Seq[String])],
       batchId: Long,
       wh: Warehouse,
+      audit: DataFrame => Option[String]): Boolean =
+    gatedFrames(frames.map { case (b, t, p) => (b, t, Some(p)) },
+      batchId, wh, audit)
+
+  /** The one implementation of the gate's stage → audit-readback →
+    * publish-or-quarantine contract. A frame with `None` partition
+    * columns is AUDIT-ONLY: staged, audited, and quarantined on failure
+    * exactly like a publishing frame, but never written to its table —
+    * the gate for batches that mutate only derived state
+    * ([[auditGateOnly]]). Factored so every sink and gate mode shares
+    * ONE copy of the crash-safety contract (stage naming, quarantine
+    * columns, cleanup ordering).
+    */
+  private def gatedFrames(
+      frames: Seq[(DataFrame, String, Option[Seq[String]])],
+      batchId: Long,
+      wh: Warehouse,
       audit: DataFrame => Option[String]): Boolean = {
     val nonEmpty = frames.filter(!_._1.isEmpty)
     if (nonEmpty.isEmpty) false
@@ -126,7 +143,8 @@ object StreamRunner {
       firstFailure match {
         case None =>
           staged.foreach { case (df, stage, table, partitionCols) =>
-            wh.partitionedUpsertWrite(df, table, partitionCols)
+            partitionCols.foreach(pc =>
+              wh.partitionedUpsertWrite(df, table, pc))
             wh.dropTable(stage)
           }
           true
@@ -148,14 +166,13 @@ object StreamRunner {
 
   /** Audit-ONLY form of the gate, for a batch that publishes no rows of
     * its own but still mutates derived state (a dup-only perceptual
-    * batch merging copy mass into the sigs index): the frame is STAGED
-    * and its READBACK audited exactly like a publishing batch's would
-    * be, and a failing audit quarantines the frame and returns false so
-    * the caller skips the state mutation. Without this, a batch the
-    * audit would quarantine could still merge its copy counts into the
-    * index through the gate's empty-survivors short-circuit — weakening
-    * the quarantine-whole rule — with the checkpoint already marked
-    * done, so the bad merge would never be repaired.
+    * batch merging copy mass into the sigs index): one [[gatedFrames]]
+    * frame with no publish target — staged, readback-audited,
+    * quarantined on failure — so the caller skips the state mutation on
+    * a batch the audit rejects. Without this, such a batch would merge
+    * its copy counts through the gate's empty-survivors short-circuit
+    * with the checkpoint already marked done, never to be repaired. An
+    * empty frame gates nothing (there is no state mutation either).
     */
   private def auditGateOnly(
       frame: DataFrame,
@@ -163,24 +180,7 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       audit: DataFrame => Option[String]): Boolean =
-    if (frame.isEmpty) true // empty batch: no state mutation to gate
-    else {
-      import org.apache.spark.sql.functions.lit
-      val stage = s"__stage__${table}_b$batchId"
-      wh.truncateWrite(frame, stage)
-      val rb = wh.read(frame.sparkSession, stage)
-      val verdict = audit(rb)
-      verdict match {
-        case None => wh.dropTable(stage); true
-        case Some(reason) =>
-          wh.truncateWrite(
-            rb.withColumn("__batch_id", lit(batchId))
-              .withColumn("__reason", lit(reason)),
-            s"__quarantine__${table}_b$batchId")
-          wh.dropTable(stage)
-          false
-      }
-    }
+    frame.isEmpty || gatedFrames(Seq((frame, table, None)), batchId, wh, audit)
 
   /** Streaming DEDUP'D corpus ingest — the foreachBatch twin of the
     * `dedup_incremental` + `pipe_ingest_e2e` batch pair, closing the
@@ -609,6 +609,30 @@ object StreamRunner {
       // would leave a schema-less directory that poisons every later
       // read under checkpoint replay (the hasData scaladoc hazard)
       if (!recs.isEmpty) {
+        // layout guard: a record lake written before the (db,
+        // ingest_batch) re-key has no `db` column — keep reading it
+        // unpruned and keep writing its original single-key layout
+        // (mixing the two layouts in one directory would corrupt
+        // partition discovery for every later read). New lakes get the
+        // bucketed layout and the pruned retry path.
+        val legacyRecs = wh.hasData(recsName) &&
+          !wh.read(spark, recsName).columns.contains("db")
+        // ONE-TIME BACKFILL: a record lake that predates the edge/
+        // terminal side tables (the round-14 layout) seeds them from the
+        // full archive on first contact — without it, chains through
+        // OLD archive urls would walk against batch-only edges and
+        // settle wrong. One archive scan, paid once; every later batch
+        // sees hasData(edges) and is back to delta-sized work.
+        // (either side missing triggers the full backfill: a crash
+        // between the edge and terminal publishes of the backfill batch
+        // itself must re-seed both on replay — the merges are idempotent)
+        val backfill = wh.hasData(recsName) &&
+          (!wh.hasData(s"${table}_edges") ||
+            !wh.hasData(s"${table}_terminals"))
+        val deltaRecs =
+          if (!backfill) recs
+          else wh.read(spark, recsName).drop("db", "ingest_batch")
+            .unionByName(recs)
         // batch-derived index deltas, merged into the persisted lakes at
         // touched-bucket cost; the walk views see the full post-batch
         // index without scanning it (replay overlap is safe: the
@@ -616,11 +640,11 @@ object StreamRunner {
         // attempt already published converges bit-identically)
         val (mergedEdges, edgesView) = mergeFrontierBuckets(wh,
           s"${table}_edges", "eb",
-          Crawl.collapseEdges(Crawl.frontierEdgesOf(recs)), "cur",
+          Crawl.collapseEdges(Crawl.frontierEdgesOf(deltaRecs)), "cur",
           Crawl.collapseEdges)
         val (mergedTerms, termsView) = mergeFrontierBuckets(wh,
           s"${table}_terminals", "tb",
-          Crawl.frontierTerminalsOf(recs), "t_url",
+          Crawl.frontierTerminalsOf(deltaRecs), "t_url",
           _.distinct())
         // serve state as of BEFORE this batch id (the replay guard: a
         // replayed batch derives retries and deltas as if its first
@@ -659,6 +683,9 @@ object StreamRunner {
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
             val retryRecs =
               if (dbs.isEmpty) recs.limit(0)
+              else if (legacyRecs)
+                wh.read(spark, recsName).drop("ingest_batch")
+                  .join(liveIds, Seq("doc_id"), "left_semi")
               else wh.read(spark, recsName)
                 .filter(col("db").isin(dbs: _*))
                 .drop("db", "ingest_batch")
@@ -706,10 +733,16 @@ object StreamRunner {
         // mislead a later chain (the gatedPublishAll sibling rule). The
         // 1-row LEDGER frame publishes LAST: its batch id present means
         // every sibling frame committed.
+        val recsFrame =
+          if (legacyRecs)
+            (recs.withColumn("ingest_batch", lit(batchId)), recsName,
+              Seq("ingest_batch"))
+          else
+            (recs.withColumn("db", Crawl.frontierBucket(col("doc_id")))
+              .withColumn("ingest_batch", lit(batchId)), recsName,
+              Seq("db", "ingest_batch"))
         gatedPublishAll(Seq(
-          (recs.withColumn("db", Crawl.frontierBucket(col("doc_id")))
-            .withColumn("ingest_batch", lit(batchId)), recsName,
-            Seq("db", "ingest_batch")),
+          recsFrame,
           (settled.withColumn("ingest_batch", lit(batchId)), settledName,
             Seq("ingest_batch")),
           (mergedEdges, s"${table}_edges", Seq("eb")),
@@ -754,24 +787,38 @@ object StreamRunner {
       table: String,
       quiesced: Boolean = true): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val recsAll = wh.read(spark, s"${table}_records")
-    val settledAll = wh.read(spark, s"${table}_settled")
     val (recsIn, settledIn) =
-      if (quiesced) (recsAll, settledAll)
+      if (quiesced)
+        (wh.read(spark, s"${table}_records"),
+          wh.read(spark, s"${table}_settled"))
       else {
-        // ledger-sized collect: one row per micro-batch ever ingested
+        // READ ORDER IS THE GUARD: the ledger is collected BEFORE the
+        // records/settled readers snapshot their file listings. A batch
+        // finishing its publish in between is then absent from the
+        // ledger set (its ledger row lands last) and excluded — reading
+        // the tables first would let a batch that completed after the
+        // listing appear committed while only partially present in the
+        // frozen listing. Ledger-sized collect: one row per micro-batch
+        // ever ingested.
         val committed = wh.read(spark, s"${table}_ledger")
           .select(col("ingest_batch").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSet
         if (committed.isEmpty)
           return (wh.currentVersion(s"${table}_records_serve").getOrElse(0),
             wh.currentVersion(s"${table}_settled_serve").getOrElse(0))
-        (recsAll.filter(col("ingest_batch").isin(committed.toSeq: _*)),
-          settledAll.filter(col("ingest_batch").isin(committed.toSeq: _*)))
+        (wh.read(spark, s"${table}_records")
+          .filter(col("ingest_batch").isin(committed.toSeq: _*)),
+          wh.read(spark, s"${table}_settled")
+            .filter(col("ingest_batch").isin(committed.toSeq: _*)))
       }
-    (wh.versionedWrite(recsIn.repartition(col("db")),
-      s"${table}_records_serve", Seq("db")),
-      wh.versionedWrite(settledIn, s"${table}_settled_serve"))
+    // a legacy record lake (pre-db layout) snapshots unpartitioned; the
+    // bucketed layout keeps db so the snapshot stays retry-prunable
+    val recsV =
+      if (recsIn.columns.contains("db"))
+        wh.versionedWrite(recsIn.repartition(col("db")),
+          s"${table}_records_serve", Seq("db"))
+      else wh.versionedWrite(recsIn, s"${table}_records_serve")
+    (recsV, wh.versionedWrite(settledIn, s"${table}_settled_serve"))
   }
 
   /** [[frontierSettled]] served from the COMPACTED snapshot — the same
@@ -783,15 +830,8 @@ object StreamRunner {
   def frontierSettledCompacted(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
-      table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, desc, row_number}
-    val t = wh.readVersion(spark, s"${table}_settled_serve")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(desc("ingest_batch"))
-    t.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+      table: String): DataFrame =
+    latestPerSource(wh.readVersion(spark, s"${table}_settled_serve"))
 
   /** The frontier's SERVE view: each source's LATEST settled outcome
     * (rank-1 by ingest_batch per doc_id — the settled table is
@@ -804,14 +844,21 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       excludeBatch: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, desc, row_number}
+    import org.apache.spark.sql.functions.col
     val t = wh.read(spark, s"${table}_settled")
-    val base = excludeBatch
-      .map(b => t.filter(col("ingest_batch") =!= b)).getOrElse(t)
+    latestPerSource(excludeBatch
+      .map(b => t.filter(col("ingest_batch") =!= b)).getOrElse(t))
+  }
+
+  /** The serve rule, in ONE place for the live and compacted views: each
+    * source's latest settled row (rank-1 by ingest_batch per doc_id).
+    */
+  private def latestPerSource(settled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, desc, row_number}
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(desc("ingest_batch"))
-    base.withColumn("__rn", row_number().over(w))
+    settled.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
 

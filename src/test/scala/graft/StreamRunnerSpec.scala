@@ -852,6 +852,48 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .select(col("doc_id"), col("outcome"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === aged,
       "replaying the aging batch must not change the serve view")
+    // LEGACY MIGRATION: a record lake written before the (db,
+    // ingest_batch) re-key and the edge/terminal side tables (the
+    // round-14 layout) keeps working — the first new-code batch
+    // backfills edges/terminals from the archive, retries resolve
+    // through backfilled state, and the lake keeps its original layout
+    // (no db= directories mixed in)
+    val wh5 = new Warehouse(tmpDir("frlegacy"))
+    val recs0 = Crawl.redirectRecordsArrow(b0frame)
+      .filter(col("format") === "http")
+    wh5.partitionedUpsertWrite(
+      recs0.withColumn("ingest_batch", lit(0L)), "fl_records",
+      Seq("ingest_batch"))
+    wh5.partitionedUpsertWrite(
+      Crawl.resolveRedirects(recs0).withColumn("ingest_batch", lit(0L)),
+      "fl_settled", Seq("ingest_batch"))
+    // batch 1 adds: the dangling target /b; a chain THROUGH the legacy
+    // edge a->b (15: backfilled EDGE is load-bearing); a chain onto the
+    // legacy-only terminal /c (16: backfilled TERMINAL is load-bearing)
+    val b1x = b1 ++ Seq(
+      15L -> warcOf("https://f.com/x", 301, Some("https://f.com/a")),
+      16L -> warcOf("https://f.com/y", 301, Some("https://f.com/c")))
+    StreamRunner.frontierPublishBatch(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(b1x.map { case (i, p) => Row(i, p) }),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("payload", BinaryType)))),
+      1L, wh5, "fl", _ => None)
+    val mig = StreamRunner.frontierSettled(spark, wh5, "fl")
+      .select(col("doc_id"), col("outcome"), col("n_hops"), col("final_url"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(mig === Map(
+      10L -> (("ok", 1L, "https://f.com/b")),
+      12L -> (("ok", 1L, "https://f.com/c")),
+      14L -> (("dangling", 1L, "https://f.com/nowhere")),
+      15L -> (("ok", 2L, "https://f.com/b")),
+      16L -> (("ok", 1L, "https://f.com/c"))),
+      "migration batch must walk through backfilled edges AND terminals")
+    assert(!wh5.read(spark, "fl_records").columns.contains("db"),
+      "a legacy lake must keep its original partition layout")
+    assert(wh5.hasData("fl_edges") && wh5.hasData("fl_terminals"),
+      "the migration batch must seed the edge/terminal lakes")
   }
 
   test("routed mixed-modality ingest: one stream drives all three indexes; equals the per-modality twins; replay idempotent") {
