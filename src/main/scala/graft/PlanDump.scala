@@ -341,7 +341,14 @@ object PlanDump {
     // the fetch queue (audit: landings-sized robots verdict pass with
     // the robots table BROADCAST, one |landings| rank window, no
     // data-sized shuffle — only canon-url keys and report rows move)
-    "pipe_frontier_gated")
+    "pipe_frontier_gated",
+    // incremental mixes served from the stats lake the streaming dedup
+    // ingest maintains (audit: a |batches|x|sources|-row lake scan + a
+    // 1-row broadcast — corpus text never read, no data-sized shuffle)
+    "pipe_domain_mix_incr", "pipe_temperature_mix_incr",
+    // streaming-SemDeDup'd embedding lake serve (audit: one
+    // code-partitioned lake scan — dedup work happened at ingest)
+    "sim_semdedup_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

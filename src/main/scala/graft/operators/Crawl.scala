@@ -1317,112 +1317,23 @@ object Crawl extends QueryModule {
   private[graft] sealed class FrontierFixture(
       variant: String,
       slices: Seq[org.apache.spark.sql.Column],
-      retryMaxAge: Option[Long]) {
-    val wh = new graft.pipeline.Warehouse(
-      new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_frontier_$variant").getPath)
-    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      retryMaxAge: Option[Long])
+    extends StreamedFixture("fs", s"graft_frontier_$variant",
+      Seq("_records", "_settled", "_edges", "_terminals", "_ledger"),
+      layout = "v2",
+      extraPruneSuffixes = Seq("_records_serve", "_settled_serve")) {
+
     private val compactedOnce =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    private val suffixes =
-      Seq("_records", "_settled", "_edges", "_terminals", "_ledger")
-    private val layout = "v2"
 
-    /** Build (if needed) and return the fixture's table prefix. Builds
-      * run under a SCRATCH prefix and publish by rename with the done
-      * marker created only after both tables landed (the
-      * DerivedArtifacts atomic-publish rule), with the recheck-and-swap
-      * serialized across PROCESSES by an OS file lock — without it, a
-      * second process could pass the `!done.exists()` recheck, watch the
-      * first complete its publish, and then drop the completed tables
-      * mid-swap while readers already trust the marker. A failed rename
-      * throws BEFORE the marker is written (never a marked-complete
-      * missing fixture); a crash mid-build leaves unmarked scratch the
-      * next build's prune sweeps once it is demonstrably stale.
-      * Superseded fingerprint generations of the SAME source dir are
-      * pruned on rebuild.
-      */
-    /** True iff the done marker exists AND records the current layout
-      * version — an older session's fixture (different side-table set)
-      * reads as NOT done and rebuilds.
-      */
-    private def isDone(done: java.io.File): Boolean =
-      done.exists() && (try new String(
-        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == layout
-      catch { case _: java.io.IOException => false })
-
-    def build(s: SparkSession, d: String): String = synchronized {
-      val tag = Dedup.DerivedArtifacts.pathTag(d, "documents")
-      val fp = Dedup.DerivedArtifacts.fingerprint(d, "documents")
-      val p = s"fs_${tag}_$fp"
-      if (!built.contains(p)) {
-        val done = new java.io.File(wh.root, s"${p}__DONE")
-        if (!isDone(done)) {
-          val scratch = s"${p}__bld${java.util.UUID.randomUUID.toString.take(8)}"
-          val media = attachRedirectMedia(Tables.documents(s, d))
-          slices.zipWithIndex.foreach { case (cond, i) =>
-            graft.streaming.StreamRunner.frontierPublishBatch(
-              media.filter(cond), i.toLong, wh, scratch, _ => None,
-              retryMaxAge)
-          }
-          val lockFile = new java.io.File(wh.root, s"${p}__LOCK")
-          lockFile.getParentFile.mkdirs()
-          val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          try {
-            val lk = ch.lock() // blocks until any concurrent publisher exits
-            try {
-              if (!isDone(done)) { // under the lock this recheck is final
-                suffixes.foreach { suf =>
-                  wh.dropTable(s"$p$suf") // unmarked or stale-layout debris
-                  if (!new java.io.File(wh.tablePath(s"$scratch$suf"))
-                      .renameTo(new java.io.File(wh.tablePath(s"$p$suf"))))
-                    throw new IllegalStateException(
-                      s"could not publish frontier fixture table $p$suf")
-                }
-                java.nio.file.Files.write(done.toPath,
-                  layout.getBytes("UTF-8")): Unit
-              } else suffixes.foreach(suf => wh.dropTable(s"$scratch$suf"))
-            } finally lk.release()
-          } finally ch.close()
-          // prune superseded generations of the same source dir (same
-          // tag, older fingerprint) and CRASHED build debris (__bld
-          // scratch and the gate's __stage__/__quarantine__ leftovers a
-          // crash inside the publish gate strands). EVERY deletion is
-          // age-guarded: entries younger than an hour may belong to a
-          // LIVE concurrent builder (even an old-fingerprint one racing
-          // a corpus regeneration — builds run in minutes), and sweeping
-          // its tables mid-publish would re-open the marked-complete-
-          // missing-fixture hole the publish lock closes. __LOCK files
-          // are never swept: deleting a lock file another process holds
-          // lets a third process lock the recreated path, silently
-          // breaking the cross-process serialization (they are 0 bytes).
-          // Regenerated fixtures must not accumulate dead parquet in tmp
-          // (the DerivedArtifacts rule).
-          val staleMs = System.currentTimeMillis() - 60L * 60 * 1000
-          val pat = java.util.regex.Pattern.compile(
-            s"(__stage__|__quarantine__)?fs_${tag}_([0-9a-f]{16})" +
-              "(__bld[0-9a-f]{8})?" +
-              "(__DONE|_records|_settled|_edges|_terminals|_ledger" +
-              "|_records_serve|_settled_serve)(_b[0-9]+)?")
-          Option(new java.io.File(wh.root).listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .foreach { f =>
-              val m = pat.matcher(f.getName)
-              val debris = m.matches() && f.lastModified < staleMs &&
-                (m.group(2) != fp || // superseded generation
-                  m.group(3) != null || // crashed scratch (any fp)
-                  m.group(1) != null) // stranded stage/quarantine
-              if (debris) {
-                if (f.isDirectory) wh.dropTable(f.getName)
-                else f.delete(): Unit
-              }
-            }
-        }
-        built.add(p)
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      val media = attachRedirectMedia(Tables.documents(s, d))
+      slices.zipWithIndex.foreach { case (cond, i) =>
+        graft.streaming.StreamRunner.frontierPublishBatch(
+          media.filter(cond), i.toLong, wh, scratch, _ => None,
+          retryMaxAge)
       }
-      p
     }
 
     /** Build (if needed), then COMPACT the fixture's frontier lakes into

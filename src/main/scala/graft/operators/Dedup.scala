@@ -1418,19 +1418,30 @@ object Dedup extends QueryModule {
        |)
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
-  override def oracleSql: Map[String, String] = {
-    val shingleCte =
-      """WITH words AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-        |), sh AS (
-        |  SELECT doc_id, source, unnest(list_distinct(
-        |    list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        |  FROM words WHERE len(w) >= 3
-        |)""".stripMargin
+  /** DuckDB replay of [[shinglesOf]] — `private[operators]` so oracle
+    * SQL in sibling modules (the corpus-stats serve queries in
+    * [[TextAnalysis]]) can replay the SAME dedup chain the streaming
+    * ingest runs, instead of re-deriving a second copy that could
+    * drift.
+    */
+  private[operators] val shingleCte =
+    """WITH words AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM words WHERE len(w) >= 3
+      |)""".stripMargin
+
+  /** DuckDB replay of [[minhashSigFrom]] (shingle → 60-bit md5 hash →
+    * 8 affine minhashes) — shared with sibling-module oracles like
+    * [[shingleCte]].
+    */
+  private[operators] val sigCte = {
     val mhCols = (0 until 8).map(i =>
       s"min((${mhA(i)} * h + ${mhB(i)}) % $P) AS mh$i").mkString(",\n    ")
-    val sigCte = s"""$shingleCte, sh2 AS (
+    s"""$shingleCte, sh2 AS (
       |  SELECT doc_id, (try_cast('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P) AS h
       |  FROM sh
       |), sig AS (
@@ -1438,24 +1449,31 @@ object Dedup extends QueryModule {
       |    $mhCols
       |  FROM sh2 GROUP BY doc_id
       |)""".stripMargin
-    // Band key: the band's two <2^30 minhashes packed exactly into one
-    // 60-bit BIGINT — hash-free and collision-free (round 2 paid an md5 per
-    // band per doc here; see bandKeys on the Spark side).
-    // `bands` is HOT-BAND-GUARDED exactly as the engine's capHotBands
-    // (values held by > 50 docs dropped) so every consumer oracle —
-    // pairs, verify, containment, calibration, clusters, stars,
-    // triangles, pagerank, keepers — replays the cap in lockstep
-    val bandsCte = s""", bands0 AS (
-      |  SELECT doc_id, 0 AS band_idx, mh0 * 1073741824 + mh1 AS bkey FROM sig UNION ALL
-      |  SELECT doc_id, 1, mh2 * 1073741824 + mh3 FROM sig UNION ALL
-      |  SELECT doc_id, 2, mh4 * 1073741824 + mh5 FROM sig UNION ALL
-      |  SELECT doc_id, 3, mh6 * 1073741824 + mh7 FROM sig
-      |), keepb AS (
-      |  SELECT band_idx, bkey FROM bands0
-      |  GROUP BY band_idx, bkey HAVING count(*) <= $BandCap
-      |), bands AS (
-      |  SELECT b.* FROM bands0 b JOIN keepb USING (band_idx, bkey)
-      |)""".stripMargin
+  }
+
+  // Band key: the band's two <2^30 minhashes packed exactly into one
+  // 60-bit BIGINT — hash-free and collision-free (round 2 paid an md5 per
+  // band per doc here; see bandKeys on the Spark side).
+  // `bands` is HOT-BAND-GUARDED exactly as the engine's capHotBands
+  // (values held by > 50 docs dropped) so every consumer oracle —
+  // pairs, verify, containment, calibration, clusters, stars,
+  // triangles, pagerank, keepers — replays the cap in lockstep.
+  // `bands0` (uncapped) is what the INCREMENTAL matcher oracles join on
+  // (incrementalMatches does not cap — the corpus side is an artifact,
+  // not an all-pairs self-join).
+  private[operators] val bandsCte = s""", bands0 AS (
+    |  SELECT doc_id, 0 AS band_idx, mh0 * 1073741824 + mh1 AS bkey FROM sig UNION ALL
+    |  SELECT doc_id, 1, mh2 * 1073741824 + mh3 FROM sig UNION ALL
+    |  SELECT doc_id, 2, mh4 * 1073741824 + mh5 FROM sig UNION ALL
+    |  SELECT doc_id, 3, mh6 * 1073741824 + mh7 FROM sig
+    |), keepb AS (
+    |  SELECT band_idx, bkey FROM bands0
+    |  GROUP BY band_idx, bkey HAVING count(*) <= $BandCap
+    |), bands AS (
+    |  SELECT b.* FROM bands0 b JOIN keepb USING (band_idx, bkey)
+    |)""".stripMargin
+
+  override def oracleSql: Map[String, String] = {
     Map(
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -155,6 +155,31 @@ object Similarity extends QueryModule {
   private def duckCosine(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** A REAL streaming-maintained semantic-dedup'd embedding lake: the
+    * [[graft.streaming.StreamRunner.semanticPublishBatch]] ingest body
+    * replayed over three deterministic `embeddings` slices
+    * (vec_id % 3 = 1, 2, 0 — in that order) with the dataset's own
+    * vec_id 1..8 hyperplanes frozen at build time, under
+    * [[StreamedFixture]]'s locked atomic publish. The lake (one table,
+    * `(code, ingest_batch)`-partitioned) is what `sim_semdedup_serve`
+    * reads.
+    */
+  private[graft] object SemanticLakeFixture extends StreamedFixture(
+    "sl", "graft_semlake", Seq(""), layout = "v1") {
+    override protected def sourceTable: String = "embeddings"
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      val planes = srpPlanes(s, d)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
+          col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+        graft.streaming.StreamRunner.semanticPublishBatch(
+          e.filter(cond), i.toLong, planes, wh, scratch, _ => None, 0.25)
+      }
+    }
+  }
+
   /** The persisted 16-dim prefix-slice index (the Matryoshka artifact)
     * shared by the direct serve and the rerank form: built once per
     * corpus fingerprint, read back as a parquet scan.
@@ -541,6 +566,28 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("label"),
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .withColumn("keep", col("vec_id") === col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- STREAMING SemDeDup: the semantic-dedup'd embedding LAKE a
+    // continuous ingest maintains
+    // ([[graft.streaming.StreamRunner.semanticIngestToWarehouse]] — SRP
+    // coding over frozen planes, within-batch exact collapse, cross-lake
+    // (label, code)-blocked cosine drop, gated publish into a
+    // code-partitioned lake). The fixture replays the REAL ingest body
+    // over three vec_id % 3 slices; the oracle replays the whole sliced
+    // ingest from scratch — per-batch exact canon, then the block-join
+    // drop against the accumulated survivors — so a replay double-drop,
+    // a missed cross-batch semantic dup, or a code drift all flip rows.
+    // Scale: the serve is one lake scan; ingest cost per batch is one
+    // coding pass + a code-pruned asymmetric join (see the sink's
+    // scaladoc). ----
+    "sim_semdedup_serve" -> ((s, d) => {
+      val p = SemanticLakeFixture.build(s, d)
+      SemanticLakeFixture.wh.read(s, p)
+        .select(col("vec_id"), col("label"),
+          col("code").cast("bigint").as("code"),
+          col("ingest_batch").cast("bigint").as("ingest_batch"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1651,6 +1698,51 @@ object Similarity extends QueryModule {
          |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // from-scratch replay of the WHOLE sliced streaming semantic ingest:
+    // per-batch exact canon (min vec_id per identical embedding), then
+    // the (label, code)-blocked cosine drop against the ACCUMULATED
+    // survivors — sim_pairs_block's arithmetic run asymmetrically per
+    // batch. Every round CTE is MATERIALIZED (the dedup_kcore lesson).
+    "sim_semdedup_serve" -> {
+      def dupRound(batch: String, corpus: String): String =
+        s"""  SELECT DISTINCT a.vec_id AS vec_id FROM e a JOIN e b
+           |    ON a.label = b.label AND a.code = b.code AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id IN (SELECT vec_id FROM $batch)
+           |    AND b.vec_id IN (SELECT vec_id FROM $corpus)
+           |    AND round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25""".stripMargin
+      s"""WITH planes AS (
+         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+         |), coded AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+         |), e AS MATERIALIZED (
+         |  SELECT em.vec_id, em.label, coded.code, em.embedding
+         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+         |), s0 AS MATERIALIZED (
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 1 GROUP BY embedding
+         |), e1 AS MATERIALIZED (
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 2 GROUP BY embedding
+         |), d1 AS MATERIALIZED (
+         |${dupRound("e1", "s0")}
+         |), prev AS MATERIALIZED (
+         |  SELECT vec_id FROM s0 UNION ALL
+         |  SELECT vec_id FROM e1 WHERE vec_id NOT IN (SELECT vec_id FROM d1)
+         |), e2 AS MATERIALIZED (
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 0 GROUP BY embedding
+         |), d2 AS MATERIALIZED (
+         |${dupRound("e2", "prev")}
+         |), surv AS MATERIALIZED (
+         |  SELECT vec_id FROM prev UNION ALL
+         |  SELECT vec_id FROM e2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)
+         |)
+         |SELECT e.vec_id, e.label, e.code,
+         |  CAST(CASE e.vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+         |    AS ingest_batch
+         |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
+         |ORDER BY e.vec_id""".stripMargin
+    },
     // semantic drop set via the same closure CTE as sim_semantic_dedup,
     // then gate + split + rollup over the surviving documents
     "pipe_semantic_e2e" ->

@@ -111,7 +111,7 @@ object TextAnalysis extends QueryModule {
     * containing a literal A–J would yield wrong counts IDENTICALLY in
     * engine and oracle, so the gate could never catch it.
     */
-  private[operators] def bpeTokenCountSql: String =
+  private[graft] def bpeTokenCountSql: String =
     s"CAST(length(replace(${bpeApplied("text")}, ' ', '')) AS BIGINT)"
 
   /** Loud taint guard for the SHIPPED merge chain's counting path
@@ -135,6 +135,51 @@ object TextAnalysis extends QueryModule {
           "alphabet")
       bpeCountableDirs.add(key)
     }
+  }
+
+  /** A REAL streaming-maintained corpus-stats fixture: the dedup'd
+    * corpus ingest body
+    * ([[graft.streaming.StreamRunner.dedupPublishBatch]] — exact dedup →
+    * near-dup-vs-index → audited publish → index + PER-SOURCE STATS
+    * maintenance) replayed over three deterministic `documents` slices
+    * (doc_id % 3 = 1, 2, 0 — in that order), built once per corpus
+    * fingerprint under [[StreamedFixture]]'s locked atomic publish.
+    * Serves the `<prefix>_stats` lake the incremental mix queries read.
+    */
+  private[graft] object CorpusStatsFixture extends StreamedFixture(
+    "cs", "graft_corpus_stats",
+    Seq("", "_sigs", "_hashes", "_stats"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      val docs = Tables.documents(s, d)
+      Seq(col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
+          col("doc_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+        graft.streaming.StreamRunner.dedupPublishBatch(
+          docs.filter(cond), i.toLong, wh, scratch, _ => None, 0.5)
+      }
+    }
+  }
+
+  /** Per-source (n_docs, n_tokens) rollup of the fixture's stats lake —
+    * the |batches|x|sources| read both incremental mix serves share.
+    * Refuses to finalize if any ingested doc carried a literal A–J (the
+    * lake-borne form of [[requireBpeCountable]]: the taint counter was
+    * computed at ingest and rides the stats rows, so the gate costs a
+    * 1-row collect here, not a corpus scan).
+    */
+  private def corpusStatsAgg(s: SparkSession, p: String): DataFrame = {
+    val agg = CorpusStatsFixture.wh.read(s, s"${p}_stats")
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).cast("bigint").as("n_docs"),
+        sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens"),
+        sum(col("n_tainted")).cast("bigint").as("n_tainted"))
+    val tainted = agg.agg(sum(col("n_tainted")).as("t"))
+      .collect()(0).getLong(0)
+    require(tainted == 0L,
+      "BPE token accounting: the ingested corpus contains a literal A-J " +
+        "— the shipped merge table's placeholder symbols must be outside " +
+        "the corpus alphabet")
+    agg.drop("n_tainted")
   }
 
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
@@ -629,6 +674,39 @@ object TextAnalysis extends QueryModule {
           col("target_frac"),
           coalesce(col("n_kept_docs"), lit(0L)).cast("bigint").as("n_kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).cast("bigint").as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- INCREMENTAL mix accounting: both mixes served from the
+    // per-source stats lake the streaming dedup ingest maintains
+    // ([[graft.streaming.StreamRunner.dedupPublishBatch]] — one additive
+    // |sources|-row rollup per published batch), instead of
+    // re-tokenizing the corpus. The fixture replays the REAL ingest
+    // body over three deterministic corpus slices, so the serve numbers
+    // are what a continuously-fed lake would answer; the oracle replays
+    // the whole sliced ingest from scratch in SQL — within-batch exact
+    // dedup, per-batch MinHash near-dup drop against the accumulated
+    // survivors, then the mix finalization — so a stats row that
+    // double-counts a replayed batch, misses a dropped duplicate, or
+    // drifts from the published corpus flips the hash. At 100 TB the
+    // serve side reads |batches|x|sources| rows — corpus text is never
+    // touched after its own ingest batch. ----
+    "pipe_domain_mix_incr" -> ((s, d) => {
+      val agg = corpusStatsAgg(s, CorpusStatsFixture.build(s, d))
+      val kMin = agg.agg(min(col("n_tokens")).as("k"))
+      agg.crossJoin(broadcast(kMin))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("k * 1000000 DIV n_tokens").as("keep_prob_x1e6"))
+        .orderBy(col("source"))
+    }),
+    "pipe_temperature_mix_incr" -> ((s, d) => {
+      val agg = corpusStatsAgg(s, CorpusStatsFixture.build(s, d))
+      val z = agg.agg(
+        expr("aggregate(transform(sort_array(collect_list(struct(source, " +
+          "sqrt(CAST(n_tokens AS DOUBLE)) AS w))), x -> x.w), 0.0D, (a, x) -> a + x)").as("z"))
+      agg.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(sqrt(col("n_tokens").cast("double")) / col("z"), 6).as("target_frac"))
         .orderBy(col("source"))
     }),
 
@@ -1870,6 +1948,60 @@ object TextAnalysis extends QueryModule {
       |""".stripMargin
   }
 
+  /** From-scratch DuckDB replay of [[CorpusStatsFixture]]'s sliced
+    * streaming ingest, ending in `stats(source, n_docs, n_tokens)` over
+    * the survivors — the shared head of both incremental mix oracles.
+    * Batch k's near-dup round drops any batch doc whose banded MinHash
+    * candidacy verifies at jaccard ≥ 0.5 against the accumulated
+    * survivors of batches < k (the [[Dedup.incrementalMatches]]
+    * semantics: uncapped bands, rounded jaccard, any-match drop).
+    * Every round CTE is MATERIALIZED — the minhash pipeline is
+    * referenced by later rounds, and DuckDB's default inlining would
+    * re-evaluate it per reference (the dedup_kcore lesson).
+    */
+  private def corpusStatsReplayCte: String = {
+    def dupRound(batch: String, corpus: String): String =
+      s"""  SELECT DISTINCT a.doc_id AS doc_id
+         |  FROM bx a JOIN bx b ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+         |  JOIN sets sa ON sa.doc_id = a.doc_id
+         |  JOIN sets sb ON sb.doc_id = b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM $batch)
+         |    AND b.doc_id IN (SELECT doc_id FROM $corpus)
+         |    AND round(CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)
+         |      / (sa.n_sh + sb.n_sh - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.5""".stripMargin
+    s"""${Dedup.sigCte}${Dedup.bandsCte}, sets AS MATERIALIZED (
+       |  SELECT doc_id, list(DISTINCT shingle) AS sh_set,
+       |    count(DISTINCT shingle) AS n_sh
+       |  FROM sh GROUP BY doc_id
+       |), bx AS MATERIALIZED (
+       |  SELECT doc_id, band_idx, bkey FROM bands0
+       |), s0 AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  WHERE doc_id % 3 = 1 GROUP BY md5(text)
+       |), e1 AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  WHERE doc_id % 3 = 2 GROUP BY md5(text)
+       |), d1 AS MATERIALIZED (
+       |${dupRound("e1", "s0")}
+       |), prev AS MATERIALIZED (
+       |  SELECT doc_id FROM s0 UNION ALL
+       |  SELECT doc_id FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM d1)
+       |), e2 AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM documents
+       |  WHERE doc_id % 3 = 0 GROUP BY md5(text)
+       |), d2 AS MATERIALIZED (
+       |${dupRound("e2", "prev")}
+       |), surv AS MATERIALIZED (
+       |  SELECT doc_id FROM prev UNION ALL
+       |  SELECT doc_id FROM e2 WHERE doc_id NOT IN (SELECT doc_id FROM d2)
+       |), stats AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum($bpeTokenCountSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)
+       |  GROUP BY source
+       |)""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     // predicts every class count from the plant arithmetic and CONSTRUCTS
     // the redacted string directly (decoys left in place, matches
@@ -2344,6 +2476,29 @@ object TextAnalysis extends QueryModule {
         |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
         |FROM c CROSS JOIN z LEFT JOIN kept ON c.source = kept.source
         |ORDER BY c.source""".stripMargin,
+    // the incremental mixes: from-scratch replay of the WHOLE sliced
+    // streaming ingest (within-batch exact dedup, per-batch MinHash
+    // near-dup drop vs the accumulated survivors — the same sig/band
+    // arithmetic dedup_incremental replays), then the mix finalization
+    // over the survivors' per-source stats. The Spark side reads the
+    // stats lake the ingest maintained; only an ingest that dropped
+    // exactly these duplicates and accounted exactly these batches
+    // hashes equal.
+    "pipe_domain_mix_incr" ->
+      (corpusStatsReplayCte + """, k AS (SELECT min(n_tokens) AS k FROM stats)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST((k.k * 1000000) // n_tokens AS BIGINT) AS keep_prob_x1e6
+        |FROM stats, k ORDER BY source""".stripMargin),
+    "pipe_temperature_mix_incr" ->
+      (corpusStatsReplayCte + """, z AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+        |         (a, x) -> a + x) AS z
+        |  FROM stats
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS target_frac
+        |FROM stats, z ORDER BY source""".stripMargin),
     "pipe_training_shards" ->
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -235,8 +235,11 @@ object StreamRunner {
     * [[crawlIngestToWarehouse]] (documents arrive inside `.warc.gz`
     * archives) — one audited implementation of the exact-dedup →
     * near-dup-vs-index → publish → index-maintenance contract.
+    * `private[graft]` so the corpus-stats fixture
+    * ([[graft.operators.TextAnalysis.CorpusStatsFixture]]) can replay
+    * the REAL ingest body over deterministic slices.
     */
-  private def dedupPublishBatch(
+  private[graft] def dedupPublishBatch(
       batch: DataFrame,
       batchId: Long,
       wh: Warehouse,
@@ -306,6 +309,33 @@ object StreamRunner {
             graft.operators.Dedup.shingleHashesOf(shS)
               .withColumn("ingest_batch", lit(batchId)),
             s"${table}_hashes", Seq("ingest_batch"))
+          // PER-SOURCE ACCOUNTING (maintained only when the ingest rows
+          // carry a `source` column — crawl-archive texts do not): one
+          // ADDITIVE |sources|-row rollup of this batch's survivors,
+          // partition-upserted by ingest_batch (a checkpoint replay
+          // rewrites exactly its own rows). Survivors are disjoint
+          // across batches, so per-source sums over the lake equal the
+          // same aggregation over the whole published corpus — the mix
+          // serve queries (pipe_domain_mix_incr / pipe_temperature_mix_incr)
+          // read |batches|x|sources| rows instead of re-tokenizing the
+          // corpus. n_tainted rides the lake in place of the batch-side
+          // requireBpeCountable scan: a doc carrying a literal A-J would
+          // make the BPE count wrong IDENTICALLY in engine and oracle,
+          // so the serve queries refuse to finalize unless the lake-wide
+          // taint sum is zero.
+          if (survivors.columns.contains("source")) {
+            import org.apache.spark.sql.functions.{count, expr, length, sum, when}
+            wh.partitionedUpsertWrite(
+              survivors.groupBy(col("source")).agg(
+                count(lit(1)).cast("bigint").as("n_docs"),
+                sum(length(col("text")).cast("bigint")).as("total_chars"),
+                sum(expr(graft.operators.TextAnalysis.bpeTokenCountSql))
+                  .cast("bigint").as("n_tokens_bpe"),
+                sum(when(col("text").rlike("[A-J]"), 1L).otherwise(0L))
+                  .as("n_tainted"))
+                .withColumn("ingest_batch", lit(batchId)),
+              s"${table}_stats", Seq("ingest_batch"))
+          }
         }
       } finally docs.unpersist(): Unit
     }
@@ -1169,6 +1199,119 @@ object StreamRunner {
           batchId, wh, table, Seq("cell", "ingest_batch"), audit): Unit
       }
       .start()
+  }
+
+  /** Streaming SEMANTIC dedup ingest — the EMBEDDING twin of
+    * [[dedupIngestToWarehouse]], closing the continuous-ingestion loop
+    * for an embedding lake the way SemDeDup prunes a training corpus
+    * (sim_semantic_dedup's semantics applied at ingest time instead of
+    * as a post-hoc batch job). Per micro-batch of
+    * (vec_id, label, embedding) rows:
+    *
+    *  1. SRP coding as a narrow literal-plane projection
+    *     ([[graft.operators.Similarity.srpCodeCol]] over the FROZEN
+    *     hyperplane set — the ivfIngest frozen-centroid idiom, so the
+    *     transform is streaming-legal and the code space never drifts
+    *     between batches);
+    *  2. within-batch EXACT dedup: a vec_id appearing twice keeps the
+    *     min (embedding, label) row (deterministic across the publish
+    *     and any re-evaluation — the dedupPublishBatch min-hash rule),
+    *     then min-vec_id canonical per identical embedding;
+    *  3. cross-corpus SEMANTIC near-dup drop: batch rows join the
+    *     PERSISTED lake on the (label, code) block and drop at
+    *     round(cosine, 6) ≥ minCos — the sim_pairs_block blocking, run
+    *     asymmetrically. The corpus read is directory-PRUNED to the
+    *     batch's own distinct codes (a ≤ 2^planes bounded collect — the
+    *     carryDupHashLo idiom) and EXCLUDES the replaying batch's own
+    *     partitions, so an at-least-once replay never drops a same-batch
+    *     semantic pair against its previous attempt's rows;
+    *  4. survivors publish through the staged-readback audit gate into
+    *     `<table>` partitioned (code, ingest_batch) — the lake IS the
+    *     index (code first ⇒ block probes prune at the top directory
+    *     level; batch-scoped leaves ⇒ idempotent replay).
+    *
+    * At 100 TB: per-batch cost is one narrow coding pass plus one
+    * block-pruned asymmetric join against the lake — corpus vectors
+    * outside the batch's code blocks are never read, and only
+    * (vec_id, code) keys and verified-pair rows cross an exchange.
+    */
+  def semanticIngestToWarehouse(
+      embStream: DataFrame,
+      planes: Seq[Array[Float]],
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      minCos: Double = 0.25): StreamingQuery =
+    embStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticPublishBatch(batch, batchId, planes, wh, table, audit, minCos)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[semanticIngestToWarehouse]] —
+    * `private[graft]` so the semantic-lake fixture can replay the REAL
+    * ingest over deterministic slices.
+    */
+  private[graft] def semanticPublishBatch(
+      batch: DataFrame,
+      batchId: Long,
+      planes: Seq[Array[Float]],
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String],
+      minCos: Double): Unit = {
+    import org.apache.spark.sql.functions.{call_function, col, lit, min, round, struct}
+    if (!batch.isEmpty) {
+      val s = batch.sparkSession
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      // deterministic per-vec_id keeper FIRST (min (embedding, label)
+      // struct — array ordering is total), then the code is re-derived
+      // from the kept row so every later evaluation agrees
+      val perId = batch
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("embedding"), col("label"))).as("r"))
+        .select(col("vec_id"), col("r.embedding").as("embedding"),
+          col("r.label").as("label"))
+        .withColumn("code",
+          graft.operators.Similarity.srpCodeCol(planes))
+        .cache()
+      try {
+        // content-level exact dedup: min-vec_id canonical per identical
+        // embedding
+        val canon = perId.groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("vec_id"))
+          .select(col("vec_id"))
+        val exact = perId.join(canon, Seq("vec_id"))
+        val survivors =
+          if (!wh.hasData(table)) exact
+          else {
+            // bounded by the code space (2^planes), NOT the batch or the
+            // lake — the touched-block key set that prunes the corpus read
+            val batchCodes = exact.select(col("code")).distinct()
+              .collect().map(_.getLong(0))
+            val corpus = wh.read(s, table)
+              .filter(col("ingest_batch") =!= batchId &&
+                col("code").isin(batchCodes: _*))
+              .select(col("vec_id").as("vec_old"),
+                col("label"), col("code"),
+                col("embedding").as("emb_old"))
+            val dupIds = exact.join(corpus, Seq("label", "code"))
+              .filter(col("vec_id") =!= col("vec_old"))
+              .filter(round(call_function("graft_cosine",
+                col("embedding"), col("emb_old")), 6) >= minCos)
+              .select(col("vec_id")).distinct()
+            exact.join(dupIds, Seq("vec_id"), "left_anti")
+          }
+        gatedPublish(
+          survivors.withColumn("ingest_batch", lit(batchId)),
+          batchId, wh, table, Seq("code", "ingest_batch"), audit): Unit
+      } finally perId.unpersist(): Unit
+    }
   }
 
   /** Streaming inverted-index maintenance — the foreachBatch twin of

@@ -246,6 +246,143 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "replay must not drop the near-dup pair against its own prior index rows")
   }
 
+  test("streaming dedup ingest maintains the per-source stats lake additively and idempotently") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("dsl")
+    val whRoot = tmpDir("dsw")
+    val wh = new Warehouse(whRoot)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    def drop(file: String, rows: Seq[(Long, String, String)]): Unit =
+      Files.write(Paths.get(landing, file),
+        rows.map { case (id, t, src) =>
+          s"""{"doc_id":$id,"text":"$t","source":"$src"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def audit(df: org.apache.spark.sql.DataFrame): Option[String] =
+      if (df.filter(col("text").contains("poison")).count() > 0)
+        Some("poison batch") else None
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamRunner.dedupIngestToWarehouse(
+        spark.readStream.schema(docSchema).json(landing),
+        wh, "corpus", audit, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val t1 = "the quick brown fox jumps over the lazy dog today"
+    val ckpt = tmpDir("dsc")
+    // batch 0: doc 2 is an exact dup of 1 (drops BEFORE stats — the lake
+    // accounts survivors, not arrivals)
+    drop("d1.jsonl", Seq((1L, t1, "web"), (2L, t1, "web"),
+      (3L, "unrelated stream state store content here", "books")))
+    runOnce(ckpt)
+    def statsBySource: Map[String, (Long, Long, Long)] =
+      wh.read(spark, "corpus_stats").groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("d"), sum(col("total_chars")).as("c"),
+          sum(col("n_tokens_bpe")).as("t"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val after1 = statsBySource
+    // the at-least-once replay shape (the existing same-batch-id rule): a
+    // fresh checkpoint over the SAME single file re-runs batch id 0 with
+    // the stats partition already written — the partition upsert must
+    // rewrite, not double-count
+    runOnce(tmpDir("dsc2"))
+    assert(statsBySource == after1, "replay must not double-count stats")
+    // batch 1: near-dup of doc 1 drops against the index; one new doc
+    drop("d2.jsonl", Seq(
+      (11L, t1 + " plus some extra trailing words", "web"),
+      (12L, "second books document with different words entirely", "books")))
+    runOnce(ckpt)
+    // parity: lake sums == the same aggregation over the published corpus
+    val bpe = expr(graft.operators.TextAnalysis.bpeTokenCountSql)
+    def corpusBySource: Map[String, (Long, Long, Long)] =
+      wh.read(spark, "corpus").groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("d"),
+          sum(length(col("text")).cast("bigint")).as("c"),
+          sum(bpe).cast("bigint").as("t"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val after2 = statsBySource
+    assert(after2 == corpusBySource,
+      "per-source lake sums must equal the published corpus aggregation")
+    assert(after2("web")._1 == 1L && after2("books")._1 == 2L,
+      "dropped duplicates must not be accounted")
+    assert(wh.read(spark, "corpus_stats")
+      .agg(sum(col("n_tainted"))).collect()(0).getLong(0) == 0L)
+    // a quarantined batch contributes no stats partition
+    drop("d3.jsonl", Seq((21L, "poison text that must stay out", "web")))
+    runOnce(ckpt)
+    assert(statsBySource == after2, "quarantined batches must not be accounted")
+    // the taint counter rides the lake: a doc carrying a literal A-J is
+    // counted (the serve-side BPE gate reads this instead of re-scanning)
+    drop("d4.jsonl", Seq((31L, "Gopher words in mixed case content", "web")))
+    runOnce(ckpt)
+    assert(wh.read(spark, "corpus_stats")
+      .agg(sum(col("n_tainted"))).collect()(0).getLong(0) == 1L)
+  }
+
+  test("streaming semantic ingest: exact within batch, blocked cosine drop vs the lake, replay-safe") {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("sml")
+    val wh = new Warehouse(tmpDir("smw"))
+    val planes = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f), Array(1f, -1f))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    def drop(file: String, rows: Seq[(Long, String, Seq[Float])]): Unit =
+      Files.write(Paths.get(landing, file),
+        rows.map { case (id, l, e) =>
+          s"""{"vec_id":$id,"label":"$l","embedding":[${e.mkString(",")}]}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    def audit(df: org.apache.spark.sql.DataFrame): Option[String] =
+      if (df.filter(col("label") === "poison").count() > 0)
+        Some("poison batch") else None
+    def runOnce(ckpt: String): Unit = {
+      val q = StreamRunner.semanticIngestToWarehouse(
+        spark.readStream.schema(schema).json(landing), planes,
+        wh, "semlake", audit, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    val ckpt = tmpDir("smc")
+    // batch 0: v2 is an exact (identical-embedding) dup of v1 — min
+    // vec_id keeps 1; v4 is a SAME-BATCH semantic near-dup of v1 (same
+    // (label, code) block, cos ≈ 0.99) and must SURVIVE (within-batch
+    // dedup is exact-only — the text-ingest contract); v3 is orthogonal
+    drop("e1.jsonl", Seq(
+      (1L, "a", Seq(1f, 0f)), (2L, "a", Seq(1f, 0f)),
+      (3L, "a", Seq(0f, 1f)), (4L, "a", Seq(0.9f, -0.1f))))
+    runOnce(ckpt)
+    def lake: Map[Long, Long] =
+      wh.read(spark, "semlake").select("vec_id", "ingest_batch").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val after1 = lake
+    assert(after1.keySet == Set(1L, 3L, 4L),
+      "exact dup drops, same-batch semantic pair survives")
+    // the at-least-once replay shape: a fresh checkpoint re-runs batch 0
+    // with the lake already populated — v4 must NOT drop against its own
+    // batch's previously-published rows (own-partition exclusion)
+    runOnce(tmpDir("smc2"))
+    assert(lake == after1,
+      "replay must not drop a same-batch semantic pair against its own rows")
+    // batch 1: v11 semantically duplicates v1 (same block, cos ≈ 1) and
+    // drops; v12 is opposite-code and survives; v13 shares v1's CODE but
+    // not its LABEL — blocking is (label, code), so it survives
+    drop("e2.jsonl", Seq(
+      (11L, "a", Seq(0.8f, -0.05f)), (12L, "a", Seq(-1f, 0f)),
+      (13L, "b", Seq(0.85f, -0.08f))))
+    runOnce(ckpt)
+    val after2 = lake
+    assert(after2.keySet == Set(1L, 3L, 4L, 12L, 13L),
+      "cross-batch semantic dup drops; label blocks are respected")
+    assert(after2(12L) == 1L && after2(13L) == 1L)
+    // a quarantined batch leaves the lake untouched
+    drop("e3.jsonl", Seq((21L, "poison", Seq(0.5f, 0.5f))))
+    runOnce(ckpt)
+    assert(lake == after2)
+    assert(new java.io.File(wh.root).list()
+      .exists(_.startsWith("__quarantine__semlake")))
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
