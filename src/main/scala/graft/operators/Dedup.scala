@@ -1461,6 +1461,21 @@ object Dedup extends QueryModule {
   // `bands0` (uncapped) is what the INCREMENTAL matcher oracles join on
   // (incrementalMatches does not cap — the corpus side is an artifact,
   // not an all-pairs self-join).
+  /** DuckDB replay of the per-doc distinct-shingle SET (the exact
+    * jaccard-verification side) — shared by `dedup_incremental`,
+    * `pipe_ingest_e2e`, and the sliced-ingest replay oracles in
+    * [[TextAnalysis]], so the verification arithmetic can never drift
+    * between them. MATERIALIZED: every consumer references it from two
+    * join sides, and DuckDB's default inlining would re-evaluate the
+    * shingle pipeline per reference.
+    */
+  private[operators] val setsCte =
+    """, sets AS MATERIALIZED (
+      |  SELECT doc_id, list(DISTINCT shingle) AS sh_set,
+      |    count(DISTINCT shingle) AS n_sh
+      |  FROM sh GROUP BY doc_id
+      |)""".stripMargin
+
   private[operators] val bandsCte = s""", bands0 AS (
     |  SELECT doc_id, 0 AS band_idx, mh0 * 1073741824 + mh1 AS bkey FROM sig UNION ALL
     |  SELECT doc_id, 1, mh2 * 1073741824 + mh3 FROM sig UNION ALL
@@ -1844,14 +1859,11 @@ object Dedup extends QueryModule {
           |  CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits
           |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_incremental" ->
-        s"""$sigCte$bandsCte, cand AS (
+        s"""$sigCte$bandsCte$setsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
            |  FROM bands0 a JOIN bands0 b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
            |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-           |), sets AS (
-           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
-           |  FROM sh GROUP BY doc_id
            |), scored AS (
            |  SELECT doc_new, doc_old,
            |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS n_common,
@@ -1867,14 +1879,11 @@ object Dedup extends QueryModule {
            |  FROM scored WHERE jaccard >= 0.5)
            |WHERE rn = 1 ORDER BY doc_new""".stripMargin,
       "pipe_ingest_e2e" ->
-        s"""$sigCte$bandsCte, cand AS (
+        s"""$sigCte$bandsCte$setsCte, cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
            |  FROM bands0 a JOIN bands0 b
            |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
            |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-           |), sets AS (
-           |  SELECT doc_id, list(DISTINCT shingle) AS sh_set, count(DISTINCT shingle) AS n_sh
-           |  FROM sh GROUP BY doc_id
            |), dups AS (
            |  SELECT DISTINCT doc_new AS doc_id FROM (
            |    SELECT doc_new,

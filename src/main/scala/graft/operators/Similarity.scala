@@ -1721,16 +1721,16 @@ object Similarity extends QueryModule {
          |  SELECT em.vec_id, em.label, coded.code, em.embedding
          |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
          |), s0 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 1 GROUP BY embedding
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 1 GROUP BY label, embedding
          |), e1 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 2 GROUP BY embedding
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 2 GROUP BY label, embedding
          |), d1 AS MATERIALIZED (
          |${dupRound("e1", "s0")}
          |), prev AS MATERIALIZED (
          |  SELECT vec_id FROM s0 UNION ALL
          |  SELECT vec_id FROM e1 WHERE vec_id NOT IN (SELECT vec_id FROM d1)
          |), e2 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 0 GROUP BY embedding
+         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 0 GROUP BY label, embedding
          |), d2 AS MATERIALIZED (
          |${dupRound("e2", "prev")}
          |), surv AS MATERIALIZED (

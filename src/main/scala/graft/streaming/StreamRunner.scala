@@ -318,21 +318,28 @@ object StreamRunner {
           // same aggregation over the whole published corpus — the mix
           // serve queries (pipe_domain_mix_incr / pipe_temperature_mix_incr)
           // read |batches|x|sources| rows instead of re-tokenizing the
-          // corpus. n_tainted rides the lake in place of the batch-side
-          // requireBpeCountable scan: a doc carrying a literal A-J would
-          // make the BPE count wrong IDENTICALLY in engine and oracle,
-          // so the serve queries refuse to finalize unless the lake-wide
-          // taint sum is zero.
+          // corpus. Aggregated from the just-published partition's
+          // READBACK (one scan of batch-sized files), not the survivors
+          // plan — which would re-run the exact-dedup groupBys and the
+          // whole index band-join a fourth time per batch. n_tainted
+          // rides the lake in place of the batch-side
+          // requireBpeCountable scan: a doc carrying a merge-placeholder
+          // letter would make the BPE count wrong IDENTICALLY in engine
+          // and oracle, so the serve queries refuse to finalize unless
+          // the lake-wide taint sum is zero.
           if (survivors.columns.contains("source")) {
             import org.apache.spark.sql.functions.{count, expr, length, sum, when}
+            val readback = wh.read(batch.sparkSession, table)
+              .filter(col("ingest_batch") === batchId)
             wh.partitionedUpsertWrite(
-              survivors.groupBy(col("source")).agg(
+              readback.groupBy(col("source")).agg(
                 count(lit(1)).cast("bigint").as("n_docs"),
                 sum(length(col("text")).cast("bigint")).as("total_chars"),
                 sum(expr(graft.operators.TextAnalysis.bpeTokenCountSql))
                   .cast("bigint").as("n_tokens_bpe"),
-                sum(when(col("text").rlike("[A-J]"), 1L).otherwise(0L))
-                  .as("n_tainted"))
+                sum(when(col("text")
+                    .rlike(graft.operators.TextAnalysis.bpeTaintPattern), 1L)
+                  .otherwise(0L)).as("n_tainted"))
                 .withColumn("ingest_batch", lit(batchId)),
               s"${table}_stats", Seq("ingest_batch"))
           }
@@ -1282,8 +1289,13 @@ object StreamRunner {
         .cache()
       try {
         // content-level exact dedup: min-vec_id canonical per identical
-        // embedding
-        val canon = perId.groupBy(col("embedding"))
+        // (label, embedding) — label included because every semantic
+        // stage here blocks on it (sim_semantic_dedup forms no pair
+        // across labels), so an identical vector under two labels keeps
+        // BOTH rows, exactly as it would had they arrived in different
+        // batches; collapsing on embedding alone would make lake content
+        // depend on batch boundaries
+        val canon = perId.groupBy(col("label"), col("embedding"))
           .agg(min(col("vec_id")).as("vec_id"))
           .select(col("vec_id"))
         val exact = perId.join(canon, Seq("vec_id"))

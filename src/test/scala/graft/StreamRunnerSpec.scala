@@ -344,20 +344,25 @@ class StreamRunnerSpec extends SparkSuiteBase {
       q.awaitTermination()
     }
     val ckpt = tmpDir("smc")
-    // batch 0: v2 is an exact (identical-embedding) dup of v1 — min
-    // vec_id keeps 1; v4 is a SAME-BATCH semantic near-dup of v1 (same
-    // (label, code) block, cos ≈ 0.99) and must SURVIVE (within-batch
-    // dedup is exact-only — the text-ingest contract); v3 is orthogonal
+    // batch 0: v2 is an exact (identical-embedding, same-label) dup of
+    // v1 — min vec_id keeps 1; v4 is a SAME-BATCH semantic near-dup of
+    // v1 (same (label, code) block, cos ≈ 0.99) and must SURVIVE
+    // (within-batch dedup is exact-only — the text-ingest contract);
+    // v3 is orthogonal; v5 carries v3's EXACT embedding under a
+    // different label and must survive (exact collapse is
+    // (label, embedding)-scoped, like every semantic stage)
     drop("e1.jsonl", Seq(
       (1L, "a", Seq(1f, 0f)), (2L, "a", Seq(1f, 0f)),
-      (3L, "a", Seq(0f, 1f)), (4L, "a", Seq(0.9f, -0.1f))))
+      (3L, "a", Seq(0f, 1f)), (4L, "a", Seq(0.9f, -0.1f)),
+      (5L, "b", Seq(0f, 1f))))
     runOnce(ckpt)
     def lake: Map[Long, Long] =
       wh.read(spark, "semlake").select("vec_id", "ingest_batch").collect()
         .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
     val after1 = lake
-    assert(after1.keySet == Set(1L, 3L, 4L),
-      "exact dup drops, same-batch semantic pair survives")
+    assert(after1.keySet == Set(1L, 3L, 4L, 5L),
+      "same-label exact dup drops; cross-label identical vector survives; " +
+        "same-batch semantic pair survives")
     // the at-least-once replay shape: a fresh checkpoint re-runs batch 0
     // with the lake already populated — v4 must NOT drop against its own
     // batch's previously-published rows (own-partition exclusion)
@@ -372,7 +377,7 @@ class StreamRunnerSpec extends SparkSuiteBase {
       (13L, "b", Seq(0.85f, -0.08f))))
     runOnce(ckpt)
     val after2 = lake
-    assert(after2.keySet == Set(1L, 3L, 4L, 12L, 13L),
+    assert(after2.keySet == Set(1L, 3L, 4L, 5L, 12L, 13L),
       "cross-batch semantic dup drops; label blocks are respected")
     assert(after2(12L) == 1L && after2(13L) == 1L)
     // a quarantined batch leaves the lake untouched
