@@ -346,9 +346,20 @@ object PlanDump {
     // ingest maintains (audit: a |batches|x|sources|-row lake scan + a
     // 1-row broadcast — corpus text never read, no data-sized shuffle)
     "pipe_domain_mix_incr", "pipe_temperature_mix_incr",
+    // the mixes served from the FOLDED _stats_serve snapshot (audit:
+    // one |sources|-row single-file scan + a 1-row broadcast — the
+    // per-batch fragment opens are gone)
+    "pipe_domain_mix_compacted", "pipe_temperature_mix_compacted",
+    // ingest-time mix drift from the same lake (audit: lake scan +
+    // |batches|-row and |sources|-row BROADCAST total sides + a 1-row
+    // broadcast grand total — no data-sized shuffle)
+    "pipe_mix_drift_incr",
     // streaming-SemDeDup'd embedding lake serve (audit: one
     // code-partitioned lake scan — dedup work happened at ingest)
-    "sim_semdedup_serve")
+    "sim_semdedup_serve",
+    // the same lake from the compacted _serve generation (audit: one
+    // pinned _v=N code-partitioned scan, ~one file per code)
+    "sim_semdedup_compacted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

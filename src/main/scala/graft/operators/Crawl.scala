@@ -1323,9 +1323,6 @@ object Crawl extends QueryModule {
       layout = "v2",
       extraPruneSuffixes = Seq("_records_serve", "_settled_serve")) {
 
-    private val compactedOnce =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit = {
       val media = attachRedirectMedia(Tables.documents(s, d))
@@ -1338,21 +1335,17 @@ object Crawl extends QueryModule {
 
     /** Build (if needed), then COMPACT the fixture's frontier lakes into
       * versioned `_serve` snapshots once per JVM
-      * ([[graft.streaming.StreamRunner.compactFrontier]] — each call
-      * commits a NEW generation, so the memo keeps a session from
-      * stacking identical versions; retention pruned to the last two so
-      * cross-session reruns stay bounded). Returns the table prefix.
+      * ([[graft.streaming.StreamRunner.compactFrontier]] under the shared
+      * [[StreamedFixture.compactOnce]] memo; retention pruned to the
+      * last two so cross-session reruns stay bounded). Returns the
+      * table prefix.
       */
-    def compact(s: SparkSession, d: String): String = synchronized {
+    def compact(s: SparkSession, d: String): String = {
       val p = build(s, d)
-      // memoize only AFTER the compaction committed: a failed run (lost
-      // CAS race, transient Spark failure) must retry next call, not
-      // permanently serve "no committed versions"
-      if (!compactedOnce.contains(p)) {
+      compactOnce(p) {
         graft.streaming.StreamRunner.compactFrontier(s, wh, p)
         wh.pruneVersions(s"${p}_records_serve", keep = 2)
-        wh.pruneVersions(s"${p}_settled_serve", keep = 2)
-        compactedOnce.add(p): Unit
+        wh.pruneVersions(s"${p}_settled_serve", keep = 2): Unit
       }
       p
     }

@@ -165,7 +165,8 @@ object Similarity extends QueryModule {
     * reads.
     */
   private[graft] object SemanticLakeFixture extends StreamedFixture(
-    "sl", "graft_semlake", Seq(""), layout = "v1") {
+    "sl", "graft_semlake", Seq(""), layout = "v1",
+    extraPruneSuffixes = Seq("_serve")) {
     override protected def sourceTable: String = "embeddings"
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit = {
@@ -178,7 +179,33 @@ object Similarity extends QueryModule {
           e.filter(cond), i.toLong, planes, wh, scratch, _ => None, 0.25)
       }
     }
+
+    /** Build (if needed), then COMPACT the lake's per-batch fragments
+      * into the versioned code-partitioned `_serve` snapshot once per
+      * JVM ([[graft.streaming.StreamRunner.compactSemantic]] under the
+      * shared [[StreamedFixture.compactOnce]] memo; retention pruned to
+      * the last two). Returns the table prefix.
+      */
+    def compact(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      compactOnce(p) {
+        graft.streaming.StreamRunner.compactSemantic(s, wh, p)
+        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
+      }
+      p
+    }
   }
+
+  /** The oracle-facing projection of the semantic lake, shared by the
+    * live (`sim_semdedup_serve`) and compacted (`sim_semdedup_compacted`)
+    * reads — identical output shape is the point: both hash against the
+    * same from-scratch replay.
+    */
+  private def semanticLakeProjection(lake: DataFrame): DataFrame =
+    lake.select(col("vec_id"), col("label"),
+        col("code").cast("bigint").as("code"),
+        col("ingest_batch").cast("bigint").as("ingest_batch"))
+      .orderBy(col("vec_id"))
 
   /** The persisted 16-dim prefix-slice index (the Matryoshka artifact)
     * shared by the direct serve and the rerank form: built once per
@@ -584,11 +611,21 @@ object Similarity extends QueryModule {
     // scaladoc). ----
     "sim_semdedup_serve" -> ((s, d) => {
       val p = SemanticLakeFixture.build(s, d)
-      SemanticLakeFixture.wh.read(s, p)
-        .select(col("vec_id"), col("label"),
-          col("code").cast("bigint").as("code"),
-          col("ingest_batch").cast("bigint").as("ingest_batch"))
-        .orderBy(col("vec_id"))
+      semanticLakeProjection(SemanticLakeFixture.wh.read(s, p))
+    }),
+
+    // ---- the COMPACTED semantic lake: per-(code, batch) fragments
+    // rewritten as ONE code-partitioned versioned generation
+    // ([[graft.streaming.StreamRunner.compactSemantic]] — rows pass
+    // through unchanged, block-pruned reads survive the rewrite) and the
+    // same projection served from the pinned snapshot. The oracle is the
+    // SAME from-scratch sliced-ingest replay as sim_semdedup_serve —
+    // compacted == live == from-scratch is the layout-only-rewrite
+    // proof. ----
+    "sim_semdedup_compacted" -> ((s, d) => {
+      val p = SemanticLakeFixture.compact(s, d)
+      semanticLakeProjection(
+        SemanticLakeFixture.wh.readVersion(s, s"${p}_serve"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -1301,6 +1338,57 @@ object Similarity extends QueryModule {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, v) -> acc + v)"
 
+  /** From-scratch DuckDB replay of [[SemanticLakeFixture]]'s sliced
+    * streaming semantic ingest: per-batch exact canon (min vec_id per
+    * identical (label, embedding)), then the (label, code)-blocked
+    * cosine drop against the ACCUMULATED survivors — sim_pairs_block's
+    * arithmetic run asymmetrically per batch. Every round CTE is
+    * MATERIALIZED (the dedup_kcore lesson). Shared VERBATIM by
+    * `sim_semdedup_serve` (live fragmented lake) and
+    * `sim_semdedup_compacted` (pinned `_serve` snapshot) — both must
+    * hash-match the same replay.
+    */
+  private def semanticLakeReplayOracle: String = {
+    def dupRound(batch: String, corpus: String): String =
+      s"""  SELECT DISTINCT a.vec_id AS vec_id FROM e a JOIN e b
+         |    ON a.label = b.label AND a.code = b.code AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM $batch)
+         |    AND b.vec_id IN (SELECT vec_id FROM $corpus)
+         |    AND round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25""".stripMargin
+    s"""WITH planes AS (
+       |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+       |), coded AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
+       |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+       |), e AS MATERIALIZED (
+       |  SELECT em.vec_id, em.label, coded.code, em.embedding
+       |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
+       |), s0 AS MATERIALIZED (
+       |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 1 GROUP BY label, embedding
+       |), e1 AS MATERIALIZED (
+       |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 2 GROUP BY label, embedding
+       |), d1 AS MATERIALIZED (
+       |${dupRound("e1", "s0")}
+       |), prev AS MATERIALIZED (
+       |  SELECT vec_id FROM s0 UNION ALL
+       |  SELECT vec_id FROM e1 WHERE vec_id NOT IN (SELECT vec_id FROM d1)
+       |), e2 AS MATERIALIZED (
+       |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 0 GROUP BY label, embedding
+       |), d2 AS MATERIALIZED (
+       |${dupRound("e2", "prev")}
+       |), surv AS MATERIALIZED (
+       |  SELECT vec_id FROM prev UNION ALL
+       |  SELECT vec_id FROM e2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)
+       |)
+       |SELECT e.vec_id, e.label, e.code,
+       |  CAST(CASE e.vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS ingest_batch
+       |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "sim_topk_pq" -> pqOracleSql,
     // the artifact query scans the persisted codes table, whose contents
@@ -1698,51 +1786,10 @@ object Similarity extends QueryModule {
          |  ON a.label = b.label AND a.code = b.code AND a.vec_id < b.vec_id
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
-    // from-scratch replay of the WHOLE sliced streaming semantic ingest:
-    // per-batch exact canon (min vec_id per identical embedding), then
-    // the (label, code)-blocked cosine drop against the ACCUMULATED
-    // survivors — sim_pairs_block's arithmetic run asymmetrically per
-    // batch. Every round CTE is MATERIALIZED (the dedup_kcore lesson).
-    "sim_semdedup_serve" -> {
-      def dupRound(batch: String, corpus: String): String =
-        s"""  SELECT DISTINCT a.vec_id AS vec_id FROM e a JOIN e b
-           |    ON a.label = b.label AND a.code = b.code AND a.vec_id <> b.vec_id
-           |  WHERE a.vec_id IN (SELECT vec_id FROM $batch)
-           |    AND b.vec_id IN (SELECT vec_id FROM $corpus)
-           |    AND round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25""".stripMargin
-      s"""WITH planes AS (
-         |  SELECT vec_id AS k, embedding AS h_emb FROM embeddings WHERE vec_id BETWEEN 1 AND 8
-         |), coded AS (
-         |  SELECT e.vec_id,
-         |    CAST(SUM(CASE WHEN ${duckDot("e.embedding", "p.h_emb")} > 0
-         |             THEN (1 << (p.k - 1)) ELSE 0 END) AS BIGINT) AS code
-         |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
-         |), e AS MATERIALIZED (
-         |  SELECT em.vec_id, em.label, coded.code, em.embedding
-         |  FROM embeddings em JOIN coded ON em.vec_id = coded.vec_id
-         |), s0 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 1 GROUP BY label, embedding
-         |), e1 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 2 GROUP BY label, embedding
-         |), d1 AS MATERIALIZED (
-         |${dupRound("e1", "s0")}
-         |), prev AS MATERIALIZED (
-         |  SELECT vec_id FROM s0 UNION ALL
-         |  SELECT vec_id FROM e1 WHERE vec_id NOT IN (SELECT vec_id FROM d1)
-         |), e2 AS MATERIALIZED (
-         |  SELECT min(vec_id) AS vec_id FROM e WHERE vec_id % 3 = 0 GROUP BY label, embedding
-         |), d2 AS MATERIALIZED (
-         |${dupRound("e2", "prev")}
-         |), surv AS MATERIALIZED (
-         |  SELECT vec_id FROM prev UNION ALL
-         |  SELECT vec_id FROM e2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)
-         |)
-         |SELECT e.vec_id, e.label, e.code,
-         |  CAST(CASE e.vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
-         |    AS ingest_batch
-         |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
-         |ORDER BY e.vec_id""".stripMargin
-    },
+    // from-scratch replay of the WHOLE sliced streaming semantic ingest,
+    // shared verbatim by the live and compacted serves
+    "sim_semdedup_serve" -> semanticLakeReplayOracle,
+    "sim_semdedup_compacted" -> semanticLakeReplayOracle,
     // semantic drop set via the same closure CTE as sim_semantic_dedup,
     // then gate + split + rollup over the surviving documents
     "pipe_semantic_e2e" ->

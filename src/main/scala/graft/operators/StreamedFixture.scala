@@ -56,6 +56,24 @@ private[graft] abstract class StreamedFixture(
 
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  private val compacted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Run a fixture's compaction `job` once per prefix per JVM — each
+    * compactor call commits a NEW snapshot generation, so the memo keeps
+    * a session from stacking identical versions. Memoized only AFTER the
+    * job returns: a failed run (lost CAS race, transient Spark failure)
+    * must retry on the next call, not permanently serve "no committed
+    * versions".
+    */
+  protected final def compactOnce(p: String)(job: => Unit): Unit =
+    synchronized {
+      if (!compacted.contains(p)) {
+        job
+        compacted.add(p): Unit
+      }
+    }
+
   /** Write every `suffixes` table under the `scratch` prefix. */
   protected def buildScratch(s: SparkSession, d: String, scratch: String): Unit
 

@@ -157,7 +157,8 @@ object TextAnalysis extends QueryModule {
     */
   private[graft] object CorpusStatsFixture extends StreamedFixture(
     "cs", "graft_corpus_stats",
-    Seq("", "_sigs", "_hashes", "_stats"), layout = "v1") {
+    Seq("", "_sigs", "_hashes", "_stats"), layout = "v1",
+    extraPruneSuffixes = Seq("_stats_serve")) {
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit = {
       val docs = Tables.documents(s, d)
@@ -166,6 +167,21 @@ object TextAnalysis extends QueryModule {
         graft.streaming.StreamRunner.dedupPublishBatch(
           docs.filter(cond), i.toLong, wh, scratch, _ => None, 0.5)
       }
+    }
+
+    /** Build (if needed), then FOLD the stats lake into the versioned
+      * `_stats_serve` snapshot once per JVM
+      * ([[graft.streaming.StreamRunner.compactStats]] under the shared
+      * [[StreamedFixture.compactOnce]] memo; retention pruned to the
+      * last two). Returns the table prefix.
+      */
+    def compact(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      compactOnce(p) {
+        graft.streaming.StreamRunner.compactStats(s, wh, p)
+        wh.pruneVersions(s"${p}_stats_serve", keep = 2): Unit
+      }
+      p
     }
   }
 
@@ -179,22 +195,66 @@ object TextAnalysis extends QueryModule {
     */
   private val statsTaintChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def corpusStatsAgg(s: SparkSession, p: String): DataFrame = {
-    val agg = CorpusStatsFixture.wh.read(s, s"${p}_stats")
-      .groupBy(col("source")).agg(
-        sum(col("n_docs")).cast("bigint").as("n_docs"),
-        sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens"),
-        sum(col("n_tainted")).cast("bigint").as("n_tainted"))
-    if (!statsTaintChecked.contains(p)) {
+  private def finalizeStats(agg: DataFrame, memoKey: String): DataFrame = {
+    if (!statsTaintChecked.contains(memoKey)) {
       val tainted = agg.agg(sum(col("n_tainted")).as("t"))
         .collect()(0).getLong(0)
       require(tainted == 0L,
         "BPE token accounting: the ingested corpus contains a literal " +
           "merge-placeholder symbol — the shipped merge table's " +
           "placeholders must be outside the corpus alphabet")
-      statsTaintChecked.add(p): Unit
+      statsTaintChecked.add(memoKey): Unit
     }
     agg.drop("n_tainted")
+  }
+  private def corpusStatsAgg(s: SparkSession, p: String): DataFrame =
+    finalizeStats(
+      CorpusStatsFixture.wh.read(s, s"${p}_stats")
+        .groupBy(col("source")).agg(
+          sum(col("n_docs")).cast("bigint").as("n_docs"),
+          sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens"),
+          sum(col("n_tainted")).cast("bigint").as("n_tainted")),
+      p)
+
+  /** The same rollup served from the FOLDED `_stats_serve` snapshot
+    * ([[graft.streaming.StreamRunner.compactStats]]) — already one row
+    * per source, so the read is a |sources|-row single-file scan with
+    * no per-batch fragments and no aggregation. The taint gate memo is
+    * keyed separately from the live lake's: the compacted read must
+    * prove its OWN snapshot clean, not inherit the fragmented read's
+    * verdict.
+    */
+  private def corpusStatsCompactedAgg(s: SparkSession, p: String): DataFrame =
+    finalizeStats(
+      CorpusStatsFixture.wh.readVersion(s, s"${p}_stats_serve")
+        .select(col("source"), col("n_docs"),
+          col("n_tokens_bpe").as("n_tokens"), col("n_tainted")),
+      s"$p@serve")
+
+  /** Domain-mix finalization over a `(source, n_docs, n_tokens)` rollup —
+    * min-source token mass as the keep budget, integer keep
+    * probabilities; shared by the live-lake and compacted serves.
+    */
+  private def domainMixOf(agg: DataFrame): DataFrame = {
+    val kMin = agg.agg(min(col("n_tokens")).as("k"))
+    agg.crossJoin(broadcast(kMin))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("k * 1000000 DIV n_tokens").as("keep_prob_x1e6"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-mix finalization (sqrt token-mass weights, sequential
+    * source-ordered fold for a bit-reproducible normalizer); shared by
+    * the live-lake and compacted serves.
+    */
+  private def temperatureMixOf(agg: DataFrame): DataFrame = {
+    val z = agg.agg(
+      expr("aggregate(transform(sort_array(collect_list(struct(source, " +
+        "sqrt(CAST(n_tokens AS DOUBLE)) AS w))), x -> x.w), 0.0D, (a, x) -> a + x)").as("z"))
+    agg.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6).as("target_frac"))
+      .orderBy(col("source"))
   }
 
   /** Distinct 3-word shingles of a (doc_id, text) frame. */
@@ -706,23 +766,60 @@ object TextAnalysis extends QueryModule {
     // drifts from the published corpus flips the hash. At 100 TB the
     // serve side reads |batches|x|sources| rows — corpus text is never
     // touched after its own ingest batch. ----
-    "pipe_domain_mix_incr" -> ((s, d) => {
-      val agg = corpusStatsAgg(s, CorpusStatsFixture.build(s, d))
-      val kMin = agg.agg(min(col("n_tokens")).as("k"))
-      agg.crossJoin(broadcast(kMin))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          expr("k * 1000000 DIV n_tokens").as("keep_prob_x1e6"))
-        .orderBy(col("source"))
-    }),
-    "pipe_temperature_mix_incr" -> ((s, d) => {
-      val agg = corpusStatsAgg(s, CorpusStatsFixture.build(s, d))
-      val z = agg.agg(
-        expr("aggregate(transform(sort_array(collect_list(struct(source, " +
-          "sqrt(CAST(n_tokens AS DOUBLE)) AS w))), x -> x.w), 0.0D, (a, x) -> a + x)").as("z"))
-      agg.crossJoin(broadcast(z))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(sqrt(col("n_tokens").cast("double")) / col("z"), 6).as("target_frac"))
-        .orderBy(col("source"))
+    "pipe_domain_mix_incr" -> ((s, d) =>
+      domainMixOf(corpusStatsAgg(s, CorpusStatsFixture.build(s, d)))),
+    "pipe_temperature_mix_incr" -> ((s, d) =>
+      temperatureMixOf(corpusStatsAgg(s, CorpusStatsFixture.build(s, d)))),
+
+    // ---- the COMPACTED mix serves: the per-batch stats fragments
+    // FOLDED into one row per source
+    // ([[graft.streaming.StreamRunner.compactStats]] — additive sums,
+    // versioned `_stats_serve` snapshot) and both mixes finalized from
+    // the |sources|-row single-file snapshot. The oracles are the SAME
+    // from-scratch sliced-ingest replays as the `_incr` forms —
+    // compacted == live == from-scratch is the fold-correctness proof
+    // (a lost batch, a double-counted replay partition, or a
+    // non-additive column would flip the hash). ----
+    "pipe_domain_mix_compacted" -> ((s, d) =>
+      domainMixOf(corpusStatsCompactedAgg(s, CorpusStatsFixture.compact(s, d)))),
+    "pipe_temperature_mix_compacted" -> ((s, d) =>
+      temperatureMixOf(corpusStatsCompactedAgg(s, CorpusStatsFixture.compact(s, d)))),
+
+    // ---- INCREMENTAL mix drift: the ingest-time monitoring twin of
+    // pipe_drift, served ENTIRELY from the stats lake — per (batch,
+    // source), the batch's token share vs the corpus-wide share, in
+    // integer ppm (micro-unit discipline: bigint multiply-then-DIV on
+    // both engines, no fp). A source whose per-batch share wanders more
+    // than one point (10000 ppm) off its corpus share flags `drifted` —
+    // the signal a mixture-controlled ingest pages on ("this feed's
+    // composition shifted THIS batch"). The oracle replays the whole
+    // sliced ingest and re-derives the per-batch survivor stats from
+    // scratch, so a stats row misattributed to the wrong batch — which
+    // the mix totals would forgive — flips this hash. At 100 TB: the
+    // serve reads |batches|x|sources| rows; the totals it joins are
+    // |batches|-row and |sources|-row broadcast sides. ----
+    "pipe_mix_drift_incr" -> ((s, d) => {
+      val p = CorpusStatsFixture.build(s, d)
+      corpusStatsAgg(s, p) // the memoized BPE taint gate
+      val lake = CorpusStatsFixture.wh.read(s, s"${p}_stats")
+        .select(col("ingest_batch").cast("bigint").as("ingest_batch"),
+          col("source"), col("n_docs"),
+          col("n_tokens_bpe").as("n_tokens"))
+      val batchTot = lake.groupBy(col("ingest_batch"))
+        .agg(sum(col("n_tokens")).cast("bigint").as("batch_tokens"))
+      val srcTot = lake.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("bigint").as("src_tokens"))
+      val grand = srcTot.agg(sum(col("src_tokens")).cast("bigint").as("all_tokens"))
+      lake.join(broadcast(batchTot), Seq("ingest_batch"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(grand))
+        .withColumn("batch_ppm", expr("n_tokens * 1000000 DIV batch_tokens"))
+        .withColumn("corpus_ppm", expr("src_tokens * 1000000 DIV all_tokens"))
+        .withColumn("drift_ppm", abs(col("batch_ppm") - col("corpus_ppm")))
+        .select(col("ingest_batch"), col("source"), col("n_docs"),
+          col("n_tokens"), col("batch_ppm"), col("corpus_ppm"),
+          col("drift_ppm"), (col("drift_ppm") > 10000L).as("drifted"))
+        .orderBy(col("ingest_batch"), col("source"))
     }),
 
     // ---- fuzzy matching: Levenshtein distance over blocked short-text
@@ -2013,6 +2110,26 @@ object TextAnalysis extends QueryModule {
        |)""".stripMargin
   }
 
+  /** The two incremental-mix replays, shared verbatim by the `_incr`
+    * (live fragmented lake) and `_compacted` (folded snapshot) serves —
+    * both must hash-match the same from-scratch sliced-ingest replay.
+    */
+  private def domainMixReplayOracle: String =
+    corpusStatsReplayCte + """, k AS (SELECT min(n_tokens) AS k FROM stats)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST((k.k * 1000000) // n_tokens AS BIGINT) AS keep_prob_x1e6
+      |FROM stats, k ORDER BY source""".stripMargin
+  private def temperatureMixReplayOracle: String =
+    corpusStatsReplayCte + """, z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+      |         (a, x) -> a + x) AS z
+      |  FROM stats
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS target_frac
+      |FROM stats, z ORDER BY source""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     // predicts every class count from the plant arithmetic and CONSTRUCTS
     // the redacted string directly (decoys left in place, matches
@@ -2495,21 +2612,46 @@ object TextAnalysis extends QueryModule {
     // stats lake the ingest maintained; only an ingest that dropped
     // exactly these duplicates and accounted exactly these batches
     // hashes equal.
-    "pipe_domain_mix_incr" ->
-      (corpusStatsReplayCte + """, k AS (SELECT min(n_tokens) AS k FROM stats)
-        |SELECT source, n_docs, n_tokens,
-        |  CAST((k.k * 1000000) // n_tokens AS BIGINT) AS keep_prob_x1e6
-        |FROM stats, k ORDER BY source""".stripMargin),
-    "pipe_temperature_mix_incr" ->
-      (corpusStatsReplayCte + """, z AS (
-        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |           list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
-        |         (a, x) -> a + x) AS z
-        |  FROM stats
+    "pipe_domain_mix_incr" -> domainMixReplayOracle,
+    "pipe_temperature_mix_incr" -> temperatureMixReplayOracle,
+    // the compacted serves answer from the folded snapshot; the oracle
+    // is the identical from-scratch replay — fold == live == replay
+    "pipe_domain_mix_compacted" -> domainMixReplayOracle,
+    "pipe_temperature_mix_compacted" -> temperatureMixReplayOracle,
+    // per-batch drift: the replay's batch CTEs re-derive each batch's
+    // survivor set (s0 / e1−d1 / e2−d2), then per-(batch, source) stats
+    // and the same integer-ppm share arithmetic as the engine
+    "pipe_mix_drift_incr" ->
+      (corpusStatsReplayCte + s""", bsurv AS MATERIALIZED (
+        |  SELECT 0 AS ingest_batch, doc_id FROM s0
+        |  UNION ALL
+        |  SELECT 1, doc_id FROM e1 WHERE doc_id NOT IN (SELECT doc_id FROM d1)
+        |  UNION ALL
+        |  SELECT 2, doc_id FROM e2 WHERE doc_id NOT IN (SELECT doc_id FROM d2)
+        |), bstats AS MATERIALIZED (
+        |  SELECT b.ingest_batch, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum($bpeTokenCountSql) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN bsurv b ON d.doc_id = b.doc_id
+        |  GROUP BY b.ingest_batch, d.source
+        |), bt AS (
+        |  SELECT ingest_batch, CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+        |  FROM bstats GROUP BY ingest_batch
+        |), st AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM bstats GROUP BY source
+        |), gt AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM bstats
         |)
-        |SELECT source, n_docs, n_tokens,
-        |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z.z, 6) AS target_frac
-        |FROM stats, z ORDER BY source""".stripMargin),
+        |SELECT CAST(bs.ingest_batch AS BIGINT) AS ingest_batch,
+        |  bs.source, bs.n_docs, bs.n_tokens,
+        |  CAST((bs.n_tokens * 1000000) // bt.batch_tokens AS BIGINT) AS batch_ppm,
+        |  CAST((st.src_tokens * 1000000) // gt.all_tokens AS BIGINT) AS corpus_ppm,
+        |  CAST(abs((bs.n_tokens * 1000000) // bt.batch_tokens
+        |    - (st.src_tokens * 1000000) // gt.all_tokens) AS BIGINT) AS drift_ppm,
+        |  abs((bs.n_tokens * 1000000) // bt.batch_tokens
+        |    - (st.src_tokens * 1000000) // gt.all_tokens) > 10000 AS drifted
+        |FROM bstats bs JOIN bt USING (ingest_batch) JOIN st USING (source), gt
+        |ORDER BY bs.ingest_batch, bs.source""".stripMargin),
     "pipe_training_shards" ->
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -348,6 +348,65 @@ object StreamRunner {
     }
   }
 
+  /** Stats-lake COMPACTION — the ADDITIVE fold of the per-source
+    * accounting lake [[dedupPublishBatch]] maintains: `<t>_stats` gains
+    * one |sources|-row `ingest_batch` leaf per micro-batch, so after
+    * thousands of batches every mix serve pays |batches| fragment opens
+    * per read. Unlike the layout-only frontier/postings compactions this
+    * one FOLDS: survivors are disjoint across batches, so the per-source
+    * metric columns are additive by construction and the whole lake
+    * collapses to ONE row per source (the sums plus `folded_thru`, the
+    * source's newest contributing batch id — the snapshot-wide max is
+    * the global fold boundary a delta reader resumes from, since every
+    * folded batch wrote at least one source row), published as a
+    * versioned `_stats_serve`
+    * snapshot — the `_VERSION` flip is the atomic reader-visible commit,
+    * a crashed compactor leaves only untrusted debris, concurrent
+    * compactors CAS distinct generations, a pinned reader keeps its
+    * generation. The folded sums equal the same aggregation over the
+    * fragmented lake, so a mix served from the snapshot is provably
+    * identical to the live serve (the pipe_domain_mix_compacted oracle
+    * contract). Ingest keeps appending to the fragmented table while
+    * readers serve the snapshot; the next run commits the next
+    * generation. Returns the committed version.
+    *
+    * Concurrency: with `quiesced = false` only batch ids STRICTLY OLDER
+    * than the newest stats id are trusted — the stats rollup is the
+    * LAST write of a publishing batch (corpus, sigs, hashes land
+    * first), so any id with a successor is a completed publish, while
+    * the newest may still be mid-write (dynamic partition overwrite is
+    * not directory-atomic). The id probe is a ledger-sized collect.
+    */
+  def compactStats(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): Int = {
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val all = wh.read(spark, s"${table}_stats")
+    val in =
+      if (quiesced) all
+      else {
+        val ids = all.select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        val committed = ids.toSet -- ids.maxOption
+        // a single-batch history excludes itself as the newest:
+        // publishing now would point _serve at an EMPTY generation —
+        // keep whatever generation currently serves instead
+        if (committed.isEmpty)
+          return wh.currentVersion(s"${table}_stats_serve").getOrElse(0)
+        all.filter(col("ingest_batch").isin(committed.toSeq: _*))
+      }
+    val folded = in.groupBy(col("source")).agg(
+      sum(col("n_docs")).cast("bigint").as("n_docs"),
+      sum(col("total_chars")).cast("bigint").as("total_chars"),
+      sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens_bpe"),
+      sum(col("n_tainted")).cast("bigint").as("n_tainted"),
+      max(col("ingest_batch")).cast("bigint").as("folded_thru"))
+    // |sources|-sized report frame: one file, not 32 near-empty ones
+    wh.versionedWrite(folded.coalesce(1), s"${table}_stats_serve")
+  }
+
   /** The END-TO-END crawl ingestion sink — raw `.warc.gz` shard FILES
     * land in a directory and come out the other side as a deduplicated
     * text corpus with a self-maintaining near-dup index:
@@ -1324,6 +1383,51 @@ object StreamRunner {
           batchId, wh, table, Seq("code", "ingest_batch"), audit): Unit
       } finally perId.unpersist(): Unit
     }
+  }
+
+  /** Semantic-lake COMPACTION — [[compactPostings]]' versioned-snapshot
+    * shape applied to [[semanticPublishBatch]]'s `(code, ingest_batch)`
+    * appender: one leaf per (touched code, micro-batch) means a
+    * code-pruned serve read pays per-fragment open cost growing with
+    * batch count. This job rewrites the accumulated lake as ONE
+    * code-partitioned generation (~one file per SRP code: a hash
+    * repartition on `code` before the partitioned write — block-pruned
+    * reads survive compaction), published as a versioned `_serve`
+    * snapshot with the usual contract: `_VERSION` flip is the atomic
+    * commit, crashed compactors leave untrusted debris, concurrent
+    * compactors CAS distinct generations, pinned readers keep their
+    * generation. Rows pass through UNCHANGED (`ingest_batch` kept as a
+    * data column), so the snapshot is provably identical to the live
+    * lake (the sim_semdedup_compacted oracle contract). Ingest keeps
+    * appending to the live table — the replay-exclusion filter there
+    * reads the LIVE lake, never the snapshot — and the next run commits
+    * the next generation. Returns the committed version.
+    *
+    * Concurrency: with `quiesced = false` only batch ids strictly older
+    * than the newest are trusted — the lake is the batch's ONLY table,
+    * so the newest id may be a mid-publish partition upsert (not
+    * directory-atomic); every older id's publish completed before the
+    * next batch of the serialized foreachBatch began.
+    */
+  def compactSemantic(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): Int = {
+    import org.apache.spark.sql.functions.col
+    val all = wh.read(spark, table)
+    val in =
+      if (quiesced) all
+      else {
+        val ids = all.select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        val committed = ids.toSet -- ids.maxOption
+        if (committed.isEmpty)
+          return wh.currentVersion(s"${table}_serve").getOrElse(0)
+        all.filter(col("ingest_batch").isin(committed.toSeq: _*))
+      }
+    wh.versionedWrite(in.repartition(col("code")),
+      s"${table}_serve", Seq("code"))
   }
 
   /** Streaming inverted-index maintenance — the foreachBatch twin of

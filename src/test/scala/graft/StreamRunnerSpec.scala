@@ -388,6 +388,126 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .exists(_.startsWith("__quarantine__semlake")))
   }
 
+  test("stats-lake compaction: additive fold to one row per source; torn newest batch excluded") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("csw"))
+    def docs(rows: Seq[(Long, String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t, s) => Row(i, t, s) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (3L, "unrelated stream state store content here", "books"))),
+      0L, wh, "corpus", _ => None, 0.5)
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (11L, "entirely new web words for the second batch window", "web"))),
+      1L, wh, "corpus", _ => None, 0.5)
+    def liveAgg: Map[String, (Long, Long, Long)] =
+      wh.read(spark, "corpus_stats").groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("d"), sum(col("total_chars")).as("c"),
+          sum(col("n_tokens_bpe")).as("t"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val live = liveAgg
+    // quiesced fold: every batch, one output row per source, sums equal
+    // the same aggregation over the fragmented lake
+    val v1 = StreamRunner.compactStats(spark, wh, "corpus")
+    assert(v1 === 1, "first compaction commits generation 1")
+    def snap(v: Int): Map[String, (Long, Long, Long, Long)] =
+      wh.readVersion(spark, "corpus_stats_serve", Some(v))
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+            r.getAs[Long]("n_tokens_bpe"), r.getAs[Long]("folded_thru")))).toMap
+    val s1 = snap(v1)
+    assert(s1.view.mapValues(v => (v._1, v._2, v._3)).toMap === live,
+      "folded sums must equal the live-lake aggregation")
+    // folded_thru is PER SOURCE: the newest batch that touched it (books
+    // only appeared in batch 0); the snapshot-wide max is the global
+    // fold boundary a delta reader would resume from
+    assert(s1("web")._4 == 1L && s1("books")._4 == 0L,
+      "folded_thru is each source's newest contributing batch id")
+    // torn-publish guard: a stats partition from a batch that is the
+    // NEWEST id (possibly still mid-write) must not be folded in under
+    // quiesced = false
+    wh.partitionedUpsertWrite(
+      wh.read(spark, "corpus_stats").limit(1)
+        .withColumn("ingest_batch", lit(99L)).localCheckpoint(),
+      "corpus_stats", Seq("ingest_batch"))
+    val v2 = StreamRunner.compactStats(spark, wh, "corpus", quiesced = false)
+    assert(v2 === 2)
+    val s2 = snap(v2)
+    assert(s2.view.mapValues(v => (v._1, v._2, v._3)).toMap === live,
+      "the newest (possibly torn) batch must not be folded in")
+    assert(s2.values.map(_._4).max == 1L,
+      "the global fold boundary excludes the untrusted newest id")
+    // a single-batch history has nothing trustworthy to fold: no
+    // snapshot commits and the previous generation keeps serving
+    val wh2 = new Warehouse(tmpDir("csw1"))
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (1L, "one lonely batch of web words here", "web"))),
+      0L, wh2, "corpus", _ => None, 0.5)
+    assert(StreamRunner.compactStats(spark, wh2, "corpus",
+      quiesced = false) === 0, "nothing committed: keep serving current")
+    assert(wh2.currentVersion("corpus_stats_serve").isEmpty)
+  }
+
+  test("semantic-lake compaction: layout-only rewrite, code-pruned reads, torn newest excluded") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("smcw"))
+    val planes = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f), Array(1f, -1f))
+    def vecs(rows: Seq[(Long, String, Seq[Float])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, l, e) => Row(i, l, e) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (1L, "a", Seq(1f, 0f)), (3L, "a", Seq(0f, 1f)), (5L, "b", Seq(0f, 1f)))),
+      0L, planes, wh, "semlake", _ => None, 0.25)
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (12L, "a", Seq(-1f, 0f)))),
+      1L, planes, wh, "semlake", _ => None, 0.25)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Long)] =
+      df.select(col("vec_id"), col("label"), col("code").cast("long"),
+          col("ingest_batch").cast("long"))
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val live = rowsOf(wh.read(spark, "semlake"))
+    val v1 = StreamRunner.compactSemantic(spark, wh, "semlake")
+    assert(v1 === 1, "first compaction commits generation 1")
+    assert(rowsOf(wh.readVersion(spark, "semlake_serve", Some(v1))) === live,
+      "the snapshot is a layout-only rewrite: rows pass through unchanged")
+    // the snapshot keeps code partitioning: a block-pruned read
+    // directory-prunes on the code partition column
+    val aCode = live.head._3
+    val probe = wh.readVersion(spark, "semlake_serve", Some(v1))
+      .filter(col("code") === aCode)
+    val scan = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("code")),
+      s"expected a code partition filter, got: ${scan.partitionFilters}")
+    // torn-publish guard: the newest batch id (possibly mid-write) is
+    // excluded under quiesced = false
+    wh.partitionedUpsertWrite(
+      wh.read(spark, "semlake").limit(1)
+        .withColumn("ingest_batch", lit(99L)).localCheckpoint(),
+      "semlake", Seq("code", "ingest_batch"))
+    val v2 = StreamRunner.compactSemantic(spark, wh, "semlake",
+      quiesced = false)
+    assert(v2 === 2)
+    assert(rowsOf(wh.readVersion(spark, "semlake_serve", Some(v2))) === live,
+      "the newest (possibly torn) batch must not be frozen into the snapshot")
+    // a single-batch history: nothing trustworthy, keep serving current
+    val wh2 = new Warehouse(tmpDir("smcw1"))
+    StreamRunner.semanticPublishBatch(vecs(Seq((1L, "a", Seq(1f, 0f)))),
+      0L, planes, wh2, "semlake", _ => None, 0.25)
+    assert(StreamRunner.compactSemantic(spark, wh2, "semlake",
+      quiesced = false) === 0)
+    assert(wh2.currentVersion("semlake_serve").isEmpty)
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
