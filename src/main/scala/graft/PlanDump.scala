@@ -354,6 +354,10 @@ object PlanDump {
     // |batches|-row and |sources|-row BROADCAST total sides + a 1-row
     // broadcast grand total — no data-sized shuffle)
     "pipe_mix_drift_incr",
+    // the snapshot+tail hybrid serve (audit: |sources|-row snapshot
+    // scan + a watermark-pruned tail partition read + one union-agg —
+    // the tail filter must show as an ingest_batch partition filter)
+    "pipe_domain_mix_hybrid",
     // streaming-SemDeDup'd embedding lake serve (audit: one
     // code-partitioned lake scan — dedup work happened at ingest)
     "sim_semdedup_serve",

@@ -185,6 +185,35 @@ object TextAnalysis extends QueryModule {
     }
   }
 
+  /** The HYBRID-serve variant of [[CorpusStatsFixture]]: the SAME three
+    * sliced ingest batches, but compaction runs MID-STREAM — after
+    * batch 1, before batch 2 — so the `_stats_serve` snapshot genuinely
+    * covers only a PREFIX of the ingest and the live tail partition is
+    * LOAD-BEARING in the snapshot+tail serve
+    * ([[graft.streaming.StreamRunner.statsServeHybrid]]). A watermark
+    * off-by-one (`>=` for `>`) double-counts or drops batch 2's mass
+    * and flips the shared replay oracle. `_stats_serve` is built inside
+    * the scratch prefix, so it participates in the fixture's atomic
+    * multi-table publish.
+    */
+  private[graft] object CorpusStatsHybridFixture extends StreamedFixture(
+    "csh", "graft_corpus_stats_hyb",
+    Seq("", "_sigs", "_hashes", "_stats", "_stats_serve"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      val docs = Tables.documents(s, d)
+      val slices = Seq(col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
+        col("doc_id") % 3 === 0)
+      graft.streaming.StreamRunner.dedupPublishBatch(
+        docs.filter(slices(0)), 0L, wh, scratch, _ => None, 0.5)
+      graft.streaming.StreamRunner.dedupPublishBatch(
+        docs.filter(slices(1)), 1L, wh, scratch, _ => None, 0.5)
+      graft.streaming.StreamRunner.compactStats(s, wh, scratch): Unit
+      graft.streaming.StreamRunner.dedupPublishBatch(
+        docs.filter(slices(2)), 2L, wh, scratch, _ => None, 0.5)
+    }
+  }
+
   /** Per-source (n_docs, n_tokens) rollup of the fixture's stats lake —
     * the |batches|x|sources| read both incremental mix serves share.
     * Refuses to finalize if any ingested doc carried a merge-placeholder
@@ -230,6 +259,19 @@ object TextAnalysis extends QueryModule {
         .select(col("source"), col("n_docs"),
           col("n_tokens_bpe").as("n_tokens"), col("n_tainted")),
       s"$p@serve")
+
+  /** The rollup served snapshot-PLUS-TAIL from the hybrid fixture
+    * ([[graft.streaming.StreamRunner.statsServeHybrid]]: the mid-stream
+    * `_stats_serve` prefix fold + the live partitions above its
+    * watermark). Same taint gate, own memo key.
+    */
+  private def corpusStatsHybridAgg(s: SparkSession, p: String): DataFrame =
+    finalizeStats(
+      graft.streaming.StreamRunner
+        .statsServeHybrid(s, CorpusStatsHybridFixture.wh, p)
+        .select(col("source"), col("n_docs"),
+          col("n_tokens_bpe").as("n_tokens"), col("n_tainted")),
+      s"$p@hybrid")
 
   /** Domain-mix finalization over a `(source, n_docs, n_tokens)` rollup —
     * min-source token mass as the keep budget, integer keep
@@ -784,6 +826,18 @@ object TextAnalysis extends QueryModule {
       domainMixOf(corpusStatsCompactedAgg(s, CorpusStatsFixture.compact(s, d)))),
     "pipe_temperature_mix_compacted" -> ((s, d) =>
       temperatureMixOf(corpusStatsCompactedAgg(s, CorpusStatsFixture.compact(s, d)))),
+
+    // ---- the HYBRID mix serves: snapshot + live tail — the read shape
+    // of a mix query while ingest keeps running. The fixture compacts
+    // MID-STREAM (after batch 1 of 3), so the snapshot covers only a
+    // prefix and the serve must union the live partitions above the
+    // snapshot's folded_thru watermark: a boundary off-by-one
+    // double-counts or drops batch 2's token mass, and the oracle —
+    // the same whole-ingest replay, verbatim — flips. ----
+    "pipe_domain_mix_hybrid" -> ((s, d) =>
+      domainMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.build(s, d)))),
+    "pipe_temperature_mix_hybrid" -> ((s, d) =>
+      temperatureMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.build(s, d)))),
 
     // ---- INCREMENTAL mix drift: the ingest-time monitoring twin of
     // pipe_drift, served ENTIRELY from the stats lake — per (batch,
@@ -2618,6 +2672,11 @@ object TextAnalysis extends QueryModule {
     // is the identical from-scratch replay — fold == live == replay
     "pipe_domain_mix_compacted" -> domainMixReplayOracle,
     "pipe_temperature_mix_compacted" -> temperatureMixReplayOracle,
+    // the hybrid serves union a mid-stream snapshot with the live tail;
+    // the same whole-ingest replay proves no loss and no double count
+    // across the fold boundary
+    "pipe_domain_mix_hybrid" -> domainMixReplayOracle,
+    "pipe_temperature_mix_hybrid" -> temperatureMixReplayOracle,
     // per-batch drift: the replay's batch CTEs re-derive each batch's
     // survivor set (s0 / e1−d1 / e2−d2), then per-(batch, source) stats
     // and the same integer-ppm share arithmetic as the engine

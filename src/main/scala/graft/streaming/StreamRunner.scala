@@ -407,6 +407,41 @@ object StreamRunner {
     wh.versionedWrite(folded.coalesce(1), s"${table}_stats_serve")
   }
 
+  /** The snapshot-PLUS-TAIL stats serve — how a mix query reads the
+    * accounting while ingest keeps running: the folded `_stats_serve`
+    * snapshot covers everything up to the global fold boundary
+    * (max `folded_thru` over the snapshot — a |sources|-row read), and
+    * the live lake contributes only the partitions STRICTLY ABOVE it
+    * (`ingest_batch` is the partition column, so the tail read is
+    * directory-pruned to batches the fold never saw). No loss and no
+    * double count by construction: folded batches are ≤ the boundary,
+    * tail batches are > it — including the possibly-mid-write newest
+    * batch a `quiesced = false` compaction deliberately excluded, which
+    * the tail re-reads from live once its publish completes. Cost:
+    * |sources| snapshot rows + |new batches|×|sources| tail rows,
+    * regardless of how many batches the fold already absorbed.
+    */
+  def statsServeHybrid(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val snap = wh.readVersion(spark, s"${table}_stats_serve")
+    val thru = snap.agg(max(col("folded_thru")).as("t"))
+      .collect()(0).getLong(0)
+    val cols = Seq("source", "n_docs", "total_chars", "n_tokens_bpe",
+      "n_tainted")
+    val tail = wh.read(spark, s"${table}_stats")
+      .filter(col("ingest_batch") > thru)
+      .select(cols.map(col): _*)
+    snap.select(cols.map(col): _*).unionByName(tail)
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).cast("bigint").as("n_docs"),
+        sum(col("total_chars")).cast("bigint").as("total_chars"),
+        sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens_bpe"),
+        sum(col("n_tainted")).cast("bigint").as("n_tainted"))
+  }
+
   /** The END-TO-END crawl ingestion sink — raw `.warc.gz` shard FILES
     * land in a directory and come out the other side as a deduplicated
     * text corpus with a self-maintaining near-dup index:
@@ -1364,7 +1399,7 @@ object StreamRunner {
             // bounded by the code space (2^planes), NOT the batch or the
             // lake — the touched-block key set that prunes the corpus read
             val batchCodes = exact.select(col("code")).distinct()
-              .collect().map(_.getLong(0))
+              .collect().map(_.getLong(0)).toIndexedSeq
             val corpus = wh.read(s, table)
               .filter(col("ingest_batch") =!= batchId &&
                 col("code").isin(batchCodes: _*))
@@ -1413,7 +1448,32 @@ object StreamRunner {
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       table: String,
-      quiesced: Boolean = true): Int = {
+      quiesced: Boolean = true): Int =
+    compactBlockedLake(spark, wh, table, "code", quiesced)
+
+  /** The IVF twin: [[ivfIngestToWarehouse]]'s `(cell, ingest_batch)`
+    * lake compacted to one cell-partitioned generation — identical
+    * contract, `cell` is the block key.
+    */
+  def compactIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): Int =
+    compactBlockedLake(spark, wh, table, "cell", quiesced)
+
+  /** The shared body: a `(blockCol, ingest_batch)`-appended lake
+    * rewritten as ONE blockCol-partitioned versioned `_serve`
+    * generation, rows unchanged. Every streamed lake that appends one
+    * leaf per (block, batch) compacts through here — the semantic lake
+    * on `code`, the IVF lake on `cell`.
+    */
+  private def compactBlockedLake(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      blockCol: String,
+      quiesced: Boolean): Int = {
     import org.apache.spark.sql.functions.col
     val all = wh.read(spark, table)
     val in =
@@ -1426,8 +1486,8 @@ object StreamRunner {
           return wh.currentVersion(s"${table}_serve").getOrElse(0)
         all.filter(col("ingest_batch").isin(committed.toSeq: _*))
       }
-    wh.versionedWrite(in.repartition(col("code")),
-      s"${table}_serve", Seq("code"))
+    wh.versionedWrite(in.repartition(col(blockCol)),
+      s"${table}_serve", Seq(blockCol))
   }
 
   /** Streaming inverted-index maintenance — the foreachBatch twin of

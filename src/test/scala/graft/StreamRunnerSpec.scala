@@ -508,6 +508,82 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(wh2.currentVersion("semlake_serve").isEmpty)
   }
 
+  test("hybrid stats serve: mid-stream snapshot + live tail, no loss, no double count") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("hyw"))
+    def docs(rows: Seq[(Long, String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t, s) => Row(i, t, s) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (3L, "unrelated stream state store content here", "books"))),
+      0L, wh, "c", _ => None, 0.5)
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (11L, "entirely new web words for the second batch window", "web"))),
+      1L, wh, "c", _ => None, 0.5)
+    // compact covers batches 0-1; batch 2 lands AFTER — only the tail
+    // read can see it
+    StreamRunner.compactStats(spark, wh, "c")
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (21L, "third batch books words arriving after the fold", "books"))),
+      2L, wh, "c", _ => None, 0.5)
+    def fullAgg: Map[String, (Long, Long)] =
+      wh.read(spark, "c_stats").groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens_bpe")).as("t"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hybridAgg: Map[String, (Long, Long)] =
+      StreamRunner.statsServeHybrid(spark, wh, "c")
+        .select(col("source"), col("n_docs"), col("n_tokens_bpe"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hybridAgg === fullAgg,
+      "snapshot(0-1) + tail(2) must equal the whole-lake aggregation")
+    // the quiesced=false coherence case: a fold that EXCLUDED the
+    // newest batch (possibly mid-write at compaction time) is made
+    // whole by the tail read once that batch's publish completes
+    StreamRunner.compactStats(spark, wh, "c", quiesced = false) // folds 0-1, excludes 2
+    assert(hybridAgg === fullAgg,
+      "a batch excluded from the fold as possibly-torn is re-read from the live tail")
+    // and after a fully-quiesced re-fold the tail is empty but the
+    // serve is unchanged
+    StreamRunner.compactStats(spark, wh, "c")
+    assert(hybridAgg === fullAgg)
+  }
+
+  test("IVF lake compaction: cell-partitioned generation via the shared blocked-lake body") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("ivfcw"))
+    def lakeRows(batch: Long, rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (v, c) => Row(v, c, batch) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("cell", LongType), StructField("ingest_batch", LongType))))
+    wh.partitionedUpsertWrite(
+      lakeRows(0L, Seq((10L, 1L), (11L, 2L))), "ivf", Seq("cell", "ingest_batch"))
+    wh.partitionedUpsertWrite(
+      lakeRows(1L, Seq((12L, 1L), (13L, 3L))), "ivf", Seq("cell", "ingest_batch"))
+    val live = wh.read(spark, "ivf")
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("ingest_batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val v = StreamRunner.compactIvf(spark, wh, "ivf")
+    assert(v === 1)
+    val snap = wh.readVersion(spark, "ivf_serve", Some(v))
+      .select(col("vec_id"), col("cell").cast("long"),
+        col("ingest_batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snap === live, "rows pass through unchanged")
+    // cell probes stay directory-pruned on the snapshot
+    val scan = wh.readVersion(spark, "ivf_serve", Some(v))
+      .filter(col("cell") === 1L)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
+      s"expected a cell partition filter, got: ${scan.partitionFilters}")
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
