@@ -363,7 +363,10 @@ object PlanDump {
     "sim_semdedup_serve",
     // the same lake from the compacted _serve generation (audit: one
     // pinned _v=N code-partitioned scan, ~one file per code)
-    "sim_semdedup_compacted")
+    "sim_semdedup_compacted",
+    // the streamed IVF lake's compacted serve (audit: one pinned
+    // cell-partitioned generation scan — assignment happened at ingest)
+    "sim_ivf_lake_compacted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -196,6 +196,51 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** A REAL streaming-maintained IVF lake:
+    * [[graft.streaming.StreamRunner.ivfPublishBatch]] replayed over
+    * three `embeddings` slices (vec_id % 3 = 1, 2, 0) with the
+    * dataset's own vec_id 1..8 embeddings as the FROZEN centroid set —
+    * assignment through the streaming-legal [[cellAssignExpr]]
+    * projection, publish through the staged-readback gate into the
+    * `(cell, ingest_batch)` layout — then COMPACTED
+    * ([[graft.streaming.StreamRunner.compactIvf]]) into one
+    * cell-partitioned versioned generation. `sim_ivf_lake_compacted`
+    * serves the snapshot; its oracle re-derives every vector's argmax
+    * cell from scratch, so the compactor altering, dropping, or
+    * double-publishing any row flips the hash.
+    */
+  private[graft] object IvfLakeFixture extends StreamedFixture(
+    "il", "graft_ivflake", Seq(""), layout = "v1",
+    extraPruneSuffixes = Seq("_serve")) {
+    override protected def sourceTable: String = "embeddings"
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      val cent: Seq[(Long, Seq[Float])] = Tables.embeddings(s, d)
+        .filter(col("vec_id").between(1, 8))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+        .sortBy(_._1).toSeq
+      val (cellCol, csCol) = cellAssignExpr(s, cent)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), cellCol, csCol)
+      Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
+          col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+        graft.streaming.StreamRunner.ivfPublishBatch(
+          e.filter(cond), i.toLong, wh, scratch, _ => None)
+      }
+    }
+
+    /** Build (if needed), then compact once per JVM; returns the prefix. */
+    def compact(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      compactOnce(p) {
+        graft.streaming.StreamRunner.compactIvf(s, wh, p)
+        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
+      }
+      p
+    }
+  }
+
   /** The oracle-facing projection of the semantic lake, shared by the
     * live (`sim_semdedup_serve`) and compacted (`sim_semdedup_compacted`)
     * reads — identical output shape is the point: both hash against the
@@ -626,6 +671,22 @@ object Similarity extends QueryModule {
       val p = SemanticLakeFixture.compact(s, d)
       semanticLakeProjection(
         SemanticLakeFixture.wh.readVersion(s, s"${p}_serve"))
+    }),
+
+    // ---- the streamed IVF lake, compacted and served: three sliced
+    // ingest batches assigned against the frozen 8-centroid set, the
+    // (cell, ingest_batch) fragments rewritten as one cell-partitioned
+    // generation (compactBlockedLake's `cell` instantiation), the
+    // snapshot read back pinned. The oracle re-derives every argmax
+    // assignment AND each row's batch id from scratch — sim_ivf_ingest's
+    // arithmetic over the whole lake. ----
+    "sim_ivf_lake_compacted" -> ((s, d) => {
+      val p = IvfLakeFixture.compact(s, d)
+      IvfLakeFixture.wh.readVersion(s, s"${p}_serve")
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          round(col("cs"), 6).as("cos_sim"),
+          col("ingest_batch").cast("bigint").as("ingest_batch"))
+        .orderBy(col("vec_id"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -1790,6 +1851,29 @@ object Similarity extends QueryModule {
     // shared verbatim by the live and compacted serves
     "sim_semdedup_serve" -> semanticLakeReplayOracle,
     "sim_semdedup_compacted" -> semanticLakeReplayOracle,
+    // every vector's argmax cell re-derived from scratch (the
+    // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
+    // mapping — a compactor that drops, alters, or double-publishes a
+    // row flips the hash
+    "sim_ivf_lake_compacted" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND 8
+         |), allv AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), scored AS (
+         |  SELECT v.vec_id, c.k, ${duckCosine("v.embedding", "c.c_emb")} AS cs
+         |  FROM allv v CROSS JOIN cent c
+         |), ranked AS (
+         |  SELECT vec_id, k AS cell, round(cs, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) AS rn
+         |  FROM scored
+         |)
+         |SELECT vec_id, cell, cos_sim,
+         |  CAST(CASE vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+         |    AS ingest_batch
+         |FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     // semantic drop set via the same closure CTE as sim_semantic_dedup,
     // then gate + split + rollup over the surviving documents
     "pipe_semantic_e2e" ->

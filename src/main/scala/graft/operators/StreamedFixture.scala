@@ -58,21 +58,26 @@ private[graft] abstract class StreamedFixture(
 
   private val compacted =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val compactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Run a fixture's compaction `job` once per prefix per JVM — each
     * compactor call commits a NEW snapshot generation, so the memo keeps
     * a session from stacking identical versions. Memoized only AFTER the
     * job returns: a failed run (lost CAS race, transient Spark failure)
     * must retry on the next call, not permanently serve "no committed
-    * versions".
+    * versions". Serialized on a PER-PREFIX lock, never the fixture
+    * monitor — a long compaction must not block concurrent [[build]]
+    * memo hits (read-only serve queries) or another prefix's compaction.
     */
   protected final def compactOnce(p: String)(job: => Unit): Unit =
-    synchronized {
-      if (!compacted.contains(p)) {
-        job
-        compacted.add(p): Unit
+    if (!compacted.contains(p))
+      compactLocks.computeIfAbsent(p, _ => new Object).synchronized {
+        if (!compacted.contains(p)) {
+          job
+          compacted.add(p): Unit
+        }
       }
-    }
 
   /** Write every `suffixes` table under the `scratch` prefix. */
   protected def buildScratch(s: SparkSession, d: String, scratch: String): Unit

@@ -155,19 +155,32 @@ object TextAnalysis extends QueryModule {
     * fingerprint under [[StreamedFixture]]'s locked atomic publish.
     * Serves the `<prefix>_stats` lake the incremental mix queries read.
     */
+  /** The canonical three-slice ingest replay BOTH stats fixtures run —
+    * one copy, so the hybrid fixture provably replays "the SAME three
+    * sliced ingest batches" its shared oracle assumes. `afterBatch`
+    * fires after each batch publishes (the hybrid's mid-stream fold
+    * hook).
+    */
+  private def replaySlicedIngest(
+      s: SparkSession, d: String,
+      wh: graft.pipeline.Warehouse, scratch: String,
+      afterBatch: Int => Unit = _ => ()): Unit = {
+    val docs = Tables.documents(s, d)
+    Seq(col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
+        col("doc_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+      graft.streaming.StreamRunner.dedupPublishBatch(
+        docs.filter(cond), i.toLong, wh, scratch, _ => None, 0.5)
+      afterBatch(i)
+    }
+  }
+
   private[graft] object CorpusStatsFixture extends StreamedFixture(
     "cs", "graft_corpus_stats",
     Seq("", "_sigs", "_hashes", "_stats"), layout = "v1",
     extraPruneSuffixes = Seq("_stats_serve")) {
     override protected def buildScratch(
-        s: SparkSession, d: String, scratch: String): Unit = {
-      val docs = Tables.documents(s, d)
-      Seq(col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
-          col("doc_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
-        graft.streaming.StreamRunner.dedupPublishBatch(
-          docs.filter(cond), i.toLong, wh, scratch, _ => None, 0.5)
-      }
-    }
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIngest(s, d, wh, scratch)
 
     /** Build (if needed), then FOLD the stats lake into the versioned
       * `_stats_serve` snapshot once per JVM
@@ -200,18 +213,10 @@ object TextAnalysis extends QueryModule {
     "csh", "graft_corpus_stats_hyb",
     Seq("", "_sigs", "_hashes", "_stats", "_stats_serve"), layout = "v1") {
     override protected def buildScratch(
-        s: SparkSession, d: String, scratch: String): Unit = {
-      val docs = Tables.documents(s, d)
-      val slices = Seq(col("doc_id") % 3 === 1, col("doc_id") % 3 === 2,
-        col("doc_id") % 3 === 0)
-      graft.streaming.StreamRunner.dedupPublishBatch(
-        docs.filter(slices(0)), 0L, wh, scratch, _ => None, 0.5)
-      graft.streaming.StreamRunner.dedupPublishBatch(
-        docs.filter(slices(1)), 1L, wh, scratch, _ => None, 0.5)
-      graft.streaming.StreamRunner.compactStats(s, wh, scratch): Unit
-      graft.streaming.StreamRunner.dedupPublishBatch(
-        docs.filter(slices(2)), 2L, wh, scratch, _ => None, 0.5)
-    }
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIngest(s, d, wh, scratch, afterBatch = i =>
+        if (i == 1)
+          graft.streaming.StreamRunner.compactStats(s, wh, scratch): Unit)
   }
 
   /** Per-source (n_docs, n_tokens) rollup of the fixture's stats lake —
@@ -224,9 +229,14 @@ object TextAnalysis extends QueryModule {
     */
   private val statsTaintChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def finalizeStats(agg: DataFrame, memoKey: String): DataFrame = {
+
+  /** The lake-borne BPE taint gate: one memoized 1-row sum of
+    * `n_tainted` over any stats frame (the raw lake or a rollup of it —
+    * the sum is the same number at every granularity).
+    */
+  private def requireStatsUntainted(frame: DataFrame, memoKey: String): Unit =
     if (!statsTaintChecked.contains(memoKey)) {
-      val tainted = agg.agg(sum(col("n_tainted")).as("t"))
+      val tainted = frame.agg(sum(col("n_tainted")).as("t"))
         .collect()(0).getLong(0)
       require(tainted == 0L,
         "BPE token accounting: the ingested corpus contains a literal " +
@@ -234,6 +244,9 @@ object TextAnalysis extends QueryModule {
           "placeholders must be outside the corpus alphabet")
       statsTaintChecked.add(memoKey): Unit
     }
+
+  private def finalizeStats(agg: DataFrame, memoKey: String): DataFrame = {
+    requireStatsUntainted(agg, memoKey)
     agg.drop("n_tainted")
   }
   private def corpusStatsAgg(s: SparkSession, p: String): DataFrame =
@@ -854,8 +867,9 @@ object TextAnalysis extends QueryModule {
     // |batches|-row and |sources|-row broadcast sides. ----
     "pipe_mix_drift_incr" -> ((s, d) => {
       val p = CorpusStatsFixture.build(s, d)
-      corpusStatsAgg(s, p) // the memoized BPE taint gate
-      val lake = CorpusStatsFixture.wh.read(s, s"${p}_stats")
+      val lake0 = CorpusStatsFixture.wh.read(s, s"${p}_stats")
+      requireStatsUntainted(lake0, p) // same memo key as the mix serves
+      val lake = lake0
         .select(col("ingest_batch").cast("bigint").as("ingest_batch"),
           col("source"), col("n_docs"),
           col("n_tokens_bpe").as("n_tokens"))

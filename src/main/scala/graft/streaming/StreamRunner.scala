@@ -377,6 +377,29 @@ object StreamRunner {
     * the newest may still be mid-write (dynamic partition overwrite is
     * not directory-atomic). The id probe is a ledger-sized collect.
     */
+  /** The single-table quiesced=false trust rule shared by
+    * [[compactStats]] and [[compactBlockedLake]]: only batch ids
+    * STRICTLY OLDER than the newest are trusted — the newest may be a
+    * mid-publish partition upsert (not directory-atomic); every older
+    * id's publish completed before the serialized foreachBatch began
+    * the next. `Left(v)` means nothing is trustworthy yet (a
+    * single-batch history excludes itself as the newest — publishing
+    * would point `_serve` at an EMPTY generation) and `v` is the
+    * currently-serving version to keep; `Right(df)` is the trusted
+    * subset. The id probe is a ledger-sized collect.
+    */
+  private def trustedOrCurrent(
+      all: DataFrame,
+      wh: Warehouse,
+      serveName: String): Either[Int, DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val ids = all.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val committed = ids.toSet -- ids.maxOption
+    if (committed.isEmpty) Left(wh.currentVersion(serveName).getOrElse(0))
+    else Right(all.filter(col("ingest_batch").isin(committed.toSeq: _*)))
+  }
+
   def compactStats(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
@@ -386,16 +409,9 @@ object StreamRunner {
     val all = wh.read(spark, s"${table}_stats")
     val in =
       if (quiesced) all
-      else {
-        val ids = all.select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        val committed = ids.toSet -- ids.maxOption
-        // a single-batch history excludes itself as the newest:
-        // publishing now would point _serve at an EMPTY generation —
-        // keep whatever generation currently serves instead
-        if (committed.isEmpty)
-          return wh.currentVersion(s"${table}_stats_serve").getOrElse(0)
-        all.filter(col("ingest_batch").isin(committed.toSeq: _*))
+      else trustedOrCurrent(all, wh, s"${table}_stats_serve") match {
+        case Left(current) => return current
+        case Right(df) => df
       }
     val folded = in.groupBy(col("source")).agg(
       sum(col("n_docs")).cast("bigint").as("n_docs"),
@@ -1296,10 +1312,25 @@ object StreamRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        gatedPublish(batch.withColumn("ingest_batch", lit(batchId)),
-          batchId, wh, table, Seq("cell", "ingest_batch"), audit): Unit
+        ivfPublishBatch(batch, batchId, wh, table, audit)
       }
       .start()
+  }
+
+  /** The per-micro-batch publish body of [[ivfIngestToWarehouse]] (the
+    * batch already carries its `cell`/`cs` assignment) — `private[graft]`
+    * so the IVF-lake fixture can replay the REAL ingest over
+    * deterministic slices.
+    */
+  private[graft] def ivfPublishBatch(
+      assigned: DataFrame,
+      batchId: Long,
+      wh: Warehouse,
+      table: String,
+      audit: DataFrame => Option[String]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    gatedPublish(assigned.withColumn("ingest_batch", lit(batchId)),
+      batchId, wh, table, Seq("cell", "ingest_batch"), audit): Unit
   }
 
   /** Streaming SEMANTIC dedup ingest — the EMBEDDING twin of
@@ -1478,13 +1509,9 @@ object StreamRunner {
     val all = wh.read(spark, table)
     val in =
       if (quiesced) all
-      else {
-        val ids = all.select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0))
-        val committed = ids.toSet -- ids.maxOption
-        if (committed.isEmpty)
-          return wh.currentVersion(s"${table}_serve").getOrElse(0)
-        all.filter(col("ingest_batch").isin(committed.toSeq: _*))
+      else trustedOrCurrent(all, wh, s"${table}_serve") match {
+        case Left(current) => return current
+        case Right(df) => df
       }
     wh.versionedWrite(in.repartition(col(blockCol)),
       s"${table}_serve", Seq(blockCol))
