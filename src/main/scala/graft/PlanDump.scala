@@ -358,6 +358,10 @@ object PlanDump {
     // scan + a watermark-pruned tail partition read + one union-agg —
     // the tail filter must show as an ingest_batch partition filter)
     "pipe_domain_mix_hybrid",
+    // the vacuumed lake: fold → GC → fold-forward (audit: the serve is
+    // the same hybrid plan; the vacuumed batches exist only inside the
+    // snapshot scan — no fragment read anywhere)
+    "pipe_domain_mix_vacuumed",
     // streaming-SemDeDup'd embedding lake serve (audit: one
     // code-partitioned lake scan — dedup work happened at ingest)
     "sim_semdedup_serve",

@@ -219,6 +219,32 @@ object TextAnalysis extends QueryModule {
           graft.streaming.StreamRunner.compactStats(s, wh, scratch): Unit)
   }
 
+  /** The VACUUMED-lake variant — the full LSM maintenance loop a
+    * perpetual ingest runs, compressed into one fixture: fold after
+    * batch 1, VACUUM the folded fragments (slack 0 — the quiesced
+    * maintenance-window form), ingest batch 2, fold AGAIN. The second
+    * fold can only be correct via fold-forward (prior snapshot ∪ tail):
+    * batches 0–1's fragments no longer exist, so a whole-lake refold
+    * would silently lose their mass — and the shared replay oracle,
+    * which accounts all three batches, flips. Serves through the same
+    * hybrid snapshot+tail read.
+    */
+  private[graft] object CorpusStatsVacuumFixture extends StreamedFixture(
+    "csg", "graft_corpus_stats_gc",
+    Seq("", "_sigs", "_hashes", "_stats", "_stats_serve"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIngest(s, d, wh, scratch, afterBatch = {
+        case 1 =>
+          graft.streaming.StreamRunner.compactStats(s, wh, scratch)
+          graft.streaming.StreamRunner
+            .gcStats(s, wh, scratch, slackGenerations = 0): Unit
+        case 2 =>
+          graft.streaming.StreamRunner.compactStats(s, wh, scratch): Unit
+        case _ => ()
+      })
+  }
+
   /** Per-source (n_docs, n_tokens) rollup of the fixture's stats lake —
     * the |batches|x|sources| read both incremental mix serves share.
     * Refuses to finalize if any ingested doc carried a merge-placeholder
@@ -278,10 +304,10 @@ object TextAnalysis extends QueryModule {
     * `_stats_serve` prefix fold + the live partitions above its
     * watermark). Same taint gate, own memo key.
     */
-  private def corpusStatsHybridAgg(s: SparkSession, p: String): DataFrame =
+  private def corpusStatsHybridAgg(s: SparkSession,
+      wh: graft.pipeline.Warehouse, p: String): DataFrame =
     finalizeStats(
-      graft.streaming.StreamRunner
-        .statsServeHybrid(s, CorpusStatsHybridFixture.wh, p)
+      graft.streaming.StreamRunner.statsServeHybrid(s, wh, p)
         .select(col("source"), col("n_docs"),
           col("n_tokens_bpe").as("n_tokens"), col("n_tainted")),
       s"$p@hybrid")
@@ -848,9 +874,23 @@ object TextAnalysis extends QueryModule {
     // double-counts or drops batch 2's token mass, and the oracle —
     // the same whole-ingest replay, verbatim — flips. ----
     "pipe_domain_mix_hybrid" -> ((s, d) =>
-      domainMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.build(s, d)))),
+      domainMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.wh,
+        CorpusStatsHybridFixture.build(s, d)))),
     "pipe_temperature_mix_hybrid" -> ((s, d) =>
-      temperatureMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.build(s, d)))),
+      temperatureMixOf(corpusStatsHybridAgg(s, CorpusStatsHybridFixture.wh,
+        CorpusStatsHybridFixture.build(s, d)))),
+
+    // ---- the VACUUMED lake: fold → GC the folded fragments → ingest →
+    // fold-forward — the LSM maintenance loop that keeps the accounting
+    // lake BOUNDED in a perpetual ingest. Batches 0–1 exist ONLY inside
+    // the snapshot when the second fold runs, so this query is green iff
+    // fold-forward carries their mass; the oracle (the whole-ingest
+    // replay, verbatim) flips on a refold-from-lake bug, a GC that
+    // deletes too much, or a watermark that lets vacuumed mass leak
+    // back in through the tail read. ----
+    "pipe_domain_mix_vacuumed" -> ((s, d) =>
+      domainMixOf(corpusStatsHybridAgg(s, CorpusStatsVacuumFixture.wh,
+        CorpusStatsVacuumFixture.build(s, d)))),
 
     // ---- INCREMENTAL mix drift: the ingest-time monitoring twin of
     // pipe_drift, served ENTIRELY from the stats lake — per (batch,
@@ -2691,6 +2731,9 @@ object TextAnalysis extends QueryModule {
     // across the fold boundary
     "pipe_domain_mix_hybrid" -> domainMixReplayOracle,
     "pipe_temperature_mix_hybrid" -> temperatureMixReplayOracle,
+    // fold → vacuum → ingest → fold-forward; the same replay proves the
+    // vacuumed batches' mass survived inside the snapshot chain
+    "pipe_domain_mix_vacuumed" -> domainMixReplayOracle,
     // per-batch drift: the replay's batch CTEs re-derive each batch's
     // survivor set (s0 / e1−d1 / e2−d2), then per-(batch, source) stats
     // and the same integer-ppm share arithmetic as the engine

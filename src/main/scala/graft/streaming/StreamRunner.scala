@@ -354,8 +354,8 @@ object StreamRunner {
     * thousands of batches every mix serve pays |batches| fragment opens
     * per read. Unlike the layout-only frontier/postings compactions this
     * one FOLDS: survivors are disjoint across batches, so the per-source
-    * metric columns are additive by construction and the whole lake
-    * collapses to ONE row per source (the sums plus `folded_thru`, the
+    * metric columns are additive by construction and the lake collapses
+    * to ONE row per source (the sums plus `folded_thru`, the
     * source's newest contributing batch id — the snapshot-wide max is
     * the global fold boundary a delta reader resumes from, since every
     * folded batch wrote at least one source row), published as a
@@ -406,21 +406,102 @@ object StreamRunner {
       table: String,
       quiesced: Boolean = true): Int = {
     import org.apache.spark.sql.functions.{col, max, sum}
-    val all = wh.read(spark, s"${table}_stats")
-    val in =
-      if (quiesced) all
-      else trustedOrCurrent(all, wh, s"${table}_stats_serve") match {
+    val serveName = s"${table}_stats_serve"
+    // a fully-vacuumed lake (schema-less dir after [[gcStats]]) means
+    // "no tail": with a committed snapshot this fold is a no-op; with
+    // none there is nothing to fold at all
+    if (!wh.hasData(s"${table}_stats"))
+      return wh.currentVersion(serveName).getOrElse(
+        throw new IllegalStateException(
+          s"compactStats($table): no stats data and no committed snapshot"))
+    val lake = wh.read(spark, s"${table}_stats")
+    // FOLD-FORWARD: with a committed prior generation, the new fold is
+    // prior snapshot ∪ tail (live partitions above the prior watermark)
+    // — |sources| + tail rows instead of the whole lake, and, crucially,
+    // correct AFTER [[gcStats]] has vacuumed the already-folded
+    // fragments (a whole-lake refold would silently lose their mass).
+    // Rows are normalized to a common shape: a snapshot row's
+    // `folded_thru` and a tail row's `ingest_batch` both mean "the
+    // newest batch this row's mass covers", so one union + groupBy
+    // computes both the sums and the new per-source watermark.
+    val (base, tailAll) = wh.currentVersion(serveName) match {
+      case Some(v) =>
+        val snap = wh.readVersion(spark, serveName, Some(v))
+        val thru = snap.agg(max(col("folded_thru")).as("t"))
+          .collect()(0).getLong(0)
+        (Some(snap.withColumnRenamed("folded_thru", "covers_thru")),
+          lake.filter(col("ingest_batch") > thru))
+      case None => (None, lake)
+    }
+    val tail =
+      if (quiesced) tailAll
+      else trustedOrCurrent(tailAll, wh, serveName) match {
         case Left(current) => return current
         case Right(df) => df
       }
+    // an empty trusted tail over an existing snapshot: committing an
+    // identical generation would only churn version numbers — no-op
+    if (base.isDefined && tail.isEmpty)
+      return wh.currentVersion(serveName).getOrElse(0)
+    val cols = Seq("source", "n_docs", "total_chars", "n_tokens_bpe",
+      "n_tainted")
+    val tailNorm = tail.select(
+      (cols.map(col) :+ col("ingest_batch").cast("long").as("covers_thru")): _*)
+    val in = base.map(b => b.select((cols.map(col) :+ col("covers_thru")): _*)
+      .unionByName(tailNorm)).getOrElse(tailNorm)
     val folded = in.groupBy(col("source")).agg(
       sum(col("n_docs")).cast("bigint").as("n_docs"),
       sum(col("total_chars")).cast("bigint").as("total_chars"),
       sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens_bpe"),
       sum(col("n_tainted")).cast("bigint").as("n_tainted"),
-      max(col("ingest_batch")).cast("bigint").as("folded_thru"))
+      max(col("covers_thru")).cast("bigint").as("folded_thru"))
     // |sources|-sized report frame: one file, not 32 near-empty ones
-    wh.versionedWrite(folded.coalesce(1), s"${table}_stats_serve")
+    wh.versionedWrite(folded.coalesce(1), serveName)
+  }
+
+  /** Stats-lake VACUUM — the GC that makes the accounting lake BOUNDED
+    * in a perpetual ingest: live `ingest_batch` partitions whose mass is
+    * already folded into a retained snapshot are deleted, leaving the
+    * lake |tail| fragments regardless of ingest age. Safe because the
+    * stats lake is PURELY DERIVED: once folded, nothing reads an old
+    * fragment — the hybrid serve reads `> thru`, and [[compactStats]]
+    * folds forward from the snapshot (never the vacuumed fragments).
+    * This asymmetry is why the semantic/IVF lakes have NO vacuum: their
+    * fragments ARE the match corpus the ingest joins against, so they
+    * compact for read layout but retain until a base∪delta ingest shape
+    * exists.
+    *
+    * `slackGenerations` is reader safety: only fragments at or below
+    * the watermark of the (current − slack)-th retained generation are
+    * deleted, so a reader pinned up to `slack` generations behind still
+    * finds every fragment its snapshot does not cover. With the default
+    * slack 1 a single-generation table vacuums nothing. Slack 0 is the
+    * quiesced maintenance-window form (no concurrent readers — the
+    * fixture/build case). Returns the deleted batch ids.
+    */
+  def gcStats(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      slackGenerations: Int = 1): Seq[Long] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val serveName = s"${table}_stats_serve"
+    val versions = wh.listVersions(serveName)
+    if (versions.size <= slackGenerations) return Nil
+    val boundaryVersion = versions(versions.size - 1 - slackGenerations)
+    val boundary = wh.readVersion(spark, serveName, Some(boundaryVersion))
+      .agg(max(col("folded_thru")).as("t")).collect()(0).getLong(0)
+    val lakeDir = new java.io.File(wh.tablePath(s"${table}_stats"))
+    Option(lakeDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+      .flatMap { f =>
+        val n = f.getName
+        if (!n.startsWith("ingest_batch=")) None
+        else scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
+          .toOption.filter(_ <= boundary).map { k =>
+            graft.pipeline.Warehouse.deleteRecursively(f); k
+          }
+      }.toSeq.sorted
   }
 
   /** The snapshot-PLUS-TAIL stats serve — how a mix query reads the
@@ -447,9 +528,13 @@ object StreamRunner {
       .collect()(0).getLong(0)
     val cols = Seq("source", "n_docs", "total_chars", "n_tokens_bpe",
       "n_tainted")
-    val tail = wh.read(spark, s"${table}_stats")
-      .filter(col("ingest_batch") > thru)
-      .select(cols.map(col): _*)
+    // hasData, not a bare read: a fully-vacuumed lake ([[gcStats]]) is a
+    // schema-less directory — semantically an EMPTY tail, not an error
+    val tail =
+      if (!wh.hasData(s"${table}_stats")) snap.select(cols.map(col): _*).limit(0)
+      else wh.read(spark, s"${table}_stats")
+        .filter(col("ingest_batch") > thru)
+        .select(cols.map(col): _*)
     snap.select(cols.map(col): _*).unionByName(tail)
       .groupBy(col("source")).agg(
         sum(col("n_docs")).cast("bigint").as("n_docs"),

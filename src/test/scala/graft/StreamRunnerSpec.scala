@@ -429,18 +429,18 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "folded_thru is each source's newest contributing batch id")
     // torn-publish guard: a stats partition from a batch that is the
     // NEWEST id (possibly still mid-write) must not be folded in under
-    // quiesced = false
+    // quiesced = false — and since it is the ONLY id above the prior
+    // watermark, the fold-forward has no trusted tail at all and keeps
+    // generation 1 serving instead of churning an identical generation
     wh.partitionedUpsertWrite(
       wh.read(spark, "corpus_stats").limit(1)
         .withColumn("ingest_batch", lit(99L)).localCheckpoint(),
       "corpus_stats", Seq("ingest_batch"))
     val v2 = StreamRunner.compactStats(spark, wh, "corpus", quiesced = false)
-    assert(v2 === 2)
-    val s2 = snap(v2)
-    assert(s2.view.mapValues(v => (v._1, v._2, v._3)).toMap === live,
-      "the newest (possibly torn) batch must not be folded in")
-    assert(s2.values.map(_._4).max == 1L,
-      "the global fold boundary excludes the untrusted newest id")
+    assert(v2 === 1,
+      "an untrusted-only tail is a no-op: the prior generation keeps serving")
+    assert(snap(1).view.mapValues(v => (v._1, v._2, v._3)).toMap === live,
+      "the newest (possibly torn) batch is not folded in")
     // a single-batch history has nothing trustworthy to fold: no
     // snapshot commits and the previous generation keeps serving
     val wh2 = new Warehouse(tmpDir("csw1"))
@@ -549,6 +549,85 @@ class StreamRunnerSpec extends SparkSuiteBase {
     // serve is unchanged
     StreamRunner.compactStats(spark, wh, "c")
     assert(hybridAgg === fullAgg)
+  }
+
+  test("stats fold-forward + vacuum: folded mass survives fragment GC; slack guards pinned readers") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("gcw"))
+    def docs(rows: Seq[(Long, String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t, s) => Row(i, t, s) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (3L, "unrelated stream state store content here", "books"))),
+      0L, wh, "c", _ => None, 0.5)
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (11L, "entirely new web words for the second batch window", "web"))),
+      1L, wh, "c", _ => None, 0.5)
+    def hybridAgg: Map[String, (Long, Long)] =
+      StreamRunner.statsServeHybrid(spark, wh, "c")
+        .select(col("source"), col("n_docs"), col("n_tokens_bpe"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(StreamRunner.compactStats(spark, wh, "c") === 1)
+    val expected = hybridAgg
+    // slack 1 with a single generation: nothing to vacuum
+    assert(StreamRunner.gcStats(spark, wh, "c") === Nil)
+    // slack 0 (maintenance window): folded fragments 0-1 go
+    assert(StreamRunner.gcStats(spark, wh, "c", slackGenerations = 0) ===
+      Seq(0L, 1L))
+    assert(!wh.hasData("c_stats"),
+      "the live lake is empty after a full vacuum")
+    assert(hybridAgg === expected,
+      "vacuumed mass must survive inside the snapshot")
+    // batch 2 lands post-vacuum; fold-forward = snapshot + tail(2) —
+    // a whole-lake refold would lose batches 0-1's mass forever
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (21L, "third batch books words arriving after the fold", "books"))),
+      2L, wh, "c", _ => None, 0.5)
+    val withTail = hybridAgg
+    assert(StreamRunner.compactStats(spark, wh, "c") === 2)
+    assert(hybridAgg === withTail,
+      "fold-forward must carry the vacuumed batches' mass into generation 2")
+    assert(wh.readVersion(spark, "c_stats_serve", Some(2))
+      .agg(max(col("folded_thru"))).collect()(0).getLong(0) === 2L)
+    // slack 1 now deletes only fragments covered by generation 1 — none
+    // remain (vacuumed), so batch 2's fragment survives for a reader
+    // pinned to generation 1
+    assert(StreamRunner.gcStats(spark, wh, "c") === Nil)
+    assert(wh.read(spark, "c_stats")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+    // an idle re-fold (no new batches) is a no-op, not a version churn
+    assert(StreamRunner.compactStats(spark, wh, "c") === 2)
+    // non-quiesced fold-forward: the newest tail id is excluded
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (31L, "fourth batch web words for the torn window test", "web"))),
+      3L, wh, "c", _ => None, 0.5)
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (41L, "fifth batch books words still in flight maybe", "books"))),
+      4L, wh, "c", _ => None, 0.5)
+    val v3 = StreamRunner.compactStats(spark, wh, "c", quiesced = false)
+    assert(v3 === 3)
+    assert(wh.readVersion(spark, "c_stats_serve", Some(v3))
+      .agg(max(col("folded_thru"))).collect()(0).getLong(0) === 3L,
+      "the possibly-mid-write newest batch stays out of the fold")
+    assert(hybridAgg === {
+      // hybrid must equal snapshot(folded 0-3) + tail(the excluded 4)
+      val snap = wh.readVersion(spark, "c_stats_serve", Some(v3))
+        .select(col("source"), col("n_docs"), col("n_tokens_bpe"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val tail = wh.read(spark, "c_stats").filter(col("ingest_batch") > 3L)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens_bpe")).as("t"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (snap.keySet ++ tail.keySet).map { k =>
+        val (a, b) = snap.getOrElse(k, (0L, 0L))
+        val (c2, d2) = tail.getOrElse(k, (0L, 0L))
+        k -> ((a + c2, b + d2))
+      }.toMap
+    }, "hybrid = non-quiesced snapshot + the excluded batch via the tail")
   }
 
   test("IVF lake compaction: cell-partitioned generation via the shared blocked-lake body") {
