@@ -539,10 +539,10 @@ class StreamRunnerSpec extends SparkSuiteBase {
         .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(hybridAgg === fullAgg,
       "snapshot(0-1) + tail(2) must equal the whole-lake aggregation")
-    // the quiesced=false coherence case: a fold that EXCLUDED the
-    // newest batch (possibly mid-write at compaction time) is made
-    // whole by the tail read once that batch's publish completes
-    StreamRunner.compactStats(spark, wh, "c", quiesced = false) // folds 0-1, excludes 2
+    // the quiesced=false coherence case: batch 2 is the (untrusted)
+    // newest, so the fold-forward is a NO-OP — generation 1 keeps
+    // serving and the serve stays whole via the tail read
+    StreamRunner.compactStats(spark, wh, "c", quiesced = false)
     assert(hybridAgg === fullAgg,
       "a batch excluded from the fold as possibly-torn is re-read from the live tail")
     // and after a fully-quiesced re-fold the tail is empty but the
