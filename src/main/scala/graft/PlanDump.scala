@@ -362,6 +362,10 @@ object PlanDump {
     // the same hybrid plan; the vacuumed batches exist only inside the
     // snapshot scan — no fragment read anywhere)
     "pipe_domain_mix_vacuumed",
+    // the corpus lake's source-partitioned compacted generation (audit:
+    // one pinned snapshot scan, text hashed in the projection — the
+    // presentation sort is the only exchange)
+    "pipe_corpus_compacted",
     // streaming-SemDeDup'd embedding lake serve (audit: one
     // code-partitioned lake scan — dedup work happened at ingest)
     "sim_semdedup_serve",

@@ -177,7 +177,7 @@ object TextAnalysis extends QueryModule {
   private[graft] object CorpusStatsFixture extends StreamedFixture(
     "cs", "graft_corpus_stats",
     Seq("", "_sigs", "_hashes", "_stats"), layout = "v1",
-    extraPruneSuffixes = Seq("_stats_serve")) {
+    extraPruneSuffixes = Seq("_stats_serve", "_serve")) {
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit =
       replaySlicedIngest(s, d, wh, scratch)
@@ -193,6 +193,20 @@ object TextAnalysis extends QueryModule {
       compactOnce(p) {
         graft.streaming.StreamRunner.compactStats(s, wh, p)
         wh.pruneVersions(s"${p}_stats_serve", keep = 2): Unit
+      }
+      p
+    }
+
+    /** Build (if needed), then compact the published CORPUS lake into
+      * its source-partitioned `_serve` generation once per JVM
+      * (distinct memo key from the stats fold — the two compactions are
+      * independent maintenance jobs).
+      */
+    def compactCorpus(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      compactOnce(s"$p@corpus") {
+        graft.streaming.StreamRunner.compactCorpus(s, wh, p)
+        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
       }
       p
     }
@@ -891,6 +905,20 @@ object TextAnalysis extends QueryModule {
     "pipe_domain_mix_vacuumed" -> ((s, d) =>
       domainMixOf(corpusStatsHybridAgg(s, CorpusStatsVacuumFixture.wh,
         CorpusStatsVacuumFixture.build(s, d)))),
+
+    // ---- the published CORPUS lake, compacted and CONTENT-proven: the
+    // survivors' text itself served from the source-partitioned `_serve`
+    // generation (until now the corpus content was spec-proven and only
+    // its accounting was oracle-proven). The oracle re-derives the
+    // survivor set from the whole sliced-ingest replay and hashes each
+    // survivor's text — a compactor that drops, duplicates, or
+    // corrupts ANY published document flips a row. ----
+    "pipe_corpus_compacted" -> ((s, d) => {
+      val p = CorpusStatsFixture.compactCorpus(s, d)
+      CorpusStatsFixture.wh.readVersion(s, s"${p}_serve")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- INCREMENTAL mix drift: the ingest-time monitoring twin of
     // pipe_drift, served ENTIRELY from the stats lake — per (batch,
@@ -2734,6 +2762,14 @@ object TextAnalysis extends QueryModule {
     // fold → vacuum → ingest → fold-forward; the same replay proves the
     // vacuumed batches' mass survived inside the snapshot chain
     "pipe_domain_mix_vacuumed" -> domainMixReplayOracle,
+    // the survivor set re-derived from the whole replay, each
+    // survivor's text hashed — corpus-content proof of the compacted
+    // generation
+    "pipe_corpus_compacted" ->
+      (corpusStatsReplayCte + """
+        |SELECT doc_id, source, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM surv)
+        |ORDER BY doc_id""".stripMargin),
     // per-batch drift: the replay's batch CTEs re-derive each batch's
     // survivor set (s0 / e1−d1 / e2−d2), then per-(batch, source) stats
     // and the same integer-ppm share arithmetic as the engine

@@ -1567,6 +1567,19 @@ object StreamRunner {
       quiesced: Boolean = true): Int =
     compactBlockedLake(spark, wh, table, "code", quiesced)
 
+  /** The published CORPUS lake compacted for serving: one
+    * source-partitioned generation (`source` is the key mix cuts and
+    * per-source exports prune on; the live lake is batch-partitioned
+    * for replay idempotence, the snapshot is source-partitioned for
+    * reads) — same contract, rows unchanged.
+    */
+  def compactCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): Int =
+    compactBlockedLake(spark, wh, table, "source", quiesced)
+
   /** The IVF twin: [[ivfIngestToWarehouse]]'s `(cell, ingest_batch)`
     * lake compacted to one cell-partitioned generation — identical
     * contract, `cell` is the block key.
