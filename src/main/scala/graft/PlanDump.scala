@@ -374,7 +374,10 @@ object PlanDump {
     "sim_semdedup_compacted",
     // the streamed IVF lake's compacted serve (audit: one pinned
     // cell-partitioned generation scan — assignment happened at ingest)
-    "sim_ivf_lake_compacted")
+    "sim_ivf_lake_compacted",
+    // top-k over the deduplicated compacted lake (audit: one snapshot
+    // scan + broadcast 1-row query vector + TakeOrderedAndProject)
+    "sim_semdedup_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

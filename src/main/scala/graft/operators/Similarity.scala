@@ -673,6 +673,27 @@ object Similarity extends QueryModule {
         SemanticLakeFixture.wh.readVersion(s, s"${p}_serve"))
     }),
 
+    // ---- top-k retrieval over the DEDUPLICATED lake — the user-facing
+    // read of a SemDeDup'd embedding store: brute cosine top-10 for the
+    // query vector against the compacted semantic lake, so results are
+    // relevant AND free of the near-duplicates the ingest dropped
+    // (sim_topk_brute over raw embeddings returns dup clusters; this
+    // can't). The oracle composes the survivor replay with the same
+    // scored top-k, so an over- or under-deduplicated lake changes
+    // which neighbors exist and flips the hash. ----
+    "sim_semdedup_topk" -> ((s, d) => {
+      val p = SemanticLakeFixture.compact(s, d)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      SemanticLakeFixture.wh.readVersion(s, s"${p}_serve")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // ---- the streamed IVF lake, compacted and served: three sliced
     // ingest batches assigned against the frozen 8-centroid set, the
     // (cell, ingest_batch) fragments rewritten as one cell-partitioned
@@ -1409,7 +1430,10 @@ object Similarity extends QueryModule {
     * `sim_semdedup_compacted` (pinned `_serve` snapshot) — both must
     * hash-match the same replay.
     */
-  private def semanticLakeReplayOracle: String = {
+  /** The CTE chain through `surv` (the lake's survivor set), shared by
+    * the full-lake replays and the deduplicated-top-k oracle.
+    */
+  private def semanticLakeReplayCte: String = {
     def dupRound(batch: String, corpus: String): String =
       s"""  SELECT DISTINCT a.vec_id AS vec_id FROM e a JOIN e b
          |    ON a.label = b.label AND a.code = b.code AND a.vec_id <> b.vec_id
@@ -1442,13 +1466,16 @@ object Similarity extends QueryModule {
        |), surv AS MATERIALIZED (
        |  SELECT vec_id FROM prev UNION ALL
        |  SELECT vec_id FROM e2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)
-       |)
-       |SELECT e.vec_id, e.label, e.code,
-       |  CAST(CASE e.vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
-       |    AS ingest_batch
-       |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
-       |ORDER BY e.vec_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private def semanticLakeReplayOracle: String =
+    semanticLakeReplayCte + """
+      |SELECT e.vec_id, e.label, e.code,
+      |  CAST(CASE e.vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+      |    AS ingest_batch
+      |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
+      |ORDER BY e.vec_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "sim_topk_pq" -> pqOracleSql,
@@ -1851,6 +1878,17 @@ object Similarity extends QueryModule {
     // shared verbatim by the live and compacted serves
     "sim_semdedup_serve" -> semanticLakeReplayOracle,
     "sim_semdedup_compacted" -> semanticLakeReplayOracle,
+    // survivor replay composed with the scored top-k — the retrieval
+    // answer over the deduplicated lake
+    "sim_semdedup_topk" ->
+      (semanticLakeReplayCte + s""", scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+        |  FROM e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+        |)
+        |SELECT vec_id, label, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     // every vector's argmax cell re-derived from scratch (the
     // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
     // mapping — a compactor that drops, alters, or double-publishes a
