@@ -1345,7 +1345,9 @@ object Crawl extends QueryModule {
       compactOnce(p) {
         graft.streaming.StreamRunner.compactFrontier(s, wh, p)
         wh.pruneVersions(s"${p}_records_serve", keep = 2)
-        wh.pruneVersions(s"${p}_settled_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_settled_serve", keep = 2)
+        wh.currentVersion(s"${p}_records_serve").isDefined &&
+          wh.currentVersion(s"${p}_settled_serve").isDefined
       }
       p
     }

@@ -190,7 +190,8 @@ object Similarity extends QueryModule {
       val p = build(s, d)
       compactOnce(p) {
         graft.streaming.StreamRunner.compactSemantic(s, wh, p)
-        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_serve", keep = 2)
+        wh.currentVersion(s"${p}_serve").isDefined
       }
       p
     }
@@ -235,7 +236,8 @@ object Similarity extends QueryModule {
       val p = build(s, d)
       compactOnce(p) {
         graft.streaming.StreamRunner.compactIvf(s, wh, p)
-        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_serve", keep = 2)
+        wh.currentVersion(s"${p}_serve").isDefined
       }
       p
     }

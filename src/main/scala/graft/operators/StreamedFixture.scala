@@ -63,20 +63,21 @@ private[graft] abstract class StreamedFixture(
 
   /** Run a fixture's compaction `job` once per prefix per JVM — each
     * compactor call commits a NEW snapshot generation, so the memo keeps
-    * a session from stacking identical versions. Memoized only AFTER the
-    * job returns: a failed run (lost CAS race, transient Spark failure)
-    * must retry on the next call, not permanently serve "no committed
-    * versions". Serialized on a PER-PREFIX lock, never the fixture
+    * a session from stacking identical versions. The job reports whether
+    * a committed generation EXISTS (not merely "returned without
+    * throwing"): a compactor can legitimately return without committing
+    * (the non-quiesced no-trusted-tail path), and memoizing that would
+    * permanently serve "no committed versions" — so only `true` lands in
+    * the memo; a failed or commit-less run retries on the next call.
+    * Serialized on a PER-PREFIX lock, never the fixture
     * monitor — a long compaction must not block concurrent [[build]]
     * memo hits (read-only serve queries) or another prefix's compaction.
     */
-  protected final def compactOnce(p: String)(job: => Unit): Unit =
+  protected final def compactOnce(p: String)(job: => Boolean): Unit =
     if (!compacted.contains(p))
       compactLocks.computeIfAbsent(p, _ => new Object).synchronized {
-        if (!compacted.contains(p)) {
-          job
+        if (!compacted.contains(p) && job)
           compacted.add(p): Unit
-        }
       }
 
   /** Write every `suffixes` table under the `scratch` prefix. */

@@ -192,7 +192,8 @@ object TextAnalysis extends QueryModule {
       val p = build(s, d)
       compactOnce(p) {
         graft.streaming.StreamRunner.compactStats(s, wh, p)
-        wh.pruneVersions(s"${p}_stats_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_stats_serve", keep = 2)
+        wh.currentVersion(s"${p}_stats_serve").isDefined
       }
       p
     }
@@ -206,7 +207,8 @@ object TextAnalysis extends QueryModule {
       val p = build(s, d)
       compactOnce(s"$p@corpus") {
         graft.streaming.StreamRunner.compactCorpus(s, wh, p)
-        wh.pruneVersions(s"${p}_serve", keep = 2): Unit
+        wh.pruneVersions(s"${p}_serve", keep = 2)
+        wh.currentVersion(s"${p}_serve").isDefined
       }
       p
     }
@@ -949,8 +951,16 @@ object TextAnalysis extends QueryModule {
       lake.join(broadcast(batchTot), Seq("ingest_batch"))
         .join(broadcast(srcTot), Seq("source"))
         .crossJoin(broadcast(grand))
-        .withColumn("batch_ppm", expr("n_tokens * 1000000 DIV batch_tokens"))
-        .withColumn("corpus_ppm", expr("src_tokens * 1000000 DIV all_tokens"))
+        // the ×1e6 runs in DECIMAL(38,0): a bigint multiply would wrap
+        // Spark's non-ANSI Long arithmetic once a group exceeds ~9.2e12
+        // BPE tokens — inside the 100 TB envelope — while DuckDB raises
+        // on BIGINT overflow, so engine and oracle would diverge exactly
+        // at scale. DIV on decimals is still exact integer division
+        // (IntegralDivide → BIGINT); the oracle widens through HUGEINT.
+        .withColumn("batch_ppm",
+          expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV batch_tokens"))
+        .withColumn("corpus_ppm",
+          expr("CAST(src_tokens AS DECIMAL(38,0)) * 1000000 DIV all_tokens"))
         .withColumn("drift_ppm", abs(col("batch_ppm") - col("corpus_ppm")))
         .select(col("ingest_batch"), col("source"), col("n_docs"),
           col("n_tokens"), col("batch_ppm"), col("corpus_ppm"),
@@ -2796,12 +2806,12 @@ object TextAnalysis extends QueryModule {
         |)
         |SELECT CAST(bs.ingest_batch AS BIGINT) AS ingest_batch,
         |  bs.source, bs.n_docs, bs.n_tokens,
-        |  CAST((bs.n_tokens * 1000000) // bt.batch_tokens AS BIGINT) AS batch_ppm,
-        |  CAST((st.src_tokens * 1000000) // gt.all_tokens AS BIGINT) AS corpus_ppm,
-        |  CAST(abs((bs.n_tokens * 1000000) // bt.batch_tokens
-        |    - (st.src_tokens * 1000000) // gt.all_tokens) AS BIGINT) AS drift_ppm,
-        |  abs((bs.n_tokens * 1000000) // bt.batch_tokens
-        |    - (st.src_tokens * 1000000) // gt.all_tokens) > 10000 AS drifted
+        |  CAST((CAST(bs.n_tokens AS HUGEINT) * 1000000) // bt.batch_tokens AS BIGINT) AS batch_ppm,
+        |  CAST((CAST(st.src_tokens AS HUGEINT) * 1000000) // gt.all_tokens AS BIGINT) AS corpus_ppm,
+        |  CAST(abs((CAST(bs.n_tokens AS HUGEINT) * 1000000) // bt.batch_tokens
+        |    - (CAST(st.src_tokens AS HUGEINT) * 1000000) // gt.all_tokens) AS BIGINT) AS drift_ppm,
+        |  abs((CAST(bs.n_tokens AS HUGEINT) * 1000000) // bt.batch_tokens
+        |    - (CAST(st.src_tokens AS HUGEINT) * 1000000) // gt.all_tokens) > 10000 AS drifted
         |FROM bstats bs JOIN bt USING (ingest_batch) JOIN st USING (source), gt
         |ORDER BY bs.ingest_batch, bs.source""".stripMargin),
     "pipe_training_shards" ->

@@ -268,12 +268,14 @@ object StreamRunner {
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
         val exact = uniq.join(canon, Seq("doc_id")).drop("__h")
-        // hasData, not exists: a first batch whose survivors produced ZERO
-        // index rows (all docs below the 3-word shingling minimum) leaves
-        // a schema-less sigs directory — reading it would poison every
-        // later batch; semantically it IS "no index yet"
+        // hasAnyData, not exists: a first batch whose survivors produced
+        // ZERO index rows (all docs below the 3-word shingling minimum)
+        // leaves a schema-less sigs directory — reading it would poison
+        // every later batch; semantically it IS "no index yet". After
+        // [[gcLake]] the whole index may live in the snapshot with zero
+        // live fragments, which is NOT "no index".
         val survivors =
-          if (!wh.hasData(s"${table}_sigs")) exact
+          if (!hasAnyData(wh, s"${table}_sigs", s"${table}_sigs_serve")) exact
           else {
             val s = batch.sparkSession
             // exclude THIS batch id's own index partitions from the
@@ -284,12 +286,17 @@ object StreamRunner {
             // near-dup PAIR (A matches B, B matches A — the
             // doc_new =!= doc_old filter only covers self-pairs).
             // The filter is on the partition column, so it prunes
-            // files rather than scanning them.
+            // files rather than scanning them — and still holds on
+            // compacted rows, where ingest_batch rides as data.
+            // Both index sides read snapshot+tail ([[hybridLakeRead]]):
+            // per-batch match cost is one compacted generation plus the
+            // post-fold fragments, bounded under perpetual ingest.
             val dupIds = graft.operators.Dedup.incrementalMatches(
                 graft.operators.Dedup.shinglesOf(exact),
-                wh.read(s, s"${table}_sigs")
+                hybridLakeRead(s, wh, s"${table}_sigs", s"${table}_sigs_serve")
                   .filter(col("ingest_batch") =!= batchId),
-                wh.read(s, s"${table}_hashes")
+                hybridLakeRead(s, wh, s"${table}_hashes",
+                    s"${table}_hashes_serve")
                   .filter(col("ingest_batch") =!= batchId)
                   .select(col("doc_id"), col("h")),
                 minJaccard)
@@ -858,12 +865,13 @@ object StreamRunner {
         // (either side missing triggers the full backfill: a crash
         // between the edge and terminal publishes of the backfill batch
         // itself must re-seed both on replay — the merges are idempotent)
-        val backfill = wh.hasData(recsName) &&
+        val backfill = hasAnyData(wh, recsName, s"${recsName}_serve") &&
           (!wh.hasData(s"${table}_edges") ||
             !wh.hasData(s"${table}_terminals"))
         val deltaRecs =
           if (!backfill) recs
-          else wh.read(spark, recsName).drop("db", "ingest_batch")
+          else hybridLakeRead(spark, wh, recsName, s"${recsName}_serve")
+            .drop("db", "ingest_batch")
             .unionByName(recs)
         // batch-derived index deltas, merged into the persisted lakes at
         // touched-bucket cost; the walk views see the full post-batch
@@ -880,9 +888,10 @@ object StreamRunner {
           _.distinct())
         // serve state as of BEFORE this batch id (the replay guard: a
         // replayed batch derives retries and deltas as if its first
-        // attempt never ran)
+        // attempt never ran). hasAnyData: after [[gcLake]] the settled
+        // history may live entirely in its snapshot.
         val prior =
-          if (!wh.hasData(settledName)) None
+          if (!hasAnyData(wh, settledName, s"${settledName}_serve")) None
           else Some(frontierSettled(spark, wh, table,
             excludeBatch = Some(batchId)))
         // the retry queue: currently-dangling sources re-walk against
@@ -913,12 +922,17 @@ object StreamRunner {
             val dbs = liveIds
               .select(Crawl.frontierBucket(col("doc_id")).as("v"))
               .distinct().collect().map(_.getLong(0)).toIndexedSeq
+            // snapshot + post-fold tail, both db-pruned (the snapshot is
+            // db-partitioned, the live tail (db, ingest_batch)) — the
+            // retry probe stays directory-pruned AND bounded after
+            // compaction/vacuum
             val retryRecs =
               if (dbs.isEmpty) recs.limit(0)
               else if (legacyRecs)
-                wh.read(spark, recsName).drop("ingest_batch")
+                hybridLakeRead(spark, wh, recsName, s"${recsName}_serve")
+                  .drop("ingest_batch")
                   .join(liveIds, Seq("doc_id"), "left_semi")
-              else wh.read(spark, recsName)
+              else hybridLakeRead(spark, wh, recsName, s"${recsName}_serve")
                 .filter(col("db").isin(dbs: _*))
                 .drop("db", "ingest_batch")
                 .join(liveIds, Seq("doc_id"), "left_semi")
@@ -1019,38 +1033,38 @@ object StreamRunner {
       table: String,
       quiesced: Boolean = true): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val (recsIn, settledIn) =
-      if (quiesced)
-        (wh.read(spark, s"${table}_records"),
-          wh.read(spark, s"${table}_settled"))
-      else {
-        // READ ORDER IS THE GUARD: the ledger is collected BEFORE the
-        // records/settled readers snapshot their file listings. A batch
-        // finishing its publish in between is then absent from the
-        // ledger set (its ledger row lands last) and excluded — reading
-        // the tables first would let a batch that completed after the
-        // listing appear committed while only partially present in the
-        // frozen listing. Ledger-sized collect: one row per micro-batch
-        // ever ingested.
-        val committed = wh.read(spark, s"${table}_ledger")
-          .select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        if (committed.isEmpty)
-          return (wh.currentVersion(s"${table}_records_serve").getOrElse(0),
-            wh.currentVersion(s"${table}_settled_serve").getOrElse(0))
-        (wh.read(spark, s"${table}_records")
-          .filter(col("ingest_batch").isin(committed.toSeq: _*)),
-          wh.read(spark, s"${table}_settled")
-            .filter(col("ingest_batch").isin(committed.toSeq: _*)))
+    // READ ORDER IS THE GUARD: the ledger is collected BEFORE the
+    // records/settled readers snapshot their file listings. A batch
+    // finishing its publish in between is then absent from the
+    // ledger set (its ledger row lands last) and excluded — reading
+    // the tables first would let a batch that completed after the
+    // listing appear committed while only partially present in the
+    // frozen listing. Ledger-sized collect: one row per micro-batch
+    // ever ingested.
+    val committed: Option[Set[Long]] =
+      if (quiesced) None
+      else Some(wh.read(spark, s"${table}_ledger")
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet)
+    def trust(serveName: String)(tail: DataFrame): Either[Int, DataFrame] =
+      committed match {
+        case None => Right(tail)
+        case Some(ids) if ids.isEmpty =>
+          Left(wh.currentVersion(serveName).getOrElse(0))
+        case Some(ids) =>
+          Right(tail.filter(col("ingest_batch").isin(ids.toSeq: _*)))
       }
     // a legacy record lake (pre-db layout) snapshots unpartitioned; the
     // bucketed layout keeps db so the snapshot stays retry-prunable
-    val recsV =
-      if (recsIn.columns.contains("db"))
-        wh.versionedWrite(recsIn.repartition(col("db")),
-          s"${table}_records_serve", Seq("db"))
-      else wh.versionedWrite(recsIn, s"${table}_records_serve")
-    (recsV, wh.versionedWrite(settledIn, s"${table}_settled_serve"))
+    val recsName = s"${table}_records"
+    val recsParts =
+      if (wh.hasData(recsName) &&
+          wh.read(spark, recsName).columns.contains("db")) Seq("db")
+      else Nil
+    (foldForward(spark, wh, recsName, s"${recsName}_serve",
+        trust(s"${recsName}_serve"), recsParts),
+      foldForward(spark, wh, s"${table}_settled", s"${table}_settled_serve",
+        trust(s"${table}_settled_serve"), Nil))
   }
 
   /** [[frontierSettled]] served from the COMPACTED snapshot — the same
@@ -1068,8 +1082,15 @@ object StreamRunner {
   /** The frontier's SERVE view: each source's LATEST settled outcome
     * (rank-1 by ingest_batch per doc_id — the settled table is
     * redirect-count-sized, so the window is walk-state-sized, never
-    * archive-sized). `excludeBatch` is the replay guard: a replaying
-    * batch derives its retry set as if its own attempt never ran.
+    * archive-sized). Reads snapshot + tail ([[hybridLakeRead]]): with no
+    * committed `_settled_serve` generation this is the live fragmented
+    * table verbatim (pipe_frontier_serve's read); with one, the view
+    * pays one generation + post-fold fragments and stays whole after
+    * [[gcLake]] vacuums folded fragments (pipe_frontier_hybrid's read).
+    * `excludeBatch` is the replay guard: a replaying
+    * batch derives its retry set as if its own attempt never ran — an
+    * ingest_batch DATA-column filter, so it removes the replayed rows
+    * even after a compaction folded them into the snapshot.
     */
   def frontierSettled(
       spark: org.apache.spark.sql.SparkSession,
@@ -1077,7 +1098,8 @@ object StreamRunner {
       table: String,
       excludeBatch: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val t = wh.read(spark, s"${table}_settled")
+    val t = hybridLakeRead(spark, wh, s"${table}_settled",
+      s"${table}_settled_serve")
     latestPerSource(excludeBatch
       .map(b => t.filter(col("ingest_batch") =!= b)).getOrElse(t))
   }
@@ -1510,13 +1532,19 @@ object StreamRunner {
           .select(col("vec_id"))
         val exact = perId.join(canon, Seq("vec_id"))
         val survivors =
-          if (!wh.hasData(table)) exact
+          if (!hasAnyData(wh, table, s"${table}_serve")) exact
           else {
             // bounded by the code space (2^planes), NOT the batch or the
             // lake — the touched-block key set that prunes the corpus read
             val batchCodes = exact.select(col("code")).distinct()
               .collect().map(_.getLong(0)).toIndexedSeq
-            val corpus = wh.read(s, table)
+            // snapshot + tail, not the fragmented live lake: per-batch
+            // match cost is one compacted generation + |new batches|
+            // fragments, bounded under perpetual ingest (and the only
+            // correct read once [[gcLake]] has vacuumed folded
+            // fragments). The replay-exclusion filter still holds on
+            // folded rows — ingest_batch rides the snapshot as data.
+            val corpus = hybridLakeRead(s, wh, table, s"${table}_serve")
               .filter(col("ingest_batch") =!= batchId &&
                 col("code").isin(batchCodes: _*))
               .select(col("vec_id").as("vec_old"),
@@ -1550,9 +1578,10 @@ object StreamRunner {
     * generation. Rows pass through UNCHANGED (`ingest_batch` kept as a
     * data column), so the snapshot is provably identical to the live
     * lake (the sim_semdedup_compacted oracle contract). Ingest keeps
-    * appending to the live table — the replay-exclusion filter there
-    * reads the LIVE lake, never the snapshot — and the next run commits
-    * the next generation. Returns the committed version.
+    * appending to the live table and its match join reads snapshot+tail
+    * ([[hybridLakeRead]] — replay exclusion holds on folded rows because
+    * `ingest_batch` rides the snapshot as data); the next run folds
+    * FORWARD from this generation. Returns the committed version.
     *
     * Concurrency: with `quiesced = false` only batch ids strictly older
     * than the newest are trusted — the lake is the batch's ONLY table,
@@ -1595,24 +1624,218 @@ object StreamRunner {
     * rewritten as ONE blockCol-partitioned versioned `_serve`
     * generation, rows unchanged. Every streamed lake that appends one
     * leaf per (block, batch) compacts through here — the semantic lake
-    * on `code`, the IVF lake on `cell`.
+    * on `code`, the IVF lake on `cell`, the corpus lake on `source`.
+    *
+    * FOLD-FORWARD, like [[compactStats]]: with a committed prior
+    * generation, the new generation is prior snapshot ∪ live tail
+    * (partitions strictly above the prior watermark = the snapshot's max
+    * `ingest_batch`, kept as a data column exactly for this). Required
+    * for correctness once [[gcLake]] vacuums folded fragments — a
+    * whole-lake refold would silently lose their rows — and it is also
+    * the no-op guard: an empty trusted tail over an existing snapshot
+    * returns the current version instead of churning an identical
+    * generation (which would burn pruneVersions retention out from
+    * under pinned readers).
     */
   private def compactBlockedLake(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       table: String,
       blockCol: String,
-      quiesced: Boolean): Int = {
+      quiesced: Boolean): Int =
+    foldForward(spark, wh, table, s"${table}_serve",
+      trust = tail =>
+        if (quiesced) Right(tail)
+        else trustedOrCurrent(tail, wh, s"${table}_serve"),
+      partitionCols = Seq(blockCol))
+
+  /** The one fold-forward implementation every rows-unchanged lake
+    * compaction shares ([[compactBlockedLake]], [[compactDedupIndex]],
+    * [[compactFrontier]]): new generation = prior snapshot ∪ trusted
+    * live tail (partitions strictly above the prior watermark), rows
+    * unchanged, published as a versioned snapshot. `trust` is each
+    * lake's mid-publish guard over the TAIL — `Right` the trustable
+    * subset, `Left` the version to keep serving when nothing in the
+    * tail can be trusted yet. An empty trusted tail over an existing
+    * snapshot is a NO-OP (returns the current version): committing an
+    * identical generation would only churn the retention window out
+    * from under pinned readers.
+    */
+  private def foldForward(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      liveName: String,
+      serveName: String,
+      trust: DataFrame => Either[Int, DataFrame],
+      partitionCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    val all = wh.read(spark, table)
-    val in =
-      if (quiesced) all
-      else trustedOrCurrent(all, wh, s"${table}_serve") match {
-        case Left(current) => return current
-        case Right(df) => df
-      }
-    wh.versionedWrite(in.repartition(col(blockCol)),
-      s"${table}_serve", Seq(blockCol))
+    // a fully-vacuumed live lake (schema-less dir after [[gcLake]]) means
+    // "no tail": with a committed snapshot this fold is a no-op; with
+    // none there is nothing to fold at all
+    if (!wh.hasData(liveName))
+      return wh.currentVersion(serveName).getOrElse(
+        throw new IllegalStateException(
+          s"foldForward($liveName): no live data and no committed snapshot"))
+    val lake = wh.read(spark, liveName)
+    val (base, tailAll) = wh.currentVersion(serveName) match {
+      case Some(v) =>
+        val snap = wh.readVersion(spark, serveName, Some(v))
+        (Some(snap), lake.filter(col("ingest_batch") > snapshotThru(snap)))
+      case None => (None, lake)
+    }
+    val tail = trust(tailAll) match {
+      case Left(current) => return current
+      case Right(df) => df
+    }
+    if (base.isDefined && tail.isEmpty)
+      return wh.currentVersion(serveName).getOrElse(0)
+    val in = base
+      .map(b => b.unionByName(tail.select(b.columns.map(col): _*)))
+      .getOrElse(tail)
+    val out =
+      if (partitionCols.nonEmpty) in.repartition(partitionCols.map(col): _*)
+      else in
+    wh.versionedWrite(out, serveName, partitionCols)
+  }
+
+  /** Near-dup INDEX compaction — the fold-forward snapshot pair for
+    * [[dedupPublishBatch]]'s `<t>_sigs` / `<t>_hashes` appenders, whose
+    * per-batch `ingest_batch` leaves every later batch's match join must
+    * open. Rows pass through unchanged (`ingest_batch` kept as data — the
+    * replay-exclusion filter needs it); there is no block key because the
+    * band join reads the whole index anyway, so the win is pure fragment
+    * count: the ingest-side [[hybridLakeRead]] then opens ONE generation
+    * + the post-fold tail per batch, bounded under perpetual ingest.
+    * Both tables fold under the same trust rule as [[compactStats]]
+    * (sigs/hashes land before the batch's stats rollup, so under
+    * `quiesced = false` only ids strictly older than the newest are
+    * trusted). Returns the committed (sigsVersion, hashesVersion).
+    */
+  def compactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): (Int, Int) = {
+    def one(liveName: String): Int =
+      foldForward(spark, wh, liveName, s"${liveName}_serve",
+        trust = tail =>
+          if (quiesced) Right(tail)
+          else trustedOrCurrent(tail, wh, s"${liveName}_serve"),
+        partitionCols = Nil)
+    (one(s"${table}_sigs"), one(s"${table}_hashes"))
+  }
+
+  /** Watermark of a rows-unchanged snapshot generation: the max
+    * `ingest_batch` it covers (the column rides every compacted lake as
+    * DATA precisely so fold-forward, hybrid serves, and vacuum can agree
+    * on one boundary). A 1-row collect of a |snapshot|-sized agg.
+    */
+  private def snapshotThru(snap: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    snap.agg(max(col("ingest_batch").cast("long")).as("t"))
+      .collect()(0).getLong(0)
+  }
+
+  /** The snapshot-PLUS-TAIL read of a rows-unchanged streamed lake —
+    * [[statsServeHybrid]]'s shape generalized to every lake whose
+    * compaction passes rows through unchanged (semantic / IVF / corpus /
+    * frontier records / frontier settled / dedup index tables): the
+    * pinned `_serve`-style generation covers everything at or below its
+    * watermark, the live table contributes only partitions STRICTLY
+    * ABOVE it (`ingest_batch` is a partition column of every live lake,
+    * so the tail read is directory-pruned to batches the fold never
+    * saw). No loss and no double count by construction — folded batches
+    * are ≤ the boundary, tail batches are > it, including a
+    * possibly-mid-write newest batch a `quiesced = false` compaction
+    * deliberately excluded, which the tail re-reads from live once its
+    * publish completes. With no committed generation the read is the
+    * live lake verbatim (today's pre-compaction behavior); after
+    * [[gcLake]] a fully-vacuumed live lake is an EMPTY tail, not an
+    * error. This is also the INGEST-side corpus read: per-batch match
+    * joins pay one generation + |tail| fragment opens instead of
+    * |all batches| — and since `ingest_batch` rides the snapshot as
+    * data, a replaying batch's own-rows exclusion filter
+    * (`ingest_batch =!= batchId`) still removes its previous attempt's
+    * rows even after they were folded in.
+    */
+  private[graft] def hybridLakeRead(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      liveName: String,
+      serveName: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    wh.currentVersion(serveName) match {
+      case None => wh.read(spark, liveName)
+      case Some(v) =>
+        val snap = wh.readVersion(spark, serveName, Some(v))
+        if (!wh.hasData(liveName)) snap
+        else {
+          val thru = snapshotThru(snap)
+          snap.unionByName(
+            wh.read(spark, liveName).filter(col("ingest_batch") > thru)
+              .select(snap.columns.map(col): _*))
+        }
+    }
+  }
+
+  /** Whether a streamed lake has ANY readable content — live fragments
+    * or a committed snapshot generation. The ingest bodies' "no corpus
+    * yet" guards must check both: after [[gcLake]] a lake's entire mass
+    * can live in the snapshot with zero live fragments.
+    */
+  private def hasAnyData(wh: Warehouse, liveName: String,
+      serveName: String): Boolean =
+    wh.hasData(liveName) || wh.currentVersion(serveName).isDefined
+
+  /** Lake VACUUM — [[gcStats]]' bounded-lake GC generalized to every
+    * rows-unchanged streamed lake: live `ingest_batch` leaf partitions
+    * whose rows are already carried by a retained snapshot generation
+    * are deleted, leaving the live table |tail| fragments regardless of
+    * ingest age. Safe ONLY because every reader of these lakes goes
+    * through the snapshot+tail shape ([[hybridLakeRead]] — including the
+    * ingest-side match joins) and the compactor folds FORWARD
+    * ([[compactBlockedLake]] / [[compactFrontier]]): once folded,
+    * nothing re-reads a vacuumed fragment. Unlike [[gcStats]] the leaf
+    * dirs may sit UNDER block directories (`code=X/ingest_batch=Y`), so
+    * the sweep recurses; a block directory left empty is removed with
+    * its last leaf (partition discovery tolerates it, but debris-free
+    * listings are the Warehouse convention).
+    *
+    * `slackGenerations` is the same reader-safety dial as [[gcStats]]:
+    * only leaves at or below the (current − slack)-th retained
+    * generation's watermark are deleted, so a reader pinned up to
+    * `slack` generations behind still finds every fragment its snapshot
+    * does not cover. Returns the deleted batch ids (distinct, sorted).
+    */
+  def gcLake(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      liveName: String,
+      serveName: String,
+      slackGenerations: Int = 1): Seq[Long] = {
+    val versions = wh.listVersions(serveName)
+    if (versions.size <= slackGenerations) return Nil
+    val boundaryVersion = versions(versions.size - 1 - slackGenerations)
+    val boundary = snapshotThru(
+      wh.readVersion(spark, serveName, Some(boundaryVersion)))
+    def sweep(dir: java.io.File): Seq[Long] =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory)
+        .flatMap { f =>
+          val n = f.getName
+          if (n.startsWith("ingest_batch="))
+            scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
+              .toOption.filter(_ <= boundary).map { k =>
+                Warehouse.deleteRecursively(f); Seq(k)
+              }.getOrElse(Nil)
+          else if (n.contains("=")) {
+            val deleted = sweep(f)
+            // a block dir whose every leaf was vacuumed: remove the husk
+            if (Option(f.listFiles()).forall(_.isEmpty)) f.delete(): Unit
+            deleted
+          } else Nil
+        }.toSeq
+    sweep(new java.io.File(wh.tablePath(liveName))).distinct.sorted
   }
 
   /** Streaming inverted-index maintenance — the foreachBatch twin of

@@ -489,16 +489,27 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(scan.partitionFilters.exists(_.toString.contains("code")),
       s"expected a code partition filter, got: ${scan.partitionFilters}")
     // torn-publish guard: the newest batch id (possibly mid-write) is
-    // excluded under quiesced = false
+    // excluded under quiesced = false — and since it is the ONLY id
+    // above the prior watermark, the fold-forward has no trusted tail
+    // and keeps generation 1 serving instead of churning an identical
+    // generation (the compactStats no-op rule, now shared)
     wh.partitionedUpsertWrite(
       wh.read(spark, "semlake").limit(1)
         .withColumn("ingest_batch", lit(99L)).localCheckpoint(),
       "semlake", Seq("code", "ingest_batch"))
     val v2 = StreamRunner.compactSemantic(spark, wh, "semlake",
       quiesced = false)
-    assert(v2 === 2)
+    assert(v2 === 1,
+      "an untrusted-only tail is a no-op: the prior generation keeps serving")
     assert(rowsOf(wh.readVersion(spark, "semlake_serve", Some(v2))) === live,
       "the newest (possibly torn) batch must not be frozen into the snapshot")
+    // an idle quiesced re-fold over an already-covered lake would also
+    // only churn versions — no-op (the torn 99 row IS a real tail under
+    // quiesced=true, so fold it first, then re-fold idle)
+    val v2b = StreamRunner.compactSemantic(spark, wh, "semlake")
+    assert(v2b === 2, "the now-trusted tail folds forward into generation 2")
+    assert(StreamRunner.compactSemantic(spark, wh, "semlake") === 2,
+      "an idle re-fold (no new batches) keeps the current generation")
     // a single-batch history: nothing trustworthy, keep serving current
     val wh2 = new Warehouse(tmpDir("smcw1"))
     StreamRunner.semanticPublishBatch(vecs(Seq((1L, "a", Seq(1f, 0f)))),
@@ -661,6 +672,108 @@ class StreamRunnerSpec extends SparkSuiteBase {
       }.head
     assert(scan.partitionFilters.exists(_.toString.contains("cell")),
       s"expected a cell partition filter, got: ${scan.partitionFilters}")
+  }
+
+  test("semantic lake bounded: ingest matches via snapshot+tail, vacuum keeps dedup whole, replay exclusion survives the fold") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("semgc"))
+    val planes = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f), Array(1f, -1f))
+    def vecs(rows: Seq[(Long, String, Seq[Float])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, l, e) => Row(i, l, e) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+    def lakeIds: Set[(Long, Long)] =
+      StreamRunner.hybridLakeRead(spark, wh, "semlake", "semlake_serve")
+        .select(col("vec_id"), col("ingest_batch").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (1L, "a", Seq(1f, 0f)), (3L, "b", Seq(0f, 1f)))),
+      0L, planes, wh, "semlake", _ => None, 0.25)
+    // fold + FULL vacuum (slack 0): batch 0's fragments now exist ONLY
+    // inside the snapshot generation
+    assert(StreamRunner.compactSemantic(spark, wh, "semlake") === 1)
+    assert(StreamRunner.gcLake(spark, wh, "semlake", "semlake_serve",
+      slackGenerations = 0) === Seq(0L))
+    assert(!wh.hasData("semlake"), "live lake empty after full vacuum")
+    assert(lakeIds === Set((1L, 0L), (3L, 0L)),
+      "vacuumed rows must survive inside the snapshot")
+    // batch 1: vec 12 duplicates vec 1 (cosine 1, same label+code) — it
+    // must drop even though its match row lives only in the snapshot;
+    // vec 14 is genuinely new and survives
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (12L, "a", Seq(2f, 0f)), (14L, "b", Seq(-1f, 0f)))),
+      1L, planes, wh, "semlake", _ => None, 0.25)
+    assert(lakeIds === Set((1L, 0L), (3L, 0L), (14L, 1L)),
+      "cross-lake dup must drop against the SNAPSHOT after vacuum")
+    // per-batch corpus read is ONE generation + the post-fold tail: the
+    // live side of the hybrid read lists exactly the tail partitions
+    assert(wh.read(spark, "semlake")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L),
+      "live fragments after vacuum are exactly the post-fold tail")
+    // replay exclusion survives the fold: re-running batch 1 must not
+    // drop its own survivors against the previous attempt's rows (and
+    // stays idempotent) — even after those rows are folded+vacuumed
+    assert(StreamRunner.compactSemantic(spark, wh, "semlake") === 2)
+    assert(StreamRunner.gcLake(spark, wh, "semlake", "semlake_serve",
+      slackGenerations = 0) === Seq(1L))
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (12L, "a", Seq(2f, 0f)), (14L, "b", Seq(-1f, 0f)))),
+      1L, planes, wh, "semlake", _ => None, 0.25)
+    assert(lakeIds === Set((1L, 0L), (3L, 0L), (14L, 1L)),
+      "a replayed batch converges bit-identically against the snapshot")
+    // fold-forward after the replay: the rewritten batch-1 partition is
+    // the tail (its id is NOT above the watermark... it equals it), so
+    // an idle fold no-ops and the generation still carries every row
+    assert(StreamRunner.compactSemantic(spark, wh, "semlake") === 2,
+      "a tail at or below the watermark is already covered — no-op")
+    assert(lakeIds === Set((1L, 0L), (3L, 0L), (14L, 1L)))
+  }
+
+  test("dedup index bounded: sigs/hashes fold + vacuum, next batch still drops near-dups via the snapshot") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("dedgc"))
+    def docs(rows: Seq[(Long, String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t, s) => Row(i, t, s) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"))),
+      0L, wh, "c", _ => None, 0.5)
+    val (sv, hv) = StreamRunner.compactDedupIndex(spark, wh, "c")
+    assert(sv === 1 && hv === 1)
+    assert(StreamRunner.gcLake(spark, wh, "c_sigs", "c_sigs_serve",
+      slackGenerations = 0) === Seq(0L))
+    assert(StreamRunner.gcLake(spark, wh, "c_hashes", "c_hashes_serve",
+      slackGenerations = 0) === Seq(0L))
+    assert(!wh.hasData("c_sigs") && !wh.hasData("c_hashes"),
+      "index live lakes empty after full vacuum")
+    // batch 1: doc 11 is an exact near-dup of doc 1 (jaccard 1) whose
+    // index rows now live only in the snapshots — it must still drop;
+    // doc 13 is new and survives
+    StreamRunner.dedupPublishBatch(docs(Seq(
+      (11L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (13L, "entirely different second batch words landing here", "web"))),
+      1L, wh, "c", _ => None, 0.5)
+    assert(wh.read(spark, "c").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 13L),
+      "near-dup must drop against the compacted index after vacuum")
+    // the index invariant holds across fold+tail: one sig set per doc
+    assert(StreamRunner.hybridLakeRead(spark, wh, "c_sigs", "c_sigs_serve")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L, 13L))
+    // idle re-fold is a no-op; a real tail folds forward carrying the
+    // vacuumed batch's rows
+    assert(StreamRunner.compactDedupIndex(spark, wh, "c") === ((2, 2)))
+    assert(StreamRunner.hybridLakeRead(spark, wh, "c_sigs", "c_sigs_serve")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L, 13L),
+      "fold-forward must carry vacuumed batch 0 into generation 2")
+    assert(StreamRunner.compactDedupIndex(spark, wh, "c") === ((2, 2)),
+      "no new batches: both folds keep the current generation")
   }
 
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
