@@ -77,6 +77,18 @@ object Bench {
       val v = samples.get(n).filter(_.nonEmpty).map(xs => r3(median(xs))).getOrElse("null")
       s""""$n":$v"""
     }.mkString("{", ",", "}")
+    // per-query MINS for the same fixed subset, in the summary line
+    // itself: on a contended box the medians spike while the mins hold
+    // steady state, so the driver artifact carries its own contention
+    // evidence (two consecutive rounds the median-only headline
+    // overstated the suite and the rebuttal lived only in
+    // bench_detail.json, which the driver does not capture)
+    val qsMin = PlanDump.headline.sorted.map { n =>
+      val v = samples.get(n).filter(_.nonEmpty).map(xs => r3(xs.min)).getOrElse("null")
+      s""""$n":$v"""
+    }.mkString("{", ",", "}")
+    val headlineMin = PlanDump.headline
+      .flatMap(n => samples.get(n).filter(_.nonEmpty)).map(_.min).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partials = partial.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.values.sum
@@ -105,7 +117,7 @@ object Bench {
     // Stop Spark BEFORE printing: shutdown logging can't land after the JSON,
     // so the bench line is the true last stdout line the driver parses.
     spark.stop()
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_errors":$headlineErrors,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"n_queries":${med.size},"n_errors":${errors.size},"errors":$errs,"partial_failures":$partials,"headline_total":${r3(headline)},"headline_total_min":${r3(headlineMin)},"headline_errors":$headlineErrors,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // belt and braces for the driver's capture: emit on stderr first, then
     // stdout last — whichever stream (or combined order) is tailed, the
     // final line is the parseable JSON

@@ -1317,11 +1317,21 @@ object Crawl extends QueryModule {
   private[graft] sealed class FrontierFixture(
       variant: String,
       slices: Seq[org.apache.spark.sql.Column],
-      retryMaxAge: Option[Long])
+      retryMaxAge: Option[Long],
+      serveTables: Seq[String] = Nil)
     extends StreamedFixture("fs", s"graft_frontier_$variant",
-      Seq("_records", "_settled", "_edges", "_terminals", "_ledger"),
+      Seq("_records", "_settled", "_edges", "_terminals", "_ledger")
+        ++ serveTables,
       layout = "v2",
-      extraPruneSuffixes = Seq("_records_serve", "_settled_serve")) {
+      extraPruneSuffixes =
+        Seq("_records_serve", "_settled_serve").diff(serveTables)) {
+
+    /** Mid-stream maintenance hook — fires after batch `i` publishes
+      * (the CorpusStatsHybridFixture convention); the hybrid variant
+      * folds and vacuums here.
+      */
+    protected def afterBatch(s: SparkSession, scratch: String, i: Int): Unit =
+      ()
 
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit = {
@@ -1330,6 +1340,7 @@ object Crawl extends QueryModule {
         graft.streaming.StreamRunner.frontierPublishBatch(
           media.filter(cond), i.toLong, wh, scratch, _ => None,
           retryMaxAge)
+        afterBatch(s, scratch, i)
       }
     }
 
@@ -1369,6 +1380,32 @@ object Crawl extends QueryModule {
     Seq(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5,
       col("doc_id") % 10 === 5, col("doc_id") % 10 === 0),
     Some(1L))
+
+  /** The HYBRID frontier variant: the serve fixture's two slices, but
+    * the records/settled lakes are compacted AND fully vacuumed between
+    * them — batch 1's retry queue must then re-resolve its danglings
+    * against the `_records_serve` snapshot (the walk's raw-record reads
+    * go through [[graft.streaming.StreamRunner.hybridLakeRead]]) and
+    * the settled serve view must union the pinned generation with the
+    * live tail. Oracle: pipe_frontier_serve's from-scratch walk replay,
+    * verbatim — convergence through the fold+vacuum boundary IS the
+    * contract.
+    */
+  private[graft] object FrontierHybridFixture extends FrontierFixture(
+    "hyb",
+    Seq(col("doc_id") % 10 =!= 0, col("doc_id") % 10 === 0),
+    graft.streaming.StreamRunner.DefaultRetryMaxAge,
+    serveTables = Seq("_records_serve", "_settled_serve")) {
+    override protected def afterBatch(
+        s: SparkSession, scratch: String, i: Int): Unit =
+      if (i == 0) {
+        graft.streaming.StreamRunner.compactFrontier(s, wh, scratch)
+        graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_records",
+          s"${scratch}_records_serve", slackGenerations = 0)
+        graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_settled",
+          s"${scratch}_settled_serve", slackGenerations = 0): Unit
+      }
+  }
 
   /** The PERSISTED crawl frontier: the archive's parsed redirect records
     * `(doc_id, format, url, status, location)` as a fingerprint-keyed
@@ -2101,6 +2138,24 @@ object Crawl extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the HYBRID serve view: snapshot + live tail over the settled
+    // lake. The fixture folds AND fully vacuums records+settled BETWEEN
+    // its two ingest batches, so batch 1's retry walk had to read its
+    // danglings' raw records from the `_records_serve` snapshot and the
+    // rank-1 serve window spans the pinned generation plus the live
+    // batch-1 partition. The oracle is the SAME from-scratch walk replay
+    // as pipe_frontier_serve — convergence through the fold+vacuum
+    // boundary is the bounded-frontier contract. ----
+    "pipe_frontier_hybrid" -> ((s, d) => {
+      val p = FrontierHybridFixture.build(s, d)
+      graft.streaming.StreamRunner
+        .frontierSettled(s, FrontierHybridFixture.wh, p)
+        .select(col("doc_id"), col("status").cast("bigint").as("status"),
+          col("n_hops").cast("bigint").as("n_hops"), col("outcome"),
+          col("final_url"), col("final_canon"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- RETRY AGING: the three-batch fixture under retryMaxAge = 1,
     // so a dangling source whose blocking record lands within one batch
     // of its last state change re-resolves, while one whose record
@@ -2407,6 +2462,10 @@ object Crawl extends QueryModule {
     // the compacted snapshot serves the SAME rows — layout-only rewrite
     // proven by reusing pipe_frontier_serve's oracle verbatim
     "pipe_frontier_compacted" -> (redirectWalkCte + redirectWalkSelect("")),
+    // the hybrid serve (mid-stream fold + full vacuum, batch 1 retried
+    // against the records snapshot) must STILL converge to the same
+    // from-scratch walk — the oracle is reused verbatim
+    "pipe_frontier_hybrid" -> (redirectWalkCte + redirectWalkSelect("")),
     // replays the retry/aging state machine per source in closed form:
     // each chain (≤ 2 nodes in this fixture) blocks on its nodes'
     // ARRIVAL batches (b: doc_id%10 → 0/1/2); a dangling retries while

@@ -169,6 +169,49 @@ object EventTime extends QueryModule {
       .orderBy(col("click_id"), col("imp_id"))
   }
 
+  /** Per-user (r_days, f, m_cents) — the RFM base both segmentation
+    * forms share: one partial-agg'd shuffle to per-user aggregates, the
+    * 1-row corpus watermark broadcast back.
+    */
+  private def rfmBase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+    val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+    ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
+      .crossJoin(broadcast(ref))
+      .withColumn("r_days", datediff(col("ref_day"), col("last_day")).cast("bigint"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"))
+  }
+
+  /** Score → segment → per-segment report over an RFM base, given each
+    * metric's (t1, t2) cut frame — shared by the exact-histogram and
+    * sketch-cut segmentations so the two can only differ in WHERE the
+    * cuts come from.
+    */
+  private def rfmSegmentReport(rfm: DataFrame,
+      bounds: String => DataFrame): DataFrame = {
+    def score(metric: String, higherIsBetter: Boolean) = {
+      val (t1, t2) = (col(s"${metric}_t1"), col(s"${metric}_t2"))
+      val asc = when(col(metric) <= t1, 1L).when(col(metric) <= t2, 2L).otherwise(3L)
+      if (higherIsBetter) asc else lit(4L) - asc
+    }
+    rfm.crossJoin(broadcast(bounds("r_days")))
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("m_cents")))
+      .withColumn("segment",
+        score("r_days", higherIsBetter = false) * 100L
+          + score("f", higherIsBetter = true) * 10L
+          + score("m_cents", higherIsBetter = true))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("sum(r_days) DIV count(1)").as("avg_r_days"),
+        expr("sum(f) DIV count(1)").as("avg_f"),
+        expr("sum(m_cents) DIV count(1)").as("avg_m_cents"))
+      .orderBy(col("segment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- conversion funnel (view → click → purchase): per-user sequential
     // fold over the time-ordered event codes — depth 1 after a view, 2
@@ -667,17 +710,16 @@ object EventTime extends QueryModule {
     // users-sized NTILE sort); the three 1-row boundary frames broadcast
     // back. Scores 1-3 per axis (3 = best: LOW recency-days, HIGH
     // frequency/monetary), segment = r·100 + f·10 + m, report = per-
-    // segment user counts and exact integer-DIV averages. ----
+    // segment user counts and exact integer-DIV averages.
+    // BOUNDED-CARDINALITY CONTRACT: the cumulative window's input is the
+    // |distinct metric values| histogram, which for r_days (≤ retention
+    // days) and f (≤ purchases per user) stays tiny at any corpus size —
+    // but m_cents cardinality approaches |users|, so the exact cut is
+    // only safe while distinct spend values ≪ users. Past that,
+    // evt_rfm_segments_sketch below is the scale-safe form (mergeable
+    // qsketch cuts, no unpartitioned window anywhere). ----
     "evt_rfm_segments" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
-      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
-      val rfm = ev.groupBy(col("user_id"))
-        .agg(max(to_date(col("ts"))).as("last_day"),
-          count(lit(1)).as("f"),
-          sum(round(col("value") * 100).cast("bigint")).as("m_cents"))
-        .crossJoin(broadcast(ref))
-        .withColumn("r_days", datediff(col("ref_day"), col("last_day")).cast("bigint"))
-        .select(col("user_id"), col("r_days"), col("f"), col("m_cents"))
+      val rfm = rfmBase(s, d)
       def tercileBounds(metric: String): DataFrame = {
         val hist = rfm.groupBy(col(metric)).agg(count(lit(1)).as("k"))
         val cum = hist.withColumn("cum",
@@ -690,24 +732,32 @@ object EventTime extends QueryModule {
             min(when(col("cum") >= expr("(2 * nu + 2) DIV 3"), col(metric)))
               .as(s"${metric}_t2"))
       }
-      def score(metric: String, higherIsBetter: Boolean) = {
-        val (t1, t2) = (col(s"${metric}_t1"), col(s"${metric}_t2"))
-        val asc = when(col(metric) <= t1, 1L).when(col(metric) <= t2, 2L).otherwise(3L)
-        if (higherIsBetter) asc else lit(4L) - asc
-      }
-      rfm.crossJoin(broadcast(tercileBounds("r_days")))
-        .crossJoin(broadcast(tercileBounds("f")))
-        .crossJoin(broadcast(tercileBounds("m_cents")))
-        .withColumn("segment",
-          score("r_days", higherIsBetter = false) * 100L
-            + score("f", higherIsBetter = true) * 10L
-            + score("m_cents", higherIsBetter = true))
-        .groupBy(col("segment"))
-        .agg(count(lit(1)).as("n_users"),
-          expr("sum(r_days) DIV count(1)").as("avg_r_days"),
-          expr("sum(f) DIV count(1)").as("avg_f"),
-          expr("sum(m_cents) DIV count(1)").as("avg_m_cents"))
-        .orderBy(col("segment"))
+      rfmSegmentReport(rfm, tercileBounds)
+    }),
+
+    // ---- the SCALE-SAFE RFM twin: the same segmentation with each
+    // metric's tercile cuts taken from the mergeable constant-state
+    // quantile sketch (graft_qsketch — the q_percentiles_sketch /
+    // evt_value_sketch family) instead of the exact cumulative-histogram
+    // window. The cut value is the sketch's log-linear bucket midpoint
+    // at the same integer rank, so segments can differ from the exact
+    // form by at most a bucket's width — the price of removing the one
+    // stage whose input (the m_cents histogram) grows with |users|. The
+    // whole plan is partial-agg'd aggregations + three 1-row broadcast
+    // cut frames: no window over unbounded input anywhere, at any SF.
+    // The oracle replays the identical bucket map and rank walk. ----
+    "evt_rfm_segments_sketch" -> ((s, d) => {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val rfm = rfmBase(s, d)
+      def sketchBounds(metric: String): DataFrame =
+        rfm.agg(count(lit(1)).as("nu"),
+            call_function("graft_qsketch", col(metric)).as("sk"))
+          .select(
+            Relational.sketchEstRaw("sk", "(nu + 2) DIV 3")
+              .as(s"${metric}_t1"),
+            Relational.sketchEstRaw("sk", "(2 * nu + 2) DIV 3")
+              .as(s"${metric}_t2"))
+      rfmSegmentReport(rfm, sketchBounds)
     }),
 
     // ---- ingest-freshness audit: per event_type, how stale is the
@@ -935,6 +985,58 @@ object EventTime extends QueryModule {
         |  CAST(sum(f) // count(*) AS BIGINT) AS avg_f,
         |  CAST(sum(m_cents) // count(*) AS BIGINT) AS avg_m_cents
         |FROM scored GROUP BY segment ORDER BY segment""".stripMargin,
+    // the sketch-cut twin: identical RFM base and scoring, but each
+    // metric's (t1, t2) comes from the qsketch bucket map's midpoint at
+    // the same integer rank — the same log-linear map + rank walk as the
+    // evt_value_sketch oracle, per metric
+    "evt_rfm_segments_sketch" -> {
+      def b(v: String) =
+        s"CASE WHEN $v < 1 THEN 0 WHEN $v < 32 THEN CAST($v AS INT) " +
+          s"ELSE CAST(length(bin($v)) * 16 + CAST(($v >> (length(bin($v)) - 5)) & 15 AS INT) AS INT) END"
+      val mid = "CASE WHEN b < 32 THEN CAST(b AS BIGINT) " +
+        "ELSE CAST(33 + 2 * (b % 16) AS BIGINT) << (b // 16 - 6) END"
+      def cuts(name: String, metric: String) =
+        s"""$name AS (
+           |  SELECT min(CASE WHEN cum >= (nu + 2) // 3 THEN mid END) AS t1,
+           |    min(CASE WHEN cum >= (2 * nu + 2) // 3 THEN mid END) AS t2
+           |  FROM (
+           |    SELECT b, $mid AS mid, sum(cnt) OVER (ORDER BY b) AS cum FROM (
+           |      SELECT ${b("v")} AS b, count(*) AS cnt
+           |      FROM (SELECT $metric AS v FROM rfm) GROUP BY 1))
+           |  CROSS JOIN nu
+           |)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'
+         |), ref AS (SELECT max(day) AS ref_day FROM ev
+         |), rfm AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(ref_day - max(day) AS BIGINT) AS r_days,
+         |    CAST(count(*) AS BIGINT) AS f,
+         |    CAST(sum(cents) AS BIGINT) AS m_cents
+         |  FROM ev CROSS JOIN ref GROUP BY user_id, ref_day
+         |), nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM rfm
+         |), ${cuts("rb", "r_days")},
+         |${cuts("fb", "f")},
+         |${cuts("mb", "m_cents")},
+         |scored AS (
+         |  SELECT rfm.*,
+         |    (4 - CASE WHEN r_days <= rb.t1 THEN 1
+         |              WHEN r_days <= rb.t2 THEN 2 ELSE 3 END) * 100
+         |    + (CASE WHEN f <= fb.t1 THEN 1
+         |            WHEN f <= fb.t2 THEN 2 ELSE 3 END) * 10
+         |    + CASE WHEN m_cents <= mb.t1 THEN 1
+         |           WHEN m_cents <= mb.t2 THEN 2 ELSE 3 END AS segment
+         |  FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+         |)
+         |SELECT CAST(segment AS BIGINT) AS segment,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(r_days) // count(*) AS BIGINT) AS avg_r_days,
+         |  CAST(sum(f) // count(*) AS BIGINT) AS avg_f,
+         |  CAST(sum(m_cents) // count(*) AS BIGINT) AS avg_m_cents
+         |FROM scored GROUP BY segment ORDER BY segment""".stripMargin
+    },
     "evt_freshness" ->
       """WITH bt AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -68,6 +68,23 @@ object Relational extends QueryModule {
        |        -1L))),
        |  a -> a.mid) / 100.0D, 6)""".stripMargin)
 
+  /** [[sketchEst]] without the cents→value presentation scaling: the raw
+    * BIGINT bucket midpoint at rank `r` — the form quantile CUTS consume
+    * (evt_rfm_segments_sketch compares metric values against it).
+    */
+  private[operators] def sketchEstRaw(sk: String, r: String): Column = expr(
+    s"""aggregate($sk,
+       |  named_struct('cum', 0L, 'mid', -1L),
+       |  (a, x) -> named_struct(
+       |    'cum', a.cum + x.cnt,
+       |    'mid', IF(a.mid >= 0L, a.mid,
+       |      IF(a.cum + x.cnt >= $r,
+       |        IF(x.b < 32, CAST(x.b AS BIGINT),
+       |          shiftleft(CAST(33 + 2 * (x.b % 16) AS BIGINT),
+       |            CAST(x.b DIV 16 AS INT) - 6)),
+       |        -1L))),
+       |  a -> a.mid)""".stripMargin)
+
   /** HLL estimate over a graft_hll register set (`ARRAY<STRUCT<b,r>>`):
     * S = Σ 2^(53−r) over all 256 registers (absent ⇒ r=0 ⇒ 2^53; max
     * 256·2^53 = 2^61, no overflow), est = α·m²·2^53/S with α spelled as

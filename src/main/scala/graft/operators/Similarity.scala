@@ -164,21 +164,45 @@ object Similarity extends QueryModule {
     * `(code, ingest_batch)`-partitioned) is what `sim_semdedup_serve`
     * reads.
     */
+  /** The canonical three-slice semantic ingest replay shared by the
+    * plain and HYBRID lake fixtures — one copy, so the hybrid variant
+    * provably replays "the SAME three sliced ingest batches" its shared
+    * oracle assumes. `afterBatch` fires after each batch publishes (the
+    * hybrid's mid-stream fold+vacuum hook).
+    */
+  private def replaySlicedSemanticIngest(
+      s: SparkSession, d: String,
+      wh: graft.pipeline.Warehouse, scratch: String,
+      afterBatch: Int => Unit = _ => ()): Unit = {
+    val planes = srpPlanes(s, d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
+        col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+      graft.streaming.StreamRunner.semanticPublishBatch(
+        e.filter(cond), i.toLong, planes, wh, scratch, _ => None, 0.25)
+      afterBatch(i)
+    }
+  }
+
+  /** The dataset's frozen coarse-quantizer centroid set (vec_id 1..8's
+    * own embeddings — the IVF ladder's convention), as the literal rows
+    * [[cellAssignExpr]] inlines. Bounded 8-row collect.
+    */
+  private def frozenCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+      .sortBy(_._1).toSeq
+
   private[graft] object SemanticLakeFixture extends StreamedFixture(
     "sl", "graft_semlake", Seq(""), layout = "v1",
-    extraPruneSuffixes = Seq("_serve")) {
+    extraPruneSuffixes = Seq("_serve", "_cells")) {
     override protected def sourceTable: String = "embeddings"
     override protected def buildScratch(
-        s: SparkSession, d: String, scratch: String): Unit = {
-      val planes = srpPlanes(s, d)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
-          col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
-        graft.streaming.StreamRunner.semanticPublishBatch(
-          e.filter(cond), i.toLong, planes, wh, scratch, _ => None, 0.25)
-      }
-    }
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedSemanticIngest(s, d, wh, scratch)
 
     /** Build (if needed), then COMPACT the lake's per-batch fragments
       * into the versioned code-partitioned `_serve` snapshot once per
@@ -195,6 +219,53 @@ object Similarity extends QueryModule {
       }
       p
     }
+
+    /** Compact (if needed), then CELL-ASSIGN the deduplicated survivors
+      * against the frozen centroid set and publish them as a versioned
+      * CELL-partitioned `_cells` generation — the IVF serving layout
+      * composed over the SemDeDup'd lake, so indexed top-k probes read
+      * one cell directory of SURVIVORS instead of scanning every row
+      * (sim_semdedup_topk_ivf). One narrow literal-centroid projection
+      * over the snapshot, paid at maintenance time, never at serve time.
+      */
+    def cells(s: SparkSession, d: String): String = {
+      val p = compact(s, d)
+      compactOnce(s"$p@cells") {
+        val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+        wh.versionedWrite(
+          wh.readVersion(s, s"${p}_serve")
+            .select(col("vec_id"), col("label"), col("embedding"), cellCol)
+            .repartition(col("cell")),
+          s"${p}_cells", Seq("cell"))
+        wh.pruneVersions(s"${p}_cells", keep = 2)
+        wh.currentVersion(s"${p}_cells").isDefined
+      }
+      p
+    }
+  }
+
+  /** The HYBRID-serve variant of [[SemanticLakeFixture]]: the SAME three
+    * sliced ingest batches, but the lake is compacted AND fully vacuumed
+    * MID-STREAM (after batch 1, before batch 2 — the
+    * CorpusStatsVacuumFixture discipline applied to the semantic lake),
+    * so batch 2's cross-lake match join can only find batches 0–1's
+    * vectors through the snapshot ([[graft.streaming.StreamRunner
+    * .hybridLakeRead]]'s ingest side) and the snapshot+tail serve's tail
+    * partition is LOAD-BEARING. A watermark off-by-one, a vacuum that
+    * deletes too much, or an ingest still reading the live lake all flip
+    * the shared from-scratch replay oracle.
+    */
+  private[graft] object SemanticLakeHybridFixture extends StreamedFixture(
+    "slh", "graft_semlake_hyb", Seq("", "_serve"), layout = "v1") {
+    override protected def sourceTable: String = "embeddings"
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedSemanticIngest(s, d, wh, scratch, afterBatch = i =>
+        if (i == 1) {
+          graft.streaming.StreamRunner.compactSemantic(s, wh, scratch)
+          graft.streaming.StreamRunner.gcLake(s, wh, scratch,
+            s"${scratch}_serve", slackGenerations = 0): Unit
+        })
   }
 
   /** A REAL streaming-maintained IVF lake:
@@ -210,26 +281,31 @@ object Similarity extends QueryModule {
     * cell from scratch, so the compactor altering, dropping, or
     * double-publishing any row flips the hash.
     */
+  /** The canonical three-slice IVF ingest replay shared by the plain
+    * and HYBRID lake fixtures (the semantic replay's convention).
+    */
+  private def replaySlicedIvfIngest(
+      s: SparkSession, d: String,
+      wh: graft.pipeline.Warehouse, scratch: String,
+      afterBatch: Int => Unit = _ => ()): Unit = {
+    val (cellCol, csCol) = cellAssignExpr(s, frozenCentroids(s, d))
+    val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"), cellCol, csCol)
+    Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
+        col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
+      graft.streaming.StreamRunner.ivfPublishBatch(
+        e.filter(cond), i.toLong, wh, scratch, _ => None)
+      afterBatch(i)
+    }
+  }
+
   private[graft] object IvfLakeFixture extends StreamedFixture(
     "il", "graft_ivflake", Seq(""), layout = "v1",
     extraPruneSuffixes = Seq("_serve")) {
     override protected def sourceTable: String = "embeddings"
     override protected def buildScratch(
-        s: SparkSession, d: String, scratch: String): Unit = {
-      val cent: Seq[(Long, Seq[Float])] = Tables.embeddings(s, d)
-        .filter(col("vec_id").between(1, 8))
-        .select(col("vec_id"), col("embedding"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
-        .sortBy(_._1).toSeq
-      val (cellCol, csCol) = cellAssignExpr(s, cent)
-      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"), cellCol, csCol)
-      Seq(col("vec_id") % 3 === 1, col("vec_id") % 3 === 2,
-          col("vec_id") % 3 === 0).zipWithIndex.foreach { case (cond, i) =>
-        graft.streaming.StreamRunner.ivfPublishBatch(
-          e.filter(cond), i.toLong, wh, scratch, _ => None)
-      }
-    }
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIvfIngest(s, d, wh, scratch)
 
     /** Build (if needed), then compact once per JVM; returns the prefix. */
     def compact(s: SparkSession, d: String): String = {
@@ -241,6 +317,23 @@ object Similarity extends QueryModule {
       }
       p
     }
+  }
+
+  /** The HYBRID-serve IVF variant: same three slices, compacted and
+    * fully vacuumed after batch 1, so the serve's tail partition (batch
+    * 2) is load-bearing and batches 0–1 exist only in the snapshot.
+    */
+  private[graft] object IvfLakeHybridFixture extends StreamedFixture(
+    "ilh", "graft_ivflake_hyb", Seq("", "_serve"), layout = "v1") {
+    override protected def sourceTable: String = "embeddings"
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIvfIngest(s, d, wh, scratch, afterBatch = i =>
+        if (i == 1) {
+          graft.streaming.StreamRunner.compactIvf(s, wh, scratch)
+          graft.streaming.StreamRunner.gcLake(s, wh, scratch,
+            s"${scratch}_serve", slackGenerations = 0): Unit
+        })
   }
 
   /** The oracle-facing projection of the semantic lake, shared by the
@@ -710,6 +803,77 @@ object Similarity extends QueryModule {
           round(col("cs"), 6).as("cos_sim"),
           col("ingest_batch").cast("bigint").as("ingest_batch"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- the HYBRID semantic-lake serve: snapshot + live tail — the
+    // read shape while ingest keeps running. The fixture compacts AND
+    // fully vacuums MID-STREAM (after batch 1 of 3), so batches 0–1
+    // exist only inside the pinned generation, batch 2 only in the live
+    // tail, and batch 2's own ingest-time match join had to find its
+    // cross-lake dups through the snapshot. The oracle is the SAME
+    // whole-ingest replay as sim_semdedup_serve — fresh rows visible
+    // through the tail, vacuumed rows through the snapshot, no loss and
+    // no double count across the fold boundary. ----
+    "sim_semdedup_hybrid" -> ((s, d) => {
+      val p = SemanticLakeHybridFixture.build(s, d)
+      semanticLakeProjection(graft.streaming.StreamRunner.hybridLakeRead(
+        s, SemanticLakeHybridFixture.wh, p, s"${p}_serve"))
+    }),
+
+    // ---- the HYBRID IVF-lake serve: same snapshot+tail contract over
+    // the cell-partitioned lake (compact + full vacuum after batch 1,
+    // batch 2 through the tail); oracle = the sim_ivf_lake_compacted
+    // from-scratch re-derivation, verbatim. ----
+    "sim_ivf_lake_hybrid" -> ((s, d) => {
+      val p = IvfLakeHybridFixture.build(s, d)
+      graft.streaming.StreamRunner.hybridLakeRead(
+          s, IvfLakeHybridFixture.wh, p, s"${p}_serve")
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          round(col("cs"), 6).as("cos_sim"),
+          col("ingest_batch").cast("bigint").as("ingest_batch"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- INDEXED top-k over the DEDUPLICATED lake: the IVF serving
+    // layout composed over the SemDeDup survivors — the compacted lake
+    // cell-assigned against the frozen 8-centroid set and published as a
+    // cell-partitioned `_cells` generation (maintenance-time work), so
+    // the serve probes ONE cell directory of survivors: the query's cell
+    // comes from the same literal-centroid argmax (a bounded 1-row
+    // collect, the ledger idiom) and lands as a LITERAL partition filter.
+    // sim_semdedup_topk is the brute full-scan twin; this is the 100 TB
+    // read shape. The oracle composes the survivor replay with the same
+    // cell assignment and pruned top-k. ----
+    "sim_semdedup_topk_ivf" -> ((s, d) => {
+      val p = SemanticLakeFixture.cells(s, d)
+      val (qCellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+      val qCell = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(qCellCol).collect()(0).getLong(0)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      SemanticLakeFixture.wh.readVersion(s, s"${p}_cells")
+        .filter(col("cell") === qCell && col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- the recall eval pinning the indexed serve against its brute
+    // twin (the dedup_lsh_recall pattern): |IVF top-10 ∩ brute top-10|
+    // over the same deduplicated lake, as a 1-row report. Single-probe
+    // IVF recall is approximate BY DESIGN (neighbors outside the query's
+    // cell are unreachable); this row makes the trade measurable instead
+    // of assumed, and the oracle re-derives both top-k sets from the
+    // survivor replay. ----
+    "sim_semdedup_recall" -> ((s, d) => {
+      val ivf = queries("sim_semdedup_topk_ivf")(s, d).select(col("vec_id"))
+      val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
+      ivf.join(brute, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).cast("bigint").as("n_hit"))
+        .select(lit(10L).as("k"), col("n_hit"),
+          expr("n_hit * 100 DIV 10").as("recall_pct"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -1479,6 +1643,57 @@ object Similarity extends QueryModule {
       |FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
       |ORDER BY e.vec_id""".stripMargin
 
+  /** Continuation CTEs for the indexed-over-SemDeDup oracles (appended
+    * after [[semanticLakeReplayCte]], continuing its WITH chain): the
+    * frozen 8-centroid argmax assignment over every coded vector
+    * (sim_topk_ivf's QUALIFY arithmetic), the query's cell, and `ivfk` —
+    * the cell-pruned scored survivor set the indexed top-k and the
+    * recall report both read. MATERIALIZED where referenced twice (the
+    * dedup_kcore CTE-inlining lesson).
+    */
+  private def semanticCellsCte: String =
+    s""", cent AS (
+       |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND 8
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, ck AS cell FROM (
+       |    SELECT e2.vec_id, c.ck, ${duckCosine("e2.embedding", "c.c_emb")} AS cs
+       |    FROM e e2 CROSS JOIN cent c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
+       |), qc AS (SELECT cell AS q_cell FROM cells WHERE vec_id = 0),
+       |ivfk AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label,
+       |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+       |  FROM e JOIN cells cl ON e.vec_id = cl.vec_id
+       |  JOIN qc ON cl.cell = qc.q_cell
+       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+       |)""".stripMargin
+
+  /** From-scratch re-derivation of the streamed IVF lake (every vector's
+    * argmax cell + the slice→batch mapping) — shared verbatim by the
+    * compacted and hybrid serves.
+    */
+  private def ivfLakeReplayOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND 8
+       |), allv AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+       |), scored AS (
+       |  SELECT v.vec_id, c.k, ${duckCosine("v.embedding", "c.c_emb")} AS cs
+       |  FROM allv v CROSS JOIN cent c
+       |), ranked AS (
+       |  SELECT vec_id, k AS cell, round(cs, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) AS rn
+       |  FROM scored
+       |)
+       |SELECT vec_id, cell, cos_sim,
+       |  CAST(CASE vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS ingest_batch
+       |FROM ranked WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "sim_topk_pq" -> pqOracleSql,
     // the artifact query scans the persisted codes table, whose contents
@@ -1877,9 +2092,12 @@ object Similarity extends QueryModule {
          |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
     // from-scratch replay of the WHOLE sliced streaming semantic ingest,
-    // shared verbatim by the live and compacted serves
+    // shared verbatim by the live and compacted serves — and by the
+    // hybrid serve: the same replay proves no loss and no double count
+    // across the mid-stream fold+vacuum boundary
     "sim_semdedup_serve" -> semanticLakeReplayOracle,
     "sim_semdedup_compacted" -> semanticLakeReplayOracle,
+    "sim_semdedup_hybrid" -> semanticLakeReplayOracle,
     // survivor replay composed with the scored top-k — the retrieval
     // answer over the deduplicated lake
     "sim_semdedup_topk" ->
@@ -1891,29 +2109,35 @@ object Similarity extends QueryModule {
         |)
         |SELECT vec_id, label, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    // survivor replay + the frozen-centroid argmax assignment + the
+    // query-cell-pruned top-k — the indexed serve re-derived end to end
+    "sim_semdedup_topk_ivf" ->
+      (semanticLakeReplayCte + semanticCellsCte + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    // both top-k sets re-derived, intersected — the 1-row recall report
+    "sim_semdedup_recall" ->
+      (semanticLakeReplayCte + semanticCellsCte + s""", brutek AS (
+        |  SELECT e.vec_id,
+        |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+        |  FROM e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+        |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+        |), topi AS (
+        |  SELECT vec_id FROM ivfk ORDER BY cos_sim DESC, vec_id LIMIT 10
+        |), hits AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM topi
+        |  WHERE vec_id IN (SELECT vec_id FROM brutek)
+        |)
+        |SELECT CAST(10 AS BIGINT) AS k, n_hit,
+        |  CAST(n_hit * 100 // 10 AS BIGINT) AS recall_pct FROM hits""".stripMargin),
     // every vector's argmax cell re-derived from scratch (the
     // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
     // mapping — a compactor that drops, alters, or double-publishes a
-    // row flips the hash
-    "sim_ivf_lake_compacted" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS k, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id BETWEEN 1 AND 8
-         |), allv AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
-         |), scored AS (
-         |  SELECT v.vec_id, c.k, ${duckCosine("v.embedding", "c.c_emb")} AS cs
-         |  FROM allv v CROSS JOIN cent c
-         |), ranked AS (
-         |  SELECT vec_id, k AS cell, round(cs, 6) AS cos_sim,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, k) AS rn
-         |  FROM scored
-         |)
-         |SELECT vec_id, cell, cos_sim,
-         |  CAST(CASE vec_id % 3 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
-         |    AS ingest_batch
-         |FROM ranked WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin,
+    // row flips the hash; shared verbatim by the hybrid serve (the same
+    // re-derivation proves the fold+vacuum lost nothing)
+    "sim_ivf_lake_compacted" -> ivfLakeReplayOracle,
+    "sim_ivf_lake_hybrid" -> ivfLakeReplayOracle,
     // semantic drop set via the same closure CTE as sim_semantic_dedup,
     // then gate + split + rollup over the surviving documents
     "pipe_semantic_e2e" ->

@@ -261,6 +261,37 @@ object TextAnalysis extends QueryModule {
       })
   }
 
+  /** The CORPUS-lake hybrid variant — the published documents lake AND
+    * the near-dup index both compacted and fully vacuumed MID-STREAM
+    * (after batch 1 of 3), then batch 2 ingested: its near-dup match
+    * join can only find batches 0–1's signatures through the
+    * `_sigs_serve`/`_hashes_serve` snapshots
+    * ([[graft.streaming.StreamRunner.hybridLakeRead]]'s ingest side),
+    * and the corpus hybrid serve's tail partition (batch 2) is
+    * load-bearing. The shared whole-replay oracle hashes every
+    * survivor's text, so an ingest that missed a cross-batch near-dup
+    * (index loss), a vacuum that deleted unfolded mass, or a
+    * double-read across the fold boundary all flip rows.
+    */
+  private[graft] object CorpusLakeHybridFixture extends StreamedFixture(
+    "clh", "graft_corpus_lake_hyb",
+    Seq("", "_sigs", "_hashes", "_stats", "_serve", "_sigs_serve",
+      "_hashes_serve"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedIngest(s, d, wh, scratch, afterBatch = i =>
+        if (i == 1) {
+          graft.streaming.StreamRunner.compactCorpus(s, wh, scratch)
+          graft.streaming.StreamRunner.gcLake(s, wh, scratch,
+            s"${scratch}_serve", slackGenerations = 0)
+          graft.streaming.StreamRunner.compactDedupIndex(s, wh, scratch)
+          graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_sigs",
+            s"${scratch}_sigs_serve", slackGenerations = 0)
+          graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_hashes",
+            s"${scratch}_hashes_serve", slackGenerations = 0): Unit
+        })
+  }
+
   /** Per-source (n_docs, n_tokens) rollup of the fixture's stats lake —
     * the |batches|x|sources| read both incremental mix serves share.
     * Refuses to finalize if any ingested doc carried a merge-placeholder
@@ -922,6 +953,23 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the HYBRID corpus serve: snapshot + live tail over the
+    // published documents lake. The fixture compacts AND fully vacuums
+    // the corpus lake and the near-dup index MID-STREAM (after batch 1
+    // of 3), so batch 2's ingest had to drop its cross-batch near-dups
+    // against the `_sigs_serve`/`_hashes_serve` snapshots and the serve
+    // must union the pinned generation with the live partitions above
+    // its watermark. Same content proof as pipe_corpus_compacted: the
+    // oracle re-derives the survivor set from the whole replay and
+    // hashes every survivor's text. ----
+    "pipe_corpus_hybrid" -> ((s, d) => {
+      val p = CorpusLakeHybridFixture.build(s, d)
+      graft.streaming.StreamRunner.hybridLakeRead(
+          s, CorpusLakeHybridFixture.wh, p, s"${p}_serve")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- INCREMENTAL mix drift: the ingest-time monitoring twin of
     // pipe_drift, served ENTIRELY from the stats lake — per (batch,
     // source), the batch's token share vs the corpus-wide share, in
@@ -1277,6 +1325,30 @@ object TextAnalysis extends QueryModule {
     // oracle pattern (sim_topk_mmr precedent). ----
     "txt_bpe_train" -> ((s, d) => {
       val (_, table) = bpeTrainLoop(Tables.documents(s, d).select(col("text")))
+      import s.implicits._
+      table.toDF("round", "pair", "symbol", "n", "n_syms_after")
+        .orderBy(col("round"))
+    }),
+
+    // ---- the SAMPLED trainer — the 100 TB form of txt_bpe_train: the
+    // exact loop drives 1–2 full corpus scans per merge round (5 rounds
+    // ≈ 5–10 corpus passes), so at scale the standard move is a
+    // DETERMINISTIC content-hash sample (the q_percentiles_approx
+    // bottom-k-by-hash idiom: md5-bucket < 60 keeps ~60% of docs,
+    // replay-stable on both engines) and training on the sample — per-
+    // round cost becomes flat in corpus size at the sample's fraction.
+    // Pair frequencies are corpus-wide ratios, so the sampled argmax
+    // picks the same merges wherever the true top pair's margin exceeds
+    // sampling noise (OperatorSmokeSpec pins full agreement with the
+    // exact trainer's merge table at fixture scale); n / n_syms_after
+    // are sample-sized by definition. The oracle replays the identical
+    // greedy loop over the identically-sampled t0. ----
+    "txt_bpe_train_sampled" -> ((s, d) => {
+      val sample = Tables.documents(s, d)
+        .filter(pmod(graft.functions.TextFunctions.md5Bits(col("text"), 14),
+          lit(100L)) < 60)
+        .select(col("text"))
+      val (_, table) = bpeTrainLoop(sample)
       import s.implicits._
       table.toDF("round", "pair", "symbol", "n", "n_syms_after")
         .orderBy(col("round"))
@@ -2539,6 +2611,32 @@ object TextAnalysis extends QueryModule {
       }.mkString("\nUNION ALL\n")
       s"WITH t0 AS (SELECT text FROM documents)$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
     },
+    // the same greedy loop over the identically hash-sampled t0 (md5
+    // 14-hex-char bucket < 60 — the engine's deterministic sample)
+    "txt_bpe_train_sampled" -> {
+      val rounds = 1 to 5
+      val ctes = rounds.map { r =>
+        val sym = ('A' + r - 1).toChar
+        s""", p$r AS (
+           |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+           |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM t${r - 1}) ws
+           |    WHERE length(w) >= 2
+           |  ) ps GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+           |), t$r AS (
+           |  SELECT replace(text, (SELECT pair FROM p$r), '$sym') AS text FROM t${r - 1}
+           |)""".stripMargin
+      }.mkString
+      val rows = rounds.map { r =>
+        val sym = ('A' + r - 1).toChar
+        s"""SELECT CAST($r AS BIGINT) AS round, (SELECT pair FROM p$r) AS pair,
+           |  '$sym' AS symbol, (SELECT n FROM p$r) AS n,
+           |  (SELECT CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) FROM t$r) AS n_syms_after""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      "WITH t0 AS (SELECT text FROM documents " +
+        "WHERE try_cast('0x' || substr(md5(text), 1, 14) AS BIGINT) % 100 < 60)" +
+        s"$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
+    },
     // the same 5-round greedy loop carrying doc_id, then the per-doc
     // apply of the TRAINED chain (t5). MATERIALIZED throughout — each
     // t_r is referenced by p_{r+1}, t_{r+1} AND the final join, and
@@ -2776,6 +2874,14 @@ object TextAnalysis extends QueryModule {
     // survivor's text hashed — corpus-content proof of the compacted
     // generation
     "pipe_corpus_compacted" ->
+      (corpusStatsReplayCte + """
+        |SELECT doc_id, source, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id IN (SELECT doc_id FROM surv)
+        |ORDER BY doc_id""".stripMargin),
+    // the hybrid serve unions the mid-stream corpus snapshot with the
+    // live tail, over an ingest whose batch-2 dedup ran against the
+    // compacted index snapshots — the SAME whole-replay content proof
+    "pipe_corpus_hybrid" ->
       (corpusStatsReplayCte + """
         |SELECT doc_id, source, md5(text) AS text_md5 FROM documents
         |WHERE doc_id IN (SELECT doc_id FROM surv)

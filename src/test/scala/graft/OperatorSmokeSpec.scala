@@ -862,6 +862,28 @@ class OperatorSmokeSpec extends SparkSuiteBase {
     assert(totAfter < totBefore, "trained merges must compress the corpus")
   }
 
+  test("txt_bpe_train_sampled: the hash-sampled trainer picks the exact trainer's merges") {
+    // the scale contract: pair frequencies are corpus-wide ratios, so a
+    // deterministic ~60% content-hash sample must reproduce the exact
+    // loop's MERGE TABLE (pair + symbol per round) at fixture scale —
+    // counts are sample-sized and differ by construction
+    val exact = SparkEntry.queries("txt_bpe_train")(spark, sf0001).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sampled = SparkEntry.queries("txt_bpe_train_sampled")(spark, sf0001)
+      .collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(sampled.length == 5)
+    assert(sampled.toSeq == exact.toSeq,
+      "sampled merge table must agree with the exact trainer at fixture scale")
+    // and the sample is a real subset: round-1 pair count strictly below
+    // the exact trainer's (the sample must not silently read every doc)
+    val nExact = SparkEntry.queries("txt_bpe_train")(spark, sf0001)
+      .filter(col("round") === 1L).collect()(0).getLong(3)
+    val nSampled = SparkEntry.queries("txt_bpe_train_sampled")(spark, sf0001)
+      .filter(col("round") === 1L).collect()(0).getLong(3)
+    assert(nSampled < nExact, "sampled counts must be sample-sized")
+  }
+
   test("txt_gopher_rules: every field replays in Scala and both outcomes occur") {
     val rows = SparkEntry.queries("txt_gopher_rules")(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
