@@ -377,7 +377,33 @@ object PlanDump {
     "sim_ivf_lake_compacted",
     // top-k over the deduplicated compacted lake (audit: one snapshot
     // scan + broadcast 1-row query vector + TakeOrderedAndProject)
-    "sim_semdedup_topk")
+    "sim_semdedup_topk",
+    // round 16: the snapshot+tail HYBRID serves for the non-stats lakes
+    // (audit: one pinned _v=N generation scan UNIONed with a live read
+    // whose `ingest_batch > N` filter must show as a PartitionFilter —
+    // the tail read is directory-pruned, never a fragmented-lake scan)
+    "sim_semdedup_hybrid", "sim_ivf_lake_hybrid", "pipe_corpus_hybrid",
+    // the hybrid frontier serve (audit: same rank-1 window, its input a
+    // settled snapshot scan ∪ watermark-pruned live tail)
+    "pipe_frontier_hybrid",
+    // the hybrid BM25 serve (audit: both index sides are snapshot ∪
+    // `ingest_batch > N`-pruned tail unions; term pruning and the
+    // broadcast qterms side unchanged from the compacted form)
+    "txt_bm25_hybrid",
+    // INDEXED top-k over the deduplicated lake (audit: the _cells
+    // generation scan must carry a LITERAL `cell = k` partition filter —
+    // one cell directory read — then broadcast query + TakeOrdered)
+    "sim_semdedup_topk_ivf",
+    // its recall eval vs the brute twin (audit: two bounded top-k sides,
+    // a 10-row semi join, 1-row report — no corpus-sized work)
+    "sim_semdedup_recall",
+    // the hash-sampled BPE trainer round-1 equivalent shape is driver-
+    // sequenced (no single dumpable plan); audited instead via the
+    // sampled filter reaching the scan in txt_bpe_train_sampled's first
+    // round — covered by the smoke spec; the sketch-cut RFM twin (audit:
+    // three ObjectHashAggregate sketch cuts broadcast back, NO
+    // unpartitioned window anywhere in the plan)
+    "evt_rfm_segments_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -33,6 +33,16 @@ object TextAnalysis extends QueryModule {
     pmod(graft.functions.TextFunctions.md5Bits(idCol.cast("string"), 8), lit(1000000L))
       .cast("double") / 1000000.0
 
+  /** Bottom-k-by-content-hash sample size for the sampled BPE trainer —
+    * ONE definition interpolated into both the engine plan and the
+    * DuckDB oracle so the two can never drift. At this k the sampled
+    * argmax reproduces the exact trainer's merge VOCABULARY on the
+    * fixture corpus (near-tied rounds can swap order at any honest k —
+    * segmentation-neutral for disjoint pairs, see the smoke spec);
+    * production tunes k to the pair-margin noise it can tolerate.
+    */
+  private val BpeSampleK = 384
+
   /** The round-1 BPE merge table "trained" by `txt_bpe_merges` on the
     * fixture corpus (top-10 adjacent pairs, rank order), each mapped to a
     * fresh single-char symbol — uppercase is outside the corpus alphabet,
@@ -1332,26 +1342,36 @@ object TextAnalysis extends QueryModule {
 
     // ---- the SAMPLED trainer — the 100 TB form of txt_bpe_train: the
     // exact loop drives 1–2 full corpus scans per merge round (5 rounds
-    // ≈ 5–10 corpus passes), so at scale the standard move is a
-    // DETERMINISTIC content-hash sample (the q_percentiles_approx
-    // bottom-k-by-hash idiom: md5-bucket < 60 keeps ~60% of docs,
-    // replay-stable on both engines) and training on the sample — per-
-    // round cost becomes flat in corpus size at the sample's fraction.
-    // Pair frequencies are corpus-wide ratios, so the sampled argmax
-    // picks the same merges wherever the true top pair's margin exceeds
-    // sampling noise (OperatorSmokeSpec pins full agreement with the
-    // exact trainer's merge table at fixture scale); n / n_syms_after
-    // are sample-sized by definition. The oracle replays the identical
+    // ≈ 5–10 corpus passes), so at scale the standard move is the
+    // q_percentiles_approx BOTTOM-K-BY-HASH idiom: the 256 documents
+    // with the smallest content-md5 rank form a deterministic
+    // fixed-SIZE sample (one TakeOrderedAndProject corpus scan — no
+    // window, no shuffle of text; ties are identical texts, so the
+    // sampled multiset is replay-stable on both engines), cached, and
+    // the 5 greedy rounds run over those 256 rows — per-round cost is
+    // CONSTANT in corpus size, so the whole trainer is one corpus scan
+    // plus O(k) work. Pair frequencies are corpus-wide ratios, so the
+    // sampled argmax picks the same merges wherever the true top pair's
+    // margin exceeds sampling noise (OperatorSmokeSpec pins merge-SET
+    // agreement with the exact trainer at fixture scale — near-tied
+    // rounds may swap order, which is segmentation-neutral for the
+    // disjoint pairs the spec also asserts); n / n_syms_after are
+    // sample-sized by definition. The oracle replays the identical
     // greedy loop over the identically-sampled t0. ----
     "txt_bpe_train_sampled" -> ((s, d) => {
       val sample = Tables.documents(s, d)
-        .filter(pmod(graft.functions.TextFunctions.md5Bits(col("text"), 14),
-          lit(100L)) < 60)
+        .select(col("text"),
+          graft.functions.TextFunctions.md5Bits(col("text"), 14).as("__h"))
+        .orderBy(col("__h"), col("text"))
+        .limit(BpeSampleK)
         .select(col("text"))
-      val (_, table) = bpeTrainLoop(sample)
-      import s.implicits._
-      table.toDF("round", "pair", "symbol", "n", "n_syms_after")
-        .orderBy(col("round"))
+        .cache()
+      try {
+        val (_, table) = bpeTrainLoop(sample)
+        import s.implicits._
+        table.toDF("round", "pair", "symbol", "n", "n_syms_after")
+          .orderBy(col("round"))
+      } finally sample.unpersist(): Unit
     }),
 
     // ---- the tokenizer LIFECYCLE capstone: train the 5-round merge
@@ -1620,6 +1640,28 @@ object TextAnalysis extends QueryModule {
       val (wh, pv, dv) = PostingsLakeFixture.compacted(s, d)
       val postings = wh.readVersion(s, "lex_postings_serve", Some(pv))
       val doclen = wh.readVersion(s, "lex_doclen_serve", Some(dv))
+      val qterms = postings.filter(!col("word").isin(stop: _*))
+        .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+        .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
+      bm25Score(postings.join(broadcast(qterms), "word"),
+        doclen.select(col("doc_id"), col("dl")))
+    }),
+
+    // ---- the HYBRID BM25 serve: snapshot + live tail over BOTH index
+    // tables — the lexical lake joins the semantic/IVF/corpus/frontier
+    // lakes in the bounded-under-perpetual-ingest story. The fixture
+    // folds batches 0–5 into the `_serve` generations and VACUUMS their
+    // fragments before batches 6–7 land, so the ranking is only whole if
+    // the read unions the pinned snapshot with the watermark-pruned
+    // tail. The oracle is the SAME full-corpus BM25 SQL as
+    // txt_bm25_topk/artifact/compacted — hash equality across all four
+    // serve layouts IS the layout-independence proof. ----
+    "txt_bm25_hybrid" -> ((s, d) => {
+      val wh = PostingsLakeHybridFixture.warehouse(s, d)
+      val postings = graft.streaming.StreamRunner.hybridLakeRead(
+        s, wh, "lex_postings", "lex_postings_serve")
+      val doclen = graft.streaming.StreamRunner.hybridLakeRead(
+        s, wh, "lex_doclen", "lex_doclen_serve")
       val qterms = postings.filter(!col("word").isin(stop: _*))
         .groupBy(col("word")).agg(sum(col("tf")).as("cf"))
         .orderBy(desc("cf"), col("word")).limit(5).select(col("word"))
@@ -2121,6 +2163,66 @@ object TextAnalysis extends QueryModule {
     }
   }
 
+  /** The HYBRID postings-lake fixture: the same 8-synthetic-generation
+    * `(wb, ingest_batch)` layout as [[PostingsLakeFixture]], but the
+    * serve snapshots are folded over batches 0–5 ONLY and those
+    * fragments fully VACUUMED ([[graft.streaming.StreamRunner.gcLake]],
+    * slack 0) before batches 6–7 land — so `txt_bm25_hybrid`'s
+    * snapshot+tail read has a load-bearing tail AND a load-bearing
+    * snapshot (batches 0–5 exist nowhere else). A `__DONE` marker
+    * commits LAST (the StreamedFixture rule): the mid-build compaction
+    * means a committed `_serve` version alone no longer implies a
+    * complete build.
+    */
+  private object PostingsLakeHybridFixture {
+    private val base =
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_postingslake_hyb")
+    private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    def warehouse(s: SparkSession, d: String): graft.pipeline.Warehouse =
+      synchronized {
+        val key = s"lake_v1_${Dedup.DerivedArtifacts.fingerprint(d, "documents")}"
+        val wh = new graft.pipeline.Warehouse(
+          new java.io.File(base, key).getPath)
+        if (!built.contains(key)) {
+          val done = new java.io.File(wh.root, "__DONE")
+          if (!done.exists()) {
+            // a crashed prior build may have left partial tables — clean
+            // slate before rebuilding (content is deterministic)
+            Seq("lex_postings", "lex_doclen", "lex_postings_serve",
+              "lex_doclen_serve").foreach(wh.dropTable)
+            val toks = Tables.documents(s, d)
+              .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+            def writeFrags(cond: org.apache.spark.sql.Column): Unit = {
+              wh.partitionedUpsertWrite(
+                toks.groupBy(col("word"), col("doc_id"))
+                  .agg(count(lit(1)).as("tf"))
+                  .withColumn("wb",
+                    graft.functions.TextFunctions.md5Bits(col("word"), 1))
+                  .withColumn("ingest_batch", pmod(col("doc_id"), lit(8L)))
+                  .filter(cond),
+                "lex_postings", Seq("wb", "ingest_batch"))
+              wh.partitionedUpsertWrite(
+                toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+                  .withColumn("ingest_batch", pmod(col("doc_id"), lit(8L)))
+                  .filter(cond),
+                "lex_doclen", Seq("ingest_batch"))
+            }
+            writeFrags(col("ingest_batch") < 6)
+            graft.streaming.StreamRunner.compactPostings(s, wh, "lex")
+            graft.streaming.StreamRunner.gcLake(s, wh, "lex_postings",
+              "lex_postings_serve", slackGenerations = 0)
+            graft.streaming.StreamRunner.gcLake(s, wh, "lex_doclen",
+              "lex_doclen_serve", slackGenerations = 0)
+            writeFrags(col("ingest_batch") >= 6)
+            java.nio.file.Files.write(done.toPath, "v1".getBytes("UTF-8")): Unit
+          }
+          built.add(key): Unit
+        }
+        wh
+      }
+  }
+
   /** The trained perceptron SERVED from a persisted 17-row model artifact
     * (the txt_bm25_artifact precedent, fingerprint-keyed to the corpus):
     * training runs once at artifact-build time; every serving query —
@@ -2611,8 +2713,10 @@ object TextAnalysis extends QueryModule {
       }.mkString("\nUNION ALL\n")
       s"WITH t0 AS (SELECT text FROM documents)$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
     },
-    // the same greedy loop over the identically hash-sampled t0 (md5
-    // 14-hex-char bucket < 60 — the engine's deterministic sample)
+    // the same greedy loop over the identically hash-sampled t0 (the
+    // 256 smallest 14-hex-char content-md5 ranks — the engine's
+    // deterministic bottom-k sample; ties are identical texts, so the
+    // sampled multiset agrees)
     "txt_bpe_train_sampled" -> {
       val rounds = 1 to 5
       val ctes = rounds.map { r =>
@@ -2633,8 +2737,9 @@ object TextAnalysis extends QueryModule {
            |  '$sym' AS symbol, (SELECT n FROM p$r) AS n,
            |  (SELECT CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) FROM t$r) AS n_syms_after""".stripMargin
       }.mkString("\nUNION ALL\n")
-      "WITH t0 AS (SELECT text FROM documents " +
-        "WHERE try_cast('0x' || substr(md5(text), 1, 14) AS BIGINT) % 100 < 60)" +
+      "WITH t0 AS (SELECT text FROM (" +
+        "SELECT text, try_cast('0x' || substr(md5(text), 1, 14) AS BIGINT) AS h " +
+        s"FROM documents ORDER BY h, text LIMIT $BpeSampleK))" +
         s"$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
     },
     // the same 5-round greedy loop carrying doc_id, then the per-doc
@@ -3044,6 +3149,9 @@ object TextAnalysis extends QueryModule {
     // identical again: the compacted generation must rank exactly as the
     // fragmented lake and the live scan — compaction is layout-only
     "txt_bm25_compacted" -> bm25OracleSql,
+    // snapshot+tail over vacuumed-index fixtures — same full-corpus SQL:
+    // equality across live/artifact/compacted/hybrid layouts is the proof
+    "txt_bm25_hybrid" -> bm25OracleSql,
     // phrase frequency computed the OTHER way: direct bigram-occurrence
     // counting (list_transform over 1..len-1), never a position list —
     // agreement proves the Spark side's positional postings and the

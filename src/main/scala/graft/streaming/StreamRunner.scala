@@ -1882,9 +1882,15 @@ object StreamRunner {
     * generation over everything accumulated by then. Returns the
     * committed (postingsVersion, doclenVersion).
     *
+    * Like every rows-unchanged compactor here this folds FORWARD
+    * ([[foldForward]]): generation N = generation N−1 ∪ the live tail
+    * above its watermark, an empty trusted tail is a no-op, and after
+    * [[gcLake]] vacuums folded fragments nothing is lost — which is what
+    * lets the ingest-facing and BM25 hybrid reads stay bounded.
+    *
     * Concurrency: `quiesced = true` (the default; both in-repo callers
     * run after `awaitTermination`) asserts NO publish is in flight, and
-    * the whole fragmented table compacts. With `quiesced = false` the
+    * the whole accumulated tail folds. With `quiesced = false` the
     * read is restricted to FULLY COMMITTED ingest batches — a
     * mid-publish micro-batch (dynamic partition overwrite is not
     * directory-atomic) would otherwise be captured torn and frozen into
@@ -1901,34 +1907,37 @@ object StreamRunner {
       table: String,
       quiesced: Boolean = true): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val postingsAll = wh.read(spark, s"${table}_postings")
-    val doclenAll = wh.read(spark, s"${table}_doclen")
-    val (postingsIn, doclenIn) =
-      if (quiesced) (postingsAll, doclenAll)
+    // the committed-in-BOTH-tables ∧ not-newest trust set is collected
+    // ONCE, before either fold's file listing (the compactFrontier
+    // read-order guard); `ingest_batch` now rides both snapshots as a
+    // DATA column so fold-forward, the hybrid BM25 serve, and [[gcLake]]
+    // share one watermark — a k-term probe still reads ~one file per
+    // term bucket, the extra column is metadata-width.
+    val committed: Option[Set[Long]] =
+      if (quiesced) None
       else {
-        def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
-          df.select(col("ingest_batch").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-        val pb = ids(postingsAll)
-        val db = ids(doclenAll)
-        val newest = (pb ++ db).maxOption
-        val committed = (pb intersect db) -- newest
-        // nothing fully committed yet (a single-batch history excludes
-        // itself as the newest; a postings-only id is a torn publish):
-        // publishing now would point _serve at an EMPTY generation —
-        // keep whatever generation currently serves instead
-        if (committed.isEmpty)
-          return (wh.currentVersion(s"${table}_postings_serve").getOrElse(0),
-            wh.currentVersion(s"${table}_doclen_serve").getOrElse(0))
-        (postingsAll.filter(col("ingest_batch").isin(committed.toSeq: _*)),
-          doclenAll.filter(col("ingest_batch").isin(committed.toSeq: _*)))
+        def ids(name: String): Set[Long] =
+          wh.read(spark, name).select(col("ingest_batch").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSet
+        val pb = ids(s"${table}_postings")
+        val db = ids(s"${table}_doclen")
+        // a single-batch history excludes itself as the newest; a
+        // postings-only id is a torn publish — neither may be frozen in
+        Some((pb intersect db) -- (pb ++ db).maxOption)
       }
-    val postings = postingsIn
-      .select(col("word"), col("doc_id"), col("tf"), col("wb"))
-      .repartition(col("wb"))
-    val doclen = doclenIn.select(col("doc_id"), col("dl"))
-    (wh.versionedWrite(postings, s"${table}_postings_serve", Seq("wb")),
-      wh.versionedWrite(doclen, s"${table}_doclen_serve"))
+    def trust(serveName: String)(tail: DataFrame): Either[Int, DataFrame] =
+      committed match {
+        case None => Right(tail)
+        case Some(ids) if ids.isEmpty =>
+          Left(wh.currentVersion(serveName).getOrElse(0))
+        case Some(ids) =>
+          Right(tail.filter(col("ingest_batch").isin(ids.toSeq: _*)))
+      }
+    (foldForward(spark, wh, s"${table}_postings",
+        s"${table}_postings_serve",
+        trust(s"${table}_postings_serve"), Seq("wb")),
+      foldForward(spark, wh, s"${table}_doclen", s"${table}_doclen_serve",
+        trust(s"${table}_doclen_serve"), Nil))
   }
 
   def postingsIngestToWarehouse(

@@ -863,18 +863,35 @@ class OperatorSmokeSpec extends SparkSuiteBase {
   }
 
   test("txt_bpe_train_sampled: the hash-sampled trainer picks the exact trainer's merges") {
-    // the scale contract: pair frequencies are corpus-wide ratios, so a
-    // deterministic ~60% content-hash sample must reproduce the exact
-    // loop's MERGE TABLE (pair + symbol per round) at fixture scale —
-    // counts are sample-sized and differ by construction
+    // the scale contract: pair frequencies are corpus-wide ratios, so the
+    // deterministic bottom-k-by-content-hash sample must reproduce the
+    // exact loop's MERGE VOCABULARY at fixture scale. The pin is SET
+    // equality of the merged pairs, not per-round order: this corpus's
+    // rounds 2/3 ("in" vs "or") are near-tied, so sampling noise can
+    // swap them at any honest k — and for DISJOINT pairs (no shared
+    // characters, true here and asserted below) the final segmentation
+    // is order-insensitive, so the vocabulary IS the semantic output.
+    // Round 1's margin is clear, so its pick must match exactly.
     val exact = SparkEntry.queries("txt_bpe_train")(spark, sf0001).collect()
       .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val sampled = SparkEntry.queries("txt_bpe_train_sampled")(spark, sf0001)
       .collect()
       .sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(sampled.length == 5)
-    assert(sampled.toSeq == exact.toSeq,
-      "sampled merge table must agree with the exact trainer at fixture scale")
+    assert(sampled.map(_._2).toSet == exact.map(_._2).toSet,
+      "sampled merge vocabulary must equal the exact trainer's at fixture scale")
+    assert(sampled.head._2 == exact.head._2,
+      "the clear-margin round-1 pick must agree exactly")
+    // the set pin is sufficient iff the pairs that actually PERMUTED
+    // commute: replace-ops on character-disjoint pairs are
+    // order-independent, so the re-segmented text after the permuted
+    // block — and every later round's counts — are identical up to
+    // symbol naming. Assert exactly that for the positions that differ.
+    val permuted = exact.zip(sampled).filter { case (e, s) => e._2 != s._2 }
+      .flatMap { case (e, s) => Seq(e._2, s._2) }.distinct
+    for (a <- permuted; b <- permuted if a < b)
+      assert(!a.exists(b.contains(_)),
+        s"permuted merges '$a'/'$b' share a character — order would matter")
     // and the sample is a real subset: round-1 pair count strictly below
     // the exact trainer's (the sample must not silently read every doc)
     val nExact = SparkEntry.queries("txt_bpe_train")(spark, sf0001)
