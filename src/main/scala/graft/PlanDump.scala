@@ -394,6 +394,9 @@ object PlanDump {
     // generation scan must carry a LITERAL `cell = k` partition filter —
     // one cell directory read — then broadcast query + TakeOrdered)
     "sim_semdedup_topk_ivf",
+    // its top-2-cells multiprobe twin (audit: a 2-literal `cell IN`
+    // partition filter — the recall knob never widens to a lake scan)
+    "sim_semdedup_topk_ivf2",
     // its recall eval vs the brute twin (audit: two bounded top-k sides,
     // a 10-row semi join, 1-row report — no corpus-sized work)
     "sim_semdedup_recall",

@@ -1322,9 +1322,13 @@ object Crawl extends QueryModule {
     extends StreamedFixture("fs", s"graft_frontier_$variant",
       Seq("_records", "_settled", "_edges", "_terminals", "_ledger")
         ++ serveTables,
-      layout = "v2",
+      // v3: round 16 added the ledger fold (`_ledger_serve`) to
+      // compactFrontier and to the hybrid variant's published table set —
+      // the marker bump forces stale-layout builds to regenerate
+      layout = "v3",
       extraPruneSuffixes =
-        Seq("_records_serve", "_settled_serve").diff(serveTables)) {
+        Seq("_records_serve", "_settled_serve", "_ledger_serve")
+          .diff(serveTables)) {
 
     /** Mid-stream maintenance hook — fires after batch `i` publishes
       * (the CorpusStatsHybridFixture convention); the hybrid variant
@@ -1357,6 +1361,7 @@ object Crawl extends QueryModule {
         graft.streaming.StreamRunner.compactFrontier(s, wh, p)
         wh.pruneVersions(s"${p}_records_serve", keep = 2)
         wh.pruneVersions(s"${p}_settled_serve", keep = 2)
+        wh.pruneVersions(s"${p}_ledger_serve", keep = 2)
         wh.currentVersion(s"${p}_records_serve").isDefined &&
           wh.currentVersion(s"${p}_settled_serve").isDefined
       }
@@ -1395,7 +1400,7 @@ object Crawl extends QueryModule {
     "hyb",
     Seq(col("doc_id") % 10 =!= 0, col("doc_id") % 10 === 0),
     graft.streaming.StreamRunner.DefaultRetryMaxAge,
-    serveTables = Seq("_records_serve", "_settled_serve")) {
+    serveTables = Seq("_records_serve", "_settled_serve", "_ledger_serve")) {
     override protected def afterBatch(
         s: SparkSession, scratch: String, i: Int): Unit =
       if (i == 0) {
@@ -1403,7 +1408,11 @@ object Crawl extends QueryModule {
         graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_records",
           s"${scratch}_records_serve", slackGenerations = 0)
         graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_settled",
-          s"${scratch}_settled_serve", slackGenerations = 0): Unit
+          s"${scratch}_settled_serve", slackGenerations = 0)
+        // the ledger too — batch 1's non-quiesced trust (were it run)
+        // would read committed ids snapshot+tail; nothing else reads it
+        graft.streaming.StreamRunner.gcLake(s, wh, s"${scratch}_ledger",
+          s"${scratch}_ledger_serve", slackGenerations = 0): Unit
       }
   }
 

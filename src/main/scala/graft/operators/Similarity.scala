@@ -196,6 +196,46 @@ object Similarity extends QueryModule {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
       .sortBy(_._1).toSeq
 
+  /** The query vector's top-`nprobe` coarse cells under the frozen
+    * centroid set, as LITERAL ids (a bounded 1-row collect — the ledger
+    * idiom): `array_sort` over the same `(−cos, k)` candidate structs
+    * [[cellAssignExpr]] minimizes, so probe ORDER matches the lake's
+    * argmax assignment and tiebreak exactly. The literals make the
+    * `_cells` probe an `isin` PARTITION filter — nprobe directories
+    * read, never the lake.
+    */
+  private def queryProbeCells(s: SparkSession, d: String, nprobe: Int): Seq[Long] = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val cands = array(frozenCentroids(s, d).map { case (k, emb) =>
+      struct(
+        (lit(0.0) - call_function("graft_cosine", col("embedding"),
+          typedLit(emb))).as("neg"),
+        lit(k).as("k"))
+    }: _*)
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(transform(slice(array_sort(cands), 1, nprobe),
+        x => x.getField("k")).as("cells"))
+      .collect()(0).getSeq[Long](0).toSeq
+  }
+
+  /** Top-k over the deduplicated `_cells` generation, probing the
+    * query's top-`nprobe` cells — shared by the nprobe=1 and nprobe=2
+    * serves and the recall report.
+    */
+  private def semdedupTopkIvf(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val p = SemanticLakeFixture.cells(s, d)
+    val probes = queryProbeCells(s, d, nprobe)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    SemanticLakeFixture.wh.readVersion(s, s"${p}_cells")
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   private[graft] object SemanticLakeFixture extends StreamedFixture(
     "sl", "graft_semlake", Seq(""), layout = "v1",
     extraPruneSuffixes = Seq("_serve", "_cells")) {
@@ -844,36 +884,32 @@ object Similarity extends QueryModule {
     // sim_semdedup_topk is the brute full-scan twin; this is the 100 TB
     // read shape. The oracle composes the survivor replay with the same
     // cell assignment and pruned top-k. ----
-    "sim_semdedup_topk_ivf" -> ((s, d) => {
-      val p = SemanticLakeFixture.cells(s, d)
-      val (qCellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
-      val qCell = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(qCellCol).collect()(0).getLong(0)
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      SemanticLakeFixture.wh.readVersion(s, s"${p}_cells")
-        .filter(col("cell") === qCell && col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
-        .select(col("vec_id"), col("label"), col("cos_sim"))
-        .orderBy(desc("cos_sim"), col("vec_id"))
-        .limit(10)
-    }),
+    "sim_semdedup_topk_ivf" -> ((s, d) => semdedupTopkIvf(s, d, nprobe = 1)),
 
-    // ---- the recall eval pinning the indexed serve against its brute
-    // twin (the dedup_lsh_recall pattern): |IVF top-10 ∩ brute top-10|
-    // over the same deduplicated lake, as a 1-row report. Single-probe
-    // IVF recall is approximate BY DESIGN (neighbors outside the query's
-    // cell are unreachable); this row makes the trade measurable instead
-    // of assumed, and the oracle re-derives both top-k sets from the
-    // survivor replay. ----
+    // ---- the MULTIPROBE form: the query's top-2 cells as a 2-literal
+    // `isin` partition filter (the sim_topk_srp_multiprobe recall knob
+    // applied to the deduplicated lake) — recall recovered from the
+    // single-probe split-neighborhood miss at 2× the pruned read, still
+    // never a lake scan. ----
+    "sim_semdedup_topk_ivf2" -> ((s, d) => semdedupTopkIvf(s, d, nprobe = 2)),
+
+    // ---- the recall eval pinning the indexed serves against the brute
+    // twin (the dedup_lsh_recall pattern): per nprobe ∈ {1, 2},
+    // |IVF top-10 ∩ brute top-10| over the same deduplicated lake.
+    // Probe-bounded recall is approximate BY DESIGN (neighbors outside
+    // the probed cells are unreachable); these rows make the
+    // recall-vs-read trade a MEASURED ladder — 5/10 single-probe on the
+    // fixture, recovered by the second probe — and the oracle re-derives
+    // all three top-k sets from the survivor replay. ----
     "sim_semdedup_recall" -> ((s, d) => {
-      val ivf = queries("sim_semdedup_topk_ivf")(s, d).select(col("vec_id"))
       val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
-      ivf.join(brute, Seq("vec_id"), "left_semi")
-        .agg(count(lit(1)).cast("bigint").as("n_hit"))
-        .select(lit(10L).as("k"), col("n_hit"),
-          expr("n_hit * 100 DIV 10").as("recall_pct"))
+      Seq(1, 2).map { np =>
+        semdedupTopkIvf(s, d, np).select(col("vec_id"))
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
+            col("n_hit"), expr("n_hit * 100 DIV 10").as("recall_pct"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -1646,12 +1682,24 @@ object Similarity extends QueryModule {
   /** Continuation CTEs for the indexed-over-SemDeDup oracles (appended
     * after [[semanticLakeReplayCte]], continuing its WITH chain): the
     * frozen 8-centroid argmax assignment over every coded vector
-    * (sim_topk_ivf's QUALIFY arithmetic), the query's cell, and `ivfk` —
-    * the cell-pruned scored survivor set the indexed top-k and the
-    * recall report both read. MATERIALIZED where referenced twice (the
-    * dedup_kcore CTE-inlining lesson).
+    * (sim_topk_ivf's QUALIFY arithmetic), the query's RANKED probe cells
+    * (`qrank` — rn ≤ nprobe is each serve's probe set, the same
+    * (cs DESC, ck) order [[queryProbeCells]]' array_sort uses), and
+    * `ivfk`/`ivfk2` — the nprobe=1/nprobe=2 cell-pruned scored survivor
+    * sets. MATERIALIZED where referenced twice (the dedup_kcore
+    * CTE-inlining lesson).
     */
-  private def semanticCellsCte: String =
+  private def semanticCellsCte: String = {
+    def ivfkCte(name: String, nprobe: Int) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.vec_id, e.label,
+         |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+         |  FROM e JOIN cells cl ON e.vec_id = cl.vec_id
+         |  JOIN (SELECT cell FROM qrank WHERE rn <= $nprobe) qc
+         |    ON cl.cell = qc.cell
+         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+         |)""".stripMargin
     s""", cent AS (
        |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 8
@@ -1660,15 +1708,15 @@ object Similarity extends QueryModule {
        |    SELECT e2.vec_id, c.ck, ${duckCosine("e2.embedding", "c.c_emb")} AS cs
        |    FROM e e2 CROSS JOIN cent c)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
-       |), qc AS (SELECT cell AS q_cell FROM cells WHERE vec_id = 0),
-       |ivfk AS MATERIALIZED (
-       |  SELECT e.vec_id, e.label,
-       |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
-       |  FROM e JOIN cells cl ON e.vec_id = cl.vec_id
-       |  JOIN qc ON cl.cell = qc.q_cell
-       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-       |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
-       |)""".stripMargin
+       |), qrank AS MATERIALIZED (
+       |  SELECT ck AS cell, row_number() OVER (ORDER BY cs DESC, ck) AS rn
+       |  FROM (
+       |    SELECT c.ck, ${duckCosine("q.embedding", "c.c_emb")} AS cs
+       |    FROM cent c
+       |    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+       |), ${ivfkCte("ivfk", 1)},
+       |${ivfkCte("ivfk2", 2)}""".stripMargin
+  }
 
   /** From-scratch re-derivation of the streamed IVF lake (every vector's
     * argmax cell + the slice→batch mapping) — shared verbatim by the
@@ -2115,22 +2163,34 @@ object Similarity extends QueryModule {
       (semanticLakeReplayCte + semanticCellsCte + s"""
         |SELECT vec_id, label, cos_sim FROM ivfk
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-    // both top-k sets re-derived, intersected — the 1-row recall report
+    // the top-2-cells multiprobe form, same re-derivation
+    "sim_semdedup_topk_ivf2" ->
+      (semanticLakeReplayCte + semanticCellsCte + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk2
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    // all three top-k sets re-derived, intersected per nprobe — the
+    // measured recall-vs-read ladder
     "sim_semdedup_recall" ->
-      (semanticLakeReplayCte + semanticCellsCte + s""", brutek AS (
+      (semanticLakeReplayCte + semanticCellsCte + s""", brutek AS MATERIALIZED (
         |  SELECT e.vec_id,
         |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
         |  FROM e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
         |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10
-        |), topi AS (
+        |), topi1 AS (
         |  SELECT vec_id FROM ivfk ORDER BY cos_sim DESC, vec_id LIMIT 10
+        |), topi2 AS (
+        |  SELECT vec_id FROM ivfk2 ORDER BY cos_sim DESC, vec_id LIMIT 10
         |), hits AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM topi
-        |  WHERE vec_id IN (SELECT vec_id FROM brutek)
+        |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM topi1 WHERE vec_id IN (SELECT vec_id FROM brutek)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+        |  FROM topi2 WHERE vec_id IN (SELECT vec_id FROM brutek)
         |)
-        |SELECT CAST(10 AS BIGINT) AS k, n_hit,
-        |  CAST(n_hit * 100 // 10 AS BIGINT) AS recall_pct FROM hits""".stripMargin),
+        |SELECT nprobe, CAST(10 AS BIGINT) AS k, n_hit,
+        |  CAST(n_hit * 100 // 10 AS BIGINT) AS recall_pct
+        |FROM hits ORDER BY nprobe""".stripMargin),
     // every vector's argmax cell re-derived from scratch (the
     // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
     // mapping — a compactor that drops, alters, or double-publishes a

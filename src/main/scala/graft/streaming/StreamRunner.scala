@@ -1040,10 +1040,15 @@ object StreamRunner {
     // the tables first would let a batch that completed after the
     // listing appear committed while only partially present in the
     // frozen listing. Ledger-sized collect: one row per micro-batch
-    // ever ingested.
+    // ever ingested — itself read snapshot+tail, because the ledger is
+    // ALSO a per-batch appender and is folded/vacuumed below (any
+    // readable ledger id is trustworthy: the 1-row leaf either
+    // committed whole or lists as absent, so the ledger fold needs no
+    // trust guard of its own).
+    val ledgerName = s"${table}_ledger"
     val committed: Option[Set[Long]] =
       if (quiesced) None
-      else Some(wh.read(spark, s"${table}_ledger")
+      else Some(hybridLakeRead(spark, wh, ledgerName, s"${ledgerName}_serve")
         .select(col("ingest_batch").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSet)
     def trust(serveName: String)(tail: DataFrame): Either[Int, DataFrame] =
@@ -1061,6 +1066,13 @@ object StreamRunner {
       if (wh.hasData(recsName) &&
           wh.read(spark, recsName).columns.contains("db")) Seq("db")
       else Nil
+    // the ledger folds too (fragment-count only — it is the last
+    // remaining per-batch appender), so a perpetual ingest's frontier
+    // is bounded in ALL its tables once gcLake runs with slack; guarded
+    // because a frontier whose every batch quarantined has no ledger
+    if (hasAnyData(wh, ledgerName, s"${ledgerName}_serve"))
+      foldForward(spark, wh, ledgerName, s"${ledgerName}_serve",
+        tail => Right(tail), Nil): Unit
     (foldForward(spark, wh, recsName, s"${recsName}_serve",
         trust(s"${recsName}_serve"), recsParts),
       foldForward(spark, wh, s"${table}_settled", s"${table}_settled_serve",

@@ -332,6 +332,58 @@ class PlanPolicySpec extends SparkSuiteBase {
     }
   }
 
+  /** Every `PartitionFilters: [...]` bracket in a query's FORMATTED plan
+    * (robust under AQE, which hides FileSourceScanExec from
+    * executedPlan.collect; the same text PLANS.md records).
+    */
+  private def partitionFilterBrackets(name: String): Seq[String] = {
+    val plan = SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+  }
+
+  test("hybrid serves: the live tail side is an ingest_batch-pruned partition scan") {
+    // the snapshot+tail contract's plan half: a hybrid read whose live
+    // side lost its `ingest_batch > N` PartitionFilter would re-scan the
+    // whole fragmented lake — exactly the cost the snapshot exists to
+    // amortize. PLANS.md carries the full dumps; this pins the invariant.
+    for (name <- Seq("sim_semdedup_hybrid", "sim_ivf_lake_hybrid",
+        "pipe_corpus_hybrid", "pipe_frontier_hybrid", "txt_bm25_hybrid")) {
+      val brackets = partitionFilterBrackets(name)
+      assert(brackets.exists(s =>
+          s.contains("ingest_batch") && s.contains(">")),
+        s"$name: no `ingest_batch > N` partition filter on any scan — " +
+          s"the tail read is unpruned (filters: $brackets)")
+    }
+  }
+
+  test("indexed dedup'd top-k probes only LITERAL cell partitions") {
+    for (name <- Seq("sim_semdedup_topk_ivf", "sim_semdedup_topk_ivf2")) {
+      val cellFilters = partitionFilterBrackets(name)
+        .filter(_.contains("cell"))
+      assert(cellFilters.nonEmpty,
+        s"$name: expected a cell partition filter on the _cells scan")
+      // the probe set is literal (resolved driver-side from the bounded
+      // centroid set), so pruning happens at PLANNING time — an
+      // equality or IN over constants, never a join-derived filter
+      assert(cellFilters.exists(s => s.contains("=") || s.contains("IN")),
+        s"$name: cell filter is not a literal equality/IN: $cellFilters")
+    }
+  }
+
+  test("evt_rfm_segments_sketch: no window operator anywhere in the plan") {
+    // the sketch twin exists precisely to remove the exact form's
+    // cumulative-histogram window (whose m_cents input grows with
+    // |users|): its plan must be aggregates + broadcasts only
+    val windows = EventTime.queries("evt_rfm_segments_sketch")(spark, sf0001)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.isEmpty,
+      s"sketch-cut RFM must be window-free, found: ${windows.map(_.nodeName)}")
+  }
+
   test("txt_boilerplate_scrub: fully-boilerplate docs survive with n_kept = 0") {
     import spark.implicits._
     val docs = Seq(

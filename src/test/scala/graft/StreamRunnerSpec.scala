@@ -1328,6 +1328,19 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(wh.readVersion(spark, "fr_records_serve", Some(rv2))
       .filter(col("ingest_batch") === 99L).count() === 0L,
       "an unledgered batch must be excluded from the compacted snapshot")
+    // the LEDGER is bounded too: compactFrontier folded it alongside the
+    // data tables, so its per-batch leaves vacuum — and a non-quiesced
+    // compaction afterwards still derives its committed set through the
+    // ledger's snapshot+tail read
+    assert(StreamRunner.gcLake(spark, wh, "fr_ledger", "fr_ledger_serve",
+      slackGenerations = 0) === Seq(0L, 1L))
+    assert(!wh.hasData("fr_ledger"),
+      "ledger live leaves vacuumed after the fold")
+    val (rv3, _) = StreamRunner.compactFrontier(spark, wh, "fr",
+      quiesced = false)
+    assert(wh.readVersion(spark, "fr_records_serve", Some(rv3))
+      .filter(col("ingest_batch") === 99L).count() === 0L,
+      "committed ids survive the ledger vacuum via its snapshot")
     // replay: re-running batch 1 through the body must rewrite its
     // partition bit-identically (the excludeBatch retry guard)
     def b1frame = spark.createDataFrame(
