@@ -397,6 +397,10 @@ object PlanDump {
     // its top-2-cells multiprobe twin (audit: a 2-literal `cell IN`
     // partition filter — the recall knob never widens to a lake scan)
     "sim_semdedup_topk_ivf2",
+    // the FRESH indexed serve (audit: pinned-cells scan with the literal
+    // cell filter ∪ an `ingest_batch > N`-pruned tail scan carrying the
+    // on-the-fly literal-centroid assignment — no lake scan, no join)
+    "sim_semdedup_topk_ivf_fresh",
     // its recall eval vs the brute twin (audit: two bounded top-k sides,
     // a 10-row semi join, 1-row report — no corpus-sized work)
     "sim_semdedup_recall",

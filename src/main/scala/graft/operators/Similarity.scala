@@ -270,16 +270,7 @@ object Similarity extends QueryModule {
       */
     def cells(s: SparkSession, d: String): String = {
       val p = compact(s, d)
-      compactOnce(s"$p@cells") {
-        val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
-        wh.versionedWrite(
-          wh.readVersion(s, s"${p}_serve")
-            .select(col("vec_id"), col("label"), col("embedding"), cellCol)
-            .repartition(col("cell")),
-          s"${p}_cells", Seq("cell"))
-        wh.pruneVersions(s"${p}_cells", keep = 2)
-        wh.currentVersion(s"${p}_cells").isDefined
-      }
+      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p))
       p
     }
   }
@@ -296,7 +287,8 @@ object Similarity extends QueryModule {
     * the shared from-scratch replay oracle.
     */
   private[graft] object SemanticLakeHybridFixture extends StreamedFixture(
-    "slh", "graft_semlake_hyb", Seq("", "_serve"), layout = "v1") {
+    "slh", "graft_semlake_hyb", Seq("", "_serve"), layout = "v1",
+    extraPruneSuffixes = Seq("_cells")) {
     override protected def sourceTable: String = "embeddings"
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit =
@@ -306,6 +298,35 @@ object Similarity extends QueryModule {
           graft.streaming.StreamRunner.gcLake(s, wh, scratch,
             s"${scratch}_serve", slackGenerations = 0): Unit
         })
+
+    /** `_cells` built from the MID-STREAM `_serve` snapshot (batches
+      * 0–1 only) — deliberately STALE, so the fresh indexed serve's
+      * on-the-fly tail assignment is load-bearing
+      * (sim_semdedup_topk_ivf_fresh).
+      */
+    def cells(s: SparkSession, d: String): String = {
+      val p = build(s, d)
+      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p))
+      p
+    }
+  }
+
+  /** The shared `_cells`-generation write (run once per JVM per prefix
+    * under each fixture's compactOnce memo): the lake's `_serve`
+    * snapshot cell-assigned against the frozen centroids and published
+    * as a versioned cell-partitioned generation. Returns whether a
+    * committed generation exists (the compactOnce contract).
+    */
+  private def writeCellsGeneration(s: SparkSession, d: String,
+      wh: graft.pipeline.Warehouse, p: String): Boolean = {
+    val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+    wh.versionedWrite(
+      wh.readVersion(s, s"${p}_serve")
+        .select(col("vec_id"), col("label"), col("embedding"), cellCol)
+        .repartition(col("cell")),
+      s"${p}_cells", Seq("cell"))
+    wh.pruneVersions(s"${p}_cells", keep = 2)
+    wh.currentVersion(s"${p}_cells").isDefined
   }
 
   /** A REAL streaming-maintained IVF lake:
@@ -892,6 +913,45 @@ object Similarity extends QueryModule {
     // single-probe split-neighborhood miss at 2× the pruned read, still
     // never a lake scan. ----
     "sim_semdedup_topk_ivf2" -> ((s, d) => semdedupTopkIvf(s, d, nprobe = 2)),
+
+    // ---- the FRESH indexed serve: snapshot-cells + on-the-fly tail —
+    // the staleness gap of a pinned `_cells` generation closed the same
+    // way the hybrid lake serves close theirs. The probe reads the
+    // pinned cell directory (batches folded so far) UNION the live tail
+    // partitions above the snapshot watermark, cell-assigned on the fly
+    // by the same literal-centroid projection the maintenance job runs —
+    // tail rows cost one narrow assignment each, and only probe-cell
+    // matches survive the filter. Built on the HYBRID fixture (cells
+    // derive from the mid-stream snapshot, batch 2 exists only in the
+    // tail), so a serve that forgot the tail OR double-read the overlap
+    // flips the oracle — which is sim_semdedup_topk_ivf's whole-survivor
+    // re-derivation, verbatim. ----
+    "sim_semdedup_topk_ivf_fresh" -> ((s, d) => {
+      val p = SemanticLakeHybridFixture.cells(s, d)
+      val wh = SemanticLakeHybridFixture.wh
+      val probes = queryProbeCells(s, d, 1)
+      val thru = wh.readVersion(s, s"${p}_serve")
+        .agg(max(col("ingest_batch").cast("long")).as("t"))
+        .collect()(0).getLong(0)
+      val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+      val snapCells = wh.readVersion(s, s"${p}_cells")
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val tailCells = wh.read(s, p)
+        .filter(col("ingest_batch") > thru)
+        .select(col("vec_id"), col("label"), col("embedding"), cellCol)
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      snapCells.unionByName(tailCells)
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
 
     // ---- the recall eval pinning the indexed serves against the brute
     // twin (the dedup_lsh_recall pattern): per nprobe ∈ {1, 2},
@@ -2167,6 +2227,14 @@ object Similarity extends QueryModule {
     "sim_semdedup_topk_ivf2" ->
       (semanticLakeReplayCte + semanticCellsCte + s"""
         |SELECT vec_id, label, cos_sim FROM ivfk2
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    // the fresh (snapshot-cells ∪ on-the-fly tail) serve must return the
+    // SAME rows as the fully-compacted indexed serve — the whole-survivor
+    // re-derivation is reused verbatim; a forgotten tail or a double-read
+    // overlap flips it
+    "sim_semdedup_topk_ivf_fresh" ->
+      (semanticLakeReplayCte + semanticCellsCte + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     // all three top-k sets re-derived, intersected per nprobe — the
     // measured recall-vs-read ladder

@@ -349,7 +349,8 @@ class PlanPolicySpec extends SparkSuiteBase {
     // whole fragmented lake — exactly the cost the snapshot exists to
     // amortize. PLANS.md carries the full dumps; this pins the invariant.
     for (name <- Seq("sim_semdedup_hybrid", "sim_ivf_lake_hybrid",
-        "pipe_corpus_hybrid", "pipe_frontier_hybrid", "txt_bm25_hybrid")) {
+        "pipe_corpus_hybrid", "pipe_frontier_hybrid", "txt_bm25_hybrid",
+        "sim_semdedup_topk_ivf_fresh")) {
       val brackets = partitionFilterBrackets(name)
       assert(brackets.exists(s =>
           s.contains("ingest_batch") && s.contains(">")),
@@ -359,7 +360,8 @@ class PlanPolicySpec extends SparkSuiteBase {
   }
 
   test("indexed dedup'd top-k probes only LITERAL cell partitions") {
-    for (name <- Seq("sim_semdedup_topk_ivf", "sim_semdedup_topk_ivf2")) {
+    for (name <- Seq("sim_semdedup_topk_ivf", "sim_semdedup_topk_ivf2",
+        "sim_semdedup_topk_ivf_fresh")) {
       val cellFilters = partitionFilterBrackets(name)
         .filter(_.contains("cell"))
       assert(cellFilters.nonEmpty,
