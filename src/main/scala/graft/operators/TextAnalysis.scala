@@ -1343,12 +1343,12 @@ object TextAnalysis extends QueryModule {
     // ---- the SAMPLED trainer — the 100 TB form of txt_bpe_train: the
     // exact loop drives 1–2 full corpus scans per merge round (5 rounds
     // ≈ 5–10 corpus passes), so at scale the standard move is the
-    // q_percentiles_approx BOTTOM-K-BY-HASH idiom: the 256 documents
-    // with the smallest content-md5 rank form a deterministic
+    // q_percentiles_approx BOTTOM-K-BY-HASH idiom: the [[BpeSampleK]]
+    // (384) documents with the smallest content-md5 rank form a deterministic
     // fixed-SIZE sample (one TakeOrderedAndProject corpus scan — no
     // window, no shuffle of text; ties are identical texts, so the
     // sampled multiset is replay-stable on both engines), cached, and
-    // the 5 greedy rounds run over those 256 rows — per-round cost is
+    // the 5 greedy rounds run over those 384 rows — per-round cost is
     // CONSTANT in corpus size, so the whole trainer is one corpus scan
     // plus O(k) work. Pair frequencies are corpus-wide ratios, so the
     // sampled argmax picks the same merges wherever the true top pair's
@@ -2714,7 +2714,7 @@ object TextAnalysis extends QueryModule {
       s"WITH t0 AS (SELECT text FROM documents)$ctes\nSELECT * FROM (\n$rows\n) tr ORDER BY round"
     },
     // the same greedy loop over the identically hash-sampled t0 (the
-    // 256 smallest 14-hex-char content-md5 ranks — the engine's
+    // [[BpeSampleK]] = 384 smallest 14-hex-char content-md5 ranks — the engine's
     // deterministic bottom-k sample; ties are identical texts, so the
     // sampled multiset agrees)
     "txt_bpe_train_sampled" -> {
