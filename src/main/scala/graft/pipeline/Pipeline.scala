@@ -174,7 +174,24 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * sweeps reservations at or below the committed current version.
     */
   def versionedWrite(df: DataFrame, name: String,
-      partitionCols: Seq[String] = Nil): Int = {
+      partitionCols: Seq[String] = Nil): Int =
+    versionedWrite(df, name, partitionCols, Map.empty[String, String])
+
+  /** [[versionedWrite]] carrying a small METADATA payload with the
+    * snapshot — written as a `_v=N.meta` sidecar (properties lines)
+    * BEFORE the marker flip, so any reader that can resolve the version
+    * can read its metadata without a data scan. The streamed-lake
+    * compactors persist their fold watermark (`thru` = the max
+    * `ingest_batch` the generation covers) here: the hybrid snapshot+tail
+    * readers and the vacuum boundary then resolve the watermark from one
+    * tiny file read instead of a full-generation `max()` scan per read —
+    * the same role a table format's snapshot summary plays. Crash safety:
+    * a sidecar without its committed dir is inert debris (swept with the
+    * dir by [[pruneVersions]]); a committed dir is never current without
+    * its sidecar because the sidecar lands before the flip.
+    */
+  def versionedWrite(df: DataFrame, name: String,
+      partitionCols: Seq[String], meta: Map[String, String]): Int = {
     val base = new java.io.File(tablePath(name))
     base.mkdirs()
     var attempt = 0
@@ -203,6 +220,11 @@ class Warehouse(val root: String, val format: String = "parquet") {
             .option("partitionOverwriteMode", "static")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .save(s"${tablePath(name)}/_v=$next")
+          if (meta.nonEmpty)
+            java.nio.file.Files.write(
+              new java.io.File(base, s"_v=$next.meta").toPath,
+              meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+                .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
           flipMarkerForward(name, next)
           committed = next
         } finally reservation.delete(): Unit // the dir now claims the number
@@ -256,6 +278,21 @@ class Warehouse(val root: String, val format: String = "parquet") {
         } finally lock.release()
       } finally ch.close()
     }
+
+  /** The `_v=N.meta` sidecar payload of a committed snapshot (empty when
+    * the writer carried none — e.g. generations committed by older code,
+    * for which readers fall back to deriving what they need by scan).
+    */
+  def versionMeta(name: String, v: Int): Map[String, String] = {
+    val f = new java.io.File(tablePath(name), s"_v=$v.meta")
+    if (!f.exists()) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        val i = l.indexOf('=')
+        if (i <= 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap
+  }
 
   /** The committed snapshot version, if any ([[versionedWrite]] tables). */
   def currentVersion(name: String): Option[Int] = {
@@ -339,8 +376,10 @@ class Warehouse(val root: String, val format: String = "parquet") {
         .delete(): Unit)
     val dropped = listVersions(name).sorted.reverse.drop(keep)
       .filterNot(cur.contains)
-    dropped.foreach(v => Warehouse.deleteRecursively(
-      new java.io.File(tablePath(name), s"_v=$v")))
+    dropped.foreach { v =>
+      Warehouse.deleteRecursively(new java.io.File(tablePath(name), s"_v=$v"))
+      new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
+    }
     dropped.sorted
   }
 

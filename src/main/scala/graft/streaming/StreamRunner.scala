@@ -431,25 +431,28 @@ object StreamRunner {
     // `folded_thru` and a tail row's `ingest_batch` both mean "the
     // newest batch this row's mass covers", so one union + groupBy
     // computes both the sums and the new per-source watermark.
-    val (base, tailAll) = wh.currentVersion(serveName) match {
+    val current = wh.currentVersion(serveName)
+    val priorThru = current.map(v => statsThru(spark, wh, serveName, v))
+    val (base, tailAll) = current match {
       case Some(v) =>
         val snap = wh.readVersion(spark, serveName, Some(v))
-        val thru = snap.agg(max(col("folded_thru")).as("t"))
-          .collect()(0).getLong(0)
         (Some(snap.withColumnRenamed("folded_thru", "covers_thru")),
-          lake.filter(col("ingest_batch") > thru))
+          lake.filter(col("ingest_batch") > priorThru.get))
       case None => (None, lake)
     }
     val tail =
       if (quiesced) tailAll
       else trustedOrCurrent(tailAll, wh, serveName) match {
-        case Left(current) => return current
+        case Left(cv) => return cv
         case Right(df) => df
       }
-    // an empty trusted tail over an existing snapshot: committing an
-    // identical generation would only churn version numbers — no-op
-    if (base.isDefined && tail.isEmpty)
-      return wh.currentVersion(serveName).getOrElse(0)
+    // one tail-sized job is both the emptiness probe and the new
+    // watermark; an empty trusted tail never commits (an identical
+    // generation churns retention; an empty FIRST generation would
+    // poison every later watermark read)
+    val tailMax = maxBatch(tail)
+    if (tailMax == Long.MinValue)
+      return current.getOrElse(0)
     val cols = Seq("source", "n_docs", "total_chars", "n_tokens_bpe",
       "n_tainted")
     val tailNorm = tail.select(
@@ -462,8 +465,26 @@ object StreamRunner {
       sum(col("n_tokens_bpe")).cast("bigint").as("n_tokens_bpe"),
       sum(col("n_tainted")).cast("bigint").as("n_tainted"),
       max(col("covers_thru")).cast("bigint").as("folded_thru"))
-    // |sources|-sized report frame: one file, not 32 near-empty ones
-    wh.versionedWrite(folded.coalesce(1), serveName)
+    // |sources|-sized report frame: one file, not 32 near-empty ones;
+    // the sidecar carries the global fold boundary so the hybrid serve
+    // and the vacuum resolve it without a snapshot read
+    wh.versionedWrite(folded.coalesce(1), serveName, Nil,
+      Map("thru" -> math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString))
+  }
+
+  /** The stats lake's fold boundary: sidecar-first (one metadata read),
+    * falling back to the |sources|-row `max(folded_thru)` scan for
+    * generations committed before the sidecar existed.
+    */
+  private def statsThru(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      serveName: String,
+      v: Int): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse(
+      wh.readVersion(spark, serveName, Some(v))
+        .agg(max(col("folded_thru")).as("t")).collect()(0).getLong(0))
   }
 
   /** Stats-lake VACUUM — the GC that makes the accounting lake BOUNDED
@@ -491,13 +512,11 @@ object StreamRunner {
       wh: Warehouse,
       table: String,
       slackGenerations: Int = 1): Seq[Long] = {
-    import org.apache.spark.sql.functions.{col, max}
     val serveName = s"${table}_stats_serve"
     val versions = wh.listVersions(serveName)
     if (versions.size <= slackGenerations) return Nil
     val boundaryVersion = versions(versions.size - 1 - slackGenerations)
-    val boundary = wh.readVersion(spark, serveName, Some(boundaryVersion))
-      .agg(max(col("folded_thru")).as("t")).collect()(0).getLong(0)
+    val boundary = statsThru(spark, wh, serveName, boundaryVersion)
     val lakeDir = new java.io.File(wh.tablePath(s"${table}_stats"))
     Option(lakeDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(_.isDirectory)
@@ -529,10 +548,11 @@ object StreamRunner {
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, max, sum}
-    val snap = wh.readVersion(spark, s"${table}_stats_serve")
-    val thru = snap.agg(max(col("folded_thru")).as("t"))
-      .collect()(0).getLong(0)
+    import org.apache.spark.sql.functions.{col, sum}
+    val serveName = s"${table}_stats_serve"
+    val snap = wh.readVersion(spark, serveName)
+    val thru = statsThru(spark, wh, serveName,
+      wh.currentVersion(serveName).get)
     val cols = Seq("source", "n_docs", "total_chars", "n_tokens_bpe",
       "n_tainted")
     // hasData, not a bare read: a fully-vacuumed lake ([[gcStats]]) is a
@@ -1673,7 +1693,7 @@ object StreamRunner {
     * identical generation would only churn the retention window out
     * from under pinned readers.
     */
-  private def foldForward(
+  private[graft] def foldForward(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       liveName: String,
@@ -1689,26 +1709,64 @@ object StreamRunner {
         throw new IllegalStateException(
           s"foldForward($liveName): no live data and no committed snapshot"))
     val lake = wh.read(spark, liveName)
-    val (base, tailAll) = wh.currentVersion(serveName) match {
+    val current = wh.currentVersion(serveName)
+    val priorThru = current.map(v => lakeThru(spark, wh, serveName, v))
+    val (base, tailAll) = current match {
       case Some(v) =>
-        val snap = wh.readVersion(spark, serveName, Some(v))
-        (Some(snap), lake.filter(col("ingest_batch") > snapshotThru(snap)))
+        (Some(wh.readVersion(spark, serveName, Some(v))),
+          lake.filter(col("ingest_batch") > priorThru.get))
       case None => (None, lake)
     }
     val tail = trust(tailAll) match {
-      case Left(current) => return current
+      case Left(cv) => return cv
       case Right(df) => df
     }
-    if (base.isDefined && tail.isEmpty)
-      return wh.currentVersion(serveName).getOrElse(0)
+    // ONE tail-sized job doubles as the emptiness probe AND the new
+    // generation's watermark: an empty trusted tail is ALWAYS a no-op —
+    // with a snapshot, committing an identical generation churns
+    // retention; with none (live data exists but nothing in it is
+    // trusted yet, e.g. every row belongs to a mid-publish batch),
+    // committing an EMPTY first generation would poison every later
+    // watermark read (its max(ingest_batch) is NULL)
+    val tailMax = maxBatch(tail)
+    if (tailMax == Long.MinValue)
+      return current.getOrElse(0)
     val in = base
       .map(b => b.unionByName(tail.select(b.columns.map(col): _*)))
       .getOrElse(tail)
     val out =
       if (partitionCols.nonEmpty) in.repartition(partitionCols.map(col): _*)
       else in
-    wh.versionedWrite(out, serveName, partitionCols)
+    // the committed generation CARRIES its fold watermark — hybrid
+    // readers and the vacuum boundary resolve it from the sidecar
+    // instead of re-scanning the snapshot on every read
+    wh.versionedWrite(out, serveName, partitionCols,
+      Map("thru" -> math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString))
   }
+
+  /** Max `ingest_batch` of a frame, `Long.MinValue` when empty — the
+    * shared emptiness-probe-plus-watermark job.
+    */
+  private def maxBatch(df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    df.agg(coalesce(max(col("ingest_batch").cast("long")),
+        lit(Long.MinValue)).as("t"))
+      .collect()(0).getLong(0)
+  }
+
+  /** The fold watermark of a committed generation: the `thru` sidecar
+    * persisted by the compactor at commit time (one tiny metadata read —
+    * NO Spark job, so hybrid snapshot+tail reads are plan-time cheap),
+    * falling back to the legacy full-generation `max(ingest_batch)` scan
+    * for generations committed before the sidecar existed.
+    */
+  private[graft] def lakeThru(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      serveName: String,
+      v: Int): Long =
+    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse(
+      snapshotThru(wh.readVersion(spark, serveName, Some(v))))
 
   /** Near-dup INDEX compaction — the fold-forward snapshot pair for
     * [[dedupPublishBatch]]'s `<t>_sigs` / `<t>_hashes` appenders, whose
@@ -1743,8 +1801,12 @@ object StreamRunner {
     * on one boundary). A 1-row collect of a |snapshot|-sized agg.
     */
   private def snapshotThru(snap: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, max}
-    snap.agg(max(col("ingest_batch").cast("long")).as("t"))
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    // null-safe: an empty snapshot (a legacy generation committed before
+    // foldForward's empty-tail guard) means "no watermark — the whole
+    // live lake is tail", not a crash on every later read
+    snap.agg(coalesce(max(col("ingest_batch").cast("long")),
+        lit(Long.MinValue)).as("t"))
       .collect()(0).getLong(0)
   }
 
@@ -1782,7 +1844,11 @@ object StreamRunner {
         val snap = wh.readVersion(spark, serveName, Some(v))
         if (!wh.hasData(liveName)) snap
         else {
-          val thru = snapshotThru(snap)
+          // sidecar-first: resolving the watermark is a metadata read,
+          // not a snapshot scan — every serve query and every
+          // ingest-side match join used to pay a full-generation
+          // max(ingest_batch) job here before doing real work
+          val thru = lakeThru(spark, wh, serveName, v)
           snap.unionByName(
             wh.read(spark, liveName).filter(col("ingest_batch") > thru)
               .select(snap.columns.map(col): _*))
@@ -1828,8 +1894,7 @@ object StreamRunner {
     val versions = wh.listVersions(serveName)
     if (versions.size <= slackGenerations) return Nil
     val boundaryVersion = versions(versions.size - 1 - slackGenerations)
-    val boundary = snapshotThru(
-      wh.readVersion(spark, serveName, Some(boundaryVersion)))
+    val boundary = lakeThru(spark, wh, serveName, boundaryVersion)
     def sweep(dir: java.io.File): Seq[Long] =
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.isDirectory)
@@ -1928,8 +1993,13 @@ object StreamRunner {
     val committed: Option[Set[Long]] =
       if (quiesced) None
       else {
+        // hasData guard: after [[gcLake]] fully vacuums a live index table
+        // its directory is schema-less and spark.read would throw before
+        // foldForward's own no-tail guard — a vacuumed-empty live lake
+        // under perpetual ingest simply contributes no committed ids
         def ids(name: String): Set[Long] =
-          wh.read(spark, name).select(col("ingest_batch").cast("long"))
+          if (!wh.hasData(name)) Set.empty
+          else wh.read(spark, name).select(col("ingest_batch").cast("long"))
             .distinct().collect().map(_.getLong(0)).toSet
         val pb = ids(s"${table}_postings")
         val db = ids(s"${table}_doclen")

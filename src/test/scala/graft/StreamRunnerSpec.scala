@@ -776,6 +776,116 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "no new batches: both folds keep the current generation")
   }
 
+  test("fold-forward guards: trusted-empty first fold commits nothing; an empty legacy snapshot reads as all-tail; vacuumed non-quiesced postings fold no-ops") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("ffguard"))
+    def lake(batch: Long, ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_, batch))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ingest_batch", LongType))))
+    wh.partitionedUpsertWrite(lake(0L, Seq(1L, 2L)), "lk", Seq("ingest_batch"))
+    // a trust rule that Rights an EMPTY tail with NO prior snapshot (the
+    // non-quiesced compactFrontier shape where the only ledger-committed
+    // batch published zero rows to this table): committing would freeze an
+    // empty generation whose NULL watermark poisons every later read
+    assert(StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t.filter(col("doc_id") < 0L)), Nil) === 0)
+    assert(wh.currentVersion("lk_serve").isEmpty,
+      "an empty trusted tail over NO snapshot must not commit a generation")
+    // recovery path for a legacy empty generation: the watermark reads
+    // null-safe as "no batches covered — the whole live lake is tail"
+    wh.versionedWrite(lake(0L, Nil), "lk_serve")
+    assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "an empty snapshot must serve the live lake as tail, not throw")
+    // non-quiesced postings compaction after a FULL vacuum: the live index
+    // tables are schema-less, so the committed-id probe must return empty
+    // (keep current) instead of throwing on the vacuumed directories
+    def postings(batch: Long, words: Seq[String]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(words.map(w => Row(w, 1L, 1L, 0L, batch))),
+      StructType(Seq(StructField("word", StringType),
+        StructField("doc_id", LongType), StructField("tf", LongType),
+        StructField("wb", LongType), StructField("ingest_batch", LongType))))
+    def doclen(batch: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L, batch))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("dl", LongType), StructField("ingest_batch", LongType))))
+    wh.partitionedUpsertWrite(postings(0L, Seq("a", "b")), "ix_postings",
+      Seq("wb", "ingest_batch"))
+    wh.partitionedUpsertWrite(doclen(0L), "ix_doclen", Seq("ingest_batch"))
+    assert(StreamRunner.compactPostings(spark, wh, "ix") === ((1, 1)))
+    assert(StreamRunner.gcLake(spark, wh, "ix_postings",
+      "ix_postings_serve", slackGenerations = 0) === Seq(0L))
+    assert(StreamRunner.gcLake(spark, wh, "ix_doclen",
+      "ix_doclen_serve", slackGenerations = 0) === Seq(0L))
+    assert(!wh.hasData("ix_postings") && !wh.hasData("ix_doclen"))
+    assert(StreamRunner.compactPostings(spark, wh, "ix", quiesced = false)
+      === ((1, 1)),
+      "vacuumed-empty live index lakes must keep the current generation")
+  }
+
+  test("persisted fold watermark: hybrid reads resolve the boundary from the sidecar with NO Spark job at plan time") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("thrumeta"))
+    def lake(batch: Long, ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_, batch))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ingest_batch", LongType))))
+    wh.partitionedUpsertWrite(lake(0L, Seq(1L, 2L)), "lk", Seq("ingest_batch"))
+    assert(StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t), Nil) === 1)
+    // the committed generation carries its watermark as a sidecar
+    assert(wh.versionMeta("lk_serve", 1).get("thru") === Some("0"))
+    wh.partitionedUpsertWrite(lake(1L, Seq(3L)), "lk", Seq("ingest_batch"))
+    // constructing the hybrid read must launch NO job beyond the two
+    // scans' own resolution (footer/listing) jobs: the watermark is a
+    // metadata read, not a max(ingest_batch) scan of the snapshot —
+    // measured DIFFERENTIALLY against constructing the two plain reads
+    def jobsDuring(body: => Unit): Int = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          seen.add(js.jobId): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // flush the listener bus so any construction-time job is visible
+        val lb = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+        seen.size
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val baseline = jobsDuring {
+      wh.readVersion(spark, "lk_serve", None)
+      wh.read(spark, "lk"): Unit
+    }
+    var df: org.apache.spark.sql.DataFrame = null
+    val hybridJobs = jobsDuring {
+      df = StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+    }
+    assert(hybridJobs === baseline,
+      s"hybrid construction must add no job beyond the scans' own setup " +
+        s"(the old watermark scan): baseline=$baseline hybrid=$hybridJobs")
+    assert(df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L), "snapshot + tail still serves every row")
+    // the next fold extends the watermark monotonically, and the vacuum
+    // boundary resolves from the sidecar too
+    assert(StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t), Nil) === 2)
+    assert(wh.versionMeta("lk_serve", 2).get("thru") === Some("1"))
+    assert(StreamRunner.gcLake(spark, wh, "lk", "lk_serve",
+      slackGenerations = 0) === Seq(0L, 1L))
+    assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L), "vacuumed rows survive inside the snapshot")
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
