@@ -661,10 +661,11 @@ object StreamRunner {
     *     match the previous attempt's rows);
     *  4. survivors publish through the staged-readback audit gate into
     *     `<table>` (partitioned by ingest_batch — idempotent replay) and
-    *     their signatures upsert HASH-KEYED WITH COUNTS into
-    *     `<table>_sigs` (see [[perceptualPublishBatch]] — one row per
-    *     distinct surviving signature), so the NEXT micro-batch dedups
-    *     against everything ingested so far at distinct-signature cost.
+    *     the batch's index effect lands as ONE delta partition in the
+    *     `<table>_sigs` LSM lake (see [[perceptualPublishBatch]] —
+    *     insert + count-add rows; [[compactPerceptual]]/[[gcLake]] keep
+    *     it bounded), so the NEXT micro-batch dedups against everything
+    *     ingested so far at distinct-signature cost.
     *
     * At 100 TB: per-batch cost is decoding the BATCH plus one
     * signature-width band join against the distinct-signature index —
@@ -1225,44 +1226,46 @@ object StreamRunner {
       }
       .start()
 
-  /** Hash-bucket count of the perceptual signature index — fixed, so a
-    * reader prunes by bucket and a batch's upsert rewrites only the
-    * buckets it touches.
+  /** Hash-bucket count of the perceptual signature index's FOLDED
+    * generations ([[compactPerceptual]]'s `sb` partitioning) — fixed, so
+    * a bucket-keyed reader prunes directories on the snapshot.
     */
   private[graft] val SigBuckets = 64L
 
   /** One micro-batch of the perceptual-ingest body. The signature index
-    * `<table>_sigs` is HASH-KEYED with counts — one row per distinct
-    * surviving signature `(doc_id = first-seen keeper, hash_hi, hash_lo,
-    * n_copies, first_batch, last_batch)`, partitioned by hash bucket
-    * `sb` — so the corpus side of the incremental match is bounded by
-    * distinct signatures, never ingest history, and every signature's
-    * total copy mass stays observable (the no-silent-drops rule).
-    * Replay safety (at-least-once foreachBatch):
-    *  - rows FIRST SEEN by the replaying batch (`first_batch = batchId`)
-    *    are excluded from the match corpus and replaced by the replay's
-    *    own survivors — the previous attempt's rows can never drop the
-    *    replay's docs;
-    *  - count adds onto pre-existing rows are guarded by `last_batch`:
-    *    a row already stamped with this batch id skips the re-add, so a
-    *    partially-written upsert converges instead of double-counting.
-    * The upsert reads ONLY the touched buckets back, merges, and
-    * dynamic-overwrites exactly those `sb` partitions (localCheckpoint
-    * breaks the read-own-path lineage). Per-batch write cost is the
-    * touched buckets' rows — at THIS deployment's batch sizes that is
-    * the right tradeoff. A 100 TB deployment whose batches touch every
-    * bucket would amortize with the LSM shape instead (designed, not
-    * yet needed here): per batch append ONE cheap delta partition
-    * (insert + count-add rows, idempotent by ingest_batch overwrite);
-    * the match corpus reads base ∪ delta-inserts; a periodic
-    * compaction folds deltas into a NEW base generation through
-    * [[graft.pipeline.Warehouse.versionedWrite]] carrying a
-    * `folded_thru` watermark (the compactPostings committed-set shape),
-    * so a crash between the fold commit and the delta GC can never
-    * double-count — deltas at or below the watermark are simply never
-    * trusted again. The INVARIANT either layout buys — index rows ==
-    * distinct surviving signatures — is what keeps every future batch's
-    * match join bounded.
+    * is LSM-SHAPED — the same bounded-write discipline every other
+    * streamed lake here follows, applied to the one index that used to
+    * rewrite touched hash buckets per batch:
+    *
+    *  - `<table>_sigs` is the DELTA lake: each batch appends exactly ONE
+    *    `ingest_batch` partition holding its insert rows (new keeper
+    *    signatures: doc_id, hash_hi, hash_lo, add_n = batch copy mass,
+    *    is_insert = true) and its count-add rows (mass merged into
+    *    EXISTING keepers: doc_id = the corpus keeper, is_insert = false).
+    *    Per-batch WRITE COST IS DELTA-SIZED — proportional to the batch,
+    *    never to index mass — and a checkpoint replay's dynamic
+    *    overwrite replaces its own partition wholesale, so a re-run can
+    *    never double-count (no last_batch guard needed: the partition IS
+    *    the batch's entire effect);
+    *  - the match corpus reads base ∪ delta-INSERTS above the base's
+    *    persisted watermark ([[perceptualSigsCorpus]] — the
+    *    [[hybridLakeRead]] idiom; count-adds reference keepers already
+    *    in the corpus, so matching never needs them), with rows FIRST
+    *    SEEN by the replaying batch (`first_batch = batchId`, which for
+    *    a delta insert IS its partition id) excluded — the previous
+    *    attempt's rows can never drop the replay's docs;
+    *  - [[compactPerceptual]] periodically folds base ∪ deltas into a
+    *    NEW `sb`-bucketed generation through
+    *    [[graft.pipeline.Warehouse.versionedWrite]] carrying the fold
+    *    watermark sidecar, and [[gcLake]] then deletes folded delta
+    *    partitions; a crash between the fold commit and the GC can
+    *    never double-count — deltas at or below the watermark are
+    *    simply never trusted again.
+    *
+    * The INVARIANT the layout preserves — logical index rows ==
+    * distinct surviving signatures, each with its total copy mass
+    * ([[perceptualSigsView]], the no-silent-drops rule) — is what keeps
+    * every future batch's match join bounded.
     */
   private[graft] def perceptualPublishBatch(
       batch: DataFrame,
@@ -1294,10 +1297,9 @@ object StreamRunner {
       table: String,
       audit: DataFrame => Option[String],
       maxHamming: Int): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min, pmod, sum, when}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     import graft.operators.Multimodal
     val sigsName = s"${table}_sigs"
-    def sb(c: org.apache.spark.sql.Column) = pmod(c, lit(SigBuckets))
     // no emptiness pre-check here: probing `hashed` would pay a partial
     // decode the callers' frames don't owe (the dedicated twins pass a
     // lazy hashArrow chain), and the body below is empty-safe — an empty
@@ -1311,7 +1313,7 @@ object StreamRunner {
         .select(col("doc_id"), col("hash_hi"), col("hash_lo"), col("add_n"))
         .cache()
       try {
-        val hasIndex = wh.hasData(sigsName)
+        val hasIndex = hasAnyData(wh, sigsName, s"${sigsName}_serve")
         // cached: matches feed BOTH the survivor anti-join and the count
         // rollup — the dominant band join must not run twice
         val matched = (
@@ -1321,7 +1323,11 @@ object StreamRunner {
           else
             Multimodal.dhashIncrementalMatches(
               exactCnt.select(col("doc_id"), col("hash_hi"), col("hash_lo")),
-              wh.read(hashed.sparkSession, sigsName)
+              // base generation ∪ delta inserts above the persisted
+              // watermark (the hybridLakeRead idiom) — the replaying
+              // batch's own prior inserts excluded by first_batch,
+              // which for an un-folded delta insert IS its partition id
+              perceptualSigsCorpus(hashed.sparkSession, wh, table)
                 .filter(col("first_batch") =!= batchId)
                 .select(col("doc_id"), col("hash_hi"), col("hash_lo")),
               maxHamming, carryDupHashLo = true)
@@ -1333,12 +1339,12 @@ object StreamRunner {
           .cache()
         try {
           // a DUP-ONLY batch (every item matched an existing signature)
-          // publishes no docs, but its copy mass must still merge into
-          // the index — the gate's "empty batch" false would otherwise
-          // silently drop the counts forever (the checkpoint marks the
-          // batch done). The maintenance branch is still GATED: the
-          // batch's staged hash readback passes the same audit a
-          // publishing batch would, so a batch the audit would
+          // publishes no docs, but its copy mass must still land as a
+          // count-add delta — the gate's "empty batch" false would
+          // otherwise silently drop the counts forever (the checkpoint
+          // marks the batch done). The maintenance branch is still
+          // GATED: the batch's staged hash readback passes the same
+          // audit a publishing batch would, so a batch the audit would
           // quarantine never merges its counts either (auditGateOnly)
           val published =
             if (survivors.isEmpty) auditGateOnly(
@@ -1350,69 +1356,171 @@ object StreamRunner {
                 .withColumn("ingest_batch", lit(batchId)),
               batchId, wh, table, Seq("ingest_batch"), audit)
           if (published) {
+            // the batch's ENTIRE index effect as one delta partition:
+            // insert rows for new keepers, count-add rows (keyed by the
+            // corpus keeper's doc_id, carried through the match join)
+            // for mass merged into existing signatures. Write cost is
+            // the delta's rows; a replay's dynamic overwrite replaces
+            // the partition wholesale, so re-runs converge by layout
             val inserts = survivors.select(
-              col("doc_id"), col("hash_hi"), col("hash_lo"),
-              col("add_n").as("n_copies"),
-              lit(batchId).as("first_batch"), lit(batchId).as("last_batch"))
-            if (!hasIndex) {
-              val out = inserts.withColumn("sb", sb(col("hash_lo")))
-                .localCheckpoint()
-              if (!out.isEmpty)
-                wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
-            } else {
-              // copy mass of batch items merged into EXISTING rows,
-              // keyed by the corpus keeper's doc_id. The keeper's bucket
-              // comes from its OWN hash_lo, carried through the match
-              // join (a near match's keeper can live in a different
-              // bucket than the batch item's own hash), so the touched
-              // buckets are known from match output alone — no per-batch
-              // re-scan of the index — and the merge read below stays
-              // directory-pruned
-              val adds = matched
-                .join(exactCnt.select(col("doc_id").as("doc_new"),
-                  col("add_n")), "doc_new")
-                .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"),
-                  // hash_lo is functionally determined by the keeper id
-                  // (one index row per signature) — max is just a picker
-                  max(col("dup_hash_lo")).as("dup_hash_lo"))
-                .cache()
-              try {
-                val addBuckets = adds
-                  .select(sb(col("dup_hash_lo")).as("v"))
-                  .distinct().collect().map(_.getLong(0))
-                // the bucket-id collects are bounded by SigBuckets
-                val affected = (survivors.select(sb(col("hash_lo")).as("v"))
-                  .distinct().collect().map(_.getLong(0)) ++ addBuckets).distinct
-                if (affected.nonEmpty) {
-                  // merge-read ONLY the touched buckets: sb is the
-                  // partition column, so this scan is directory-pruned —
-                  // per-batch upsert cost is the touched buckets' rows,
-                  // never the whole index
-                  val merged = wh.read(hashed.sparkSession, sigsName)
-                    .filter(col("sb").isin(affected.toIndexedSeq: _*))
-                    .drop("sb") // re-derived from hash_lo at write time
-                    .filter(col("first_batch") =!= batchId)
-                    .join(broadcast(adds.select(col("dup_of").as("doc_id"),
-                      col("add_n"))), Seq("doc_id"), "left")
-                    .withColumn("n_copies",
-                      when(col("add_n").isNotNull && col("last_batch") =!= batchId,
-                        col("n_copies") + col("add_n")).otherwise(col("n_copies")))
-                    .withColumn("last_batch",
-                      when(col("add_n").isNotNull && col("last_batch") =!= batchId,
-                        lit(batchId)).otherwise(col("last_batch")))
-                    .drop("add_n")
-                    .unionByName(inserts)
-                  val out = merged
-                    .withColumn("sb", sb(col("hash_lo")))
-                    .localCheckpoint()
-                  wh.partitionedUpsertWrite(out, sigsName, Seq("sb"))
-                }
-              } finally adds.unpersist(): Unit
-            }
+              col("doc_id"), col("hash_hi"), col("hash_lo"), col("add_n"),
+              lit(true).as("is_insert"))
+            val addRows = matched
+              .join(exactCnt.select(col("doc_id").as("doc_new"),
+                col("add_n")), "doc_new")
+              .groupBy(col("dup_of")).agg(sum(col("add_n")).as("add_n"),
+                // hash_lo is functionally determined by the keeper id
+                // (one logical row per signature) — max is just a picker
+                max(col("dup_hash_lo")).as("dup_hash_lo"))
+              .select(col("dup_of").as("doc_id"),
+                lit(null).cast("long").as("hash_hi"),
+                col("dup_hash_lo").as("hash_lo"),
+                col("add_n"), lit(false).as("is_insert"))
+            val delta = inserts.unionByName(addRows)
+              .withColumn("ingest_batch", lit(batchId))
+              .localCheckpoint()
+            if (!delta.isEmpty)
+              wh.partitionedUpsertWrite(delta, sigsName, Seq("ingest_batch"))
           }
         } finally { survivors.unpersist(); matched.unpersist(): Unit }
       } finally exactCnt.unpersist(): Unit
     }
+  }
+
+  /** The perceptual index's (base generation, deltas-above-watermark)
+    * pair — the raw ingredients every index read composes. An absent
+    * base means "never folded" (all deltas); a vacuumed-empty live lake
+    * means "no deltas" (typed empty frame).
+    */
+  private def perceptualParts(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): (Option[DataFrame], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val sigsName = s"${table}_sigs"
+    val serveName = s"${sigsName}_serve"
+    val current = wh.currentVersion(serveName)
+    val base = current.map(v => wh.readVersion(spark, serveName, Some(v)))
+    val thru = current.map(v => lakeThru(spark, wh, serveName, v))
+      .getOrElse(Long.MinValue)
+    val deltas =
+      if (wh.hasData(sigsName))
+        wh.read(spark, sigsName).filter(col("ingest_batch") > thru)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("hash_hi", LongType), StructField("hash_lo", LongType),
+          StructField("add_n", LongType), StructField("is_insert", BooleanType),
+          StructField("ingest_batch", LongType))))
+    (base, deltas)
+  }
+
+  /** Delta INSERT rows lifted to the logical index-row shape. */
+  private def perceptualInsertRows(deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    deltas.filter(col("is_insert"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        col("add_n").as("n_copies"),
+        col("ingest_batch").cast("long").as("first_batch"),
+        col("ingest_batch").cast("long").as("last_batch"))
+  }
+
+  /** Count-add deltas folded onto signature rows: n_copies accumulates
+    * the added mass, last_batch advances to the newest adding batch.
+    */
+  private def perceptualApplyAdds(rows: DataFrame, deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, lit, max, sum}
+    val adds = deltas.filter(!col("is_insert"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("add_n")).as("__add_n"),
+        max(col("ingest_batch").cast("long")).as("__lb"))
+    rows.join(adds, Seq("doc_id"), "left")
+      .withColumn("n_copies",
+        col("n_copies") + coalesce(col("__add_n"), lit(0L)))
+      .withColumn("last_batch",
+        greatest(col("last_batch"), coalesce(col("__lb"), lit(Long.MinValue))))
+      .drop("__add_n", "__lb")
+  }
+
+  /** The MATCH-corpus read: base signature rows ∪ delta inserts — one
+    * generation + |post-fold deltas| fragment opens per batch, bounded
+    * under perpetual ingest. Count-adds are irrelevant to matching
+    * (they reference keepers already present), so this read skips the
+    * add-merge join entirely.
+    */
+  private def perceptualSigsCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (base, deltas) = perceptualParts(spark, wh, table)
+    val ins = perceptualInsertRows(deltas)
+    base.map(b => b.select(ins.columns.map(col): _*).unionByName(ins))
+      .getOrElse(ins)
+  }
+
+  /** The LOGICAL perceptual index — one row per distinct surviving
+    * signature `(doc_id = first-seen keeper, hash_hi, hash_lo, n_copies,
+    * first_batch, last_batch)` with every count-add applied: what the
+    * pre-LSM table materialized per batch, now composed at read time
+    * from base ∪ deltas (and materialized by [[compactPerceptual]]).
+    */
+  private[graft] def perceptualSigsView(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (base, deltas) = perceptualParts(spark, wh, table)
+    val ins = perceptualInsertRows(deltas)
+    val rows = base.map(b => b.select(ins.columns.map(col): _*)
+      .unionByName(ins)).getOrElse(ins)
+    perceptualApplyAdds(rows, deltas)
+  }
+
+  /** Perceptual-index FOLD — materialize base ∪ deltas as the next
+    * `sb`-bucketed generation (the LSM compaction): inserts become
+    * rows, count-adds merge into their keepers, and the committed
+    * sidecar watermark hands [[gcLake]] its delete boundary. Unlike
+    * [[foldForward]] this fold is NOT rows-unchanged (adds mutate
+    * n_copies/last_batch), but it shares every other contract: empty
+    * trusted deltas are a no-op, `quiesced = false` trusts only batch
+    * ids strictly older than the newest, and a crash between commit and
+    * GC cannot double-count (deltas at or below the watermark are never
+    * trusted again). Returns the committed (or kept) version.
+    */
+  def compactPerceptual(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      quiesced: Boolean = true): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val sigsName = s"${table}_sigs"
+    val serveName = s"${sigsName}_serve"
+    if (!wh.hasData(sigsName))
+      return wh.currentVersion(serveName).getOrElse(
+        throw new IllegalStateException(
+          s"compactPerceptual($table): no delta data and no committed snapshot"))
+    val current = wh.currentVersion(serveName)
+    val priorThru = current.map(v => lakeThru(spark, wh, serveName, v))
+    val (base, deltasAll) = perceptualParts(spark, wh, table)
+    val deltas =
+      if (quiesced) deltasAll
+      else trustedOrCurrent(deltasAll, wh, serveName) match {
+        case Left(cv) => return cv
+        case Right(df) => df
+      }
+    val tailMax = maxBatch(deltas)
+    if (tailMax == Long.MinValue)
+      return current.getOrElse(0)
+    val ins = perceptualInsertRows(deltas)
+    val rows = base.map(b => b.select(ins.columns.map(col): _*)
+      .unionByName(ins)).getOrElse(ins)
+    val merged = perceptualApplyAdds(rows, deltas)
+      .withColumn("sb", pmod(col("hash_lo"), lit(SigBuckets)))
+    wh.versionedWrite(merged.repartition(col("sb")), serveName, Seq("sb"),
+      Map("thru" ->
+        math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString))
   }
 
   /** Streaming IVF index ingest — the foreachBatch twin of

@@ -1221,14 +1221,15 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(docs === Set(0L, 1L, 2L, 20L, 21L),
       s"8/9 near-dups and the 28 within-batch dup must drop, got $docs")
     // the signature index covers every survivor for the NEXT batch —
-    // HASH-KEYED: one row per distinct surviving signature, with the
-    // copy mass of everything merged into it
-    val sigs = wh.read(spark, "imgs_sigs")
+    // HASH-KEYED: one logical row per distinct surviving signature, with
+    // the copy mass of everything merged into it (the LSM view composes
+    // delta inserts + count-adds)
+    val sigs = StreamRunner.perceptualSigsView(spark, wh, "imgs")
       .select(col("doc_id"), col("n_copies"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs.keySet === Set(0L, 1L, 2L, 20L, 21L))
-    // row count == distinct surviving hashes (never ingest history)
-    assert(wh.read(spark, "imgs_sigs").count() === 5L)
+    // logical row count == distinct surviving hashes (never ingest history)
+    assert(StreamRunner.perceptualSigsView(spark, wh, "imgs").count() === 5L)
     // counts: 0 absorbed exact-dup 8, 1 absorbed near-dup 9, 20 absorbed
     // within-batch 28; total copy mass == every decoded item ever seen
     assert(sigs === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 20L -> 2L, 21L -> 1L))
@@ -1243,7 +1244,7 @@ class StreamRunnerSpec extends SparkSuiteBase {
     // replay idempotence: a replayed batch 1 excludes the rows it FIRST
     // INSERTED from the corpus side, so 20/21's previously-inserted
     // signature rows can't drop the replay's docs
-    val corpusNotOwn = wh.read(spark, "imgs_sigs")
+    val corpusNotOwn = StreamRunner.perceptualSigsView(spark, wh, "imgs")
       .filter(col("first_batch") =!= 1L)
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
     assert(Multimodal.dhashIncrementalMatches(hashes, corpusNotOwn)
@@ -1258,7 +1259,7 @@ class StreamRunnerSpec extends SparkSuiteBase {
         StructField("payload", BinaryType))))
     StreamRunner.perceptualPublishBatch(replay, 1L, wh, "imgs", _ => None,
       Multimodal.dhashArrow, "png", maxHamming = 3)
-    val sigs2 = wh.read(spark, "imgs_sigs")
+    val sigs2 = StreamRunner.perceptualSigsView(spark, wh, "imgs")
       .select(col("doc_id"), col("n_copies"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs2 === sigs, "replay must not change the index")
@@ -1304,12 +1305,12 @@ class StreamRunnerSpec extends SparkSuiteBase {
       .collect().map(_.getLong(0)).toSet
     assert(docs === Set(1L, 4L, 7L, 25L, 49L),
       s"gain-dup 22 and within-batch dup 46 must drop, got $docs")
-    val sigs = wh.read(spark, "auds_sigs")
+    val sigs = StreamRunner.perceptualSigsView(spark, wh, "auds")
       .select(col("doc_id"), col("n_copies"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs === Map(1L -> 2L, 4L -> 1L, 7L -> 1L, 25L -> 2L, 49L -> 1L))
-    assert(wh.read(spark, "auds_sigs").count() === 5L,
-      "index rows == distinct surviving signatures")
+    assert(StreamRunner.perceptualSigsView(spark, wh, "auds").count() === 5L,
+      "logical index rows == distinct surviving signatures")
   }
 
   test("streaming frontier ingest: danglings re-resolve when their targets arrive; serve == the batch walk; replay idempotent") {
@@ -1582,9 +1583,10 @@ class StreamRunnerSpec extends SparkSuiteBase {
     q2.processAllAvailable(); q2.stop()
     def docsOf(t: String): Set[Long] = wh.read(spark, t)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    def sigsOf(t: String): Map[Long, Long] = wh.read(spark, s"${t}_sigs")
-      .select(col("doc_id"), col("n_copies"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sigsOf(t: String): Map[Long, Long] =
+      StreamRunner.perceptualSigsView(spark, wh, t)
+        .select(col("doc_id"), col("n_copies"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(docsOf("med_image") === Set(0L, 24L),
       "near 9 and exact-dup 21 must drop against corpus image 0")
     assert(docsOf("med_audio") === Set(1L, 25L),
@@ -1611,7 +1613,8 @@ class StreamRunnerSpec extends SparkSuiteBase {
       tq2.processAllAvailable(); tq2.stop()
       (twh.read(spark, table).select(col("doc_id"))
         .collect().map(_.getLong(0)).toSet,
-        twh.read(spark, s"${table}_sigs").select(col("doc_id"), col("n_copies"))
+        StreamRunner.perceptualSigsView(spark, twh, table)
+          .select(col("doc_id"), col("n_copies"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     }
     val (iDocs, iSigs) = twin(StreamRunner.imageIngestToWarehouse, 0L, "timg")
@@ -1658,7 +1661,7 @@ class StreamRunnerSpec extends SparkSuiteBase {
     val wh = new Warehouse(tmpDir("duponly"))
     StreamRunner.perceptualPublishBatch(frame(Seq(0L)), 0L, wh, "dimg",
       _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
-    def sigs = wh.read(spark, "dimg_sigs")
+    def sigs = StreamRunner.perceptualSigsView(spark, wh, "dimg")
       .select(col("doc_id"), col("n_copies"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs === Map(0L -> 1L))
@@ -1669,20 +1672,105 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "a dup-only batch publishes no docs")
     assert(sigs === Map(0L -> 2L),
       "the dup-only batch's copy mass must merge into the keeper")
-    // replay idempotence: the last_batch guard blocks the double-count
+    // replay idempotence: the delta partition overwrite replaces the
+    // previous attempt's count-adds wholesale — no double-count
     StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 1L, wh, "dimg",
       _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
     assert(sigs === Map(0L -> 2L))
     // a dup-only batch the AUDIT rejects must NOT merge its copy mass:
     // the maintenance branch runs behind the same staged-readback gate
-    // as a publishing batch (same dup payload, NEW batch id — the
-    // last_batch guard alone would have let batch 2's counts through)
+    // as a publishing batch (same dup payload, NEW batch id — an
+    // ungated maintenance branch would have appended batch 2's
+    // count-add delta anyway)
     StreamRunner.perceptualPublishBatch(frame(Seq(8L)), 2L, wh, "dimg",
       _ => Some("schema drift"), Multimodal.dhashArrow, "png", maxHamming = 3)
     assert(sigs === Map(0L -> 2L),
       "a quarantined dup-only batch must not merge counts")
     assert(new java.io.File(wh.tablePath("__quarantine__dimg_b2")).exists(),
       "the rejected dup-only batch must land in quarantine for forensics")
+  }
+
+  test("perceptual LSM: per-batch writes are delta-sized; fold+vacuum keep the index whole; post-vacuum drops resolve via the snapshot") {
+    import org.apache.spark.sql.Row
+    import graft.operators.Multimodal
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dhash fixture decade slots: 8 is a pixel-exact re-render of 0,
+    // 28 hashes identically to 20
+    val docSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    def frame(ids: Seq[Long]) = {
+      val pay = Multimodal.attachDhashMedia(spark.createDataFrame(
+          spark.sparkContext.parallelize(ids.map(Row(_))),
+          StructType(Seq(StructField("doc_id", LongType))))).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(i, pay(i)))), docSchema)
+    }
+    val wh = new Warehouse(tmpDir("plsm"))
+    def publish(ids: Seq[Long], batch: Long): Unit =
+      StreamRunner.perceptualPublishBatch(frame(ids), batch, wh, "pl",
+        _ => None, Multimodal.dhashArrow, "png", maxHamming = 3)
+    def dataFiles(sub: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .flatMap(k => if (k.isDirectory) walk(k)
+            else if (!k.getName.startsWith("_") && !k.getName.startsWith("."))
+              Seq(k.getPath) else Nil)
+      walk(new java.io.File(wh.tablePath("pl_sigs") + "/" + sub)).toSet
+    }
+    def partitions: Set[String] =
+      Option(new java.io.File(wh.tablePath("pl_sigs")).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+        .map(_.getName).toSet
+    def view: Map[Long, Long] =
+      StreamRunner.perceptualSigsView(spark, wh, "pl")
+        .select(col("doc_id"), col("n_copies"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    publish(Seq(0L, 1L), 0L)
+    val b0files = dataFiles("ingest_batch=0")
+    assert(b0files.nonEmpty)
+    // batch 1: 8 (exact dup of corpus 0 — a count-add) + 20 (new insert)
+    publish(Seq(8L, 20L), 1L)
+    // THE LSM write-cost invariant: a batch writes ONLY its own delta
+    // partition — earlier partitions' files are untouched (the old
+    // layout rewrote every hash bucket the batch's adds landed in)
+    assert(dataFiles("ingest_batch=0") === b0files,
+      "a batch must not rewrite earlier delta partitions")
+    assert(partitions === Set("ingest_batch=0", "ingest_batch=1"))
+    val pre = view
+    assert(pre === Map(0L -> 2L, 1L -> 1L, 20L -> 1L))
+    // fold to one sb-bucketed generation (watermark in the sidecar),
+    // then vacuum every folded delta
+    assert(StreamRunner.compactPerceptual(spark, wh, "pl") === 1)
+    assert(wh.versionMeta("pl_sigs_serve", 1).get("thru") === Some("1"))
+    assert(StreamRunner.gcLake(spark, wh, "pl_sigs", "pl_sigs_serve",
+      slackGenerations = 0) === Seq(0L, 1L))
+    assert(!wh.hasData("pl_sigs"), "live delta lake empty after vacuum")
+    assert(view === pre, "fold + vacuum must not change the logical index")
+    // batch 2 after the vacuum: 28 duplicates 20 (whose signature now
+    // lives ONLY in the snapshot) — the keep/drop verdicts must be what
+    // an unfolded index would produce; 21 is new and survives
+    publish(Seq(28L, 21L), 2L)
+    assert(wh.read(spark, "pl").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 20L, 21L),
+      "post-vacuum dup must drop against the snapshot")
+    val post = Map(0L -> 2L, 1L -> 1L, 20L -> 2L, 21L -> 1L)
+    assert(view === post)
+    // checkpoint replay of batch 2 AFTER the fold: the delta partition
+    // overwrite + first_batch exclusion converge bit-identically
+    publish(Seq(28L, 21L), 2L)
+    assert(view === post, "a replayed batch converges after fold+vacuum")
+    assert(wh.read(spark, "pl").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet === Set(0L, 1L, 20L, 21L))
+    // the next fold carries the add into the generation; an idle fold
+    // keeps the current version
+    assert(StreamRunner.compactPerceptual(spark, wh, "pl") === 2)
+    assert(StreamRunner.compactPerceptual(spark, wh, "pl") === 2,
+      "no new deltas: fold keeps the current generation")
+    assert(StreamRunner.gcLake(spark, wh, "pl_sigs", "pl_sigs_serve",
+      slackGenerations = 0) === Seq(2L))
+    assert(view === post, "the folded generation alone carries the index")
   }
 
   test("audio matching is equality-only: hamming-1 signatures do NOT merge at maxHamming=0") {
