@@ -132,12 +132,25 @@ object Similarity extends QueryModule {
     * (cell, cs) columns to attach to a frame carrying `embCol`.
     */
   private[graft] def cellAssignExpr(s: SparkSession,
-      cent: Seq[(Long, Seq[Float])], embCol: String = "embedding"): (Column, Column) = {
+      cent: Seq[(Long, Seq[Float])], embCol: String = "embedding"): (Column, Column) =
+    cellAssignLit(s, cent.map { case (k, e) => k -> typedLit(e) }, embCol)
+
+  /** [[cellAssignExpr]] over TRAINED (double-valued) centroid literals —
+    * the k-means path's centroids are exact BIGINT element sums cast to
+    * double (cosine is scale-invariant, so the un-normalized sum points
+    * the same direction the mean would).
+    */
+  private def cellAssignExprTrained(s: SparkSession,
+      cent: Seq[(Long, Seq[Double])], embCol: String = "embedding"): (Column, Column) =
+    cellAssignLit(s, cent.map { case (k, e) => k -> typedLit(e) }, embCol)
+
+  private def cellAssignLit(s: SparkSession,
+      cent: Seq[(Long, Column)], embCol: String): (Column, Column) = {
     graft.plans.GraftExtensions.ensureRegistered(s)
     require(cent.nonEmpty, "cellAssignExpr: empty centroid set")
-    val cands = array(cent.map { case (k, emb) =>
+    val cands = array(cent.map { case (k, embLit) =>
       struct(
-        (lit(0.0) - call_function("graft_cosine", col(embCol), typedLit(emb)))
+        (lit(0.0) - call_function("graft_cosine", col(embCol), embLit))
           .as("neg"),
         lit(k).as("k"))
     }: _*)
@@ -196,6 +209,56 @@ object Similarity extends QueryModule {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
       .sortBy(_._1).toSeq
 
+  private val trainedCentMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Double])]]()
+
+  /** The TRAINED coarse quantizer for the deduplicated lake's `_cells`
+    * generation: 2 Lloyd rounds over the SURVIVORS (the `_serve`
+    * snapshot), seeded by the dataset's vec_id 1..8 embeddings —
+    * sim_kmeans_cells' exact arithmetic verbatim (micro-quantized BIGINT
+    * element sums, cosine assignment with (cs DESC, k) tiebreak), so
+    * engine and oracle derive bit-identical centroids. Centroids are
+    * exact integer sums cast to double (cosine is scale-invariant).
+    * Bounded 8-row collect, memoized per lake path: training runs at
+    * MAINTENANCE time with the `_cells` build, and every serve probe
+    * reuses the same literal set. At 100 TB each round trains on a
+    * corpus sample (the sim_pq_train note) — plan shape unchanged.
+    */
+  private def trainedCentroids(s: SparkSession, d: String,
+      wh: graft.pipeline.Warehouse, p: String): Seq[(Long, Seq[Double])] =
+    trainedCentMemo.getOrElseUpdate(wh.tablePath(p), {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val micro = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+      val eInt = wh.readVersion(s, s"${p}_serve")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("q", expr(s"transform(embedding, x -> $micro)"))
+      var centroids = Tables.embeddings(s, d)
+        .filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("k"),
+          expr(s"transform(transform(embedding, x -> $micro), " +
+            "v -> CAST(v AS DOUBLE))").as("c_emb"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(desc("cs"), col("k"))
+      def assign(cent: DataFrame): DataFrame =
+        eInt.crossJoin(broadcast(cent))
+          .withColumn("cs",
+            call_function("graft_cosine", col("embedding"), col("c_emb")))
+          .withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("k").as("cell"), col("q"))
+      for (_ <- 1 to 2) {
+        centroids = assign(centroids)
+          .select(col("cell"), posexplode(col("q")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("col")).as("cv"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("arr"))
+          .select(col("cell").as("k"),
+            expr("transform(arr, s -> CAST(s.cv AS DOUBLE))").as("c_emb"))
+      }
+      centroids.select(col("k"), col("c_emb"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).toSeq
+    })
+
   /** The query vector's top-`nprobe` coarse cells under the frozen
     * centroid set, as LITERAL ids (a bounded 1-row collect — the ledger
     * idiom): `array_sort` over the same `(−cos, k)` candidate structs
@@ -204,12 +267,22 @@ object Similarity extends QueryModule {
     * `_cells` probe an `isin` PARTITION filter — nprobe directories
     * read, never the lake.
     */
-  private def queryProbeCells(s: SparkSession, d: String, nprobe: Int): Seq[Long] = {
+  private def queryProbeCells(s: SparkSession, d: String, nprobe: Int): Seq[Long] =
+    probeCellsLit(s, d,
+      frozenCentroids(s, d).map { case (k, e) => k -> typedLit(e) }, nprobe)
+
+  /** [[queryProbeCells]] against the TRAINED centroid set. */
+  private def queryProbeCellsTrained(s: SparkSession, d: String,
+      cent: Seq[(Long, Seq[Double])], nprobe: Int): Seq[Long] =
+    probeCellsLit(s, d, cent.map { case (k, e) => k -> typedLit(e) }, nprobe)
+
+  private def probeCellsLit(s: SparkSession, d: String,
+      cent: Seq[(Long, Column)], nprobe: Int): Seq[Long] = {
     graft.plans.GraftExtensions.ensureRegistered(s)
-    val cands = array(frozenCentroids(s, d).map { case (k, emb) =>
+    val cands = array(cent.map { case (k, embLit) =>
       struct(
         (lit(0.0) - call_function("graft_cosine", col("embedding"),
-          typedLit(emb))).as("neg"),
+          embLit)).as("neg"),
         lit(k).as("k"))
     }: _*)
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -220,15 +293,56 @@ object Similarity extends QueryModule {
 
   /** Top-k over the deduplicated `_cells` generation, probing the
     * query's top-`nprobe` cells — shared by the nprobe=1 and nprobe=2
-    * serves and the recall report.
+    * serves and the recall report. Probes rank against the TRAINED
+    * centroid set the `_cells` generation was assigned with
+    * ([[trainedCentroids]] — probe order must match the lake's argmax
+    * or the partition filter reads the wrong directories).
     */
   private def semdedupTopkIvf(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val p = SemanticLakeFixture.cells(s, d)
-    val probes = queryProbeCells(s, d, nprobe)
+    val probes = queryProbeCellsTrained(s, d,
+      trainedCentroids(s, d, SemanticLakeFixture.wh, p), nprobe)
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
     SemanticLakeFixture.wh.readVersion(s, s"${p}_cells")
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** The FRESH indexed serve body — pinned `_cells` generation ∪ the
+    * live tail above the persisted fold watermark, cell-assigned on the
+    * fly by the same frozen projection the (mid-stream, deliberately
+    * stale) cells build used — shared by the nprobe=1 and nprobe=2
+    * twins. Tail rows cost one narrow assignment each; only probe-cell
+    * matches survive; the watermark is a sidecar read (no snapshot
+    * scan). Built on the HYBRID fixture, so batch 2 is reachable ONLY
+    * through the tail — a serve that forgot the tail or double-read the
+    * overlap flips the whole-survivor oracle.
+    */
+  private def semdedupTopkIvfFresh(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val p = SemanticLakeHybridFixture.cells(s, d)
+    val wh = SemanticLakeHybridFixture.wh
+    val probes = queryProbeCells(s, d, nprobe)
+    val thru = graft.streaming.StreamRunner.lakeThru(
+      s, wh, s"${p}_serve", wh.currentVersion(s"${p}_serve").get)
+    val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+    val snapCells = wh.readVersion(s, s"${p}_cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val tailCells = wh.read(s, p)
+      .filter(col("ingest_batch") > thru)
+      .select(col("vec_id"), col("label"), col("embedding"), cellCol)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    snapCells.unionByName(tailCells)
+      .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
       .select(col("vec_id"), col("label"), col("cos_sim"))
@@ -261,16 +375,21 @@ object Similarity extends QueryModule {
     }
 
     /** Compact (if needed), then CELL-ASSIGN the deduplicated survivors
-      * against the frozen centroid set and publish them as a versioned
+      * against a coarse quantizer TRAINED ON THE SURVIVORS
+      * ([[trainedCentroids]] — 2 Lloyd rounds from the frozen seeds; the
+      * frozen first-8 convention under-fit the survivor geometry and
+      * cost single-probe recall) and publish them as a versioned
       * CELL-partitioned `_cells` generation — the IVF serving layout
       * composed over the SemDeDup'd lake, so indexed top-k probes read
       * one cell directory of SURVIVORS instead of scanning every row
-      * (sim_semdedup_topk_ivf). One narrow literal-centroid projection
-      * over the snapshot, paid at maintenance time, never at serve time.
+      * (sim_semdedup_topk_ivf). Training + one narrow literal-centroid
+      * projection over the snapshot, paid at maintenance time, never at
+      * serve time.
       */
     def cells(s: SparkSession, d: String): String = {
       val p = compact(s, d)
-      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p))
+      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p,
+        cellAssignExprTrained(s, trainedCentroids(s, d, wh, p))._1))
       p
     }
   }
@@ -302,24 +421,29 @@ object Similarity extends QueryModule {
     /** `_cells` built from the MID-STREAM `_serve` snapshot (batches
       * 0–1 only) — deliberately STALE, so the fresh indexed serve's
       * on-the-fly tail assignment is load-bearing
-      * (sim_semdedup_topk_ivf_fresh).
+      * (sim_semdedup_topk_ivf_fresh). Assignment keeps the FROZEN
+      * quantizer: a mid-stream cells build reuses the previous/seed
+      * centroid set — retraining belongs to the full-fold maintenance
+      * pass (the plain fixture's [[SemanticLakeFixture.cells]]), and the
+      * fresh serve's on-the-fly tail assignment must match whatever set
+      * the pinned generation used.
       */
     def cells(s: SparkSession, d: String): String = {
       val p = build(s, d)
-      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p))
+      compactOnce(s"$p@cells")(writeCellsGeneration(s, d, wh, p,
+        cellAssignExpr(s, frozenCentroids(s, d))._1))
       p
     }
   }
 
   /** The shared `_cells`-generation write (run once per JVM per prefix
     * under each fixture's compactOnce memo): the lake's `_serve`
-    * snapshot cell-assigned against the frozen centroids and published
-    * as a versioned cell-partitioned generation. Returns whether a
-    * committed generation exists (the compactOnce contract).
+    * snapshot cell-assigned by the caller's quantizer projection and
+    * published as a versioned cell-partitioned generation. Returns
+    * whether a committed generation exists (the compactOnce contract).
     */
   private def writeCellsGeneration(s: SparkSession, d: String,
-      wh: graft.pipeline.Warehouse, p: String): Boolean = {
-    val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
+      wh: graft.pipeline.Warehouse, p: String, cellCol: Column): Boolean = {
     wh.versionedWrite(
       wh.readVersion(s, s"${p}_serve")
         .select(col("vec_id"), col("label"), col("embedding"), cellCol)
@@ -926,31 +1050,35 @@ object Similarity extends QueryModule {
     // tail), so a serve that forgot the tail OR double-read the overlap
     // flips the oracle — which is sim_semdedup_topk_ivf's whole-survivor
     // re-derivation, verbatim. ----
-    "sim_semdedup_topk_ivf_fresh" -> ((s, d) => {
-      val p = SemanticLakeHybridFixture.cells(s, d)
-      val wh = SemanticLakeHybridFixture.wh
-      val probes = queryProbeCells(s, d, 1)
-      val thru = wh.readVersion(s, s"${p}_serve")
-        .agg(max(col("ingest_batch").cast("long")).as("t"))
-        .collect()(0).getLong(0)
-      val (cellCol, _) = cellAssignExpr(s, frozenCentroids(s, d))
-      val snapCells = wh.readVersion(s, s"${p}_cells")
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val tailCells = wh.read(s, p)
-        .filter(col("ingest_batch") > thru)
-        .select(col("vec_id"), col("label"), col("embedding"), cellCol)
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      snapCells.unionByName(tailCells)
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
-        .select(col("vec_id"), col("label"), col("cos_sim"))
-        .orderBy(desc("cos_sim"), col("vec_id"))
-        .limit(10)
+    "sim_semdedup_topk_ivf_fresh" -> ((s, d) =>
+      semdedupTopkIvfFresh(s, d, nprobe = 1)),
+
+    // ---- the MULTIPROBE × FRESH composition — the production reader's
+    // shape: the query's top-2 cells as a 2-literal `isin` partition
+    // filter over the pinned `_cells` generation, UNION the live tail
+    // above the persisted watermark assigned on the fly and filtered to
+    // the same two cells. Closes the last staleness × recall gap: _ivf2
+    // reads the pinned generation only, _fresh probes one cell — this
+    // serves both knobs at once, still never a lake scan. Same
+    // whole-survivor oracle as the pinned multiprobe twin. ----
+    "sim_semdedup_topk_ivf2_fresh" -> ((s, d) =>
+      semdedupTopkIvfFresh(s, d, nprobe = 2)),
+
+    // ---- the recall ladder over the FRESH serves (the hybrid fixture:
+    // batch 2 reachable only through the tail): per nprobe ∈ {1, 2},
+    // |fresh top-10 ∩ brute top-10| — proves tail rows are REACHABLE at
+    // serve time and prices the probe knob on the snapshot∪tail shape.
+    // The oracle re-derives all three top-k sets from the survivor
+    // replay under the frozen quantizer. ----
+    "sim_semdedup_recall_fresh" -> ((s, d) => {
+      val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
+      Seq(1, 2).map { np =>
+        semdedupTopkIvfFresh(s, d, np).select(col("vec_id"))
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
+            col("n_hit"), expr("n_hit * 100 DIV 10").as("recall_pct"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
     }),
 
     // ---- the recall eval pinning the indexed serves against the brute
@@ -958,9 +1086,13 @@ object Similarity extends QueryModule {
     // |IVF top-10 ∩ brute top-10| over the same deduplicated lake.
     // Probe-bounded recall is approximate BY DESIGN (neighbors outside
     // the probed cells are unreachable); these rows make the
-    // recall-vs-read trade a MEASURED ladder — 5/10 single-probe on the
-    // fixture, recovered by the second probe — and the oracle re-derives
-    // all three top-k sets from the survivor replay. ----
+    // recall-vs-read trade a MEASURED ladder — under the TRAINED
+    // quantizer the vec-0 query reads 4/10@1, 5/10@2 (the frozen set
+    // happened to score 5/10@1 on this one neighborhood; single-query
+    // recall is a noisy estimator, which is exactly what
+    // sim_semdedup_recall_panel exists to settle) — and the oracle
+    // re-derives all three top-k sets from the survivor replay
+    // INCLUDING the training rounds. ----
     "sim_semdedup_recall" -> ((s, d) => {
       val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
       Seq(1, 2).map { np =>
@@ -970,6 +1102,55 @@ object Similarity extends QueryModule {
           .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
             col("n_hit"), expr("n_hit * 100 DIV 10").as("recall_pct"))
       }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
+    // ---- the recall PANEL — the A/B that justifies TRAINING the coarse
+    // quantizer: single-query recall (sim_semdedup_recall) measures one
+    // neighborhood and is noisy, so this eval averages nprobe=1 recall
+    // over a deterministic panel of survivor queries (vec_id % 37 = 0,
+    // ~3% of the lake) under BOTH quantizers — the frozen seed set and
+    // the survivors-trained set the `_cells` generation actually uses.
+    // Measured at sf0.01: trained 41/140 vs frozen 31/140 brute-top-10
+    // hits — the panel is why the pinned serves train. Scale shape:
+    // |panel| is a constant, so the scored candidate set is
+    // |lake| × |panel| narrow rows off one broadcast cross join — a
+    // maintenance-time eval, never a serve-path read. ----
+    "sim_semdedup_recall_panel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = SemanticLakeFixture.cells(s, d)
+      val wh = SemanticLakeFixture.wh
+      val lake = wh.readVersion(s, s"${p}_serve")
+        .select(col("vec_id"), col("embedding"))
+      val qs = lake.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      val sc = lake.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cs", round(cosine(s, "embedding", "q_emb"), 6))
+        .select(col("qid"), col("vec_id"), col("cs"))
+      val byQ = Window.partitionBy(col("qid")).orderBy(desc("cs"), col("vec_id"))
+      val brute = sc.withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val nTotal = brute.agg(count(lit(1)).cast("bigint").as("n_total"))
+      def ladder(tag: String, cells: DataFrame): DataFrame = {
+        val qc = cells.select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+        val iv = sc.join(cells, Seq("vec_id"))
+          .join(qc, Seq("qid"))
+          .filter(col("cell") === col("q_cell"))
+          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        iv.join(brute, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+          .crossJoin(nTotal)
+          .select(lit(tag).as("quantizer"), lit(1L).as("nprobe"),
+            lit(10L).as("k"), col("n_hit"), col("n_total"))
+      }
+      val frozenCells = lake.select(col("vec_id"),
+        cellAssignExpr(s, frozenCentroids(s, d))._1)
+      val trainedCells = wh.readVersion(s, s"${p}_cells")
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
+      ladder("frozen", frozenCells)
+        .unionByName(ladder("trained", trainedCells))
+        .orderBy(col("quantizer"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -1749,17 +1930,21 @@ object Similarity extends QueryModule {
     * sets. MATERIALIZED where referenced twice (the dedup_kcore
     * CTE-inlining lesson).
     */
-  private def semanticCellsCte: String = {
-    def ivfkCte(name: String, nprobe: Int) =
-      s"""$name AS MATERIALIZED (
-         |  SELECT e.vec_id, e.label,
-         |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
-         |  FROM e JOIN cells cl ON e.vec_id = cl.vec_id
-         |  JOIN (SELECT cell FROM qrank WHERE rn <= $nprobe) qc
-         |    ON cl.cell = qc.cell
-         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-         |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
-         |)""".stripMargin
+  /** The nprobe-pruned scored survivor set over whatever `cells`/`qrank`
+    * CTEs precede it — shared by the frozen and trained cell chains.
+    */
+  private def ivfkCte(name: String, nprobe: Int): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label,
+       |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+       |  FROM e JOIN cells cl ON e.vec_id = cl.vec_id
+       |  JOIN (SELECT cell FROM qrank WHERE rn <= $nprobe) qc
+       |    ON cl.cell = qc.cell
+       |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+       |)""".stripMargin
+
+  private def semanticCellsCte: String =
     s""", cent AS (
        |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 8
@@ -1776,7 +1961,81 @@ object Similarity extends QueryModule {
        |    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
        |), ${ivfkCte("ivfk", 1)},
        |${ivfkCte("ivfk2", 2)}""".stripMargin
+
+  /** The TRAINED twin of [[semanticCellsCte]]: the coarse quantizer is
+    * re-derived by the same 2-round Lloyd arithmetic as the engine's
+    * [[trainedCentroids]] (sim_kmeans_cells' SQL replica over the
+    * SURVIVORS, seeded by vec_id 1..8), then `cells`/`qrank`/`ivfk`/
+    * `ivfk2` continue with the trained centroid set — so the indexed
+    * serves over the trained `_cells` generation hash against a full
+    * from-scratch re-derivation including the training itself.
+    */
+  private def semanticTrainedCellsCte: String = {
+    val micro =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    def assignCte(centCte: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, k AS cell, q FROM (
+         |    SELECT t.vec_id, c.ck AS k, t.q
+         |    FROM eq t CROSS JOIN $centCte c
+         |    QUALIFY row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY ${duckCosine("t.embedding", "c.c_emb")} DESC, c.ck) = 1)
+         |)""".stripMargin
+    def updateCte(assignName: String, name: String) =
+      s"""$name AS (
+         |  SELECT cell AS ck, list(CAST(cv AS DOUBLE) ORDER BY j) AS c_emb FROM (
+         |    SELECT cell, i AS j, sum(q[i]) AS cv
+         |    FROM $assignName, range(1, 65) t(i) GROUP BY cell, i)
+         |  GROUP BY cell
+         |)""".stripMargin
+    s""", eq AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, $micro AS q
+       |  FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
+       |), tc0 AS (
+       |  SELECT vec_id AS ck,
+       |    list_transform($micro, v -> CAST(v AS DOUBLE)) AS c_emb
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+       |), ${assignCte("tc0", "ta1")}, ${updateCte("ta1", "tc1")},
+       |${assignCte("tc1", "ta2")}, ${updateCte("ta2", "tc2")},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, ck AS cell FROM (
+       |    SELECT t.vec_id, c.ck, ${duckCosine("t.embedding", "c.c_emb")} AS cs
+       |    FROM eq t CROSS JOIN tc2 c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
+       |), qrank AS MATERIALIZED (
+       |  SELECT ck AS cell, row_number() OVER (ORDER BY cs DESC, ck) AS rn
+       |  FROM (
+       |    SELECT c.ck, ${duckCosine("q.embedding", "c.c_emb")} AS cs
+       |    FROM tc2 c
+       |    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+       |), ${ivfkCte("ivfk", 1)},
+       |${ivfkCte("ivfk2", 2)}""".stripMargin
   }
+
+  /** The recall-ladder SELECT over whatever ivfk/ivfk2 chain precedes
+    * it — shared by the pinned (trained) and fresh (frozen) ladders.
+    */
+  private def semanticRecallSelect: String =
+    s""", brutek AS MATERIALIZED (
+       |  SELECT e.vec_id,
+       |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+       |  FROM e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
+       |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+       |), topi1 AS (
+       |  SELECT vec_id FROM ivfk ORDER BY cos_sim DESC, vec_id LIMIT 10
+       |), topi2 AS (
+       |  SELECT vec_id FROM ivfk2 ORDER BY cos_sim DESC, vec_id LIMIT 10
+       |), hits AS (
+       |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM topi1 WHERE vec_id IN (SELECT vec_id FROM brutek)
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+       |  FROM topi2 WHERE vec_id IN (SELECT vec_id FROM brutek)
+       |)
+       |SELECT nprobe, CAST(10 AS BIGINT) AS k, n_hit,
+       |  CAST(n_hit * 100 // 10 AS BIGINT) AS recall_pct
+       |FROM hits ORDER BY nprobe""".stripMargin
 
   /** From-scratch re-derivation of the streamed IVF lake (every vector's
     * argmax cell + the slice→batch mapping) — shared verbatim by the
@@ -2217,48 +2476,85 @@ object Similarity extends QueryModule {
         |)
         |SELECT vec_id, label, cos_sim FROM scored
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-    // survivor replay + the frozen-centroid argmax assignment + the
-    // query-cell-pruned top-k — the indexed serve re-derived end to end
+    // survivor replay + the TRAINED-quantizer re-derivation (2 Lloyd
+    // rounds over the survivors, the engine's maintenance-time training)
+    // + the query-cell-pruned top-k — the indexed serve re-derived end
+    // to end INCLUDING the training
     "sim_semdedup_topk_ivf" ->
-      (semanticLakeReplayCte + semanticCellsCte + s"""
+      (semanticLakeReplayCte + semanticTrainedCellsCte + s"""
         |SELECT vec_id, label, cos_sim FROM ivfk
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-    // the top-2-cells multiprobe form, same re-derivation
+    // the top-2-cells multiprobe form, same trained re-derivation
     "sim_semdedup_topk_ivf2" ->
-      (semanticLakeReplayCte + semanticCellsCte + s"""
+      (semanticLakeReplayCte + semanticTrainedCellsCte + s"""
         |SELECT vec_id, label, cos_sim FROM ivfk2
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
-    // the fresh (snapshot-cells ∪ on-the-fly tail) serve must return the
-    // SAME rows as the fully-compacted indexed serve — the whole-survivor
-    // re-derivation is reused verbatim; a forgotten tail or a double-read
-    // overlap flips it
+    // the fresh (snapshot-cells ∪ on-the-fly tail) serves must return
+    // the SAME rows as a fully-compacted indexed serve under the FROZEN
+    // quantizer (the mid-stream cells build's set) — the whole-survivor
+    // re-derivation is reused verbatim; a forgotten tail or a
+    // double-read overlap flips it
     "sim_semdedup_topk_ivf_fresh" ->
       (semanticLakeReplayCte + semanticCellsCte + s"""
         |SELECT vec_id, label, cos_sim FROM ivfk
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_topk_ivf2_fresh" ->
+      (semanticLakeReplayCte + semanticCellsCte + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk2
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     // all three top-k sets re-derived, intersected per nprobe — the
-    // measured recall-vs-read ladder
+    // measured recall-vs-read ladder over the TRAINED pinned serves
     "sim_semdedup_recall" ->
-      (semanticLakeReplayCte + semanticCellsCte + s""", brutek AS MATERIALIZED (
-        |  SELECT e.vec_id,
-        |    round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
-        |  FROM e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |  WHERE e.vec_id IN (SELECT vec_id FROM surv) AND e.vec_id <> 0
-        |  ORDER BY cos_sim DESC, e.vec_id LIMIT 10
-        |), topi1 AS (
-        |  SELECT vec_id FROM ivfk ORDER BY cos_sim DESC, vec_id LIMIT 10
-        |), topi2 AS (
-        |  SELECT vec_id FROM ivfk2 ORDER BY cos_sim DESC, vec_id LIMIT 10
-        |), hits AS (
-        |  SELECT CAST(1 AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hit
-        |  FROM topi1 WHERE vec_id IN (SELECT vec_id FROM brutek)
-        |  UNION ALL
-        |  SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
-        |  FROM topi2 WHERE vec_id IN (SELECT vec_id FROM brutek)
+      (semanticLakeReplayCte + semanticTrainedCellsCte + semanticRecallSelect),
+    // the same ladder over the FRESH (frozen-quantizer) serves
+    "sim_semdedup_recall_fresh" ->
+      (semanticLakeReplayCte + semanticCellsCte + semanticRecallSelect),
+    // both quantizers' PANEL recall re-derived from scratch: the trained
+    // chain's `cells` plus a frozen assignment over the same survivors,
+    // brute top-10 per panel query, hits intersected per quantizer
+    "sim_semdedup_recall_panel" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCte + s""", fcent AS (
+        |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id BETWEEN 1 AND 8
+        |), fcells AS MATERIALIZED (
+        |  SELECT vec_id, ck AS cell FROM (
+        |    SELECT t.vec_id, c.ck, ${duckCosine("t.embedding", "c.c_emb")} AS cs
+        |    FROM eq t CROSS JOIN fcent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
+        |), qs AS (
+        |  SELECT vec_id AS qid, embedding FROM eq WHERE vec_id % 37 = 0
+        |), sc AS MATERIALIZED (
+        |  SELECT qv.qid, a.vec_id,
+        |    round(${duckCosine("a.embedding", "qv.embedding")}, 6) AS cs
+        |  FROM eq a CROSS JOIN qs qv WHERE a.vec_id <> qv.qid
+        |), br AS MATERIALIZED (
+        |  SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) <= 10
+        |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM br),
+        |fhit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+        |    SELECT s.qid, s.vec_id FROM sc s
+        |    JOIN fcells cl ON s.vec_id = cl.vec_id
+        |    JOIN fcells qc ON s.qid = qc.vec_id AND cl.cell = qc.cell
+        |    QUALIFY row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY s.cs DESC, s.vec_id) <= 10)
+        |  WHERE (qid, vec_id) IN (SELECT (qid, vec_id) FROM br)
+        |), thit AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+        |    SELECT s.qid, s.vec_id FROM sc s
+        |    JOIN cells cl ON s.vec_id = cl.vec_id
+        |    JOIN cells qc ON s.qid = qc.vec_id AND cl.cell = qc.cell
+        |    QUALIFY row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY s.cs DESC, s.vec_id) <= 10)
+        |  WHERE (qid, vec_id) IN (SELECT (qid, vec_id) FROM br)
         |)
-        |SELECT nprobe, CAST(10 AS BIGINT) AS k, n_hit,
-        |  CAST(n_hit * 100 // 10 AS BIGINT) AS recall_pct
-        |FROM hits ORDER BY nprobe""".stripMargin),
+        |SELECT * FROM (
+        |  SELECT 'frozen' AS quantizer, CAST(1 AS BIGINT) AS nprobe,
+        |    CAST(10 AS BIGINT) AS k, fhit.n_hit, nt.n_total FROM fhit, nt
+        |  UNION ALL
+        |  SELECT 'trained', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+        |    thit.n_hit, nt.n_total FROM thit, nt
+        |) ORDER BY quantizer""".stripMargin),
     // every vector's argmax cell re-derived from scratch (the
     // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
     // mapping — a compactor that drops, alters, or double-publishes a

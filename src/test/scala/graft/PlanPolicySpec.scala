@@ -350,7 +350,7 @@ class PlanPolicySpec extends SparkSuiteBase {
     // amortize. PLANS.md carries the full dumps; this pins the invariant.
     for (name <- Seq("sim_semdedup_hybrid", "sim_ivf_lake_hybrid",
         "pipe_corpus_hybrid", "pipe_frontier_hybrid", "txt_bm25_hybrid",
-        "sim_semdedup_topk_ivf_fresh")) {
+        "sim_semdedup_topk_ivf_fresh", "sim_semdedup_topk_ivf2_fresh")) {
       val brackets = partitionFilterBrackets(name)
       assert(brackets.exists(s =>
           s.contains("ingest_batch") && s.contains(">")),
@@ -361,7 +361,7 @@ class PlanPolicySpec extends SparkSuiteBase {
 
   test("indexed dedup'd top-k probes only LITERAL cell partitions") {
     for (name <- Seq("sim_semdedup_topk_ivf", "sim_semdedup_topk_ivf2",
-        "sim_semdedup_topk_ivf_fresh")) {
+        "sim_semdedup_topk_ivf_fresh", "sim_semdedup_topk_ivf2_fresh")) {
       val cellFilters = partitionFilterBrackets(name)
         .filter(_.contains("cell"))
       assert(cellFilters.nonEmpty,
@@ -372,6 +372,14 @@ class PlanPolicySpec extends SparkSuiteBase {
       assert(cellFilters.exists(s => s.contains("=") || s.contains("IN")),
         s"$name: cell filter is not a literal equality/IN: $cellFilters")
     }
+    // the multiprobe × fresh composition carries BOTH invariants in ONE
+    // plan: the 2-literal cell probe on the pinned generation AND the
+    // watermark-pruned ingest_batch tail scan
+    val brackets = partitionFilterBrackets("sim_semdedup_topk_ivf2_fresh")
+    assert(brackets.exists(s => s.contains("cell") && s.contains("IN")),
+      s"ivf2_fresh: expected a literal 2-cell IN probe, got $brackets")
+    assert(brackets.exists(s => s.contains("ingest_batch") && s.contains(">")),
+      s"ivf2_fresh: expected an ingest_batch > N tail filter, got $brackets")
   }
 
   test("evt_rfm_segments_sketch: no window operator anywhere in the plan") {
