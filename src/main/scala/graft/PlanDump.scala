@@ -410,7 +410,24 @@ object PlanDump {
     // round — covered by the smoke spec; the sketch-cut RFM twin (audit:
     // three ObjectHashAggregate sketch cuts broadcast back, NO
     // unpartitioned window anywhere in the plan)
-    "evt_rfm_segments_sketch")
+    "evt_rfm_segments_sketch",
+    // round 17: the multiprobe × fresh composition (audit: ONE plan
+    // carrying BOTH a 2-literal `cell IN` partition filter on the
+    // pinned generation AND an `ingest_batch > N` PartitionFilter on
+    // the on-the-fly-assigned tail — PlanPolicySpec pins both)
+    "sim_semdedup_topk_ivf2_fresh",
+    // the fresh-serve recall ladder (audit: bounded top-k sides over
+    // snapshot∪tail reads, 10-row semi joins, 2-row report)
+    "sim_semdedup_recall_fresh",
+    // the trained-vs-frozen recall PANEL (audit: |lake|×|panel| scored
+    // rows off one broadcast cross join, per-query WindowGroupLimit
+    // top-k, two count rows — a maintenance-time eval, no lake-sized
+    // shuffle beyond the panel join)
+    "sim_semdedup_recall_panel",
+    // the lake-health report (audit: a LocalTableScan — the rows are
+    // metadata listings + sidecar reads resolved on the driver; ZERO
+    // file scans is exactly the point)
+    "pipe_lake_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

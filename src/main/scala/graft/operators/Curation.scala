@@ -29,6 +29,50 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Curation extends QueryModule {
 
+  /** Deterministic lake-state fixture for `pipe_lake_health`: four
+    * streamed lakes built into the four lifecycle states the report
+    * must classify — never folded, snapshot+tail, fully vacuumed, and
+    * two generations (vacuum-eligible under the production slack) —
+    * each from `doc_id % 3` slices of `documents`, folded through the
+    * REAL fold-forward body so every generation carries its watermark
+    * sidecar. All maintenance runs inside the scratch prefix and joins
+    * the atomic publish (the StreamedFixture mid-stream convention).
+    */
+  private object LakeHealthFixture extends StreamedFixture(
+    "lh", "graft_lakehealth",
+    Seq("_fresh", "_hyb", "_hyb_serve", "_vac", "_vac_serve",
+      "_gen2", "_gen2_serve"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      import graft.streaming.StreamRunner
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def publish(name: String, b: Int): Unit =
+        wh.partitionedUpsertWrite(
+          docs.filter(col("doc_id") % 3 === b)
+            .withColumn("ingest_batch", lit(b.toLong)),
+          name, Seq("ingest_batch"))
+      def fold(name: String): Int =
+        StreamRunner.foldForward(s, wh, name, s"${name}_serve",
+          t => Right(t), Nil)
+      // fresh: two live batches, never folded
+      publish(s"${scratch}_fresh", 0); publish(s"${scratch}_fresh", 1)
+      // hybrid: fold after two batches, then one post-fold tail batch
+      publish(s"${scratch}_hyb", 0); publish(s"${scratch}_hyb", 1)
+      fold(s"${scratch}_hyb")
+      publish(s"${scratch}_hyb", 2)
+      // vacuumed: fold, then full vacuum — all mass in the snapshot
+      publish(s"${scratch}_vac", 0); publish(s"${scratch}_vac", 1)
+      fold(s"${scratch}_vac")
+      StreamRunner.gcLake(s, wh, s"${scratch}_vac",
+        s"${scratch}_vac_serve", slackGenerations = 0): Unit
+      // two generations, no vacuum: eligible under production slack 1
+      publish(s"${scratch}_gen2", 0); publish(s"${scratch}_gen2", 1)
+      fold(s"${scratch}_gen2")
+      publish(s"${scratch}_gen2", 2)
+      fold(s"${scratch}_gen2"): Unit
+    }
+  }
+
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
   private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
   /** Portable 60-bit content hash (same idiom as [[Dedup]]): Spark
@@ -602,6 +646,34 @@ object Curation extends QueryModule {
           min(col("file_id")).as("first_file"),
           max(col("file_id")).as("last_file"))
         .orderBy(col("source"), col("bin"))
+    }),
+
+    // ---- the unified LAKE-HEALTH report — the maintenance-policy view
+    // an operator running N bounded streamed lakes checks daily: per
+    // lake, live fragment mass, the unfolded tail above the current
+    // generation's sidecar watermark, the retained snapshot chain, and
+    // whether a vacuum at the production slack would reclaim anything
+    // NOW. Resolved entirely from metadata (directory listings + the
+    // `_v=N.meta` watermark sidecars — zero Spark jobs, zero data
+    // reads; at 100 TB this is the same object-store LIST a table
+    // format's maintenance planner does). The fixture pins all four
+    // lifecycle states; the oracle is the documented state machine:
+    // each state's expected row follows directly from the fold/vacuum
+    // contracts (fold absorbs every live batch ≤ its watermark; full
+    // vacuum leaves zero live leaves; eligibility needs > slack
+    // generations AND a leaf at or below the slack boundary). ----
+    "pipe_lake_health" -> ((s, d) => {
+      val p = LakeHealthFixture.build(s, d)
+      val wh = LakeHealthFixture.wh
+      val rows = graft.streaming.StreamRunner.lakeHealth(wh, Seq(
+        ("fresh", s"${p}_fresh", s"${p}_fresh_serve"),
+        ("hybrid", s"${p}_hyb", s"${p}_hyb_serve"),
+        ("two_gen", s"${p}_gen2", s"${p}_gen2_serve"),
+        ("vacuumed", s"${p}_vac", s"${p}_vac_serve")))
+      import s.implicits._
+      rows.toDF("lake", "live_batches", "tail_batches",
+        "retained_generations", "current_version", "vacuum_eligible")
+        .orderBy(col("lake"))
     }),
 
     // ---- k-anonymity audit with one generalization step: before a corpus
@@ -1287,6 +1359,22 @@ object Curation extends QueryModule {
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM placed GROUP BY source, bin
         |ORDER BY source, bin""".stripMargin,
+    // the documented lake lifecycle state machine: the fixture builds
+    // each state through the real fold/vacuum bodies, and each expected
+    // row follows from their contracts — fresh (2 batches, no fold) is
+    // all tail; hybrid (fold thru batch 1, then batch 2) carries one
+    // tail batch over one generation; two_gen (two folds, no vacuum)
+    // retains folded leaves ≤ the slack boundary → vacuum-eligible;
+    // vacuumed has zero live leaves, all mass in the snapshot
+    "pipe_lake_health" ->
+      """SELECT * FROM (VALUES
+        |  ('fresh',    CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), false),
+        |  ('hybrid',   CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('two_gen',  CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), true),
+        |  ('vacuumed', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false)
+        |) t(lake, live_batches, tail_batches, retained_generations,
+        |    current_version, vacuum_eligible)
+        |ORDER BY lake""".stripMargin,
     "q_kanon_audit" ->
       """WITH l1 AS (
         |  SELECT lang, source, n_chars // 200 AS size_band,

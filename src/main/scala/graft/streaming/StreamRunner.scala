@@ -1964,6 +1964,60 @@ object StreamRunner {
     }
   }
 
+  /** The LAKE-HEALTH report — the unified maintenance-policy view an
+    * operator running N bounded lakes checks daily, and the input a
+    * future auto-compaction policy would consume: per (lake, live,
+    * serve) triple, the live fragment state vs the committed snapshot
+    * chain, resolved ENTIRELY from metadata (directory listings + the
+    * watermark sidecars — NO Spark job, the [[lakeThru]] discipline).
+    * Returned per lake:
+    *  - `live_batches`: distinct `ingest_batch` leaf partitions in the
+    *    live lake (recursing under block dirs — the [[gcLake]] sweep's
+    *    view of fragment mass);
+    *  - `tail_batches`: live batches strictly above the current
+    *    generation's sidecar watermark — the unfolded mass the next
+    *    fold absorbs (no snapshot, or a legacy sidecar-less generation,
+    *    conservatively counts every live batch as tail);
+    *  - `retained_generations` / `current_version`: the committed
+    *    snapshot chain ([[graft.pipeline.Warehouse.listVersions]];
+    *    version 0 = never folded);
+    *  - `vacuum_eligible`: whether [[gcLake]] at `slackGenerations`
+    *    would delete at least one fragment NOW (enough retained
+    *    generations AND live leaves at or below the slack boundary's
+    *    watermark).
+    */
+  def lakeHealth(
+      wh: Warehouse,
+      lakes: Seq[(String, String, String)],
+      slackGenerations: Int = 1): Seq[(String, Long, Long, Long, Long, Boolean)] =
+    lakes.map { case (lake, liveName, serveName) =>
+      def leafBatches(dir: java.io.File): Seq[Long] =
+        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isDirectory)
+          .flatMap { f =>
+            val n = f.getName
+            if (n.startsWith("ingest_batch="))
+              scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
+                .toOption.toSeq
+            else if (n.contains("=")) leafBatches(f)
+            else Nil
+          }.toSeq
+      val live = leafBatches(new java.io.File(wh.tablePath(liveName)))
+        .distinct.sorted
+      val versions = wh.listVersions(serveName)
+      val current = wh.currentVersion(serveName)
+      def sidecarThru(v: Int): Option[Long] =
+        wh.versionMeta(serveName, v).get("thru").map(_.toLong)
+      val thru = current.flatMap(sidecarThru)
+      val tail = live.count(b => thru.forall(b > _))
+      val eligible = versions.size > slackGenerations && {
+        val bv = versions(versions.size - 1 - slackGenerations)
+        sidecarThru(bv).exists(boundary => live.exists(_ <= boundary))
+      }
+      (lake, live.size.toLong, tail.toLong, versions.size.toLong,
+        current.getOrElse(0).toLong, eligible)
+    }
+
   /** Whether a streamed lake has ANY readable content — live fragments
     * or a committed snapshot generation. The ingest bodies' "no corpus
     * yet" guards must check both: after [[gcLake]] a lake's entire mass
