@@ -1112,9 +1112,12 @@ object Similarity extends QueryModule {
     // the survivors-trained set the `_cells` generation actually uses.
     // Measured at sf0.01: trained 41/140 vs frozen 31/140 brute-top-10
     // hits — the panel is why the pinned serves train. Scale shape:
-    // |panel| is a constant, so the scored candidate set is
-    // |lake| × |panel| narrow rows off one broadcast cross join — a
-    // maintenance-time eval, never a serve-path read. ----
+    // the panel is CAPPED at 16 queries (the 16 smallest matching
+    // vec_ids — a % slice alone would grow with the lake and take the
+    // eval quadratic; measured 17× at 100× data before the cap), so
+    // the scored candidate set is |lake| × 16 narrow rows off one
+    // broadcast cross join — a maintenance-time eval, never a
+    // serve-path read. ----
     "sim_semdedup_recall_panel" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val p = SemanticLakeFixture.cells(s, d)
@@ -1122,6 +1125,7 @@ object Similarity extends QueryModule {
       val lake = wh.readVersion(s, s"${p}_serve")
         .select(col("vec_id"), col("embedding"))
       val qs = lake.filter(col("vec_id") % 37 === 0)
+        .orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       val sc = lake.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid"))
@@ -2523,6 +2527,7 @@ object Similarity extends QueryModule {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
         |), qs AS (
         |  SELECT vec_id AS qid, embedding FROM eq WHERE vec_id % 37 = 0
+        |  ORDER BY vec_id LIMIT 16
         |), sc AS MATERIALIZED (
         |  SELECT qv.qid, a.vec_id,
         |    round(${duckCosine("a.embedding", "qv.embedding")}, 6) AS cs
