@@ -427,7 +427,11 @@ object PlanDump {
     // the lake-health report (audit: a LocalTableScan — the rows are
     // metadata listings + sidecar reads resolved on the driver; ZERO
     // file scans is exactly the point)
-    "pipe_lake_health")
+    "pipe_lake_health",
+    // the policy pass's report (audit: the action trail is a tiny
+    // parquet scan joined to a LocalTableScan of post-maintenance
+    // health rows — the maintenance itself ran at fixture-build time)
+    "pipe_lake_maintain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -73,6 +73,74 @@ object Curation extends QueryModule {
     }
   }
 
+  /** Fixture for `pipe_lake_maintain`: four lakes whose health states
+    * exercise every branch of the POLICY pass ([[graft.streaming
+    * .StreamRunner.maintainLakes]] at foldAtTailBatches = 2, slack = 1),
+    * run once inside the scratch build with the resulting action trail
+    * persisted as `_actions`:
+    *  - fold_only: 2 unfolded batches → folds to its first generation
+    *    (then too few generations to vacuum);
+    *  - fold_vac: one generation + 2 tail batches → folds AND the fold
+    *    makes it vacuum-eligible in the same pass (the folded leaves at
+    *    or below the previous generation's watermark are reclaimed);
+    *  - idle: one generation + 1 tail batch → below the fold threshold,
+    *    not vacuum-eligible — the pass must touch NOTHING;
+    *  - perceptual: the count-merging perceptual LSM fold driven by the
+    *    SAME policy (each lake supplies its own fold body — the policy
+    *    only decides WHEN).
+    */
+  private object LakeMaintainFixture extends StreamedFixture(
+    "lm", "graft_lakemaint",
+    Seq("_fold_only", "_fold_only_serve", "_fold_vac", "_fold_vac_serve",
+      "_idle", "_idle_serve", "_perc", "_perc_sigs", "_perc_sigs_serve",
+      "_actions"), layout = "v1") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      import graft.streaming.StreamRunner
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      def publish(name: String, b: Int): Unit =
+        wh.partitionedUpsertWrite(
+          docs.filter(col("doc_id") % 4 === b)
+            .withColumn("ingest_batch", lit(b.toLong)),
+          name, Seq("ingest_batch"))
+      def fold(name: String): Int =
+        StreamRunner.foldForward(s, wh, name, s"${name}_serve",
+          t => Right(t), Nil)
+      publish(s"${scratch}_fold_only", 0); publish(s"${scratch}_fold_only", 1)
+      publish(s"${scratch}_fold_vac", 0); publish(s"${scratch}_fold_vac", 1)
+      fold(s"${scratch}_fold_vac")
+      publish(s"${scratch}_fold_vac", 2); publish(s"${scratch}_fold_vac", 3)
+      publish(s"${scratch}_idle", 0); publish(s"${scratch}_idle", 1)
+      fold(s"${scratch}_idle")
+      publish(s"${scratch}_idle", 2)
+      // the perceptual lake: two delta batches of synthetic post-decode
+      // signatures (batch 1 adds one new signature + one count-add dup)
+      def hashed(rows: Seq[(Long, Long, Long)]) = {
+        import s.implicits._
+        rows.toDF("doc_id", "hash_hi", "hash_lo")
+      }
+      StreamRunner.perceptualPublishHashed(
+        hashed(Seq((1L, 11L, 21L), (2L, 12L, 22L))), 0L, wh,
+        s"${scratch}_perc", _ => None, maxHamming = 0)
+      StreamRunner.perceptualPublishHashed(
+        hashed(Seq((3L, 13L, 23L), (4L, 11L, 21L))), 1L, wh,
+        s"${scratch}_perc", _ => None, maxHamming = 0)
+      val actions = StreamRunner.maintainLakes(s, wh, Seq(
+        ("fold_only", s"${scratch}_fold_only", s"${scratch}_fold_only_serve",
+          () => fold(s"${scratch}_fold_only")),
+        ("fold_vac", s"${scratch}_fold_vac", s"${scratch}_fold_vac_serve",
+          () => fold(s"${scratch}_fold_vac")),
+        ("idle", s"${scratch}_idle", s"${scratch}_idle_serve",
+          () => fold(s"${scratch}_idle")),
+        ("perceptual", s"${scratch}_perc_sigs", s"${scratch}_perc_sigs_serve",
+          () => StreamRunner.compactPerceptual(s, wh, s"${scratch}_perc"))))
+      import s.implicits._
+      wh.truncateWrite(actions.toDF(
+        "lake", "folded", "vacuumed_batches", "current_version")
+        .coalesce(1), s"${scratch}_actions")
+    }
+  }
+
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
   private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
   /** Portable 60-bit content hash (same idiom as [[Dedup]]): Spark
@@ -673,6 +741,37 @@ object Curation extends QueryModule {
       import s.implicits._
       rows.toDF("lake", "live_batches", "tail_batches",
         "retained_generations", "current_version", "vacuum_eligible")
+        .orderBy(col("lake"))
+    }),
+
+    // ---- the POLICY pass that closes the maintenance loop: a daily
+    // job reads pipe_lake_health's view and RUNS the folds/vacuums the
+    // policy calls for (fold at ≥ 2 unfolded tail batches, vacuum at
+    // production slack 1 when eligible) — each lake supplying its own
+    // fold body, including the perceptual index's count-merging LSM
+    // fold. The report joins the pass's ACTION TRAIL (what ran) with
+    // the POST-maintenance health row (what state resulted): folds
+    // absorb exactly the tail, a fold can make its lake vacuum-eligible
+    // within the same pass, and an idle lake is provably untouched.
+    // Decisions are metadata reads; only the chosen folds/vacuums touch
+    // data. The oracle is the policy's documented state machine over
+    // the four fixture states. ----
+    "pipe_lake_maintain" -> ((s, d) => {
+      val p = LakeMaintainFixture.build(s, d)
+      val wh = LakeMaintainFixture.wh
+      val post = graft.streaming.StreamRunner.lakeHealth(wh, Seq(
+        ("fold_only", s"${p}_fold_only", s"${p}_fold_only_serve"),
+        ("fold_vac", s"${p}_fold_vac", s"${p}_fold_vac_serve"),
+        ("idle", s"${p}_idle", s"${p}_idle_serve"),
+        ("perceptual", s"${p}_perc_sigs", s"${p}_perc_sigs_serve")))
+      import s.implicits._
+      val health = post.toDF("lake", "live_batches", "tail_batches",
+        "retained_generations", "current_version_h", "vacuum_eligible")
+      wh.read(s, s"${p}_actions")
+        .join(health, Seq("lake"))
+        .select(col("lake"), col("folded"), col("vacuumed_batches"),
+          col("current_version"), col("live_batches"), col("tail_batches"),
+          col("retained_generations"), col("vacuum_eligible"))
         .orderBy(col("lake"))
     }),
 
@@ -1374,6 +1473,21 @@ object Curation extends QueryModule {
         |  ('vacuumed', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false)
         |) t(lake, live_batches, tail_batches, retained_generations,
         |    current_version, vacuum_eligible)
+        |ORDER BY lake""".stripMargin,
+    // the policy pass's documented state machine: fold_only folds (2
+    // tail batches ≥ threshold) but stays un-vacuumable (1 generation);
+    // fold_vac folds its 2-batch tail to generation 2 and the SAME pass
+    // vacuums the 2 leaves at or below generation 1's watermark; idle
+    // (1 tail batch) is untouched; the perceptual lake folds through
+    // its own count-merging body under the same policy
+    "pipe_lake_maintain" ->
+      """SELECT * FROM (VALUES
+        |  ('fold_only',  true,  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('fold_vac',   true,  CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  ('idle',       false, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('perceptual', true,  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false)
+        |) t(lake, folded, vacuumed_batches, current_version, live_batches,
+        |    tail_batches, retained_generations, vacuum_eligible)
         |ORDER BY lake""".stripMargin,
     "q_kanon_audit" ->
       """WITH l1 AS (

@@ -2018,6 +2018,37 @@ object StreamRunner {
         current.getOrElse(0).toLong, eligible)
     }
 
+  /** One POLICY-DRIVEN maintenance pass over a set of streamed lakes —
+    * the executor that consumes [[lakeHealth]]'s view: per lake, FOLD
+    * when the unfolded tail has reached `foldAtTailBatches` live
+    * batches (each lake supplies its own fold body via the thunk —
+    * rows-unchanged folds and the perceptual count-merging fold run
+    * under the same policy), then VACUUM at `slackGenerations` when the
+    * health view says a sweep would reclaim fragments. Decisions are
+    * metadata reads (the health rows); only the chosen folds/vacuums
+    * touch data — so an idle pass over N healthy lakes costs N listings
+    * and zero Spark jobs. Returns per lake (name, folded?, vacuumed
+    * leaf-batch count, current version after the pass) — the audit
+    * trail an operator's daily maintenance job logs.
+    */
+  def maintainLakes(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      lakes: Seq[(String, String, String, () => Int)],
+      foldAtTailBatches: Int = 2,
+      slackGenerations: Int = 1): Seq[(String, Boolean, Long, Long)] =
+    lakes.map { case (lake, liveName, serveName, fold) =>
+      def health = lakeHealth(wh, Seq((lake, liveName, serveName)),
+        slackGenerations).head
+      val folded = health._3 >= foldAtTailBatches && { fold(); true }
+      val vacuumed =
+        if (health._6)
+          gcLake(spark, wh, liveName, serveName, slackGenerations).size.toLong
+        else 0L
+      (lake, folded, vacuumed,
+        wh.currentVersion(serveName).getOrElse(0).toLong)
+    }
+
   /** Whether a streamed lake has ANY readable content — live fragments
     * or a committed snapshot generation. The ingest bodies' "no corpus
     * yet" guards must check both: after [[gcLake]] a lake's entire mass

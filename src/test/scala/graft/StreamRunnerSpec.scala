@@ -884,6 +884,31 @@ class StreamRunnerSpec extends SparkSuiteBase {
     assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       === Set(1L, 2L, 3L), "vacuumed rows survive inside the snapshot")
+    // an IDLE maintenance pass is metadata-only: the lake is folded and
+    // vacuumed (no tail, nothing reclaimable), so the policy must
+    // launch NO Spark job and report no actions
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val idleListener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        seen2.add(js.jobId): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(idleListener)
+    val acts =
+      try {
+        val a = StreamRunner.maintainLakes(spark, wh, Seq(
+          ("lk", "lk", "lk_serve",
+            () => StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+              t => Right(t), Nil))))
+        val lb = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+        assert(seen2.isEmpty,
+          s"an idle maintenance pass must launch no Spark job, saw $seen2")
+        a
+      } finally spark.sparkContext.removeSparkListener(idleListener)
+    assert(acts === Seq(("lk", false, 0L, 2L)),
+      "idle pass: no fold, no vacuum, version kept")
   }
 
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
