@@ -80,9 +80,10 @@ object Curation extends QueryModule {
     * persisted as `_actions`:
     *  - fold_only: 2 unfolded batches → folds to its first generation
     *    (then too few generations to vacuum);
-    *  - fold_vac: one generation + 2 tail batches → folds AND the fold
+    *  - fold_vac: two generations + 2 tail batches → folds AND the fold
     *    makes it vacuum-eligible in the same pass (the folded leaves at
-    *    or below the previous generation's watermark are reclaimed);
+    *    or below the slack boundary's watermark are reclaimed) AND the
+    *    third generation trips retention (the oldest snapshot pruned);
     *  - idle: one generation + 1 tail batch → below the fold threshold,
     *    not vacuum-eligible — the pass must touch NOTHING;
     *  - perceptual: the count-merging perceptual LSM fold driven by the
@@ -93,14 +94,14 @@ object Curation extends QueryModule {
     "lm", "graft_lakemaint",
     Seq("_fold_only", "_fold_only_serve", "_fold_vac", "_fold_vac_serve",
       "_idle", "_idle_serve", "_perc", "_perc_sigs", "_perc_sigs_serve",
-      "_actions"), layout = "v1") {
+      "_actions"), layout = "v2") {
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit = {
       import graft.streaming.StreamRunner
       val docs = Tables.documents(s, d).select(col("doc_id"))
       def publish(name: String, b: Int): Unit =
         wh.partitionedUpsertWrite(
-          docs.filter(col("doc_id") % 4 === b)
+          docs.filter(col("doc_id") % 8 === b)
             .withColumn("ingest_batch", lit(b.toLong)),
           name, Seq("ingest_batch"))
       def fold(name: String): Int =
@@ -109,7 +110,9 @@ object Curation extends QueryModule {
       publish(s"${scratch}_fold_only", 0); publish(s"${scratch}_fold_only", 1)
       publish(s"${scratch}_fold_vac", 0); publish(s"${scratch}_fold_vac", 1)
       fold(s"${scratch}_fold_vac")
-      publish(s"${scratch}_fold_vac", 2); publish(s"${scratch}_fold_vac", 3)
+      publish(s"${scratch}_fold_vac", 2)
+      fold(s"${scratch}_fold_vac")
+      publish(s"${scratch}_fold_vac", 3); publish(s"${scratch}_fold_vac", 4)
       publish(s"${scratch}_idle", 0); publish(s"${scratch}_idle", 1)
       fold(s"${scratch}_idle")
       publish(s"${scratch}_idle", 2)
@@ -136,7 +139,8 @@ object Curation extends QueryModule {
           () => StreamRunner.compactPerceptual(s, wh, s"${scratch}_perc"))))
       import s.implicits._
       wh.truncateWrite(actions.toDF(
-        "lake", "folded", "vacuumed_batches", "current_version")
+        "lake", "folded", "vacuumed_batches", "pruned_generations",
+        "current_version")
         .coalesce(1), s"${scratch}_actions")
     }
   }
@@ -745,17 +749,19 @@ object Curation extends QueryModule {
     }),
 
     // ---- the POLICY pass that closes the maintenance loop: a daily
-    // job reads pipe_lake_health's view and RUNS the folds/vacuums the
-    // policy calls for (fold at ≥ 2 unfolded tail batches, vacuum at
-    // production slack 1 when eligible) — each lake supplying its own
-    // fold body, including the perceptual index's count-merging LSM
-    // fold. The report joins the pass's ACTION TRAIL (what ran) with
-    // the POST-maintenance health row (what state resulted): folds
-    // absorb exactly the tail, a fold can make its lake vacuum-eligible
-    // within the same pass, and an idle lake is provably untouched.
-    // Decisions are metadata reads; only the chosen folds/vacuums touch
-    // data. The oracle is the policy's documented state machine over
-    // the four fixture states. ----
+    // job reads pipe_lake_health's view and RUNS the maintenance the
+    // policy calls for (fold at ≥ 2 unfolded tail batches; vacuum at
+    // production slack 1 when eligible; then generation RETENTION at
+    // keep=2, which must exceed the slack so pinned readers never lose
+    // their generation to the prune) — each lake supplying its own fold
+    // body, including the perceptual index's count-merging LSM fold.
+    // The report joins the pass's ACTION TRAIL (what ran) with the
+    // POST-maintenance health row (what state resulted): folds absorb
+    // exactly the tail, a fold can make its lake vacuum-eligible AND
+    // trip retention within the same pass, and an idle lake is provably
+    // untouched. Decisions are metadata reads; only the chosen
+    // folds/vacuums touch data. The oracle is the policy's documented
+    // state machine over the four fixture states. ----
     "pipe_lake_maintain" -> ((s, d) => {
       val p = LakeMaintainFixture.build(s, d)
       val wh = LakeMaintainFixture.wh
@@ -770,7 +776,8 @@ object Curation extends QueryModule {
       wh.read(s, s"${p}_actions")
         .join(health, Seq("lake"))
         .select(col("lake"), col("folded"), col("vacuumed_batches"),
-          col("current_version"), col("live_batches"), col("tail_batches"),
+          col("pruned_generations"), col("current_version"),
+          col("live_batches"), col("tail_batches"),
           col("retained_generations"), col("vacuum_eligible"))
         .orderBy(col("lake"))
     }),
@@ -1476,18 +1483,20 @@ object Curation extends QueryModule {
         |ORDER BY lake""".stripMargin,
     // the policy pass's documented state machine: fold_only folds (2
     // tail batches ≥ threshold) but stays un-vacuumable (1 generation);
-    // fold_vac folds its 2-batch tail to generation 2 and the SAME pass
-    // vacuums the 2 leaves at or below generation 1's watermark; idle
-    // (1 tail batch) is untouched; the perceptual lake folds through
-    // its own count-merging body under the same policy
+    // fold_vac folds its 2-batch tail to generation 3, the SAME pass
+    // vacuums the 3 leaves at or below the slack boundary (generation
+    // 2)'s watermark AND retention prunes generation 1; idle (1 tail
+    // batch) is untouched; the perceptual lake folds through its own
+    // count-merging body under the same policy
     "pipe_lake_maintain" ->
       """SELECT * FROM (VALUES
-        |  ('fold_only',  true,  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
-        |  ('fold_vac',   true,  CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
-        |  ('idle',       false, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
-        |  ('perceptual', true,  CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false)
-        |) t(lake, folded, vacuumed_batches, current_version, live_batches,
-        |    tail_batches, retained_generations, vacuum_eligible)
+        |  ('fold_only',  true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('fold_vac',   true,  CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  ('idle',       false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('perceptual', true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false)
+        |) t(lake, folded, vacuumed_batches, pruned_generations,
+        |    current_version, live_batches, tail_batches,
+        |    retained_generations, vacuum_eligible)
         |ORDER BY lake""".stripMargin,
     "q_kanon_audit" ->
       """WITH l1 AS (

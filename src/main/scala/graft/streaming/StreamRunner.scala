@@ -2027,8 +2027,13 @@ object StreamRunner {
     * health view says a sweep would reclaim fragments. Decisions are
     * metadata reads (the health rows); only the chosen folds/vacuums
     * touch data — so an idle pass over N healthy lakes costs N listings
-    * and zero Spark jobs. Returns per lake (name, folded?, vacuumed
-    * leaf-batch count, current version after the pass) — the audit
+    * and zero Spark jobs. After the vacuum, generation RETENTION is
+    * enforced (`keepGenerations` newest committed snapshots kept —
+    * [[graft.pipeline.Warehouse.pruneVersions]], also metadata-only);
+    * `keepGenerations` must be > `slackGenerations` or a pinned reader
+    * the vacuum spared could lose its generation to the prune. Returns
+    * per lake (name, folded?, vacuumed leaf-batch count, pruned
+    * generation count, current version after the pass) — the audit
     * trail an operator's daily maintenance job logs.
     */
   def maintainLakes(
@@ -2036,7 +2041,10 @@ object StreamRunner {
       wh: Warehouse,
       lakes: Seq[(String, String, String, () => Int)],
       foldAtTailBatches: Int = 2,
-      slackGenerations: Int = 1): Seq[(String, Boolean, Long, Long)] =
+      slackGenerations: Int = 1,
+      keepGenerations: Int = 2): Seq[(String, Boolean, Long, Long, Long)] = {
+    require(keepGenerations > slackGenerations,
+      "maintainLakes: retention must exceed the vacuum's reader slack")
     lakes.map { case (lake, liveName, serveName, fold) =>
       def health = lakeHealth(wh, Seq((lake, liveName, serveName)),
         slackGenerations).head
@@ -2045,9 +2053,14 @@ object StreamRunner {
         if (health._6)
           gcLake(spark, wh, liveName, serveName, slackGenerations).size.toLong
         else 0L
-      (lake, folded, vacuumed,
+      val pruned =
+        if (wh.listVersions(serveName).size > keepGenerations)
+          wh.pruneVersions(serveName, keepGenerations).size.toLong
+        else 0L
+      (lake, folded, vacuumed, pruned,
         wh.currentVersion(serveName).getOrElse(0).toLong)
     }
+  }
 
   /** Whether a streamed lake has ANY readable content — live fragments
     * or a committed snapshot generation. The ingest bodies' "no corpus

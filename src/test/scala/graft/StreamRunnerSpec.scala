@@ -907,8 +907,8 @@ class StreamRunnerSpec extends SparkSuiteBase {
           s"an idle maintenance pass must launch no Spark job, saw $seen2")
         a
       } finally spark.sparkContext.removeSparkListener(idleListener)
-    assert(acts === Seq(("lk", false, 0L, 2L)),
-      "idle pass: no fold, no vacuum, version kept")
+    assert(acts === Seq(("lk", false, 0L, 0L, 2L)),
+      "idle pass: no fold, no vacuum, no prune, version kept")
   }
 
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
