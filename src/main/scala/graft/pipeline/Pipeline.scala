@@ -220,11 +220,7 @@ class Warehouse(val root: String, val format: String = "parquet") {
             .option("partitionOverwriteMode", "static")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .save(s"${tablePath(name)}/_v=$next")
-          if (meta.nonEmpty)
-            java.nio.file.Files.write(
-              new java.io.File(base, s"_v=$next.meta").toPath,
-              meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-                .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+          if (meta.nonEmpty) writeVersionMeta(name, next, meta)
           flipMarkerForward(name, next)
           committed = next
         } finally reservation.delete(): Unit // the dir now claims the number
@@ -278,6 +274,28 @@ class Warehouse(val root: String, val format: String = "parquet") {
         } finally lock.release()
       } finally ch.close()
     }
+
+  /** Write (or backfill) a committed snapshot's `_v=N.meta` sidecar —
+    * [[versionedWrite]]'s meta step, also reachable on its own so a
+    * reader that had to DERIVE a legacy generation's metadata by scan
+    * can persist it and heal the lake (the fold-forward self-heal).
+    */
+  private[graft] def writeVersionMeta(name: String, v: Int,
+      meta: Map[String, String]): Unit = {
+    // tmp + atomic rename: the backfill path runs on READS, so a
+    // concurrent reader must never observe a torn sidecar (a partially
+    // written `thru` would under-report the watermark and a hybrid read
+    // would double-count the overlap)
+    val tmp = new java.io.File(tablePath(name),
+      s"_v=$v.meta.tmp${java.util.UUID.randomUUID.toString.take(8)}")
+    java.nio.file.Files.write(tmp.toPath,
+      meta.toSeq.sorted.map { case (k, mv) => s"$k=$mv" }
+        .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(tablePath(name), s"_v=$v.meta").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 
   /** The `_v=N.meta` sidecar payload of a committed snapshot (empty when
     * the writer carried none — e.g. generations committed by older code,
@@ -380,6 +398,11 @@ class Warehouse(val root: String, val format: String = "parquet") {
       Warehouse.deleteRecursively(new java.io.File(tablePath(name), s"_v=$v"))
       new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
     }
+    // crashed writeVersionMeta tmp files are inert debris — swept here
+    Option(new java.io.File(tablePath(name)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.contains(".meta.tmp"))
+      .foreach(_.delete(): Unit)
     dropped.sorted
   }
 

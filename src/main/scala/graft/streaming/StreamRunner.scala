@@ -481,10 +481,15 @@ object StreamRunner {
       wh: Warehouse,
       serveName: String,
       v: Int): Long = {
-    import org.apache.spark.sql.functions.{col, max}
-    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse(
-      wh.readVersion(spark, serveName, Some(v))
-        .agg(max(col("folded_thru")).as("t")).collect()(0).getLong(0))
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    // same null-safety and self-healing backfill as [[lakeThru]]
+    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse {
+      val t = wh.readVersion(spark, serveName, Some(v))
+        .agg(coalesce(max(col("folded_thru")), lit(Long.MinValue)).as("t"))
+        .collect()(0).getLong(0)
+      wh.writeVersionMeta(serveName, v, Map("thru" -> t.toString))
+      t
+    }
   }
 
   /** Stats-lake VACUUM — the GC that makes the accounting lake BOUNDED
@@ -1387,33 +1392,34 @@ object StreamRunner {
     }
   }
 
-  /** The perceptual index's (base generation, deltas-above-watermark)
-    * pair — the raw ingredients every index read composes. An absent
-    * base means "never folded" (all deltas); a vacuumed-empty live lake
-    * means "no deltas" (typed empty frame).
+  /** The perceptual index's (base generation, deltas-above-watermark,
+    * current version, prior watermark) — the raw ingredients every
+    * index read composes. An absent base means "never folded" (all
+    * deltas); a vacuumed-empty live lake means "no deltas" (typed empty
+    * frame).
     */
   private def perceptualParts(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
-      table: String): (Option[DataFrame], DataFrame) = {
+      table: String): (Option[DataFrame], DataFrame, Option[Int], Option[Long]) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     val sigsName = s"${table}_sigs"
     val serveName = s"${sigsName}_serve"
     val current = wh.currentVersion(serveName)
     val base = current.map(v => wh.readVersion(spark, serveName, Some(v)))
-    val thru = current.map(v => lakeThru(spark, wh, serveName, v))
-      .getOrElse(Long.MinValue)
+    val priorThru = current.map(v => lakeThru(spark, wh, serveName, v))
     val deltas =
       if (wh.hasData(sigsName))
-        wh.read(spark, sigsName).filter(col("ingest_batch") > thru)
+        wh.read(spark, sigsName)
+          .filter(col("ingest_batch") > priorThru.getOrElse(Long.MinValue))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("doc_id", LongType),
           StructField("hash_hi", LongType), StructField("hash_lo", LongType),
           StructField("add_n", LongType), StructField("is_insert", BooleanType),
           StructField("ingest_batch", LongType))))
-    (base, deltas)
+    (base, deltas, current, priorThru)
   }
 
   /** Delta INSERT rows lifted to the logical index-row shape. */
@@ -1443,6 +1449,17 @@ object StreamRunner {
       .drop("__add_n", "__lb")
   }
 
+  /** Base signature rows ∪ delta inserts — the ONE composition every
+    * perceptual read shares (corpus, view, fold).
+    */
+  private def perceptualRows(base: Option[DataFrame],
+      deltas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ins = perceptualInsertRows(deltas)
+    base.map(b => b.select(ins.columns.map(col): _*).unionByName(ins))
+      .getOrElse(ins)
+  }
+
   /** The MATCH-corpus read: base signature rows ∪ delta inserts — one
     * generation + |post-fold deltas| fragment opens per batch, bounded
     * under perpetual ingest. Count-adds are irrelevant to matching
@@ -1453,11 +1470,8 @@ object StreamRunner {
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       table: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (base, deltas) = perceptualParts(spark, wh, table)
-    val ins = perceptualInsertRows(deltas)
-    base.map(b => b.select(ins.columns.map(col): _*).unionByName(ins))
-      .getOrElse(ins)
+    val (base, deltas, _, _) = perceptualParts(spark, wh, table)
+    perceptualRows(base, deltas)
   }
 
   /** The LOGICAL perceptual index — one row per distinct surviving
@@ -1470,12 +1484,8 @@ object StreamRunner {
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       table: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val (base, deltas) = perceptualParts(spark, wh, table)
-    val ins = perceptualInsertRows(deltas)
-    val rows = base.map(b => b.select(ins.columns.map(col): _*)
-      .unionByName(ins)).getOrElse(ins)
-    perceptualApplyAdds(rows, deltas)
+    val (base, deltas, _, _) = perceptualParts(spark, wh, table)
+    perceptualApplyAdds(perceptualRows(base, deltas), deltas)
   }
 
   /** Perceptual-index FOLD — materialize base ∪ deltas as the next
@@ -1501,9 +1511,8 @@ object StreamRunner {
       return wh.currentVersion(serveName).getOrElse(
         throw new IllegalStateException(
           s"compactPerceptual($table): no delta data and no committed snapshot"))
-    val current = wh.currentVersion(serveName)
-    val priorThru = current.map(v => lakeThru(spark, wh, serveName, v))
-    val (base, deltasAll) = perceptualParts(spark, wh, table)
+    val (base, deltasAll, current, priorThru) =
+      perceptualParts(spark, wh, table)
     val deltas =
       if (quiesced) deltasAll
       else trustedOrCurrent(deltasAll, wh, serveName) match {
@@ -1513,10 +1522,7 @@ object StreamRunner {
     val tailMax = maxBatch(deltas)
     if (tailMax == Long.MinValue)
       return current.getOrElse(0)
-    val ins = perceptualInsertRows(deltas)
-    val rows = base.map(b => b.select(ins.columns.map(col): _*)
-      .unionByName(ins)).getOrElse(ins)
-    val merged = perceptualApplyAdds(rows, deltas)
+    val merged = perceptualApplyAdds(perceptualRows(base, deltas), deltas)
       .withColumn("sb", pmod(col("hash_lo"), lit(SigBuckets)))
     wh.versionedWrite(merged.repartition(col("sb")), serveName, Seq("sb"),
       Map("thru" ->
@@ -1865,16 +1871,22 @@ object StreamRunner {
   /** The fold watermark of a committed generation: the `thru` sidecar
     * persisted by the compactor at commit time (one tiny metadata read —
     * NO Spark job, so hybrid snapshot+tail reads are plan-time cheap),
-    * falling back to the legacy full-generation `max(ingest_batch)` scan
-    * for generations committed before the sidecar existed.
+    * falling back to the legacy full-generation scan for generations
+    * committed before the sidecar existed — and BACKFILLING the sidecar
+    * from that scan, so a legacy lake self-heals on first touch (the
+    * scan runs once, after which [[lakeHealth]]'s metadata-only view and
+    * every hybrid read see the real watermark).
     */
   private[graft] def lakeThru(
       spark: org.apache.spark.sql.SparkSession,
       wh: Warehouse,
       serveName: String,
       v: Int): Long =
-    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse(
-      snapshotThru(wh.readVersion(spark, serveName, Some(v))))
+    wh.versionMeta(serveName, v).get("thru").map(_.toLong).getOrElse {
+      val t = snapshotThru(wh.readVersion(spark, serveName, Some(v)))
+      wh.writeVersionMeta(serveName, v, Map("thru" -> t.toString))
+      t
+    }
 
   /** Near-dup INDEX compaction — the fold-forward snapshot pair for
     * [[dedupPublishBatch]]'s `<t>_sigs` / `<t>_hashes` appenders, whose
@@ -1910,10 +1922,17 @@ object StreamRunner {
     */
   private def snapshotThru(snap: DataFrame): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+    // the perceptual index's generations carry the fold boundary as
+    // last_batch (merged rows have no single ingest_batch, and a
+    // count-add can postdate every insert); every rows-unchanged lake
+    // carries ingest_batch itself
+    val batchCol =
+      if (snap.columns.contains("ingest_batch")) "ingest_batch"
+      else "last_batch"
     // null-safe: an empty snapshot (a legacy generation committed before
     // foldForward's empty-tail guard) means "no watermark — the whole
     // live lake is tail", not a crash on every later read
-    snap.agg(coalesce(max(col("ingest_batch").cast("long")),
+    snap.agg(coalesce(max(col(batchCol).cast("long")),
         lit(Long.MinValue)).as("t"))
       .collect()(0).getLong(0)
   }
@@ -1977,7 +1996,10 @@ object StreamRunner {
     *  - `tail_batches`: live batches strictly above the current
     *    generation's sidecar watermark — the unfolded mass the next
     *    fold absorbs (no snapshot, or a legacy sidecar-less generation,
-    *    conservatively counts every live batch as tail);
+    *    conservatively counts every live batch as tail — which makes
+    *    the next [[maintainLakes]] pass attempt a fold, whose
+    *    [[lakeThru]] backfills the sidecar from one scan, so a legacy
+    *    lake's health self-corrects after a single maintenance touch);
     *  - `retained_generations` / `current_version`: the committed
     *    snapshot chain ([[graft.pipeline.Warehouse.listVersions]];
     *    version 0 = never folded);
@@ -2048,7 +2070,12 @@ object StreamRunner {
     lakes.map { case (lake, liveName, serveName, fold) =>
       def health = lakeHealth(wh, Seq((lake, liveName, serveName)),
         slackGenerations).head
-      val folded = health._3 >= foldAtTailBatches && { fold(); true }
+      // folded = the body COMMITTED a new generation — a fold that
+      // no-ops (nothing trustable in the tail) must not be logged as an
+      // action the audit trail then contradicts with an unchanged
+      // version
+      val before = wh.currentVersion(serveName).getOrElse(0)
+      val folded = health._3 >= foldAtTailBatches && fold() > before
       val vacuumed =
         if (health._6)
           gcLake(spark, wh, liveName, serveName, slackGenerations).size.toLong
