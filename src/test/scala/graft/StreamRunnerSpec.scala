@@ -909,6 +909,24 @@ class StreamRunnerSpec extends SparkSuiteBase {
       } finally spark.sparkContext.removeSparkListener(idleListener)
     assert(acts === Seq(("lk", false, 0L, 0L, 2L)),
       "idle pass: no fold, no vacuum, no prune, version kept")
+    // LEGACY SELF-HEAL: strip the current generation's sidecar (a
+    // pre-sidecar generation, or metadata lost in a copy that skips
+    // underscore files) and land a live tail batch — the next hybrid
+    // read must derive the watermark by scan (serving correctly) AND
+    // backfill the sidecar, so the health view and every later read are
+    // metadata-only again and vacuum eligibility is never permanently
+    // starved. (A vacuumed-empty lake with no sidecar never needs the
+    // heal: hybridLakeRead short-circuits to the snapshot and health
+    // correctly reads zero live batches.)
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=2.meta").delete())
+    assert(wh.versionMeta("lk_serve", 2).isEmpty)
+    wh.partitionedUpsertWrite(lake(2L, Seq(4L)), "lk", Seq("ingest_batch"))
+    assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L),
+      "the scan fallback must serve snapshot + tail with no double count")
+    assert(wh.versionMeta("lk_serve", 2).get("thru") === Some("1"),
+      "the derived watermark must be backfilled into the sidecar")
   }
 
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
