@@ -1106,12 +1106,15 @@ object Similarity extends QueryModule {
 
     // ---- the recall PANEL — the A/B that justifies TRAINING the coarse
     // quantizer: single-query recall (sim_semdedup_recall) measures one
-    // neighborhood and is noisy, so this eval averages nprobe=1 recall
-    // over a deterministic panel of survivor queries (vec_id % 37 = 0,
-    // ~3% of the lake) under BOTH quantizers — the frozen seed set and
+    // neighborhood and is noisy, so this eval averages recall at
+    // nprobe ∈ {1, 2} over a deterministic panel of survivor queries
+    // (vec_id % 37 = 0) under BOTH quantizers — the frozen seed set and
     // the survivors-trained set the `_cells` generation actually uses.
-    // Measured at sf0.01: trained 41/140 vs frozen 31/140 brute-top-10
-    // hits — the panel is why the pinned serves train. Scale shape:
+    // Measured at sf0.01: nprobe=1 trained 41/140 vs frozen 31/140
+    // brute-top-10 hits (the panel is why the pinned serves train);
+    // nprobe=2 trained 64 vs frozen 65 — the second probe closes the
+    // frozen set's gap, so training pays off exactly at the cheapest
+    // read. Scale shape:
     // the panel is CAPPED at 16 queries (the 16 smallest matching
     // vec_ids — a % slice alone would grow with the lake and take the
     // eval quadratic; measured 17× at 100× data before the cap), so
@@ -1135,26 +1138,42 @@ object Similarity extends QueryModule {
       val brute = sc.withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
       val nTotal = brute.agg(count(lit(1)).cast("bigint").as("n_total"))
-      def ladder(tag: String, cells: DataFrame): DataFrame = {
-        val qc = cells.select(col("vec_id").as("qid"), col("cell").as("q_cell"))
-        val iv = sc.join(cells, Seq("vec_id"))
-          .join(qc, Seq("qid"))
-          .filter(col("cell") === col("q_cell"))
-          .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
-          .select(col("qid"), col("vec_id"))
-        iv.join(brute, Seq("qid", "vec_id"), "left_semi")
-          .agg(count(lit(1)).cast("bigint").as("n_hit"))
-          .crossJoin(nTotal)
-          .select(lit(tag).as("quantizer"), lit(1L).as("nprobe"),
-            lit(10L).as("k"), col("n_hit"), col("n_total"))
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      // per quantizer: rank every query's cells against that set's
+      // centroids (the multiprobe knob — crn ≤ nprobe is the probe
+      // list), then the cell-pruned top-10 per query per nprobe
+      def ladder(tag: String, cells: DataFrame, cent: DataFrame): DataFrame = {
+        val byQc = Window.partitionBy(col("qid")).orderBy(desc("qcs"), col("k"))
+        val qcells = qs.crossJoin(broadcast(cent))
+          .withColumn("qcs",
+            call_function("graft_cosine", col("q_emb"), col("c_emb")))
+          .withColumn("crn", row_number().over(byQc))
+          .filter(col("crn") <= 2)
+          .select(col("qid"), col("k").as("q_cell"), col("crn"))
+        Seq(1, 2).map { np =>
+          val iv = sc.join(cells, Seq("vec_id"))
+            .join(qcells.filter(col("crn") <= np), Seq("qid"))
+            .filter(col("cell") === col("q_cell"))
+            .select(col("qid"), col("vec_id"), col("cs"))
+            .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 10)
+            .select(col("qid"), col("vec_id"))
+          iv.join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).cast("bigint").as("n_hit"))
+            .crossJoin(nTotal)
+            .select(lit(tag).as("quantizer"), lit(np.toLong).as("nprobe"),
+              lit(10L).as("k"), col("n_hit"), col("n_total"))
+        }.reduce(_ unionByName _)
       }
+      import s.implicits._
       val frozenCells = lake.select(col("vec_id"),
         cellAssignExpr(s, frozenCentroids(s, d))._1)
+      val frozenCent = frozenCentroids(s, d).toDF("k", "c_emb")
       val trainedCells = wh.readVersion(s, s"${p}_cells")
         .select(col("vec_id"), col("cell").cast("bigint").as("cell"))
-      ladder("frozen", frozenCells)
-        .unionByName(ladder("trained", trainedCells))
-        .orderBy(col("quantizer"))
+      val trainedCent = trainedCentroids(s, d, wh, p).toDF("k", "c_emb")
+      ladder("frozen", frozenCells, frozenCent)
+        .unionByName(ladder("trained", trainedCells, trainedCent))
+        .orderBy(col("quantizer"), col("nprobe"))
     }),
 
     // ---- the SemDeDup production capstone, fused end-to-end: semantic
@@ -2515,9 +2534,21 @@ object Similarity extends QueryModule {
       (semanticLakeReplayCte + semanticCellsCte + semanticRecallSelect),
     // both quantizers' PANEL recall re-derived from scratch: the trained
     // chain's `cells` plus a frozen assignment over the same survivors,
-    // brute top-10 per panel query, hits intersected per quantizer
-    "sim_semdedup_recall_panel" ->
-      (semanticLakeReplayCte + semanticTrainedCellsCte + s""", fcent AS (
+    // per-query probe ranks against each centroid set, brute top-10 per
+    // panel query, hits intersected per (quantizer, nprobe)
+    "sim_semdedup_recall_panel" -> {
+      def hit(name: String, cellsCte: String, qrCte: String, np: Int) =
+        s"""$name AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
+           |    SELECT s.qid, s.vec_id FROM sc s
+           |    JOIN $cellsCte cl ON s.vec_id = cl.vec_id
+           |    JOIN $qrCte qr ON s.qid = qr.qid AND cl.cell = qr.cell
+           |      AND qr.crn <= $np
+           |    QUALIFY row_number() OVER (PARTITION BY s.qid
+           |      ORDER BY s.cs DESC, s.vec_id) <= 10)
+           |  WHERE (qid, vec_id) IN (SELECT (qid, vec_id) FROM br)
+           |)""".stripMargin
+      semanticLakeReplayCte + semanticTrainedCellsCte + s""", fcent AS (
         |  SELECT vec_id AS ck, embedding AS c_emb FROM embeddings
         |  WHERE vec_id BETWEEN 1 AND 8
         |), fcells AS MATERIALIZED (
@@ -2525,9 +2556,21 @@ object Similarity extends QueryModule {
         |    SELECT t.vec_id, c.ck, ${duckCosine("t.embedding", "c.c_emb")} AS cs
         |    FROM eq t CROSS JOIN fcent c)
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, ck) = 1
-        |), qs AS (
+        |), qs AS MATERIALIZED (
         |  SELECT vec_id AS qid, embedding FROM eq WHERE vec_id % 37 = 0
         |  ORDER BY vec_id LIMIT 16
+        |), fqr AS MATERIALIZED (
+        |  SELECT qid, cell, crn FROM (
+        |    SELECT q.qid, c.ck AS cell, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY ${duckCosine("q.embedding", "c.c_emb")} DESC, c.ck) AS crn
+        |    FROM qs q CROSS JOIN fcent c)
+        |  WHERE crn <= 2
+        |), tqr AS MATERIALIZED (
+        |  SELECT qid, cell, crn FROM (
+        |    SELECT q.qid, c.ck AS cell, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY ${duckCosine("q.embedding", "c.c_emb")} DESC, c.ck) AS crn
+        |    FROM qs q CROSS JOIN tc2 c)
+        |  WHERE crn <= 2
         |), sc AS MATERIALIZED (
         |  SELECT qv.qid, a.vec_id,
         |    round(${duckCosine("a.embedding", "qv.embedding")}, 6) AS cs
@@ -2536,30 +2579,22 @@ object Similarity extends QueryModule {
         |  SELECT qid, vec_id FROM sc
         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) <= 10
         |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM br),
-        |fhit AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
-        |    SELECT s.qid, s.vec_id FROM sc s
-        |    JOIN fcells cl ON s.vec_id = cl.vec_id
-        |    JOIN fcells qc ON s.qid = qc.vec_id AND cl.cell = qc.cell
-        |    QUALIFY row_number() OVER (PARTITION BY s.qid
-        |      ORDER BY s.cs DESC, s.vec_id) <= 10)
-        |  WHERE (qid, vec_id) IN (SELECT (qid, vec_id) FROM br)
-        |), thit AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_hit FROM (
-        |    SELECT s.qid, s.vec_id FROM sc s
-        |    JOIN cells cl ON s.vec_id = cl.vec_id
-        |    JOIN cells qc ON s.qid = qc.vec_id AND cl.cell = qc.cell
-        |    QUALIFY row_number() OVER (PARTITION BY s.qid
-        |      ORDER BY s.cs DESC, s.vec_id) <= 10)
-        |  WHERE (qid, vec_id) IN (SELECT (qid, vec_id) FROM br)
-        |)
+        |${hit("fh1", "fcells", "fqr", 1)}, ${hit("fh2", "fcells", "fqr", 2)},
+        |${hit("th1", "cells", "tqr", 1)}, ${hit("th2", "cells", "tqr", 2)}
         |SELECT * FROM (
         |  SELECT 'frozen' AS quantizer, CAST(1 AS BIGINT) AS nprobe,
-        |    CAST(10 AS BIGINT) AS k, fhit.n_hit, nt.n_total FROM fhit, nt
+        |    CAST(10 AS BIGINT) AS k, fh1.n_hit, nt.n_total FROM fh1, nt
+        |  UNION ALL
+        |  SELECT 'frozen', CAST(2 AS BIGINT), CAST(10 AS BIGINT),
+        |    fh2.n_hit, nt.n_total FROM fh2, nt
         |  UNION ALL
         |  SELECT 'trained', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
-        |    thit.n_hit, nt.n_total FROM thit, nt
-        |) ORDER BY quantizer""".stripMargin),
+        |    th1.n_hit, nt.n_total FROM th1, nt
+        |  UNION ALL
+        |  SELECT 'trained', CAST(2 AS BIGINT), CAST(10 AS BIGINT),
+        |    th2.n_hit, nt.n_total FROM th2, nt
+        |) ORDER BY quantizer, nprobe""".stripMargin
+    },
     // every vector's argmax cell re-derived from scratch (the
     // sim_ivf_ingest arithmetic over the whole lake) + the slice→batch
     // mapping — a compactor that drops, alters, or double-publishes a

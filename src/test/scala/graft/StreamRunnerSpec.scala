@@ -929,6 +929,59 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "the derived watermark must be backfilled into the sidecar")
   }
 
+  test("maintainLakes drives a REAL ingest lake: the semantic lake folds, vacuums, and keeps serving dedup through the policy pass") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("maintsem"))
+    val planes = Seq(Array(1f, 0f), Array(0f, 1f), Array(1f, 1f), Array(1f, -1f))
+    def vecs(rows: Seq[(Long, String, Seq[Float])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, l, e) => Row(i, l, e) }),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+    def lakeIds: Set[Long] =
+      StreamRunner.hybridLakeRead(spark, wh, "sl", "sl_serve")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val spec = Seq(("semantic", "sl", "sl_serve",
+      () => StreamRunner.compactSemantic(spark, wh, "sl")))
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (1L, "a", Seq(1f, 0f)), (3L, "b", Seq(0f, 1f)))),
+      0L, planes, wh, "sl", _ => None, 0.25)
+    // one unfolded batch: below the fold threshold — the pass must
+    // leave the real lake alone
+    assert(StreamRunner.maintainLakes(spark, wh, spec)
+      === Seq(("semantic", false, 0L, 0L, 0L)))
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (14L, "b", Seq(-1f, 0f)))),
+      1L, planes, wh, "sl", _ => None, 0.25)
+    // two unfolded batches: the pass folds through the lake's OWN body
+    // (compactSemantic's code-blocked fold); 1 generation ≤ slack, so
+    // no vacuum yet
+    assert(StreamRunner.maintainLakes(spark, wh, spec)
+      === Seq(("semantic", true, 0L, 0L, 1L)))
+    // two more batches: the next pass folds to generation 2 AND the
+    // same pass vacuums the leaves the slack boundary (generation 1,
+    // thru = 1) already covers
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (16L, "a", Seq(0f, -1f)))),
+      2L, planes, wh, "sl", _ => None, 0.25)
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (17L, "b", Seq(2f, 2f)))),
+      3L, planes, wh, "sl", _ => None, 0.25)
+    assert(StreamRunner.maintainLakes(spark, wh, spec)
+      === Seq(("semantic", true, 2L, 0L, 2L)),
+      "fold to gen 2, then vacuum batches 0-1 under the gen-1 boundary")
+    assert(lakeIds === Set(1L, 3L, 14L, 16L, 17L))
+    // the policy-maintained lake still serves INGEST-side dedup: a new
+    // batch's duplicate (vec 21 ~ vec 1) must drop against rows that
+    // now live only in the snapshot chain
+    StreamRunner.semanticPublishBatch(vecs(Seq(
+      (21L, "a", Seq(3f, 0f)), (23L, "b", Seq(0f, -1f)))),
+      4L, planes, wh, "sl", _ => None, 0.25)
+    assert(lakeIds === Set(1L, 3L, 14L, 16L, 17L, 23L),
+      "dedup against the policy-maintained snapshot chain must hold")
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
