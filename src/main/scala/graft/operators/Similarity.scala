@@ -384,7 +384,14 @@ object Similarity extends QueryModule {
       * one cell directory of SURVIVORS instead of scanning every row
       * (sim_semdedup_topk_ivf). Training + one narrow literal-centroid
       * projection over the snapshot, paid at maintenance time, never at
-      * serve time.
+      * serve time. Deliberately a FULL rebuild per fold, not an
+      * incremental cells write: the incremental READ form already
+      * exists — the `_fresh` serves compose the pinned generation with
+      * an on-the-fly-assigned tail, which is exactly "cells of the
+      * un-rebuilt suffix" — so a persisted cells delta would buy
+      * nothing the tail assignment doesn't, while the rebuild itself
+      * is one narrow projection at fold cadence (and retraining, when
+      * it happens, invalidates every prior assignment anyway).
       */
     def cells(s: SparkSession, d: String): String = {
       val p = compact(s, d)

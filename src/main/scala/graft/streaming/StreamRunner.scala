@@ -2057,6 +2057,13 @@ object StreamRunner {
     * per lake (name, folded?, vacuumed leaf-batch count, pruned
     * generation count, current version after the pass) — the audit
     * trail an operator's daily maintenance job logs.
+    *
+    * Failure semantics: a throwing fold aborts the pass (fail fast, no
+    * swallowed errors) — which is SAFE because the pass is resumable:
+    * every completed lake's fold/vacuum/prune is already durable (the
+    * versioned commit is the unit of progress), and a retry's health
+    * reads skip work that already happened. A supervisor that wants
+    * per-lake isolation wraps each lake in its own pass.
     */
   def maintainLakes(
       spark: org.apache.spark.sql.SparkSession,
