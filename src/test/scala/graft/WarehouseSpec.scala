@@ -101,6 +101,36 @@ class WarehouseSpec extends SparkSuiteBase {
     assert(wh.readVersion(spark, "t").as[Int].collect().toSeq == Seq(100))
   }
 
+  test("version metadata sidecars: carried with the commit, readable, pruned with their generation, tmp debris swept") {
+    val wh = new Warehouse(tmpDir("whmeta"))
+    import spark.implicits._
+    assert(wh.versionedWrite(Seq(1).toDF("x"), "m", Nil,
+      Map("thru" -> "7", "note" -> "a=b")) == 1)
+    assert(wh.versionedWrite(Seq(2).toDF("x"), "m", Nil,
+      Map("thru" -> "9")) == 2)
+    // round-trip, including a value containing '=' (split on FIRST '=')
+    assert(wh.versionMeta("m", 1) === Map("thru" -> "7", "note" -> "a=b"))
+    assert(wh.versionMeta("m", 2) === Map("thru" -> "9"))
+    // a metadata-less generation reads as empty, not an error
+    assert(wh.versionedWrite(Seq(3).toDF("x"), "m") == 3)
+    assert(wh.versionMeta("m", 3) === Map.empty[String, String])
+    // backfill path (the lakeThru self-heal): atomic write, re-readable
+    wh.writeVersionMeta("m", 3, Map("thru" -> "11"))
+    assert(wh.versionMeta("m", 3) === Map("thru" -> "11"))
+    // crashed backfill tmp debris + the pruned generation's sidecar are
+    // both swept; retained sidecars survive
+    java.nio.file.Files.write(
+      new java.io.File(wh.tablePath("m"), "_v=2.meta.tmpdeadbeef").toPath,
+      "thru=torn".getBytes("UTF-8"))
+    assert(wh.pruneVersions("m", keep = 2) == Seq(1))
+    assert(!new java.io.File(wh.tablePath("m"), "_v=1.meta").exists(),
+      "a pruned generation's sidecar must not linger")
+    assert(!new java.io.File(wh.tablePath("m"), "_v=2.meta.tmpdeadbeef").exists(),
+      "crashed tmp sidecar debris must be swept")
+    assert(wh.versionMeta("m", 2) === Map("thru" -> "9"))
+    assert(wh.versionMeta("m", 3) === Map("thru" -> "11"))
+  }
+
   test("versionedWrite: concurrent writers commit DISTINCT versions; marker stays monotone") {
     val wh = new Warehouse(tmpDir("whrace"))
     assert(wh.versionedWrite(Seq(1).toDF("x"), "t") == 1)
