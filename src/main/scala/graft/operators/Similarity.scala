@@ -226,7 +226,13 @@ object Similarity extends QueryModule {
     */
   private def trainedCentroids(s: SparkSession, d: String,
       wh: graft.pipeline.Warehouse, p: String): Seq[(Long, Seq[Double])] =
-    trainedCentMemo.getOrElseUpdate(wh.tablePath(p), {
+    // keyed on (path, current `_serve` VERSION): a re-folded lake whose
+    // `_cells` rebuilds in the same JVM trains over the NEW survivor
+    // set, and a memo keyed on path alone would keep ranking probes
+    // with the stale centroids the generation was no longer assigned
+    // with (breaking the probe-order-matches-argmax invariant)
+    trainedCentMemo.getOrElseUpdate(
+      s"${wh.tablePath(p)}@v=${wh.currentVersion(s"${p}_serve").getOrElse(0)}", {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftExtensions.ensureRegistered(s)
       val micro = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"

@@ -291,10 +291,19 @@ class Warehouse(val root: String, val format: String = "parquet") {
     java.nio.file.Files.write(tmp.toPath,
       meta.toSeq.sorted.map { case (k, mv) => s"$k=$mv" }
         .mkString("", "\n", "\n").getBytes("UTF-8")): Unit
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(tablePath(name), s"_v=$v.meta").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    try
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(tablePath(name), s"_v=$v.meta").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    catch {
+      // the READ-path backfill can race a concurrent [[pruneVersions]]
+      // whose debris sweep deleted this tmp between write and move;
+      // the backfill is best-effort (the next reader re-derives and
+      // retries), so a vanished tmp must not fail the READER — and the
+      // sweep itself is mtime-gated, so this arm is belt-and-braces
+      case _: java.nio.file.NoSuchFileException => ()
+    }
   }
 
   /** The `_v=N.meta` sidecar payload of a committed snapshot (empty when
@@ -398,10 +407,14 @@ class Warehouse(val root: String, val format: String = "parquet") {
       Warehouse.deleteRecursively(new java.io.File(tablePath(name), s"_v=$v"))
       new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
     }
-    // crashed writeVersionMeta tmp files are inert debris — swept here
+    // crashed writeVersionMeta tmp files are inert debris — swept here,
+    // but ONLY when old enough (mtime) that no in-flight read-path
+    // sidecar backfill can still be between its write and atomic move
+    val tmpCutoff = System.currentTimeMillis() - Warehouse.metaTmpSweepAgeMs
     Option(new java.io.File(tablePath(name)).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.contains(".meta.tmp"))
+      .filter(f => f.isFile && f.getName.contains(".meta.tmp") &&
+        f.lastModified() < tmpCutoff)
       .foreach(_.delete(): Unit)
     dropped.sorted
   }
@@ -466,6 +479,12 @@ object Warehouse {
     * ten consecutive losses is a stampede, not contention).
     */
   private[pipeline] val maxReserveAttempts = 10
+
+  /** Minimum age (mtime) before [[Warehouse.pruneVersions]] sweeps a
+    * `.meta.tmp` sidecar fragment — long enough that a read-path
+    * backfill's write→atomic-move window can never race the sweep.
+    */
+  private[pipeline] val metaTmpSweepAgeMs = 10L * 60 * 1000
 
   /** JVM-wide monitor for `_VERSION` flips — `FileChannel.lock` guards
     * cross-process but throws on overlap within one JVM.

@@ -1386,6 +1386,16 @@ object StreamRunner {
               .localCheckpoint()
             if (!delta.isEmpty)
               wh.partitionedUpsertWrite(delta, sigsName, Seq("ingest_batch"))
+            else {
+              // a REPLAY whose re-derived delta is empty must still erase
+              // its previous attempt's partition — "the partition IS the
+              // batch's entire effect" would otherwise hold only under
+              // row-identical replay (a non-deterministic audit or
+              // survivor set could leave stale insert/count-add rows)
+              val stale = new java.io.File(wh.tablePath(sigsName),
+                s"ingest_batch=$batchId")
+              if (stale.exists()) Warehouse.deleteRecursively(stale)
+            }
           }
         } finally { survivors.unpersist(); matched.unpersist(): Unit }
       } finally exactCnt.unpersist(): Unit
@@ -2083,8 +2093,25 @@ object StreamRunner {
       // version
       val before = wh.currentVersion(serveName).getOrElse(0)
       val folded = health._3 >= foldAtTailBatches && fold() > before
+      val vacuumEligible = health._6 || {
+        // a LEGACY sidecar-less boundary generation reads as ineligible
+        // in the metadata-only health view, and a legacy lake whose
+        // tail stays below the fold threshold would then accumulate
+        // reclaimable fragments indefinitely (the sidecar self-heal
+        // only fires on a fold). The maintain pass HAS a spark handle,
+        // so backfill the boundary sidecar here ([[lakeThru]] — one
+        // scan, persisted) and re-ask the now-healed health view.
+        val versions = wh.listVersions(serveName)
+        versions.size > slackGenerations && {
+          val bv = versions(versions.size - 1 - slackGenerations)
+          !wh.versionMeta(serveName, bv).contains("thru") && {
+            lakeThru(spark, wh, serveName, bv): Unit
+            health._6
+          }
+        }
+      }
       val vacuumed =
-        if (health._6)
+        if (vacuumEligible)
           gcLake(spark, wh, liveName, serveName, slackGenerations).size.toLong
         else 0L
       val pruned =

@@ -982,6 +982,37 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "dedup against the policy-maintained snapshot chain must hold")
   }
 
+  test("maintainLakes backfills a sidecar-less boundary generation and unblocks the vacuum") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("maintlegacy"))
+    def lake(batch: Long, ids: Seq[Long]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_, batch))),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("ingest_batch", LongType))))
+    def fold() = StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t), Nil)
+    wh.partitionedUpsertWrite(lake(0L, Seq(1L, 2L)), "lk", Seq("ingest_batch"))
+    assert(fold() === 1)
+    wh.partitionedUpsertWrite(lake(1L, Seq(3L)), "lk", Seq("ingest_batch"))
+    assert(fold() === 2)
+    // simulate a LEGACY boundary generation (committed before sidecars
+    // existed): with slack=1 the vacuum boundary is generation 1, whose
+    // missing sidecar made the health view read "not eligible" — and the
+    // tail (zero unfolded batches) never reaches the fold threshold, so
+    // the sidecar self-heal-on-fold never fires either
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=1.meta").delete())
+    val acts = StreamRunner.maintainLakes(spark, wh,
+      Seq(("lk", "lk", "lk_serve", () => fold())))
+    assert(acts === Seq(("lk", false, 1L, 0L, 2L)),
+      "the pass must backfill the boundary watermark and vacuum batch 0")
+    assert(wh.versionMeta("lk_serve", 1).get("thru") === Some("0"),
+      "the derived boundary watermark must persist as the sidecar")
+    assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L), "the healed lake still serves every row")
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1784,6 +1815,20 @@ class StreamRunnerSpec extends SparkSuiteBase {
       "a quarantined dup-only batch must not merge counts")
     assert(new java.io.File(wh.tablePath("__quarantine__dimg_b2")).exists(),
       "the rejected dup-only batch must land in quarantine for forensics")
+    // NON-row-identical replay convergence: a replay of batch 1 whose
+    // re-derived delta is EMPTY (here: the upstream frame lost its rows)
+    // must erase the previous attempt's delta partition — "the partition
+    // IS the batch's entire effect" has to hold even when the replay is
+    // not row-identical, or stale count-adds survive forever
+    StreamRunner.perceptualPublishHashed(
+      frame(Seq(8L)).filter(col("doc_id") < 0L)
+        .select(col("doc_id"), lit(0L).as("hash_hi"), lit(0L).as("hash_lo")),
+      1L, wh, "dimg", _ => None, maxHamming = 3)
+    assert(!new java.io.File(wh.tablePath("dimg_sigs"),
+      "ingest_batch=1").exists(),
+      "an empty-delta replay must delete its stale delta partition")
+    assert(sigs === Map(0L -> 1L),
+      "after the empty-delta replay, batch 1's count-add is gone")
   }
 
   test("perceptual LSM: per-batch writes are delta-sized; fold+vacuum keep the index whole; post-vacuum drops resolve via the snapshot") {

@@ -118,15 +118,23 @@ class WarehouseSpec extends SparkSuiteBase {
     wh.writeVersionMeta("m", 3, Map("thru" -> "11"))
     assert(wh.versionMeta("m", 3) === Map("thru" -> "11"))
     // crashed backfill tmp debris + the pruned generation's sidecar are
-    // both swept; retained sidecars survive
-    java.nio.file.Files.write(
-      new java.io.File(wh.tablePath("m"), "_v=2.meta.tmpdeadbeef").toPath,
-      "thru=torn".getBytes("UTF-8"))
+    // both swept; retained sidecars survive. The sweep is mtime-gated:
+    // an OLD tmp is crash debris, a FRESH one may be an in-flight
+    // read-path backfill between its write and atomic move — deleting
+    // it would make the reader's move throw
+    val oldTmp = new java.io.File(wh.tablePath("m"), "_v=2.meta.tmpdeadbeef")
+    java.nio.file.Files.write(oldTmp.toPath, "thru=torn".getBytes("UTF-8"))
+    assert(oldTmp.setLastModified(
+      System.currentTimeMillis() - 24L * 3600 * 1000))
+    val freshTmp = new java.io.File(wh.tablePath("m"), "_v=3.meta.tmpcafe0000")
+    java.nio.file.Files.write(freshTmp.toPath, "thru=inflight".getBytes("UTF-8"))
     assert(wh.pruneVersions("m", keep = 2) == Seq(1))
     assert(!new java.io.File(wh.tablePath("m"), "_v=1.meta").exists(),
       "a pruned generation's sidecar must not linger")
-    assert(!new java.io.File(wh.tablePath("m"), "_v=2.meta.tmpdeadbeef").exists(),
-      "crashed tmp sidecar debris must be swept")
+    assert(!oldTmp.exists(), "aged-out tmp sidecar debris must be swept")
+    assert(freshTmp.exists(),
+      "a fresh tmp (possibly an in-flight backfill) must survive the sweep")
+    freshTmp.delete()
     assert(wh.versionMeta("m", 2) === Map("thru" -> "9"))
     assert(wh.versionMeta("m", 3) === Map("thru" -> "11"))
   }
