@@ -46,11 +46,13 @@ object Curation extends QueryModule {
         s: SparkSession, d: String, scratch: String): Unit = {
       import graft.streaming.StreamRunner
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      def publish(name: String, b: Int): Unit =
+      def publish(name: String, b: Int): Unit = {
         wh.partitionedUpsertWrite(
           docs.filter(col("doc_id") % 3 === b)
             .withColumn("ingest_batch", lit(b.toLong)),
           name, Seq("ingest_batch"))
+        wh.noteLiveBatch(name, b.toLong)
+      }
       def fold(name: String): Int =
         StreamRunner.foldForward(s, wh, name, s"${name}_serve",
           t => Right(t), Nil)
@@ -99,11 +101,13 @@ object Curation extends QueryModule {
         s: SparkSession, d: String, scratch: String): Unit = {
       import graft.streaming.StreamRunner
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      def publish(name: String, b: Int): Unit =
+      def publish(name: String, b: Int): Unit = {
         wh.partitionedUpsertWrite(
           docs.filter(col("doc_id") % 8 === b)
             .withColumn("ingest_batch", lit(b.toLong)),
           name, Seq("ingest_batch"))
+        wh.noteLiveBatch(name, b.toLong)
+      }
       def fold(name: String): Int =
         StreamRunner.foldForward(s, wh, name, s"${name}_serve",
           t => Right(t), Nil)

@@ -2193,7 +2193,8 @@ object TextAnalysis extends QueryModule {
               "lex_doclen_serve").foreach(wh.dropTable)
             val toks = Tables.documents(s, d)
               .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-            def writeFrags(cond: org.apache.spark.sql.Column): Unit = {
+            def writeFrags(ids: Seq[Long]): Unit = {
+              val cond = col("ingest_batch").isin(ids: _*)
               wh.partitionedUpsertWrite(
                 toks.groupBy(col("word"), col("doc_id"))
                   .agg(count(lit(1)).as("tf"))
@@ -2207,14 +2208,19 @@ object TextAnalysis extends QueryModule {
                   .withColumn("ingest_batch", pmod(col("doc_id"), lit(8L)))
                   .filter(cond),
                 "lex_doclen", Seq("ingest_batch"))
+              // live-batch ledger markers for exactly the landed ids
+              ids.foreach { b =>
+                wh.noteLiveBatch("lex_postings", b)
+                wh.noteLiveBatch("lex_doclen", b)
+              }
             }
-            writeFrags(col("ingest_batch") < 6)
+            writeFrags(0L until 6L)
             graft.streaming.StreamRunner.compactPostings(s, wh, "lex")
             graft.streaming.StreamRunner.gcLake(s, wh, "lex_postings",
               "lex_postings_serve", slackGenerations = 0)
             graft.streaming.StreamRunner.gcLake(s, wh, "lex_doclen",
               "lex_doclen_serve", slackGenerations = 0)
-            writeFrags(col("ingest_batch") >= 6)
+            writeFrags(Seq(6L, 7L))
             java.nio.file.Files.write(done.toPath, "v1".getBytes("UTF-8")): Unit
           }
           built.add(key): Unit

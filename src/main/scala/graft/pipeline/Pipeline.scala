@@ -67,6 +67,75 @@ class Warehouse(val root: String, val format: String = "parquet") {
     walk(new java.io.File(tablePath(name)))
   }
 
+  /** Live-batch LEDGER marker: one zero-byte `_b_<id>` file at the live
+    * table's ROOT per committed ingest batch, written by every streamed-
+    * lake publisher right after its partition upsert lands. The point is
+    * [[liveBatches]]: the maintenance health view used to recursively
+    * list every block directory per lake per pass to census live
+    * `ingest_batch=` leaves — fine on a local FS, O(all partitions)
+    * LIST calls on an object store. With markers the census is ONE flat
+    * listing of the table root. Underscore-prefixed, so Spark scans and
+    * [[hasData]] ignore them; idempotent (a checkpoint replay re-notes
+    * its own id); [[graft.streaming.StreamRunner.gcLake]] drops the
+    * marker with the fragments it vacuums.
+    */
+  def noteLiveBatch(name: String, batchId: Long): Unit = {
+    val f = new java.io.File(tablePath(name), s"_b_$batchId")
+    f.getParentFile.mkdirs()
+    try java.nio.file.Files.createFile(f.toPath): Unit
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  def dropLiveBatchNote(name: String, batchId: Long): Unit =
+    new java.io.File(tablePath(name), s"_b_$batchId").delete(): Unit
+
+  private def liveBatchMarkers(name: String): Seq[Long] =
+    Option(new java.io.File(tablePath(name)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        val n = f.getName
+        if (f.isFile && n.startsWith("_b_"))
+          scala.util.Try(n.stripPrefix("_b_").toLong).toOption
+        else None
+      }.toSeq
+
+  /** Distinct live `ingest_batch` ids of a streamed lake: the marker
+    * ledger when present (one flat listing); otherwise — a LEGACY lake
+    * written before markers existed — one recursive census that
+    * BACKFILLS the markers, so the lake self-heals on first touch
+    * exactly like the watermark sidecars. A schema-less (fully vacuumed
+    * or never written) lake is simply empty.
+    */
+  def liveBatches(name: String): Seq[Long] = {
+    val marks = liveBatchMarkers(name)
+    if (marks.nonEmpty) marks.distinct.sorted
+    else if (!hasData(name)) Nil
+    else {
+      val scanned = scanLiveBatches(name).distinct.sorted
+      scanned.foreach(noteLiveBatch(name, _))
+      scanned
+    }
+  }
+
+  /** The recursive leaf census behind [[liveBatches]]' legacy fallback —
+    * an override point so tests can count how often the expensive walk
+    * actually runs.
+    */
+  protected def scanLiveBatches(name: String): Seq[Long] = {
+    def walk(dir: java.io.File): Seq[Long] =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory)
+        .flatMap { f =>
+          val n = f.getName
+          if (n.startsWith("ingest_batch="))
+            scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
+              .toOption.toSeq
+          else if (n.contains("=")) walk(f)
+          else Nil
+        }.toSeq
+    walk(new java.io.File(tablePath(name)))
+  }
+
   /** S5: WRITE_TRUNCATE — replace table contents (idempotent staging). */
   def truncateWrite(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(format).save(tablePath(name))
@@ -191,7 +260,18 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * its sidecar because the sidecar lands before the flip.
     */
   def versionedWrite(df: DataFrame, name: String,
-      partitionCols: Seq[String], meta: Map[String, String]): Int = {
+      partitionCols: Seq[String], meta: Map[String, String]): Int =
+    versionedWriteWith(df, name, partitionCols, _ => meta)
+
+  /** [[versionedWrite]] whose metadata payload depends on the COMMITTED
+    * version number — the partition-scoped fold needs this: its manifest
+    * maps every partition value to the physical generation holding it,
+    * and freshly-rewritten partitions map to the generation being
+    * committed, whose number is only known once the reservation CAS
+    * settles.
+    */
+  def versionedWriteWith(df: DataFrame, name: String,
+      partitionCols: Seq[String], metaFor: Int => Map[String, String]): Int = {
     val base = new java.io.File(tablePath(name))
     base.mkdirs()
     var attempt = 0
@@ -220,6 +300,7 @@ class Warehouse(val root: String, val format: String = "parquet") {
             .option("partitionOverwriteMode", "static")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .save(s"${tablePath(name)}/_v=$next")
+          val meta = metaFor(next)
           if (meta.nonEmpty) writeVersionMeta(name, next, meta)
           flipMarkerForward(name, next)
           committed = next
@@ -342,6 +423,15 @@ class Warehouse(val root: String, val format: String = "parquet") {
     * UNCOMMITTED snapshot dir (crash debris without `_SUCCESS`) — a
     * lineage read silently falling through to "latest", or trusting a
     * half-written directory, would defeat the point.
+    *
+    * A generation carrying a partition MANIFEST ([[manifestOf]] — the
+    * partition-scoped fold's commit shape) resolves to the union of its
+    * own freshly-written partitions and the CARRIED partition
+    * directories it references inside older generations' dirs, each
+    * carried read pruned to exactly the referenced partition values.
+    * Resolution is metadata-only (the sidecar was already read for the
+    * manifest; the per-directory loads are lazy plan construction) — no
+    * Spark job runs here beyond normal scan setup.
     */
   def readVersion(spark: SparkSession, name: String,
       version: Option[Int] = None): DataFrame = {
@@ -349,8 +439,65 @@ class Warehouse(val root: String, val format: String = "parquet") {
       throw new IllegalArgumentException(s"no committed versions of $name"))
     require(versionCommitted(name, v),
       s"version $v of $name does not exist (pruned or never written)")
-    spark.read.format(format).load(s"${tablePath(name)}/_v=$v")
+    def loadGen(g: Int): DataFrame =
+      spark.read.format(format).load(s"${tablePath(name)}/_v=$g")
+    manifestOf(name, v) match {
+      case None => loadGen(v)
+      case Some((bc, map)) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val byGen = map.groupBy(_._2).view
+          .mapValues(_.keys.toSeq.sorted).toSeq.sortBy(_._1)
+        byGen.map { case (g, vals) =>
+          val df = loadGen(g)
+          if (g == v) df // the fresh dir holds exactly its own partitions
+          else {
+            // typed-literal equality chain (not `isin` string coercion):
+            // the predicate lands on the PARTITION column, so each
+            // carried generation's scan prunes to the referenced dirs
+            val dt = df.schema(bc).dataType
+            df.filter(vals.map(s => col(bc) === lit(s).cast(dt))
+              .reduce(_ || _))
+          }
+        }.reduce(_ unionByName _)
+    }
   }
+
+  /** A generation's partition manifest, when it committed partition-
+    * scoped: the block column plus, for EVERY partition value of the
+    * logical generation, the PHYSICAL generation whose `_v=` directory
+    * holds that partition's data (the committing generation itself for
+    * freshly-rewritten partitions, an older generation for carried
+    * ones). `None` for full (manifest-less) generations.
+    */
+  def manifestOf(name: String, v: Int): Option[(String, Map[String, Int])] = {
+    val meta = versionMeta(name, v)
+    meta.get("mfcol").map { bc =>
+      bc -> meta.collect { case (k, g) if k.startsWith("mf.") =>
+        Warehouse.unescapePart(k.stripPrefix("mf.")) -> g.toInt
+      }
+    }
+  }
+
+  /** The sidecar payload encoding a partition manifest ([[manifestOf]]'s
+    * inverse) — merged into the fold's `thru` metadata at commit.
+    */
+  private[graft] def manifestMeta(blockCol: String,
+      map: Map[String, Int]): Map[String, String] =
+    Map("mfcol" -> blockCol) ++ map.map { case (value, g) =>
+      s"mf.${Warehouse.escapePart(value)}" -> g.toString
+    }
+
+  /** Partition values physically present inside a generation's `_v=`
+    * directory (one flat listing) — how a partition-scoped fold learns
+    * the value set of a LEGACY full generation that carries no manifest.
+    */
+  private[graft] def partitionValuesOf(name: String, v: Int,
+      blockCol: String): Seq[String] =
+    Option(new java.io.File(tablePath(name), s"_v=$v").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$blockCol="))
+      .map(f => Warehouse.unescapePart(f.getName.stripPrefix(s"$blockCol=")))
+      .toSeq
 
   /** Every `_v=N` directory with a NUMERIC suffix, as (dir, version).
     * Non-numeric strays (`_v=tmp`) are ignored rather than throwing —
@@ -392,20 +539,61 @@ class Warehouse(val root: String, val format: String = "parquet") {
     require(keep >= 1, "pruneVersions: keep must be >= 1")
     val cur = currentVersion(name)
     val reserved = reservedVersions(name).toSet
+    // REFCOUNT over the retained manifests: a partition-scoped fold's
+    // generation references partition directories physically inside
+    // OLDER generations' dirs. Any generation a retained manifest still
+    // points at is a CARRIER — its referenced dirs are live data for
+    // current readers and must survive every sweep below. References
+    // expire as later folds rewrite those partitions; an expired
+    // carrier is reclaimed as ordinary debris on a later prune.
+    val committedAll = listVersions(name)
+    val retained = (committedAll.sorted.reverse.take(keep) ++ cur).distinct
+    val refs: Map[Int, Set[String]] = retained
+      .flatMap { v =>
+        manifestOf(name, v).toSeq.flatMap { case (_, m) =>
+          m.collect { case (value, g) if g != v => g -> value }
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     versionDirs(name)
       .filter { case (_, v) =>
-        !versionCommitted(name, v) && cur.exists(v <= _) && !reserved(v)
+        !versionCommitted(name, v) && cur.exists(v <= _) && !reserved(v) &&
+          !refs.contains(v)
       }
       .foreach { case (f, _) => Warehouse.deleteRecursively(f) }
     reserved
       .filter(v => versionCommitted(name, v))
       .foreach(v => new java.io.File(tablePath(name), s"_v=$v.reserved")
         .delete(): Unit)
-    val dropped = listVersions(name).sorted.reverse.drop(keep)
+    val dropped = committedAll.sorted.reverse.drop(keep)
       .filterNot(cur.contains)
     dropped.foreach { v =>
-      Warehouse.deleteRecursively(new java.io.File(tablePath(name), s"_v=$v"))
-      new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
+      refs.get(v) match {
+        case None =>
+          Warehouse.deleteRecursively(
+            new java.io.File(tablePath(name), s"_v=$v"))
+          new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
+        case Some(keptVals) =>
+          // CARRIER DEMOTION: the generation leaves the committed chain
+          // (its `_SUCCESS` and sidecar go, so direct pinned reads fail
+          // loudly and listVersions/retention no longer count it) but
+          // its REFERENCED partition dirs stay as physical storage for
+          // the retained manifests that point here. Unreferenced
+          // partitions — dead weight no reader can reach — are
+          // reclaimed now.
+          val dir = new java.io.File(tablePath(name), s"_v=$v")
+          Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach { f =>
+              val isKeptPartition = f.isDirectory && {
+                val n = f.getName
+                val i = n.indexOf('=')
+                i > 0 && keptVals.contains(
+                  Warehouse.unescapePart(n.substring(i + 1)))
+              }
+              if (!isKeptPartition) Warehouse.deleteRecursively(f)
+            }
+          new java.io.File(tablePath(name), s"_v=$v.meta").delete(): Unit
+      }
     }
     // crashed writeVersionMeta tmp files are inert debris — swept here,
     // but ONLY when old enough (mtime) that no in-flight read-path
@@ -490,6 +678,34 @@ object Warehouse {
     * cross-process but throws on overlap within one JVM.
     */
   private[pipeline] val markerFlipMonitor = new Object
+
+  /** Percent-escape for partition VALUES inside manifest sidecar keys
+    * (`mf.<value>=<gen>` must survive the sidecar's first-'=' split and
+    * line framing) — the same escaping family Spark applies to
+    * partition directory names, so [[Warehouse.partitionValuesOf]] can
+    * decode a directory name with [[unescapePart]] too.
+    */
+  private[graft] def escapePart(s: String): String =
+    s.flatMap { c =>
+      if (c.isLetterOrDigit || c == '_' || c == '.' || c == '-') c.toString
+      else f"%%${c.toInt}%02X"
+    }
+
+  private[graft] def unescapePart(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length)
+        try {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => out.append(s.charAt(i)); i += 1
+        }
+      else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
 
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     // listFiles() returns null on I/O error or concurrent removal — never NPE

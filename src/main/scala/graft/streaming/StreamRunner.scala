@@ -143,8 +143,13 @@ object StreamRunner {
       firstFailure match {
         case None =>
           staged.foreach { case (df, stage, table, partitionCols) =>
-            partitionCols.foreach(pc =>
-              wh.partitionedUpsertWrite(df, table, pc))
+            partitionCols.foreach { pc =>
+              wh.partitionedUpsertWrite(df, table, pc)
+              // batch-keyed lakes note their live-batch ledger marker so
+              // the health census is one flat listing, never a recursive
+              // leaf walk
+              if (pc.contains("ingest_batch")) wh.noteLiveBatch(table, batchId)
+            }
             wh.dropTable(stage)
           }
           true
@@ -312,10 +317,12 @@ object StreamRunner {
             graft.operators.Dedup.minhashSigOf(shS)
               .withColumn("ingest_batch", lit(batchId)),
             s"${table}_sigs", Seq("ingest_batch"))
+          wh.noteLiveBatch(s"${table}_sigs", batchId)
           wh.partitionedUpsertWrite(
             graft.operators.Dedup.shingleHashesOf(shS)
               .withColumn("ingest_batch", lit(batchId)),
             s"${table}_hashes", Seq("ingest_batch"))
+          wh.noteLiveBatch(s"${table}_hashes", batchId)
           // PER-SOURCE ACCOUNTING (maintained only when the ingest rows
           // carry a `source` column — crawl-archive texts do not): one
           // ADDITIVE |sources|-row rollup of this batch's survivors,
@@ -349,6 +356,7 @@ object StreamRunner {
                   .otherwise(0L)).as("n_tainted"))
                 .withColumn("ingest_batch", lit(batchId)),
               s"${table}_stats", Seq("ingest_batch"))
+            wh.noteLiveBatch(s"${table}_stats", batchId)
           }
         }
       } finally docs.unpersist(): Unit
@@ -530,7 +538,9 @@ object StreamRunner {
         if (!n.startsWith("ingest_batch=")) None
         else scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
           .toOption.filter(_ <= boundary).map { k =>
-            graft.pipeline.Warehouse.deleteRecursively(f); k
+            graft.pipeline.Warehouse.deleteRecursively(f)
+            wh.dropLiveBatchNote(s"${table}_stats", k)
+            k
           }
       }.toSeq.sorted
   }
@@ -1384,9 +1394,10 @@ object StreamRunner {
             val delta = inserts.unionByName(addRows)
               .withColumn("ingest_batch", lit(batchId))
               .localCheckpoint()
-            if (!delta.isEmpty)
+            if (!delta.isEmpty) {
               wh.partitionedUpsertWrite(delta, sigsName, Seq("ingest_batch"))
-            else {
+              wh.noteLiveBatch(sigsName, batchId)
+            } else {
               // a REPLAY whose re-derived delta is empty must still erase
               // its previous attempt's partition — "the partition IS the
               // batch's entire effect" would otherwise hold only under
@@ -1395,6 +1406,7 @@ object StreamRunner {
               val stale = new java.io.File(wh.tablePath(sigsName),
                 s"ingest_batch=$batchId")
               if (stale.exists()) Warehouse.deleteRecursively(stale)
+              wh.dropLiveBatchNote(sigsName, batchId)
             }
           }
         } finally { survivors.unpersist(); matched.unpersist(): Unit }
@@ -1529,14 +1541,44 @@ object StreamRunner {
         case Left(cv) => return cv
         case Right(df) => df
       }
-    val tailMax = maxBatch(deltas)
+    // PARTITION-SCOPED, like [[foldForward]]'s single-block-column arm:
+    // one delta-sized probe enumerates the touched `sb` buckets — an
+    // insert lands in its own signature's bucket, and a count-add
+    // carries its KEEPER's hash_lo (functionally determined by the
+    // keeper id — the addRows `max` picker), so pmod over the deltas is
+    // a complete census of every bucket this fold can change. Only
+    // those buckets' base rows are re-merged and rewritten; untouched
+    // buckets carry forward by manifest reference.
+    import org.apache.spark.sql.functions.{coalesce, collect_set, max => fmax}
+    val sbOf = pmod(col("hash_lo"), lit(SigBuckets))
+    val probe = deltas.agg(
+      coalesce(fmax(col("ingest_batch").cast("long")),
+        lit(Long.MinValue)).as("t"),
+      collect_set(sbOf.cast("string")).as("touched")).collect()(0)
+    val tailMax = probe.getLong(0)
     if (tailMax == Long.MinValue)
       return current.getOrElse(0)
-    val merged = perceptualApplyAdds(perceptualRows(base, deltas), deltas)
-      .withColumn("sb", pmod(col("hash_lo"), lit(SigBuckets)))
-    wh.versionedWrite(merged.repartition(col("sb")), serveName, Seq("sb"),
-      Map("thru" ->
-        math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString))
+    val touched = probe.getSeq[String](1).sorted
+    val priorMap: Map[String, Int] = current match {
+      case None => Map.empty
+      case Some(v) => wh.manifestOf(serveName, v) match {
+        case Some((_, m)) => m
+        case None => wh.partitionValuesOf(serveName, v, "sb").map(_ -> v).toMap
+      }
+    }
+    val baseT = base.map { b =>
+      // predicate on the PARTITION column when the generation carries it
+      // (directory-level pruning); a pmod fallback stays correct for any
+      // legacy unpartitioned generation
+      val key = if (b.columns.contains("sb")) col("sb") else sbOf
+      b.filter(touched.map(s => key === lit(s).cast("long")).reduce(_ || _))
+    }
+    val merged = perceptualApplyAdds(perceptualRows(baseT, deltas), deltas)
+      .withColumn("sb", sbOf)
+    wh.versionedWriteWith(merged.repartition(col("sb")), serveName, Seq("sb"),
+      nv => Map("thru" ->
+        math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString) ++
+        wh.manifestMeta("sb", priorMap ++ touched.map(_ -> nv)))
   }
 
   /** Streaming IVF index ingest — the foreachBatch twin of
@@ -1845,27 +1887,84 @@ object StreamRunner {
       case Left(cv) => return cv
       case Right(df) => df
     }
-    // ONE tail-sized job doubles as the emptiness probe AND the new
-    // generation's watermark: an empty trusted tail is ALWAYS a no-op —
-    // with a snapshot, committing an identical generation churns
-    // retention; with none (live data exists but nothing in it is
-    // trusted yet, e.g. every row belongs to a mid-publish batch),
-    // committing an EMPTY first generation would poison every later
-    // watermark read (its max(ingest_batch) is NULL)
-    val tailMax = maxBatch(tail)
-    if (tailMax == Long.MinValue)
-      return current.getOrElse(0)
-    val in = base
-      .map(b => b.unionByName(tail.select(b.columns.map(col): _*)))
-      .getOrElse(tail)
-    val out =
-      if (partitionCols.nonEmpty) in.repartition(partitionCols.map(col): _*)
-      else in
-    // the committed generation CARRIES its fold watermark — hybrid
-    // readers and the vacuum boundary resolve it from the sidecar
-    // instead of re-scanning the snapshot on every read
-    wh.versionedWrite(out, serveName, partitionCols,
-      Map("thru" -> math.max(priorThru.getOrElse(Long.MinValue), tailMax).toString))
+    partitionCols match {
+      case Seq(bc) =>
+        // PARTITION-SCOPED fold — the write is ∝ TAIL-TOUCHED partition
+        // mass, not lake mass. ONE tail-sized job doubles as the
+        // emptiness probe, the new watermark, AND the touched-partition
+        // census; the new generation physically rewrites only the
+        // partitions holding tail rows (prior rows of those partitions ∪
+        // tail), while every untouched partition carries forward by
+        // MANIFEST reference to the older generation's directory
+        // ([[graft.pipeline.Warehouse.manifestOf]] — resolved by
+        // readVersion with zero extra jobs; pruneVersions refcounts the
+        // referenced carriers). At 100 TB this is the difference between
+        // a nightly maintenance job whose bill tracks the day's ingest
+        // and a full-lake rewrite per fold.
+        import org.apache.spark.sql.functions.{coalesce, collect_set, lit, max, sum, when}
+        val probe = tail.agg(
+          coalesce(max(col("ingest_batch").cast("long")),
+            lit(Long.MinValue)).as("t"),
+          collect_set(col(bc).cast("string")).as("touched"),
+          coalesce(sum(when(col(bc).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("nulls")).collect()(0)
+        val tailMax = probe.getLong(0)
+        if (tailMax == Long.MinValue)
+          return current.getOrElse(0)
+        // a NULL block value would land in the default partition but
+        // fall out of the manifest census — fail loudly rather than
+        // silently losing a partition at the next carry-forward
+        require(probe.getLong(2) == 0L,
+          s"foldForward($liveName): null $bc values cannot fold partition-scoped")
+        val touched = probe.getSeq[String](1).sorted
+        val priorMap: Map[String, Int] = current match {
+          case None => Map.empty
+          case Some(v) => wh.manifestOf(serveName, v) match {
+            case Some((_, m)) => m
+            // legacy full generation: every partition value it serves is
+            // physically in its own dir (one flat listing)
+            case None => wh.partitionValuesOf(serveName, v, bc)
+              .map(_ -> v).toMap
+          }
+        }
+        val in = base match {
+          case None => tail
+          case Some(b) =>
+            val dt = b.schema(bc).dataType
+            val bT = b.filter(
+              touched.map(s => col(bc) === lit(s).cast(dt)).reduce(_ || _))
+            bT.unionByName(tail.select(bT.columns.map(col): _*))
+        }
+        wh.versionedWriteWith(in.repartition(col(bc)), serveName,
+          partitionCols, nv =>
+            Map("thru" -> math.max(priorThru.getOrElse(Long.MinValue),
+              tailMax).toString) ++
+              wh.manifestMeta(bc, priorMap ++ touched.map(_ -> nv)))
+      case _ =>
+        // ONE tail-sized job doubles as the emptiness probe AND the new
+        // generation's watermark: an empty trusted tail is ALWAYS a
+        // no-op — with a snapshot, committing an identical generation
+        // churns retention; with none (live data exists but nothing in
+        // it is trusted yet, e.g. every row belongs to a mid-publish
+        // batch), committing an EMPTY first generation would poison
+        // every later watermark read (its max(ingest_batch) is NULL)
+        val tailMax = maxBatch(tail)
+        if (tailMax == Long.MinValue)
+          return current.getOrElse(0)
+        val in = base
+          .map(b => b.unionByName(tail.select(b.columns.map(col): _*)))
+          .getOrElse(tail)
+        val out =
+          if (partitionCols.nonEmpty)
+            in.repartition(partitionCols.map(col): _*)
+          else in
+        // the committed generation CARRIES its fold watermark — hybrid
+        // readers and the vacuum boundary resolve it from the sidecar
+        // instead of re-scanning the snapshot on every read
+        wh.versionedWrite(out, serveName, partitionCols,
+          Map("thru" -> math.max(priorThru.getOrElse(Long.MinValue),
+            tailMax).toString))
+    }
   }
 
   /** Max `ingest_batch` of a frame, `Long.MinValue` when empty — the
@@ -2000,9 +2099,11 @@ object StreamRunner {
     * chain, resolved ENTIRELY from metadata (directory listings + the
     * watermark sidecars — NO Spark job, the [[lakeThru]] discipline).
     * Returned per lake:
-    *  - `live_batches`: distinct `ingest_batch` leaf partitions in the
-    *    live lake (recursing under block dirs — the [[gcLake]] sweep's
-    *    view of fragment mass);
+    *  - `live_batches`: distinct live `ingest_batch` ids, from the
+    *    marker LEDGER ([[graft.pipeline.Warehouse.liveBatches]] — one
+    *    flat root listing per lake; a legacy marker-less lake pays one
+    *    recursive census that backfills the markers, so at object-store
+    *    scale an idle pass is O(lakes) LIST calls, not O(partitions));
     *  - `tail_batches`: live batches strictly above the current
     *    generation's sidecar watermark — the unfolded mass the next
     *    fold absorbs (no snapshot, or a legacy sidecar-less generation,
@@ -2023,19 +2124,11 @@ object StreamRunner {
       lakes: Seq[(String, String, String)],
       slackGenerations: Int = 1): Seq[(String, Long, Long, Long, Long, Boolean)] =
     lakes.map { case (lake, liveName, serveName) =>
-      def leafBatches(dir: java.io.File): Seq[Long] =
-        Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.isDirectory)
-          .flatMap { f =>
-            val n = f.getName
-            if (n.startsWith("ingest_batch="))
-              scala.util.Try(n.stripPrefix("ingest_batch=").toLong)
-                .toOption.toSeq
-            else if (n.contains("=")) leafBatches(f)
-            else Nil
-          }.toSeq
-      val live = leafBatches(new java.io.File(wh.tablePath(liveName)))
-        .distinct.sorted
+      // the census is the live-batch MARKER ledger (one flat root
+      // listing — [[graft.pipeline.Warehouse.liveBatches]]); a legacy
+      // marker-less lake pays one recursive walk that backfills the
+      // markers, after which every pass is flat-listing only
+      val live = wh.liveBatches(liveName)
       val versions = wh.listVersions(serveName)
       val current = wh.currentVersion(serveName)
       def sidecarThru(v: Int): Option[Long] =
@@ -2179,7 +2272,11 @@ object StreamRunner {
             deleted
           } else Nil
         }.toSeq
-    sweep(new java.io.File(wh.tablePath(liveName))).distinct.sorted
+    val deleted = sweep(new java.io.File(wh.tablePath(liveName)))
+      .distinct.sorted
+    // the live-batch ledger marker goes with the fragments it tracked
+    deleted.foreach(wh.dropLiveBatchNote(liveName, _))
+    deleted
   }
 
   /** Streaming inverted-index maintenance — the foreachBatch twin of

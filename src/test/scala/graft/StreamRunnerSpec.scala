@@ -1013,6 +1013,189 @@ class StreamRunnerSpec extends SparkSuiteBase {
       === Set(1L, 2L, 3L), "the healed lake still serves every row")
   }
 
+
+  test("lakeHealth census is the marker ledger: one legacy walk backfills, then no recursive listing ever runs again") {
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val deepScans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wh = new Warehouse(tmpDir("ledgerwh")) {
+      override protected def scanLiveBatches(name: String): Seq[Long] = {
+        deepScans.incrementAndGet()
+        super.scanLiveBatches(name)
+      }
+    }
+    def lake(batch: Long, rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, wb) => Row(id, wb, batch) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("wb", LongType), StructField("ingest_batch", LongType))))
+    // a LEGACY blocked lake written without markers
+    wh.partitionedUpsertWrite(lake(0L, Seq((1L, 0L), (2L, 1L))), "lk",
+      Seq("wb", "ingest_batch"))
+    wh.partitionedUpsertWrite(lake(1L, Seq((3L, 1L))), "lk",
+      Seq("wb", "ingest_batch"))
+    def health = StreamRunner.lakeHealth(wh, Seq(("lk", "lk", "lk_serve"))).head
+    assert(health._2 === 2L && deepScans.get === 1,
+      "the first census walks once and backfills the markers")
+    assert(health._2 === 2L && deepScans.get === 1,
+      "the second census is marker-only — no recursive walk")
+    // a NOTING publisher keeps the ledger current without any walk
+    wh.partitionedUpsertWrite(lake(2L, Seq((4L, 0L))), "lk",
+      Seq("wb", "ingest_batch"))
+    wh.noteLiveBatch("lk", 2L)
+    assert(health._2 === 3L && deepScans.get === 1)
+    // fold + vacuum: gcLake drops the vacuumed ids' markers with their
+    // fragments, and the census tracks it — still without walking
+    assert(StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t), Seq("wb")) === 1)
+    assert(StreamRunner.gcLake(spark, wh, "lk", "lk_serve",
+      slackGenerations = 0) === Seq(0L, 1L, 2L))
+    assert(health._2 === 0L && deepScans.get === 1,
+      "a fully vacuumed lake reads zero live batches from markers alone")
+  }
+
+  test("partition-scoped fold: untouched partitions carry forward by manifest, prune keeps referenced carriers") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.Row
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val wh = new Warehouse(tmpDir("pscope"))
+    def lake(batch: Long, rows: Seq[(Long, Long)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, wb) => Row(id, wb, batch) }),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("wb", LongType), StructField("ingest_batch", LongType))))
+    def fold() = StreamRunner.foldForward(spark, wh, "lk", "lk_serve",
+      t => Right(t), Seq("wb"))
+    def logical(v: Option[Int] = None): Set[(Long, Long)] =
+      wh.readVersion(spark, "lk_serve", v)
+        .select(col("doc_id"), col("wb")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    def partDirs(v: Int): Set[String] =
+      Option(new java.io.File(wh.tablePath("lk_serve"), s"_v=$v").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSet
+
+    // gen 1: full first fold over buckets {0,1,2}; manifest maps all -> 1
+    wh.partitionedUpsertWrite(
+      lake(0L, Seq((10L, 0L), (11L, 1L), (12L, 2L))), "lk",
+      Seq("wb", "ingest_batch"))
+    assert(fold() === 1)
+    assert(partDirs(1) === Set("wb=0", "wb=1", "wb=2"))
+    assert(wh.manifestOf("lk_serve", 1) ===
+      Some(("wb", Map("0" -> 1, "1" -> 1, "2" -> 1))))
+
+    // gen 2: a tail touching ONLY bucket 1 — _v=2 holds just wb=1;
+    // wb=0 and wb=2 carry forward by reference; _v=1's dirs untouched
+    val wb0Bytes = new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=0")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).toSeq
+    wh.partitionedUpsertWrite(lake(1L, Seq((13L, 1L))), "lk",
+      Seq("wb", "ingest_batch"))
+    assert(fold() === 2)
+    assert(partDirs(2) === Set("wb=1"),
+      "only the tail-touched partition may be rewritten")
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=0")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).toSeq
+      === wb0Bytes, "carried partition files must be byte-identical (not rewritten)")
+    assert(wh.manifestOf("lk_serve", 2) ===
+      Some(("wb", Map("0" -> 1, "1" -> 2, "2" -> 1))))
+    assert(logical() === Set((10L, 0L), (11L, 1L), (12L, 2L), (13L, 1L)),
+      "the resolved generation is the whole logical lake")
+
+    // resolving the manifest must launch NO job beyond the per-directory
+    // scans' own setup — measured differentially against raw loads of
+    // the same physical directories
+    def jobsDuring(body: => Unit): Int = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          seen.add(js.jobId): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        val lb = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+        seen.size
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val baseline = jobsDuring {
+      spark.read.parquet(s"${wh.tablePath("lk_serve")}/_v=1")
+      spark.read.parquet(s"${wh.tablePath("lk_serve")}/_v=2"): Unit
+    }
+    val resolved = jobsDuring { wh.readVersion(spark, "lk_serve", Some(2)): Unit }
+    assert(resolved <= baseline,
+      s"manifest resolution must add no Spark job: raw=$baseline resolved=$resolved")
+
+    // vacuum composes: live fragments fold-covered by gen 2 are swept,
+    // the resolved read stays whole
+    assert(StreamRunner.gcLake(spark, wh, "lk", "lk_serve",
+      slackGenerations = 0) === Seq(0L, 1L))
+    assert(StreamRunner.hybridLakeRead(spark, wh, "lk", "lk_serve")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      === Set(10L, 11L, 12L, 13L))
+
+    // gen 3 touches bucket 0; prune keep=2 drops gen 1 — but gen 1 is a
+    // CARRIER (gen 3 still references wb=2 there): its referenced dir
+    // must survive, its unreferenced dirs and _SUCCESS must go
+    wh.partitionedUpsertWrite(lake(2L, Seq((14L, 0L))), "lk",
+      Seq("wb", "ingest_batch"))
+    assert(fold() === 3)
+    assert(wh.manifestOf("lk_serve", 3) ===
+      Some(("wb", Map("0" -> 3, "1" -> 2, "2" -> 1))))
+    assert(wh.pruneVersions("lk_serve", keep = 2) === Seq(1))
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=2").exists(),
+      "the referenced partition dir must survive the prune")
+    assert(!new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=0").exists() &&
+      !new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=1").exists(),
+      "unreferenced partition dirs of a carrier are reclaimed")
+    assert(!new java.io.File(wh.tablePath("lk_serve"), "_v=1/_SUCCESS").exists(),
+      "a demoted carrier is no longer a committed, directly-readable version")
+    assert(wh.listVersions("lk_serve") === Seq(2, 3))
+    intercept[IllegalArgumentException] {
+      wh.readVersion(spark, "lk_serve", Some(1))
+    }
+    assert(logical() === Set((10L, 0L), (11L, 1L), (12L, 2L), (13L, 1L), (14L, 0L)),
+      "the current generation still resolves every carried partition")
+
+    // a second prune must NOT sweep the carrier as debris while gen 3
+    // still references it
+    assert(wh.pruneVersions("lk_serve", keep = 2) === Seq.empty[Int])
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=2").exists())
+
+    // gen 4 rewrites wb=2; prune drops gen 2 — still referenced by gen 4
+    // (wb=1) -> demoted to a carrier. Gen 1 stays a carrier too: RETAINED
+    // gen 3's manifest still references it for wb=2 (references die only
+    // when every retained manifest stops mentioning the generation)
+    wh.partitionedUpsertWrite(lake(3L, Seq((15L, 2L))), "lk",
+      Seq("wb", "ingest_batch"))
+    assert(fold() === 4)
+    assert(wh.manifestOf("lk_serve", 4) ===
+      Some(("wb", Map("0" -> 3, "1" -> 2, "2" -> 4))))
+    assert(wh.pruneVersions("lk_serve", keep = 2) === Seq(2))
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=2/wb=1").exists())
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=1/wb=2").exists(),
+      "retained gen 3 still references gen 1 — the carrier must survive")
+    assert(logical() ===
+      Set((10L, 0L), (11L, 1L), (12L, 2L), (13L, 1L), (14L, 0L), (15L, 2L)))
+
+    // gen 5: after this prune the retained manifests (gen 4, gen 5) no
+    // longer mention gen 1 anywhere — the expired carrier is reclaimed
+    // as debris, while gen 3 (dropped but referenced for wb=0) demotes
+    wh.partitionedUpsertWrite(lake(4L, Seq((16L, 1L))), "lk",
+      Seq("wb", "ingest_batch"))
+    assert(fold() === 5)
+    assert(wh.manifestOf("lk_serve", 5) ===
+      Some(("wb", Map("0" -> 3, "1" -> 5, "2" -> 4))))
+    assert(wh.pruneVersions("lk_serve", keep = 2) === Seq(3))
+    assert(!new java.io.File(wh.tablePath("lk_serve"), "_v=1").exists(),
+      "an expired carrier must be swept once no retained manifest references it")
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=3/wb=0").exists(),
+      "gen 3 demotes to a carrier for wb=0")
+    assert(new java.io.File(wh.tablePath("lk_serve"), "_v=2/wb=1").exists(),
+      "gen 2 stays a carrier — retained gen 4's manifest still maps wb=1 to it")
+    assert(logical() === Set((10L, 0L), (11L, 1L), (12L, 2L), (13L, 1L),
+      (14L, 0L), (15L, 2L), (16L, 1L)))
+  }
+
   test("end-to-end crawl ingest: raw .warc.gz files -> extracted, deduplicated corpus with live index") {
     import graft.operators.Crawl.{GzipCodec, WarcCodec}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
