@@ -431,7 +431,28 @@ object PlanDump {
     // the policy pass's report (audit: the action trail is a tiny
     // parquet scan joined to a LocalTableScan of post-maintenance
     // health rows — the maintenance itself ran at fixture-build time)
-    "pipe_lake_maintain")
+    "pipe_lake_maintain",
+    // round-18: the RETRAINED fresh serves (audit: the probe literals
+    // come from the TRAINED set the `_cells` sidecar names; same
+    // cell-IN partition filter + watermark-pruned tail as the _fresh
+    // twins, with the tail assignment's codegen'd cosines against the
+    // trained centroid literals)
+    "sim_semdedup_topk_ivf_rt",
+    "sim_semdedup_topk_ivf2_rt",
+    "sim_semdedup_recall_rt",
+    // round-18: the K-SCALED serves (audit: k=chooseK(N) literal probe
+    // cells over the `_cellsk` generation — still nprobe directories
+    // read, never the lake; the 4-probe form is the chosen config from
+    // the k×nprobe panel)
+    "sim_semdedup_topk_ivf_autok",
+    "sim_semdedup_topk_ivf2_autok",
+    "sim_semdedup_topk_ivf4_autok",
+    "sim_semdedup_recall_autok",
+    // round-18: the warehouse-wide maintenance pass over all eleven
+    // real-lake triples (audit: tiny action-trail scan joined to a
+    // LocalTableScan of post-pass health rows — the maintenance ran at
+    // fixture-build time; the pass itself is metadata-driven)
+    "pipe_warehouse_maintain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -149,6 +149,164 @@ object Curation extends QueryModule {
     }
   }
 
+  /** The WAREHOUSE-WIDE maintenance demo (`pipe_warehouse_maintain` —
+    * VERDICT r17 task 5): every streamed-lake KIND the engine runs,
+    * each built through its REAL ingest body over deterministic slices
+    * — the semantic dedup lake ([[graft.streaming.StreamRunner
+    * .semanticPublishBatch]]), the minhash dedup corpus with its
+    * sigs/hashes indexes and per-source stats rollup
+    * ([[graft.streaming.StreamRunner.dedupPublishBatch]]), the
+    * term-bucketed inverted index, the IVF vector lake
+    * ([[graft.streaming.StreamRunner.ivfPublishBatch]]), the
+    * perceptual near-dup LSM
+    * ([[graft.streaming.StreamRunner.perceptualPublishHashed]]), and a
+    * redirect-walk frontier ([[graft.streaming.StreamRunner
+    * .frontierPublishBatch]] over real WARC/HTTP bytes) — then ONE
+    * [[graft.streaming.StreamRunner.maintainLakes]] pass over all
+    * ELEVEN (lake, live, serve) triples, driven purely by the health
+    * view. Lakes enter the pass in MIXED lifecycle states (semantic
+    * pre-folded once → the pass folds forward AND vacuums; postings
+    * pre-folded twice → fold + vacuum + retention-prune; the rest
+    * never folded → first fold), so the one audit trail exercises
+    * every policy arm. Multi-table folds mirror [[graft.streaming
+    * .StreamRunner.maintainPostings]]: the primary entry's body folds
+    * the sibling tables, whose own entries carry read-only thunks but
+    * still drive their lakes' vacuum/retention.
+    */
+  private[graft] object WarehouseMaintFixture extends StreamedFixture(
+    "wm", "graft_whmaint",
+    Seq("_sem", "_sem_serve",
+      "_ddc", "_ddc_serve", "_ddc_sigs", "_ddc_sigs_serve",
+      "_ddc_hashes", "_ddc_hashes_serve", "_ddc_stats", "_ddc_stats_serve",
+      "_lex_postings", "_lex_postings_serve",
+      "_lex_doclen", "_lex_doclen_serve",
+      "_ivf", "_ivf_serve", "_pimg_sigs", "_pimg_sigs_serve",
+      "_fr_records", "_fr_records_serve", "_fr_settled", "_fr_settled_serve",
+      "_fr_ledger", "_fr_ledger_serve", "_fr_edges", "_fr_terminals",
+      "_actions"), layout = "v2") {
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit = {
+      import graft.streaming.StreamRunner
+      import graft.operators.Crawl.{HttpCodec, WarcCodec}
+      import s.implicits._
+      // --- semantic lake: 3 sliced batches of the REAL embedding-dedup
+      // body; planes = the first 4 corpus embeddings (deterministic)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val planes = emb.filter(col("vec_id").between(1, 4))
+        .orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Float](2).toArray)
+      (0 to 2).foreach { b =>
+        StreamRunner.semanticPublishBatch(
+          emb.filter(col("vec_id") % 3 === b), b.toLong, planes.toSeq,
+          wh, s"${scratch}_sem", _ => None, 0.25)
+        // pre-fold once mid-ingest: the pass then folds FORWARD + vacuums
+        if (b == 0) StreamRunner.compactSemantic(s, wh, s"${scratch}_sem"): Unit
+      }
+      // --- minhash dedup corpus (+ sigs/hashes indexes + stats rollup)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      (0 to 2).foreach(b => StreamRunner.dedupPublishBatch(
+        docs.filter(col("doc_id") % 3 === b), b.toLong,
+        wh, s"${scratch}_ddc", _ => None, 0.5))
+      // --- term-bucketed inverted index: 4 batches, pre-folded TWICE so
+      // the pass folds a THIRD generation and retention prunes the first
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      (0 to 3).foreach { b =>
+        val slice = toks.filter(col("doc_id") % 4 === b)
+        wh.partitionedUpsertWrite(
+          slice.groupBy(col("word"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .withColumn("wb", graft.functions.TextFunctions.md5Bits(col("word"), 1))
+            .withColumn("ingest_batch", lit(b.toLong)),
+          s"${scratch}_lex_postings", Seq("wb", "ingest_batch"))
+        wh.noteLiveBatch(s"${scratch}_lex_postings", b.toLong)
+        wh.partitionedUpsertWrite(
+          slice.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+            .withColumn("ingest_batch", lit(b.toLong)),
+          s"${scratch}_lex_doclen", Seq("ingest_batch"))
+        wh.noteLiveBatch(s"${scratch}_lex_doclen", b.toLong)
+        if (b <= 1)
+          StreamRunner.compactPostings(s, wh, s"${scratch}_lex"): Unit
+      }
+      // --- IVF vector lake: the real gated cell-assigned publish
+      val cents = emb.filter(col("vec_id").between(1, 8))
+        .orderBy(col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](2))
+      (0 to 2).foreach { b =>
+        val (cellCol, csCol) = Similarity.cellAssignExpr(s, cents.toSeq)
+        StreamRunner.ivfPublishBatch(
+          emb.filter(col("vec_id") % 3 === b)
+            .select(col("vec_id"), col("embedding"), cellCol, csCol),
+          b.toLong, wh, s"${scratch}_ivf", _ => None)
+      }
+      // --- perceptual near-dup LSM: 2 delta batches (batch 1 carries a
+      // count-add against batch 0's keeper)
+      StreamRunner.perceptualPublishHashed(
+        Seq((1L, 11L, 21L), (2L, 12L, 22L)).toDF("doc_id", "hash_hi", "hash_lo"),
+        0L, wh, s"${scratch}_pimg", _ => None, maxHamming = 0)
+      StreamRunner.perceptualPublishHashed(
+        Seq((3L, 13L, 23L), (4L, 11L, 21L)).toDF("doc_id", "hash_hi", "hash_lo"),
+        1L, wh, s"${scratch}_pimg", _ => None, maxHamming = 0)
+      // --- redirect-walk frontier: 3 batches of real WARC/HTTP bytes
+      def warcOf(url: String, status: Int, loc: Option[String]): Array[Byte] =
+        WarcCodec.encode(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:wm:$url>",
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/http; msgtype=response"),
+          HttpCodec.encode(status,
+            if (status == 200) "OK" else "Moved Permanently",
+            loc.map("Location" -> _).toSeq ++
+              (if (status == 200) Seq("Content-Type" -> "text/plain") else Nil),
+            if (status == 200) "x".getBytes("UTF-8") else Array.emptyByteArray,
+            chunked = false))
+      Seq(
+        Seq(10L -> warcOf("https://w.m/a", 301, Some("https://w.m/b")),
+          11L -> warcOf("https://w.m/c", 200, None)),
+        Seq(12L -> warcOf("https://w.m/b", 200, None)),
+        Seq(13L -> warcOf("https://w.m/d", 301, Some("https://w.m/c")))
+      ).zipWithIndex.foreach { case (rows, b) =>
+        StreamRunner.frontierPublishBatch(
+          rows.toDF("doc_id", "payload"), b.toLong,
+          wh, s"${scratch}_fr", _ => None)
+      }
+      // --- ONE policy pass over all eleven lakes
+      val actions = StreamRunner.maintainLakes(s, wh, Seq(
+        ("semantic", s"${scratch}_sem", s"${scratch}_sem_serve",
+          () => StreamRunner.compactSemantic(s, wh, s"${scratch}_sem")),
+        ("dedup_corpus", s"${scratch}_ddc", s"${scratch}_ddc_serve",
+          () => StreamRunner.compactCorpus(s, wh, s"${scratch}_ddc")),
+        ("dedup_sigs", s"${scratch}_ddc_sigs", s"${scratch}_ddc_sigs_serve",
+          () => StreamRunner.compactDedupIndex(s, wh, s"${scratch}_ddc")._1),
+        ("dedup_hashes", s"${scratch}_ddc_hashes",
+          s"${scratch}_ddc_hashes_serve",
+          () => wh.currentVersion(s"${scratch}_ddc_hashes_serve").getOrElse(0)),
+        ("dedup_stats", s"${scratch}_ddc_stats", s"${scratch}_ddc_stats_serve",
+          () => StreamRunner.compactStats(s, wh, s"${scratch}_ddc")),
+        ("postings", s"${scratch}_lex_postings",
+          s"${scratch}_lex_postings_serve",
+          () => StreamRunner.compactPostings(s, wh, s"${scratch}_lex")._1),
+        ("doclen", s"${scratch}_lex_doclen", s"${scratch}_lex_doclen_serve",
+          () => wh.currentVersion(s"${scratch}_lex_doclen_serve").getOrElse(0)),
+        ("ivf", s"${scratch}_ivf", s"${scratch}_ivf_serve",
+          () => StreamRunner.compactIvf(s, wh, s"${scratch}_ivf")),
+        ("perceptual", s"${scratch}_pimg_sigs", s"${scratch}_pimg_sigs_serve",
+          () => StreamRunner.compactPerceptual(s, wh, s"${scratch}_pimg")),
+        ("frontier_records", s"${scratch}_fr_records",
+          s"${scratch}_fr_records_serve",
+          () => StreamRunner.compactFrontier(s, wh, s"${scratch}_fr")._1),
+        ("frontier_settled", s"${scratch}_fr_settled",
+          s"${scratch}_fr_settled_serve",
+          () => wh.currentVersion(s"${scratch}_fr_settled_serve").getOrElse(0))))
+      wh.truncateWrite(actions.toDF(
+        "lake", "folded", "vacuumed_batches", "pruned_generations",
+        "current_version")
+        .coalesce(1), s"${scratch}_actions")
+    }
+  }
+
   private def cents(c: Column): Column = round(c * 100).cast("bigint")
   private def wide(c: Column): Column = c.cast(DecimalType(38, 0))
   /** Portable 60-bit content hash (same idiom as [[Dedup]]): Spark
@@ -774,6 +932,40 @@ object Curation extends QueryModule {
         ("fold_vac", s"${p}_fold_vac", s"${p}_fold_vac_serve"),
         ("idle", s"${p}_idle", s"${p}_idle_serve"),
         ("perceptual", s"${p}_perc_sigs", s"${p}_perc_sigs_serve")))
+      import s.implicits._
+      val health = post.toDF("lake", "live_batches", "tail_batches",
+        "retained_generations", "current_version_h", "vacuum_eligible")
+      wh.read(s, s"${p}_actions")
+        .join(health, Seq("lake"))
+        .select(col("lake"), col("folded"), col("vacuumed_batches"),
+          col("pruned_generations"), col("current_version"),
+          col("live_batches"), col("tail_batches"),
+          col("retained_generations"), col("vacuum_eligible"))
+        .orderBy(col("lake"))
+    }),
+
+    // ---- the WAREHOUSE-WIDE maintenance demo: ONE maintainLakes pass
+    // over all eleven real-lake triples ([[WarehouseMaintFixture]] —
+    // every streamed-lake kind, built through its real ingest body),
+    // joined with the post-pass health view. The mixed pre-fold states
+    // make the single trail exercise first-fold, fold-forward+vacuum,
+    // and fold+vacuum+retention in one pass; the post-health join pins
+    // that the pass left every lake in its documented steady state. ----
+    "pipe_warehouse_maintain" -> ((s, d) => {
+      val p = WarehouseMaintFixture.build(s, d)
+      val wh = WarehouseMaintFixture.wh
+      val post = graft.streaming.StreamRunner.lakeHealth(wh, Seq(
+        ("semantic", s"${p}_sem", s"${p}_sem_serve"),
+        ("dedup_corpus", s"${p}_ddc", s"${p}_ddc_serve"),
+        ("dedup_sigs", s"${p}_ddc_sigs", s"${p}_ddc_sigs_serve"),
+        ("dedup_hashes", s"${p}_ddc_hashes", s"${p}_ddc_hashes_serve"),
+        ("dedup_stats", s"${p}_ddc_stats", s"${p}_ddc_stats_serve"),
+        ("postings", s"${p}_lex_postings", s"${p}_lex_postings_serve"),
+        ("doclen", s"${p}_lex_doclen", s"${p}_lex_doclen_serve"),
+        ("ivf", s"${p}_ivf", s"${p}_ivf_serve"),
+        ("perceptual", s"${p}_pimg_sigs", s"${p}_pimg_sigs_serve"),
+        ("frontier_records", s"${p}_fr_records", s"${p}_fr_records_serve"),
+        ("frontier_settled", s"${p}_fr_settled", s"${p}_fr_settled_serve")))
       import s.implicits._
       val health = post.toDF("lake", "live_batches", "tail_batches",
         "retained_generations", "current_version_h", "vacuum_eligible")
@@ -1498,6 +1690,28 @@ object Curation extends QueryModule {
         |  ('fold_vac',   true,  CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
         |  ('idle',       false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), false),
         |  ('perceptual', true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false)
+        |) t(lake, folded, vacuumed_batches, pruned_generations,
+        |    current_version, live_batches, tail_batches,
+        |    retained_generations, vacuum_eligible)
+        |ORDER BY lake""".stripMargin,
+    // the warehouse-wide pass: first-folds (v1 lakes), the read-only
+    // sibling entries folded by their primary's body (hashes/settled/
+    // doclen read folded=false), semantic's fold-forward + vacuum
+    // (v2, 1 batch reclaimed), and postings/doclen's fold + vacuum +
+    // retention (v3, 2 batches reclaimed, generation 1 pruned)
+    "pipe_warehouse_maintain" ->
+      """SELECT * FROM (VALUES
+        |  ('dedup_corpus',     true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('dedup_hashes',     false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('dedup_sigs',       true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('dedup_stats',      true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('doclen',           false, CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  ('frontier_records', true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('frontier_settled', false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('ivf',              true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('perceptual',       true,  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), false),
+        |  ('postings',         true,  CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false),
+        |  ('semantic',         true,  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), false)
         |) t(lake, folded, vacuumed_batches, pruned_generations,
         |    current_version, live_batches, tail_batches,
         |    retained_generations, vacuum_eligible)

@@ -212,6 +212,20 @@ object Similarity extends QueryModule {
   private val trainedCentMemo =
     new scala.collection.concurrent.TrieMap[String, Seq[(Long, Seq[Double])]]()
 
+  /** k-GROWTH RULE for the trained coarse quantizer: k ≈ √N rounded
+    * DOWN to a power of two, clamped to [8, 64]. The r17 panel showed
+    * k=8 over ~500 survivors too coarse for a 1-2 probe budget (29%
+    * recall@10 at nprobe=1); √N keeps per-cell occupancy ≈ cell count
+    * (the classical IVF balance), the power-of-two floor keeps the
+    * chosen k stable under small lake growth, and the clamp bounds both
+    * the training bill (k centroid cosines per row per Lloyd round) and
+    * the probe fan-out. At sf0.01 (≈490 survivors) this picks 16; at
+    * sf0.1 (≈1960) it picks 32.
+    */
+  private[graft] def chooseK(n: Long): Int =
+    math.min(64, math.max(8,
+      Integer.highestOneBit(math.max(1, math.sqrt(n.toDouble).toInt))))
+
   /** The TRAINED coarse quantizer for the deduplicated lake's `_cells`
     * generation: 2 Lloyd rounds over the SURVIVORS (the `_serve`
     * snapshot), seeded by the dataset's vec_id 1..8 embeddings —
@@ -225,14 +239,15 @@ object Similarity extends QueryModule {
     * corpus sample (the sim_pq_train note) — plan shape unchanged.
     */
   private def trainedCentroids(s: SparkSession, d: String,
-      wh: graft.pipeline.Warehouse, p: String): Seq[(Long, Seq[Double])] =
-    // keyed on (path, current `_serve` VERSION): a re-folded lake whose
-    // `_cells` rebuilds in the same JVM trains over the NEW survivor
-    // set, and a memo keyed on path alone would keep ranking probes
-    // with the stale centroids the generation was no longer assigned
-    // with (breaking the probe-order-matches-argmax invariant)
+      wh: graft.pipeline.Warehouse, p: String,
+      k: Int = 8): Seq[(Long, Seq[Double])] =
+    // keyed on (path, current `_serve` VERSION, k): a re-folded lake
+    // whose `_cells` rebuilds in the same JVM trains over the NEW
+    // survivor set, and a memo keyed on path alone would keep ranking
+    // probes with the stale centroids the generation was no longer
+    // assigned with (breaking the probe-order-matches-argmax invariant)
     trainedCentMemo.getOrElseUpdate(
-      s"${wh.tablePath(p)}@v=${wh.currentVersion(s"${p}_serve").getOrElse(0)}", {
+      s"${wh.tablePath(p)}@v=${wh.currentVersion(s"${p}_serve").getOrElse(0)}@k=$k", {
       import org.apache.spark.sql.expressions.Window
       graft.plans.GraftExtensions.ensureRegistered(s)
       val micro = "CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
@@ -240,7 +255,7 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("embedding"))
         .withColumn("q", expr(s"transform(embedding, x -> $micro)"))
       var centroids = Tables.embeddings(s, d)
-        .filter(col("vec_id").between(1, 8))
+        .filter(col("vec_id").between(1, k))
         .select(col("vec_id").as("k"),
           expr(s"transform(transform(embedding, x -> $micro), " +
             "v -> CAST(v AS DOUBLE))").as("c_emb"))
@@ -356,9 +371,157 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** The RETRAINED fresh serve — [[semdedupTopkIvfFresh]]'s shape over
+    * [[SemanticLakeRetrainFixture]], where `_cells` was rebuilt at
+    * FULL-FOLD time with a quantizer trained on the folded survivors
+    * and the sidecar records the quantizer id. The serve selects the
+    * assignment set BY THAT ID (never by guessing from fixture
+    * identity): probe ranking and the on-the-fly tail assignment must
+    * both use the exact set the pinned generation was assigned with, or
+    * the partition filter reads the wrong directories. Batch 2 is
+    * reachable only through the tail (the lake is fully vacuumed
+    * mid-stream), so a serve that forgot the tail — or assigned it with
+    * the frozen set — flips the oracle, which re-derives training over
+    * exactly the mid-stream survivor population (`prev`).
+    */
+  private def semdedupTopkIvfRetrained(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val p = SemanticLakeRetrainFixture.build(s, d)
+    val wh = SemanticLakeRetrainFixture.wh
+    val cv = wh.currentVersion(s"${p}_cells").getOrElse(
+      throw new IllegalStateException(s"no _cells generation for $p"))
+    val quantizer = wh.versionMeta(s"${p}_cells", cv)
+      .getOrElse("quantizer", "frozen")
+    val (probes, cellCol) = quantizer match {
+      case "trained8" =>
+        val cent = trainedCentroids(s, d, wh, p)
+        (queryProbeCellsTrained(s, d, cent, nprobe),
+          cellAssignExprTrained(s, cent)._1)
+      case _ =>
+        (queryProbeCells(s, d, nprobe),
+          cellAssignExpr(s, frozenCentroids(s, d))._1)
+    }
+    val thru = graft.streaming.StreamRunner.lakeThru(
+      s, wh, s"${p}_serve", wh.currentVersion(s"${p}_serve").get)
+    val snapCells = wh.readVersion(s, s"${p}_cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val tailCells = wh.read(s, p)
+      .filter(col("ingest_batch") > thru)
+      .select(col("vec_id"), col("label"), col("embedding"), cellCol)
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    snapCells.unionByName(tailCells)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Top-k over the K-SCALED trained cells generation
+    * ([[SemanticLakeFixture.cellsAutoK]] — k = [[chooseK]](survivors)
+    * instead of the fixed seed 8): the same literal-probe
+    * partition-filter plan as [[semdedupTopkIvf]], but the quantizer
+    * has √N-scaled resolution, which is what lifts panel recall at a
+    * 1-2 probe budget (the r17 "k fixed at 8" gap — SCALE.md's
+    * k×nprobe table). k comes from the generation's sidecar, never
+    * re-derived at serve time.
+    */
+  private def semdedupTopkIvfAutoK(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    val p = SemanticLakeFixture.cellsAutoK(s, d)
+    val wh = SemanticLakeFixture.wh
+    val cv = wh.currentVersion(s"${p}_cellsk").getOrElse(
+      throw new IllegalStateException(s"no _cellsk generation for $p"))
+    val k = wh.versionMeta(s"${p}_cellsk", cv)
+      .getOrElse("quantizer", "trained8").stripPrefix("trained").toInt
+    val cent = trainedCentroids(s, d, wh, p, k)
+    val probes = queryProbeCellsTrained(s, d, cent, nprobe)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    wh.readVersion(s, s"${p}_cellsk")
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(cosine(s, "embedding", "q_emb"), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** The MEASUREMENT panel behind the k-growth rule (SCALE.md's
+    * k×nprobe table — a maintenance-time eval, not a serve): for every
+    * quantizer width in `ks`, train on the deduplicated lake's
+    * survivors, assign them, and measure the capped 16-query panel's
+    * brute-top-10 hit count at each probe width in `nprobes`. The
+    * sim_semdedup_recall_panel shape generalized from {frozen,trained8}
+    * × {1,2} to arbitrary k × nprobe; same capped panel (the r17 "%k
+    * slice grows with the lake" lesson), same |lake|×16 broadcast
+    * score set, reused across every (k, nprobe) combination.
+    */
+  private[graft] def quantizerKPanel(s: SparkSession, d: String,
+      ks: Seq[Int], nprobes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val p = SemanticLakeFixture.compact(s, d)
+    val wh = SemanticLakeFixture.wh
+    val lake = wh.readVersion(s, s"${p}_serve")
+      .select(col("vec_id"), col("embedding"))
+    val qs = lake.filter(col("vec_id") % 37 === 0)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val sc = lake.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cs", round(cosine(s, "embedding", "q_emb"), 6))
+      .select(col("qid"), col("vec_id"), col("cs"))
+      .cache()
+    try {
+      val byQ = Window.partitionBy(col("qid"))
+        .orderBy(desc("cs"), col("vec_id"))
+      val brute = sc.withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+      val nTotal = brute.agg(count(lit(1)).cast("bigint").as("n_total"))
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val maxProbe = nprobes.max
+      ks.map { kq =>
+        val cent = trainedCentroids(s, d, wh, p, kq)
+        val cells = lake.select(col("vec_id"),
+          cellAssignExprTrained(s, cent)._1)
+        val centDf = cent.toDF("k", "c_emb")
+        val byQc = Window.partitionBy(col("qid"))
+          .orderBy(desc("qcs"), col("k"))
+        val qcells = qs.crossJoin(broadcast(centDf))
+          .withColumn("qcs",
+            call_function("graft_cosine", col("q_emb"), col("c_emb")))
+          .withColumn("crn", row_number().over(byQc))
+          .filter(col("crn") <= maxProbe)
+          .select(col("qid"), col("k").as("q_cell"), col("crn"))
+        nprobes.map { np =>
+          val iv = sc.join(cells, Seq("vec_id"))
+            .join(qcells.filter(col("crn") <= np), Seq("qid"))
+            .filter(col("cell") === col("q_cell"))
+            .select(col("qid"), col("vec_id"), col("cs"))
+            .withColumn("rn", row_number().over(byQ))
+            .filter(col("rn") <= 10)
+            .select(col("qid"), col("vec_id"))
+          iv.join(brute, Seq("qid", "vec_id"), "left_semi")
+            .agg(count(lit(1)).cast("bigint").as("n_hit"))
+            .crossJoin(nTotal)
+            .select(lit(kq.toLong).as("quantizer_k"),
+              lit(np.toLong).as("nprobe"), col("n_hit"), col("n_total"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+        .orderBy(col("quantizer_k"), col("nprobe"))
+        .localCheckpoint()
+    } finally sc.unpersist(): Unit
+  }
+
   private[graft] object SemanticLakeFixture extends StreamedFixture(
     "sl", "graft_semlake", Seq(""), layout = "v1",
-    extraPruneSuffixes = Seq("_serve", "_cells")) {
+    extraPruneSuffixes = Seq("_serve", "_cells", "_cellsk")) {
     override protected def sourceTable: String = "embeddings"
     override protected def buildScratch(
         s: SparkSession, d: String, scratch: String): Unit =
@@ -405,6 +568,24 @@ object Similarity extends QueryModule {
         cellAssignExprTrained(s, trainedCentroids(s, d, wh, p))._1))
       p
     }
+
+    /** The K-SCALED cells generation: `_cellsk`, trained at
+      * k = [[chooseK]](|survivors|) (16 at sf0.01, 32 at sf0.1) with
+      * the chosen quantizer id in the sidecar, so the serve can never
+      * disagree with the generation about k after the lake grows
+      * across a √N boundary. Kept SEPARATE from the fixed-k=8 `_cells`
+      * so the existing pinned serves and their oracles stay untouched.
+      */
+    def cellsAutoK(s: SparkSession, d: String): String = {
+      val p = compact(s, d)
+      compactOnce(s"$p@cellsk") {
+        val k = chooseK(wh.readVersion(s, s"${p}_serve").count())
+        writeCellsGeneration(s, d, wh, p,
+          cellAssignExprTrained(s, trainedCentroids(s, d, wh, p, k))._1,
+          suffix = "_cellsk", meta = Map("quantizer" -> s"trained$k"))
+      }
+      p
+    }
   }
 
   /** The HYBRID-serve variant of [[SemanticLakeFixture]]: the SAME three
@@ -449,6 +630,35 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** The RETRAIN-AT-FULL-FOLD variant: the same three sliced batches,
+    * but after batch 1 the lake FULLY folds (tail empty — the retrain
+    * window the maintenance policy waits for, since retraining
+    * invalidates every prior assignment and an on-the-fly tail must
+    * share the pinned generation's quantizer), the quantizer RETRAINS
+    * on the folded survivors, `_cells` rebuilds with the trained
+    * assignment, the quantizer id lands in the generation's sidecar,
+    * and the folded fragments vacuum. Batch 2 then ingests normally, so
+    * at read time the retrained generation serves with a live tail the
+    * fresh serve must assign WITH THE TRAINED SET — selected by the
+    * sidecar id, never by guessing (sim_semdedup_topk_ivf_rt).
+    */
+  private[graft] object SemanticLakeRetrainFixture extends StreamedFixture(
+    "slr", "graft_semlake_rt", Seq("", "_serve", "_cells"), layout = "v1") {
+    override protected def sourceTable: String = "embeddings"
+    override protected def buildScratch(
+        s: SparkSession, d: String, scratch: String): Unit =
+      replaySlicedSemanticIngest(s, d, wh, scratch, afterBatch = i =>
+        if (i == 1) {
+          graft.streaming.StreamRunner.compactSemantic(s, wh, scratch)
+          writeCellsGeneration(s, d, wh, scratch,
+            cellAssignExprTrained(s,
+              trainedCentroids(s, d, wh, scratch))._1,
+            meta = Map("quantizer" -> "trained8"))
+          graft.streaming.StreamRunner.gcLake(s, wh, scratch,
+            s"${scratch}_serve", slackGenerations = 0): Unit
+        })
+  }
+
   /** The shared `_cells`-generation write (run once per JVM per prefix
     * under each fixture's compactOnce memo): the lake's `_serve`
     * snapshot cell-assigned by the caller's quantizer projection and
@@ -456,14 +666,16 @@ object Similarity extends QueryModule {
     * whether a committed generation exists (the compactOnce contract).
     */
   private def writeCellsGeneration(s: SparkSession, d: String,
-      wh: graft.pipeline.Warehouse, p: String, cellCol: Column): Boolean = {
+      wh: graft.pipeline.Warehouse, p: String, cellCol: Column,
+      suffix: String = "_cells",
+      meta: Map[String, String] = Map.empty): Boolean = {
     wh.versionedWrite(
       wh.readVersion(s, s"${p}_serve")
         .select(col("vec_id"), col("label"), col("embedding"), cellCol)
         .repartition(col("cell")),
-      s"${p}_cells", Seq("cell"))
-    wh.pruneVersions(s"${p}_cells", keep = 2)
-    wh.currentVersion(s"${p}_cells").isDefined
+      s"$p$suffix", Seq("cell"), meta)
+    wh.pruneVersions(s"$p$suffix", keep = 2)
+    wh.currentVersion(s"$p$suffix").isDefined
   }
 
   /** A REAL streaming-maintained IVF lake:
@@ -1087,6 +1299,55 @@ object Similarity extends QueryModule {
       val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
       Seq(1, 2).map { np =>
         semdedupTopkIvfFresh(s, d, np).select(col("vec_id"))
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
+            col("n_hit"), expr("n_hit * 100 DIV 10").as("recall_pct"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
+    // ---- the RETRAINED fresh serves: `_cells` rebuilt at FULL-FOLD
+    // time with a survivor-trained quantizer whose id rides the
+    // generation's sidecar; the serve selects probe ranking AND the
+    // on-the-fly tail assignment by that id. Closes r17's "hybrid/fresh
+    // serves never benefit from training" gap: the retrain happens in
+    // the one window where it is sound (tail empty — nothing on the fly
+    // can disagree with the pinned generation). ----
+    "sim_semdedup_topk_ivf_rt" -> ((s, d) =>
+      semdedupTopkIvfRetrained(s, d, nprobe = 1)),
+    "sim_semdedup_topk_ivf2_rt" -> ((s, d) =>
+      semdedupTopkIvfRetrained(s, d, nprobe = 2)),
+    // the recall ladder over the retrained serves (the hybrid-shaped
+    // fixture: batch 2 reachable only through the trained-assigned tail)
+    "sim_semdedup_recall_rt" -> ((s, d) => {
+      val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
+      Seq(1, 2).map { np =>
+        semdedupTopkIvfRetrained(s, d, np).select(col("vec_id"))
+          .join(brute, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).cast("bigint").as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
+            col("n_hit"), expr("n_hit * 100 DIV 10").as("recall_pct"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
+    // ---- the K-SCALED pinned serves: k = chooseK(|survivors|) (√N
+    // floored to a power of two — 16 at sf0.01) instead of the fixed
+    // seed 8; k rides the generation's sidecar. The k×nprobe panel
+    // table in SCALE.md is what justifies the rule. ----
+    "sim_semdedup_topk_ivf_autok" -> ((s, d) =>
+      semdedupTopkIvfAutoK(s, d, nprobe = 1)),
+    "sim_semdedup_topk_ivf2_autok" -> ((s, d) =>
+      semdedupTopkIvfAutoK(s, d, nprobe = 2)),
+    // the CHOSEN serve configuration from the k×nprobe panel: finer
+    // quantizer + probes scaled to hold the read fraction — k=16@4
+    // probes reads the same ~1/4 of the lake as k=8@2 but measures
+    // 58.6% vs 45.7% panel recall (SCALE.md table)
+    "sim_semdedup_topk_ivf4_autok" -> ((s, d) =>
+      semdedupTopkIvfAutoK(s, d, nprobe = 4)),
+    "sim_semdedup_recall_autok" -> ((s, d) => {
+      val brute = queries("sim_semdedup_topk")(s, d).select(col("vec_id"))
+      Seq(1, 2).map { np =>
+        semdedupTopkIvfAutoK(s, d, np).select(col("vec_id"))
           .join(brute, Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).cast("bigint").as("n_hit"))
           .select(lit(np.toLong).as("nprobe"), lit(10L).as("k"),
@@ -2006,14 +2267,24 @@ object Similarity extends QueryModule {
     * serves over the trained `_cells` generation hash against a full
     * from-scratch re-derivation including the training itself.
     */
-  private def semanticTrainedCellsCte: String = {
+  private def semanticTrainedCellsCte: String =
+    semanticTrainedCellsCteOver("surv", 8)
+
+  /** [[semanticTrainedCellsCte]] generalized: `trainPop` names the CTE
+    * holding the TRAINING population (the retrained-at-full-fold serves
+    * train over `prev` — the mid-stream survivors — while assignment
+    * still covers every survivor), and `k` is the seed/cluster count
+    * (the auto-k serves pin [[chooseK]]'s sf0.01 value, 16 — the oracle
+    * runs at the verify scale only, so the static SQL can).
+    */
+  private def semanticTrainedCellsCteOver(trainPop: String, k: Int): String = {
     val micro =
       "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
     def assignCte(centCte: String, name: String) =
       s"""$name AS (
          |  SELECT vec_id, k AS cell, q FROM (
          |    SELECT t.vec_id, c.ck AS k, t.q
-         |    FROM eq t CROSS JOIN $centCte c
+         |    FROM eqt t CROSS JOIN $centCte c
          |    QUALIFY row_number() OVER (PARTITION BY t.vec_id
          |      ORDER BY ${duckCosine("t.embedding", "c.c_emb")} DESC, c.ck) = 1)
          |)""".stripMargin
@@ -2027,10 +2298,13 @@ object Similarity extends QueryModule {
     s""", eq AS MATERIALIZED (
        |  SELECT e.vec_id, e.embedding, $micro AS q
        |  FROM e WHERE e.vec_id IN (SELECT vec_id FROM surv)
+       |), eqt AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, $micro AS q
+       |  FROM e WHERE e.vec_id IN (SELECT vec_id FROM $trainPop)
        |), tc0 AS (
        |  SELECT vec_id AS ck,
        |    list_transform($micro, v -> CAST(v AS DOUBLE)) AS c_emb
-       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND $k
        |), ${assignCte("tc0", "ta1")}, ${updateCte("ta1", "tc1")},
        |${assignCte("tc1", "ta2")}, ${updateCte("ta2", "tc2")},
        |cells AS MATERIALIZED (
@@ -2045,7 +2319,8 @@ object Similarity extends QueryModule {
        |    FROM tc2 c
        |    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
        |), ${ivfkCte("ivfk", 1)},
-       |${ivfkCte("ivfk2", 2)}""".stripMargin
+       |${ivfkCte("ivfk2", 2)},
+       |${ivfkCte("ivfk4", 4)}""".stripMargin
   }
 
   /** The recall-ladder SELECT over whatever ivfk/ivfk2 chain precedes
@@ -2545,6 +2820,40 @@ object Similarity extends QueryModule {
     // the same ladder over the FRESH (frozen-quantizer) serves
     "sim_semdedup_recall_fresh" ->
       (semanticLakeReplayCte + semanticCellsCte + semanticRecallSelect),
+    // the RETRAINED serves: training re-derived over exactly the
+    // MID-STREAM survivor population (`prev` — batches 0-1, what the
+    // full fold saw), assignment over every survivor including the
+    // tail's — a serve that assigned the tail with the frozen set, or
+    // probed with the wrong ranking, flips these
+    "sim_semdedup_topk_ivf_rt" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("prev", 8) + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_topk_ivf2_rt" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("prev", 8) + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk2
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_recall_rt" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("prev", 8)
+        + semanticRecallSelect),
+    // the K-SCALED serves: k = chooseK(|survivors|) = 16 at sf0.01 (the
+    // verify scale — the static SQL pins that value; the engine derives
+    // it from the lake and records it in the generation sidecar)
+    "sim_semdedup_topk_ivf_autok" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("surv", 16) + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_topk_ivf2_autok" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("surv", 16) + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk2
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_topk_ivf4_autok" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("surv", 16) + s"""
+        |SELECT vec_id, label, cos_sim FROM ivfk4
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    "sim_semdedup_recall_autok" ->
+      (semanticLakeReplayCte + semanticTrainedCellsCteOver("surv", 16)
+        + semanticRecallSelect),
     // both quantizers' PANEL recall re-derived from scratch: the trained
     // chain's `cells` plus a frozen assignment over the same survivors,
     // per-query probe ranks against each centroid set, brute top-10 per

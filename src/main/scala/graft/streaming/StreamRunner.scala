@@ -1680,13 +1680,17 @@ object StreamRunner {
       audit: DataFrame => Option[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      minCos: Double = 0.25): StreamingQuery =
+      minCos: Double = 0.25,
+      maintainEvery: Int = 0): StreamingQuery =
     embStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         semanticPublishBatch(batch, batchId, planes, wh, table, audit, minCos)
+        // the same in-loop cadence as [[postingsIngestToWarehouse]]
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          maintainSemantic(batch.sparkSession, wh, table): Unit
       }
       .start()
 
@@ -2392,7 +2396,8 @@ object StreamRunner {
       table: String,
       audit: DataFrame => Option[String],
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintainEvery: Int = 0): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, count, explode, lit, split}
     docStream.writeStream
       .outputMode("append")
@@ -2421,7 +2426,51 @@ object StreamRunner {
               (doclen, s"${table}_doclen", Seq("ingest_batch"))),
             batchId, wh, audit): Unit
         } finally toks.unpersist(): Unit
+        // MAINTENANCE CADENCE (VERDICT r17 #4): with `maintainEvery` N,
+        // every Nth committed batch runs the policy pass over this
+        // index IN the ingest loop — no external scheduler has to
+        // remember the lake exists. The pass is replay-safe (a replayed
+        // cadence tick's fold sees an already-folded tail and no-ops,
+        // versions unchanged) and an idle tick is metadata-only (the
+        // health reads — zero Spark jobs; spec-pinned).
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          maintainPostings(batch.sparkSession, wh, table): Unit
       }
       .start()
   }
+
+  /** The policy pass ([[maintainLakes]]) over the streamed inverted
+    * index's table pair. The postings entry's fold body is
+    * [[compactPostings]] `quiesced = false`, which folds BOTH tables
+    * atomically w.r.t. the committed-id trust rule — the doclen entry
+    * therefore carries a read-only fold thunk (its fold already
+    * happened as the postings entry's side effect; its own row still
+    * drives the doclen lake's vacuum and retention).
+    */
+  def maintainPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      foldAtTailBatches: Int = 2,
+      slackGenerations: Int = 1,
+      keepGenerations: Int = 2): Seq[(String, Boolean, Long, Long, Long)] =
+    maintainLakes(spark, wh, Seq(
+      ("postings", s"${table}_postings", s"${table}_postings_serve",
+        () => compactPostings(spark, wh, table, quiesced = false)._1),
+      ("doclen", s"${table}_doclen", s"${table}_doclen_serve",
+        () => wh.currentVersion(s"${table}_doclen_serve").getOrElse(0))),
+      foldAtTailBatches, slackGenerations, keepGenerations)
+
+  /** [[maintainPostings]]' twin for the streamed semantic lake. */
+  def maintainSemantic(
+      spark: org.apache.spark.sql.SparkSession,
+      wh: Warehouse,
+      table: String,
+      foldAtTailBatches: Int = 2,
+      slackGenerations: Int = 1,
+      keepGenerations: Int = 2): Seq[(String, Boolean, Long, Long, Long)] =
+    maintainLakes(spark, wh, Seq(
+      ("semantic", table, s"${table}_serve",
+        () => compactSemantic(spark, wh, table, quiesced = false))),
+      foldAtTailBatches, slackGenerations, keepGenerations)
 }

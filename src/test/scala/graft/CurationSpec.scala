@@ -396,4 +396,51 @@ class CurationSpec extends SparkSuiteBase {
     val m3 = manifest.find(_.getAs[Long]("shard") == 3L)
     assert(one.count() == m3.map(_.getAs[Long]("n_docs")).getOrElse(0L))
   }
+
+  test("pipe_warehouse_maintain: a second idle pass over all eleven real lakes acts on nothing and launches no Spark job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.streaming.StreamRunner
+    val p = Curation.WarehouseMaintFixture.build(spark, sf0001)
+    val wh = Curation.WarehouseMaintFixture.wh
+    val lakes = Seq[(String, String, String, () => Int)](
+      ("semantic", s"${p}_sem", s"${p}_sem_serve",
+        () => StreamRunner.compactSemantic(spark, wh, s"${p}_sem")),
+      ("dedup_corpus", s"${p}_ddc", s"${p}_ddc_serve",
+        () => StreamRunner.compactCorpus(spark, wh, s"${p}_ddc")),
+      ("dedup_sigs", s"${p}_ddc_sigs", s"${p}_ddc_sigs_serve",
+        () => StreamRunner.compactDedupIndex(spark, wh, s"${p}_ddc")._1),
+      ("dedup_hashes", s"${p}_ddc_hashes", s"${p}_ddc_hashes_serve",
+        () => wh.currentVersion(s"${p}_ddc_hashes_serve").getOrElse(0)),
+      ("dedup_stats", s"${p}_ddc_stats", s"${p}_ddc_stats_serve",
+        () => StreamRunner.compactStats(spark, wh, s"${p}_ddc")),
+      ("postings", s"${p}_lex_postings", s"${p}_lex_postings_serve",
+        () => StreamRunner.compactPostings(spark, wh, s"${p}_lex")._1),
+      ("doclen", s"${p}_lex_doclen", s"${p}_lex_doclen_serve",
+        () => wh.currentVersion(s"${p}_lex_doclen_serve").getOrElse(0)),
+      ("ivf", s"${p}_ivf", s"${p}_ivf_serve",
+        () => StreamRunner.compactIvf(spark, wh, s"${p}_ivf")),
+      ("perceptual", s"${p}_pimg_sigs", s"${p}_pimg_sigs_serve",
+        () => StreamRunner.compactPerceptual(spark, wh, s"${p}_pimg")),
+      ("frontier_records", s"${p}_fr_records", s"${p}_fr_records_serve",
+        () => StreamRunner.compactFrontier(spark, wh, s"${p}_fr")._1),
+      ("frontier_settled", s"${p}_fr_settled", s"${p}_fr_settled_serve",
+        () => wh.currentVersion(s"${p}_fr_settled_serve").getOrElse(0)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        seen.add(js.jobId): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val acts = StreamRunner.maintainLakes(spark, wh, lakes)
+      val lb = classOf[org.apache.spark.SparkContext]
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+      assert(seen.isEmpty,
+        s"an idle warehouse-wide pass must launch no Spark job, saw $seen")
+      assert(acts.forall(a => !a._2 && a._3 == 0L && a._4 == 0L),
+        s"an idle pass must act on nothing: $acts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -1014,6 +1014,76 @@ class StreamRunnerSpec extends SparkSuiteBase {
   }
 
 
+  test("in-loop maintenance cadence: the postings stream folds itself; idle ticks are metadata-only; replay cannot double-fold") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val landing = tmpDir("cadl")
+    val wh = new Warehouse(tmpDir("cadw"))
+    val ckpt = tmpDir("cadc")
+    def writeFile(name: String, ids: Seq[Int]): Unit =
+      Files.write(Paths.get(landing, name),
+        ids.map(i => s"""{"doc_id":$i,"text":"alpha beta w$i"}""")
+          .mkString("\n").getBytes("UTF-8"))
+    (0 to 3).foreach(b => writeFile(s"d$b.jsonl", Seq(b * 10, b * 10 + 1)))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def runStream(): Unit =
+      StreamRunner.postingsIngestToWarehouse(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(landing),
+        wh, "cad", _ => None, ckpt, Trigger.AvailableNow(),
+        maintainEvery = 2).awaitTermination()
+    runStream()
+    // tick@batch1 folded gen1 (thru=0: the trust rule holds back the
+    // newest id); tick@batch3 folded gen2 (thru=2) AND vacuumed batch 0
+    // under the gen1 boundary — the stream maintains ITSELF
+    assert(wh.listVersions("cad_postings_serve") === Seq(1, 2))
+    assert(wh.versionMeta("cad_postings_serve", 2).get("thru") === Some("2"))
+    assert(wh.liveBatches("cad_postings") === Seq(1L, 2L, 3L),
+      "batch 0's fragments were vacuumed by the in-loop pass")
+    assert(wh.listVersions("cad_doclen_serve") === Seq(1, 2))
+    // content parity: the hybrid read over the self-maintained lake
+    // equals the batch-built index
+    val served = StreamRunner.hybridLakeRead(
+        spark, wh, "cad_postings", "cad_postings_serve")
+      .select(col("word"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0 to 3).flatMap(b => Seq(b * 10, b * 10 + 1)).flatMap(i =>
+      Seq(("alpha", i.toLong, 1L), ("beta", i.toLong, 1L),
+        (s"w$i", i.toLong, 1L))).toSet
+    assert(served === expected)
+    // an IDLE cadence tick (nothing foldable, nothing reclaimable) is
+    // metadata-only — zero Spark jobs
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        seen.add(js.jobId): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val acts = StreamRunner.maintainPostings(spark, wh, "cad")
+      val lb = classOf[org.apache.spark.SparkContext]
+        .getMethod("listenerBus").invoke(spark.sparkContext)
+      lb.getClass.getMethod("waitUntilEmpty").invoke(lb)
+      assert(seen.isEmpty, s"idle cadence tick must launch no job: $seen")
+      assert(acts.map(a => (a._1, a._2, a._3, a._4)) ===
+        Seq(("postings", false, 0L, 0L), ("doclen", false, 0L, 0L)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // REPLAY safety: re-running the stream over the same checkpoint
+    // fires no batches and changes nothing; two more drops advance the
+    // fold exactly once (no double-fold from the re-fired cadence)
+    runStream()
+    assert(wh.listVersions("cad_postings_serve") === Seq(1, 2))
+    (4 to 5).foreach(b => writeFile(s"d$b.jsonl", Seq(b * 10, b * 10 + 1)))
+    runStream()
+    assert(wh.currentVersion("cad_postings_serve") === Some(3),
+      "the tick at batch 5 folds exactly one new generation")
+    assert(wh.versionMeta("cad_postings_serve", 3).get("thru") === Some("4"))
+    assert(wh.liveBatches("cad_postings") === Seq(3L, 4L, 5L),
+      "fragments stay bounded under continued ingest: ≤ tail + holdback")
+  }
+
   test("lakeHealth census is the marker ledger: one legacy walk backfills, then no recursive listing ever runs again") {
     import org.apache.spark.sql.Row
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
