@@ -18,15 +18,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def base(master: String, shufflePartitions: Int): SparkSession = {
-    val spark = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .withExtensions(new plans.GraftExtensions)
-      .getOrCreate()
+    // SPARK_GRAFT_CONF: semicolon-separated key=value pairs appended to the
+    // session config — the parameterization hook for scale-dependent
+    // settings (shuffle sizing, join strategy preferences) so cluster
+    // profiles don't require a rebuild. Applied last: overrides the
+    // defaults above.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry not key=value: $kv")
+        b = b.config(kv.substring(0, i), kv.substring(i + 1))
+      })
+    val spark = b.withExtensions(new plans.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

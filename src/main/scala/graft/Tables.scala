@@ -48,6 +48,29 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Scale-adaptive spread before CPU-heavy per-row derivations (guide
+    * §2.5 "input skew: one huge unsplittable file"). Parquet cannot split
+    * below row-group granularity, so a small or single-row-group file
+    * scans as ONE task and serializes md5/regex/codec work behind one core
+    * while the rest of the machine idles. When the plan's scan yields
+    * fewer partitions than the session's parallelism, round-robin
+    * repartition up to parallelism; when the input already carries enough
+    * splits (any production lake), the branch is off and NO shuffle is
+    * added — partitioning derived from input size, never a constant tuned
+    * for either local mode or the cluster. Callers put this immediately
+    * below the expensive projection and above the scan-side filters, so
+    * pushdown still reaches the parquet scan.
+    *
+    * `keys` must be a deterministic high-cardinality column (a doc/row
+    * id): hash partitioning is retry-safe without the round-robin form's
+    * local pre-sort (SPARK-23207), which on wide rows (word arrays,
+    * payloads) costs more than the work being spread.
+    */
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, keys: _*) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -1800,7 +1800,7 @@ object Crawl extends QueryModule {
     // never shuffle. ----
     "crawl_gzip_members" -> ((s, d) => {
       val media = attachGzipMedia(Tables.documents(s, d))
-      decodeGzipArrow(media).orderBy(col("doc_id"))
+      decodeGzipArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- `.jsonl.gz` metadata shards: each doc's payload is a gzip
@@ -2260,7 +2260,7 @@ object Crawl extends QueryModule {
             }
           }
         }
-      s.createDataFrame(rdd, charsetStatSchema).orderBy(col("doc_id"))
+      s.createDataFrame(rdd, charsetStatSchema).cache().orderBy(col("doc_id"))
     }),
 
     // ---- the crawl-ingestion CAPSTONE over a realistic `.warc.gz`
@@ -2273,7 +2273,7 @@ object Crawl extends QueryModule {
     // the hash. ----
     "pipe_crawl_e2e" -> ((s, d) => {
       val media = attachWarcGzMedia(Tables.documents(s, d))
-      crawlExtractArrow(media).orderBy(col("doc_id"))
+      crawlExtractArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- the FILE-based crawl capstone: the write→read symmetry proof

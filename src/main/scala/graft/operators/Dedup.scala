@@ -36,11 +36,18 @@ object Dedup extends QueryModule {
   private val shingleArrayExpr =
     "array_distinct(transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
 
-  /** 0-based 3-word shingles, deduplicated, as (doc_id, source, shingle). */
+  /** 0-based 3-word shingles, deduplicated, as (doc_id, source, shingle).
+    * The scan is [[Tables.spread]] across the session's cores before the
+    * explode: shingle extraction + the md5 every consumer runs per shingle
+    * is the dominant per-task cost of the whole dedup family, and a
+    * single-row-group fixture file would otherwise serialize it behind one
+    * task (at scale the input has enough splits and spread is a no-op).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
+    Tables.spread(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(expr(shingleArrayExpr)).as("shingle"))
 
@@ -61,7 +68,7 @@ object Dedup extends QueryModule {
     */
   private def grams8(w: DataFrame): DataFrame = {
     val K = 8
-    w.filter(size(col("w")) >= K)
+    Tables.spread(w.filter(size(col("w")) >= K), col("doc_id"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(w) - ${K - 1}),
            |  i -> CAST(conv(substring(md5(concat_ws(' ', slice(w, i, $K))), 1, 15), 16, 10) AS BIGINT))""".stripMargin)))
@@ -388,11 +395,19 @@ object Dedup extends QueryModule {
     */
   private[graft] def capHotBands(banded: DataFrame, keys: Seq[String],
                                  cap: Long = BandCap): DataFrame = {
-    val rare = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_in_band"))
-      .filter(col("n_in_band") <= cap)
-      .select(keys.map(col): _*)
-    banded.join(rare, keys, "left_semi")
+    // One-pass form: a count window over the band key (high-cardinality,
+    // group size ≤ cap by construction after the filter) instead of the
+    // old count-aggregate + semi-join back. The semi-join form consumed
+    // `banded` TWICE — and the partial-agg exchange differs from the probe
+    // side's exchange, so ReuseExchange could not collapse them: every
+    // caller paid the full upstream signature pipeline twice. The window's
+    // exchange is on the SAME key the downstream candidate self-join
+    // shuffles on. Result unchanged: keep rows whose band value occurs
+    // ≤ cap times.
+    val w = Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("__n_in_band", count(lit(1)).over(w))
+      .filter(col("__n_in_band") <= cap)
+      .drop("__n_in_band")
   }
 
   /** Dropped-mass accounting for [[capHotBands]]: ONE row —
@@ -587,9 +602,15 @@ object Dedup extends QueryModule {
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = cut(pass(pass(edges, large = true), large = false))
-      // stability of the canonical edge set == star fixpoint; both sides
-      // are checkpointed, so the two anti-joins are cheap scans
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // stability of the canonical edge set == star fixpoint. ONE job:
+      // both sides are distinct sets, so the symmetric difference is
+      // exactly the groups of size 1 in their union — one shuffle on the
+      // edge key, instead of the old two exceptAll jobs (two exchanges
+      // each) per round
+      converged = next.select(col("a"), col("b"))
+        .unionAll(edges.select(col("a"), col("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 1).isEmpty
       edges = next
       rounds += 1
     }
@@ -642,7 +663,9 @@ object Dedup extends QueryModule {
     * dedup first.)
     */
   private def pairsFromBands(bands0: DataFrame): DataFrame = {
-    val bands = capHotBands(bands0, Seq("band_idx", "bkey"))
+    // the capped band set feeds BOTH sides of the self-join: cache it so
+    // the signature pipeline above is evaluated once, not per join side
+    val bands = capHotBands(bands0, Seq("band_idx", "bkey")).cache()
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bkey") === col("b.bkey") &&
@@ -758,7 +781,8 @@ object Dedup extends QueryModule {
     // the cap, so the oracle (which replays the UNCAPPED banding) stays
     // exact. ----
     "dedup_minhash_pairs" -> ((s, d) => {
-      val bands = capHotBands(bandKeys(minhashSig(s, d)), Seq("band_idx", "bkey"))
+      // cached: the capped band set feeds both sides of the self-join
+      val bands = capHotBands(bandKeys(minhashSig(s, d)), Seq("band_idx", "bkey")).cache()
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b,
@@ -799,7 +823,8 @@ object Dedup extends QueryModule {
     // (candidatePairCounts exact counts, minhashSig lanes); the doc-keyed
     // signature joins are signature-sized and the output is ≤ 9 rows. ----
     "dedup_minhash_calibration" -> ((s, d) => {
-      val sig = minhashSig(s, d)
+      // cached: the signature table feeds both the doc_a and doc_b joins
+      val sig = minhashSig(s, d).cache()
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:

@@ -2902,7 +2902,7 @@ object Multimodal extends QueryModule {
     "mm_frame_sample" -> ((s, d) => {
       val media = attachY4mMedia(Tables.documents(s, d))
       frameSampleArrow(media, maxFrames = 2)
-        .orderBy(col("doc_id"), col("slot"))
+        .cache().orderBy(col("doc_id"), col("slot"))
     }),
     // ---- FULL video-frame decode, the video twin of mm_png_decode: the
     // payload is a REAL YUV4MPEG2 stream over the colourspace-MIXED
@@ -2918,7 +2918,7 @@ object Multimodal extends QueryModule {
     // the scene-change/static-clip curation signal. ----
     "mm_video_decode" -> ((s, d) => {
       val media = attachY4mMixedMedia(Tables.documents(s, d))
-      decodeY4mArrow(media).orderBy(col("doc_id"))
+      decodeY4mArrow(media).cache().orderBy(col("doc_id"))
     }),
     // ---- container metadata over a colourspace-MIXED corpus (C444 even
     // docs, real 4:2:0 odd docs): width/height/fps come only from the
@@ -2929,7 +2929,7 @@ object Multimodal extends QueryModule {
     // must account for every byte), not just a spec fixture. ----
     "mm_video_meta" -> ((s, d) => {
       val media = attachY4mMixedMedia(Tables.documents(s, d))
-      parseY4mMetaArrow(media).orderBy(col("doc_id"))
+      parseY4mMetaArrow(media).cache().orderBy(col("doc_id"))
     }),
     // binary-column metadata surface: REAL byte-level header decode. The
     // payload is a PNG-framed binary ([[attachPngMedia]]); the values below
@@ -2947,7 +2947,7 @@ object Multimodal extends QueryModule {
           col("bit_depth").cast("bigint").as("bit_depth"),
           col("color_type").cast("bigint").as("color_type"),
           col("n_bytes"))
-        .orderBy(col("doc_id"))
+        .cache().orderBy(col("doc_id"))
     }),
 
     // ---- the audio twin: payload is a RIFF/WAVE binary
@@ -2964,7 +2964,7 @@ object Multimodal extends QueryModule {
           col("sample_rate").cast("bigint").as("sample_rate"),
           col("bits_per_sample").cast("bigint").as("bits_per_sample"),
           col("data_len"), col("n_bytes"))
-        .orderBy(col("doc_id"))
+        .cache().orderBy(col("doc_id"))
     }),
 
     // ---- FULL pixel decode, not header sniffing: the payload is a REAL
@@ -2979,7 +2979,7 @@ object Multimodal extends QueryModule {
     // continue to the sort. ----
     "mm_png_decode" -> ((s, d) => {
       val media = attachPngPixelMedia(Tables.documents(s, d))
-      decodePngArrow(media).orderBy(col("doc_id"))
+      decodePngArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- FULL baseline-JPEG decode, the compressed-image rung of the
@@ -2997,7 +2997,7 @@ object Multimodal extends QueryModule {
     // any Huffman/dequant/IDCT/sampling bug breaks the hash. ----
     "mm_jpeg_decode" -> ((s, d) => {
       val media = attachJpegMedia(Tables.documents(s, d))
-      decodeJpegArrow(media).orderBy(col("doc_id"))
+      decodeJpegArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- FULL PCM decode, the audio twin of mm_png_decode: the payload
@@ -3009,7 +3009,7 @@ object Multimodal extends QueryModule {
     // signed) — it never sees the framed bytes. ----
     "mm_wav_decode" -> ((s, d) => {
       val media = attachWavMedia(Tables.documents(s, d))
-      decodeWavArrow(media).orderBy(col("doc_id"))
+      decodeWavArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- REAL resize on REAL pixels: each doc's PNG is decoded
@@ -3021,7 +3021,7 @@ object Multimodal extends QueryModule {
     // decode / feature-extract / resize / frame-sample multimodal set. ----
     "mm_png_resize" -> ((s, d) => {
       val media = attachPngPixelMedia(Tables.documents(s, d))
-      resizePngArrow(media).orderBy(col("doc_id"), col("ty"), col("tx"))
+      resizePngArrow(media).cache().orderBy(col("doc_id"), col("ty"), col("tx"))
     }),
 
     // ---- the JPEG twin of mm_png_resize: decode + NN-normalize fused in
@@ -3032,7 +3032,7 @@ object Multimodal extends QueryModule {
     // and IDCT to index any of them. ----
     "mm_jpeg_resize" -> ((s, d) => {
       val media = attachJpegMedia(Tables.documents(s, d))
-      resizeJpegArrow(media).orderBy(col("doc_id"), col("ty"), col("tx"))
+      resizeJpegArrow(media).cache().orderBy(col("doc_id"), col("ty"), col("tx"))
     }),
 
     // ---- per-channel PCM features on REAL decoded samples: zero-crossing
@@ -3041,7 +3041,7 @@ object Multimodal extends QueryModule {
     // are read. Oracle recomputes both from the text's byte stream. ----
     "mm_wav_features" -> ((s, d) => {
       val media = attachWavMedia(Tables.documents(s, d))
-      wavFeaturesArrow(media).orderBy(col("doc_id"))
+      wavFeaturesArrow(media).cache().orderBy(col("doc_id"))
     }),
 
     // ---- the multimodal capstone: ONE binary column, heterogeneous REAL
@@ -3090,7 +3090,7 @@ object Multimodal extends QueryModule {
       videoFingerprintArrow(media)
         .filter(col("format") === "y4m")
         .select(col("doc_id"), col("n_frames"), col("fingerprint"))
-        .orderBy(col("doc_id"))
+        .cache().orderBy(col("doc_id"))
     }),
 
     // ---- INCREMENTAL image dedup — dedup_incremental's batch-vs-corpus
@@ -3151,7 +3151,7 @@ object Multimodal extends QueryModule {
       wavFingerprintArrow(media)
         .filter(col("format") === "wav")
         .select(col("doc_id"), col("n_frames"), col("fingerprint"))
-        .orderBy(col("doc_id"))
+        .cache().orderBy(col("doc_id"))
     }),
 
     // ---- the WIDENED 60-bit audio fingerprint ([[wavFingerprint60Row]]):
@@ -3165,7 +3165,7 @@ object Multimodal extends QueryModule {
       wavFingerprint60Arrow(media)
         .filter(col("format") === "wav")
         .select(col("doc_id"), col("n_frames"), col("sig_hi"), col("sig_lo"))
-        .orderBy(col("doc_id"))
+        .cache().orderBy(col("doc_id"))
     }),
 
     // ---- the WIDTH TRADEOFF as a gate-checked number: both fingerprint

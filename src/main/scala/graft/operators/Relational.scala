@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.DateFilters
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -268,7 +269,7 @@ object Relational extends QueryModule {
     // ---- TPC-H Q1 style pricing summary (groupBy agg, filter pushdown) ----
     "q1_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      li.filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
+      li.filter(DateFilters.onOrBefore(col("l_shipdate"), "1999-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -294,7 +295,7 @@ object Relational extends QueryModule {
     // stay verified; at 100 TB the integer form is what you'd run. ----
     "q1_agg_cents" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate")) <= lit("1999-12-01"))
+        .filter(DateFilters.onOrBefore(col("l_shipdate"), "1999-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           (sum(wide(cents(col("l_quantity")))).cast("double") / 100.0).as("sum_qty"),
@@ -309,9 +310,9 @@ object Relational extends QueryModule {
     "q3_join_topk" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
-        .filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+        .filter(DateFilters.before(col("o_orderdate"), "1998-06-01"))
       val li = Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+        .filter(DateFilters.after(col("l_shipdate"), "1998-06-01"))
       // customer grows with SF (at a 100 TB lake it is hundreds of GB), so no
       // broadcast hint — AQE picks broadcast at small SF by size, shuffle hash
       // join at scale. Only fixed-cardinality dims get explicit hints.
@@ -332,7 +333,7 @@ object Relational extends QueryModule {
       val c = Tables.customer(s, d)
       val sup = Tables.supplier(s, d)
       val o = Tables.orders(s, d)
-        .filter(to_date(col("o_orderdate")).between(lit("1996-01-01"), lit("1997-12-31")))
+        .filter(DateFilters.betweenDays(col("o_orderdate"), "1996-01-01", "1997-12-31"))
       val li = Tables.lineitem(s, d)
       // supplier/customer grow linearly with SF — no broadcast hints (AQE
       // decides by runtime size). nation/region are fixed 25/5 rows at any
@@ -358,8 +359,8 @@ object Relational extends QueryModule {
     // what you'd get anyway). PLANS.md carries the dump. ----
     "q3_join_bucketed" -> ((s, d) => {
       val (liB, oB) = bucketedFacts(s, d)
-      val li = liB.filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
-      val o = oB.filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+      val li = liB.filter(DateFilters.after(col("l_shipdate"), "1998-06-01"))
+      val o = oB.filter(DateFilters.before(col("o_orderdate"), "1998-06-01"))
       li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -916,8 +917,7 @@ object Relational extends QueryModule {
     "q_join_full" -> ((s, d) => {
       val o = Tables.orders(s, d)
       def yearly(y: Int, alias: String) =
-        o.filter(to_date(col("o_orderdate"))
-            .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+        o.filter(DateFilters.betweenDays(col("o_orderdate"), s"$y-01-01", s"$y-12-31"))
           .groupBy(col("o_custkey").as(s"k_$alias"))
           .agg(count(lit(1)).as(s"n_$alias"))
       yearly(1996, "a").join(yearly(1997, "b"),
@@ -938,8 +938,8 @@ object Relational extends QueryModule {
     // count-difference aggregate, not a distinct + anti join. ----
     "q_except_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
-          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+      def year(y: Int) = o.filter(
+        DateFilters.betweenDays(col("o_orderdate"), s"$y-01-01", s"$y-12-31"))
         .select(col("o_custkey"))
       year(1996).exceptAll(year(1997)).orderBy(col("o_custkey"))
     }),
@@ -980,15 +980,15 @@ object Relational extends QueryModule {
     // ---- set ops: customers ordering in both/only-first of two years ----
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
-          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+      def year(y: Int) = o.filter(
+        DateFilters.betweenDays(col("o_orderdate"), s"$y-01-01", s"$y-12-31"))
         .select(col("o_custkey"))
       year(1996).intersect(year(1997)).orderBy(col("o_custkey"))
     }),
     "q_except" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      def year(y: Int) = o.filter(to_date(col("o_orderdate"))
-          .between(lit(s"$y-01-01"), lit(s"$y-12-31")))
+      def year(y: Int) = o.filter(
+        DateFilters.betweenDays(col("o_orderdate"), s"$y-01-01", s"$y-12-31"))
         .select(col("o_custkey"))
       year(1996).except(year(1997)).orderBy(col("o_custkey"))
     }),
@@ -1002,8 +1002,7 @@ object Relational extends QueryModule {
     // most of the lake before a single byte of l_extendedprice is decoded. ----
     "q6_selective" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate"))
-          .between(lit("1997-01-01"), lit("1997-12-31")) &&
+        .filter(DateFilters.betweenDays(col("l_shipdate"), "1997-01-01", "1997-12-31") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(
           (sum(wide(cents(col("l_extendedprice")) * cents(col("l_discount"))))
@@ -1082,8 +1081,7 @@ object Relational extends QueryModule {
     "q10_returned" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-        .filter(to_date(col("o_orderdate"))
-          .between(lit("1997-01-01"), lit("1997-03-31")))
+        .filter(DateFilters.betweenDays(col("o_orderdate"), "1997-01-01", "1997-03-31"))
       val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       val n = Tables.nation(s, d)
       li.join(o, col("l_orderkey") === col("o_orderkey"))

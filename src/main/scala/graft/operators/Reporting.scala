@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import graft.functions.DateFilters
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,7 +92,7 @@ object Reporting extends QueryModule {
       val cn = broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
       Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1997-12-31")))
+        .filter(DateFilters.betweenDays(col("l_shipdate"), "1996-01-01", "1997-12-31"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(sn, col("s_nationkey") === col("s_nk"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -117,8 +118,7 @@ object Reporting extends QueryModule {
       val sn = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
       Tables.lineitem(s, d)
-        .join(Tables.orders(s, d).filter(to_date(col("o_orderdate"))
-          .between(lit("1996-01-01"), lit("1997-12-31"))),
+        .join(Tables.orders(s, d).filter(DateFilters.betweenDays(col("o_orderdate"), "1996-01-01", "1997-12-31")),
           col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(asiaN, col("c_nationkey") === col("c_nk"))
@@ -193,7 +193,7 @@ object Reporting extends QueryModule {
     // parquet scan, the part join prunes to the month's partkeys first. ----
     "q14_promo" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate")).between(lit("1997-03-01"), lit("1997-03-31")))
+        .filter(DateFilters.betweenDays(col("l_shipdate"), "1997-03-01", "1997-03-31"))
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .withColumn("r4", wide(cents(col("l_extendedprice"))
           * (lit(100L) - cents(col("l_discount")))))
@@ -210,7 +210,7 @@ object Reporting extends QueryModule {
     // q_revenue_share's percent-of-total. ----
     "q15_top_supplier" -> ((s, d) => {
       val rev = Tables.lineitem(s, d)
-        .filter(to_date(col("l_shipdate")).between(lit("1997-01-01"), lit("1997-03-31")))
+        .filter(DateFilters.betweenDays(col("l_shipdate"), "1997-01-01", "1997-03-31"))
         .groupBy(col("l_suppkey"))
         .agg(rev4(col("l_extendedprice"), col("l_discount")).as("r4"))
       rev.withColumn("max4", max(col("r4")).over(Window.partitionBy()))

@@ -70,11 +70,22 @@ object TextAnalysis extends QueryModule {
       "bpeTrainLoop: corpus contains literal A-E — supply placeholder " +
         "symbols outside this corpus's alphabet")
     var rewritten = "text" // SQL expr: corpus re-segmented by merges so far
+    // `cur` is the corpus re-segmented by the merges so far, MATERIALIZED
+    // (cache) once per round: each round's two aggregates (pair count,
+    // compression measure) scan the round's segmentation instead of
+    // re-evaluating the whole replace chain over raw text — round r
+    // previously re-ran r chained replaces per scan, O(r²) replace
+    // evaluations across the loop, now O(r) (guide §1.2 "per-task work":
+    // one replace per round, aggregates read the cached segmentation).
+    // The picked pairs and all reported counts are unchanged: replaces
+    // compose, so scanning cur ≡ scanning expr(rewritten) over raw text.
+    var cur = docs.select(col("text"))
+    var cached: Option[DataFrame] = None
     val table = Seq.newBuilder[(Long, String, String, Long, Long)]
     for (r <- 1 to 5) {
       val sym = ('A' + r - 1).toChar.toString
-      val top = docs
-        .select(explode(split(expr(rewritten), " ")).as("w"))
+      val top = cur
+        .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
@@ -90,14 +101,30 @@ object TextAnalysis extends QueryModule {
       rewritten = s"replace($rewritten, '$pair', '$sym')"
       // the per-round compression scan only matters to callers reporting
       // the merge table (txt_bpe_train); the tokenizer capstone discards
-      // the table and must not pay 5 extra corpus scans for it
+      // the table and must not pay 5 extra corpus scans for it. The last
+      // round's segmentation is only built when something reads it.
       val nAfter =
-        if (measureRounds)
-          docs.agg(sum(expr(s"length(replace($rewritten, ' ', ''))")).cast("bigint"))
-            .collect()(0).getLong(0)
-        else -1L
+        if (r < 5 || measureRounds) {
+          val next = cur.select(
+            expr(s"replace(text, '$pair', '$sym')").as("text")).cache()
+          // materialize `next` BEFORE dropping its parent from cache —
+          // otherwise the first action on it would re-derive the whole
+          // replace chain from raw text (the cost this rewrite removes).
+          // With measureRounds the compression aggregate IS that action;
+          // without it a count() pays the one replace into cache.
+          val n =
+            if (measureRounds)
+              next.agg(sum(expr("length(replace(text, ' ', ''))")).cast("bigint"))
+                .collect()(0).getLong(0)
+            else { next.count(); -1L }
+          cached.foreach(_.unpersist(false))
+          cached = Some(next)
+          cur = next
+          n
+        } else -1L
       table += ((r.toLong, top.getString(0), sym, top.getLong(1), nAfter))
     }
+    cached.foreach(_.unpersist(false))
     (rewritten, table.result())
   }
 
@@ -1811,14 +1838,18 @@ object TextAnalysis extends QueryModule {
     // BY sits on doc_id (source-key sort, regex never re-executes in the
     // range sampler). ----
     "txt_pii_scrub" -> ((s, d) =>
-      piiPerDoc(Tables.documents(s, d))
+      // ORDER BY placed on the source key BELOW the regex projection (the
+      // sh_raw_typed_load sampler pattern): a global sort's range-sampling
+      // pass re-executes its child, so sorting first means the sampler
+      // reads only the scan and the scrub runs ONCE. Output order is
+      // identical (doc_id is unique and 1:1 through the projection).
+      piiPerDoc(Tables.documents(s, d).orderBy(col("doc_id")))
         .select(col("doc_id"), col("n_email"), col("n_ip_cand"),
           col("n_ip_valid"), col("n_phone"),
           col("n_card_cand"), col("n_card_valid"),
           col("n_ssn_cand"), col("n_ssn_valid"),
           md5(col("redacted")).as("redacted_md5"),
-          length(col("redacted")).cast("bigint").as("redacted_len"))
-        .orderBy(col("doc_id"))),
+          length(col("redacted")).cast("bigint").as("redacted_len"))),
 
     // ---- corpus-level PII audit: the per-source release report (rates,
     // class totals, multi-class doc counts) a dataset card cites. Same

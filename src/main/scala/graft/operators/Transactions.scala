@@ -38,7 +38,8 @@ object Transactions extends QueryModule {
       val runDate = "2024-01-10"
       Tables.events(s, d)
         .filter(col("event_type") === "purchase")
-        .filter(to_date(col("ts")).between(lit(runDate), date_add(lit(runDate).cast("date"), 2)))
+        .filter(col("ts") >= lit(runDate).cast("timestamp") &&
+          col("ts") < date_add(lit(runDate).cast("date"), 3).cast("timestamp"))
         .orderBy(col("event_id"))
         .select(
           col("event_id").as("transaction_id"),
